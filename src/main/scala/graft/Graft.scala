@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loader for the graft engine.
+  *
+  * Capabilities modeled after SD2E/fcs-etl-reactor (FCS ETL: ingest,
+  * per-channel transform, compensation, gating, summary statistics,
+  * metadata joins) re-expressed Spark-first; see SURVEY.md.
+  */
+object Graft {
+
+  /** Build a local session tuned the way we'd tune a cluster job:
+    * AQE on (runtime re-plan + skew-join), shuffle partitions sized to
+    * the parallelism (not the 200 default), UTC for oracle parity, and
+    * our custom Catalyst expressions registered for SQL use.
+    */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    registerFunctions(s)
+    s
+  }
+
+  /** Register graft's custom Catalyst expressions in an existing
+    * session's function registry so `spark.sql` can call them too.
+    * Safe to call repeatedly.
+    */
+  def registerFunctions(s: SparkSession): Unit =
+    org.apache.spark.sql.graftx.GraftExpressions.registerAll(s)
+
+  /** Load one of the driver tables from an sf directory. Plain parquet
+    * scan — Catalyst handles column pruning / predicate pushdown.
+    *
+    * The `events` table carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; we read nanos as long (legacy conf) and convert to
+    * a microsecond timestamp with integer division (`div`, not `/` —
+    * double math would lose precision on ~1e18 nanos). Truncation to
+    * micros matches how DuckDB reads the same file.
+    */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftx.GraftExpressions
+
+/** graft's public Column-level function API (re-export of the native
+  * Catalyst expressions in org.apache.spark.sql.graftx — see the
+  * package note there for why they live under the spark namespace).
+  */
+object GraftFunctions {
+
+  /** Flow-cytometry arcsinh channel scaling: asinh(x / cofactor). */
+  def asinh_scaled(x: Column, cofactor: Column): Column =
+    GraftExpressions.asinh_scaled(x, cofactor)
+
+  /** Logicle-style biexponential display transform with top-of-scale
+    * `t`, decades `m`, linearization width `w`.
+    */
+  def logicle(x: Column, t: Column, m: Column, w: Column): Column =
+    GraftExpressions.logicle(x, t, m, w)
+
+  /** 64-bit polynomial rolling hash of a string (fingerprinting). */
+  def rolling_hash(s: Column): Column = GraftExpressions.rolling_hash(s)
+
+  /** Ray-casting polygon gate membership for the (x, y) channel pair. */
+  def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
+    GraftExpressions.point_in_polygon(x, y, xs, ys)
+
+  /** Cosine similarity of two Array[Float] embedding columns. */
+  def cosine_sim(a: Column, b: Column): Column = GraftExpressions.cosine_sim(a, b)
+}

@@ -1,0 +1,448 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Graft
+
+/** Relational core — SURVEY.md §2.1 (R1–R22).
+  *
+  * Design notes for 100 TB (local[32] only verifies correctness):
+  *  - dim tables (region/nation/supplier/part/customer) join via
+  *    `broadcast()` — the fact side never shuffles for them;
+  *  - fact⋈fact joins shuffle on the join key AFTER pushed-down
+  *    filters (AQE re-plans and handles skew at runtime);
+  *  - window functions always partition on a key (no global windows
+  *    except explicit top-k, which Spark runs as TakeOrderedAndProject
+  *    — a per-partition heap + driver merge, no global sort);
+  *  - every computed float is rounded identically in the Spark plan
+  *    and the DuckDB oracle; every output is deterministically ordered.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1+R2: scan + filter pushdown + multi-measure hash aggregate.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // R3: broadcast dim join + fact⋈fact shuffle join + grouped top-k.
+    "q03_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-06-30"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // R4: 5-table star join; region/nation broadcast, c↔s nation match.
+    "q05_region_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // R5: exact distinct aggregate (expand+two-phase agg under the hood).
+    "q06_distinct_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // R6: approx distinct (HLL++) — scale path for 100 TB cardinality
+    // estimation; rows-only check, exactness bound asserted in spec.
+    "q06b_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // R7: ranked top-N per group (window + filter; full tiebreak).
+    "q07_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // R8: running sum per partition key (cumulative frame).
+    "q08_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // R9: lag/lead — days between consecutive orders per customer.
+    "q09_order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // R10: semi join (EXISTS) — no row multiplication, key-only shuffle.
+    "q10_semi_join" -> ((s, dir) => {
+      val pend = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      t(s, dir, "customer")
+        .join(pend, col("c_custkey") === pend("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // R11: anti join (NOT EXISTS).
+    "q11_anti_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // R12: union + distinct.
+    "q12_union_keys" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct().orderBy("custkey")
+    }),
+
+    // R13: ROLLUP hierarchy; grouping nulls normalized to 'ALL'.
+    "q13_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // R14: CASE bucketing + conditional aggregation.
+    "q14_price_buckets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("bucket",
+          when(col("l_extendedprice") < 10000, "low")
+            .when(col("l_extendedprice") < 50000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("discounted_value"))
+        .orderBy("bucket")
+    }),
+
+    // R15: string functions over a dim table.
+    "q15_string_ops" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").startsWith("PROMO"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          min(upper(substring(col("p_name"), 1, 8))).as("min_name8"),
+          max(concat(col("p_brand"), lit(":"), col("p_type"))).as("max_bt"))
+        .orderBy("p_brand")
+    }),
+
+    // R16: date functions (extract year/month).
+    "q16_date_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("y", "m")
+    }),
+
+    // R17: HAVING — post-aggregation filter.
+    "q17_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"), count(lit(1)).as("n_orders"))
+        .filter(col("spend") > 1500000)
+        .orderBy("o_custkey")
+    }),
+
+    // R18: global top-k — plans as TakeOrderedAndProject (no full sort).
+    "q18_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // R19: pivot — per-day value totals by event type.
+    "q19_pivot_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+        .orderBy("day")
+    }),
+
+    // R20: correlated scalar subquery, decorrelated into an agg+join.
+    "q20_above_avg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgByPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_extendedprice").as("avg_price"))
+      val part = t(s, dir, "part")
+      li.join(avgByPart, li("l_partkey") === avgByPart("ap_partkey"))
+        .filter(col("l_extendedprice") > col("avg_price") * 1.2)
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("value"))
+        .orderBy("p_brand")
+    }),
+
+    // R21: as-of join — latest click at-or-before each purchase, per
+    // user. Spark-first: union both sides tagged, one window pass
+    // (partition by user, order by ts) with last(ignoreNulls) — a
+    // single shuffle, no correlated per-row lookup, scales linearly.
+    "q21_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // Collapse duplicate (user_id, ts) clicks to max event_id so the
+      // as-of pick is deterministic (mirrors the oracle's max()).
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          lit(1).as("tag"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purch)
+        .withColumn("asof_click_id", last("click_id", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_click_id"))
+        .orderBy("event_id")
+    }),
+
+    // R22: repartition + sortWithinPartitions — the write-clustering
+    // primitive (what you'd do before a bucketed/sorted parquet write).
+    // Row content deterministic, global order not → rows-only check.
+    "q22_cluster_sort" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .repartition(col("l_suppkey"))
+        .sortWithinPartitions("l_suppkey", "l_shipdate")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_distinct_parts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q07_topn_per_group" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q08_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q09_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        | date_diff('day', prev_date, o_orderdate) AS gap_days
+        |FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_date
+        | FROM orders)
+        |WHERE prev_date IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_union_keys" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY custkey""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        | coalesce(l_linestatus,'ALL') AS linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q14_price_buckets" ->
+      """SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+        |  WHEN l_extendedprice < 50000 THEN 'mid' ELSE 'high' END AS bucket,
+        | count(*) AS n,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END),2)
+        |   AS discounted_value
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q15_string_ops" ->
+      """SELECT p_brand, count(*) AS n,
+        | min(upper(substr(p_name,1,8))) AS min_name8,
+        | max(concat(p_brand, ':', p_type)) AS max_bt
+        |FROM part WHERE p_type LIKE 'PROMO%'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q16_date_ops" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+        | CAST(extract(month FROM o_orderdate) AS INT) AS m,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "q17_having" ->
+      """SELECT o_custkey, round(sum(o_totalprice),2) AS spend,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING round(sum(o_totalprice),2) > 1500000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q18_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q19_pivot_events" ->
+      """SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
+        | round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        | round(sum(CASE WHEN event_type='error' THEN value END),2) AS error,
+        | round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        | round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        | round(sum(CASE WHEN event_type='view' THEN value END),2) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q20_above_avg" ->
+      """SELECT p_brand, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS value
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_extendedprice) AS avg_price
+        |      FROM lineitem GROUP BY l_partkey) ap ON l_partkey = ap_partkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_extendedprice > avg_price * 1.2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q21_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | (SELECT max(c.event_id) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts <= p.ts
+        |     AND c.ts = (SELECT max(c2.ts) FROM events c2
+        |       WHERE c2.event_type = 'click' AND c2.user_id = p.user_id
+        |         AND c2.ts <= p.ts)) AS asof_click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin
+    // q22_cluster_sort: rows-only by design (partition-local ordering).
+  )
+}

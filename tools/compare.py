@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+sfDir tables, and diffs: column names (sorted), row count, and a hash
+of the value matrix with columns sorted by name and rows sorted.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = sorted(got.columns)
+            got_rows = sorted(tuple(canon(v) for v in row)
+                              for row in con.sql(
+                f"SELECT {','.join(got_cols)} FROM '{out_dir}/{name}/*.parquet'").fetchall())
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = sorted(tuple(canon(v) for v in row)
+                              for row in con.sql(
+                f"SELECT {','.join(exp_cols)} FROM ({sql})").fetchall())
+            if got_cols != exp_cols:
+                print(f"FAIL {name}: cols got={got_cols} exp={exp_cols}"); n_fail += 1
+            elif len(got_rows) != len(exp_rows):
+                print(f"FAIL {name}: rows got={len(got_rows)} exp={len(exp_rows)}"); n_fail += 1
+            elif got_rows != exp_rows:
+                bad = next(i for i,(g,e) in enumerate(zip(got_rows, exp_rows)) if g != e)
+                print(f"FAIL {name}: values differ at sorted-row {bad}:")
+                print(f"  got={got_rows[bad]}")
+                print(f"  exp={exp_rows[bad]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got_rows)} rows)"); n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
