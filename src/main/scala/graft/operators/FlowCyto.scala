@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Flow-cytometry domain operators, modeled on the capabilities of the
+  * SD2E fcs-etl-reactor pipeline (channel scaling, spillover
+  * compensation, gating, per-sample statistics) re-expressed as
+  * narrow, codegen-friendly Spark projections/aggregations.
+  *
+  * Scale notes (100 TB): every per-event transform here is a narrow
+  * projection — zero shuffle, stays inside whole-stage codegen. The
+  * aggregating operators (gate stats, channel stats, histogram) are
+  * single hash-aggregate passes with map-side partial aggregation, so
+  * the shuffle carries only group keys × partial states.
+  */
+object FlowCyto {
+
+  /** arcsinh channel scaling with per-channel cofactor — the standard
+    * display/analysis transform for cytometry channels.
+    */
+  def arcsinhChannel(x: Column, cofactor: Double): Column =
+    GraftFunctions.asinh_scaled(x, lit(cofactor))
+
+  /** Spillover compensation. Given channel columns and a spillover
+    * matrix S (row i = true signal i's bleed into each channel), the
+    * compensated vector is `observed × S⁻¹`. The inverse is computed
+    * once at plan time on the driver (channel count is tiny — a dim
+    * constant) and unrolled into a literal multiply-add projection per
+    * output channel: no shuffle, no UDF, pure codegen.
+    */
+  def compensate(df: DataFrame, channels: Seq[Column], spill: Array[Array[Double]],
+                 outNames: Seq[String], round_ : Int = 4): DataFrame = {
+    val inv = invert(spill)
+    // compensated_j = Σ_i observed_i * inv(i)(j)
+    val outCols = outNames.indices.map { j =>
+      val c = channels.zipWithIndex
+        .map { case (ch, i) => ch * lit(inv(i)(j)) }
+        .reduce(_ + _)
+      outNames(j) -> round(c, round_)
+    }
+    df.withColumns(outCols.toMap)
+  }
+
+  /** Gauss-Jordan inverse for the (tiny) spillover matrix. */
+  private[graft] def invert(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (col <- 0 until n) {
+      // partial pivot
+      var piv = col
+      for (r <- col + 1 until n) if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tmpI = inv(col); inv(col) = inv(piv); inv(piv) = tmpI
+      val d = a(col)(col)
+      require(math.abs(d) > 1e-12, "spillover matrix is singular")
+      for (j <- 0 until n) { a(col)(j) /= d; inv(col)(j) /= d }
+      for (r <- 0 until n if r != col) {
+        val f = a(r)(col)
+        if (f != 0.0) for (j <- 0 until n) {
+          a(r)(j) -= f * a(col)(j)
+          inv(r)(j) -= f * inv(col)(j)
+        }
+      }
+    }
+    inv
+  }
+
+  /** Rectangular gate membership: lo <= x < hi on each axis. */
+  def rectGate(x: Column, y: Column,
+               xLo: Double, xHi: Double, yLo: Double, yHi: Double): Column =
+    x >= xLo && x < xHi && y >= yLo && y < yHi
+
+  /** Polygon gate membership (ray casting, codegen'd expression). */
+  def polyGate(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
+    GraftFunctions.point_in_polygon(x, y, xs, ys)
+
+  /** Per-group gate statistics: total events, gated events, fraction.
+    * One hash aggregate — the gate predicate folds into a conditional
+    * count, so no second pass / self-join.
+    */
+  def gateStats(df: DataFrame, gate: Column, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(gate, 1L).otherwise(0L)).as("n_gated"))
+      .withColumn("frac_gated",
+        round(col("n_gated").cast("double") / col("n_total"), 6))
+
+  /** Per-sample per-channel summary statistics (count, mean, sd,
+    * median, quartiles). Exact percentiles — at 100 TB you'd flip the
+    * `exact` flag to use approx_percentile's fixed-size sketch instead
+    * of the sort-based exact aggregate.
+    */
+  def channelStats(df: DataFrame, channel: Column, groupCols: Seq[String],
+                   exact: Boolean = true): DataFrame = {
+    def pct(p: Double): Column =
+      if (exact) percentile(channel, lit(p)) else percentile_approx(channel, lit(p), lit(10000))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(channel), 4).as("mean"),
+        round(stddev_samp(channel), 4).as("sd"),
+        round(pct(0.25), 4).as("q25"),
+        round(pct(0.5), 4).as("median"),
+        round(pct(0.75), 4).as("q75"))
+  }
+
+  /** Fixed-width histogram of a channel: bin index + count + mass.
+    * floor((x - origin)/width) is a narrow projection; the bin
+    * aggregate shuffles only (group, bin) keys.
+    */
+  def histogram(df: DataFrame, channel: Column, origin: Double, width: Double,
+                groupCols: Seq[String]): DataFrame = {
+    val bin = floor((channel - lit(origin)) / lit(width)).cast("long").as("bin")
+    val keys = groupCols.map(col) :+ bin.asInstanceOf[Column]
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(channel), 2).as("mass"))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.functions.GraftFunctions
+import graft.operators.FlowCyto
+
+/** FCS / flow-cytometry operators — SURVEY.md §2.2 (F1–F7).
+  *
+  * `lineitem` stands in for the events×channels matrix: `l_quantity`,
+  * `l_discount`, `l_tax`, `l_extendedprice` are channels and
+  * (`l_returnflag`, `l_linestatus`) are the sample keys.
+  *
+  * Oracle-parity rules: every float computation is written with the
+  * SAME operation order as the DuckDB SQL (IEEE doubles are then
+  * bit-identical), and rounded identically on both sides.
+  */
+object FlowCytoQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Graft.table(s, dir, name)
+
+  /** Spillover matrix for f03: row i = true signal i's fractional
+    * bleed into each observed channel (qty, disc%, tax%).
+    */
+  private val spill: Array[Array[Double]] = Array(
+    Array(1.00, 0.05, 0.02),
+    Array(0.03, 1.00, 0.04),
+    Array(0.01, 0.06, 1.00))
+  private val inv = FlowCyto.invert(spill)
+
+  /** Diamond polygon gate in (l_quantity, l_discount) space. Vertices
+    * CCW; chosen so no data lattice point (integer qty × 0.01-step
+    * discount) can sit on an edge — ray-cast (Spark) and half-plane
+    * (oracle) then agree exactly.
+    */
+  private val polyX = Array(25.3, 45.7, 25.3, 5.1)
+  private val polyY = Array(0.001, 0.053, 0.107, 0.053)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: arcsinh channel transform — custom codegen Expression.
+    "f01_arcsinh" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(FlowCyto.arcsinhChannel(col("l_quantity"), 5.0), 6).as("asinh_qty"),
+          round(FlowCyto.arcsinhChannel(col("l_extendedprice"), 150.0), 6).as("asinh_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F2: logicle biexponential transform — rows-only (bisection
+    // inversion isn't SQL-expressible); inverse property in spec.
+    "f02_logicle" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(GraftFunctions.logicle(
+            col("l_extendedprice"), lit(100000.0), lit(4.5), lit(0.5)), 6).as("logicle_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F3: spillover compensation — observed × S⁻¹ unrolled to literal
+    // multiply-adds (see FlowCyto.compensate).
+    "f03_compensate" -> ((s, dir) => {
+      FlowCyto.compensate(
+          t(s, dir, "lineitem"),
+          Seq(col("l_quantity"), col("l_discount") * lit(100.0), col("l_tax") * lit(100.0)),
+          spill,
+          Seq("comp_qty", "comp_disc", "comp_tax"))
+        .select("l_orderkey", "l_linenumber", "comp_qty", "comp_disc", "comp_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F4: rectangular gate + per-sample gate stats (one hash agg).
+    "f04_rect_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      FlowCyto.gateStats(
+          li,
+          FlowCyto.rectGate(col("l_quantity"), col("l_discount"), 10.0, 40.0, 0.02, 0.08),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
+    // F5: polygon gate (codegen ray-cast Expression).
+    "f05_poly_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      FlowCyto.gateStats(
+          li,
+          FlowCyto.polyGate(col("l_quantity"), col("l_discount"), polyX, polyY),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
+    // F6: per-sample channel summary stats. Quantiles over the integer
+    // channel (interpolation lands on exact quarters — engine-proof),
+    // moments over the continuous channel.
+    "f06_channel_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 4).as("mean_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25_qty"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+          round(percentile(col("l_quantity"), lit(0.75)), 4).as("q75_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F7: fixed-width histogram per sample key.
+    "f07_histogram" -> ((s, dir) => {
+      FlowCyto.histogram(
+          t(s, dir, "lineitem"),
+          col("l_extendedprice"), 0.0, 10000.0, Seq("l_returnflag"))
+        .orderBy("l_returnflag", "bin")
+    })
+  )
+
+  private def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) f"$d%.17f" else s
+  }
+
+  /** Compensation SQL shares the Scala-side inverse coefficients so
+    * both engines run the identical multiply-add sequence.
+    */
+  private def compExpr(j: Int): String =
+    s"round(l_quantity * ${sqlDouble(inv(0)(j))} + " +
+      s"(l_discount * 100.0) * ${sqlDouble(inv(1)(j))} + " +
+      s"(l_tax * 100.0) * ${sqlDouble(inv(2)(j))}, 4)"
+
+  /** Half-plane (cross-product) test for the convex diamond gate. */
+  private def polySql(xCol: String, yCol: String): String =
+    polyX.indices.map { i =>
+      val jn = (i + 1) % polyX.length
+      val (x1, y1, x2, y2) = (polyX(i), polyY(i), polyX(jn), polyY(jn))
+      s"((${sqlDouble(x2)} - ${sqlDouble(x1)}) * ($yCol - ${sqlDouble(y1)}) - " +
+        s"(${sqlDouble(y2)} - ${sqlDouble(y1)}) * ($xCol - ${sqlDouble(x1)}) > 0)"
+    }.mkString("(", " AND ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "f01_arcsinh" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(ln(l_quantity/5.0 + sqrt((l_quantity/5.0)*(l_quantity/5.0) + 1.0)), 6) AS asinh_qty,
+        | round(ln(l_extendedprice/150.0 + sqrt((l_extendedprice/150.0)*(l_extendedprice/150.0) + 1.0)), 6) AS asinh_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f03_compensate" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${compExpr(0)} AS comp_qty,
+         | ${compExpr(1)} AS comp_disc,
+         | ${compExpr(2)} AS comp_tax
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f04_rect_gate" ->
+      """SELECT l_returnflag, count(*) AS n_total,
+        | sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
+        |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END) AS n_gated,
+        | round(sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
+        |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS frac_gated
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f05_poly_gate" ->
+      s"""SELECT l_returnflag, count(*) AS n_total,
+         | sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END) AS n_gated,
+         | round(sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
+         |   / CAST(count(*) AS DOUBLE), 6) AS frac_gated
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f06_channel_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(avg(l_extendedprice), 4) AS mean_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS q75_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f07_histogram" ->
+      """SELECT l_returnflag,
+        | CAST(floor((l_extendedprice - 0.0) / 10000.0) AS BIGINT) AS bin,
+        | count(*) AS n, round(sum(l_extendedprice), 2) AS mass
+        |FROM lineitem GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""".stripMargin
+  )
+}
