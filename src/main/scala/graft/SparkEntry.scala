@@ -19,12 +19,14 @@ object SparkEntry {
 
   private def queries_registered: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.FlowCytoQueries.queries
+      graft.queries.FlowCytoQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.FlowCytoQueries.oracle
+      graft.queries.FlowCytoQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

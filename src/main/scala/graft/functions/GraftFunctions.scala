@@ -22,6 +22,9 @@ object GraftFunctions {
   /** 64-bit polynomial rolling hash of a string (fingerprinting). */
   def rolling_hash(s: Column): Column = GraftExpressions.rolling_hash(s)
 
+  /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
+  def simhash64(tokens: Column): Column = GraftExpressions.simhash64(tokens)
+
   /** Ray-casting polygon gate membership for the (x, y) channel pair. */
   def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
     GraftExpressions.point_in_polygon(x, y, xs, ys)

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication family for large-scale text corpora (the
+  * LLM-training-data-pipeline surface; SURVEY.md §2.3 L1–L4).
+  *
+  * Scale design (100 TB): every variant is `groupBy(bucket)` /
+  * equi-join shaped — linear shuffles keyed on hashes, never a cross
+  * join. Candidate pairs are generated only inside buckets, hot
+  * buckets are capped (the salting guard: a degenerate band that
+  * collects millions of docs would otherwise go quadratic), and
+  * verification is per-pair map work after an equi-join on doc id.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by every dedup/text operator
+    * (and mirrored verbatim in the DuckDB oracles): lowercase, trim,
+    * collapse whitespace runs.
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** L1 — exact dedup: hash the normalized text, keep the smallest id
+    * per hash. One hash-aggregate; at 100 TB the md5 shuffle key is
+    * 16 bytes/doc regardless of document size.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** L2 — blocked exact-Jaccard near-dedup. Blocking key = the
+    * caller's columns (e.g. lang, length bucket) + distinct-token
+    * count: near-identical docs agree on all of them, and blocks stay
+    * small so the within-block pair join is bounded (standard
+    * blocking tradeoff: pairs straddling a block boundary are missed
+    * by design). Jaccard over distinct token sets.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockBy: Seq[Column], threshold: Double): DataFrame = {
+    val blockCols = blockBy.zipWithIndex.map { case (c, i) => c.as(s"block_$i") }
+    val prepped = docs.select(
+      (col(idCol).as("id") +: array_distinct(tokens(col(textCol))).as("toks") +: blockCols): _*)
+      .withColumn("block",
+        concat_ws("|",
+          (blockBy.indices.map(i => col(s"block_$i")) :+ size(col("toks")).cast("string")): _*))
+    val a = prepped.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = prepped.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** Word n-gram shingles of the token sequence (order-sensitive). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+
+  /** L3 — MinHash + LSH near-dedup.
+    *
+    * shingle → K minhashes (xxhash64 seeded per permutation) → bands
+    * of `r` rows hashed to a bucket key → docs sharing any band bucket
+    * are candidates → candidates verified with exact Jaccard on
+    * distinct token sets.
+    *
+    * Every stage is narrow or an equi-shuffle on a hash key; `cap`
+    * drops degenerate buckets before they go quadratic.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, cap: Int = 100): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("sh", shingles(col("toks"), shingleN))
+    // minhash vector: for each permutation k, min over shingle hashes.
+    val mh = base.withColumn("mh",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        k => array_min(transform(col("sh"), s => xxhash64(k, s)))))
+    // band key: hash of the band's slice of the signature.
+    val banded = mh.select(
+        col("id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1)): _*))))
+      .toDF("id", "band", "bucket")
+    // salting guard: drop hot buckets (degenerate bands) before pairing.
+    val counted = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_n") <= cap)
+    val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(rg, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // verify candidates with exact Jaccard (two slim equi-joins).
+    val sets = base.select(col("id"), array_distinct(col("toks")).as("dtoks"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("dtoks", "toks_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("dtoks", "toks_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** L4 — SimHash near-dedup: 64-bit fingerprint per doc, Hamming
+    * band partitioning (pigeonhole: distance ≤ maxDist with
+    * `maxDist+1` bands guarantees one identical band), verify with
+    * bit_count(xor) on candidates. Linear shuffle on 16-bit band keys.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, cap: Int = 1000): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash64(tokens(col(textCol))).as("sim"))
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+    val banded = fp.select(
+        col("id"), col("sim"),
+        posexplode(array(bandCols: _*)))
+      .toDF("id", "sim", "band", "bucket")
+    val counted = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_n") <= cap)
+    val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(rg, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextStats}
+
+/** LLM-training-data text pipeline — SURVEY.md §2.3 (L1–L4, L8–L11)
+  * over the `documents` table.
+  *
+  * The DuckDB oracle mirrors the normalization
+  * (`lower`→`trim`→collapse-whitespace) and every ratio's operation
+  * order exactly; rows-only operators (minhash LSH, simhash) get
+  * invariant specs instead.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+
+  /** Shared SQL fragments so Spark and oracle can't drift. */
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private def stopFilterSql(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1: exact dedup — md5 of normalized text, keep min id.
+    "d01_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .orderBy("keep_id")
+        .select("content_hash", "keep_id", "n_copies")
+    }),
+
+    // L2: blocked exact-Jaccard near-dup pairs.
+    "d02_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+          Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // L3: MinHash+LSH near-dup (rows-only; recall/precision in spec).
+    // shingleN=1: minhash the token set itself so the LSH estimates
+    // the same token-set Jaccard the verification step filters on
+    // (word n-grams would estimate sequence similarity instead —
+    // right for prose, wrong for this bag-of-words corpus).
+    // r=8 rows/band: this corpus has heavy background similarity
+    // (tiny shared vocab), so short bands collide into giant buckets
+    // that the hot-bucket cap would drop; 8-way agreement keeps
+    // buckets selective while P(candidate | j≥0.9) ≈ 0.99.
+    "d03_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.9, numHashes = 64, bands = 8, shingleN = 1, cap = 500)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // L4: SimHash Hamming-band near-dup (rows-only; spec).
+    "d04_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // L8: language ID by stopword profile.
+    "t01_langid" -> ((s, dir) => {
+      val toks = Dedup.tokens(col("text"))
+      val scores = TextStats.langScores(toks)
+      docs(s, dir).select(
+          (col("doc_id") +: scores.map { case (n, c) => c.as(n) }) :+
+            TextStats.langPredict(scores).as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // L9: quality scoring.
+    "t02_quality" -> ((s, dir) => {
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val cols = TextStats.qualityColumns(norm, toks)
+      docs(s, dir).select(
+          col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // L10: token counting (whitespace / wordish regex / BPE-ish).
+    "t03_tokens" -> ((s, dir) => {
+      val cols = TextStats.tokenCountColumns(col("text"))
+      docs(s, dir).select(
+          col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // L11: document fingerprint — md5 (oracle) …
+    "t04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+          col("doc_id"),
+          md5(Dedup.normText(col("text"))).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // … and the custom rolling-hash / simhash expressions (rows-only;
+    // reference implementations asserted in spec).
+    "t05_rollhash" -> ((s, dir) => {
+      docs(s, dir).select(
+          col("doc_id"),
+          GraftFunctions.rolling_hash(Dedup.normText(col("text"))).as("fp_roll"),
+          GraftFunctions.simhash64(Dedup.tokens(col("text"))).as("fp_sim"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val langidScoreSql: Seq[(String, String)] =
+    TextStats.stopwords.map { case (lang, words) =>
+      lang -> stopFilterSql("toks", words)
+    }
+
+  private val langidCaseSql: String = {
+    val names = TextStats.stopwords.map(_._1)
+    val whens = names.init.zipWithIndex.map { case (lang, i) =>
+      val conds = (i + 1 until names.length)
+        .map(j => s"score_$lang >= score_${names(j)}").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${names.last}' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
+         | count(*) AS n_copies
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         |GROUP BY content_hash ORDER BY keep_id""".stripMargin,
+
+    "d02_dedup_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |    list_distinct(string_split($normSql, ' ')) AS toks
+         |  FROM documents)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+         |        3) AS jaccard
+         |FROM d a JOIN d b
+         |  ON a.lang = b.lang AND a.lb = b.lb AND len(a.toks) = len(b.toks)
+         |  AND a.id < b.id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t01_langid" ->
+      s"""SELECT doc_id,
+         | ${langidScoreSql.map { case (l, e) => s"$e AS score_$l" }.mkString(",\n ")},
+         | $langidCaseSql AS predicted
+         |FROM (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" ->
+      s"""SELECT doc_id, n_chars, n_tokens,
+         | round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
+         | round(CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+         | round(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
+         | round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |       (CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3 +
+         |       (CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3, 4) AS quality
+         |FROM (
+         |  SELECT doc_id, length(norm) AS n_chars, len(toks) AS n_tokens,
+         |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |    ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+         |  FROM (SELECT doc_id, $normSql AS norm,
+         |          string_split($normSql, ' ') AS toks
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "t03_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+        | CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

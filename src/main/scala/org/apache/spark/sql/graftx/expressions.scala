@@ -210,6 +210,58 @@ object PointInPolygon {
   }
 }
 
+/** 64-bit SimHash over an array of token strings: each token is
+  * hashed (FNV + murmur-style finalizer), its bits vote +1/−1 per
+  * position, and the sign vector becomes the fingerprint. Near-dup
+  * docs differ in few bits (small Hamming distance). One pass, no
+  * allocation beyond the 64-int vote array; interpreted eval is fine —
+  * it runs once per document, not per event.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    SimHash64.simhash((0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => arr.getUTF8String(i).getBytes))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** murmur3 fmix64 finalizer over the rolling FNV hash — good bit
+    * diffusion so each token votes pseudo-independently per bit.
+    */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    var h = RollingHash.hash(bytes)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def simhash(tokens: Iterator[Array[Byte]]): Long = {
+    val votes = new Array[Int](64)
+    while (tokens.hasNext) {
+      val h = tokenHash(tokens.next())
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+}
+
 /** Cosine similarity between two float-array columns, computed in
   * double precision in one pass over the raw ArrayData — no per-element
   * boxing and no intermediate arrays, unlike a zip_with/aggregate
@@ -257,6 +309,8 @@ object GraftExpressions {
 
   def rolling_hash(s: Column): Column = col(RollingHash(exp(s)))
 
+  def simhash64(tokens: Column): Column = col(SimHash64(exp(tokens)))
+
   def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
     col(PointInPolygon(exp(x), exp(y), xs, ys))
 
@@ -272,6 +326,8 @@ object GraftExpressions {
       "logicle", es => Logicle(es.head, es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", es => RollingHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "cosine_sim", es => CosineSim(es.head, es(1)), "built-in")
   }
