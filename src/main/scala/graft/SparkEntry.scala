@@ -20,7 +20,8 @@ object SparkEntry {
   private def queries_registered: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.FlowCytoQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.FlowCytoQueries.oracle ++
-      graft.queries.TextQueries.oracle
+      graft.queries.TextQueries.oracle ++
+      graft.queries.VectorQueries.oracle
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (SURVEY.md §2.3 L5–L7).
+  *
+  * Scale design (100 TB): the query set is small and broadcast — the
+  * corpus side never shuffles for scoring; per-query top-k runs as a
+  * bounded window (or TakeOrdered) on the scored stream. The LSH
+  * variant prunes the corpus to bucket-matched candidates via an
+  * equi-join on (band, key) — a linear shuffle — before exact
+  * scoring, which is how you keep brute-force cost off the full
+  * corpus at scale (IVF-style: probe only matching cells).
+  */
+object Ann {
+
+  /** L5 — blocked embedding similarity pairs: only vectors sharing a
+    * block (here: a label / IVF cell) are compared — the
+    * embedding-space analogue of the text blocking in Dedup.
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, blockCol: String,
+                  threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = vecs.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** L6 — brute-force cosine top-k: broadcast the (small) query set
+    * against the corpus, score every pair, per-query top-k via
+    * row_number over a per-query window. The corpus scan is one pass;
+    * nothing shuffles but (qid, score, id) triples.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic ±1 random-hyperplane weights (seeded). */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-random-projection code: bit p = [⟨emb, w_p⟩ > 0]. */
+  private def srpCode(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (w, p) =>
+      val dot = aggregate(
+        zip_with(emb, lit(w), (x, wi) => x * wi),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** L7 — LSH-bucketed ANN: 16-bit sign-random-projection code per
+    * vector, banded into four 4-bit slices (multi-probe: a candidate
+    * needs only one matching slice), exact cosine on candidates, then
+    * per-query top-k. Band width trades recall against pruning —
+    * 4 bits keeps usable recall even on weak-locality (near-random)
+    * embeddings. Misses are possible by design — the spec bounds
+    * recall against bruteForceTopK.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bandsOf = (df: DataFrame, id: String, emb: String) => {
+      val code = srpCode(col(emb), planes)
+      val slices = (0 until nPlanes / 4).map(b =>
+        shiftrightunsigned(col("code"), 4 * b).bitwiseAND(lit(0xFL)))
+      df.select(col(id), col(emb), code.as("code"))
+        .select(col(id), col(emb), posexplode(array(slices: _*)))
+        .toDF(id, emb, "band", "key")
+    }
+    val cb = bandsOf(corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb")), "vec_id", "cemb")
+    val qb = bandsOf(queries.select(col(idCol).as("qid"), col(embCol).as("qemb")), "qid", "qemb")
+    val candidates = cb.join(broadcast(qb), Seq("band", "key"))
+      .select("qid", "qemb", "vec_id", "cemb")
+      .dropDuplicates("qid", "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column handling (SURVEY.md §2.3 L12).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata. The
+  * Spark-side plumbing — schema, batching, partition-parallel decode —
+  * is real; the codec itself is a deterministic STUB (`fakeDecode`),
+  * because no image/audio libraries ship in this environment. A real
+  * deployment swaps `fakeDecode` for JNI/javacpp codec calls without
+  * touching the plumbing.
+  */
+object Multimodal {
+
+  case class BlobRow(doc_id: Long, blob: Array[Byte])
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                           n_frames: Int, mean_byte: Double)
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload
+    * bytes (stands in for image decode / frame sampling).
+    */
+  private[graft] def fakeDecode(blob: Array[Byte]): (Int, Int, Int, Double) = {
+    val b0 = if (blob.nonEmpty) blob(0) & 0xff else 0
+    val b1 = if (blob.length > 1) blob(1) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum += blob(i) & 0xff; i += 1 }
+    val mean = if (blob.isEmpty) 0.0 else sum.toDouble / blob.length
+    (64 + (b0 % 64), 64 + (b1 % 64), 1 + (blob.length % 8), mean)
+  }
+
+  /** Batched partition-parallel decode: groups rows into fixed-size
+    * batches inside each partition (the shape a GPU/codec library
+    * wants), decodes each batch, emits typed features. No shuffle —
+    * decode parallelism is the scan's partitioning, which at 100 TB
+    * you control with maxPartitionBytes / repartition upstream.
+    */
+  def decodeFeatures(blobs: Dataset[BlobRow], batchSize: Int = 32): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode `batch` in one device call
+        batch.map { row =>
+          val (w, h, f, m) = fakeDecode(row.blob)
+          MediaFeatures(row.doc_id, w, h, f, math.rint(m * 10000) / 10000)
+        }
+      }
+    }
+  }
+
+  /** documents.text → binary payload stand-in (the testdata has no
+    * real media; the blob column type and lineage are what matters).
+    */
+  def blobsFromDocuments(docs: DataFrame): Dataset[BlobRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")).as[BlobRow]
+  }
+}

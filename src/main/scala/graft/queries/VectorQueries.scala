@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.operators.{Ann, Multimodal}
+
+/** Embedding similarity + multimodal — SURVEY.md §2.3 (L5–L7, L12).
+  *
+  * Cosines are computed in double precision on both sides (the oracle
+  * casts FLOAT[] → DOUBLE[] before list_cosine_similarity) so the
+  * accumulation is bit-identical and order/threshold decisions agree.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L5: label-blocked cosine similarity pairs (IVF-style blocking).
+    "d05_embed_neardup" -> ((s, dir) => {
+      Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.3)
+        .withColumnRenamed("block", "label")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // L6: brute-force cosine top-k (query set = vec_id < 5, broadcast).
+    "s01_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
+    // L7: LSH-bucketed ANN (rows-only; recall vs s01 in spec).
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
+    // L12: multimodal blob features — SQL-expressible part (octet
+    // length, md5, prefix) with a DuckDB oracle …
+    "m01_blob_features" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("blob_md5"),
+          upper(hex(expr("substring(blob, 1, 4)"))).as("prefix_hex"))
+        .orderBy("doc_id")
+    }),
+
+    // … and the batched mapPartitions decode path (rows-only; the
+    // decode stub's determinism is asserted in spec).
+    "m02_blob_decode" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.blobsFromDocuments(docs(s, dir)))
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d05_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+        |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.de, b.de), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.de, b.de) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        | scored AS (
+        |  SELECT qid, vec_id,
+        |    list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS c,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
+        |               vec_id) AS rnk
+        |  FROM q CROSS JOIN embeddings)
+        |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+        |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "m01_blob_features" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | md5(text) AS blob_md5,
+        | upper(hex(encode(substring(text, 1, 4)))) AS prefix_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+      // md5(text): DuckDB's md5 takes VARCHAR; the blob IS text's
+      // UTF-8 bytes, so the digests are identical.
+  )
+}
