@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.FlowCytoQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.FlowCytoQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.VectorQueries.oracle
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Graft
+import graft.streaming.Sessionize
+
+/** Streaming operators in their batch-equivalent form — SURVEY.md
+  * §2.4. The same transforms run on readStream inputs (asserted by
+  * the streaming specs with MemoryStream); the batch run is what the
+  * DuckDB oracle can check.
+  */
+object StreamQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Graft.table(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: tumbling-window aggregate.
+    "st01_window_agg" -> ((s, dir) => {
+      Sessionize.tumblingAgg(events(s, dir))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // S2: 30-min-gap sessionization (lag + running-sum; one shuffle).
+    "st02_sessions" -> ((s, dir) => {
+      Sessionize.sessionsBatch(events(s, dir))
+        .select("user_id", "session_idx", "session_start", "n_events", "duration_s")
+        .orderBy("user_id", "session_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "st02_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |  count(*) AS n_events,
+        |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Sessionization (SURVEY.md §2.4 S2): split each user's event stream
+  * into sessions separated by ≥ `gap` of inactivity.
+  *
+  * Batch form: one window pass (lag → new-session flag → running sum)
+  * partitioned by user — a single shuffle on user_id, linear in
+  * events. Streaming form: flatMapGroupsWithState keeps (start, last,
+  * count) per user and emits a session when the gap closes it — state
+  * size is O(users), not O(events).
+  */
+object Sessionize {
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Batch sessionization. Gap compared in integer microseconds so
+    * the DuckDB oracle (epoch_us) is bit-exact.
+    */
+  def sessionsBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(wrun))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000L))
+          .cast("long").as("duration_s"))
+  }
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp, n_events: Long, duration_s: Long)
+
+  /** Streaming sessionization twin. Emits a session once the gap (or
+    * processing-time timeout) closes it; the in-flight session stays
+    * in state. Events inside one trigger are sorted per group —
+    * cross-trigger ordering relies on the upstream watermark having
+    * dropped late data.
+    */
+  def sessionsStreaming(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          for (e <- sorted) {
+            val us = micros(e.ts)
+            open match {
+              case Some(st) if us - st.last > GapMicros =>
+                closed += Session(userId, new Timestamp(st.start / 1000),
+                  st.n, (st.last - st.start) / 1000000)
+                open = Some(SessionState(us, us, 1))
+              case Some(st) =>
+                open = Some(st.copy(last = math.max(st.last, us), n = st.n + 1))
+              case None =>
+                open = Some(SessionState(us, us, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.iterator
+      }
+  }
+
+  /** S1 — tumbling window aggregate; identical code path for batch
+    * and streaming input (`window()` is supported on both).
+    */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+
+  /** S1 streaming form: watermark + append-mode windowed aggregate. */
+  def tumblingAggStreaming(events: DataFrame, width: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+
+  /** S3 — streaming dedup inside the watermark horizon. */
+  def dedupStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+}

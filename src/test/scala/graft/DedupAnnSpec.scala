@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends AnyFunSuite {
+  import SharedSpark.{sfDir, spark}
+
+  private lazy val docs = Graft.table(spark, sfDir, "documents").cache()
+  private lazy val emb = Graft.table(spark, sfDir, "embeddings").cache()
+
+  test("minhash LSH finds every blocked exact-Jaccard pair (recall) with exact precision") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+      Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+      .select("id_a", "id_b")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.9, numHashes = 64, bands = 8, shingleN = 1, cap = 500)
+    val missed = exact.except(lsh.select("id_a", "id_b")).count()
+    val nExact = exact.count()
+    assert(nExact > 0, "fixture should contain near-dup pairs")
+    assert(missed <= nExact / 20, s"missed $missed of $nExact (recall < 95%)")
+    // precision is exact by construction: every emitted pair passed
+    // the exact-Jaccard verification
+    val bad = lsh.filter(col("jaccard") < 0.9).count()
+    assert(bad == 0)
+  }
+
+  test("simhash pairs respect the Hamming bound and are symmetric-free") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("exact dedup keeps one representative per distinct normalized text") {
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 100000, concat(col("text"), lit("  "))))
+    val deduped = Dedup.exactDedup(withDups, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    // the kept id is always the smaller (original) one
+    assert(deduped.filter(col("keep_id") >= 100000).count() == 0)
+    assert(deduped.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("LSH ANN: self-match always found; recall@10 vs brute force is usable") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    val lsh = Ann.lshTopK(emb, queries, "vec_id", "embedding", 10)
+    val self = lsh.filter(col("qid") === col("vec_id")).count()
+    assert(self == 5, "self-match must be in its own bucket")
+    val hits = brute.select("qid", "vec_id")
+      .intersect(lsh.select("qid", "vec_id")).count()
+    assert(hits >= 15, s"recall@10 too low: $hits/50") // ≥30% on near-random vectors
+  }
+
+  test("approx_count_distinct (HLL) is within 2% of exact") {
+    val li = Graft.table(spark, sfDir, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.02, s"$approx vs $exact")
+  }
+
+  test("q22 cluster-sort: rows are sorted within every partition") {
+    val df = SparkEntry.queries("q22_cluster_sort")(spark, sfDir)
+      // narrow projection: preserves partitioning and in-partition order
+      .withColumn("sd_s", col("l_shipdate").cast("string")) // ISO format sorts lexicographically
+    val ok = df.rdd.mapPartitions { it =>
+      val rows = it.map(r => (r.getAs[Long]("l_suppkey"), r.getAs[String]("sd_s"))).toSeq
+      Iterator(rows == rows.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
+}

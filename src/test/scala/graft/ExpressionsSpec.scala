@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.{LogicleMath, PointInPolygon, RollingHash, SimHash64}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+class ExpressionsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("asinh_scaled matches math.asinh (codegen path)") {
+    val xs = Seq(-100.0, -1.0, 0.0, 0.5, 5.0, 1234.5)
+    val got = xs.toDF("x")
+      .select(GraftFunctions.asinh_scaled(col("x"), lit(5.0)).as("y"))
+      .as[Double].collect()
+    xs.zip(got).foreach { case (x, y) =>
+      val expect = {
+        val v = x / 5.0
+        math.log(v + math.sqrt(v * v + 1.0))
+      }
+      assert(math.abs(y - expect) < 1e-12, s"x=$x")
+    }
+  }
+
+  test("asinh_scaled works via SQL registration") {
+    val r = spark.sql("SELECT asinh_scaled(10.0, 5.0)").head().getDouble(0)
+    assert(math.abs(r - math.log(2.0 + math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("logicle inverts the biexponential") {
+    val (t, m, w) = (100000.0, 4.5, 0.5)
+    for (x <- Seq(0.5, 10.0, 500.0, 20000.0, 99000.0)) {
+      val y = LogicleMath.transform(x, t, m, w)
+      val back = LogicleMath.biex(y, t, m, w)
+      assert(math.abs(back - x) / math.max(1.0, x) < 1e-6, s"x=$x y=$y back=$back")
+    }
+  }
+
+  test("logicle is monotone") {
+    val (t, m, w) = (100000.0, 4.5, 0.5)
+    val xs = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0)
+    val ys = xs.map(LogicleMath.transform(_, t, m, w))
+    assert(ys == ys.sorted)
+  }
+
+  test("rolling_hash codegen equals reference implementation") {
+    val strs = Seq("", "a", "hello world", "ünïcödé ✓")
+    val got = strs.toDF("s")
+      .select(GraftFunctions.rolling_hash(col("s")).as("h"))
+      .as[Long].collect()
+    strs.zip(got).foreach { case (s, h) =>
+      assert(h == RollingHash.hash(s.getBytes("UTF-8")), s"s=$s")
+    }
+  }
+
+  test("point_in_polygon agrees with reference ray-cast on a grid") {
+    val xs = Array(0.0, 10.0, 10.0, 0.0)
+    val ys = Array(0.0, 0.0, 10.0, 10.0)
+    val pts = for (x <- BigDecimal(-2.0) to 12.0 by 1.3; y <- BigDecimal(-2.0) to 12.0 by 1.7)
+      yield (x.toDouble, y.toDouble)
+    val got = pts.toDF("x", "y")
+      .select(GraftFunctions.point_in_polygon(col("x"), col("y"), xs, ys).as("in"))
+      .as[Boolean].collect()
+    pts.zip(got).foreach { case ((x, y), in) =>
+      assert(in == PointInPolygon.contains(xs, ys, x, y), s"($x,$y)")
+      assert(in == (x > 0 && x < 10 && y > 0 && y < 10), s"($x,$y)")
+    }
+  }
+
+  test("cosine_sim matches manual double computation and handles edge cases") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.cosine_sim(col("a"), col("b")).as("c"))
+      .as[Double].head()
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expect = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(math.abs(got - expect) < 1e-12)
+    // size mismatch and zero vector → null
+    val nulls = Seq((Array(1.0f), Array(1.0f, 2.0f)), (Array(0.0f), Array(0.0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine_sim(col("a"), col("b")).as("c"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("simhash64: identical token arrays hash identically; perturbation moves few bits") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val perturbed = base.updated(3, "other")
+    val df = Seq(base, perturbed).toDF("toks")
+      .select(GraftFunctions.simhash64(col("toks")).as("h"))
+      .as[Long].collect()
+    assert(df(0) == SimHash64.simhash(base.iterator.map(_.getBytes("UTF-8"))))
+    val hamming = java.lang.Long.bitCount(df(0) ^ df(1))
+    assert(hamming <= 16, s"hamming=$hamming")
+  }
+}

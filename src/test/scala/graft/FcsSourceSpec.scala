@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.FcsSource
+import graft.operators.FlowCyto
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class FcsSourceSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private def tmpDir = Files.createTempDirectory("fcs").toFile
+
+  test("FCS write → read round-trip preserves values and schema") {
+    val dir = tmpDir
+    val names = Seq("FSC-A", "SSC-A", "FL1-A")
+    val rows1 = Seq(Array(1.5, 2.5, 3.5), Array(4.0, 5.0, 6.0))
+    val rows2 = Seq(Array(7.25, 8.25, 9.25))
+    FcsSource.write(s"$dir/a.fcs", names, rows1)
+    FcsSource.write(s"$dir/b.fcs", names, rows2)
+
+    val df = FcsSource.read(spark, s"$dir/*.fcs")
+    assert(df.columns.toSeq == Seq("file", "event_idx") ++ names)
+    assert(df.count() == 3)
+    val a0 = df.filter(col("file").endsWith("a.fcs") && col("event_idx") === 0)
+      .select("FSC-A", "SSC-A", "FL1-A").head()
+    assert(a0.getDouble(0) == 1.5 && a0.getDouble(1) == 2.5 && a0.getDouble(2) == 3.5)
+    val b0 = df.filter(col("file").endsWith("b.fcs")).select("FL1-A").head()
+    assert(b0.getDouble(0) == 9.25)
+  }
+
+  test("metadata: $PAR/$TOT/$DATATYPE/$BYTEORD and channel names parse") {
+    val dir = tmpDir
+    FcsSource.write(s"$dir/m.fcs", Seq("X", "Y"), Seq(Array(1.0, 2.0)))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/m.fcs"))
+    val meta = FcsSource.parseMeta(bytes)
+    assert(meta.par == 2 && meta.tot == 1 && meta.datatype == "F" && meta.littleEndian)
+    assert(meta.names == Seq("X", "Y"))
+  }
+
+  test("$SPILLOVER round-trips and feeds compensation") {
+    val dir = tmpDir
+    val spill = Array(Array(1.0, 0.1), Array(0.05, 1.0))
+    val spillKw = "2,X,Y," + spill.flatten.mkString(",")
+    FcsSource.write(s"$dir/s.fcs", Seq("X", "Y"),
+      Seq(Array(100.5, 20.0)), Map("$SPILLOVER" -> spillKw))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/s.fcs"))
+    val kw = FcsSource.parseMeta(bytes).keywords
+    val Some((names, m)) = FcsSource.spilloverMatrix(kw)
+    assert(names == Seq("X", "Y"))
+    assert(m(0)(1) == 0.1 && m(1)(0) == 0.05)
+
+    // true signal t satisfies observed = t × S; compensate recovers t.
+    val df = FcsSource.read(spark, s"$dir/s.fcs")
+    val comp = FlowCyto.compensate(df, Seq(col("X"), col("Y")), m, Seq("cX", "cY"), round_ = 6)
+    val r = comp.select("cX", "cY").head()
+    // observed (100.5, 20) = (100, 10) × [[1,.1],[.05,1]] → recover (100, 10)
+    assert(math.abs(r.getDouble(0) - 100.0) < 1e-4)
+    assert(math.abs(r.getDouble(1) - 10.0) < 1e-4)
+  }
+
+  test("mixed channel panels are rejected") {
+    val dir = tmpDir
+    FcsSource.write(s"$dir/a.fcs", Seq("X", "Y"), Seq(Array(1.0, 2.0)))
+    FcsSource.write(s"$dir/b.fcs", Seq("X", "Z"), Seq(Array(1.0, 2.0)))
+    val ex = intercept[Exception] {
+      FcsSource.read(spark, s"$dir/*.fcs").count()
+    }
+    assert(ex.getMessage != null)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Sessionize
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark.{sfDir, spark}
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming tumbling-window agg equals the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Sessionize.tumblingAggStreaming(df)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        (ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(61), "view", 5.0),
+        (ts(62), "click", 3.0), (ts(130), "view", 1.5))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close all windows
+      input.addData((ts(600), "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .select("hour_start", "event_type", "n", "total")
+      val batch = Sessionize.tumblingAgg(
+        (evs :+ ((ts(600), "late", 0.0))).toDF("ts", "event_type", "value"))
+      // append mode emits only closed windows; every emitted row must
+      // match batch, and all pre-sentinel windows must have been emitted
+      assert(streamed.except(batch).count() == 0)
+      val closed = batch.filter(col("hour_start") < ts(180))
+      assert(closed.except(streamed).count() == 0)
+      assert(streamed.count() >= 3)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits the same closed sessions as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessionsStreaming(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions (gap 45 min); user 2: one session
+      input.addData(
+        Sessionize.Ev(1, ts(0), 1), Sessionize.Ev(1, ts(10), 2),
+        Sessionize.Ev(1, ts(55), 3), Sessionize.Ev(1, ts(60), 4),
+        Sessionize.Ev(2, ts(5), 5))
+      q.processAllAvailable()
+      // a much later event per user closes the open sessions
+      input.addData(Sessionize.Ev(1, ts(600), 6), Sessionize.Ev(2, ts(600), 7))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .select("user_id", "session_start", "n_events", "duration_s")
+      val batch = Sessionize.sessionsBatch(
+        Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(55), 3L), (1L, ts(60), 4L),
+          (2L, ts(5), 5L), (1L, ts(600), 6L), (2L, ts(600), 7L))
+          .toDF("user_id", "ts", "event_id"))
+        .select("user_id", "session_start", "n_events", "duration_s")
+        // batch sees the sentinel sessions as open singletons; the
+        // stream hasn't closed them yet
+        .filter(col("session_start") < ts(600))
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      assert(streamed.count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = Sessionize.dedupStreaming(df)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 9.9))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), 8.8), (3L, ts(4), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("st01/st02 batch queries run on the real events table") {
+    val w = SparkEntry.queries("st01_window_agg")(spark, sfDir)
+    assert(w.count() > 0)
+    val s = SparkEntry.queries("st02_sessions")(spark, sfDir)
+    assert(s.count() > 0)
+    // sessions never overlap: next session starts > 30 min after the
+    // previous one's last event
+    val bad = s.withColumn("prev_end",
+        lag(unix_micros(col("session_start")) + col("duration_s") * 1000000L, 1)
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("session_idx")))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start")) - col("prev_end") <= Sessionize.GapMicros)
+      .count()
+    assert(bad == 0)
+  }
+}
