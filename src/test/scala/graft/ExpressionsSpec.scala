@@ -85,6 +85,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)))
   }
 
+  test("minhash_signature codegen equals reference; similar sets share signature slots") {
+    import org.apache.spark.sql.graftx.MinHashSignature
+    val a = (1 to 30).map(i => s"tok$i")
+    val b = a.updated(0, "other") // jaccard ≈ 29/31
+    val rows = Seq(a, b).toDF("toks")
+      .select(GraftFunctions.minhash_signature(col("toks"), 64).as("mh"))
+      .as[Array[Long]].collect()
+    val ref = MinHashSignature.signature(a.iterator.map(_.getBytes("UTF-8")), 64)
+    assert(rows(0).toSeq == ref.toSeq)
+    val agree = rows(0).zip(rows(1)).count { case (x, y) => x == y }
+    // E[agree] = 64 * 29/31 ≈ 60
+    assert(agree >= 48, s"agree=$agree")
+  }
+
   test("simhash64: identical token arrays hash identically; perturbation moves few bits") {
     val base = (1 to 40).map(i => s"tok$i")
     val perturbed = base.updated(3, "other")
