@@ -245,9 +245,8 @@ object Relational {
     }),
 
     // R21: as-of join — latest click at-or-before each purchase, per
-    // user. Spark-first: union both sides tagged, one window pass
-    // (partition by user, order by ts) with last(ignoreNulls) — a
-    // single shuffle, no correlated per-row lookup, scales linearly.
+    // user, via the generic AsOfJoin operator (tagged union + one
+    // window pass: a single shuffle, no correlated per-row lookup).
     "q21_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       // Collapse duplicate (user_id, ts) clicks to max event_id so the
@@ -255,18 +254,35 @@ object Relational {
       val clicks = ev.filter(col("event_type") === "click")
         .groupBy("user_id", "ts")
         .agg(max("event_id").as("click_id"))
-        .select(col("user_id"), col("ts"), col("click_id"), lit(0).as("tag"),
-          lit(null).cast("long").as("event_id"))
       val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
-          lit(1).as("tag"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.union(purch)
-        .withColumn("asof_click_id", last("click_id", ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asof(purch, clicks, "user_id", "ts", Seq("click_id"))
         .select(col("event_id"), col("user_id"), col("asof_click_id"))
         .orderBy("event_id")
+    }),
+
+    // R13b: CUBE — all grouping combinations.
+    "q23_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("total"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // R13c: GROUPING SETS via SQL (registered temp view).
+    "q24_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
     }),
 
     // R22: repartition + sortWithinPartitions — the write-clustering
@@ -442,7 +458,23 @@ object Relational {
         |       WHERE c2.event_type = 'click' AND c2.user_id = p.user_id
         |         AND c2.ts <= p.ts)) AS asof_click_id
         |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        | coalesce(l_linestatus,'ALL') AS linestatus,
+        | round(sum(l_extendedprice),2) AS total, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q24_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
     // q22_cluster_sort: rows-only by design (partition-local ordering).
   )
 }

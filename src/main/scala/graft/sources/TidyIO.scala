@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tidy-table emit/ingest (the reference pipeline's output step:
+  * analysis-ready CSV/parquet tables).
+  *
+  * Scale notes: `writeClustered` is the 100 TB-friendly layout —
+  * partition directories on a low-cardinality key for partition
+  * pruning, rows sorted within files on the query key so min/max
+  * row-group stats prune reads. CSV is for interop/export only.
+  */
+object TidyIO {
+
+  /** Partition-pruned, sorted parquet layout. */
+  def writeClustered(df: DataFrame, path: String,
+                     partitionBy: Seq[String], sortBy: Seq[String]): Unit =
+    df.repartition(partitionBy.map(df.col): _*)
+      .sortWithinPartitions((partitionBy ++ sortBy).map(df.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+
+  /** CSV export with header (the reference's tabular emit format). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** CSV ingest with schema inference disabled by default — pass an
+    * explicit DDL schema for production reads (inference is a full
+    * extra pass over the data).
+    */
+  def readCsv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    schemaDdl.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+}
