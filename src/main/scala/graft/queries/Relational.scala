@@ -285,6 +285,28 @@ object Relational {
           |ORDER BY status, priority""".stripMargin)
     }),
 
+    // R23: semi-structured JSON column (the reference's metadata/
+    // manifest parsing step): extract a typed field, bucket, aggregate.
+    "q25_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type", "k_bucket")
+    }),
+
+    // R24: explode / flatten — tokenize and count words (the lateral
+    // view primitive every text pipeline needs).
+    "q26_word_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("word"))
+        .groupBy("lang", "word")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+        .orderBy("lang", "word")
+    }),
+
     // R22: repartition + sortWithinPartitions — the write-clustering
     // primitive (what you'd do before a bucketed/sorted parquet write).
     // Row content deterministic, global order not → rows-only check.
@@ -474,7 +496,22 @@ object Relational {
         | round(sum(o_totalprice), 2) AS total, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    "q25_json_props" ->
+      """SELECT event_type,
+        | CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+        | count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type, k_bucket
+        |ORDER BY event_type, k_bucket""".stripMargin,
+
+    "q26_word_explode" ->
+      """SELECT lang, word, count(*) AS n FROM (
+        | SELECT lang, unnest(string_split(
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+        | FROM documents)
+        |GROUP BY lang, word HAVING count(*) >= 100
+        |ORDER BY lang, word""".stripMargin
     // q22_cluster_sort: rows-only by design (partition-local ordering).
   )
 }
