@@ -11,6 +11,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise the parquet reader, shuffle machinery,
+    // window path, and codegen/JIT infra once so the first timed query
+    // doesn't pay cold-start costs.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = graft.Graft.table(spark, sfDir, "lineitem").limit(50000)
+      li.groupBy("l_returnflag").agg(sum("l_quantity")).count()
+      li.withColumn("rn",
+        row_number().over(Window.partitionBy("l_suppkey").orderBy("l_orderkey"))).count()
+      val o = graft.Graft.table(spark, sfDir, "orders").limit(50000)
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    } catch { case _: Throwable => }
     // SPARK_GRAFT_ONLY=d03,q01 → bench just matching queries (debug).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>

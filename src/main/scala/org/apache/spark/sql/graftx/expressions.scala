@@ -75,9 +75,23 @@ case class Logicle(child: Expression, t: Expression, m: Expression, w: Expressio
 }
 
 object LogicleMath {
+  /** w→p is constant across a scan (w is a plan literal); memoize the
+    * last solution per thread — without this every biex() re-runs the
+    * 200-iteration solve, turning each row's 60-step inversion into
+    * 12k iterations.
+    */
+  private val lastW = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = Array(Double.NaN, Double.NaN)
+  }
+  private def widthParamCached(w: Double): Double = {
+    val c = lastW.get()
+    if (c(0) != w) { c(0) = w; c(1) = widthParam(w) }
+    c(1)
+  }
+
   /** Forward biexponential value at display position y in [0, m]. */
   def biex(y: Double, t: Double, m: Double, w: Double): Double = {
-    val p = widthParam(w)
+    val p = widthParamCached(w)
     t * math.pow(10.0, -(m - w)) *
       (math.pow(10.0, y - w) - p * p * math.pow(10.0, -(y - w) / p) + p * p - 1.0)
   }
