@@ -307,6 +307,32 @@ object Relational {
         .orderBy("lang", "word")
     }),
 
+    // R25: set operations — INTERSECT / EXCEPT (distinct semantics).
+    "q27_set_ops" -> ((s, dir) => {
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(col("c_nationkey").as("nationkey"))
+      building.intersect(rich)
+        .withColumn("src", lit("both"))
+        .union(building.except(rich).withColumn("src", lit("building_only")))
+        .orderBy("src", "nationkey")
+    }),
+
+    // R26: full outer join — customers with/without orders union'd
+    // with orphan order keys (null-safe aggregation on both sides).
+    "q28_full_outer" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy("custkey")
+    }),
+
     // R22: repartition + sortWithinPartitions — the write-clustering
     // primitive (what you'd do before a bucketed/sorted parquet write).
     // Row content deterministic, global order not → rows-only check.
@@ -511,7 +537,29 @@ object Relational {
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
         | FROM documents)
         |GROUP BY lang, word HAVING count(*) >= 100
-        |ORDER BY lang, word""".stripMargin
+        |ORDER BY lang, word""".stripMargin,
+
+    "q27_set_ops" ->
+      """SELECT nationkey, 'both' AS src FROM (
+        | SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT c_nationkey FROM customer WHERE c_acctbal > 8000)
+        |UNION ALL
+        |SELECT nationkey, 'building_only' AS src FROM (
+        | SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | EXCEPT
+        | SELECT c_nationkey FROM customer WHERE c_acctbal > 8000)
+        |ORDER BY src, nationkey""".stripMargin,
+
+    "q28_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        | coalesce(spend, 0.0) AS spend
+        |FROM customer
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey) s
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin
     // q22_cluster_sort: rows-only by design (partition-local ordering).
   )
 }
