@@ -289,7 +289,11 @@ object Relational {
     // manifest parsing step): extract a typed field, bucket, aggregate.
     "q25_json_props" -> ((s, dir) => {
       t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        // from_json with an explicit schema: one parse into a typed
+        // struct (no per-row JSONPath evaluation as get_json_object does)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
         .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
         .orderBy("event_type", "k_bucket")
