@@ -137,11 +137,13 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
-    // R11: anti join (NOT EXISTS).
+    // R11: anti join (NOT EXISTS) — customers with no high-value
+    // order (the plain every-customer-has-orders variant is vacuously
+    // empty on this data, which would make the oracle check trivial).
     "q11_anti_join" -> ((s, dir) => {
-      val ord = t(s, dir, "orders")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
       t(s, dir, "customer")
-        .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+        .join(big, col("c_custkey") === big("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
     }),
@@ -433,7 +435,8 @@ object Relational {
 
     "q11_anti_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q12_union_keys" ->
