@@ -96,6 +96,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic corpus split + stratified sampling (rows-only —
+    // xxhash64 isn't DuckDB-expressible; invariants in spec).
+    "t06_hash_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      docs(s, dir)
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .withColumn("split", when(col("bucket") < 80, "train").otherwise("heldout"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
     // … and the custom rolling-hash / simhash expressions (rows-only;
     // reference implementations asserted in spec).
     "t05_rollhash" -> ((s, dir) => {

@@ -65,6 +65,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.02, s"$approx vs $exact")
   }
 
+  test("hash split is deterministic, disjoint, complete, and near the requested ratio") {
+    import graft.operators.Sampling
+    val (tr1, ho1) = Sampling.hashSplit(docs, "doc_id", 80)
+    val (tr2, _) = Sampling.hashSplit(docs, "doc_id", 80)
+    assert(tr1.select("doc_id").except(tr2.select("doc_id")).count() == 0)
+    assert(tr1.count() + ho1.count() == docs.count())
+    assert(tr1.select("doc_id").intersect(ho1.select("doc_id")).count() == 0)
+    val frac = tr1.count().toDouble / docs.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("stratified sample keeps only requested strata at roughly the requested rates") {
+    import graft.operators.Sampling
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "fr" -> 1.0))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "fr"))
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(byLang("en") > enTotal * 0.3 && byLang("en") < enTotal * 0.7)
+    assert(byLang("fr") == docs.filter(col("lang") === "fr").count())
+  }
+
   test("q22 cluster-sort: rows are sorted within every partition") {
     val df = SparkEntry.queries("q22_cluster_sort")(spark, sfDir)
       // narrow projection: preserves partitioning and in-partition order
