@@ -339,6 +339,32 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // R27b: rank-family window functions in one pass (shared sort).
+    "q29_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct", round(percent_rank().over(w), 6))
+        .filter(col("drnk") <= 10)
+        .select("l_returnflag", "drnk", "quartile", "pct", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "drnk", "l_orderkey", "l_linenumber")
+    }),
+
+    // R15b: string function battery (pad/translate/regex/position).
+    "q30_string_extra" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "_").as("padded"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("xlated"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          instr(col("p_type"), "BRUSHED").as("brushed_at"),
+          reverse(substring(col("p_name"), 1, 6)).as("rev6"))
+        .orderBy("p_partkey")
+    }),
+
     // R22: repartition + sortWithinPartitions — the write-clustering
     // primitive (what you'd do before a bucketed/sorted parquet write).
     // Row content deterministic, global order not → rows-only check.
@@ -566,7 +592,28 @@ object Relational {
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
         |  FROM orders GROUP BY o_custkey) s
         |ON c_custkey = o_custkey
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    "q29_rank_funcs" ->
+      """SELECT l_returnflag, drnk, quartile, pct, l_orderkey, l_linenumber FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+        |WHERE drnk <= 10
+        |ORDER BY l_returnflag, drnk, l_orderkey, l_linenumber""".stripMargin,
+
+    "q30_string_extra" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '_') AS padded,
+        | translate(p_type, 'AEIOU', 'aeiou') AS xlated,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        | CAST(instr(p_type, 'BRUSHED') AS INT) AS brushed_at,
+        | reverse(substr(p_name, 1, 6)) AS rev6
+        |FROM part ORDER BY p_partkey""".stripMargin
     // q22_cluster_sort: rows-only by design (partition-local ordering).
   )
 }

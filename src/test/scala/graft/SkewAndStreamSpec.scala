@@ -39,6 +39,36 @@ class SkewAndStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to purchases within the window") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "c_ts").withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "1 hour")
+    // purchase joins clicks in the preceding 10 minutes
+    val joined = c.join(p,
+      expr("user_id = p_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (1L, ts(8)), (2L, ts(5)))
+      purchases.addData((1L, ts(9)), (2L, ts(30)))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((9L, ts(120))); purchases.addData((9L, ts(121)))
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("user_id", "c_ts", "p_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString)).toSet
+      // user 1: both clicks (0 and 8 min) within 10 min of purchase at 9
+      assert(got.exists(t => t._1 == 1L && t._2.contains("00:00:00")))
+      assert(got.exists(t => t._1 == 1L && t._2.contains("00:08:00")))
+      // user 2's click at minute 5 is outside [20, 30] → no match
+      assert(!got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("approx percentile lands within its accuracy bound of exact") {
     val li = Graft.table(spark, sfDir, "lineitem")
     val r = li.agg(
