@@ -12,10 +12,12 @@ import org.apache.spark.sql.graftx._
   * `Graft.registerFunctions` do the same for programmatic use.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSparkExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => PolygonGateBBoxRule)
+  }
 }
 
 object GraftSparkExtensions {

@@ -108,6 +108,19 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F9: filter-style gating — keep only in-gate events, then
+    // summarize. The PolygonGateBBoxRule derives a bounding-box
+    // pre-filter here that reaches the parquet scan (row-group
+    // pruning); the exact ray-cast runs only on surviving rows.
+    "f09_gate_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(FlowCyto.polyGate(col("l_quantity"), col("l_discount"), polyX, polyY))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("gated_value"))
+        .orderBy("l_returnflag")
+    }),
+
     // F7: fixed-width histogram per sample key.
     "f07_histogram" -> ((s, dir) => {
       FlowCyto.histogram(
@@ -168,6 +181,13 @@ object FlowCytoQueries {
          | round(sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
          |   / CAST(count(*) AS DOUBLE), 6) AS frac_gated
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f09_gate_filter" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         | round(sum(l_extendedprice), 2) AS gated_value
+         |FROM lineitem
+         |WHERE ${polySql("l_quantity", "l_discount")}
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "f06_channel_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -517,6 +517,12 @@ object GraftExpressions {
     col(CosineSim(exp(a), exp(b)))
 
   def registerAll(s: SparkSession): Unit = {
+    // optimizer rules (idempotent add)
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(PolygonGateBBoxRule)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ PolygonGateBBoxRule
+    }
     val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

@@ -68,6 +68,34 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("polygon gate bbox rule pushes range filters into the parquet scan") {
+    val df = SparkEntry.queries("f09_gate_filter")(spark, SharedSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the diamond's bbox: l_quantity in [5.1, 45.7], l_discount in [0.001, 0.107]
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,5.1)"), plan.take(2000))
+    // (PushedFilters list is truncated in toString; the discount bound
+    // is asserted via the post-scan Filter condition)
+    assert(plan.contains("<= 0.107)"), plan.take(2000))
+    // and the rewrite must not change results: same rows as the
+    // unoptimized conditional-count query (f05's n_gated totals)
+    val gated = df.collect().map(_.getAs[Long]("n")).sum
+    val viaStats = SparkEntry.queries("f05_poly_gate")(spark, SharedSpark.sfDir)
+      .collect().map(_.getAs[Long]("n_gated")).sum
+    assert(gated == viaStats)
+  }
+
+  test("bbox rule is conjunct-safe: a negated gate is not rewritten") {
+    import org.apache.spark.sql.functions._
+    val li = Graft.table(spark, SharedSpark.sfDir, "lineitem")
+    val negated = li.filter(!GraftFunctions.point_in_polygon(
+      col("l_quantity"), col("l_discount"),
+      Array(5.1, 45.7, 25.3), Array(0.001, 0.053, 0.107)))
+    val plan = negated.queryExecution.executedPlan.toString
+    assert(!plan.contains("GreaterThanOrEqual(l_quantity,5.1)"))
+    // NOT(gate) keeps everything outside the triangle too
+    assert(negated.count() > 0)
+  }
+
   test("cosine_sim matches manual double computation and handles edge cases") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
