@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.FlowCyto
+import graft.sources.{FcsSource, TidyIO}
+
+/** End-to-end run of the reference workflow: FCS ingest → spillover
+  * compensation → arcsinh transform → gate → per-sample stats → tidy
+  * emit. One spec, the whole pipeline surface.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  test("full FCS pipeline: ingest, compensate, transform, gate, summarize, emit") {
+    val dir = java.nio.file.Files.createTempDirectory("pipeline").toString
+
+    // 1. two FCS "samples" with a spillover matrix
+    val spill = Array(Array(1.0, 0.08), Array(0.05, 1.0))
+    val kw = Map("$SPILLOVER" -> ("2,FL1,FL2," + spill.flatten.mkString(",")))
+    val rnd = new scala.util.Random(7)
+    def events(n: Int, scale: Double) = Seq.fill(n) {
+      val t1 = math.abs(rnd.nextGaussian()) * scale
+      val t2 = math.abs(rnd.nextGaussian()) * scale / 2
+      // observed = true × S
+      Array(t1 * spill(0)(0) + t2 * spill(1)(0), t1 * spill(0)(1) + t2 * spill(1)(1))
+    }
+    FcsSource.write(s"$dir/sampleA.fcs", Seq("FL1", "FL2"), events(500, 1000.0), kw)
+    FcsSource.write(s"$dir/sampleB.fcs", Seq("FL1", "FL2"), events(300, 200.0), kw)
+
+    // 2. ingest + extract the spillover matrix from the file itself
+    val raw = FcsSource.read(spark, s"$dir/*.fcs")
+    assert(raw.count() == 800)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/sampleA.fcs"))
+    val Some((_, m)) = FcsSource.spilloverMatrix(FcsSource.parseMeta(bytes).keywords)
+
+    // 3. compensate → 4. arcsinh → 5. gate → 6. per-sample stats
+    val comp = FlowCyto.compensate(raw, Seq(col("FL1"), col("FL2")), m,
+      Seq("cFL1", "cFL2"), round_ = 6)
+    val scaled = comp
+      .withColumn("aFL1", FlowCyto.arcsinhChannel(col("cFL1"), 150.0))
+      .withColumn("sample", regexp_extract(col("file"), "sample([AB])", 1))
+    val gated = scaled.filter(
+      FlowCyto.rectGate(col("cFL1"), col("cFL2"), 100.0, 1e9, 0.0, 1e9))
+    val stats = FlowCyto.channelStats(gated, col("aFL1"), Seq("sample"))
+      .orderBy("sample")
+
+    val rows = stats.collect()
+    assert(rows.map(_.getAs[String]("sample")).toSeq == Seq("A", "B"))
+    // sample A has 5× the scale → higher arcsinh'd median
+    val medA = rows(0).getAs[Double]("median")
+    val medB = rows(1).getAs[Double]("median")
+    assert(medA > medB, s"medA=$medA medB=$medB")
+    // compensation recovered positive true signals; arcsinh monotone →
+    // every gated event has aFL1 within [asinh(100/150), asinh(max)]
+    assert(gated.filter(col("aFL1") <= 0).count() == 0)
+
+    // 7. tidy emit (partitioned by sample) and read-back equality
+    TidyIO.writeClustered(stats.toDF(), s"$dir/tidy", Seq("sample"), Seq("n"))
+    val back = spark.read.parquet(s"$dir/tidy")
+    assert(back.count() == 2)
+    assert(back.columns.toSet == stats.columns.toSet)
+  }
+}
