@@ -22,6 +22,24 @@ class SkewAndStreamSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("keySkew surfaces the heavy key with sane shares") {
+    import graft.operators.Diagnostics
+    val skewed = spark.range(1000).selectExpr("CASE WHEN id < 600 THEN 7 ELSE id END AS k")
+    val prof = Diagnostics.keySkew(skewed, col("k"), topN = 3).collect()
+    assert(prof.head.getAs[Long]("key") == 7L)
+    assert(prof.head.getAs[Long]("n") == 600L)
+    assert(math.abs(prof.head.getAs[Double]("share") - 0.6) < 1e-6)
+    assert(prof.head.getAs[Double]("skew_vs_uniform") > 100)
+  }
+
+  test("partitionBalance accounts for every row") {
+    import graft.operators.Diagnostics
+    val df = spark.range(10000).repartition(8)
+    val bal = Diagnostics.partitionBalance(df.toDF()).collect()
+    assert(bal.map(_.getAs[Long]("rows")).sum == 10000L)
+    assert(bal.length == 8)
+  }
+
   test("stream-static dim join enriches a stream") {
     implicit val sqlCtx = spark.sqlContext
     val nation = Graft.table(spark, sfDir, "nation").select("n_nationkey", "n_name")
