@@ -35,6 +35,22 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("banded simhash equals brute force exactly (pigeonhole: 4 bands, dist<=3)") {
+    import graft.functions.GraftFunctions
+    val fp = docs.select(col("doc_id").as("id"),
+      GraftFunctions.simhash64(Dedup.tokens(col("text"))).as("sim"))
+    val a = fp.select(col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = fp.select(col("id").as("id_b"), col("sim").as("sim_b"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select("id_a", "id_b")
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b")
+    assert(banded.except(brute).count() == 0, "banded found a pair brute force rejects")
+    assert(brute.except(banded).count() == 0, "banded missed a pair (pigeonhole violated)")
+  }
+
   test("exact dedup keeps one representative per distinct normalized text") {
     val withDups = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 100000, concat(col("text"), lit("  "))))
