@@ -55,7 +55,7 @@ case class AsinhScaled(child: Expression, cofactor: Expression)
   * eval (gate-time param fitting, not the bulk scan path).
   */
 case class Logicle(child: Expression, t: Expression, m: Expression, w: Expression)
-    extends QuaternaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def first: Expression = child
   override def second: Expression = t
   override def third: Expression = m
@@ -68,6 +68,12 @@ case class Logicle(child: Expression, t: Expression, m: Expression, w: Expressio
     LogicleMath.transform(
       x.asInstanceOf[Double], tv.asInstanceOf[Double],
       mv.asInstanceOf[Double], wv.asInstanceOf[Double])
+
+  // static-helper codegen: the row pipeline stays inside whole-stage
+  // codegen; the bisection lives in one JIT-friendly static method.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, tv, mv, wv) =>
+      s"org.apache.spark.sql.graftx.LogicleMath.transform($x, $tv, $mv, $wv)")
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, th: Expression, fo: Expression): Expression =
@@ -458,32 +464,44 @@ case class SrpCode(child: Expression, planes: Array[Array[Double]])
   * composition. Null or size-mismatch → null.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
-    else {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = a.numElements()
-      while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      if (na == 0.0 || nb == 0.0) null
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $r = org.apache.spark.sql.graftx.CosineSim.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object CosineSim {
+  /** Shared eval/codegen kernel; null on size mismatch or zero norm. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
 }
 
 /** Public bridge: Column-level API + SQL registration. */
