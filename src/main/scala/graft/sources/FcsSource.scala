@@ -115,6 +115,34 @@ object FcsSource {
         }: _*)
   }
 
+  /** Streaming variant: tail a directory for incoming FCS files
+    * (the reactor's trigger model — process each new upload as it
+    * lands) via the binaryFile file-stream source. Channel names must
+    * be supplied up front (streaming requires a fixed schema before
+    * any file exists); files with a different panel fail the batch.
+    */
+  def readStream(spark: SparkSession, path: String, names: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val bin = spark.readStream.format("binaryFile").schema(schema).load(path)
+      .select(col("path"), col("content"))
+    val events: Dataset[FcsEvent] = bin.as[(String, Array[Byte])].flatMap {
+      case (file, content) =>
+        val meta = parseMeta(content)
+        require(meta.names == names,
+          s"channel mismatch in $file: ${meta.names} vs $names")
+        parseEvents(content).zipWithIndex.map { case (row, i) =>
+          FcsEvent(file, i.toLong, row)
+        }
+    }
+    events.select(
+      col("file") +: col("event_idx") +:
+        names.zipWithIndex.map { case (n, i) =>
+          element_at(col("channels"), i + 1).as(n)
+        }: _*)
+  }
+
   /** Minimal FCS 3.1 writer (round-trip fixture + the reference
     * pipeline's tabular→FCS inverse). float32, little-endian, mode L.
     */

@@ -60,6 +60,27 @@ class FcsSourceSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 10.0) < 1e-4)
   }
 
+  test("streaming FCS source picks up files as they land") {
+    val dir = tmpDir
+    val names = Seq("FSC-A", "SSC-A")
+    FcsSource.write(s"$dir/first.fcs", names, Seq(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val q = FcsSource.readStream(spark, s"$dir/*.fcs", names)
+      .writeStream.format("memory").queryName("fcs_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fcs_stream").count() == 2)
+      // a new upload lands; the stream processes just the new file
+      FcsSource.write(s"$dir/second.fcs", names, Seq(Array(5.0, 6.0)))
+      q.processAllAvailable()
+      val rows = spark.table("fcs_stream")
+      assert(rows.count() == 3)
+      val second = rows.filter(org.apache.spark.sql.functions.col("file").endsWith("second.fcs"))
+      assert(second.count() == 1)
+      assert(second.select("FSC-A").head().getDouble(0) == 5.0)
+    } finally q.stop()
+  }
+
   test("mixed channel panels are rejected") {
     val dir = tmpDir
     FcsSource.write(s"$dir/a.fcs", Seq("X", "Y"), Seq(Array(1.0, 2.0)))
