@@ -52,6 +52,48 @@ object Ann {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** L7b — true IVF (inverted-file) ANN: k-means cells over the
+    * corpus, each vector indexed by its cell; a query probes only its
+    * `nProbe` nearest cells and scores candidates exactly. The
+    * centroid table is tiny (nCells rows) and broadcast both ways, so
+    * at scale the only data-sized operations are the one-pass cell
+    * assignment and the per-cell equi-join — the classic IVF cost
+    * model (scan ≈ corpus × nProbe / nCells).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.vector_to_array
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("cemb")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(c)
+    val cells = model.transform(c).select(col("vec_id"), col("cemb"), col("prediction").as("cell"))
+    // centroid table: (cell, centroid as float array) — nCells rows.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+    // each query ranks centroids by cosine and probes the top nProbe.
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "qemb", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

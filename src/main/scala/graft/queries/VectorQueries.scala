@@ -40,6 +40,14 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L7b: IVF ANN — k-means cells + nProbe probing (rows-only;
+    // recall vs brute force in spec).
+    "s03_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
     // L12: multimodal blob features — SQL-expressible part (octet
     // length, md5, prefix) with a DuckDB oracle …
     "m01_blob_features" -> ((s, dir) => {

@@ -72,6 +72,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits >= 15, s"recall@10 too low: $hits/50") // ≥30% on near-random vectors
   }
 
+  test("IVF ANN: self-match found, recall beats probe fraction, candidates pruned") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 10, nCells = 16, nProbe = 4)
+    // the query's own vector shares its cell → always probed
+    assert(ivf.filter(col("qid") === col("vec_id")).count() == 5)
+    val hits = brute.select("qid", "vec_id")
+      .intersect(ivf.select("qid", "vec_id")).count()
+    // probing 4/16 cells scans ~25% of random data; near neighbors
+    // skew toward the query's own cells, so recall should beat that
+    assert(hits >= 15, s"recall@10 too low: $hits/50")
+  }
+
   test("approx_count_distinct (HLL) is within 2% of exact") {
     val li = Graft.table(spark, sfDir, "lineitem")
     val r = li.agg(
