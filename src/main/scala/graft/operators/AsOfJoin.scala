@@ -9,12 +9,15 @@ import org.apache.spark.sql.expressions.Window
   * the left row's (backward direction; `forward` flips it).
   *
   * Spark-first plan: tag and union both sides, then ONE window pass
-  * per key ordered by (ts, tag) carrying the right side's payload via
-  * last(ignoreNulls). A single shuffle on the key, linear scan within
-  * each key — no per-row correlated lookup and no range join
-  * explosion, which is what makes this hold up on a 100 TB event log
-  * (the classic sort-merge as-of in time-series engines, expressed as
-  * a window).
+  * per key ordered by (ts, tag) carrying the right side's payload as a
+  * single struct via last(ignoreNulls). The struct wrapper is non-null
+  * for every right row, so the match row is chosen exactly once: right
+  * payload values that are genuinely NULL stay NULL, and multi-column
+  * payloads always come from the same right row. A single shuffle on
+  * the key, linear scan within each key — no per-row correlated lookup
+  * and no range join explosion, which is what makes this hold up on a
+  * 100 TB event log (the classic sort-merge as-of in time-series
+  * engines, expressed as a window).
   */
 object AsOfJoin {
 
@@ -30,25 +33,29 @@ object AsOfJoin {
            payload: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     // right rows sort before left rows at equal ts (backward: a tie
-    // means the right row is visible to the left row).
+    // means the right row is visible to the left row). The payload is
+    // wrapped in ONE struct so last(ignoreNulls) selects a whole right
+    // row atomically (the struct is never null on the right side, even
+    // when every payload value in it is null).
+    val nullPayStruct =
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType))))
     val r = right.select(
       (col(key) +: col(ts) +: lit(0).as("__tag") +:
-        payload.map(p => col(p).as(s"__p_$p")) ++:
+        struct(payload.map(col): _*).as("__pay") +:
         leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val l = left.select(
       (col(key) +: col(ts) +: lit(1).as("__tag") +:
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++:
+        nullPayStruct.as("__pay") +:
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
     val ord: Seq[Column] =
       if (forward) Seq(col(ts).desc, col("__tag")) else Seq(col(ts).asc, col("__tag"))
     val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(r.unionByName(l)) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    carried
+    r.unionByName(l)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(
-        (leftCols.map(col) ++ payload.map(p => col(s"__asof_$p").as(s"asof_$p"))): _*)
+        (leftCols.map(col) ++ payload.map(p => col(s"__asof.$p").as(s"asof_$p"))): _*)
   }
 }

@@ -143,9 +143,17 @@ object Dedup {
     * band partitioning (pigeonhole: distance ≤ maxDist with
     * `maxDist+1` bands guarantees one identical band), verify with
     * bit_count(xor) on candidates. Linear shuffle on 16-bit band keys.
+    *
+    * `cap`: optional hot-bucket guard for adversarial corpora (a band
+    * value shared by B docs yields B² candidate pairs). The DEFAULT is
+    * None = exact — every candidate bucket is expanded, preserving the
+    * pigeonhole guarantee that banded output equals brute force. Pass
+    * Some(n) only when trading exactness for worst-case skew safety at
+    * scale; buckets over n are then dropped entirely (under-reporting
+    * pairs), so exactness claims no longer hold.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, cap: Int = 1000): DataFrame = {
+                   maxDist: Int = 3, cap: Option[Int] = None): DataFrame = {
     val fp = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash64(tokens(col(textCol))).as("sim"))
     val bandCols = (0 until 4).map(b =>
@@ -154,10 +162,14 @@ object Dedup {
         col("id"), col("sim"),
         posexplode(array(bandCols: _*)))
       .toDF("id", "sim", "band", "bucket")
-    val counted = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= cap)
+    val counted = cap match {
+      case Some(n) => banded
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .filter(col("bucket_n") <= n)
+        .drop("bucket_n")
+      case None => banded
+    }
     val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(rg, Seq("band", "bucket"))

@@ -79,15 +79,17 @@ object FlowCyto {
 
   /** Per-group gate statistics: total events, gated events, fraction.
     * One hash aggregate — the gate predicate folds into a conditional
-    * count, so no second pass / self-join.
+    * count, so no second pass / self-join. The fraction is reported in
+    * exact integer parts-per-million (floor(gated*1e6/total)) rather
+    * than a rounded double: two engines rounding the same double at 6
+    * decimals can disagree on ties, integer division cannot.
     */
   def gateStats(df: DataFrame, gate: Column, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_total"),
         sum(when(gate, 1L).otherwise(0L)).as("n_gated"))
-      .withColumn("frac_gated",
-        round(col("n_gated").cast("double") / col("n_total"), 6))
+      .withColumn("frac_gated_ppm", expr("(n_gated * 1000000) div n_total"))
 
   /** Per-sample per-channel summary statistics (count, mean, sd,
     * median, quartiles). Exact percentiles — at 100 TB you'd flip the

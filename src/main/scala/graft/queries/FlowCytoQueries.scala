@@ -170,16 +170,16 @@ object FlowCytoQueries {
       """SELECT l_returnflag, count(*) AS n_total,
         | sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
         |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END) AS n_gated,
-        | round(sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
+        | (sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
         |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END)
-        |   / CAST(count(*) AS DOUBLE), 6) AS frac_gated
+        |   * 1000000) // count(*) AS frac_gated_ppm
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "f05_poly_gate" ->
       s"""SELECT l_returnflag, count(*) AS n_total,
          | sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END) AS n_gated,
-         | round(sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
-         |   / CAST(count(*) AS DOUBLE), 6) AS frac_gated
+         | (sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
+         |   * 1000000) // count(*) AS frac_gated_ppm
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "f09_gate_filter" ->

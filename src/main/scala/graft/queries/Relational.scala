@@ -296,7 +296,9 @@ object Relational {
         .withColumn("k",
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
-        .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+        // floor(k/10.0), not `k div 10`: div truncates toward zero in
+        // Spark while DuckDB's // floors, so they disagree on negative k.
+        .groupBy(col("event_type"), floor(col("k") / 10.0).as("k_bucket"))
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
         .orderBy("event_type", "k_bucket")
     }),
@@ -559,7 +561,7 @@ object Relational {
 
     "q25_json_props" ->
       """SELECT event_type,
-        | CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+        | CAST(floor(CAST(json_extract(props, '$.k') AS INT) / 10.0) AS BIGINT) AS k_bucket,
         | count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY event_type, k_bucket
         |ORDER BY event_type, k_bucket""".stripMargin,

@@ -23,9 +23,15 @@ object StreamQueries {
     }),
 
     // S2: 30-min-gap sessionization (lag + running-sum; one shuffle).
+    // session_start is reported as epoch MICROSECONDS (bigint): the
+    // parquet ts is TIMESTAMP(NANOS), which DuckDB keeps at nano
+    // precision while Spark truncates to micros on read — raw
+    // timestamp output would hash-differ on the sub-micro digits.
     "st02_sessions" -> ((s, dir) => {
       Sessionize.sessionsBatch(events(s, dir))
-        .select("user_id", "session_idx", "session_start", "n_events", "duration_s")
+        .select(col("user_id"), col("session_idx"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"), col("duration_s"))
         .orderBy("user_id", "session_idx")
     })
   )
@@ -50,7 +56,7 @@ object StreamQueries {
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM flagged)
-        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |SELECT user_id, session_idx, epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events,
         |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
         |FROM numbered GROUP BY user_id, session_idx

@@ -58,6 +58,14 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
           def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+          // inverse of micros(): keep sub-millisecond precision so the
+          // emitted session_start is bit-identical to the batch twin's
+          // min(ts) (new Timestamp(us / 1000) alone would truncate).
+          def fromMicros(us: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
           val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
           val closed = scala.collection.mutable.ListBuffer.empty[Session]
@@ -65,7 +73,7 @@ object Sessionize {
             val us = micros(e.ts)
             open match {
               case Some(st) if us - st.last > GapMicros =>
-                closed += Session(userId, new Timestamp(st.start / 1000),
+                closed += Session(userId, fromMicros(st.start),
                   st.n, (st.last - st.start) / 1000000)
                 open = Some(SessionState(us, us, 1))
               case Some(st) =>

@@ -441,13 +441,14 @@ case class SrpCode(child: Expression, planes: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, a => {
       val p = ctx.freshName("p"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val n = ctx.freshName("n"); val code = ctx.freshName("code")
+      val w = ctx.freshName("w")
       s"""
          |long $code = 0L;
          |for (int $p = 0; $p < $ws.length; $p++) {
-         |  double[] w = $ws[$p];
+         |  double[] $w = $ws[$p];
          |  double $dot = 0.0;
-         |  int $n = Math.min($a.numElements(), w.length);
-         |  for (int $i = 0; $i < $n; $i++) $dot += $a.getFloat($i) * w[$i];
+         |  int $n = Math.min($a.numElements(), $w.length);
+         |  for (int $i = 0; $i < $n; $i++) $dot += $a.getFloat($i) * $w[$i];
          |  if ($dot > 0) $code |= (1L << $p);
          |}
          |${ev.value} = $code;

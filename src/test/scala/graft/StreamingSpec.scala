@@ -99,10 +99,10 @@ class StreamingSpec extends AnyFunSuite {
     // sessions never overlap: next session starts > 30 min after the
     // previous one's last event
     val bad = s.withColumn("prev_end",
-        lag(unix_micros(col("session_start")) + col("duration_s") * 1000000L, 1)
+        lag(col("session_start_us") + col("duration_s") * 1000000L, 1)
           .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("session_idx")))
       .filter(col("prev_end").isNotNull &&
-        unix_micros(col("session_start")) - col("prev_end") <= Sessionize.GapMicros)
+        col("session_start_us") - col("prev_end") <= Sessionize.GapMicros)
       .count()
     assert(bad == 0)
   }
