@@ -43,4 +43,14 @@ object GraftFunctions {
 
   /** Cosine similarity of two Array[Float] embedding columns. */
   def cosine_sim(a: Column, b: Column): Column = GraftExpressions.cosine_sim(a, b)
+
+  /** Portable 64-bit scalar hash (murmur3 fmix64 finalizer) — the
+    * oracle-replicable alternative to xxhash64 for hash splits.
+    */
+  def fmix64(v: Column): Column = GraftExpressions.fmix64(v)
+
+  /** Portable combine-hash of long values (LSH band bucket keys):
+    * h = fmix64(h XOR v) folded from the FNV offset seed.
+    */
+  def mix_hash(vs: Column*): Column = GraftExpressions.mix_hash(vs)
 }

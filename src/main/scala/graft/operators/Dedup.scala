@@ -100,11 +100,14 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), sh.as("sh"))
       .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
       .withColumn("nt", size(array_distinct(col("sh"))))
-    // band key: hash of the band's slice of the signature.
+    // band key: portable combine-hash of the band's signature slice
+    // (band index first, then the r minhashes in order) — replicable
+    // by the DuckDB oracle, unlike xxhash64.
     val banded = base.select(
         col("id"), col("nt"),
         posexplode(array((0 until bands).map(b =>
-          xxhash64(lit(b) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1)): _*)): _*)))
+          GraftFunctions.mix_hash(
+            (lit(b.toLong) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1))): _*)): _*)))
       .toDF("id", "nt", "band", "bucket")
     // salting guard: drop hot buckets (degenerate bands) before pairing.
     val counted = banded

@@ -44,7 +44,10 @@ object Multimodal {
         // a real codec would decode `batch` in one device call
         batch.map { row =>
           val (w, h, f, m) = fakeDecode(row.blob)
-          MediaFeatures(row.doc_id, w, h, f, math.rint(m * 10000) / 10000)
+          // floor(x+0.5), not rint: half-up is the same IEEE op
+          // sequence in every engine, so the oracle can replicate it
+          // (rint's half-to-even has no portable SQL equivalent).
+          MediaFeatures(row.doc_id, w, h, f, math.floor(m * 10000 + 0.5) / 10000)
         }
       }
     }

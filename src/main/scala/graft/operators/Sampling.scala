@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic hash split: a row lands in [0, 100) by xxhash64 of
-    * its id, so the same row always lands in the same split across
-    * runs, machines, and re-partitioning (unlike rand()-based
-    * sampling, which needs a fixed seed AND stable partitioning).
+  /** Deterministic hash split: a row lands in [0, 100) by a portable
+    * 64-bit hash (fmix64) of its numeric id, so the same row always
+    * lands in the same split across runs, machines, re-partitioning —
+    * and across ENGINES (unlike xxhash64, fmix64 is replicable by the
+    * DuckDB oracle and any downstream system, so a split made here can
+    * be reproduced exactly outside Spark; rand()-based sampling can't
+    * even survive a repartition).
     */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    pmod(xxhash64(id), lit(buckets.toLong))
+    pmod(graft.functions.GraftFunctions.fmix64(id.cast("long")), lit(buckets.toLong))
 
   /** (train, heldout) split at `trainPct` percent. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int): (DataFrame, DataFrame) = {

@@ -615,7 +615,14 @@ object Relational {
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
         | CAST(instr(p_type, 'BRUSHED') AS INT) AS brushed_at,
         | reverse(substr(p_name, 1, 6)) AS rev6
-        |FROM part ORDER BY p_partkey""".stripMargin
-    // q22_cluster_sort: rows-only by design (partition-local ordering).
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // q22_cluster_sort: the compare hashes value content (row order is
+    // normalized away), so a plain projection oracle verifies the
+    // repartition+sortWithinPartitions pipeline preserves every row
+    // exactly; the partition-local ORDERING itself is asserted in
+    // PipelineSpec (not SQL-expressible).
+    "q22_cluster_sort" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem""".stripMargin
   )
 }

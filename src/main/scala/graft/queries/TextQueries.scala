@@ -192,6 +192,71 @@ object TextQueries {
 
     "t04_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp_md5
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t05: the rolling-hash + simhash fingerprints replicated
+    // bit-for-bit in DuckDB via HUGEINT wrapping-arithmetic emulation
+    // (PortableHashSql) — graduated from rows-only to a full oracle.
+    "t05_rollhash" ->
+      s"""WITH ${PortableHashSql.simhashCtes},
+         | r AS (SELECT doc_id, ${PortableHashSql.roll("nt")} AS ur FROM __n)
+         |SELECT r.doc_id, ${PortableHashSql.toSigned("ur")} AS fp_roll, simfp.fp_sim
+         |FROM r JOIN simfp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // d04: brute-force Hamming pairs over the replicated fingerprints.
+    // The banded Spark plan must equal this exactly (pigeonhole, no cap).
+    "d04_simhash" ->
+      s"""WITH ${PortableHashSql.simhashCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.fp_sim, b.fp_sim)) AS hamming
+         |FROM simfp a JOIN simfp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp_sim, b.fp_sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // t06: fmix64 hash split replicated exactly (pmod -> ((x%n)+n)%n).
+    "t06_hash_split" ->
+      s"""WITH h AS (SELECT lang,
+         |    ${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} AS hs
+         |  FROM documents),
+         | b AS (SELECT lang, ((hs % 100) + 100) % 100 AS bucket FROM h)
+         |SELECT lang, CASE WHEN bucket < 80 THEN 'train' ELSE 'heldout' END AS split,
+         |  count(*) AS n
+         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // d03: the FULL MinHash+LSH pipeline replicated — tokenHash,
+    // splitmix permutation coefficients (emitted as literals), signed
+    // minima, banded mix_hash buckets, the hot-bucket cap, and exact
+    // Jaccard verification on distinct token sets.
+    "d03_minhash_lsh" ->
+      s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
+         | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
+         | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
+         |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
+         |        GROUP BY doc_id, k),
+         | msl AS (SELECT doc_id, k // 8 AS band,
+         |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
+         |         FROM mg GROUP BY doc_id, k // 8),
+         | mbk AS (SELECT doc_id, band,
+         |           ${PortableHashSql.toSigned(
+                        PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
+         |         FROM msl),
+         | keep AS (SELECT band, bucket FROM mbk GROUP BY band, bucket HAVING count(*) <= 500),
+         | bk AS (SELECT mbk.* FROM mbk JOIN keep USING (band, bucket)),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |            AND a.doc_id < b.doc_id),
+         | v AS (SELECT id_a, id_b,
+         |         len(list_intersect(da.toks, db.toks)) AS inter,
+         |         len(da.toks) AS na, len(db.toks) AS nb
+         |       FROM cand
+         |       JOIN d da ON da.doc_id = id_a
+         |       JOIN d db ON db.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

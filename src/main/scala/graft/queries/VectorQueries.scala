@@ -61,8 +61,9 @@ object VectorQueries {
         .orderBy("doc_id")
     }),
 
-    // … and the batched mapPartitions decode path (rows-only; the
-    // decode stub's determinism is asserted in spec).
+    // … and the batched mapPartitions decode path. The stub decoder is
+    // deterministic arithmetic over the payload bytes, so the oracle
+    // replicates it exactly (ASCII text: ord(char) == byte).
     "m02_blob_decode" -> ((s, dir) => {
       Multimodal.decodeFeatures(Multimodal.blobsFromDocuments(docs(s, dir)))
         .toDF()
@@ -97,8 +98,28 @@ object VectorQueries {
         | octet_length(encode(text)) AS n_bytes,
         | md5(text) AS blob_md5,
         | upper(hex(encode(substring(text, 1, 4)))) AS prefix_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
       // md5(text): DuckDB's md5 takes VARCHAR; the blob IS text's
       // UTF-8 bytes, so the digests are identical.
+
+    // m02: Multimodal.fakeDecode mirrored — b0/b1 are the first two
+    // bytes, mean is byte-sum/length in double, half-up rounded to 4
+    // decimals with the same floor(x*1e4+0.5)/1e4 IEEE op sequence.
+    "m02_blob_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+        |    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1,
+        |    length(text) AS len,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(split(text, ''), c -> ord(c))) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) END AS mean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  64 + (b0 % 64) AS width,
+        |  64 + (b1 % 64) AS height,
+        |  1 + (len % 8) AS n_frames,
+        |  floor(mean * 10000 + 0.5) / 10000 AS mean_byte
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

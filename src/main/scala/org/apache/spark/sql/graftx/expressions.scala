@@ -506,6 +506,116 @@ object CosineSim {
 }
 
 /** Public bridge: Column-level API + SQL registration. */
+/** murmur3 fmix64 finalizer as a standalone expression. This is the
+  * engine's PORTABLE 64-bit scalar hash: unlike xxhash64 (whose seed
+  * and internals are Spark-specific), fmix64 is a 5-op public-domain
+  * bijection that an external oracle (DuckDB, any SQL engine with
+  * 128-bit ints) can replicate exactly with wrapping-multiply
+  * emulation — which is what lets hash-split / LSH-band queries be
+  * verified value-for-value instead of rows-only.
+  */
+case class Fmix64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fmix64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Fmix64.fmix(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = $v;
+         |$h ^= $h >>> 33; $h *= ${Fmix64.C1}L;
+         |$h ^= $h >>> 33; $h *= ${Fmix64.C2}L;
+         |$h ^= $h >>> 33;
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Fmix64 {
+  final val C1 = 0xff51afd7ed558ccdL
+  final val C2 = 0xc4ceb9fe1a85ec53L
+  def fmix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= C1
+    h ^= h >>> 33; h *= C2
+    h ^= h >>> 33
+    h
+  }
+}
+
+/** Portable combine-hash of N long values: h = fmix64(h XOR v) folded
+  * left over the inputs from the FNV offset seed. Used for LSH band
+  * bucket keys (band index + signature slice -> one 64-bit key) where
+  * the whole chain must be replicable by the DuckDB oracle. Null in ->
+  * null out.
+  */
+case class MixHashLongs(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes {
+  require(children.nonEmpty)
+  override def inputTypes = Seq.fill(children.length)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "mix_hash"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var h = MixHashLongs.Seed
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      h = Fmix64.fmix(h ^ v.asInstanceOf[Long])
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val h = ctx.freshName("h")
+    val isNullVar = ctx.freshName("isNull")
+    val valueVar = ctx.freshName("value")
+    val steps = children.map { c =>
+      val e = c.genCode(ctx)
+      s"""
+         |if (!$isNullVar) {
+         |  ${e.code}
+         |  if (${e.isNull}) { $isNullVar = true; } else {
+         |    $h ^= ${e.value};
+         |    $h ^= $h >>> 33; $h *= ${Fmix64.C1}L;
+         |    $h ^= $h >>> 33; $h *= ${Fmix64.C2}L;
+         |    $h ^= $h >>> 33;
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    val block =
+      code"""
+         |boolean $isNullVar = false;
+         |long $h = ${MixHashLongs.Seed}L;
+         |$steps
+         |long $valueVar = $h;
+       """.stripMargin
+    ExprCode(block, JavaCode.isNullVariable(isNullVar), JavaCode.variable(valueVar, LongType))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object MixHashLongs {
+  /** FNV-1a 64-bit offset basis — same seed as RollingHash. */
+  final val Seed = 1469598103934665603L
+}
+
 object GraftExpressions {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def exp(c: Column): Expression = ExpressionUtils.expression(c)
@@ -535,6 +645,10 @@ object GraftExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     col(CosineSim(exp(a), exp(b)))
 
+  def fmix64(v: Column): Column = col(Fmix64(exp(v)))
+
+  def mix_hash(vs: Seq[Column]): Column = col(MixHashLongs(vs.map(exp)))
+
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -554,5 +668,9 @@ object GraftExpressions {
       "simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "cosine_sim", es => CosineSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fmix64", es => Fmix64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mix_hash", es => MixHashLongs(es), "built-in")
   }
 }
