@@ -33,7 +33,9 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
-    // L7: LSH-bucketed ANN (rows-only; recall vs s01 in spec).
+    // L7: LSH-bucketed ANN — fully oracled: the ±1 hyperplanes are
+    // deterministic literals and every float accumulation is an
+    // ascending left-fold both engines replay identically.
     "s02_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -71,7 +73,45 @@ object VectorQueries {
     })
   )
 
+  /** Ascending left-fold from 0.0 — the same op order as the scalar
+    * loops in CosineSim/SrpCode, so doubles match bit-for-bit.
+    */
+  private def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (fx, fy) -> fx + fy)"
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    foldSum(s"list_transform(range(1, ${dim + 1}), li -> ($a)[li] * ($b)[li])")
+
+  /** CosineSim.compute mirrored: dot / (sqrt(na) * sqrt(nb)). */
+  private def cosSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** SrpCode mirrored: bit p = [dot(e, w_p) > 0], planes emitted as
+    * DOUBLE[] literals from the same seeded generator.
+    */
+  private def srpCodeSql(e: String, nPlanes: Int, dim: Int): String = {
+    val planes = Ann.hyperplanes(nPlanes, dim)
+    (0 until nPlanes).map { p =>
+      val w = planes(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(e, w, dim)} > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   val oracle: Map[String, String] = Map(
+    "s02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+         | codes AS (SELECT vec_id, de, ${srpCodeSql("de", 16, 64)} AS code FROM e),
+         | cb AS (SELECT vec_id, de, bb.b AS band, (code >> (4 * bb.b)) & 15 AS key
+         |        FROM codes, (SELECT unnest(range(4)) AS b) bb),
+         | qb AS (SELECT vec_id AS qid, de AS qe, band, key FROM cb WHERE vec_id < 5),
+         | cand AS (SELECT DISTINCT qb.qid, qb.qe, cb.vec_id, cb.de
+         |          FROM cb JOIN qb ON cb.band = qb.band AND cb.key = qb.key),
+         | scored AS (SELECT qid, vec_id, c,
+         |              row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rnk
+         |            FROM (SELECT qid, vec_id, ${cosSql("qe", "de", 64)} AS c FROM cand))
+         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+         |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
     "d05_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
