@@ -78,6 +78,56 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
 
+  /** L2b — n-gram Jaccard near-dedup via prefix filtering
+    * (AllPairs/PPJoin): EXACT all-pairs similarity over the
+    * ORDER-SENSITIVE word n-gram shingle set, so reordered documents
+    * that share a bag of words no longer collide (sequence similarity,
+    * not bag similarity).
+    *
+    * Candidate generation is the prefix filter: under ANY global total
+    * order on grams (here: ascending 64-bit hash), two sets with
+    * Jaccard >= t must share an element within each one's first
+    * |g| - ceil(t*|g|) + 1 grams — a pair sharing nothing in either
+    * prefix has overlap <= ceil(t*|g|) - 1 < t*|g| <= t*|union|. So
+    * exploding ONLY the prefix (~(1-t)*|g| keys per doc) and
+    * equi-joining on the gram key is lossless: same result as the
+    * O(n^2) all-pairs join, but the shuffle is linear in corpus size.
+    * Verification is one sorted-merge intersect per surviving pair.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, blockBy: Seq[Column], threshold: Double): DataFrame = {
+    val blockCols = blockBy.zipWithIndex.map { case (c, i) => c.as(s"block_$i") }
+    val prepped = docs.select(
+      (col(idCol).as("id") +:
+        sort_array(array_distinct(
+          transform(shingles(tokens(col(textCol)), n), s => xxhash64(s)))).as("grams") +:
+        blockCols): _*)
+      .withColumn("block",
+        concat_ws("|", blockBy.indices.map(i => col(s"block_$i")): _*))
+      .select("block", "id", "grams")
+    val cand = prepped
+      .withColumn("g", explode(slice(col("grams"), lit(1),
+        (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1).cast("int"))))
+      .select("block", "g", "id")
+    val pairs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val side = prepped.select(col("id"), col("grams"))
+    pairs
+      .join(side.toDF("id_a", "g_a"), Seq("id_a"))
+      .join(side.toDF("id_b", "g_b"), Seq("id_b"))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("g_a"), col("g_b")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("g_a")) + size(col("g_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
+  }
+
   /** L3 — MinHash + LSH near-dedup.
     *
     * shingle → K minhashes (xxhash64 seeded per permutation) → bands

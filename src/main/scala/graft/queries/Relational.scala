@@ -375,6 +375,22 @@ object Relational {
         .repartition(col("l_suppkey"))
         .sortWithinPartitions("l_suppkey", "l_shipdate")
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    }),
+
+    // R36: range join (v in [lo, hi)) against OVERLAPPING price bands,
+    // planned as bucket-expansion + equi-join (RangeJoin operator) —
+    // no BroadcastNestedLoopJoin anywhere in the plan.
+    "q31_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 130).select(
+        col("id").as("band"),
+        (col("id") * 900.0).as("lo"),
+        (col("id") * 900.0 + 1800.0).as("hi"))
+      graft.operators.RangeJoin
+        .byBucket(t(s, dir, "lineitem"), col("l_extendedprice"), bands,
+          col("lo"), col("hi"), w = 900.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("band")
     })
   )
 
@@ -623,6 +639,13 @@ object Relational {
     // PipelineSpec (not SQL-expressible).
     "q22_cluster_sort" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q31_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM (SELECT unnest(range(0, 130)) AS band) b
+        |JOIN lineitem
+        |  ON l_extendedprice >= band * 900.0 AND l_extendedprice < band * 900.0 + 1800.0
+        |GROUP BY band ORDER BY band""".stripMargin
   )
 }

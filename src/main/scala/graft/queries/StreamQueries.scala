@@ -33,6 +33,24 @@ object StreamQueries {
           unix_micros(col("session_start")).as("session_start_us"),
           col("n_events"), col("duration_s"))
         .orderBy("user_id", "session_idx")
+    }),
+
+    // S2b: the same sessionization via Spark's NATIVE session_window
+    // (the streaming-capable gap-window operator). Semantics differ
+    // from st02 at an exact-gap boundary: session_window merges only
+    // strictly-overlapping windows (split at diff >= gap), while the
+    // lag formulation splits at diff > gap — the oracle mirrors >=.
+    // duration is exact integer micros: window.end = last event + gap.
+    "st03_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          expr("(unix_micros(sw.end) - 1800000000 - unix_micros(sw.start)) div 1000000")
+            .as("duration_s"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
     })
   )
 
@@ -60,6 +78,25 @@ object StreamQueries {
         |  count(*) AS n_events,
         |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
         |FROM numbered GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "st03_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }

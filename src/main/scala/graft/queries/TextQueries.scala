@@ -39,6 +39,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L2b: word-3-gram Jaccard near-dup — ORDER-SENSITIVE sequence
+    // similarity (reordered bags of words no longer collide). Prefix
+    // filtering makes the Spark side linear-shuffle; the oracle is the
+    // brute-force all-pairs join the filter provably equals.
+    "d06_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, Seq(col("lang")), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // L3: MinHash+LSH near-dup (rows-only; recall/precision in spec).
     // shingleN=1: minhash the token set itself so the LSH estimates
     // the same token-set Jaccard the verification step filters on
@@ -108,8 +118,38 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
-    // … and the custom rolling-hash / simhash expressions (rows-only;
-    // reference implementations asserted in spec).
+    // L9b: TF-IDF top terms per language — term frequency over the
+    // corpus, document frequency, ln((N+1)/(df+1)) idf. Ranked by
+    // (tf desc, word) so the rank path is integer-deterministic; the
+    // float score is a rounded output column only.
+    "t07_tfidf" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("lang"), col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("word"))
+      val stats = words.groupBy("lang", "word")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      val nd = docs(s, dir).groupBy("lang").agg(countDistinct("doc_id").as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("tf").desc, col("word"))
+      stats.join(nd, Seq("lang"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("lang"), col("rnk"), col("word"), col("tf"), col("df"),
+          round(col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+        .orderBy("lang", "rnk")
+    }),
+
+    // L13b: stratified sampling — per-language keep fractions over the
+    // portable hash bucket, so the sample is reproducible anywhere.
+    "t08_stratified" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.1))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // … and the custom rolling-hash / simhash expressions, verified
+    // bit-for-bit by the PortableHashSql oracle.
     "t05_rollhash" -> ((s, dir) => {
       docs(s, dir).select(
           col("doc_id"),
@@ -157,6 +197,54 @@ object TextQueries {
          |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          |      >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d06_ngram_jaccard" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id AS id, lang, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         | d AS (
+         |  SELECT id, lang,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |             i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS grams
+         |  FROM d0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |        CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE),
+         |        3) AS jaccard
+         |FROM d a JOIN d b
+         |  ON a.lang = b.lang AND a.id < b.id
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |      CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "t07_tfidf" ->
+      s"""WITH words AS (
+         |  SELECT lang, doc_id, unnest(string_split($normSql, ' ')) AS word
+         |  FROM documents),
+         | stats AS (
+         |  SELECT lang, word, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM words GROUP BY lang, word),
+         | nd AS (SELECT lang, count(DISTINCT doc_id) AS n FROM documents GROUP BY lang),
+         | ranked AS (
+         |  SELECT stats.lang, word, tf, df, n,
+         |    row_number() OVER (PARTITION BY stats.lang ORDER BY tf DESC, word) AS rnk
+         |  FROM stats JOIN nd ON stats.lang = nd.lang)
+         |SELECT lang, rnk, word, tf, df,
+         |  round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+         |FROM ranked WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+
+    "t08_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} AS hs
+         |  FROM documents),
+         | b AS (SELECT doc_id, lang, ((hs % 10000) + 10000) % 10000 AS bucket FROM h)
+         |SELECT doc_id, lang FROM b
+         |WHERE CAST(bucket AS DOUBLE) <
+         |  CASE lang WHEN 'en' THEN 0.5 * 10000 WHEN 'fr' THEN 0.25 * 10000
+         |            WHEN 'de' THEN 0.1 * 10000 ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin,
 
     "t01_langid" ->
       s"""SELECT doc_id,

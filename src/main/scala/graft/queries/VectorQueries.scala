@@ -50,6 +50,27 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L5b: per-label embedding centroid (class means / cluster
+    // centers). Vectors are folded in vec_id order so the float
+    // accumulation is deterministic and the oracle replays it exactly
+    // (a plain groupBy-avg would sum in partition order — fast, but
+    // unverifiable bit-for-bit).
+    "s04_label_centroid" -> ((s, dir) => {
+      val grouped = emb(s, dir)
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding").as("e"))))
+          .as("vs"))
+      grouped
+        .select(col("label"), posexplode(
+          transform(sequence(lit(1), lit(64)), i =>
+            aggregate(col("vs"), lit(0.0),
+              (acc, x) => acc + element_at(x.getField("e"), i).cast("double"))
+              / size(col("vs")))))
+        .toDF("label", "pos", "c")
+        .select(col("label"), (col("pos") + 1).as("dim"), round(col("c"), 6).as("centroid"))
+        .orderBy("label", "dim")
+    }),
+
     // L12: multimodal blob features — SQL-expressible part (octet
     // length, md5, prefix) with a DuckDB oracle …
     "m01_blob_features" -> ((s, dir) => {
@@ -132,6 +153,15 @@ object VectorQueries {
         |  FROM q CROSS JOIN embeddings)
         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
         |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "s04_label_centroid" ->
+      s"""WITH g AS (
+         |  SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs
+         |  FROM embeddings GROUP BY label)
+         |SELECT label, di.i AS dim,
+         |  round(${foldSum("list_transform(vs, v -> v[di.i])")} / len(vs), 6) AS centroid
+         |FROM g, (SELECT unnest(range(1, 65)) AS i) di
+         |ORDER BY label, dim""".stripMargin,
 
     "m01_blob_features" ->
       """SELECT doc_id,
