@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair graph — the clustering
+  * step that turns pairwise dedup hits into canonical-document
+  * assignments (every doc in a component maps to the component's
+  * minimum id, the row a dedup pipeline keeps).
+  *
+  * Algorithm: min-label propagation. Every node starts labelled with
+  * its own id; each round replaces the label with the minimum over
+  * itself and its neighbours. Rounds needed = component diameter —
+  * near-dup clusters are shallow (a hot document links to its
+  * variants directly), so this converges in a handful of rounds.
+  * Each round is one equi-join plus one min-aggregate, both shuffling
+  * on node id — linear in |E| per round, no cross product anywhere.
+  * For adversarially deep graphs (long chains), swap the round body
+  * for large-star/small-star (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") — same join+agg primitives, O(log²)
+  * rounds; not needed for dedup-shaped graphs.
+  *
+  * Driver-side iteration with a per-round convergence check is the
+  * standard Spark shape for iterative graph algorithms (GraphX's
+  * Pregel loop does the same); `localCheckpoint` truncates the
+  * otherwise exponentially-growing lineage each round.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges (any names)
+    * @return (id, cluster) — cluster = min node id in the component;
+    *         covers only nodes that appear in `edges` (isolated nodes
+    *         are trivially their own cluster — union them in if needed)
+    */
+  def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val ec = edges.columns
+    val sym = edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
+      .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val viaNbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").union(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+}

@@ -391,6 +391,22 @@ object Relational {
         .groupBy("band")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
         .orderBy("band")
+    }),
+
+    // R31 as a checked query: salted skew join ≡ the plain join — the
+    // salt spreads each hot key over 8 tasks without changing row
+    // multiplicity, so the plain-join oracle verifies it exactly.
+    "q32_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -646,6 +662,12 @@ object Relational {
         |FROM (SELECT unnest(range(0, 130)) AS band) b
         |JOIN lineitem
         |  ON l_extendedprice >= band * 900.0 AND l_extendedprice < band * 900.0 + 1800.0
-        |GROUP BY band ORDER BY band""".stripMargin
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q32_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

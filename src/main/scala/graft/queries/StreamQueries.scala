@@ -51,6 +51,22 @@ object StreamQueries {
             .as("duration_s"),
           col("n_events"))
         .orderBy("user_id", "session_start_us")
+    }),
+
+    // S3's batch twin: keep-first dedup per (user_id, event_type) —
+    // exactly what streaming `dropDuplicates` emits when events are
+    // replayed in timestamp order (StreamingSpec asserts the streaming
+    // side; ties broken by event_id for determinism).
+    "st04_dedup_first" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -97,6 +113,13 @@ object StreamQueries {
         |  (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "st04_dedup_first" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -49,6 +49,22 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L16: dup-pair graph → connected components → canonical doc id.
+    // The clustering step after any pairwise detector: every doc in a
+    // component gets the component's min id (the kept representative).
+    // Oracle replays the min-label fixpoint as a recursive CTE.
+    "d07_dup_clusters" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+        Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+      val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("cluster_id", "doc_id")
+    }),
+
     // L3: MinHash+LSH near-dup (rows-only; recall/precision in spec).
     // shingleN=1: minhash the token set itself so the LSH estimates
     // the same token-set Jaccard the verification step filters on
@@ -197,6 +213,31 @@ object TextQueries {
          |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
          |      >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |    list_distinct(string_split($normSql, ' ')) AS toks
+         |  FROM documents),
+         | pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND len(a.toks) = len(b.toks)
+         |    AND a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        >= 0.9),
+         | edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         | cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM cc ORDER BY cluster_id, doc_id""".stripMargin,
 
     "d06_ngram_jaccard" ->
       s"""WITH d0 AS (

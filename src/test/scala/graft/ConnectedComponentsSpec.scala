@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.minLabel(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components each get their min id") {
+    val got = cc(Seq((2L, 1L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a chain deeper than one round converges to the global min") {
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    assert(cc(chain).values.toSet == Set(1L))
+  }
+
+  test("cluster assignment equals the transitive closure of the pair relation") {
+    // ring + chord + isolated pair; every node reaches node 1
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (7L, 8L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+}
