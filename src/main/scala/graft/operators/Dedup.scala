@@ -84,14 +84,22 @@ object Dedup {
     * that share a bag of words no longer collide (sequence similarity,
     * not bag similarity).
     *
-    * Candidate generation is the prefix filter: under ANY global total
-    * order on grams (here: ascending 64-bit hash), two sets with
-    * Jaccard >= t must share an element within each one's first
+    * Candidate generation is the prefix filter: under ANY total order
+    * on grams shared by all docs in a block, two sets with Jaccard
+    * >= t must share an element within each one's first
     * |g| - ceil(t*|g|) + 1 grams — a pair sharing nothing in either
     * prefix has overlap <= ceil(t*|g|) - 1 < t*|g| <= t*|union|. So
     * exploding ONLY the prefix (~(1-t)*|g| keys per doc) and
     * equi-joining on the gram key is lossless: same result as the
     * O(n^2) all-pairs join, but the shuffle is linear in corpus size.
+    * The order used is ASCENDING DOCUMENT FREQUENCY (the canonical
+    * AllPairs ordering, Bayardo et al., WWW'07 "Scaling Up All Pairs
+    * Similarity Search"): prefixes then hold each doc's RAREST grams,
+    * so join buckets stay tiny even when the corpus shares a hot
+    * background vocabulary — the hot grams all sort to the suffixes.
+    * The join also applies the length filter (J >= t implies
+    * min(|a|,|b|) >= intersection >= t*max(|a|,|b|)), which discards
+    * most remaining collisions before the verify step.
     * Verification is one sorted-merge intersect per surviving pair.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -105,14 +113,31 @@ object Dedup {
       .withColumn("block",
         concat_ws("|", blockBy.indices.map(i => col(s"block_$i")): _*))
       .select("block", "id", "grams")
-    val cand = prepped
-      .withColumn("g", explode(slice(col("grams"), lit(1),
-        (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1).cast("int"))))
-      .select("block", "g", "id")
+      .withColumn("sz", size(col("grams")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = prepped.select(
+      col("block"), col("id"), col("sz"), explode(col("grams")).as("g"))
+    // per-block doc frequency: the (df, g)-ascending total order.
+    // grams are distinct per doc, so count(*) == docs containing g.
+    val dfTab = exploded.groupBy("block", "g").agg(count(lit(1)).as("df"))
+    // Rank each doc's grams by (df, g) with a per-doc array sort (the
+    // arrays are small) rather than a window function (which would
+    // sort whole shuffle partitions); then keep only the prefix.
+    // Persisted because the self-join below reads it twice.
+    val cand = exploded.join(dfTab, Seq("block", "g"))
+      .groupBy("block", "id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("dg"))
+      .withColumn("pref", slice(col("dg"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+      .select(col("block"), col("id"), col("sz"),
+        explode(col("pref").getField("g")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cand.as("a")
       .join(cand.as("b"),
         col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          col("a.sz") >= ceil(col("b.sz") * threshold) &&
+          col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val side = prepped.select(col("id"), col("grams"))

@@ -45,7 +45,7 @@ object TextQueries {
     // brute-force all-pairs join the filter provably equals.
     "d06_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, Seq(col("lang")), threshold = 0.5)
+          n = 3, Seq(col("lang")), threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -257,7 +257,7 @@ object TextQueries {
          |  ON a.lang = b.lang AND a.id < b.id
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
          |      CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |      >= 0.5
+         |      >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     "t07_tfidf" ->
