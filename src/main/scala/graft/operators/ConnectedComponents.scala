@@ -34,8 +34,11 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val ec = edges.columns
+    // Materialized once: edges are usually the output of a whole
+    // pair-mining job, which must not re-run every propagation round.
     val sym = edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
       .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a pretraining data pipeline runs
+  * after dedup and before tokenizer sharding (SURVEY.md §2.3):
+  * benchmark decontamination, repetition signals, fixed-window
+  * chunking, and concat-and-chunk sequence packing.
+  *
+  * Scale design (100 TB): decontamination is an equi-join on gram
+  * hashes where the eval side is tiny (benchmarks are MBs, corpora
+  * are TBs) and therefore broadcast — the corpus never shuffles.
+  * Repetition signals shuffle each doc's grams once, keyed on
+  * (doc, gram). Chunking is a pure narrow posexplode. Packing uses a
+  * per-stream running sum, so streams (here: languages) pack
+  * independently — the window never sees more than one stream's
+  * rows in a partition.
+  */
+object CorpusOps {
+
+  import Dedup.{tokens, shingles}
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word n-gram with an eval/benchmark document. Returns one row per
+    * contaminated corpus doc with the count of distinct shared grams
+    * and of distinct eval docs hit.
+    *
+    * Grams travel as 64-bit hashes: the corpus side shuffles longs
+    * (or, since the eval side is broadcast, does not shuffle at all).
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+      array_distinct(transform(shingles(tokens(col(textCol)), n),
+        s => xxhash64(s))).as("grams"))
+    val ex = grams.select(col("id"), col("is_eval"),
+      explode(col("grams")).as("g"))
+    val evalGrams = ex.filter(col("is_eval"))
+      .select(col("g"), col("id").as("eval_id")).distinct()
+    ex.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Repetition signals (the Gopher-style quality heuristics):
+    * duplicate-token fraction, most-frequent-bigram share, and the
+    * fraction of trigram occurrences that are repeats. High values
+    * mark boilerplate / degenerate generations.
+    *
+    * The token fraction is narrow; the gram shares explode once and
+    * aggregate keyed on (doc, gram) — linear shuffle, map-side
+    * partial counts.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val word = base.select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+        size(col("toks")).cast("double"), 4).as("dup_word_frac"))
+    def gramShare(n: Int, out: String, dupShare: Boolean): DataFrame =
+      base.select(col("doc_id"),
+          explode(shingles(col("toks"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(round((if (dupShare)
+            sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0)))
+          else max(col("cnt"))).cast("double") /
+          sum(col("cnt")).cast("double"), 4).as(out))
+    word
+      .join(gramShare(2, "top_bigram_frac", dupShare = false), Seq("doc_id"))
+      .join(gramShare(3, "dup_trigram_frac", dupShare = true), Seq("doc_id"))
+  }
+
+  /** Fixed-window chunking with stride: every document becomes
+    * ⌈|toks|/stride⌉ windows of up to `chunkSize` tokens starting at
+    * 1, 1+stride, 2·stride+1, … Purely narrow (posexplode over the
+    * start offsets) — chunking 100 TB is a map job.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start") + 1, lit(chunkSize))
+          .as("chunk_toks"))
+
+  /** Concat-and-chunk sequence packing: within each stream (partition
+    * key), documents are laid head-to-tail in `orderCol` order into
+    * fixed `capacity`-token blocks; a document knows its block span
+    * and offset. This is the GPT-style packing layout — the running
+    * sum is per-stream, so 100 TB packs as thousands of independent
+    * streams, never one global window.
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+           streamCol: Column, capacity: Int): DataFrame = {
+    val w = Window.partitionBy("stream").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs.select(col(idCol).as("doc_id"), streamCol.as("stream"),
+        size(tokens(col(textCol))).as("n_toks"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("stream"), col("doc_id"), col("n_toks"),
+        (col("cum_before") % capacity).as("block_offset"),
+        expr(s"cum_before div $capacity").as("first_block"),
+        expr(s"(cum_before + n_toks - 1) div $capacity").as("last_block"))
+  }
+}

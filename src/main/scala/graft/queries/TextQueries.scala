@@ -172,8 +172,55 @@ object TextQueries {
           GraftFunctions.rolling_hash(Dedup.normText(col("text"))).as("fp_roll"),
           GraftFunctions.simhash64(Dedup.tokens(col("text"))).as("fp_sim"))
         .orderBy("doc_id")
+    }),
+
+    // L17: benchmark decontamination — corpus docs sharing any word
+    // 3-gram with the "eval set" (sources src0/src1 stand in for the
+    // benchmark suite). Eval grams broadcast; corpus never shuffles.
+    "d08_contamination" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.contamination(docs(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1"), n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // L18: Gopher-style repetition signals (dup-token fraction, top
+    // bigram share, duplicated-trigram share).
+    "t09_repetition" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // L19: fixed-window chunking (32-token windows, stride 16) — the
+    // narrow map step before tokenizer sharding.
+    "t10_chunks" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.chunk(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // L20: concat-and-chunk sequence packing into 512-token blocks,
+    // one independent stream per language.
+    "t11_pack" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.pack(docs(s, dir), "doc_id", "text",
+          col("lang"), capacity = 512)
+        .orderBy("stream", "doc_id")
     })
   )
+
+  /** DuckDB word-n-gram shingle fragment over a `toks` list column —
+    * mirrors [[graft.operators.Dedup.shingles]] exactly.
+    */
+  private def shingleSql(n: Int): String = {
+    val cat = (0 until n).map(k => s"toks[i${if (k > 0) s" + $k" else ""}]")
+      .mkString("concat(", ", ' ', ", ")")
+    s"""CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+       | ELSE list_transform(range(1, len(toks)${if (n > 2) s" - ${n - 2}" else ""}),
+       |   i -> $cat) END""".stripMargin
+  }
 
   private val langidScoreSql: Seq[(String, String)] =
     TextStats.stopwords.map { case (lang, words) =>
@@ -386,6 +433,61 @@ object TextQueries {
          |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
          |FROM v
          |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d08_contamination" ->
+      s"""WITH base AS (SELECT doc_id, source, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         | d AS (SELECT doc_id, source, list_distinct(${shingleSql(3)}) AS grams FROM base),
+         | ex AS (SELECT doc_id, source, unnest(grams) AS g FROM d),
+         | ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM ex
+         |        WHERE source IN ('src0', 'src1')),
+         | hits AS (SELECT e.doc_id, e.g, ev.eval_id FROM ex e JOIN ev ON e.g = ev.g
+         |          WHERE e.source NOT IN ('src0', 'src1'))
+         |SELECT doc_id, count(DISTINCT g) AS n_shared_grams,
+         |  count(DISTINCT eval_id) AS n_eval_docs
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t09_repetition" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | word AS (SELECT doc_id,
+         |   round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |     CAST(len(toks) AS DOUBLE), 4) AS dup_word_frac FROM base),
+         | bic AS (SELECT doc_id, g, count(*) AS cnt
+         |   FROM (SELECT doc_id, unnest(${shingleSql(2)}) AS g FROM base)
+         |   GROUP BY doc_id, g),
+         | bia AS (SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) /
+         |     CAST(sum(cnt) AS DOUBLE), 4) AS top_bigram_frac
+         |   FROM bic GROUP BY doc_id),
+         | tric AS (SELECT doc_id, g, count(*) AS cnt
+         |   FROM (SELECT doc_id, unnest(${shingleSql(3)}) AS g FROM base)
+         |   GROUP BY doc_id, g),
+         | tria AS (SELECT doc_id,
+         |   round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) /
+         |     CAST(sum(cnt) AS DOUBLE), 4) AS dup_trigram_frac
+         |   FROM tric GROUP BY doc_id)
+         |SELECT word.doc_id, dup_word_frac, top_bigram_frac, dup_trigram_frac
+         |FROM word JOIN bia USING (doc_id) JOIN tria USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "t10_chunks" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 16)) AS s FROM base)
+         |SELECT doc_id, (s - 1) // 16 AS chunk_id,
+         |  array_to_string(toks[s:s+31], ' ') AS chunk_text,
+         |  least(len(toks) - s + 1, 32) AS chunk_toks
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t11_pack" ->
+      s"""WITH base AS (SELECT lang, doc_id,
+         |   len(string_split($normSql, ' ')) AS n_toks FROM documents),
+         | c AS (SELECT lang AS stream, doc_id, n_toks,
+         |   coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |   FROM base)
+         |SELECT stream, doc_id, n_toks, cum_before % 512 AS block_offset,
+         |  cum_before // 512 AS first_block,
+         |  (cum_before + n_toks - 1) // 512 AS last_block
+         |FROM c ORDER BY stream, doc_id""".stripMargin
   )
 }

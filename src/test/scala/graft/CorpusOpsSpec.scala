@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "eval"),
+    (2L, "a completely different sentence with no overlap at all", "train"),
+    (3L, "we saw the quick brown fox yesterday morning", "train"),
+    (4L, "the lazy dog slept while the quick brown fox ran", "train")
+  ).toDF("doc_id", "text", "split")
+
+  test("contamination flags exactly the docs sharing a 3-gram with the eval set") {
+    val got = CorpusOps.contamination(corpus, "doc_id", "text",
+        col("split") === "eval", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 3 and 4 share "the quick brown" / "quick brown fox" (and 4
+    // also "the lazy dog"); doc 2 shares nothing; doc 1 is eval.
+    assert(got.keySet == Set(3L, 4L))
+    assert(got(3L) == (2L, 1L))
+    assert(got(4L) == (3L, 1L))
+  }
+
+  test("repetition signals: degenerate doc maxes out, distinct doc zeroes out") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 > 0.8)            // 5/6 duplicate tokens
+    assert(got(1L)._2 == 1.0)           // the only bigram is "spam spam"
+    assert(got(1L)._3 == 1.0)           // every trigram repeats
+    assert(got(2L) == ((0.0, 0.2, 0.0)))// all distinct; 1-of-5 bigram share
+  }
+
+  test("chunking with stride == chunkSize partitions the token stream exactly") {
+    val df = Seq((1L, (1 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunk(df, "doc_id", "text", chunkSize = 32, stride = 32)
+      .orderBy("chunk_id").collect()
+    assert(chunks.map(_.getAs[Int]("chunk_toks")).toSeq == Seq(32, 32, 6))
+    val rebuilt = chunks.map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuilt == (1 to 70).map(i => s"w$i").mkString(" "))
+  }
+
+  test("overlapping chunks advance by the stride") {
+    val df = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunk(df, "doc_id", "text", chunkSize = 32, stride = 16)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length == 3)          // starts 1, 17, 33
+    assert(chunks(1).getAs[String]("chunk_text").startsWith("w17 "))
+    assert(chunks(2).getAs[Int]("chunk_toks") == 8)
+  }
+
+  test("packing lays streams head-to-tail with coherent block spans") {
+    val df = Seq(
+      (1L, (1 to 300).map(_ => "x").mkString(" "), "a"),
+      (2L, (1 to 300).map(_ => "x").mkString(" "), "a"),
+      (3L, (1 to 100).map(_ => "x").mkString(" "), "b")
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusOps.pack(df, "doc_id", "text", col("lang"), capacity = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("block_offset"), r.getAs[Long]("first_block"),
+          r.getAs[Long]("last_block"))).toMap
+    assert(got(1L) == ((0L, 0L, 0L)))     // tokens 0-299 in block 0
+    assert(got(2L) == ((300L, 0L, 1L)))   // 300-599 straddles the boundary
+    assert(got(3L) == ((0L, 0L, 0L)))     // stream b packs independently
+  }
+}
