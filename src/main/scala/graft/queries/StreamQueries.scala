@@ -67,6 +67,15 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // S4: sliding-window aggregate (10-min window, 5-min slide): each
+    // event expands into its two covering windows before one keyed
+    // aggregation. Oracle replays the expansion as unnest of the two
+    // slide-aligned starts.
+    "st05_sliding" -> ((s, dir) => {
+      graft.streaming.Sessionize.slidingAgg(events(s, dir))
+        .orderBy("win_start_s", "event_type")
     })
   )
 
@@ -120,6 +129,14 @@ object StreamQueries {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "st05_sliding" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b FROM events),
+        | x AS (SELECT event_type, value, unnest([b, b - 300]) AS win_start_s FROM e)
+        |SELECT win_start_s, event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM x GROUP BY win_start_s, event_type
+        |ORDER BY win_start_s, event_type""".stripMargin
   )
 }

@@ -208,6 +208,28 @@ object TextQueries {
       CorpusOps.pack(docs(s, dir), "doc_id", "text",
           col("lang"), capacity = 512)
         .orderBy("stream", "doc_id")
+    }),
+
+    // L21: vocabulary coverage curve — top-100 tokens by corpus
+    // frequency with cumulative share. The global window runs over the
+    // already-aggregated vocab table (tiny next to the corpus), so the
+    // single-partition sort is on |vocab|, never |corpus|.
+    "t12_vocab" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      val words = docs(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      words.crossJoin(broadcast(words.agg(sum(col("cnt")).as("total"))))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .filter(col("rnk") <= 100)
+        .select(col("rnk"), col("word"), col("cnt"),
+          round(col("cum").cast("double") / col("total").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("rnk")
     })
   )
 
@@ -477,6 +499,18 @@ object TextQueries {
          |  array_to_string(toks[s:s+31], ' ') AS chunk_text,
          |  least(len(toks) - s + 1, 32) AS chunk_toks
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t12_vocab" ->
+      s"""WITH c AS (SELECT word, count(*) AS cnt
+         |   FROM (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+         |   GROUP BY word),
+         | r AS (SELECT word, cnt,
+         |   row_number() OVER (ORDER BY cnt DESC, word) AS rnk,
+         |   sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum,
+         |   sum(cnt) OVER () AS total FROM c)
+         |SELECT rnk, word, cnt,
+         |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
 
     "t11_pack" ->
       s"""WITH base AS (SELECT lang, doc_id,

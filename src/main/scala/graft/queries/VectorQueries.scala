@@ -71,6 +71,23 @@ object VectorQueries {
         .orderBy("label", "dim")
     }),
 
+    // L21b: symmetric int8 quantization (the vector-store compaction
+    // step): per-vector scale 127/max|v|, elementwise floor(v·s + ½).
+    // Purely narrow — quantizing 100 TB of vectors is a map job. floor
+    // instead of round so both engines hit the same IEEE operation.
+    "s05_quantize" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), v => v.cast("double")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          transform(col("v"),
+            x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+        .orderBy("vec_id")
+    }),
+
     // L12: multimodal blob features — SQL-expressible part (octet
     // length, md5, prefix) with a DuckDB oracle …
     "m01_blob_features" -> ((s, dir) => {
@@ -153,6 +170,15 @@ object VectorQueries {
         |  FROM q CROSS JOIN embeddings)
         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
         |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "s05_quantize" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+        | s AS (SELECT vec_id, v,
+        |   CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "s04_label_centroid" ->
       s"""WITH g AS (

@@ -96,6 +96,20 @@ object Sessionize {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
 
+  /** S4 — sliding-window aggregate (window > slide ⇒ each event lands
+    * in window/slide overlapping windows; Spark expands them before
+    * the keyed aggregation, so it stays one linear shuffle). Window
+    * start reported as epoch seconds: slide boundaries are whole
+    * seconds, so nano-vs-micro precision can't leak into the key.
+    */
+  def slidingAgg(events: DataFrame, width: String = "10 minutes",
+                 slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_seconds(col("w.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("total"))
+
   /** S1 streaming form: watermark + append-mode windowed aggregate. */
   def tumblingAggStreaming(events: DataFrame, width: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =
