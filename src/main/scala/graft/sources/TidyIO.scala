@@ -37,4 +37,27 @@ object TidyIO {
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     schemaDdl.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
+
+  /** JSON-Lines export — the interchange format LLM corpora ship in.
+    * One JSON object per line; gzip keeps the files splittable-enough
+    * in practice (one file per task, sized by upstream repartition).
+    */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSON-Lines ingest. Always pass the DDL schema in production:
+    * schema inference reads the whole dataset once before the real
+    * job, and a drifting inferred schema breaks downstream plans.
+    * Corrupt lines land in `_corrupt_record` instead of failing the
+    * 100 TB job (PERMISSIVE mode).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schemaDdl.fold(r)(s => r.schema(s + ", _corrupt_record STRING")).json(path)
+  }
 }

@@ -52,6 +52,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("jsonl round-trip preserves values; corrupt lines are quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val df = Seq((1L, "hello world", "en"), (2L, "bonjour", "fr"))
+      .toDF("doc_id", "text", "lang")
+    TidyIO.writeJsonl(df, s"$dir/docs")
+    val ddl = "doc_id BIGINT, text STRING, lang STRING"
+    val back = TidyIO.readJsonl(spark, s"$dir/docs", Some(ddl))
+    assert(back.select("doc_id", "text", "lang").orderBy("doc_id")
+      .collect().toSeq == df.orderBy("doc_id").collect().toSeq)
+    // a malformed line lands in _corrupt_record, not in an exception
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs/zz_bad.json"), "{not json\n")
+    // Spark disallows filtering the corrupt column straight off the
+    // raw scan; materialize the parse first (the documented pattern).
+    val withBad = TidyIO.readJsonl(spark, s"$dir/docs", Some(ddl)).cache()
+    try {
+      assert(withBad.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(withBad.filter(col("doc_id").isNotNull).count() == 2)
+    } finally withBad.unpersist()
+  }
+
   test("clustered parquet write produces partition dirs with sorted row groups") {
     val dir = java.nio.file.Files.createTempDirectory("clustered").toString
     val li = Graft.table(spark, SharedSpark.sfDir, "lineitem")
