@@ -110,6 +110,17 @@ object Sessionize {
       .select(unix_seconds(col("w.start")).as("win_start_s"),
         col("event_type"), col("n"), col("total"))
 
+  /** S4 streaming form: watermark + append-mode sliding windows. */
+  def slidingAggStreaming(events: DataFrame, width: String = "10 minutes",
+                          slide: String = "5 minutes",
+                          watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_seconds(col("w.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("total"))
+
   /** S1 streaming form: watermark + append-mode windowed aggregate. */
   def tumblingAggStreaming(events: DataFrame, width: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =

@@ -42,6 +42,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg equals the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Sessionize.slidingAggStreaming(df)
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        (ts(2), "click", 1.0), (ts(7), "click", 2.0), (ts(12), "view", 5.0),
+        (ts(21), "click", 3.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("slide_agg")
+        .select("win_start_s", "event_type", "n", "total")
+      val batch = Sessionize.slidingAgg(
+        (evs :+ ((ts(600), "late", 0.0))).toDF("ts", "event_type", "value"))
+      assert(streamed.except(batch).count() == 0)
+      val closed = batch.filter(col("win_start_s") < 3600)
+      assert(closed.except(streamed).count() == 0)
+      // every event covered by two windows: 4 events → ≥ 5 distinct rows
+      assert(streamed.count() >= 5)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits the same closed sessions as batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.Ev]
