@@ -65,6 +65,34 @@ object TextQueries {
         .orderBy("cluster_id", "doc_id")
     }),
 
+    // L23: canonicalization end step — every doc maps to the
+    // HIGHEST-QUALITY member of its dup cluster (tie: min doc_id),
+    // composing pair mining → connected components → quality scoring.
+    // Singletons (no dup edges) keep themselves.
+    "d09_keep_best" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+      val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val qual = d.select(col("doc_id"),
+        TextStats.qualityColumns(norm, toks).toMap.apply("quality").as("quality"))
+      val labeled = qual.join(cc, qual("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+          col("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+      val keep = labeled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"))
+      labeled.join(keep, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("keep_id"))
+        .orderBy("doc_id")
+    }),
+
     // L3: MinHash+LSH near-dup (rows-only; recall/precision in spec).
     // shingleN=1: minhash the token set itself so the LSH estimates
     // the same token-set Jaccard the verification step filters on
@@ -307,6 +335,48 @@ object TextQueries {
          |SELECT id AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "d09_keep_best" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |    list_distinct(string_split($normSql, ' ')) AS toks
+         |  FROM documents),
+         | pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND len(a.toks) = len(b.toks)
+         |    AND a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        >= 0.9),
+         | edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         | cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         | q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |          (CAST(allstop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
+         |          (CAST(alpha AS DOUBLE) / CAST(length(norm) AS DOUBLE)) * 0.3, 4)
+         |      AS quality
+         |  FROM (SELECT doc_id, norm, toks,
+         |          length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |          ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+         |        FROM (SELECT doc_id, $normSql AS norm,
+         |                string_split($normSql, ' ') AS toks FROM documents))),
+         | lab AS (SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id,
+         |           q.quality
+         |         FROM q LEFT JOIN cc ON q.doc_id = cc.id),
+         | keep AS (SELECT cluster_id, doc_id AS keep_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+         |    FROM lab) WHERE rn = 1)
+         |SELECT lab.doc_id, lab.cluster_id, keep.keep_id
+         |FROM lab JOIN keep USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "d06_ngram_jaccard" ->
       s"""WITH d0 AS (
