@@ -29,6 +29,13 @@ object GraftFunctions {
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     GraftExpressions.minhash_signature(tokens, numHashes)
 
+  /** Fused word-n-gram xxhash64 set of a token array; with
+    * dedupSort, equals sort_array(array_distinct(transform(
+    * shingles(toks, n), xxhash64))) in one codegen pass.
+    */
+  def ngram_hashes(toks: Column, n: Int, dedupSort: Boolean = true): Column =
+    GraftExpressions.ngram_hashes(toks, n, dedupSort)
+
   /** Ray-casting polygon gate membership for the (x, y) channel pair. */
   def point_in_polygon(x: Column, y: Column, xs: Array[Double], ys: Array[Double]): Column =
     GraftExpressions.point_in_polygon(x, y, xs, ys)

@@ -33,28 +33,42 @@ object ConnectedComponents {
     *         are trivially their own cluster — union them in if needed)
     */
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(MEMORY_AND_DISK); p.count(); p
+    }
     val ec = edges.columns
     // Materialized once: edges are usually the output of a whole
     // pair-mining job, which must not re-run every propagation round.
-    val sym = edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
-      .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    // Managed persist (not localCheckpoint) so every superseded round
+    // can be unpersisted — leaked checkpoint blocks from one call
+    // would otherwise squeeze execution memory for later jobs.
+    val sym = materialize(
+      edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
+        .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst"))))
+    var labels = materialize(
+      sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       val viaNbr = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").union(viaNbr)
+      val next0 = labels.select("id", "lbl").union(viaNbr)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      // persist() leaves the logical plan growing (~2× per round);
+      // truncate it with an eager checkpoint every 5th round so deep
+      // graphs can't blow up driver-side analysis.
+      val next = if (round % 5 == 4) next0.localCheckpoint()
+                 else materialize(next0)
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).isEmpty
+      labels.unpersist()
       labels = next
       round += 1
     }
+    sym.unpersist()
+    // The final (small: one row per edge-node) frame stays persisted
+    // for the caller; the context cleaner reclaims it once dropped.
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }

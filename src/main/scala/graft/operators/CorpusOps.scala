@@ -24,19 +24,38 @@ object CorpusOps {
 
   /** Benchmark decontamination: flag corpus documents sharing any
     * word n-gram with an eval/benchmark document. Returns one row per
-    * contaminated corpus doc with the count of distinct shared grams
-    * and of distinct eval docs hit.
+    * contaminated corpus doc with the count of distinct shared grams.
     *
-    * Grams travel as 64-bit hashes: the corpus side shuffles longs
-    * (or, since the eval side is broadcast, does not shuffle at all).
+    * Scale shape: the DISTINCT eval gram set (benchmarks are MBs) is
+    * broadcast and the corpus side is a LEFT SEMI probe — each corpus
+    * (doc, gram) row survives at most once, so the cost is linear in
+    * corpus grams no matter how hot a gram is. (An inner join keyed on
+    * gram that attributes WHICH eval docs were hit multiplies every
+    * corpus row by the eval docs sharing that gram — quadratic on hot
+    * boilerplate grams; see [[contaminationAttributed]].)
+    * Grams travel as 64-bit hashes: the corpus side never shuffles
+    * strings, and with the broadcast it never shuffles at all before
+    * the final per-doc count.
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     isEval: Column, n: Int): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
-      array_distinct(transform(shingles(tokens(col(textCol)), n),
-        s => xxhash64(s))).as("grams"))
-    val ex = grams.select(col("id"), col("is_eval"),
-      explode(col("grams")).as("g"))
+    val ex = explodedGrams(docs, idCol, textCol, isEval, n)
+    val evalGrams = ex.filter(col("is_eval")).select("g").distinct()
+    ex.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Decontamination with eval-doc attribution (which/how many eval
+    * docs each corpus doc collides with). The gram-keyed inner join
+    * multiplies hot grams by their eval-doc frequency — use on
+    * blocked/filtered corpora, not raw 100 TB.
+    */
+  def contaminationAttributed(docs: DataFrame, idCol: String,
+                              textCol: String, isEval: Column,
+                              n: Int): DataFrame = {
+    val ex = explodedGrams(docs, idCol, textCol, isEval, n)
     val evalGrams = ex.filter(col("is_eval"))
       .select(col("g"), col("id").as("eval_id")).distinct()
     ex.filter(!col("is_eval"))
@@ -45,6 +64,14 @@ object CorpusOps {
       .agg(countDistinct(col("g")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
+
+  private def explodedGrams(docs: DataFrame, idCol: String,
+                            textCol: String, isEval: Column,
+                            n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+        graft.functions.GraftFunctions
+          .ngram_hashes(tokens(col(textCol)), n).as("grams"))
+      .select(col("id"), col("is_eval"), explode(col("grams")).as("g"))
 
   /** Repetition signals (the Gopher-style quality heuristics):
     * duplicate-token fraction, most-frequent-bigram share, and the
@@ -64,7 +91,8 @@ object CorpusOps {
         size(col("toks")).cast("double"), 4).as("dup_word_frac"))
     def gramShare(n: Int, out: String, dupShare: Boolean): DataFrame =
       base.select(col("doc_id"),
-          explode(shingles(col("toks"), n)).as("g"))
+          explode(graft.functions.GraftFunctions
+            .ngram_hashes(col("toks"), n, dedupSort = false)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(round((if (dupShare)

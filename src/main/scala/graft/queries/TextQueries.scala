@@ -532,12 +532,10 @@ object TextQueries {
          |  FROM documents),
          | d AS (SELECT doc_id, source, list_distinct(${shingleSql(3)}) AS grams FROM base),
          | ex AS (SELECT doc_id, source, unnest(grams) AS g FROM d),
-         | ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM ex
-         |        WHERE source IN ('src0', 'src1')),
-         | hits AS (SELECT e.doc_id, e.g, ev.eval_id FROM ex e JOIN ev ON e.g = ev.g
+         | ev AS (SELECT DISTINCT g FROM ex WHERE source IN ('src0', 'src1')),
+         | hits AS (SELECT e.doc_id, e.g FROM ex e JOIN ev ON e.g = ev.g
          |          WHERE e.source NOT IN ('src0', 'src1'))
-         |SELECT doc_id, count(DISTINCT g) AS n_shared_grams,
-         |  count(DISTINCT eval_id) AS n_eval_docs
+         |SELECT doc_id, count(*) AS n_shared_grams
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t09_repetition" ->

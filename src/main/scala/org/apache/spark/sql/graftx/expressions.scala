@@ -616,6 +616,85 @@ object MixHashLongs {
   final val Seed = 1469598103934665603L
 }
 
+/** Word-n-gram 64-bit hashes of a token array, fused into one pass:
+  * build each gram (n consecutive tokens joined by one space — fewer
+  * than n tokens collapse to a single whole-text gram, matching
+  * `Dedup.shingles`) and xxhash64 it (seed 42, byte-identical to
+  * `xxhash64(concat_ws(" ", ...))`), optionally sort + dedup.
+  *
+  * Exists because the composable form — `transform(shingles(toks),
+  * xxhash64)` — runs on the interpreted higher-order-function path
+  * where every element materializes gram strings through a deep
+  * expression tree; the fused loop is one array scan with zero
+  * intermediate rows. The dedup_sort=true output is exactly
+  * `sort_array(array_distinct(...))` of the composable form.
+  */
+case class NgramHashes(child: Expression, n: Int, dedupSort: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1)
+  override def inputTypes = Seq[AbstractDataType](ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      NgramHashes.compute(a.asInstanceOf[ArrayData], n, dedupSort))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graftx.NgramHashes.compute($in, $n, $dedupSort));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NgramHashes {
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass over the token array; called from both eval and codegen. */
+  def compute(arr: ArrayData, n: Int, dedupSort: Boolean): Array[Long] = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out =
+      if (m < n) Array(hashGram(toks, 0, m))
+      else {
+        val r = new Array[Long](m - n + 1)
+        var s = 0
+        while (s <= m - n) { r(s) = hashGram(toks, s, n); s += 1 }
+        r
+      }
+    if (!dedupSort) out
+    else {
+      java.util.Arrays.sort(out)
+      var w = 0
+      var j = 0
+      while (j < out.length) {
+        if (w == 0 || out(j) != out(w - 1)) { out(w) = out(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, w)
+    }
+  }
+
+  /** xxhash64(seed 42) of tokens [from, from+len) joined by ' ' —
+    * null tokens skipped, exactly like concat_ws.
+    */
+  private def hashGram(toks: Array[UTF8String], from: Int, len: Int): Long = {
+    val parts = new Array[UTF8String](len)
+    var k = 0
+    while (k < len) { parts(k) = toks(from + k); k += 1 }
+    val gram = UTF8String.concatWs(Space, parts: _*)
+    XxHash64Function.hash(gram, StringType, 42L)
+  }
+}
+
 object GraftExpressions {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def exp(c: Column): Expression = ExpressionUtils.expression(c)
@@ -646,6 +725,9 @@ object GraftExpressions {
     col(CosineSim(exp(a), exp(b)))
 
   def fmix64(v: Column): Column = col(Fmix64(exp(v)))
+
+  def ngram_hashes(toks: Column, n: Int, dedupSort: Boolean): Column =
+    col(NgramHashes(exp(toks), n, dedupSort))
 
   def mix_hash(vs: Seq[Column]): Column = col(MixHashLongs(vs.map(exp)))
 

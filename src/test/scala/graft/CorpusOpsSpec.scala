@@ -18,12 +18,21 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("contamination flags exactly the docs sharing a 3-gram with the eval set") {
     val got = CorpusOps.contamination(corpus, "doc_id", "text",
         col("split") === "eval", n = 3)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // docs 3 and 4 share "the quick brown" / "quick brown fox" (and 4
     // also "the lazy dog"); doc 2 shares nothing; doc 1 is eval.
-    assert(got.keySet == Set(3L, 4L))
-    assert(got(3L) == (2L, 1L))
-    assert(got(4L) == (3L, 1L))
+    assert(got == Map(3L -> 2L, 4L -> 3L))
+  }
+
+  test("attributed contamination also counts the eval docs hit") {
+    val withEval2 = corpus.union(
+      Seq((5L, "the lazy dog sat on the mat", "eval"))
+        .toDF("doc_id", "text", "split"))
+    val got = CorpusOps.contaminationAttributed(withEval2, "doc_id", "text",
+        col("split") === "eval", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(3L) == (2L, 1L))   // only eval doc 1 shares with 3
+    assert(got(4L) == (3L, 2L))   // doc 4 hits "the lazy dog" in both
   }
 
   test("repetition signals: degenerate doc maxes out, distinct doc zeroes out") {

@@ -23,6 +23,30 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_hashes equals the composable transform+shingles+xxhash64 form") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown"),
+      (2L, "one two"),                 // fewer tokens than n → one gram
+      (3L, "single"),
+      (4L, "a a a a a a")              // heavy dup grams
+    ).toDF("id", "text")
+    val toks = Dedup.tokens(col("text"))
+    val fused = docs.select(col("id"),
+      GraftFunctions.ngram_hashes(toks, 3).as("g")).orderBy("id").collect()
+    val composed = docs.select(col("id"),
+      sort_array(array_distinct(transform(Dedup.shingles(toks, 3),
+        s => xxhash64(s)))).as("g")).orderBy("id").collect()
+    fused.zip(composed).foreach { case (f, c) =>
+      assert(f.getSeq[Long](1) == c.getSeq[Long](1), s"id=${f.getLong(0)}")
+    }
+    // dedupSort=false keeps one hash per gram occurrence, in order
+    val raw = docs.filter(col("id") === 4L).select(
+      GraftFunctions.ngram_hashes(toks, 3, dedupSort = false).as("g"))
+      .head().getSeq[Long](0)
+    assert(raw.length == 4 && raw.distinct.length == 1)
+  }
+
   test("asinh_scaled works via SQL registration") {
     val r = spark.sql("SELECT asinh_scaled(10.0, 5.0)").head().getDouble(0)
     assert(math.abs(r - math.log(2.0 + math.sqrt(5.0))) < 1e-12)
