@@ -34,8 +34,15 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def materialize(df: DataFrame): DataFrame = {
-      val p = df.persist(MEMORY_AND_DISK); p.count(); p
+    // The materializing action doubles as the convergence check:
+    // every round takes each label to min(self, neighbours), so the
+    // label vector decreases pointwise and Σlbl strictly decreases
+    // until the fixpoint — Σlbl unchanged ⇔ converged. One job per
+    // round, no extra comparison join. decimal(38,0) so 100 TB-scale
+    // id sums cannot overflow a long.
+    def materialize(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val p = df.persist(MEMORY_AND_DISK)
+      (p, p.agg(sum(col(df.columns.last).cast("decimal(38,0)"))).head.getDecimal(0))
     }
     val ec = edges.columns
     // Materialized once: edges are usually the output of a whole
@@ -43,10 +50,10 @@ object ConnectedComponents {
     // Managed persist (not localCheckpoint) so every superseded round
     // can be unpersisted — leaked checkpoint blocks from one call
     // would otherwise squeeze execution memory for later jobs.
-    val sym = materialize(
-      edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
-        .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst"))))
-    var labels = materialize(
+    val sym = edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
+      .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var (labels, prevSum) = materialize(
       sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var converged = false
     var round = 0
@@ -58,12 +65,13 @@ object ConnectedComponents {
       // persist() leaves the logical plan growing (~2× per round);
       // truncate it with an eager checkpoint every 5th round so deep
       // graphs can't blow up driver-side analysis.
-      val next = if (round % 5 == 4) next0.localCheckpoint()
-                 else materialize(next0)
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).isEmpty
+      val (next, newSum) = materialize(
+        if (round % 5 == 4) next0.localCheckpoint() else next0)
+      converged = (prevSum == null && newSum == null) ||
+        (prevSum != null && newSum != null && prevSum.compareTo(newSum) == 0)
       labels.unpersist()
       labels = next
+      prevSum = newSum
       round += 1
     }
     sym.unpersist()
