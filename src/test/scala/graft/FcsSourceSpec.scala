@@ -60,6 +60,62 @@ class FcsSourceSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 10.0) < 1e-4)
   }
 
+  test("property: random panels round-trip through write → read (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val dir = tmpDir
+    for (trial <- 1 to 8) {
+      val par = 1 + rnd.nextInt(8)
+      val names = (1 to par).map(i => s"CH$i-${rnd.nextInt(100)}")
+      val nEvents = 1 + rnd.nextInt(50)
+      // float-exact values: write truncates doubles to float32
+      val rows = Seq.fill(nEvents)(
+        Array.fill(par)(rnd.nextFloat().toDouble * math.pow(10, rnd.nextInt(5))))
+      val exact = rows.map(_.map(v => v.toFloat.toDouble))
+      val f = s"$dir/p$trial.fcs"
+      FcsSource.write(f, names, rows)
+      val meta = FcsSource.parseMeta(
+        Files.readAllBytes(java.nio.file.Paths.get(f)))
+      assert(meta.par == par && meta.tot == nEvents && meta.names == names)
+      val got = FcsSource.read(spark, f)
+        .orderBy("event_idx").collect()
+        .map(r => names.indices.map(i => r.getDouble(2 + i)).toArray)
+      assert(got.length == nEvents, s"trial $trial")
+      exact.zip(got).foreach { case (e, g) =>
+        assert(e.sameElements(g), s"trial $trial: ${e.toSeq} vs ${g.toSeq}")
+      }
+    }
+  }
+
+  test("property: compensation inverts random diagonally-dominant spillover") {
+    val rnd = new scala.util.Random(11)
+    val dir = tmpDir
+    for (trial <- 1 to 5) {
+      val par = 2 + rnd.nextInt(3)
+      val names = (1 to par).map(i => s"C$i")
+      // diag-dominant → invertible, physically-shaped spillover
+      val s = Array.tabulate(par, par)((i, j) =>
+        if (i == j) 1.0 else rnd.nextDouble() * 0.1)
+      val truth = Array.fill(par)(10.0 + rnd.nextDouble() * 1000.0)
+      val observed = Array.tabulate(par)(j =>
+        (0 until par).map(i => truth(i) * s(i)(j)).sum)
+      val spillKw = s"$par,${names.mkString(",")},${s.flatten.mkString(",")}"
+      val f = s"$dir/c$trial.fcs"
+      FcsSource.write(f, names, Seq(observed), Map("$SPILLOVER" -> spillKw))
+      val kw = FcsSource.parseMeta(
+        Files.readAllBytes(java.nio.file.Paths.get(f))).keywords
+      val Some((spillNames, m)) = FcsSource.spilloverMatrix(kw)
+      assert(spillNames == names)
+      val comp = FlowCyto.compensate(FcsSource.read(spark, f),
+        names.map(col), m, names.map(n => s"c$n"), round_ = 4)
+      val r = comp.select(names.map(n => col(s"c$n")): _*).head()
+      names.indices.foreach { i =>
+        // float32 storage of observed limits recovery precision
+        assert(math.abs(r.getDouble(i) - truth(i)) < 0.5,
+          s"trial $trial ch $i: ${r.getDouble(i)} vs ${truth(i)}")
+      }
+    }
+  }
+
   test("streaming FCS source picks up files as they land") {
     val dir = tmpDir
     val names = Seq("FSC-A", "SSC-A")
