@@ -754,5 +754,15 @@ object GraftExpressions {
       "fmix64", es => Fmix64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "mix_hash", es => MixHashLongs(es), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ngram_hashes", {
+        case Seq(toks, Literal(n: Int, IntegerType)) =>
+          NgramHashes(toks, n, dedupSort = true)
+        case Seq(toks, Literal(n: Int, IntegerType),
+                 Literal(d: Boolean, BooleanType)) =>
+          NgramHashes(toks, n, d)
+        case es => throw new IllegalArgumentException(
+          s"ngram_hashes(toks, n[, dedup_sort]) with literal n; got ${es.length} args")
+      }, "built-in")
   }
 }

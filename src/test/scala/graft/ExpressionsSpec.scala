@@ -47,6 +47,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(raw.length == 4 && raw.distinct.length == 1)
   }
 
+  test("ngram_hashes works via SQL registration") {
+    val r = spark.sql(
+      "SELECT size(ngram_hashes(array('a','b','c','d'), 3)) AS n," +
+      "       size(ngram_hashes(array('a','a','a','a'), 2, false)) AS m")
+      .head()
+    assert(r.getInt(0) == 2)   // 'a b c', 'b c d'
+    assert(r.getInt(1) == 3)   // dup grams kept without dedup
+  }
+
   test("asinh_scaled works via SQL registration") {
     val r = spark.sql("SELECT asinh_scaled(10.0, 5.0)").head().getDouble(0)
     assert(math.abs(r - math.log(2.0 + math.sqrt(5.0))) < 1e-12)
