@@ -21,16 +21,68 @@ object Ann {
   /** L5 — blocked embedding similarity pairs: only vectors sharing a
     * block (here: a label / IVF cell) are compared — the
     * embedding-space analogue of the text blocking in Dedup.
+    *
+    * `cap`: hot-block guard. A degenerate block of B vectors yields
+    * B² comparisons; at 100 TB one skewed label can dominate the whole
+    * job. With `cap = Some(c)`, blocks larger than c are dropped
+    * before pairing (mirroring minhashLshPairs' bucket guard). The
+    * default None keeps the operator exact — equal to the all-pairs
+    * oracle — which is the contract d05 verifies; flip the cap on for
+    * skewed corpora and route oversized blocks to an LSH pass instead.
     */
   def cosinePairs(vecs: DataFrame, idCol: String, embCol: String, blockCol: String,
-                  threshold: Double): DataFrame = {
-    val a = vecs.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = vecs.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+                  threshold: Double, cap: Option[Int] = None): DataFrame = {
+    val base = vecs.select(col(blockCol).as("block"), col(idCol).as("id"), col(embCol).as("emb"))
+    val pruned = cap match {
+      case Some(c) =>
+        // block histogram is one row per block — tiny, broadcast it.
+        val ok = base.groupBy("block").agg(count(lit(1)).as("block_n"))
+          .filter(col("block_n") <= c)
+          .select("block")
+        base.join(broadcast(ok), Seq("block"))
+      case None => base
+    }
+    val a = pruned.select(col("block"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val b = pruned.select(col("block"), col("id").as("id_b"), col("emb").as("emb_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** L15 — per-label embedding centroids as posexplode → ONE keyed
+    * aggregate on (label, dim). Narrow expansion then a single
+    * map-side-combinable shuffle of (label, dim) keys: a hot label
+    * spreads across dims and partitions instead of collecting every
+    * vector of the label into one executor row.
+    *
+    * `quantScale = Some(s)` sums floor(v·s + ½) as BIGINT — exact
+    * integer arithmetic, so the distributed sum is order-independent
+    * (bit-reproducible on any partitioning, and replayable exactly by
+    * an external oracle) at 1/s precision. None averages raw doubles:
+    * fastest, but reproducible only up to fp addition order.
+    */
+  def labelCentroids(vecs: DataFrame, embCol: String, labelCol: String,
+                     quantScale: Option[Double] = Some(1e6)): DataFrame = {
+    val exploded = vecs
+      .select(col(labelCol).as("label"), posexplode(col(embCol)))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("v"))
+    quantScale match {
+      case Some(sc) =>
+        exploded
+          .withColumn("qv", floor(col("v") * lit(sc) + lit(0.5)).cast("long"))
+          .groupBy("label", "dim")
+          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"),
+            round((col("sq").cast("double") / lit(sc)) / col("n").cast("double"), 6)
+              .as("centroid"))
+      case None =>
+        exploded.groupBy("label", "dim")
+          .agg(round(avg(col("v")), 6).as("centroid"))
+          .select("label", "dim", "centroid")
+    }
   }
 
   /** L6 — brute-force cosine top-k: broadcast the (small) query set

@@ -166,20 +166,23 @@ object FlowCytoQueries {
          | ${compExpr(2)} AS comp_tax
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // DuckDB integer sum() yields HUGEINT (int128) which the driver's
+    // pandas frame hashes differently from Spark's int64 even when the
+    // values are equal — cast every summed output column to BIGINT.
     "f04_rect_gate" ->
       """SELECT l_returnflag, count(*) AS n_total,
-        | sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
-        |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END) AS n_gated,
-        | (sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
+        | CAST(sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
+        |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        | CAST((sum(CASE WHEN l_quantity >= 10.0 AND l_quantity < 40.0
         |       AND l_discount >= 0.02 AND l_discount < 0.08 THEN 1 ELSE 0 END)
-        |   * 1000000) // count(*) AS frac_gated_ppm
+        |   * 1000000) // count(*) AS BIGINT) AS frac_gated_ppm
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "f05_poly_gate" ->
       s"""SELECT l_returnflag, count(*) AS n_total,
-         | sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END) AS n_gated,
-         | (sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
-         |   * 1000000) // count(*) AS frac_gated_ppm
+         | CAST(sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+         | CAST((sum(CASE WHEN ${polySql("l_quantity", "l_discount")} THEN 1 ELSE 0 END)
+         |   * 1000000) // count(*) AS BIGINT) AS frac_gated_ppm
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "f09_gate_filter" ->

@@ -96,8 +96,9 @@ object StreamQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         | numbered AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    -- CAST: DuckDB sum() over integers is HUGEINT; Spark emits int64
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM flagged)
         |SELECT user_id, session_idx, epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events,

@@ -83,12 +83,13 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
           col("quality"))
+      // keep_id = argmax(quality, tie: min doc_id) per cluster, as ONE
+      // window pass (first over the quality-ordered frame) — no
+      // self-join, so the pair-mining lineage above runs exactly once.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
-      val keep = labeled.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_id"))
-      labeled.join(keep, "cluster_id")
+      labeled
+        .withColumn("keep_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("cluster_id"), col("keep_id"))
         .orderBy("doc_id")
     }),
@@ -239,21 +240,27 @@ object TextQueries {
     }),
 
     // L21: vocabulary coverage curve — top-100 tokens by corpus
-    // frequency with cumulative share. The global window runs over the
-    // already-aggregated vocab table (tiny next to the corpus), so the
-    // single-partition sort is on |vocab|, never |corpus|.
+    // frequency with cumulative share. The top-k runs as a
+    // TakeOrderedAndProject (per-partition heaps, 100 rows to the
+    // driver-side merge) BEFORE any window — the rank/cumsum windows
+    // then only ever see 100 rows, never the full vocabulary. The
+    // aggregated vocab is persisted because both the top-k and the
+    // grand total read it; without the persist the corpus explode+agg
+    // lineage would run twice.
     "t12_vocab" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("word"))
-      val words = docs(s, dir)
+      val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      words.crossJoin(broadcast(words.agg(sum(col("cnt")).as("total"))))
+        .persist()
+      val top = vocab.orderBy(col("cnt").desc, col("word")).limit(100)
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))
+      top.crossJoin(broadcast(total))
         .withColumn("rnk", row_number().over(w))
         .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
-        .filter(col("rnk") <= 100)
         .select(col("rnk"), col("word"), col("cnt"),
           round(col("cum").cast("double") / col("total").cast("double"), 6)
             .as("cum_share"))
@@ -584,8 +591,9 @@ object TextQueries {
       s"""WITH base AS (SELECT lang, doc_id,
          |   len(string_split($normSql, ' ')) AS n_toks FROM documents),
          | c AS (SELECT lang AS stream, doc_id, n_toks,
-         |   coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |   -- CAST: DuckDB sum() over integers is HUGEINT; Spark emits int64
+         |   CAST(coalesce(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |   FROM base)
          |SELECT stream, doc_id, n_toks, cum_before % 512 AS block_offset,
          |  cum_before // 512 AS first_block,

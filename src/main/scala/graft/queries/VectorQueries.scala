@@ -51,23 +51,13 @@ object VectorQueries {
     }),
 
     // L5b: per-label embedding centroid (class means / cluster
-    // centers). Vectors are folded in vec_id order so the float
-    // accumulation is deterministic and the oracle replays it exactly
-    // (a plain groupBy-avg would sum in partition order — fast, but
-    // unverifiable bit-for-bit).
+    // centers) — posexplode → one keyed agg on (label, dim); no
+    // per-label collect_list, so a hot label can't OOM an executor.
+    // Elements are quantized to 1e-6 before the mean: integer sums are
+    // order-independent, so the distributed result is bit-reproducible
+    // and the oracle replays it exactly.
     "s04_label_centroid" -> ((s, dir) => {
-      val grouped = emb(s, dir)
-        .groupBy("label")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding").as("e"))))
-          .as("vs"))
-      grouped
-        .select(col("label"), posexplode(
-          transform(sequence(lit(1), lit(64)), i =>
-            aggregate(col("vs"), lit(0.0),
-              (acc, x) => acc + element_at(x.getField("e"), i).cast("double"))
-              / size(col("vs")))))
-        .toDF("label", "pos", "c")
-        .select(col("label"), (col("pos") + 1).as("dim"), round(col("c"), 6).as("centroid"))
+      Ann.labelCentroids(emb(s, dir), "embedding", "label")
         .orderBy("label", "dim")
     }),
 
@@ -75,6 +65,8 @@ object VectorQueries {
     // step): per-vector scale 127/max|v|, elementwise floor(v·s + ½).
     // Purely narrow — quantizing 100 TB of vectors is a map job. floor
     // instead of round so both engines hit the same IEEE operation.
+    // The quantized vector is emitted as a comma-joined string: the
+    // driver's pandas comparator can't sort/hash array cells.
     "s05_quantize" -> ((s, dir) => {
       emb(s, dir)
         .select(col("vec_id"),
@@ -83,8 +75,9 @@ object VectorQueries {
         .withColumn("scale",
           when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          transform(col("v"),
-            x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+          array_join(transform(col("v"),
+            x => floor(x * col("scale") + lit(0.5)).cast("int").cast("string")), ",")
+            .as("q"))
         .orderBy("vec_id")
     }),
 
@@ -177,17 +170,22 @@ object VectorQueries {
         | s AS (SELECT vec_id, v,
         |   CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m)
         |SELECT vec_id, round(scale, 6) AS scale,
-        |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(CAST(floor(x * scale + 0.5) AS INTEGER) AS VARCHAR)), ',') AS q
         |FROM s ORDER BY vec_id""".stripMargin,
 
+    // s04: 1e-6-quantized mean — BIGINT sums are order-independent, so
+    // this replays labelCentroids exactly regardless of either
+    // engine's aggregation order. Op order mirrored: (Σq/1e6)/n.
     "s04_label_centroid" ->
-      s"""WITH g AS (
-         |  SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs
-         |  FROM embeddings GROUP BY label)
-         |SELECT label, di.i AS dim,
-         |  round(${foldSum("list_transform(vs, v -> v[di.i])")} / len(vs), 6) AS centroid
-         |FROM g, (SELECT unnest(range(1, 65)) AS i) di
-         |ORDER BY label, dim""".stripMargin,
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        | x AS (SELECT label, di.i AS dim,
+        |         CAST(floor(de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |       FROM e, (SELECT unnest(range(1, 65)) AS i) di)
+        |SELECT label, dim,
+        |  round((CAST(sum(qv) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6)
+        |    AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "m01_blob_features" ->
       """SELECT doc_id,
