@@ -91,6 +91,57 @@ object FlowCyto {
         sum(when(gate, 1L).otherwise(0L)).as("n_gated"))
       .withColumn("frac_gated_ppm", expr("(n_gated * 1000000) div n_total"))
 
+  /** A node in a hierarchical gating tree: a named gate applied to the
+    * population selected by its parent (cytometry's sequential gating —
+    * e.g. cells → live → CD3+ → CD4+).
+    */
+  case class GateNode(name: String, gate: Column, children: Seq[GateNode] = Nil)
+
+  /** Hierarchical gate-tree statistics (F10). Membership in a node is
+    * the conjunction of every gate on its root path, so the counts for
+    * ALL nodes fold into ONE hash-aggregate pass over the events (one
+    * conditional sum per node); a per-group explode of a literal node
+    * array then fans the wide aggregate row out to one row per
+    * (group, node). At 100 TB this reads the fact table exactly once,
+    * shuffles only group keys × (|nodes|+1) partial counters, and
+    * never joins.
+    *
+    * Output per (group, node): `path` (root/…/name), `depth`, `n`
+    * (events in the node), `n_parent` (events in the parent population
+    * — the whole group for a root), and `frac_of_parent_ppm` as exact
+    * integer parts-per-million (two engines rounding the same double
+    * can disagree on ties; integer division cannot).
+    */
+  def gateTree(df: DataFrame, roots: Seq[GateNode], groupCols: Seq[String]): DataFrame = {
+    def flatten(n: GateNode, parentPath: String, parentGate: Option[Column],
+                depth: Int): Seq[(String, Int, Column, String)] = {
+      val path = if (parentPath.isEmpty) n.name else s"$parentPath/${n.name}"
+      val conj = parentGate.map(_ && n.gate).getOrElse(n.gate)
+      (path, depth, conj, parentPath) +:
+        n.children.flatMap(flatten(_, path, Some(conj), depth + 1))
+    }
+    val nodes = roots.flatMap(flatten(_, "", None, 1))
+    require(nodes.map(_._1).distinct.size == nodes.size, "duplicate gate path")
+    val aggCols = count(lit(1)).as("__n_total") +:
+      nodes.zipWithIndex.map { case ((_, _, conj, _), i) =>
+        sum(when(conj, 1L).otherwise(0L)).as(s"__n_$i")
+      }
+    val wide = df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val idxOf = nodes.map(_._1).zipWithIndex.toMap
+    val nodeRows = nodes.zipWithIndex.map { case ((path, depth, _, parentPath), i) =>
+      val parentN = if (parentPath.isEmpty) col("__n_total") else col(s"__n_${idxOf(parentPath)}")
+      struct(lit(path).as("path"), lit(depth).as("depth"),
+        col(s"__n_$i").as("n"), parentN.as("n_parent"))
+    }
+    wide
+      .select(groupCols.map(col) :+ explode(array(nodeRows: _*)).as("node"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("node.path").as("path"), col("node.depth").as("depth"),
+        col("node.n").as("n"), col("node.n_parent").as("n_parent")): _*)
+      .withColumn("frac_of_parent_ppm",
+        when(col("n_parent") > 0, expr("(n * 1000000) div n_parent")))
+  }
+
   /** Per-sample per-channel summary statistics (count, mean, sd,
     * median, quartiles). Exact percentiles — at 100 TB you'd flip the
     * `exact` flag to use approx_percentile's fixed-size sketch instead

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Graft
 import graft.functions.GraftFunctions
 import graft.operators.FlowCyto
+import graft.sources.FcsSource
 
 /** FCS / flow-cytometry operators — SURVEY.md §2.2 (F1–F7).
   *
@@ -127,8 +128,62 @@ object FlowCytoQueries {
           t(s, dir, "lineitem"),
           col("l_extendedprice"), 0.0, 10000.0, Seq("l_returnflag"))
         .orderBy("l_returnflag", "bin")
+    }),
+
+    // F8: FCS binary round-trip — write a deterministic fixture with
+    // FcsSource.write, read it back through the binaryFile-based
+    // parser, aggregate per-sample channel stats. Every value is a
+    // half-integer < 500 from a closed-form formula, so the float32
+    // DATA segment stores it exactly and the DuckDB oracle can
+    // regenerate the identical values from range() without parsing FCS.
+    "f08_fcs_roundtrip" -> ((s, dir) => {
+      val fix = new java.io.File("/tmp/graft_f08_fixture")
+      fix.mkdirs()
+      val chans = Seq("FSC_A", "SSC_A", "FL1_A")
+      f08Samples.foreach { case (f, si, n) =>
+        val rows = (0 until n).map(i =>
+          Array.tabulate(chans.length)(j => f08Value(si, i, j)))
+        FcsSource.write(new java.io.File(fix, f).getPath, chans, rows)
+      }
+      FcsSource.read(s, fix.getPath)
+        .withColumn("sample", element_at(split(col("file"), "/"), -1))
+        .groupBy("sample")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("FSC_A"), 6).as("sum_fsc"), round(avg("FSC_A"), 6).as("mean_fsc"),
+          min("FSC_A").as("min_fsc"), max("FSC_A").as("max_fsc"),
+          round(sum("SSC_A"), 6).as("sum_ssc"), round(avg("SSC_A"), 6).as("mean_ssc"),
+          round(sum("FL1_A"), 6).as("sum_fl1"), round(avg("FL1_A"), 6).as("mean_fl1"))
+        .orderBy("sample")
+    }),
+
+    // F10: hierarchical gating — a 3-level gate tree evaluated in ONE
+    // aggregate pass (see FlowCyto.gateTree).
+    "f10_gate_tree" -> ((s, dir) => {
+      FlowCyto.gateTree(t(s, dir, "lineitem"), f10Tree, Seq("l_returnflag"))
+        .orderBy("l_returnflag", "path")
     })
   )
+
+  /** f08 fixture: (file, sample index, events). */
+  private val f08Samples = Seq(("sample_a.fcs", 0, 800), ("sample_b.fcs", 1, 1200))
+
+  /** Half-integers < 500 — exactly representable in float32, and in
+    * any partial-sum order below 2^53, so both engines agree bit-wise.
+    */
+  private def f08Value(s: Int, i: Int, j: Int): Double =
+    ((i * 37 + j * 101 + s * 13) % 997) * 0.5
+
+  /** f10 gate tree over (l_quantity, l_discount, l_extendedprice,
+    * l_tax): mid_qty → {hi_price → low_tax, lo_price}.
+    */
+  private val f10Tree = Seq(
+    FlowCyto.GateNode("mid_qty",
+      FlowCyto.rectGate(col("l_quantity"), col("l_discount"), 5.0, 45.0, 0.0, 0.10),
+      Seq(
+        FlowCyto.GateNode("hi_price", col("l_extendedprice") >= 20000.0,
+          Seq(FlowCyto.GateNode("low_tax", col("l_tax") <= 0.04))),
+        FlowCyto.GateNode("lo_price", col("l_extendedprice") < 20000.0))))
 
   private def sqlDouble(d: Double): String = {
     val s = d.toString
@@ -207,6 +262,50 @@ object FlowCytoQueries {
         | CAST(floor((l_extendedprice - 0.0) / 10000.0) AS BIGINT) AS bin,
         | count(*) AS n, round(sum(l_extendedprice), 2) AS mass
         |FROM lineitem GROUP BY l_returnflag, bin
-        |ORDER BY l_returnflag, bin""".stripMargin
+        |ORDER BY l_returnflag, bin""".stripMargin,
+
+    // f08: regenerate the fixture values from the same closed-form
+    // formula (no FCS parsing needed — the float32 round-trip is exact
+    // for half-integers < 500) and aggregate identically.
+    "f08_fcs_roundtrip" -> {
+      def ch(j: Int): String =
+        s"CAST((r.range * 37 + $j * 101 + p.s * 13) % 997 AS DOUBLE) * 0.5"
+      val maxN = f08Samples.map(_._3).max
+      val vals = f08Samples
+        .map { case (f, si, n) => s"('$f', $si, $n)" }.mkString(", ")
+      s"""WITH p AS (SELECT * FROM (VALUES $vals) t(sample, s, n)),
+         | e AS (SELECT p.sample, ${ch(0)} AS fsc, ${ch(1)} AS ssc, ${ch(2)} AS fl1
+         |       FROM p, range(0, $maxN) r WHERE r.range < p.n)
+         |SELECT sample, count(*) AS n_events,
+         | round(sum(fsc), 6) AS sum_fsc, round(avg(fsc), 6) AS mean_fsc,
+         | min(fsc) AS min_fsc, max(fsc) AS max_fsc,
+         | round(sum(ssc), 6) AS sum_ssc, round(avg(ssc), 6) AS mean_ssc,
+         | round(sum(fl1), 6) AS sum_fl1, round(avg(fl1), 6) AS mean_fl1
+         |FROM e GROUP BY sample ORDER BY sample""".stripMargin
+    },
+
+    // f10: same tree as nested CASE conjunctions, one aggregate pass
+    // then a per-node UNION over the wide row — mirrors gateTree's
+    // agg+explode. Counts cast to BIGINT (DuckDB sum() is HUGEINT).
+    "f10_gate_tree" -> {
+      val gA = "l_quantity >= 5.0 AND l_quantity < 45.0 AND l_discount >= 0.0 AND l_discount < 0.1"
+      val gB = "l_extendedprice >= 20000.0"
+      val gC = "l_tax <= 0.04"
+      val gD = "l_extendedprice < 20000.0"
+      def cnt(conds: String*): String =
+        s"CAST(sum(CASE WHEN ${conds.mkString("(", ") AND (", ")")} THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH agg AS (SELECT l_returnflag, count(*) AS n_total,
+         |  ${cnt(gA)} AS n0, ${cnt(gA, gB)} AS n1,
+         |  ${cnt(gA, gB, gC)} AS n2, ${cnt(gA, gD)} AS n3
+         | FROM lineitem GROUP BY l_returnflag),
+         | nodes AS (
+         |  SELECT l_returnflag, 'mid_qty' AS path, 1 AS depth, n0 AS n, n_total AS n_parent FROM agg
+         |  UNION ALL SELECT l_returnflag, 'mid_qty/hi_price', 2, n1, n0 FROM agg
+         |  UNION ALL SELECT l_returnflag, 'mid_qty/hi_price/low_tax', 3, n2, n1 FROM agg
+         |  UNION ALL SELECT l_returnflag, 'mid_qty/lo_price', 2, n3, n0 FROM agg)
+         |SELECT l_returnflag, path, depth, n, n_parent,
+         |  CASE WHEN n_parent > 0 THEN (n * 1000000) // n_parent END AS frac_of_parent_ppm
+         |FROM nodes ORDER BY l_returnflag, path""".stripMargin
+    }
   )
 }
