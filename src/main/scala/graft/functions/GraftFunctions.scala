@@ -56,6 +56,14 @@ object GraftFunctions {
     */
   def fmix64(v: Column): Column = GraftExpressions.fmix64(v)
 
+  /** Bloom-filter build aggregate over a join key (BINARY result). */
+  def bloom_filter_agg(key: Column, expectedItems: Long, numBits: Long): Column =
+    GraftExpressions.bloom_filter_agg(key, expectedItems, numBits)
+
+  /** Membership probe against a bloom_filter_agg result. */
+  def might_contain(bloom: Column, key: Column): Column =
+    GraftExpressions.might_contain(bloom, key)
+
   /** Portable combine-hash of long values (LSH band bucket keys):
     * h = fmix64(h XOR v) folded from the FNV offset seed.
     */

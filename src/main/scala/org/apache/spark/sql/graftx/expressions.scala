@@ -726,6 +726,22 @@ object GraftExpressions {
 
   def fmix64(v: Column): Column = col(Fmix64(exp(v)))
 
+  /** Bloom-filter build aggregate over xxhash64(key) — the same
+    * sketch Spark's InjectRuntimeFilter plants, exposed so an
+    * operator can prune a join's large side explicitly. Returns the
+    * serialized filter as BINARY.
+    */
+  def bloom_filter_agg(key: Column, expectedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      new XxHash64(Seq(exp(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Probe the serialized bloom filter with xxhash64(key). False
+    * positives possible (tunable via numBits), false negatives not.
+    */
+  def might_contain(bloom: Column, key: Column): Column =
+    col(BloomFilterMightContain(exp(bloom), new XxHash64(Seq(exp(key)))))
+
   def ngram_hashes(toks: Column, n: Int, dedupSort: Boolean): Column =
     col(NgramHashes(exp(toks), n, dedupSort))
 
