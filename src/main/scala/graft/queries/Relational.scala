@@ -407,6 +407,26 @@ object Relational {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // R37: bloom-filter runtime join pruning — a ~1%-selective orders
+    // predicate builds a bloom over the surviving o_orderkey set; the
+    // lineitem side drops non-matching rows at scan time, BEFORE its
+    // shuffle. Bloom false positives die in the join, so the plain-join
+    // oracle verifies the result exactly.
+    "q33_bloom_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01"))
+        .select("o_orderkey", "o_orderdate")
+      graft.operators.BloomJoin
+        .prunedJoin(t(s, dir, "lineitem"), ord, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("month")
     })
   )
 
@@ -668,6 +688,14 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q33_bloom_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY month ORDER BY month""".stripMargin
   )
 }
