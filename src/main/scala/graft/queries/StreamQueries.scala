@@ -76,6 +76,15 @@ object StreamQueries {
     "st05_sliding" -> ((s, dir) => {
       graft.streaming.Sessionize.slidingAgg(events(s, dir))
         .orderBy("win_start_s", "event_type")
+    }),
+
+    // S5: per-sliding-window top-k event types. Batch twin of the
+    // flatMapGroupsWithState streaming form (StreamingSpec asserts
+    // the twin equivalence); rank partitioned by window key — no
+    // global window anywhere.
+    "st06_sliding_topk" -> ((s, dir) => {
+      graft.streaming.TopK.slidingTopK(events(s, dir), k = 2)
+        .orderBy("win_start_s", "rnk")
     })
   )
 
@@ -138,6 +147,20 @@ object StreamQueries {
         | x AS (SELECT event_type, value, unnest([b, b - 300]) AS win_start_s FROM e)
         |SELECT win_start_s, event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM x GROUP BY win_start_s, event_type
-        |ORDER BY win_start_s, event_type""".stripMargin
+        |ORDER BY win_start_s, event_type""".stripMargin,
+
+    "st06_sliding_topk" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b FROM events),
+        | x AS (SELECT event_type, value, unnest([b, b - 300]) AS win_start_s FROM e),
+        | agg AS (SELECT win_start_s, event_type, count(*) AS n,
+        |    round(sum(value), 2) AS total
+        |  FROM x GROUP BY win_start_s, event_type),
+        | rnk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY win_start_s ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM agg)
+        |SELECT win_start_s, event_type, n, total, rnk
+        |FROM rnk WHERE rnk <= 2
+        |ORDER BY win_start_s, rnk""".stripMargin
   )
 }

@@ -118,6 +118,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window top-k emits the batch twin's sealed windows") {
+    import graft.streaming.TopK
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = TopK.slidingTopKStreaming(df, k = 2)
+      .writeStream.format("memory").queryName("slide_topk")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        (ts(2), "click", 1.0), (ts(3), "click", 2.0), (ts(7), "view", 5.0),
+        (ts(8), "view", 1.0), (ts(9), "view", 2.0), (ts(12), "scroll", 3.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // sentinel far in the future: watermark passes every window end
+      input.addData((ts(600), "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("slide_topk")
+      val batch = TopK.slidingTopK(
+        evs.toDF("ts", "event_type", "value"), k = 2)
+      // sealed windows (all of them — the sentinel's own windows carry
+      // no pre-sentinel events) must agree exactly on key/count/rank
+      val keys = Seq("win_start_s", "event_type", "n", "rnk")
+      assert(streamed.select(keys.map(col): _*)
+        .except(batch.select(keys.map(col): _*)).count() == 0)
+      assert(batch.select(keys.map(col): _*)
+        .except(streamed.select(keys.map(col): _*)).count() == 0)
+      // totals agree to rounding dust
+      val joined = streamed.as("s")
+        .join(batch.as("b"), Seq("win_start_s", "event_type"))
+        .filter(abs(col("s.total") - col("b.total")) > 0.011)
+      assert(joined.count() == 0)
+      assert(streamed.count() >= 4)
+    } finally q.stop()
+  }
+
   test("st01/st02 batch queries run on the real events table") {
     val w = SparkEntry.queries("st01_window_agg")(spark, sfDir)
     assert(w.count() > 0)
