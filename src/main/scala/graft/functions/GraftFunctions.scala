@@ -64,6 +64,11 @@ object GraftFunctions {
   def might_contain(bloom: Column, key: Column): Column =
     GraftExpressions.might_contain(bloom, key)
 
+  /** Morton (z-order) interleave of two longs' low 32 bits — the 2-D
+    * write-clustering key.
+    */
+  def zorder2(x: Column, y: Column): Column = GraftExpressions.zorder2(x, y)
+
   /** Portable combine-hash of long values (LSH band bucket keys):
     * h = fmix64(h XOR v) folded from the FNV offset seed.
     */

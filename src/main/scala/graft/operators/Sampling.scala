@@ -27,6 +27,30 @@ object Sampling {
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
+  /** Sequential Poisson sampling priority (Ohlsson 1998): priority =
+    * u / w with u uniform in [0,1) derived from the portable id hash.
+    * Taking the m SMALLEST priorities yields a weighted
+    * without-replacement sample where inclusion probability is
+    * approximately proportional to `weight` (the estimator behind
+    * PPS surveys; for training corpora: quality- or length-weighted
+    * subsampling). Deterministic and engine-portable: u is
+    * (fmix64(id) >>> 11) / 2^53 — a power-of-two division, exact in
+    * IEEE — and priority is one correctly-rounded division, so the
+    * DuckDB oracle reproduces every priority bit-for-bit.
+    */
+  def weightedPriority(id: Column, weight: Column): Column =
+    (shiftrightunsigned(graft.functions.GraftFunctions.fmix64(id.cast("long")), 11)
+      .cast("double") / lit(9007199254740992.0)) / weight.cast("double")
+
+  /** Weighted top-m sample: the m smallest priorities. Plans as
+    * TakeOrderedAndProject — per-partition heap + driver merge of m
+    * rows, no global sort, no shuffle of the losers.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, m: Int): DataFrame =
+    df.withColumn("priority", weightedPriority(col(idCol), col(weightCol)))
+      .orderBy("priority", idCol)
+      .limit(m)
+
   /** Per-stratum sampling fractions (e.g. language rebalancing):
     * keep row iff its id-hash bucket (of `denom`) falls under
     * fraction×denom for its stratum. Deterministic, single pass.

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Z-order (Morton-curve) write clustering: sort data by the bit
+  * interleave of two key columns before writing, so parquet row-group
+  * min/max stats prune predicates on EITHER (or both) dimensions.
+  *
+  * Why this matters at 100 TB: a table range-partitioned on one key
+  * answers filters on that key only; z-order clustering gives
+  * locality in both dimensions at once (each row group covers a
+  * small rectangle of the key space), which is what a scan planner
+  * needs to skip row groups for 2-D predicates — the same layout
+  * trick Delta/Iceberg OPTIMIZE ZORDER applies, here as a plain
+  * Spark operator with a codegen'd interleave expression.
+  *
+  * The plan shape is repartitionByRange(z) + sortWithinPartitions(z):
+  * one range shuffle (sampled bounds, balanced output files), then a
+  * per-partition sort — identical cost to a sorted write on a single
+  * key.
+  */
+object ZOrder {
+
+  /** The clustering key: morton interleave of the low `bits` bits of
+    * each column (keys are masked, so callers bucket or mod larger
+    * domains first).
+    */
+  def zkey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 32)
+    val mask = (1L << bits) - 1
+    GraftFunctions.zorder2(x.cast("long").bitwiseAND(lit(mask)),
+      y.cast("long").bitwiseAND(lit(mask)))
+  }
+
+  /** df clustered for writing: range-partitioned and sorted by the
+    * z key (kept as column `zkey` so writers can verify layout).
+    */
+  def cluster(df: DataFrame, x: Column, y: Column,
+              numPartitions: Int, bits: Int = 16): DataFrame =
+    df.withColumn("zkey", zkey(x, y, bits))
+      .repartitionByRange(numPartitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+}

@@ -427,6 +427,20 @@ object Relational {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("month")
+    }),
+
+    // R38: z-order write clustering key — morton interleave of
+    // (partkey, suppkey) mod 2^16. ZOrder.cluster (range shuffle +
+    // in-partition sort) is the write-path operator, spec-checked in
+    // PipelineSpec; this query verifies the interleave bit-for-bit
+    // against the oracle's shift/mask chain.
+    "q34_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 65536).as("x"), (col("l_suppkey") % 65536).as("y"))
+        .withColumn("z", graft.operators.ZOrder.zkey(col("x"), col("y")))
+        .orderBy("z", "l_orderkey", "l_linenumber")
     })
   )
 
@@ -696,6 +710,23 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
-        |GROUP BY month ORDER BY month""".stripMargin
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q34_zorder" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        | s1 AS (SELECT *, (x | (x << 16)) & 281470681808895 AS xa,
+        |   (y | (y << 16)) & 281470681808895 AS ya FROM src),
+        | s2 AS (SELECT *, (xa | (xa << 8)) & 71777214294589695 AS xb,
+        |   (ya | (ya << 8)) & 71777214294589695 AS yb FROM s1),
+        | s3 AS (SELECT *, (xb | (xb << 4)) & 1085102592571150095 AS xc,
+        |   (yb | (yb << 4)) & 1085102592571150095 AS yc FROM s2),
+        | s4 AS (SELECT *, (xc | (xc << 2)) & 3689348814741910323 AS xd,
+        |   (yc | (yc << 2)) & 3689348814741910323 AS yd FROM s3),
+        | s5 AS (SELECT *, (xd | (xd << 1)) & 6148914691236517205 AS xe,
+        |   (yd | (yd << 1)) & 6148914691236517205 AS ye FROM s4)
+        |SELECT l_orderkey, l_linenumber, x, y, (xe | (ye << 1)) AS z
+        |FROM s5 ORDER BY z, l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -193,6 +193,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L24: Sequential Poisson weighted sampling — length-weighted
+    // top-m corpus subsample. Priorities are engine-portable (power-
+    // of-two + one correctly-rounded division over the fmix64 hash),
+    // so the oracle reproduces every priority bit-for-bit; the plan is
+    // TakeOrderedAndProject (per-partition heap, no global sort).
+    "d10_weighted_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.weightedSample(
+        docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars", m = 200)
+    }),
+
+    // L25: bigram collocation "lift" — n_xy·N / (n_x·n_y), the
+    // log-free PMI variant (Math.log differs in the last ulp across
+    // engines; a fixed-shape mul/div chain is bit-identical). The
+    // unigram vocab is broadcast to both probe sides; the bigram table
+    // is persisted because the total-count branch reuses it.
+    "t13_bigram_lift" -> ((s, dir) => {
+      val toks = docs(s, dir).select(Dedup.tokens(col("text")).as("toks"))
+      val bi = toks.select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .persist()
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+      val tot = bi.agg(sum("n_xy").cast("double").as("n_tot"))
+      bi
+        .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_x"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_y"))), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift", round((col("n_xy").cast("double") * col("n_tot")) /
+          (col("n_x").cast("double") * col("n_y").cast("double")), 4))
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "lift")
+        .orderBy(desc("n_xy"), col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // … and the custom rolling-hash / simhash expressions, verified
     // bit-for-bit by the PortableHashSql oracle.
     "t05_rollhash" -> ((s, dir) => {
@@ -432,6 +470,27 @@ object TextQueries {
          |  CASE lang WHEN 'en' THEN 0.5 * 10000 WHEN 'fr' THEN 0.25 * 10000
          |            WHEN 'de' THEN 0.1 * 10000 ELSE 0.0 END
          |ORDER BY doc_id""".stripMargin,
+
+    "d10_weighted_sample" ->
+      s"""WITH pri AS (SELECT doc_id, n_chars,
+         |  (CAST((${PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id"))}) >> 11 AS DOUBLE)
+         |     / 9007199254740992.0) / CAST(n_chars AS DOUBLE) AS priority
+         | FROM documents)
+         |SELECT doc_id, n_chars, priority FROM pri
+         |ORDER BY priority, doc_id LIMIT 200""".stripMargin,
+
+    "t13_bigram_lift" ->
+      s"""WITH tk AS (SELECT string_split($normSql, ' ') AS l FROM documents),
+         | bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM tk),
+         | bi AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS n_xy FROM bg GROUP BY 1, 2),
+         | un AS (SELECT w, count(*) AS n_w
+         |   FROM (SELECT unnest(l) AS w FROM tk) GROUP BY w),
+         | tot AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n_tot FROM bi)
+         |SELECT w1, w2, n_xy, x.n_w AS n_x, y.n_w AS n_y,
+         |  round((CAST(n_xy AS DOUBLE) * n_tot)
+         |    / (CAST(x.n_w AS DOUBLE) * CAST(y.n_w AS DOUBLE)), 4) AS lift
+         |FROM bi JOIN un x ON bi.w1 = x.w JOIN un y ON bi.w2 = y.w CROSS JOIN tot
+         |ORDER BY n_xy DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "t01_langid" ->
       s"""SELECT doc_id,

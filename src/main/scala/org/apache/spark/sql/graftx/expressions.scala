@@ -695,6 +695,47 @@ object NgramHashes {
   }
 }
 
+/** Morton (z-order) interleave of the low 32 bits of two longs:
+  * bit i of x lands at bit 2i, bit i of y at bit 2i+1. The standard
+  * multi-dimensional write-clustering key (z-order curve): sorting by
+  * it keeps rows close in BOTH dimensions close in the file, so
+  * min/max row-group stats prune 2-D predicates. Codegen'd constant
+  * shift/mask chain — stays in whole-stage codegen on the write path.
+  */
+case class Zorder2(x: Expression, y: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Zorder2.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftx.Zorder2.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(x = l, y = r)
+}
+
+object Zorder2 {
+  /** Spread the low 32 bits of v to the even bit positions. */
+  def spread(v: Long): Long = {
+    var s = v & 0xFFFFFFFFL
+    s = (s | (s << 16)) & 0x0000FFFF0000FFFFL
+    s = (s | (s << 8)) & 0x00FF00FF00FF00FFL
+    s = (s | (s << 4)) & 0x0F0F0F0F0F0F0F0FL
+    s = (s | (s << 2)) & 0x3333333333333333L
+    s = (s | (s << 1)) & 0x5555555555555555L
+    s
+  }
+
+  def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+}
+
 object GraftExpressions {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def exp(c: Column): Expression = ExpressionUtils.expression(c)
@@ -747,6 +788,8 @@ object GraftExpressions {
 
   def mix_hash(vs: Seq[Column]): Column = col(MixHashLongs(vs.map(exp)))
 
+  def zorder2(x: Column, y: Column): Column = col(Zorder2(exp(x), exp(y)))
+
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -770,6 +813,8 @@ object GraftExpressions {
       "fmix64", es => Fmix64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "mix_hash", es => MixHashLongs(es), "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder2", es => Zorder2(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "ngram_hashes", {
         case Seq(toks, Literal(n: Int, IntegerType)) =>

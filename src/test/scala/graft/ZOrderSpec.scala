@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.{Sampling, ZOrder}
+
+class ZOrderSpec extends AnyFunSuite {
+  import SharedSpark.{sfDir, spark}
+  import spark.implicits._
+
+  test("zorder2 interleaves bits (known values + reference impl)") {
+    // bit i of x -> 2i, bit i of y -> 2i+1
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 0L), (12345L, 54321L))
+      .toDF("x", "y")
+      .select(GraftFunctions.zorder2(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val expect = Seq(ref(0, 0), ref(1, 0), ref(0, 1), ref(3, 5), ref(65535, 0), ref(12345, 54321))
+    assert(got.toSeq == expect)
+    assert(expect(1) == 1L && expect(2) == 2L)
+  }
+
+  test("zorder2 works via SQL registration") {
+    Graft.registerFunctions(spark)
+    val z = spark.sql("SELECT zorder2(3L, 5L) AS z").as[Long].head()
+    // x=011 -> even bits 0,2 (=5); y=101 -> odd bits 1,5 (=34)
+    assert(z == 39L)
+  }
+
+  test("cluster yields non-overlapping z ranges across partitions") {
+    val df = Graft.table(spark, sfDir, "lineitem")
+    val clustered = ZOrder.cluster(df, col("l_partkey") % 65536,
+      col("l_suppkey") % 65536, numPartitions = 8)
+    val ranges = clustered
+      .select(spark_partition_id().as("pid"), col("zkey"))
+      .groupBy("pid").agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .orderBy("lo")
+      .collect()
+    assert(clustered.count() == df.count())
+    // range partitioning: each partition's [lo, hi] interval is disjoint
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("weighted sample priorities follow the Sequential Poisson formula") {
+    val docs = Graft.table(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", m = 50).collect()
+    assert(got.length == 50)
+    val manual = docs
+      .withColumn("h", GraftFunctions.fmix64(col("doc_id")))
+      .collect()
+      .map { r =>
+        val u = (r.getAs[Long]("h") >>> 11).toDouble / 9007199254740992.0
+        (r.getAs[Long]("doc_id"), u / r.getAs[Long]("n_chars").toDouble)
+      }
+      .sortBy { case (id, p) => (p, id) }
+      .take(50)
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == manual.map(_._1).toSeq)
+    got.foreach { r =>
+      val p = manual.find(_._1 == r.getAs[Long]("doc_id")).get._2
+      assert(r.getAs[Double]("priority") == p) // bit-exact
+    }
+    // weighting pulls in longer docs: sampled mean length > corpus mean
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = got.map(_.getAs[Long]("n_chars").toDouble).sum / got.length
+    assert(sampleMean > corpusMean)
+  }
+}
