@@ -69,6 +69,14 @@ object GraftFunctions {
     */
   def zorder2(x: Column, y: Column): Column = GraftExpressions.zorder2(x, y)
 
+  /** KLL sketch quantiles aggregate: mergeable approximate quantiles,
+    * a few KB per group at any n (the 100 TB alternative to exact
+    * `percentile`). ~1.65% rank error at k=200.
+    */
+  def kll_quantiles(x: Column, k: Int = 200,
+                    probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): Column =
+    GraftExpressions.kll_quantiles(x, k, probs)
+
   /** Portable combine-hash of long values (LSH band bucket keys):
     * h = fmix64(h XOR v) folded from the FNV offset seed.
     */

@@ -130,6 +130,24 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "bin")
     }),
 
+    // F11: KLL sketch quantiles — the mergeable approximate twin of
+    // f06's exact percentiles (a few KB of state per group at any n;
+    // the 100 TB path). Sketch output is rank-approximate → no DuckDB
+    // oracle; KllSpec bounds the rank error against the exact values.
+    "f11_kll_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          GraftFunctions.kll_quantiles(col("l_quantity"), 200, Seq(0.25, 0.5, 0.75))
+            .as("qs"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(element_at(col("qs"), 1), 4).as("q25_qty"),
+          round(element_at(col("qs"), 2), 4).as("median_qty"),
+          round(element_at(col("qs"), 3), 4).as("q75_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F8: FCS binary round-trip — write a deterministic fixture with
     // FcsSource.write, read it back through the binaryFile-based
     // parser, aggregate per-sample channel stats. Every value is a

@@ -790,6 +790,9 @@ object GraftExpressions {
 
   def zorder2(x: Column, y: Column): Column = col(Zorder2(exp(x), exp(y)))
 
+  def kll_quantiles(x: Column, k: Int, probs: Seq[Double]): Column =
+    col(KllQuantiles(exp(x), k, probs.toArray).toAggregateExpression())
+
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
