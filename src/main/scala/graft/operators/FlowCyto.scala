@@ -173,4 +173,35 @@ object FlowCyto {
       .agg(count(lit(1)).as("n"),
         round(sum(channel), 2).as("mass"))
   }
+
+  /** F12 — robust channel statistics (cytometry convention: outlier
+    * events — doublets, debris — wreck mean/sd, so robust variants are
+    * reported): trimmed mean over the [pLo, pHi] quantile band and MAD
+    * (median absolute deviation, the robust spread estimator behind
+    * flow's rSD ≈ 1.4826·MAD).
+    *
+    * Shape: two aggregate passes — cutpoints (qLo/qHi/median) per
+    * group, broadcast back onto the facts, then one aggregate for the
+    * band mean and |x−median| median. The fact table is scanned twice
+    * but shuffles only group keys both times; the cutpoint table is
+    * group-cardinality (dim-sized, broadcast). Exact percentiles
+    * buffer each group's values on one task — the price of exact
+    * robust stats; `kll_quantiles` (F11) is the sketch path when
+    * approximate cutpoints are acceptable.
+    */
+  def robustStats(df: DataFrame, channel: Column, groupCols: Seq[String],
+                  pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(channel, lit(pLo)).as("__qlo"),
+        percentile(channel, lit(pHi)).as("__qhi"),
+        percentile(channel, lit(0.5)).as("__med"))
+    df.join(broadcast(cuts), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(when(channel.between(col("__qlo"), col("__qhi")), channel)), 4)
+          .as("trimmed_mean"),
+        round(percentile(abs(channel - col("__med")), lit(0.5)), 4).as("mad"))
+  }
 }

@@ -148,6 +148,16 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F12: robust channel stats — 10–90% trimmed mean + MAD of the
+    // integer-valued quantity channel. Integer data keeps every
+    // cutpoint/deviation dyadic (exact in IEEE), so the two engines'
+    // differently-shaped interpolation formulas still agree.
+    "f12_robust_stats" -> ((s, dir) => {
+      FlowCyto.robustStats(t(s, dir, "lineitem"), col("l_quantity"),
+          Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F8: FCS binary round-trip — write a deterministic fixture with
     // FcsSource.write, read it back through the binaryFile-based
     // parser, aggregate per-sample channel stats. Every value is a
@@ -274,6 +284,22 @@ object FlowCytoQueries {
         | round(quantile_cont(l_quantity, 0.75), 4) AS q75_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f12_robust_stats" ->
+      """WITH cut AS (SELECT l_returnflag, l_linestatus,
+        |    quantile_cont(l_quantity, 0.10) AS qlo,
+        |    quantile_cont(l_quantity, 0.90) AS qhi,
+        |    quantile_cont(l_quantity, 0.50) AS med
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l.l_returnflag, l.l_linestatus, count(*) AS n,
+        |  round(avg(CASE WHEN l_quantity BETWEEN qlo AND qhi
+        |    THEN l_quantity END), 4) AS trimmed_mean,
+        |  round(quantile_cont(abs(l_quantity - med), 0.5), 4) AS mad
+        |FROM lineitem l
+        |JOIN cut c ON l.l_returnflag = c.l_returnflag
+        |  AND l.l_linestatus = c.l_linestatus
+        |GROUP BY l.l_returnflag, l.l_linestatus
+        |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin,
 
     "f07_histogram" ->
       """SELECT l_returnflag,
