@@ -77,6 +77,21 @@ object GraftFunctions {
                     probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): Column =
     GraftExpressions.kll_quantiles(x, k, probs)
 
+  /** Theta sketch distinct aggregate over a long key: mergeable
+    * distinct counting WITH set algebra (exact below 2^lgK distinct).
+    */
+  def theta_sketch(key: Column, lgK: Int = 14): Column =
+    GraftExpressions.theta_sketch(key, lgK)
+
+  /** Distinct estimate of a theta sketch. */
+  def theta_estimate(sketch: Column): Column = GraftExpressions.theta_estimate(sketch)
+
+  /** Distinct estimate of the intersection of two theta sketches —
+    * the overlap question HLL cannot answer.
+    */
+  def theta_intersect_estimate(a: Column, b: Column): Column =
+    GraftExpressions.theta_intersect_estimate(a, b)
+
   /** Portable combine-hash of long values (LSH band bucket keys):
     * h = fmix64(h XOR v) folded from the FNV offset seed.
     */

@@ -429,6 +429,24 @@ object Relational {
         .orderBy("month")
     }),
 
+    // R39: theta sketch set algebra — customer-set overlap between two
+    // order-priority populations, one pass over orders building both
+    // sketches as conditional aggregates. At lgK=16 the sketches stay
+    // exact for every distinct count below 65536 (all test SFs), so
+    // the exact-distinct oracle verifies the full update/merge/
+    // serialize/intersect chain; ThetaSpec covers estimation mode.
+    "q36_theta_overlap" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      t(s, dir, "orders")
+        .agg(
+          theta_sketch(when(col("o_orderpriority") === "1-URGENT", col("o_custkey")), 16).as("sa"),
+          theta_sketch(when(col("o_orderpriority") === "5-LOW", col("o_custkey")), 16).as("sb"))
+        .select(
+          theta_estimate(col("sa")).cast("long").as("n_urgent"),
+          theta_estimate(col("sb")).cast("long").as("n_low"),
+          theta_intersect_estimate(col("sa"), col("sb")).cast("long").as("n_both"))
+    }),
+
     // R38: z-order write clustering key — morton interleave of
     // (partkey, suppkey) mod 2^16. ZOrder.cluster (range shuffle +
     // in-partition sort) is the write-path operator, spec-checked in
@@ -711,6 +729,17 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q36_theta_overlap" ->
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_orderpriority = '5-LOW') AS n_low,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_custkey IN
+        |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+        |    AS n_both""".stripMargin,
 
     "q34_zorder" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber,

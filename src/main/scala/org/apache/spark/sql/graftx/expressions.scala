@@ -793,6 +793,14 @@ object GraftExpressions {
   def kll_quantiles(x: Column, k: Int, probs: Seq[Double]): Column =
     col(KllQuantiles(exp(x), k, probs.toArray).toAggregateExpression())
 
+  def theta_sketch(key: Column, lgK: Int): Column =
+    col(ThetaSketchAgg(exp(key), lgK).toAggregateExpression())
+
+  def theta_estimate(sketch: Column): Column = col(ThetaEstimate(exp(sketch)))
+
+  def theta_intersect_estimate(a: Column, b: Column): Column =
+    col(ThetaIntersectEstimate(exp(a), exp(b)))
+
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
