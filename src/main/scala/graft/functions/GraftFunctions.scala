@@ -92,6 +92,22 @@ object GraftFunctions {
   def theta_intersect_estimate(a: Column, b: Column): Column =
     GraftExpressions.theta_intersect_estimate(a, b)
 
+  /** Distinct estimate of A \ B over two theta sketches. */
+  def theta_a_not_b_estimate(a: Column, b: Column): Column =
+    GraftExpressions.theta_a_not_b_estimate(a, b)
+
+  /** One-pass count/sum/Gram accumulator over a float-vector column
+    * (the sufficient statistics for mean, covariance, PCA).
+    */
+  def vec_stats(v: Column, d: Int): Column = GraftExpressions.vec_stats(v, d)
+
+  /** Codegen'd projection onto k constant planes with per-plane
+    * offsets: out[j] = dot(v, planes[j]) − offsets[j].
+    */
+  def project_planes(v: Column, planes: Array[Array[Double]],
+                     offsets: Array[Double]): Column =
+    GraftExpressions.project_planes(v, planes, offsets)
+
   /** Portable combine-hash of long values (LSH band bucket keys):
     * h = fmix64(h XOR v) folded from the FNV offset seed.
     */

@@ -444,7 +444,8 @@ object Relational {
         .select(
           theta_estimate(col("sa")).cast("long").as("n_urgent"),
           theta_estimate(col("sb")).cast("long").as("n_low"),
-          theta_intersect_estimate(col("sa"), col("sb")).cast("long").as("n_both"))
+          theta_intersect_estimate(col("sa"), col("sb")).cast("long").as("n_both"),
+          theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
     // R38: z-order write clustering key — morton interleave of
@@ -739,7 +740,11 @@ object Relational {
         |  (SELECT count(DISTINCT o_custkey) FROM orders
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
-        |    AS n_both""".stripMargin,
+        |    AS n_both,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
+        |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+        |    AS n_urgent_only""".stripMargin,
 
     "q34_zorder" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber,

@@ -81,6 +81,24 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L26: one-pass PCA — VecStatsAgg collects count/sum/Gram in a
+    // single tree-reduced aggregate, the d×d eigenproblem solves on
+    // the driver (Jacobi), and the projection is a narrow codegen'd
+    // constant-plane dot product. Eigenvector sign/last-ulp jitter is
+    // run-dependent (parallel double summation) → rows-only check;
+    // PcaSpec pins the geometry (orthonormality, variance order,
+    // known principal direction).
+    "s06_pca_project" -> ((s, dir) => {
+      import graft.operators.Pca
+      val e = emb(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      val model = Pca.fit(e, col("embedding"), d, k = 2)
+      Pca.project(e, col("embedding"), model)
+        .select(col("vec_id"), col("label"),
+          round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
+        .orderBy("vec_id")
+    }),
+
     // L12: multimodal blob features — SQL-expressible part (octet
     // length, md5, prefix) with a DuckDB oracle …
     "m01_blob_features" -> ((s, dir) => {

@@ -179,3 +179,147 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Count + sum-vector + Gram-matrix accumulator over a float-vector
+  * column, in one pass with map-side combine: buffer is the flat
+  * double array [n, sum(d), gram(d·d lower triangle incl. diagonal)].
+  * From the final row, mean = sum/n and covariance =
+  * gram/n − mean·meanᵀ — everything PCA / covariance analysis needs
+  * from a 100 TB table in a single O(d²)-state aggregate (d=32 →
+  * 17 KB of state total, vs shuffling any per-row data at all).
+  */
+case class VecStatsAgg(child: Expression, d: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(d >= 1 && d <= 4096)
+  private val gramLen = d * (d + 1) / 2
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_stats"
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](1 + d + gramLen)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (a.numElements() == d) {
+        buffer(0) += 1.0
+        var i = 0
+        var g = 1 + d
+        while (i < d) {
+          val x = a.getFloat(i).toDouble
+          buffer(1 + i) += x
+          var j = 0
+          while (j <= i) { buffer(g) += x * a.getFloat(j); g += 1; j += 1 }
+          i += 1
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asDoubleBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecStatsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecStatsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Project a float vector onto k constant planes with per-plane offsets:
+  * out[j] = dot(v, planes[j]) − offsets[j]. With planes = principal
+  * components and offsets[j] = dot(mean, planes[j]) this IS centered
+  * PCA projection — the mean subtraction folds into one constant per
+  * component, so the hot loop is a pure dot product (codegen'd, same
+  * shape as SrpCode).
+  */
+case class ProjectPlanes(child: Expression, planes: Array[Array[Double]],
+                         offsets: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(planes.length == offsets.length)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "project_planes"
+
+  override protected def nullSafeEval(e: Any): Any = {
+    val a = e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Double](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(a.numElements(), w.length)
+      while (i < n) { dot += a.getFloat(i) * w(i); i += 1 }
+      out(p) = dot - offsets(p)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+                                   ev: codegen.ExprCode): codegen.ExprCode = {
+    val ws = ctx.addReferenceObj("projPlanes", planes, "double[][]")
+    val os = ctx.addReferenceObj("projOffsets", offsets, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val w = ctx.freshName("w")
+      s"""
+         |double[] $out = new double[$ws.length];
+         |for (int $p = 0; $p < $ws.length; $p++) {
+         |  double[] $w = $ws[$p];
+         |  double $dot = 0.0;
+         |  int $n = Math.min($a.numElements(), $w.length);
+         |  for (int $i = 0; $i < $n; $i++) $dot += $a.getFloat($i) * $w[$i];
+         |  $out[$p] = $dot - $os[$p];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct-count estimate of A \ B over two serialized theta sketches. */
+case class ThetaANotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_a_not_b_estimate"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(Sketches.wrapCompactSketch(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    op.notB(Sketches.wrapCompactSketch(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    op.getResult(true).getEstimate
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

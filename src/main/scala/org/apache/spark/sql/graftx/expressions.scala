@@ -801,6 +801,16 @@ object GraftExpressions {
   def theta_intersect_estimate(a: Column, b: Column): Column =
     col(ThetaIntersectEstimate(exp(a), exp(b)))
 
+  def theta_a_not_b_estimate(a: Column, b: Column): Column =
+    col(ThetaANotBEstimate(exp(a), exp(b)))
+
+  def vec_stats(v: Column, d: Int): Column =
+    col(VecStatsAgg(exp(v), d).toAggregateExpression())
+
+  def project_planes(v: Column, planes: Array[Array[Double]],
+                     offsets: Array[Double]): Column =
+    col(ProjectPlanes(exp(v), planes, offsets))
+
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
     val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
