@@ -47,6 +47,44 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Exact shared-n-gram pair mining — the signal behind exact-
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): pairs of documents sharing ≥
+    * `minShared` distinct word n-grams, with the shared-gram count.
+    * Unlike Jaccard near-dedup (d02/d06) this scores ABSOLUTE verbatim
+    * overlap, so a short boilerplate block inside two long unrelated
+    * documents still surfaces.
+    *
+    * Shape: one codegen pass per doc to the distinct gram-hash set
+    * (`ngram_hashes`), explode, then a gram-keyed self-join — grams
+    * travel as 64-bit hashes, never strings. Bucket fan-out is B² per
+    * gram: at word n-grams of n≥4, natural-language buckets are tiny
+    * (only verbatim repeats collide); `cap` drops grams hotter than
+    * cap docs (boilerplate headers) when exactness isn't required —
+    * None (default) preserves the exact count.
+    */
+  def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 4, minShared: Long = 1,
+                      cap: Option[Int] = None): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions
+          .ngram_hashes(tokens(col(textCol)), n)).as("g"))
+      .persist()   // both sides of the self-join reuse this lineage
+    val pruned = cap match {
+      case Some(c) =>
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") > c).select("g")
+        grams.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => grams
+    }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Decontamination with eval-doc attribution (which/how many eval
     * docs each corpus doc collides with). The gram-keyed inner join
     * multiplies hot grams by their eval-doc frequency — use on

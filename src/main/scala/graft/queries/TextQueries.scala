@@ -251,6 +251,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L27: exact shared-4-gram pairs — verbatim-overlap dedup signal
+    // (absolute shared-gram count, not Jaccard). Gram buckets on this
+    // corpus max out at 4 docs, so the gram-keyed self-join is linear.
+    "d11_shared_grams" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.sharedGramPairs(docs(s, dir), "doc_id", "text", n = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -603,6 +612,16 @@ object TextQueries {
          |          WHERE e.source NOT IN ('src0', 'src1'))
          |SELECT doc_id, count(*) AS n_shared_grams
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d11_shared_grams" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         | d AS (SELECT doc_id, list_distinct(${shingleSql(4)}) AS grams FROM base),
+         | ex AS (SELECT doc_id, unnest(grams) AS g FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

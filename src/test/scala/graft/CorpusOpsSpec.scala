@@ -24,6 +24,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(3L -> 2L, 4L -> 3L))
   }
 
+  test("shared-gram pairs count distinct common n-grams exactly") {
+    val got = CorpusOps.sharedGramPairs(corpus, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force expectation over distinct 3-gram sets
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val docs = corpus.collect().map(r => r.getLong(0) -> grams(r.getString(1)))
+    val expect = (for {
+      (ia, ga) <- docs; (ib, gb) <- docs if ia < ib
+      n = (ga & gb).size if n > 0
+    } yield (ia, ib) -> n.toLong).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // hot-gram cap drops the boilerplate bucket
+    val capped = CorpusOps.sharedGramPairs(corpus, "doc_id", "text", n = 3,
+      cap = Some(1)).count()
+    assert(capped <= got.size)
+  }
+
   test("attributed contamination also counts the eval docs hit") {
     val withEval2 = corpus.union(
       Seq((5L, "the lazy dog sat on the mat", "eval"))
