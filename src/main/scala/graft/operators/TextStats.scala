@@ -62,6 +62,25 @@ object TextStats {
           (alpha.cast("double") / nChars.cast("double")) * lit(0.3), 4))
   }
 
+  /** L28 — unigram token entropy in nats: H = ln n − (Σ c·ln c)/n over
+    * the document's token counts. Low entropy marks repetitive or
+    * degenerate text (the cheap complexity filter next to t09's
+    * repetition signals); high entropy, token-salad. Two keyed
+    * aggregations — (doc, token) counts then a per-doc fold — both
+    * linear, shuffling only keys and counts.
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(log(col("n").cast("double")) - col("slc") / col("n").cast("double"), 4)
+          .as("entropy"))
+
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
     * — the "~4 chars per token" rule of thumb).

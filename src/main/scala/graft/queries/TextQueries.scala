@@ -260,6 +260,15 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L28: unigram token entropy — the cheap complexity filter
+    // (ln-derived, rounded to 4 like t07's idf; summation-order dust
+    // is ~1e-13, far below the rounding grain).
+    "t14_entropy" -> ((s, dir) => {
+      import graft.operators.TextStats
+      TextStats.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -622,6 +631,17 @@ object TextQueries {
          |FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          |GROUP BY id_a, id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "t14_entropy" ->
+      s"""WITH base AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents),
+         | c AS (SELECT doc_id, tok, count(*) AS cnt FROM base GROUP BY doc_id, tok),
+         | a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         |    sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slc
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 4) AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

@@ -54,6 +54,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) == (3L, 2L))   // doc 4 hits "the lazy dog" in both
   }
 
+  test("token entropy: 0 for constant doc, ln(n) for all-distinct doc") {
+    import graft.operators.TextStats
+    val df = Seq(
+      (1L, "a a a a a a"),
+      (2L, "one two three four"),
+      (3L, "x x y y")
+    ).toDF("doc_id", "text")
+    val got = TextStats.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("entropy") == 0.0)
+    assert(math.abs(got(1).getAs[Double]("entropy") - math.log(4.0)) < 1e-3)
+    assert(math.abs(got(2).getAs[Double]("entropy") - math.log(2.0)) < 1e-3)
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 4L, 4L))
+  }
+
   test("repetition signals: degenerate doc maxes out, distinct doc zeroes out") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
