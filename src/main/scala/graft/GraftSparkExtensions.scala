@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftx._
+import org.apache.spark.sql.types.IntegerType
 
 /** Spark-native deployment entry point: register graft's expressions
   * in every session via
@@ -37,5 +39,34 @@ object GraftSparkExtensions {
       es => CosineSim(es.head, es(1))),
     ("sorted_long_intersect_size", info("sorted_long_intersect_size",
       "sorted_long_intersect_size(a, b) - intersection size of sorted long arrays"),
-      es => SortedLongIntersectSize(es.head, es(1))))
+      es => SortedLongIntersectSize(es.head, es(1))),
+    ("fmix64", info("fmix64", "fmix64(v) - murmur3 64-bit finalizer (portable hash)"),
+      es => Fmix64(es.head)),
+    ("mix_hash", info("mix_hash", "mix_hash(v1, v2, ...) - fmix64 fold of longs"),
+      es => MixHashLongs(es)),
+    ("zorder2", info("zorder2", "zorder2(x, y) - Morton bit-interleave clustering key"),
+      es => Zorder2(es.head, es(1))),
+    ("theta_estimate", info("theta_estimate",
+      "theta_estimate(sketch) - distinct estimate of a theta sketch"),
+      es => ThetaEstimate(es.head)),
+    ("theta_intersect_estimate", info("theta_intersect_estimate",
+      "theta_intersect_estimate(a, b) - distinct estimate of sketch intersection"),
+      es => ThetaIntersectEstimate(es.head, es(1))),
+    ("theta_a_not_b_estimate", info("theta_a_not_b_estimate",
+      "theta_a_not_b_estimate(a, b) - distinct estimate of sketch difference"),
+      es => ThetaANotBEstimate(es.head, es(1))),
+    ("theta_sketch", info("theta_sketch",
+      "theta_sketch(key[, lgK]) - mergeable distinct sketch with set algebra"), {
+      case Seq(key) => ThetaSketchAgg(key, 14)
+      case Seq(key, Literal(lgK: Int, IntegerType)) => ThetaSketchAgg(key, lgK)
+      case es => throw new IllegalArgumentException(
+        s"theta_sketch(key[, lgK]) with literal lgK; got ${es.length} args")
+    }),
+    ("kll_quantiles", info("kll_quantiles",
+      "kll_quantiles(x, k, array(p1, p2, ...)) - KLL sketch quantiles"), {
+      case Seq(x, Literal(k: Int, IntegerType), arr) if arr.foldable =>
+        KllQuantiles(x, k, arr.eval().asInstanceOf[ArrayData].toDoubleArray())
+      case es => throw new IllegalArgumentException(
+        s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
+    }))
 }

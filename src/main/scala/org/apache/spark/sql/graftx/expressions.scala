@@ -837,6 +837,29 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction(
       "zorder2", es => Zorder2(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "theta_estimate", es => ThetaEstimate(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "theta_intersect_estimate",
+      es => ThetaIntersectEstimate(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "theta_a_not_b_estimate",
+      es => ThetaANotBEstimate(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "theta_sketch", {
+        case Seq(key) => ThetaSketchAgg(key, 14)
+        case Seq(key, Literal(lgK: Int, IntegerType)) => ThetaSketchAgg(key, lgK)
+        case es => throw new IllegalArgumentException(
+          s"theta_sketch(key[, lgK]) with literal lgK; got ${es.length} args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "kll_quantiles", {
+        case Seq(x, Literal(k: Int, IntegerType), arr) if arr.foldable =>
+          KllQuantiles(x, k, arr.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+        case es => throw new IllegalArgumentException(
+          s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "ngram_hashes", {
         case Seq(toks, Literal(n: Int, IntegerType)) =>
           NgramHashes(toks, n, dedupSort = true)

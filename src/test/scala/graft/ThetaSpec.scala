@@ -46,6 +46,18 @@ class ThetaSpec extends AnyFunSuite {
     assert(math.abs(row - 50000) / 50000 < 0.15, s"overlap=$row")
   }
 
+  test("theta and kll work through the SQL registry") {
+    Graft.registerFunctions(spark)
+    val est = spark.sql(
+      "SELECT theta_estimate(theta_sketch(id)) FROM range(1000)")
+      .head().getDouble(0)
+    assert(est == 1000.0)
+    val med = spark.sql(
+      "SELECT kll_quantiles(CAST(id AS DOUBLE), 200, array(0.5D))[0] FROM range(10000)")
+      .head().getDouble(0)
+    assert(math.abs(med / 10000.0 - 0.5) < 0.025)
+  }
+
   test("q36 matches exact distinct overlap on the real table") {
     val got = SparkEntry.queries("q36_theta_overlap")(spark, sfDir).head()
     val o = Graft.table(spark, sfDir, "orders")
