@@ -158,6 +158,14 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F13: equi-depth histogram — KLL-derived bin edges (approximate
+    // ranks → no cross-engine oracle); RobustStatsSpec bounds the
+    // per-bin mass deviation instead.
+    "f13_equidepth" -> ((s, dir) => {
+      FlowCyto.equiDepthHistogram(
+        t(s, dir, "lineitem"), col("l_extendedprice"), k = 10)
+    }),
+
     // F8: FCS binary round-trip — write a deterministic fixture with
     // FcsSource.write, read it back through the binaryFile-based
     // parser, aggregate per-sample channel stats. Every value is a

@@ -27,6 +27,26 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(got(1).getAs[Double]("mad") == 1.5)
   }
 
+  test("equi-depth bins hold ~n/k mass each") {
+    import SharedSpark.sfDir
+    val li = Graft.table(spark, sfDir, "lineitem")
+    val n = li.count().toDouble
+    val bins = FlowCyto.equiDepthHistogram(li, col("l_extendedprice"), k = 10)
+      .collect()
+    assert(bins.length == 10)
+    assert(bins.map(_.getAs[Long]("n")).sum == n.toLong)
+    bins.foreach { b =>
+      val share = b.getAs[Long]("n") / n
+      assert(math.abs(share - 0.1) < 0.03, s"bin $b share $share")
+    }
+    // bins tile the range: each bin's hi ≤ next bin's lo
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
+
   test("f12 query is sane on the real table") {
     import SharedSpark.sfDir
     val r = SparkEntry.queries("f12_robust_stats")(spark, sfDir).collect()
