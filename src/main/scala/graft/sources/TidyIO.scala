@@ -60,4 +60,18 @@ object TidyIO {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
     schemaDdl.fold(r)(s => r.schema(s + ", _corrupt_record STRING")).json(path)
   }
+
+  /** ORC export — the other columnar interchange format warehouses
+    * speak. Same pushdown/pruning properties as parquet (min/max
+    * stripe stats, column projection), zlib-compressed by default.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC ingest — predicate pushdown and column pruning apply exactly
+    * as with parquet (`spark.sql.orc.filterPushdown` is on by
+    * default in Spark 4).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

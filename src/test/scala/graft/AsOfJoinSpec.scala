@@ -73,6 +73,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally withBad.unpersist()
   }
 
+  test("orc round-trip preserves values and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "v")
+    TidyIO.writeOrc(df, s"$dir/orc")
+    val back = TidyIO.readOrc(spark, s"$dir/orc")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // filter reaches the ORC scan (PushedFilters in the plan text)
+    val plan = back.filter(col("id") > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"), plan)
+  }
+
   test("clustered parquet write produces partition dirs with sorted row groups") {
     val dir = java.nio.file.Files.createTempDirectory("clustered").toString
     val li = Graft.table(spark, SharedSpark.sfDir, "lineitem")
