@@ -86,6 +86,12 @@ object GraftFunctions {
   /** Distinct estimate of a theta sketch. */
   def theta_estimate(sketch: Column): Column = GraftExpressions.theta_estimate(sketch)
 
+  /** Union aggregate over stored theta sketches — roll distinct
+    * counts up along any dimension without rescanning the facts.
+    */
+  def theta_union_agg(sketch: Column, lgK: Int = 14): Column =
+    GraftExpressions.theta_union_agg(sketch, lgK)
+
   /** Distinct estimate of the intersection of two theta sketches —
     * the overlap question HLL cannot answer.
     */

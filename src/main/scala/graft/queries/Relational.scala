@@ -448,6 +448,24 @@ object Relational {
           theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
+    // R40: sketch rollup — distinct customers per order-priority from
+    // ONE fact scan, then the grand total by UNIONING the stored
+    // per-group sketches (theta_union_agg), never rescanning orders.
+    // Exact below 2^16 distinct → exact-distinct oracle.
+    "q37_sketch_rollup" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val per = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(theta_sketch(col("o_custkey"), 16).as("sk"))
+        .persist()   // grand-total branch reuses the per-group sketches
+      val rows = per.select(col("o_orderpriority").as("grp"),
+        theta_estimate(col("sk")).cast("long").as("n_cust"))
+      val total = per.agg(theta_union_agg(col("sk"), 16).as("all"))
+        .select(lit("_ALL").as("grp"),
+          theta_estimate(col("all")).cast("long").as("n_cust"))
+      rows.union(total).orderBy("grp")
+    }),
+
     // R38: z-order write clustering key — morton interleave of
     // (partkey, suppkey) mod 2^16. ZOrder.cluster (range shuffle +
     // in-partition sort) is the write-path operator, spec-checked in
@@ -745,6 +763,13 @@ object Relational {
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
         |    AS n_urgent_only""".stripMargin,
+
+    "q37_sketch_rollup" ->
+      """SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT '_ALL' AS grp, count(DISTINCT o_custkey) AS n_cust FROM orders
+        |ORDER BY grp""".stripMargin,
 
     "q34_zorder" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber,

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   * TypedImperativeAggregate serializes/merges buffers across stages.
   *
   * Returns array<double> of the requested quantiles (INCLUSIVE search
-  * criteria), null for an empty group.
+  * criteria), null for an empty group. (Spark 4.1's builtin
+  * kll_sketch_agg_double + kll_sketch_get_quantile_double chain is
+  * equivalent per value — ThetaSpec asserts agreement; this variant
+  * extracts the whole quantile ARRAY in the aggregation itself.)
   */
 case class KllQuantiles(child: Expression, k: Int, probs: Array[Double],
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -93,6 +96,12 @@ final class ThetaBuf(var upd: UpdateSketch, var uni: Union) {
   * Overlap-of-populations questions ("customers in segment A ∩ B")
   * at 100 TB are exactly this sketch.
   *
+  * Spark 4.1 ships builtin theta functions (theta_sketch_agg /
+  * theta_union / theta_intersection); graft's variants emit the SAME
+  * DataSketches compact wire format (interop asserted in ThetaSpec),
+  * add the exact-below-2^lgK sizing knob the q36/q37 oracles exploit,
+  * and return the intersection/difference ESTIMATE in one call.
+  *
   * Below 2^lgK distinct values the sketch retains every hash — the
   * estimate is EXACT (what the q36 oracle exploits); above, relative
   * standard error is ~1/sqrt(2^lgK) (~0.8% at lgK=14).
@@ -141,6 +150,61 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
   override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Union aggregate over SERIALIZED theta sketches (BINARY column) —
+  * the re-aggregation half of the sketch pattern: sketch the raw data
+  * once per fine-grained group, then roll totals up along any
+  * dimension by unioning the stored sketches, never rescanning the
+  * facts. This is how a 100 TB distinct-count cube stays one fact
+  * scan + arbitrarily many cheap rollups.
+  */
+case class ThetaUnionAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ThetaBuf]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(lgK >= 4 && lgK <= 26)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+
+  override def createAggregationBuffer(): ThetaBuf = new ThetaBuf(null, null)
+
+  override def update(buffer: ThetaBuf, input: InternalRow): ThetaBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (buffer.uni == null)
+        buffer.uni = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      buffer.uni.union(Sketches.wrapCompactSketch(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    }
+    buffer
+  }
+
+  override def merge(buffer: ThetaBuf, other: ThetaBuf): ThetaBuf = {
+    if (buffer.uni == null)
+      buffer.uni = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    buffer.uni.union(other.compact(lgK))
+    buffer
+  }
+
+  override def eval(buffer: ThetaBuf): Any = buffer.compact(lgK).toByteArray
+
+  override def serialize(buffer: ThetaBuf): Array[Byte] = buffer.compact(lgK).toByteArray
+
+  override def deserialize(bytes: Array[Byte]): ThetaBuf = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(Sketches.wrapCompactSketch(Memory.wrap(bytes)))
+    new ThetaBuf(null, u)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -796,6 +796,9 @@ object GraftExpressions {
   def theta_sketch(key: Column, lgK: Int): Column =
     col(ThetaSketchAgg(exp(key), lgK).toAggregateExpression())
 
+  def theta_union_agg(sketch: Column, lgK: Int): Column =
+    col(ThetaUnionAgg(exp(sketch), lgK).toAggregateExpression())
+
   def theta_estimate(sketch: Column): Column = col(ThetaEstimate(exp(sketch)))
 
   def theta_intersect_estimate(a: Column, b: Column): Column =

@@ -58,6 +58,42 @@ class ThetaSpec extends AnyFunSuite {
     assert(math.abs(med / 10000.0 - 0.5) < 0.025)
   }
 
+  test("union agg over stored sketches equals a fresh sketch of the union") {
+    val df = spark.range(50000).repartition(8)
+      .select((col("id") % 9000).as("k"), (col("id") % 7).as("g"))
+    val per = df.groupBy("g").agg(theta_sketch(col("k"), 14).as("sk"))
+    // qualified: Spark 4.1's own functions._ also exports a
+    // theta_union_agg (different sketch wire format than ours)
+    val viaRollup = per
+      .agg(graft.functions.GraftFunctions.theta_union_agg(col("sk"), 14).as("all"))
+      .select(theta_estimate(col("all"))).head().getDouble(0)
+    // 9000 distinct < 2^14 → both paths exact
+    assert(viaRollup == 9000.0)
+  }
+
+  test("graft sketches interoperate with Spark 4.1's builtin sketch functions") {
+    // same DataSketches compact wire format in both directions
+    val df = spark.range(5000).repartition(4).select((col("id") % 1000).as("k"))
+    // builtin agg → graft estimator
+    val viaBuiltin = df.agg(expr("theta_sketch_agg(k)").as("sk"))
+      .select(theta_estimate(col("sk"))).head().getDouble(0)
+    assert(viaBuiltin == 1000.0)
+    // graft agg → builtin estimator
+    val viaGraft = df.agg(theta_sketch(col("k"), 14).as("sk"))
+      .select(expr("theta_sketch_estimate(sk)")).head().getAs[Number](0).longValue()
+    assert(viaGraft == 1000L)
+    // KLL: graft's one-call quantile array vs the builtin two-step
+    // chain — exact-retention regime (n < k) so both are bit-equal
+    val small = spark.range(100).select(col("id").cast("double").as("v"))
+    val g = small.agg(graft.functions.GraftFunctions
+      .kll_quantiles(col("v"), 200, Seq(0.5)).as("q"))
+      .head().getSeq[Double](0).head
+    val b = small.agg(
+      expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(v, 200), 0.5)"))
+      .head().getDouble(0)
+    assert(g == b)
+  }
+
   test("q36 matches exact distinct overlap on the real table") {
     val got = SparkEntry.queries("q36_theta_overlap")(spark, sfDir).head()
     val o = Graft.table(spark, sfDir, "orders")
