@@ -30,6 +30,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zorder2: interleave is invertible and order-embeds boxes") {
+    import org.apache.spark.sql.graftx.Zorder2
+    val rnd = new Random(7)
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until 32) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    for (_ <- 1 to 500) {
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = rnd.nextLong() & 0xFFFFFFFFL
+      assert(deinterleave(Zorder2.interleave(x, y)) == ((x, y)))
+    }
+    // locality: within an aligned 2^k × 2^k tile, all z values are
+    // contiguous (the property row-group pruning relies on)
+    val k = 4
+    val bx = (rnd.nextInt(1 << 10) >> k) << k
+    val by = (rnd.nextInt(1 << 10) >> k) << k
+    val zs = for (dx <- 0 until (1 << k); dy <- 0 until (1 << k))
+      yield Zorder2.interleave(bx + dx, by + dy)
+    assert(zs.max - zs.min == (1 << (2 * k)) - 1)
+  }
+
+  test("jacobi eigendecomposition reconstructs random symmetric matrices") {
+    import graft.operators.Pca
+    val rnd = new Random(11)
+    for (_ <- 1 to 20) {
+      val d = 2 + rnd.nextInt(7)
+      val m = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- 0 to i) {
+        val v = rnd.nextGaussian()
+        m(i)(j) = v; m(j)(i) = v
+      }
+      val (values, vectors) = Pca.jacobiEigen(m)
+      // V diag(λ) Vᵀ == M to numerical precision
+      for (i <- 0 until d; j <- 0 until d) {
+        val rec = (0 until d).map(t => vectors(i)(t) * values(t) * vectors(j)(t)).sum
+        // convergence stops at Σoff² < 1e-12 → entries accurate to ~1e-6
+        assert(math.abs(rec - m(i)(j)) < 1e-6, s"d=$d ($i,$j): $rec vs ${m(i)(j)}")
+      }
+    }
+  }
+
   test("minhash signature estimates Jaccard (statistical bound)") {
     val rnd = new Random(2)
     val k = 128
