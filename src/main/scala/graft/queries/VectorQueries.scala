@@ -99,6 +99,22 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L29: SemDeDup-style semantic dedup end-to-end — embedding
+    // cosine pairs (label-blocked) → connected components → canonical
+    // representative (cluster min id) per non-singleton member. The
+    // full composition a semantic-dedup pipeline runs, as one query.
+    "d12_semantic_keep" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val pairs = Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label",
+        threshold = 0.3)
+      val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+      val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster")
+        .select(col("id").as("vec_id"), col("cluster").as("keep_id"),
+          col("cluster_size"))
+        .orderBy("keep_id", "vec_id")
+    }),
+
     // L12: multimodal blob features — SQL-expressible part (octet
     // length, md5, prefix) with a DuckDB oracle …
     "m01_blob_features" -> ((s, dir) => {
@@ -168,6 +184,25 @@ object VectorQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.de, b.de) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d12_semantic_keep" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.de, b.de) >= 0.3),
+        | edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        | reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.id),
+        | cc AS (SELECT id, min(lbl) AS keep_id FROM reach GROUP BY id)
+        |SELECT id AS vec_id, keep_id,
+        |  count(*) OVER (PARTITION BY keep_id) AS cluster_size
+        |FROM cc ORDER BY keep_id, vec_id""".stripMargin,
 
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
