@@ -76,6 +76,10 @@ object Ann {
           .groupBy("label", "dim")
           .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
           .select(col("label"), col("dim"),
+            // exact integer micro-units: floor(sq/n) in long arithmetic
+            // — a rounded double here can straddle a .5 boundary whose
+            // half-up/half-even handling differs across engines
+            expr("(sq - pmod(sq, n)) div n").as("centroid_micro"),
             round((col("sq").cast("double") / lit(sc)) / col("n").cast("double"), 6)
               .as("centroid"))
       case None =>

@@ -57,7 +57,11 @@ object VectorQueries {
     // order-independent, so the distributed result is bit-reproducible
     // and the oracle replays it exactly.
     "s04_label_centroid" -> ((s, dir) => {
+      // centroid_micro only: the exact integer micro-unit mean. The
+      // display double would round at a .5 boundary whose half-up vs
+      // half-even handling differs across engines (seen at sf0.1).
       Ann.labelCentroids(emb(s, dir), "embedding", "label")
+        .select("label", "dim", "centroid_micro")
         .orderBy("label", "dim")
     }),
 
@@ -234,11 +238,13 @@ object VectorQueries {
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
         | x AS (SELECT label, di.i AS dim,
         |         CAST(floor(de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
-        |       FROM e, (SELECT unnest(range(1, 65)) AS i) di)
+        |       FROM e, (SELECT unnest(range(1, 65)) AS i) di),
+        | a AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sq,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM x GROUP BY label, dim)
         |SELECT label, dim,
-        |  round((CAST(sum(qv) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6)
-        |    AS centroid
-        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+        |  (sq - (((sq % n) + n) % n)) // n AS centroid_micro
+        |FROM a ORDER BY label, dim""".stripMargin,
 
     "m01_blob_features" ->
       """SELECT doc_id,
