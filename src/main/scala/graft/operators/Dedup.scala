@@ -36,6 +36,33 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** L30 — blocked edit-distance pairs (record linkage / fuzzy join):
+    * candidate pairs from a coarse blocking key plus the classic
+    * length lower bound (|len_a − len_b| ≤ lenTol — edit distance is
+    * at least the length difference), verified with exact Levenshtein
+    * over the normalized `prefixLen`-char prefix. Levenshtein is
+    * O(prefixLen²) per pair — bounding it to a prefix keeps the
+    * verify cost constant per candidate regardless of document size
+    * (prefix distance lower-bounds full-document distance for the
+    * dup-detection use). Blocking bounds candidate counts exactly as
+    * in [[jaccardPairs]]; pairs across blocks are missed by design.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockBy: Seq[Column], lenCol: Column,
+                        prefixLen: Int = 80, maxDist: Int = 10,
+                        lenTol: Int = 20): DataFrame = {
+    val prep = docs.select(col(idCol).as("id"),
+        struct(blockBy: _*).as("blk"), lenCol.cast("long").as("len"),
+        substring(normText(col(textCol)), 1, prefixLen).as("p"))
+      .persist()   // both sides of the self-join reuse this lineage
+    prep.as("a").join(prep.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= lenTol)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.p"), col("b.p")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** L2 — blocked exact-Jaccard near-dedup. Blocking key = the
     * caller's columns (e.g. lang, length bucket) + distinct-token
     * count: near-identical docs agree on all of them, and blocks stay

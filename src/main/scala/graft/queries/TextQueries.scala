@@ -251,6 +251,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L30: blocked edit-distance fuzzy join — record-linkage pairing
+    // with exact Levenshtein verification on normalized 80-char
+    // prefixes; both engines implement textbook Levenshtein, so the
+    // distances oracle exactly.
+    "d13_edit_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.editDistancePairs(d, "doc_id", "text",
+          Seq(col("lang"), expr("n_chars div 100")), col("n_chars"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // L27: exact shared-4-gram pairs — verbatim-overlap dedup signal
     // (absolute shared-gram count, not Jaccard). Gram buckets on this
     // corpus max out at 4 docs, so the gram-keyed self-join is linear.
@@ -621,6 +632,17 @@ object TextQueries {
          |          WHERE e.source NOT IN ('src0', 'src1'))
          |SELECT doc_id, count(*) AS n_shared_grams
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d13_edit_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+         |    substr($normSql, 1, 80) AS p FROM documents),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    levenshtein(a.p, b.p) AS edit_dist
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.n_chars // 100 = b.n_chars // 100
+         |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20)
+         |SELECT id_a, id_b, edit_dist FROM pairs
+         |WHERE edit_dist <= 10 ORDER BY id_a, id_b""".stripMargin,
 
     "d11_shared_grams" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks

@@ -54,6 +54,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) == (3L, 2L))   // doc 4 hits "the lazy dog" in both
   }
 
+  test("edit-distance pairs verify with exact Levenshtein inside blocks") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (1L, "kitten in the yard", "en", 18L),
+      (2L, "sitting in the yard", "en", 19L),     // distance 3 from doc 1
+      (3L, "completely unrelated text here", "en", 30L),
+      (4L, "kitten in the yard", "fr", 18L)       // other block → never paired
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        Seq(col("lang")), col("n_chars"), prefixLen = 80, maxDist = 5, lenTol = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)))
+  }
+
   test("token entropy: 0 for constant doc, ln(n) for all-distinct doc") {
     import graft.operators.TextStats
     val df = Seq(
