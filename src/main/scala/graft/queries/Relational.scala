@@ -452,6 +452,21 @@ object Relational {
           theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
+    // R41: VARIANT semi-structured path — parse_json once into Spark
+    // 4's binary VARIANT, then schema-on-read extraction with
+    // variant_get (the flexible-manifest twin of q25's fixed-schema
+    // from_json; no JSONPath string evaluation per access).
+    "q38_variant_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // R40: sketch rollup — distinct customers per order-priority from
     // ONE fact scan, then the grand total by UNIONING the stored
     // per-group sketches (theta_union_agg), never rescanning orders.
@@ -767,6 +782,12 @@ object Relational {
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
         |    AS n_urgent_only""".stripMargin,
+
+    "q38_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q37_sketch_rollup" ->
       """SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS n_cust
