@@ -452,6 +452,20 @@ object Relational {
           theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
+    // R42: z-score outlier flagging — per-type mean/σ (one agg,
+    // dim-sized) broadcast back onto the events; the 3σ filter is a
+    // narrow scan. The monitoring/QC primitive over any channel.
+    "q39_zscore_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("m")) > col("sd") * 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("m")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
     // R41: VARIANT semi-structured path — parse_json once into Spark
     // 4's binary VARIANT, then schema-on-read extraction with
     // variant_get (the flexible-manifest twin of q25's fixed-schema
@@ -782,6 +796,14 @@ object Relational {
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
         |    AS n_urgent_only""".stripMargin,
+
+    "q39_zscore_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, round((value - m) / sd, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(value - m) > sd * 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q38_variant_props" ->
       """SELECT event_type, count(*) AS n,
