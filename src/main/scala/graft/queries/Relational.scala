@@ -452,6 +452,27 @@ object Relational {
           theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
+    // R43: funnel analysis — how far each user progresses through
+    // view → click → purchase, as conditional first-occurrence
+    // timestamps in ONE aggregation pass (no joins, no sequence
+    // explode; integer micros → exact). stage = deepest step whose
+    // first occurrence strictly follows the previous step's.
+    "q40_funnel" -> ((s, dir) => {
+      def firstTs(tpe: String) =
+        min(when(col("event_type") === tpe, unix_micros(col("ts"))))
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_buy"))
+        .select(col("user_id"),
+          when(col("t_view").isNull, 0)
+            .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1)
+            .when(col("t_buy").isNull || col("t_buy") <= col("t_click"), 2)
+            .otherwise(3).cast("long").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
+
     // R42: z-score outlier flagging — per-type mean/σ (one agg,
     // dim-sized) broadcast back onto the events; the 3σ filter is a
     // narrow scan. The monitoring/QC primitive over any channel.
@@ -796,6 +817,21 @@ object Relational {
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
         |    AS n_urgent_only""".stripMargin,
+
+    "q40_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id),
+        | st AS (SELECT user_id,
+        |    CASE WHEN t_view IS NULL THEN 0
+        |         WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |         WHEN t_buy IS NULL OR t_buy <= t_click THEN 2
+        |         ELSE 3 END AS stage
+        |  FROM f)
+        |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q39_zscore_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
