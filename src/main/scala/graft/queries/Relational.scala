@@ -452,6 +452,22 @@ object Relational {
           theta_a_not_b_estimate(col("sa"), col("sb")).cast("long").as("n_urgent_only"))
     }),
 
+    // R44: retention cohorts — users bucketed by first-seen day,
+    // distinct actives per (cohort, weeks-since). The cohort frame is
+    // user-cardinality (NOT broadcast — it scales with the fact side);
+    // the join shuffles on user_id, then one keyed distinct-agg.
+    // Pure integer date arithmetic → exact.
+    "q41_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val first = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+      e.select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(first, "user_id")
+        .groupBy(col("cohort"),
+          floor(datediff(col("d"), col("cohort")) / 7).cast("long").as("week"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "week")
+    }),
+
     // R43: funnel analysis — how far each user progresses through
     // view → click → purchase, as conditional first-occurrence
     // timestamps in ONE aggregation pass (no joins, no sequence
@@ -817,6 +833,15 @@ object Relational {
         |    WHERE o_orderpriority = '1-URGENT' AND o_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
         |    AS n_urgent_only""".stripMargin,
+
+    "q41_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort,
+        |  CAST(floor(date_diff('day', cohort, CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY cohort, week ORDER BY cohort, week""".stripMargin,
 
     "q40_funnel" ->
       """WITH f AS (SELECT user_id,
