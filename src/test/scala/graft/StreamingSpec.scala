@@ -154,6 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming z-score monitor: static stats prune a live stream") {
+    // the streaming twin of q39: per-type μ/σ computed batch-side
+    // (dim-sized, broadcast into the stream), 3σ filter on the stream
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Seq(("click", 10.0, 2.0), ("view", 100.0, 5.0))
+      .toDF("event_type", "m", "sd")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = df.join(org.apache.spark.sql.functions.broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("m")) > col("sd") * 3.0)
+      .select("event_type", "value")
+      .writeStream.format("memory").queryName("zmon")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), "click", 10.5),   // inlier
+        (ts(2), "click", 30.0),   // outlier (z = 10)
+        (ts(3), "view", 99.0),    // inlier
+        (ts(4), "view", 60.0),    // outlier (z = -8)
+        (ts(5), "error", 1e9))    // unknown type → dropped by the join
+      q.processAllAvailable()
+      val got = spark.table("zmon").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == Set(("click", 30.0), ("view", 60.0)))
+    } finally q.stop()
+  }
+
   test("st01/st02 batch queries run on the real events table") {
     val w = SparkEntry.queries("st01_window_agg")(spark, sfDir)
     assert(w.count() > 0)
