@@ -78,6 +78,38 @@ object StreamQueries {
         .orderBy("win_start_s", "event_type")
     }),
 
+    // R35 as a checked query: batch twin of the stream-stream interval
+    // join (SkewAndStreamSpec runs the watermarked streaming form of
+    // exactly this predicate): each purchase matches the same user's
+    // clicks in the preceding 10 minutes. Integer-micro bounds → exact.
+    "st07_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("tp"))
+      c.join(p, Seq("user_id"))
+        .filter(col("tc") <= col("tp") && col("tc") >= col("tp") - lit(600000000L))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          ((col("tp") - col("tc")) / lit(1000000L)).cast("long").as("lag_s"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // R32 as a checked query: batch twin of the stream-static dim join
+    // (broadcast dim enriches the fact/stream side; the streaming form
+    // with the identical join runs in SkewAndStreamSpec).
+    "st08_dim_enrich" -> ((s, dir) => {
+      val nation = Graft.table(s, dir, "nation").select("n_nationkey", "n_name")
+      events(s, dir)
+        .withColumn("n_nationkey", pmod(col("user_id"), lit(25L)))
+        .join(broadcast(nation), Seq("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("n_name")
+    }),
+
     // S5: per-sliding-window top-k event types. Batch twin of the
     // flatMapGroupsWithState streaming form (StreamingSpec asserts
     // the twin equivalence); rank partitioned by window key — no
@@ -148,6 +180,22 @@ object StreamQueries {
         |SELECT win_start_s, event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM x GROUP BY win_start_s, event_type
         |ORDER BY win_start_s, event_type""".stripMargin,
+
+    "st07_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, purchase_id,
+        |  (tp - tc) // 1000000 AS lag_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND tc <= tp AND tc >= tp - 600000000
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "st08_dim_enrich" ->
+      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "st06_sliding_topk" ->
       """WITH e AS (SELECT event_type, value,
