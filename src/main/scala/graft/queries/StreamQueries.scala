@@ -2,13 +2,20 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import graft.Graft
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, StreamRun}
 
-/** Streaming operators in their batch-equivalent form — SURVEY.md
-  * §2.4. The same transforms run on readStream inputs (asserted by
-  * the streaming specs with MemoryStream); the batch run is what the
-  * DuckDB oracle can check.
+/** Streaming operators — SURVEY.md §2.4. st01/st03/st05/st07/st08/st09
+  * execute the REAL Structured Streaming engine (readStream →
+  * MicroBatchExecution → memory sink via StreamRun) under the driver's
+  * DuckDB oracle; their results are batch-equal by construction
+  * (complete-mode aggregation / inner-join emission / key-only dedup —
+  * see StreamRun's determinism contract). st02/st04/st06 stay batch
+  * twins because their streaming forms' row payloads depend on arrival
+  * order or watermark-gated sealing (keep-first's surviving row,
+  * rank-at-window-close) — those streaming forms run in StreamingSpec
+  * with MemoryStream instead.
   */
 object StreamQueries {
 
@@ -16,9 +23,12 @@ object StreamQueries {
     Graft.table(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1: tumbling-window aggregate.
+    // S1: tumbling-window aggregate, driven through the streaming
+    // engine. Complete mode: final sink state == batch aggregate
+    // regardless of micro-batch boundaries (no watermark needed for a
+    // finite AvailableNow run; production would watermark + append).
     "st01_window_agg" -> ((s, dir) => {
-      Sessionize.tumblingAgg(events(s, dir))
+      StreamRun.onEvents(s, dir, OutputMode.Complete())(Sessionize.tumblingAgg(_))
         .orderBy("hour_start", "event_type")
     }),
 
@@ -35,16 +45,20 @@ object StreamQueries {
         .orderBy("user_id", "session_idx")
     }),
 
-    // S2b: the same sessionization via Spark's NATIVE session_window
-    // (the streaming-capable gap-window operator). Semantics differ
-    // from st02 at an exact-gap boundary: session_window merges only
-    // strictly-overlapping windows (split at diff >= gap), while the
-    // lag formulation splits at diff > gap — the oracle mirrors >=.
-    // duration is exact integer micros: window.end = last event + gap.
+    // S2b: the same sessionization via Spark's NATIVE session_window,
+    // executed by the streaming engine (complete mode: the session-
+    // merging state is retained and fully re-emitted, so the final
+    // sink equals the batch result however the input is micro-
+    // batched). Semantics differ from st02 at an exact-gap boundary:
+    // session_window merges only strictly-overlapping windows (split
+    // at diff >= gap), while the lag formulation splits at diff > gap
+    // — the oracle mirrors >=. duration is exact integer micros:
+    // window.end = last event + gap.
     "st03_session_window" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"))
+      StreamRun.onEvents(s, dir, OutputMode.Complete()) { e =>
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+      }
         .select(col("user_id"),
           unix_micros(col("sw.start")).as("session_start_us"),
           expr("(unix_micros(sw.end) - 1800000000 - unix_micros(sw.start)) div 1000000")
@@ -69,45 +83,67 @@ object StreamQueries {
         .orderBy("user_id", "event_type")
     }),
 
-    // S4: sliding-window aggregate (10-min window, 5-min slide): each
-    // event expands into its two covering windows before one keyed
-    // aggregation. Oracle replays the expansion as unnest of the two
-    // slide-aligned starts.
+    // S4: sliding-window aggregate (10-min window, 5-min slide) through
+    // the streaming engine, complete mode: each event expands into its
+    // two covering windows before one keyed aggregation (Spark's
+    // window() does the expansion map-side). Oracle replays the
+    // expansion as unnest of the two slide-aligned starts.
     "st05_sliding" -> ((s, dir) => {
-      graft.streaming.Sessionize.slidingAgg(events(s, dir))
+      StreamRun.onEvents(s, dir, OutputMode.Complete())(Sessionize.slidingAgg(_))
         .orderBy("win_start_s", "event_type")
     }),
 
-    // R35 as a checked query: batch twin of the stream-stream interval
-    // join (SkewAndStreamSpec runs the watermarked streaming form of
-    // exactly this predicate): each purchase matches the same user's
-    // clicks in the preceding 10 minutes. Integer-micro bounds → exact.
+    // R35: stream-stream interval join executed by the streaming
+    // engine — the same file stream is read as two branches (clicks /
+    // purchases), each event-time watermarked, inner-joined on
+    // user_id with a 10-minute event-time range. Append mode is exact
+    // for inner joins: a match is emitted in whichever micro-batch
+    // completes the pair; watermarks only bound the state buffer.
     "st07_interval_join" -> ((s, dir) => {
-      val e = events(s, dir)
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("tc"))
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("tp"))
-      c.join(p, Seq("user_id"))
-        .filter(col("tc") <= col("tp") && col("tc") >= col("tp") - lit(600000000L))
-        .select(col("user_id"), col("click_id"), col("purchase_id"),
-          ((col("tp") - col("tc")) / lit(1000000L)).cast("long").as("lag_s"))
-        .orderBy("user_id", "click_id", "purchase_id")
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+          .withWatermark("tc", "30 minutes")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+          .withWatermark("tp", "30 minutes")
+        c.join(p, col("user_id") === col("p_user_id") &&
+            col("tc") <= col("tp") &&
+            col("tc") >= col("tp") - expr("interval 10 minutes"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            ((unix_micros(col("tp")) - unix_micros(col("tc"))) / lit(1000000L))
+              .cast("long").as("lag_s"))
+      }.orderBy("user_id", "click_id", "purchase_id")
     }),
 
-    // R32 as a checked query: batch twin of the stream-static dim join
-    // (broadcast dim enriches the fact/stream side; the streaming form
-    // with the identical join runs in SkewAndStreamSpec).
+    // R32: stream-static dim join through the streaming engine — the
+    // event stream broadcast-joins the static nation dim (re-read per
+    // micro-batch in general; one batch here), then a complete-mode
+    // rollup. The incremental form with MemoryStream input also runs
+    // in SkewAndStreamSpec.
     "st08_dim_enrich" -> ((s, dir) => {
       val nation = Graft.table(s, dir, "nation").select("n_nationkey", "n_name")
-      events(s, dir)
-        .withColumn("n_nationkey", pmod(col("user_id"), lit(25L)))
-        .join(broadcast(nation), Seq("n_nationkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .orderBy("n_name")
+      StreamRun.onEvents(s, dir, OutputMode.Complete()) { e =>
+        e.withColumn("n_nationkey", pmod(col("user_id"), lit(25L)))
+          .join(broadcast(nation), Seq("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      }.orderBy("n_name")
+    }),
+
+    // S3 through the real engine: streaming dropDuplicates over the
+    // (user_id, event_type) state store, append mode. Only the KEY
+    // columns are exposed: which duplicate row survives is arrival-
+    // order-dependent, the key set is not — so the emitted set equals
+    // SELECT DISTINCT and the oracle can hash-check the real
+    // incremental dedup path. (st04 keeps the deterministic keep-first
+    // payload as a batch twin.)
+    "st09_stream_dedup" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+      }.orderBy("user_id", "event_type")
     }),
 
     // S5: per-sliding-window top-k event types. Batch twin of the
@@ -209,6 +245,10 @@ object StreamQueries {
         |  FROM agg)
         |SELECT win_start_s, event_type, n, total, rnk
         |FROM rnk WHERE rnk <= 2
-        |ORDER BY win_start_s, rnk""".stripMargin
+        |ORDER BY win_start_s, rnk""".stripMargin,
+
+    "st09_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

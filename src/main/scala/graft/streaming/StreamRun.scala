@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Drive a transform through the REAL Structured Streaming engine and
+  * hand the result back as a batch DataFrame.
+  *
+  * `events` is re-read as a file-source stream (explicit schema — file
+  * streams don't infer), the transform's plan runs under
+  * MicroBatchExecution with `Trigger.AvailableNow()` (process all
+  * files that exist now, then stop), and the output lands in a memory
+  * sink whose table we return. This is what lets the driver's DuckDB
+  * oracle check the *incremental* execution path — the executed plan
+  * is a MicroBatchWrite epoch over StateStoreSave/StreamingDeduplicate
+  * /StreamingSymmetricHashJoin operators (see StreamRunSpec).
+  *
+  * Determinism contract (what makes these oracle-checkable):
+  *   - Complete-mode aggregations re-emit the whole state each
+  *     trigger, so the final table equals the batch aggregate no
+  *     matter how the input was chopped into micro-batches.
+  *   - Append-mode *inner* joins emit a match in whichever batch
+  *     completes the pair — the final SET of rows is batch-equal
+  *     (watermarks only govern state cleanup, not inner-join output).
+  *   - Append-mode dropDuplicates emits exactly one row per key; we
+  *     only expose the key columns, because WHICH duplicate arrives
+  *     at the state store first is arrival-order-dependent.
+  * Aggregations whose *row payloads* depend on arrival order (keep-
+  * first dedup) or need rank-over-closed-window (sliding top-k) stay
+  * batch twins + stateful specs — see StreamQueries' per-query notes.
+  *
+  * Scale note: the memory sink is the verification harness, not the
+  * production path — a real deployment points the same `writeStream`
+  * at a parquet/kafka sink with a durable checkpoint dir. All state
+  * here is bounded: complete-mode aggregates are O(groups), the
+  * interval join's buffer is trimmed by its watermarks.
+  */
+object StreamRun {
+
+  /** Physical plan of the most recent micro-batch execution — evidence
+    * for specs/PERF audits that the incremental engine (MicroBatchScan
+    * + StateStore operators) ran, not a batch rewrite. Captured via the
+    * public `StreamingQuery.explain()` (prints lastExecution).
+    */
+  @volatile var lastPlan: String = ""
+
+  /** Run `transform` on a streamed read of `<dir>/<table>.parquet`,
+    * collect into a memory sink, return the sink contents.
+    */
+  def onTable(s: SparkSession, dir: String, table: String, mode: OutputMode)
+             (transform: DataFrame => DataFrame): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$table.parquet"
+    // Schema from a (metadata-only) batch read; the events table's
+    // TIMESTAMP(NANOS) arrives as long and is truncated to micro
+    // timestamps exactly like Graft.table does for batch.
+    val schema = s.read.parquet(path).schema
+    // The driver's tables are single .parquet FILES. The file stream
+    // source only accepts a non-glob path if it is a directory (it
+    // force-sets basePath to it); a glob path skips that check, so
+    // turn the last character into a one-char character class.
+    val globPath = path.dropRight(1) + "[" + path.last + "]"
+    val raw = s.readStream.schema(schema).parquet(globPath)
+    val src =
+      if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val name = "graft_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val q = transform(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      lastPlan = buf.toString
+    } catch { case _: Throwable => lastPlan = "" }
+    // Dataset construction analyzes eagerly, so the memory-sink
+    // relation is captured in the plan and the temp view can go.
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  def onEvents(s: SparkSession, dir: String, mode: OutputMode)
+              (transform: DataFrame => DataFrame): DataFrame =
+    onTable(s, dir, "events", mode)(transform)
+}

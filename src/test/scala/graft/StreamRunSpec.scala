@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Sessionize, StreamRun}
+
+/** StreamRun drives the REAL incremental engine: the driver-checked
+  * streaming queries (st01/st03/st05/st07/st08/st09) must execute
+  * under MicroBatchExecution — not be silently rewritten to batch —
+  * and their sink contents must equal the batch plan's result.
+  */
+class StreamRunSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  private val dir = SharedSpark.sfDir
+
+  test("complete-mode tumbling agg runs as a micro-batch plan and equals batch") {
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Complete())(
+      Sessionize.tumblingAgg(_))
+    // plan evidence, captured from StreamingQuery.explain() after the
+    // AvailableNow run: MicroBatchWrite (the incremental epoch sink)
+    // above a StateStoreSave/Restore pair — the v1 file source prints
+    // as FileScan, so the write + state operators are the markers
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite"),
+      s"expected a micro-batch epoch write in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("StateStoreSave"),
+      s"expected stateful aggregation in:\n${StreamRun.lastPlan}")
+    val batch = Sessionize.tumblingAgg(Graft.table(spark, dir, "events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("append-mode streaming dedup emits exactly the distinct key set") {
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      e.select("user_id", "event_type").dropDuplicates("user_id", "event_type")
+    }
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite") &&
+      StreamRun.lastPlan.contains("StreamingDeduplicate"))
+    val batch = Graft.table(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("append-mode interval join emits the exact inner-join match set") {
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("tc"))
+        .withWatermark("tc", "30 minutes")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("tp"))
+        .withWatermark("tp", "30 minutes")
+      c.join(p, col("user_id") === col("p_user_id") &&
+        col("tc") <= col("tp") &&
+        col("tc") >= col("tp") - expr("interval 10 minutes"))
+        .select("user_id", "click_id", "purchase_id")
+    }
+    val e = Graft.table(spark, dir, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("tp"))
+    val batch = c.join(p, col("user_id") === col("p_user_id") &&
+      col("tc") <= col("tp") &&
+      col("tc") >= col("tp") - expr("interval 10 minutes"))
+      .select("user_id", "click_id", "purchase_id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
