@@ -65,7 +65,7 @@ object GraftSparkExtensions {
     ("kll_quantiles", info("kll_quantiles",
       "kll_quantiles(x, k, array(p1, p2, ...)) - KLL sketch quantiles"), {
       case Seq(x, Literal(k: Int, IntegerType), arr) if arr.foldable =>
-        KllQuantiles(x, k, arr.eval().asInstanceOf[ArrayData].toDoubleArray())
+        KllQuantiles(x, k, arr.eval().asInstanceOf[ArrayData].toDoubleArray().toList)
       case es => throw new IllegalArgumentException(
         s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
     }))

@@ -107,6 +107,13 @@ object GraftFunctions {
     */
   def vec_stats(v: Column, d: Int): Column = GraftExpressions.vec_stats(v, d)
 
+  /** Frequent-items (heavy hitters) sketch aggregate: top-k items by
+    * estimated count as array<struct<item,est>>; exact while distinct
+    * items stay under ~0.75·maxMapSize (no counter eviction).
+    */
+  def freq_items(v: Column, maxMapSize: Int = 1 << 12, k: Int = 20): Column =
+    GraftExpressions.freq_items(v, maxMapSize, k)
+
   /** Codegen'd projection onto k constant planes with per-plane
     * offsets: out[j] = dot(v, planes[j]) − offsets[j].
     */

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * variants directly), so this converges in a handful of rounds.
   * Each round is one equi-join plus one min-aggregate, both shuffling
   * on node id — linear in |E| per round, no cross product anywhere.
-  * For adversarially deep graphs (long chains), swap the round body
-  * for large-star/small-star (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") — same join+agg primitives, O(log²)
-  * rounds; not needed for dedup-shaped graphs.
+  * For adversarially deep graphs (long chains), [[alternatingStar]]
+  * implements the large-star/small-star fallback (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") — same join+agg
+  * primitives, O(log²) rounds instead of O(diameter).
   *
   * Driver-side iteration with a per-round convergence check is the
   * standard Spark shape for iterative graph algorithms (GraphX's
@@ -82,5 +82,84 @@ object ConnectedComponents {
     // The final (small: one row per edge-node) frame stays persisted
     // for the caller; the context cleaner reclaims it once dropped.
     labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al. 2014): the
+    * opt-in fallback for graphs whose diameter makes [[minLabel]]'s
+    * O(diameter) rounds prohibitive — a 1000-link chain converges in
+    * a handful of alternations instead of ~1000 label hops, because
+    * each large-star round HALVES long paths (every node re-links to
+    * its neighborhood minimum) rather than advancing labels one hop.
+    *
+    * Round body, all equi-join + min-agg on node id (linear shuffles,
+    * same primitives as minLabel — no cross product):
+    *   large-star(u): link every neighbor v > u to min(Γ(u) ∪ {u})
+    *   small-star(u): link u and its lower neighbors to their min
+    * Edges stay canonical (src > dst); the fixpoint is a star forest
+    * whose centers are the component minima, read off directly.
+    *
+    * Same contract as [[minLabel]]: returns (id, cluster = component
+    * min) for every node appearing in `edges`. Prefer minLabel for
+    * dedup-shaped (shallow) graphs — fewer jobs per round and no
+    * exact set-equality convergence check.
+    */
+  def alternatingStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ec = edges.columns
+    // canonical undirected edge list: (src, dst) with src > dst
+    var cur = edges
+      .select(col(ec(0)).as("a"), col(ec(1)).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var curCnt = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star over the symmetric view: for each u, every strictly
+      // larger neighbor re-links to m = min(Γ(u) ∪ {u}); m < v always,
+      // so output stays canonical
+      val nbr = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mn = nbr.groupBy("src").agg(min("dst").as("mn"))
+      val large = nbr.join(mn, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+        .distinct()
+      // small-star: every edge already points down, so per node u the
+      // lower neighborhood min m re-links u and its other lower
+      // neighbors
+      val mn2 = large.groupBy("src").agg(min("dst").as("m"))
+      val next0 = large.join(mn2, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mn2.select(col("src"), col("m").as("dst")))
+        .distinct()
+      // The round body references `cur` several times (symmetric view,
+      // both stars, the equality check), so the LOGICAL plan grows
+      // multiplicatively per round even though execution shortcuts
+      // through the persisted data — checkpoint every 2nd round to
+      // keep driver-side analysis flat.
+      val next = (if (round % 2 == 1) next0.localCheckpoint() else next0)
+        .persist(MEMORY_AND_DISK)
+      val nextCnt = next.count()
+      // fixpoint = edge SET unchanged (a star forest maps to itself
+      // under both phases). Count first as the cheap short-circuit;
+      // exact set equality only when counts match — sums could
+      // collide, and this path exists for correctness on adversarial
+      // graphs.
+      converged = nextCnt == curCnt &&
+        next.exceptAll(cur).limit(1).count() == 0
+      cur.unpersist()
+      cur = next
+      curCnt = nextCnt
+      round += 1
+    }
+    // star forest → assignments; centers appear only as dst (their
+    // cluster is themselves)
+    cur.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(cur.select(col("dst").as("id"), col("dst").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
   }
 }

@@ -69,7 +69,11 @@ object CorpusOps {
     val grams = docs.select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions
           .ngram_hashes(tokens(col(textCol)), n)).as("g"))
-      .persist()   // both sides of the self-join reuse this lineage
+      // Both sides of the self-join reuse this lineage. Not unpersisted
+      // here (the lazy result must outlive the call): loop callers
+      // should clearCache between actions as Verify/Bench do, else
+      // LRU block eviction bounds the cache.
+      .persist()
     val pruned = cap match {
       case Some(c) =>
         val hot = grams.groupBy("g").agg(count(lit(1)).as("nd"))

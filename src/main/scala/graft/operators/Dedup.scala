@@ -46,15 +46,35 @@ object Dedup {
     * (prefix distance lower-bounds full-document distance for the
     * dup-detection use). Blocking bounds candidate counts exactly as
     * in [[jaccardPairs]]; pairs across blocks are missed by design.
+    *
+    * `cap`: hot-block guard, same contract as [[simhashPairs]] — the
+    * block self-join emits B² candidates on a degenerate block, so at
+    * scale pass Some(n) to drop blocks larger than n entirely (under-
+    * reporting pairs). The DEFAULT None is exact: every block is
+    * expanded, which is what the oracle checks.
+    *
+    * The prepped projection is persisted because both sides of the
+    * self-join reuse it; it is NOT unpersisted here (the result is
+    * lazy — the cache must outlive this call). Callers that loop
+    * should `spark.catalog.clearCache()` between actions, as
+    * Verify/Bench do; otherwise Spark's LRU block eviction bounds it.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         blockBy: Seq[Column], lenCol: Column,
                         prefixLen: Int = 80, maxDist: Int = 10,
-                        lenTol: Int = 20): DataFrame = {
-    val prep = docs.select(col(idCol).as("id"),
+                        lenTol: Int = 20, cap: Option[Int] = None): DataFrame = {
+    val prep0 = docs.select(col(idCol).as("id"),
         struct(blockBy: _*).as("blk"), lenCol.cast("long").as("len"),
         substring(normText(col(textCol)), 1, prefixLen).as("p"))
-      .persist()   // both sides of the self-join reuse this lineage
+      .persist()
+    val prep = cap match {
+      case Some(n) => prep0
+        .withColumn("blk_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+        .filter(col("blk_n") <= n)
+        .drop("blk_n")
+      case None => prep0
+    }
     prep.as("a").join(prep.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= lenTol)

@@ -46,9 +46,17 @@ object Pca {
     }
     val (values, vectors) = jacobiEigen(cov)
     val order = values.indices.sortBy(i => -values(i)).take(k)
-    Model(mean,
-      order.map(i => Array.tabulate(d)(r => vectors(r)(i))).toArray,
-      order.map(values).toArray)
+    // Sign convention: an eigenvector's sign is arbitrary — pin the
+    // largest-|coordinate| entry positive so repeated fits project
+    // with consistent orientation. (Not enough for a cross-engine
+    // oracle: the Gram itself carries parallel-double-sum jitter and
+    // DuckDB has no eigensolver to mirror — s06 stays rows-only.)
+    val comps = order.map { i =>
+      val c = Array.tabulate(d)(r => vectors(r)(i))
+      val pivot = c.indices.maxBy(r => math.abs(c(r)))
+      if (c(pivot) < 0) c.map(x => -x) else c
+    }.toArray
+    Model(mean, comps, order.map(values).toArray)
   }
 
   /** Append `asCols` projection columns (pc1..pck) of `vec` under the

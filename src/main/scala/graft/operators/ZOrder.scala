@@ -26,12 +26,20 @@ object ZOrder {
   /** The clustering key: morton interleave of the low `bits` bits of
     * each column (keys are masked, so callers bucket or mod larger
     * domains first).
+    *
+    * At bits == 32 the interleave fills all 64 bits, putting y's bit
+    * 31 in the SIGN bit — a signed range-partition/sort would then
+    * invert the top half of the curve, silently breaking the 2-D
+    * clustering. The key is a sort key, not a value, so we flip the
+    * sign bit (order-isomorphic to the unsigned Morton code) in that
+    * one case; below 32 bits the interleave is sign-free.
     */
   def zkey(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 32)
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     val mask = (1L << bits) - 1
-    GraftFunctions.zorder2(x.cast("long").bitwiseAND(lit(mask)),
+    val z = GraftFunctions.zorder2(x.cast("long").bitwiseAND(lit(mask)),
       y.cast("long").bitwiseAND(lit(mask)))
+    if (bits == 32) z.bitwiseXOR(lit(Long.MinValue)) else z
   }
 
   /** df clustered for writing: range-partitioned and sorted by the

@@ -173,13 +173,20 @@ object FlowCytoQueries {
     // DATA segment stores it exactly and the DuckDB oracle can
     // regenerate the identical values from range() without parsing FCS.
     "f08_fcs_roundtrip" -> ((s, dir) => {
-      val fix = new java.io.File("/tmp/graft_f08_fixture")
-      fix.mkdirs()
+      // per-invocation temp dir: a fixed global path let two
+      // concurrent harness runs read each other's half-written
+      // fixtures. The result is lazy, so the files must outlive this
+      // builder — deleteOnExit (dir registered first = deleted last)
+      // cleans up at JVM shutdown instead.
+      val fix = java.nio.file.Files.createTempDirectory("graft_f08_").toFile
+      fix.deleteOnExit()
       val chans = Seq("FSC_A", "SSC_A", "FL1_A")
       f08Samples.foreach { case (f, si, n) =>
         val rows = (0 until n).map(i =>
           Array.tabulate(chans.length)(j => f08Value(si, i, j)))
-        FcsSource.write(new java.io.File(fix, f).getPath, chans, rows)
+        val out = new java.io.File(fix, f)
+        out.deleteOnExit()
+        FcsSource.write(out.getPath, chans, rows)
       }
       FcsSource.read(s, fix.getPath)
         .withColumn("sample", element_at(split(col("file"), "/"), -1))

@@ -527,7 +527,9 @@ object Relational {
       val per = t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(theta_sketch(col("o_custkey"), 16).as("sk"))
-        .persist()   // grand-total branch reuses the per-group sketches
+        // grand-total branch reuses the per-group sketches; freed by
+        // the drivers' per-query clearCache (result is lazy)
+        .persist()
       val rows = per.select(col("o_orderpriority").as("grp"),
         theta_estimate(col("sk")).cast("long").as("n_cust"))
       val total = per.agg(theta_union_agg(col("sk"), 16).as("all"))

@@ -208,10 +208,16 @@ object TextQueries {
     // log-free PMI variant (Math.log differs in the last ulp across
     // engines; a fixed-shape mul/div chain is bit-identical). The
     // unigram vocab is broadcast to both probe sides; the bigram table
-    // is persisted because the total-count branch reuses it.
+    // is persisted because the total-count branch reuses it (cache
+    // freed by the drivers' per-query clearCache, not here — the
+    // result is lazy and must outlive this builder).
     "t13_bigram_lift" -> ((s, dir) => {
       val toks = docs(s, dir).select(Dedup.tokens(col("text")).as("toks"))
-      val bi = toks.select(explode(arrays_zip(
+      // guard: a doc with <2 tokens has no bigrams, and slice() with a
+      // negative length (size-1 when size=0) is a runtime error — the
+      // oracle's list ops tolerate empties, so crash-vs-result is the
+      // only way the engines could diverge here
+      val bi = toks.filter(size(col("toks")) >= 2).select(explode(arrays_zip(
           slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -278,6 +284,24 @@ object TextQueries {
       import graft.operators.TextStats
       TextStats.tokenEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // L31: corpus heavy hitters in ONE sketch aggregate (Misra-Gries
+    // family, FreqItemsAgg): top-20 tokens with counts, no full-vocab
+    // shuffle — partials are O(maxMapSize) and tree-merge. maxMapSize
+    // 2^15 exceeds this corpus's vocabulary, so every count is exact
+    // (no counter eviction) and the plain GROUP BY oracle matches
+    // bit-for-bit; at real scale the same plan degrades gracefully to
+    // ±n/maxMapSize error bounds instead of blowing up the shuffle.
+    "t15_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      docs(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .agg(GraftFunctions.freq_items(col("tok"), 1 << 15, 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("col.item").as("token"), col("col.est").as("n"))
+        .orderBy("rnk")
     }),
 
     // L18: Gopher-style repetition signals (dup-token fraction, top
@@ -664,6 +688,18 @@ object TextQueries {
          |SELECT doc_id, n AS n_tokens,
          |  round(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 4) AS entropy
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // t15: exact regime — sketch capacity above vocabulary, so the
+    // plain GROUP BY count is the ground truth; (n DESC, token) is a
+    // total order shared by both sides.
+    "t15_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         | agg AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks GROUP BY token)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+         |  token, n
+         |FROM agg ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

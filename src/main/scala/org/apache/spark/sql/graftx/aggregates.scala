@@ -5,6 +5,8 @@
  */
 package org.apache.spark.sql.graftx
 
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
@@ -31,11 +33,17 @@ import org.apache.spark.sql.types._
   * equivalent per value — ThetaSpec asserts agreement; this variant
   * extracts the whole quantile ARRAY in the aggregation itself.)
   */
-case class KllQuantiles(child: Expression, k: Int, probs: Array[Double],
+case class KllQuantiles(child: Expression, k: Int, probs: Seq[Double],
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
   with ImplicitCastInputTypes with UnaryLike[Expression] {
-  require(k >= 8 && probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0))
+  // Seq, not Array: expression equality/canonicalization is structural
+  // on case-class fields, and an Array field compares by reference —
+  // two identical kll_quantiles calls would never dedup as common
+  // subexpressions. Materialized to an array once for eval.
+  require(k >= 8 && probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"kll_quantiles: need k >= 8 (got $k) and probs in [0,1] (got $probs)")
+  @transient private lazy val probsArr: Array[Double] = probs.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -58,7 +66,7 @@ case class KllQuantiles(child: Expression, k: Int, probs: Array[Double],
 
   override def eval(buffer: KllDoublesSketch): Any =
     if (buffer.isEmpty) null
-    else new GenericArrayData(buffer.getQuantiles(probs, QuantileSearchCriteria.INCLUSIVE))
+    else new GenericArrayData(buffer.getQuantiles(probsArr, QuantileSearchCriteria.INCLUSIVE))
 
   override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
 
@@ -77,14 +85,22 @@ case class KllQuantiles(child: Expression, k: Int, probs: Array[Double],
   * lazily keeps the common single-phase update path allocation-light.
   */
 final class ThetaBuf(var upd: UpdateSketch, var uni: Union) {
-  /** Fold everything into one compact sketch (empties the buffer). */
+  /** Fold everything into one compact sketch. IDEMPOTENT: `upd` is
+    * folded INTO `uni` (never just nulled), so repeated serialize/eval
+    * on the same buffer returns the same sketch — Spark's current call
+    * sequences never re-read a buffer after serialize, but a
+    * destructive fold here would silently empty the sketch if one
+    * ever did (ThetaSpec pins the double-serialize case).
+    */
   def compact(lgK: Int): CompactSketch = {
-    if (uni == null && upd == null) UpdateSketch.builder().build().compact()
-    else if (uni == null) { val c = upd.compact(); upd = null; c }
-    else {
-      if (upd != null) { uni.union(upd.compact()); upd = null }
-      uni.getResult
+    if (upd != null) {
+      if (uni == null)
+        uni = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      uni.union(upd.compact())
+      upd = null
     }
+    if (uni == null) UpdateSketch.builder().build().compact()
+    else uni.getResult
   }
 }
 
@@ -271,17 +287,28 @@ case class VecStatsAgg(child: Expression, d: Int,
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      if (a.numElements() == d) {
-        buffer(0) += 1.0
-        var i = 0
-        var g = 1 + d
-        while (i < d) {
-          val x = a.getFloat(i).toDouble
-          buffer(1 + i) += x
-          var j = 0
-          while (j <= i) { buffer(g) += x * a.getFloat(j); g += 1; j += 1 }
-          i += 1
-        }
+      // fail fast on malformed vectors: silently skipping a wrong
+      // dimension (or reading a null element as 0.0) would skew the
+      // mean/covariance with no signal to the caller
+      if (a.numElements() != d)
+        throw new IllegalArgumentException(
+          s"vec_stats: expected dimension $d, got ${a.numElements()}")
+      var i = 0
+      while (i < d) {
+        if (a.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"vec_stats: null element at index $i (dim $d vector)")
+        i += 1
+      }
+      buffer(0) += 1.0
+      i = 0
+      var g = 1 + d
+      while (i < d) {
+        val x = a.getFloat(i).toDouble
+        buffer(1 + i) += x
+        var j = 0
+        while (j <= i) { buffer(g) += x * a.getFloat(j); g += 1; j += 1 }
+        i += 1
       }
     }
     buffer
@@ -321,25 +348,31 @@ case class VecStatsAgg(child: Expression, d: Int,
   * component, so the hot loop is a pure dot product (codegen'd, same
   * shape as SrpCode).
   */
-case class ProjectPlanes(child: Expression, planes: Array[Array[Double]],
-                         offsets: Array[Double])
+case class ProjectPlanes(child: Expression, planes: Seq[Seq[Double]],
+                         offsets: Seq[Double])
     extends UnaryExpression with ImplicitCastInputTypes {
-  require(planes.length == offsets.length)
+  // Seq fields for structural expression equality (see KllQuantiles);
+  // flattened to arrays once for the eval/codegen hot loop.
+  require(planes.length == offsets.length,
+    s"project_planes: ${planes.length} planes vs ${offsets.length} offsets")
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  @transient private lazy val offsetsArr: Array[Double] = offsets.toArray
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "project_planes"
 
   override protected def nullSafeEval(e: Any): Any = {
     val a = e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val out = new Array[Double](planes.length)
+    val out = new Array[Double](planesArr.length)
     var p = 0
-    while (p < planes.length) {
-      val w = planes(p)
+    while (p < planesArr.length) {
+      val w = planesArr(p)
       var dot = 0.0
       var i = 0
       val n = math.min(a.numElements(), w.length)
       while (i < n) { dot += a.getFloat(i) * w(i); i += 1 }
-      out(p) = dot - offsets(p)
+      out(p) = dot - offsetsArr(p)
       p += 1
     }
     new GenericArrayData(out)
@@ -347,8 +380,8 @@ case class ProjectPlanes(child: Expression, planes: Array[Array[Double]],
 
   override protected def doGenCode(ctx: codegen.CodegenContext,
                                    ev: codegen.ExprCode): codegen.ExprCode = {
-    val ws = ctx.addReferenceObj("projPlanes", planes, "double[][]")
-    val os = ctx.addReferenceObj("projOffsets", offsets, "double[]")
+    val ws = ctx.addReferenceObj("projPlanes", planesArr, "double[][]")
+    val os = ctx.addReferenceObj("projOffsets", offsetsArr, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
       val p = ctx.freshName("p"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val n = ctx.freshName("n")
@@ -386,4 +419,73 @@ case class ThetaANotBEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Frequent-items ("heavy hitters") aggregate over a string column —
+  * the Misra–Gries/SpaceSaving family as shipped in DataSketches
+  * (ItemsSketch): O(maxMapSize) state per group, mergeable partials
+  * (map-side combine for free), one pass. This is the 100 TB top-k
+  * architecture: exact per-token GROUP BY of a web corpus shuffles
+  * the full vocabulary; the sketch tree-reduces a few MB per group
+  * instead, with deterministic error ≤ n/maxMapSize on every count.
+  *
+  * EXACT REGIME: while the number of distinct items a buffer sees
+  * stays under the sketch's purge threshold (~0.75 · maxMapSize), no
+  * counter is ever evicted and every estimate is the exact count —
+  * merges included. Sizing maxMapSize above the corpus vocabulary
+  * (the t15 oracle does) therefore yields exact results; at larger
+  * scale the same query degrades gracefully to ±n/maxMapSize bounds.
+  *
+  * Returns the top `k` rows as array<struct<item,est>> ordered by
+  * (est DESC, item ASC) — a total order, so output is deterministic
+  * whenever estimates are (in particular in the exact regime).
+  */
+case class FreqItemsAgg(child: Expression, maxMapSize: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require((maxMapSize & (maxMapSize - 1)) == 0 && maxMapSize >= 8,
+    s"freq_items: maxMapSize must be a power of two >= 8, got $maxMapSize")
+  require(k >= 1, s"freq_items: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items"
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: ItemsSketch[String]): Any = {
+    val rows = buffer.getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+    val top = rows.sortBy(r => (-r.getEstimate, r.getItem)).take(k)
+    new GenericArrayData(top.map(r => InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r.getItem),
+      r.getEstimate)))
+  }
+
+  override def serialize(buffer: ItemsSketch[String]): Array[Byte] =
+    buffer.toByteArray(new ArrayOfStringsSerDe)
+
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

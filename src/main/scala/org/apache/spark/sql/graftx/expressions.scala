@@ -791,7 +791,7 @@ object GraftExpressions {
   def zorder2(x: Column, y: Column): Column = col(Zorder2(exp(x), exp(y)))
 
   def kll_quantiles(x: Column, k: Int, probs: Seq[Double]): Column =
-    col(KllQuantiles(exp(x), k, probs.toArray).toAggregateExpression())
+    col(KllQuantiles(exp(x), k, probs.toList).toAggregateExpression())
 
   def theta_sketch(key: Column, lgK: Int): Column =
     col(ThetaSketchAgg(exp(key), lgK).toAggregateExpression())
@@ -810,9 +810,12 @@ object GraftExpressions {
   def vec_stats(v: Column, d: Int): Column =
     col(VecStatsAgg(exp(v), d).toAggregateExpression())
 
+  def freq_items(v: Column, maxMapSize: Int, k: Int): Column =
+    col(FreqItemsAgg(exp(v), maxMapSize, k).toAggregateExpression())
+
   def project_planes(v: Column, planes: Array[Array[Double]],
                      offsets: Array[Double]): Column =
-    col(ProjectPlanes(exp(v), planes, offsets))
+    col(ProjectPlanes(exp(v), planes.map(_.toList).toList, offsets.toList))
 
   def registerAll(s: SparkSession): Unit = {
     // optimizer rules (idempotent add)
@@ -858,7 +861,7 @@ object GraftExpressions {
       "kll_quantiles", {
         case Seq(x, Literal(k: Int, IntegerType), arr) if arr.foldable =>
           KllQuantiles(x, k, arr.eval()
-            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toList)
         case es => throw new IllegalArgumentException(
           s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
       }, "built-in")

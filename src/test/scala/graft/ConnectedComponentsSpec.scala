@@ -28,4 +28,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (7L, 8L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.alternatingStar(edges.toDF("a", "b"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("alternatingStar matches minLabel on shallow mixed graphs") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (7L, 8L))
+    assert(ccStar(edges) == cc(edges))
+  }
+
+  test("alternatingStar solves a 1000-node chain in O(log^2) alternations") {
+    // minLabel would need ~1000 label-hop rounds here (one per
+    // diameter step); the star alternation path-halves, so 15
+    // alternations MUST fully converge — a partial result would leave
+    // multiple clusters and fail the assertion
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val got = ccStar(chain, maxIter = 15)
+    assert(got.size == 1000)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("alternatingStar matches minLabel on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccStar(edges) == cc(edges))
+  }
 }

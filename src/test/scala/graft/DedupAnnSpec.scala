@@ -51,6 +51,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(brute.except(banded).count() == 0, "banded missed a pair (pigeonhole violated)")
   }
 
+  test("editDistancePairs cap drops degenerate blocks, None stays exact") {
+    import spark.implicits._
+    // one hot block of 6 near-identical docs (15 pairs) + a cold pair
+    val rows = (0 until 6).map(i => (i.toLong, "hot", s"aaaa bbbb cccc d$i")) ++
+      Seq((10L, "cold", "xxxx yyyy"), (11L, "cold", "xxxx yyyz"))
+    val df = rows.toDF("doc_id", "blk", "text")
+      .withColumn("n_chars", length(col("text")))
+    def pairs(cap: Option[Int]) = Dedup.editDistancePairs(
+      df, "doc_id", "text", Seq(col("blk")), col("n_chars"),
+      maxDist = 5, cap = cap).count()
+    assert(pairs(None) === 15 + 1)       // exact: all hot pairs + cold
+    assert(pairs(Some(4)) === 1)         // hot block (6 > 4) dropped
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps one representative per distinct normalized text") {
     val withDups = docs.select(col("doc_id"), col("text"))
       .union(docs.select(col("doc_id") + 100000, concat(col("text"), lit("  "))))

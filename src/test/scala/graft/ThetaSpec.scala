@@ -71,6 +71,19 @@ class ThetaSpec extends AnyFunSuite {
     assert(viaRollup == 9000.0)
   }
 
+  test("ThetaBuf.compact is idempotent: double serialize keeps the sketch") {
+    import org.apache.spark.sql.graftx.ThetaBuf
+    import org.apache.datasketches.theta.UpdateSketch
+    // update-only buffer (uni == null): the destructive fold used to
+    // null upd and return an EMPTY sketch on the second call
+    val upd = UpdateSketch.builder().setLogNominalEntries(12).build()
+    (0 until 100).foreach(i => upd.update(i.toLong))
+    val buf = new ThetaBuf(upd, null)
+    val first = buf.compact(12).getEstimate
+    val second = buf.compact(12).getEstimate
+    assert(first == 100.0 && second == 100.0)
+  }
+
   test("graft sketches interoperate with Spark 4.1's builtin sketch functions") {
     // same DataSketches compact wire format in both directions
     val df = spark.range(5000).repartition(4).select((col("id") % 1000).as("k"))

@@ -33,6 +33,16 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z == 39L)
   }
 
+  test("bits=32 zkey ordering matches the unsigned Morton order") {
+    // y's bit 31 lands in z bit 63: without the sign flip, high-y rows
+    // would sort BEFORE low-y rows under signed comparison
+    val lo = (0L, 0L); val hi = (0L, 0x80000000L) // y bit 31 set
+    val keys = Seq(lo, hi).toDF("x", "y")
+      .select(ZOrder.zkey(col("x"), col("y"), bits = 32).as("z"))
+      .as[Long].collect()
+    assert(keys(0) < keys(1), s"expected lo < hi, got ${keys.toSeq}")
+  }
+
   test("cluster yields non-overlapping z ranges across partitions") {
     val df = Graft.table(spark, sfDir, "lineitem")
     val clustered = ZOrder.cluster(df, col("l_partkey") % 65536,
