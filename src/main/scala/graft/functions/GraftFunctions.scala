@@ -114,6 +114,13 @@ object GraftFunctions {
   def freq_items(v: Column, maxMapSize: Int = 1 << 12, k: Int = 20): Column =
     GraftExpressions.freq_items(v, maxMapSize, k)
 
+  /** MOSS winnowing fingerprint set of a token array: sorted distinct
+    * window-minima of positional portable n-gram hashes. Shared runs
+    * of ≥ n+w-1 tokens are guaranteed a common fingerprint.
+    */
+  def winnow_fingerprints(toks: Column, n: Int = 3, w: Int = 4): Column =
+    GraftExpressions.winnow_fingerprints(toks, n, w)
+
   /** Codegen'd projection onto k constant planes with per-plane
     * offsets: out[j] = dot(v, planes[j]) − offsets[j].
     */

@@ -304,6 +304,21 @@ object TextQueries {
         .orderBy("rnk")
     }),
 
+    // L32: MOSS winnowing fingerprints — per-doc sorted distinct
+    // window-minima of positional portable 3-gram hashes (window 4):
+    // any shared run of >= 6 tokens across docs is guaranteed a
+    // common fingerprint. One fused codegen pass per doc
+    // (WinnowFingerprints: gram hash + monotonic-deque minima); the
+    // oracle replays the identical fmix64∘rollingHash kernel in SQL.
+    "t16_winnow" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(GraftFunctions.winnow_fingerprints(
+            Dedup.tokens(col("text")), 3, 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -700,6 +715,26 @@ object TextQueries {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
          |  token, n
          |FROM agg ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // t16: winnowing replayed in SQL — positional 3-gram strings,
+    // the portable fmix64∘rollingHash per gram (signed BIGINT so min
+    // agrees with Spark's signed longs), window-of-4 minima, distinct.
+    "t16_winnow" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         | t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
+         | g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                gi -> array_to_string(list_slice(toks, gi, gi + 2), ' ')) END AS grams
+         |  FROM t),
+         | h AS (SELECT doc_id, list_transform(grams,
+         |    gs -> ${PortableHashSql.toSigned(PortableHashSql.tokenHash("gs"))}) AS hs
+         |  FROM g),
+         | wm AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+         |      wj -> list_min(list_slice(hs, wj, wj + 3)))) AS fps
+         |  FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

@@ -695,6 +695,107 @@ object NgramHashes {
   }
 }
 
+/** MOSS winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * "Winnowing: Local Algorithms for Document Fingerprinting") over a
+  * token array: positional word n-gram hashes → minimum of every
+  * window of `w` consecutive gram hashes → SORTED DISTINCT minima as
+  * the document's fingerprint set. Any shared substring of at least
+  * n + w - 1 tokens between two documents is GUARANTEED to contribute
+  * a common fingerprint (the winnowing guarantee), at an expected
+  * density of 2/(w+1) of all grams — the standard local-fingerprint
+  * scheme for plagiarism/boilerplate detection at corpus scale.
+  *
+  * Fused single pass, zero per-element lambdas: gram hashes use the
+  * PORTABLE fmix64∘rollingHash kernel (so the DuckDB oracle replicates
+  * values bit-for-bit — same reason simhash64 uses it), and the window
+  * minima come from a monotonic deque (O(grams) total, not O(grams·w)
+  * slice scans). The composable transform/slice/array_min form is the
+  * ~1000× interpreted trap PERF.md documents. Selection is by VALUE
+  * (robust winnowing): the min value of a window is tie-free as a set
+  * member even when its position is ambiguous, so output is
+  * deterministic. m < n tokens → one whole-text gram; grams < w →
+  * one clamped window.
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1 && w >= 1, s"winnow_fingerprints: n and w must be >= 1, got n=$n w=$w")
+  override def inputTypes = Seq[AbstractDataType](ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowFingerprints.compute(a.asInstanceOf[ArrayData], n, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graftx.WinnowFingerprints.compute($in, $n, $w));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowFingerprints {
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass: gram hashes, deque window minima, sort+dedup. */
+  def compute(arr: ArrayData, n: Int, w: Int): Array[Long] = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val g: Array[Long] =
+      if (m < n) Array(hashGram(toks, 0, m))
+      else {
+        val r = new Array[Long](m - n + 1)
+        var s = 0
+        while (s <= m - n) { r(s) = hashGram(toks, s, n); s += 1 }
+        r
+      }
+    val gl = g.length
+    val nw = math.max(gl - w + 1, 1)
+    val out = new Array[Long](nw)
+    // monotonic deque of indices; >= pop keeps the rightmost minimal
+    // index, but only the VALUE is emitted, so ties don't matter
+    val dq = new Array[Int](gl)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < gl) {
+      while (tail > head && g(dq(tail - 1)) >= g(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = g(dq(head))
+      i += 1
+    }
+    if (gl < w) out(0) = g(dq(head))
+    java.util.Arrays.sort(out)
+    var wi = 0
+    var j = 0
+    while (j < out.length) {
+      if (wi == 0 || out(j) != out(wi - 1)) { out(wi) = out(j); wi += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(out, wi)
+  }
+
+  /** Portable gram hash: fmix64(rollingHash(tokens joined by ' ')) —
+    * identical kernel to SimHash64.tokenHash, replicated in SQL by
+    * PortableHashSql.tokenHash.
+    */
+  private def hashGram(toks: Array[UTF8String], from: Int, len: Int): Long = {
+    val parts = new Array[UTF8String](len)
+    var k = 0
+    while (k < len) { parts(k) = toks(from + k); k += 1 }
+    SimHash64.tokenHash(UTF8String.concatWs(Space, parts: _*).getBytes)
+  }
+}
+
 /** Morton (z-order) interleave of the low 32 bits of two longs:
   * bit i of x lands at bit 2i, bit i of y at bit 2i+1. The standard
   * multi-dimensional write-clustering key (z-order curve): sorting by
@@ -813,6 +914,9 @@ object GraftExpressions {
   def freq_items(v: Column, maxMapSize: Int, k: Int): Column =
     col(FreqItemsAgg(exp(v), maxMapSize, k).toAggregateExpression())
 
+  def winnow_fingerprints(toks: Column, n: Int, w: Int): Column =
+    col(WinnowFingerprints(exp(toks), n, w))
+
   def project_planes(v: Column, planes: Array[Array[Double]],
                      offsets: Array[Double]): Column =
     col(ProjectPlanes(exp(v), planes.map(_.toList).toList, offsets.toList))
@@ -864,6 +968,20 @@ object GraftExpressions {
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray().toList)
         case es => throw new IllegalArgumentException(
           s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "freq_items", {
+        case Seq(v, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+          FreqItemsAgg(v, m, k)
+        case es => throw new IllegalArgumentException(
+          s"freq_items(x, maxMapSize, k) with literal sizes; got ${es.length} args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprints", {
+        case Seq(toks, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowFingerprints(toks, n, w)
+        case es => throw new IllegalArgumentException(
+          s"winnow_fingerprints(toks, n, w) with literal n/w; got ${es.length} args")
       }, "built-in")
     reg.createOrReplaceTempFunction(
       "ngram_hashes", {

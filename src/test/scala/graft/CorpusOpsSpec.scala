@@ -69,6 +69,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 3)))
   }
 
+  test("winnow fingerprints equal a brute-force reference on random token arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftx.SimHash64
+    val rnd = new scala.util.Random(7)
+    val docsW = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))("w" + rnd.nextInt(12)))
+    }
+    val got = docsW.toDF("id", "toks")
+      .select($"id", graft.functions.GraftFunctions
+        .winnow_fingerprints($"toks", 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    def ref(toks: Seq[String], n: Int, w: Int): Seq[Long] = {
+      val grams =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val hs = grams.map(g => SimHash64.tokenHash(g.getBytes("UTF-8")))
+      val wins = if (hs.length < w) Seq(hs) else hs.sliding(w).toSeq
+      wins.map(_.min).distinct.sorted
+    }
+    docsW.foreach { case (id, toks) =>
+      assert(got(id) == ref(toks, 3, 4), s"doc $id: ${toks.mkString(" ")}")
+    }
+  }
+
+  test("winnowing guarantee: a shared >= n+w-1 token run yields a common fingerprint") {
+    import spark.implicits._
+    // two docs share an 8-token run (n=3, w=4 → guarantee at 6) in
+    // otherwise disjoint vocabulary
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = s"one two three $shared four five"
+    val b = s"uno dos $shared tres quatro cinco seis"
+    val fps = Seq((1L, a), (2L, b)).toDF("id", "text")
+      .select($"id", graft.functions.GraftFunctions
+        .winnow_fingerprints(graft.operators.Dedup.tokens($"text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+  }
+
   test("token entropy: 0 for constant doc, ln(n) for all-distinct doc") {
     import graft.operators.TextStats
     val df = Seq(

@@ -71,6 +71,34 @@ class ThetaSpec extends AnyFunSuite {
     assert(viaRollup == 9000.0)
   }
 
+  test("freq_items: exact regime equals GROUP BY; tiny sketch still finds the heavy hitter") {
+    import graft.functions.GraftFunctions.freq_items
+    // skewed stream: item "hot" appears 5000 times, 200 cold items 10x each
+    val df = spark.range(5000).select(lit("hot").as("w"))
+      .union(spark.range(2000).select(concat(lit("cold"), (col("id") % 200)).as("w")))
+      .repartition(8)
+    // exact regime: capacity 1024 >> 201 distinct — counts are exact
+    val exact = df.agg(freq_items(col("w"), 1 << 10, 3).as("t"))
+      .select(explode(col("t"))).select("col.item", "col.est")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.head == ("hot", 5000L))
+    assert(exact.tail.forall(_._2 == 10L))
+    // approximate regime: capacity 64 << 201 distinct — the guarantee
+    // is est within n/maxMapSize of truth for the heavy hitter
+    val approx = df.agg(freq_items(col("w"), 64, 1).as("t"))
+      .select(explode(col("t"))).select("col.item", "col.est")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.head._1 == "hot")
+    assert(math.abs(approx.head._2 - 5000L) <= 7000 / 64 + 1)
+    // SQL registry path
+    Graft.registerFunctions(spark)
+    df.createOrReplaceTempView("fi_words")
+    val viaSql = spark.sql(
+      "SELECT explode(freq_items(w, 1024, 1)) AS r FROM fi_words")
+      .select("r.item").head().getString(0)
+    assert(viaSql == "hot")
+  }
+
   test("ThetaBuf.compact is idempotent: double serialize keeps the sketch") {
     import org.apache.spark.sql.graftx.ThetaBuf
     import org.apache.datasketches.theta.UpdateSketch
