@@ -21,6 +21,31 @@ object TidyIO {
       .partitionBy(partitionBy: _*)
       .parquet(path)
 
+  /** Bucketed managed table: pre-shuffled storage layout. Both fact
+    * tables of a recurring join written with the SAME bucket count on
+    * the join key make every future join between them SHUFFLE-FREE —
+    * Spark matches bucket files pairwise instead of exchanging rows.
+    * At 100 TB this moves the join's O(|data|) network cost to write
+    * time, paid once and amortized over every downstream query; with
+    * `sortCols` the per-bucket sort is pre-paid too (the read side
+    * still inserts a defensive per-partition Sort — Spark ignores
+    * bucket sort metadata since SPARK-28632 because one-file-per-
+    * bucket isn't catalog-tracked — but it runs over already-sorted
+    * runs). PipelineSpec asserts the Exchange-free bucketed plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    // Pre-shuffle on the bucket column (same murmur3 hash as the
+    // bucket id): ONE file per bucket instead of tasks×buckets small
+    // files — and Spark only elides the downstream Sort for sorted
+    // buckets when each bucket is a single file.
+    val w = df.repartition(buckets, df.col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** CSV export with header (the reference's tabular emit format). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")

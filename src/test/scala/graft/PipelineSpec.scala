@@ -61,4 +61,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.columns.toSet == stats.columns.toSet)
   }
+
+  test("bucketed tables join without an Exchange (pre-shuffled layout)") {
+    val sfDir = SharedSpark.sfDir
+    val orders = Graft.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val items = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    TidyIO.writeBucketed(orders, "g_orders_b", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    TidyIO.writeBucketed(items, "g_items_b", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the shuffle-join path so an Exchange WOULD appear if
+      // bucketing didn't already co-locate the keys
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("g_orders_b")
+        .join(spark.table("g_items_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used:\n$plan")
+      // (a per-partition Sort remains: since SPARK-28632 Spark ignores
+      // bucket sort metadata at read time because one-file-per-bucket
+      // isn't tracked in the catalog — the in-bucket sortBy still
+      // pre-pays the work, the re-sort is over already-sorted runs)
+      // and the result is the plain join's result
+      val expected = orders.join(items, "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_items_b")
+    }
+  }
 }
