@@ -46,27 +46,32 @@ object StreamRun {
     */
   @volatile var lastPlan: String = ""
 
+  /** Streamed read of `<dir>/<table>.parquet`: explicit schema from a
+    * metadata-only batch read (file streams don't infer); the events
+    * table's TIMESTAMP(NANOS) arrives as long and is truncated to
+    * micro timestamps exactly like Graft.table does for batch. The
+    * driver's tables are single .parquet FILES, and the file stream
+    * source only accepts a non-glob path if it is a directory (it
+    * force-sets basePath to it) — a glob path skips that check, so
+    * the last character becomes a one-char character class.
+    */
+  def source(s: SparkSession, dir: String, table: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$table.parquet"
+    val schema = s.read.parquet(path).schema
+    val globPath = path.dropRight(1) + "[" + path.last + "]"
+    val raw = s.readStream.schema(schema).parquet(globPath)
+    if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   /** Run `transform` on a streamed read of `<dir>/<table>.parquet`,
     * collect into a memory sink, return the sink contents.
     */
   def onTable(s: SparkSession, dir: String, table: String, mode: OutputMode)
              (transform: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/$table.parquet"
-    // Schema from a (metadata-only) batch read; the events table's
-    // TIMESTAMP(NANOS) arrives as long and is truncated to micro
-    // timestamps exactly like Graft.table does for batch.
-    val schema = s.read.parquet(path).schema
-    // The driver's tables are single .parquet FILES. The file stream
-    // source only accepts a non-glob path if it is a directory (it
-    // force-sets basePath to it); a glob path skips that check, so
-    // turn the last character into a one-char character class.
-    val globPath = path.dropRight(1) + "[" + path.last + "]"
-    val raw = s.readStream.schema(schema).parquet(globPath)
-    val src =
-      if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val src = source(s, dir, table)
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val q = transform(src).writeStream

@@ -41,6 +41,48 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("RocksDB state store backs the streaming aggregate with identical results") {
+    // the 100 TB state backend: state lives off-heap/on-disk per
+    // executor instead of in the JVM heap — same plan, same results
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamRun.onEvents(spark, dir, OutputMode.Complete())(
+        Sessionize.tumblingAgg(_))
+      assert(StreamRun.lastPlan.contains("StateStoreSave"))
+      val batch = Sessionize.tumblingAgg(Graft.table(spark, dir, "events"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("parquet file sink round-trips the streaming dedup (production sink path)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_psink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pckpt_").toString
+    val q = StreamRun.source(spark, dir, "events")
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(out)
+    val batch = Graft.table(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+    assert(back.count() === batch.count())
+    assert(back.exceptAll(batch).isEmpty && batch.exceptAll(back).isEmpty)
+  }
+
   test("append-mode interval join emits the exact inner-join match set") {
     val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
       val c = e.filter(col("event_type") === "click")
