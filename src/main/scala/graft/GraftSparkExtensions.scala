@@ -68,5 +68,19 @@ object GraftSparkExtensions {
         KllQuantiles(x, k, arr.eval().asInstanceOf[ArrayData].toDoubleArray().toList)
       case es => throw new IllegalArgumentException(
         s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
+    }),
+    ("freq_items", info("freq_items",
+      "freq_items(x, maxMapSize, k) - frequent-items (heavy hitters) sketch top-k"), {
+      case Seq(v, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+        FreqItemsAgg(v, m, k)
+      case es => throw new IllegalArgumentException(
+        s"freq_items(x, maxMapSize, k) with literal sizes; got ${es.length} args")
+    }),
+    ("winnow_fingerprints", info("winnow_fingerprints",
+      "winnow_fingerprints(toks, n, w) - MOSS winnowing fingerprint set"), {
+      case Seq(toks, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        WinnowFingerprints(toks, n, w)
+      case es => throw new IllegalArgumentException(
+        s"winnow_fingerprints(toks, n, w) with literal n/w; got ${es.length} args")
     }))
 }

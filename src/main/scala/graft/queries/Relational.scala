@@ -457,6 +457,25 @@ object Relational {
     // user-cardinality (NOT broadcast — it scales with the fact side);
     // the join shuffles on user_id, then one keyed distinct-agg.
     // Pure integer date arithmetic → exact.
+    // R45: running DISTINCT count over a window — Spark has no
+    // COUNT(DISTINCT) window function; the canonical plan is
+    // size(collect_set() OVER w), which keeps the distinct set as
+    // window state. Fine when the distinct domain per partition is
+    // small (priorities: ≤5 here); for wide domains the scalable
+    // rewrite is a dense_rank-over-first-occurrence self-maintaining
+    // form. Explicit ROWS frame + unique tiebreak so both engines
+    // see identical frames.
+    "q42_running_distinct" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          size(collect_set(col("o_orderpriority")).over(w)).cast("long").as("n_prio"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q41_retention" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val first = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
@@ -820,6 +839,13 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q42_running_distinct" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(DISTINCT o_orderpriority) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_prio
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q36_theta_overlap" ->
       """SELECT
