@@ -22,6 +22,42 @@ class SkewAndStreamSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    // one hot key carrying ~90% of rows; thresholds lowered so the
+    // skew detector fires at test scale. AQE skew-join is the FIRST
+    // lever at 100 TB (no plan rewrite, no salting); SkewJoin.salted
+    // remains for the cases AQE can't split (e.g. aggregations after
+    // the join keyed on the hot key).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 === 0, col("id") % 1000).otherwise(7L).as("k"),
+          col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // materialize THROUGH this DataFrame's own QueryExecution —
+      // count() would plan a separate query and leave this one's
+      // AdaptiveSparkPlan unexecuted (isFinalPlan=false, no skew info)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split absent in:\n$plan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("keySkew surfaces the heavy key with sane shares") {
     import graft.operators.Diagnostics
     val skewed = spark.range(1000).selectExpr("CASE WHEN id < 600 THEN 7 ELSE id END AS k")
