@@ -115,6 +115,37 @@ object CorpusOps {
           .ngram_hashes(tokens(col(textCol)), n).as("grams"))
       .select(col("id"), col("is_eval"), explode(col("grams")).as("g"))
 
+  /** L35 — per-document duplicated-gram fraction: of a doc's DISTINCT
+    * word n-grams, what share also appears in at least one other
+    * document. This is the exact-substring-dedup DIAGNOSTIC (Lee et
+    * al. 2022): d11 mines the offending pairs, this scores each doc's
+    * verbatim-overlap exposure so a pipeline can rank/threshold docs
+    * before cutting. Shape: per-doc distinct gram hashes (one codegen
+    * pass), one groupBy(gram) to find grams in ≥2 docs, a semi-join
+    * back, one per-doc count — all linear shuffles on gram/doc keys;
+    * grams travel as 64-bit hashes, never strings.
+    */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 4): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .ngram_hashes(tokens(col(textCol)), n)).as("g"))
+      // Reused by three downstream plans (total, dup-set, dup-count).
+      // Same persist contract as sharedGramPairs: loop callers
+      // clearCache between actions, as Verify/Bench do.
+      .persist()
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
   /** Repetition signals (the Gopher-style quality heuristics):
     * duplicate-token fraction, most-frequent-bigram share, and the
     * fraction of trigram occurrences that are repeats. High values

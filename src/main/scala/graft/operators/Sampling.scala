@@ -62,4 +62,37 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), denom).cast("double") < cut)
   }
+
+  /** L36 — mixture resampling to a TARGET distribution (the data-
+    * mixing step of corpus assembly, à la The Pile / DoReMi weights):
+    * given target weights per stratum and a target corpus size, the
+    * per-stratum keep rate is computed FROM the observed counts —
+    * rate = min(1, targetN·w / n_stratum) — then applied as the same
+    * deterministic id-hash filter as [[stratifiedSample]]. Strata
+    * richer than their target share are thinned; poorer ones are kept
+    * whole (rate capped at 1; no replication).
+    *
+    * Two passes over the data (count, filter) but the first reduces
+    * to one row per stratum and broadcasts back — at 100 TB this is
+    * a scan + a broadcast-joined scan, no wide shuffle. Every double
+    * in the rate is derived from the same integers on both engines
+    * (one mul, one div, one compare), so the oracle reproduces the
+    * exact keep decision row-for-row.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    targetWeights: Map[String, Double], targetN: Long,
+                    denom: Int = 10000): DataFrame = {
+    val w = targetWeights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("keep_rate",
+        least(lit(1.0), (w * lit(targetN.toDouble)) / col("n_stratum").cast("double")))
+      .select(col(stratumCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucket(col(idCol), denom).cast("double") <
+        col("keep_rate") * lit(denom.toDouble))
+      .drop("keep_rate")
+  }
 }

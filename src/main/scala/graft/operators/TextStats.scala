@@ -94,4 +94,76 @@ object TextStats {
         transform(words, w => ceil(length(w) / lit(4.0)).cast("long")),
         lit(0L), (acc, x) => acc + x))
   }
+
+  /** L33 — corpus-trained bigram language-model cross-entropy: the
+    * perplexity-style fluency filter (score docs by how surprising
+    * they are under an n-gram LM of the corpus itself — the cheap
+    * stand-in for KenLM-based quality bucketing). p(w2|w1) is the
+    * conditional MLE c(w1,w2)/c_ctx(w1) with c_ctx the bigram-left
+    * occupancy, so every doc bigram has a seen count and no smoothing
+    * is needed; xent = mean of −ln p over the doc's bigrams.
+    *
+    * Determinism: each −ln p term is rounded to 6 dp and summed as
+    * DECIMAL(18,6) — integer arithmetic, so the per-doc total is
+    * independent of Spark's partial-aggregation order and the oracle
+    * reproduces it exactly (the only float ops left are one ln per
+    * DISTINCT (n_ctx, n_xy) pair and one final division).
+    *
+    * Shape: the doc-bigram stream is the only big side — one shuffle
+    * to count bigram types, a co-keyed (w1,w2) join back (exchange
+    * reuse), one shuffle to the per-doc fold. The count tables join
+    * each other small-small. All linear at corpus scale.
+    */
+  def lmCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val ctx = bi.groupBy("w1").agg(sum("n_xy").as("n_ctx"))
+    val probs = bi.join(ctx, "w1")
+      .withColumn("term",
+        round(log(col("n_ctx").cast("double")) - log(col("n_xy").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .select("w1", "w2", "term")
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("term").as("s"))
+      // The 4-dp mean is computed half-up in INTEGER micro-nat space:
+      // round(double, 4) diverges between engines when s/n lands
+      // exactly on a half boundary (Spark rounds the shortest decimal
+      // repr, DuckDB the binary value); (S + 50n) div (100n) cannot.
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("cast((cast(s * 1000000 as bigint) + 50L * n_bigrams) " +
+          "div (100L * n_bigrams) as double)") / lit(10000.0)).as("xent"))
+  }
+
+  /** PII scrub patterns — conservative syntax shared by Java regex
+    * (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val digitRunPat = "[0-9]+"
+
+  /** L34 — PII redaction: sequentially mask emails → IPv4s → residual
+    * digit runs (order matters: emails/IPs contain digits, so each
+    * count is taken on the text with the earlier classes already
+    * masked). Returns (n_emails, n_ips, n_nums, redacted) columns.
+    * Narrow per-row regex projection — zero shuffle, codegen'd
+    * builtins, folds into the scan at any scale.
+    */
+  def redactColumns(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, emailPat, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pat, "<IP>")
+    val afterNum = regexp_replace(afterIp, digitRunPat, "<NUM>")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(text, lit(emailPat), lit(0))).cast("long"),
+      "n_ips" -> size(regexp_extract_all(afterEmail, lit(ipv4Pat), lit(0))).cast("long"),
+      "n_nums" -> size(regexp_extract_all(afterIp, lit(digitRunPat), lit(0))).cast("long"),
+      "redacted" -> afterNum)
+  }
 }

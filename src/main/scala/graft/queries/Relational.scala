@@ -465,6 +465,64 @@ object Relational {
     // rewrite is a dense_rank-over-first-occurrence self-maintaining
     // form. Explicit ROWS frame + unique tiebreak so both engines
     // see identical frames.
+    // R47: date-spine gap fill — densify a sparse daily aggregate onto
+    // the full calendar (sequence() spine → left join → zero-fill +
+    // forward-fill via last(ignoreNulls) over the date order). The
+    // global window is bounded by CALENDAR DAYS, not data rows, so the
+    // single-partition window is scale-safe by construction; the heavy
+    // side is one keyed daily aggregation.
+    "q44_date_spine" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val dr = ord.agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      val spine = dr.select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+      val daily = ord.groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("rev"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("rev"),
+          last(col("rev"), ignoreNulls = true).over(w).as("rev_ffill"))
+        .orderBy("d")
+    }),
+
+    // R46: higher-order array-function battery — each order's lines
+    // collected into linenumber-sorted arrays, then transform / filter
+    // / aggregate (left fold) / zip_with / exists, all inside whole-
+    // stage codegen. Money travels as integer cents (×100) so every
+    // fold is exact integer arithmetic regardless of fold order; one
+    // shuffle (the groupBy), everything after is narrow.
+    "q43_hof_battery" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pxc"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dc")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("item"))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          expr("size(filter(items, i -> i.qty > 25))").cast("long").as("n_big"),
+          expr("aggregate(items, 0L, (a, i) -> a + i.qty)").as("tot_qty"),
+          // Half-up to cents in INTEGER space ((x+50) div 100), then one
+          // shared division: round(double, 2) is engine-divergent at
+          // .5 boundaries (Spark rounds the shortest decimal repr,
+          // DuckDB the binary value), integer arithmetic is not. The
+          // 10000.0D suffix matters too: bare 10000.0 parses as
+          // DECIMAL(5,1) in Spark SQL.
+          expr("cast((aggregate(items, 0L, (a, i) -> a + i.pxc * (100 - i.dc)) + 50L) div 100L as double) / 100.0D")
+            .as("revenue"),
+          expr("aggregate(zip_with(transform(items, i -> i.qty), " +
+            "transform(items, i -> i.pxc), (q, p) -> q * p), 0L, (a, x) -> a + x)")
+            .as("qty_px"),
+          expr("exists(items, i -> i.dc >= 8)").as("any_high_disc"))
+        .orderBy("l_orderkey")
+    }),
+
     "q42_running_distinct" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -839,6 +897,40 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q44_date_spine" ->
+      """WITH dr AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+        |    max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        | spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |   FROM dr),
+        | daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+        |    round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1)
+        |SELECT s.d, coalesce(n, CAST(0 AS BIGINT)) AS n_orders, rev,
+        |  last_value(rev IGNORE NULLS) OVER (ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
+        |FROM spine s LEFT JOIN daily USING (d) ORDER BY d""".stripMargin,
+
+    "q43_hof_battery" ->
+      """WITH it AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pxc,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |  FROM lineitem),
+        | arr AS (SELECT l_orderkey,
+        |    list(qty ORDER BY l_linenumber) AS qtys,
+        |    list(pxc ORDER BY l_linenumber) AS pxcs,
+        |    list(dc ORDER BY l_linenumber) AS dcs
+        |  FROM it GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qtys) AS BIGINT) AS n_items,
+        |  CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_big,
+        |  CAST(list_sum(qtys) AS BIGINT) AS tot_qty,
+        |  CAST((CAST(list_sum(list_transform(list_zip(pxcs, dcs),
+        |    z -> z[1] * (100 - z[2]))) AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(list_sum(list_transform(list_zip(qtys, pxcs),
+        |    z -> z[1] * z[2])) AS BIGINT) AS qty_px,
+        |  len(list_filter(dcs, d -> d >= 8)) > 0 AS any_high_disc
+        |FROM arr ORDER BY l_orderkey""".stripMargin,
 
     "q42_running_distinct" ->
       """SELECT o_custkey, o_orderkey,

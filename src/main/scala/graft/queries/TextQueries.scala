@@ -319,6 +319,49 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     }),
 
+    // L33: corpus-trained bigram-LM cross-entropy — the perplexity-
+    // style fluency score. Per-term 6-dp rounding + DECIMAL sums make
+    // the per-doc fold order-independent, so the oracle reproduces it
+    // exactly (see TextStats.lmCrossEntropy).
+    "t17_lm_score" -> ((s, dir) => {
+      TextStats.lmCrossEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // L35: per-doc duplicated-4-gram fraction — the exact-substring-
+    // dedup diagnostic: how much of each doc is verbatim-shared with
+    // the rest of the corpus (d11 finds the pairs; this ranks docs).
+    "t18_dupfrac" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.dupGramFraction(docs(s, dir), "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // L34: PII redaction over the events props payload — sequential
+    // email → IPv4 → digit-run masking with per-class counts (this
+    // corpus's props carry numeric ids; the email/IP classes are
+    // exercised on crafted rows in RedactSpec). Narrow regex
+    // projection, zero shuffle.
+    "t19_redact" -> ((s, dir) => {
+      val cols = TextStats.redactColumns(col("props"))
+      Graft.table(s, dir, "events")
+        .select(col("event_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("event_id")
+    }),
+
+    // L36: mixture resampling to target LANGUAGE weights — keep rates
+    // computed from observed stratum counts (min(1, targetN·w/n)),
+    // applied via the portable id-hash filter, so the exact kept-row
+    // set replays on any engine.
+    "d14_mixture" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.mixtureSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+            "es" -> 0.1, "fr" -> 0.1), targetN = 250L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -735,6 +778,68 @@ object TextQueries {
          |      wj -> list_min(list_slice(hs, wj, wj + 3)))) AS fps
          |  FROM h)
          |SELECT doc_id, unnest(fps) AS fp FROM wm ORDER BY doc_id, fp""".stripMargin,
+
+    "t17_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         | f AS (SELECT doc_id, l FROM tk WHERE len(l) >= 2),
+         | b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM
+         |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM f)),
+         | bi AS (SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY 1, 2),
+         | ctx AS (SELECT w1, sum(n_xy) AS n_ctx FROM bi GROUP BY 1),
+         | pr AS (SELECT bi.w1, bi.w2,
+         |     CAST(round(ln(CAST(n_ctx AS DOUBLE)) - ln(CAST(n_xy AS DOUBLE)), 6)
+         |       AS DECIMAL(18,6)) AS term
+         |   FROM bi JOIN ctx USING (w1)),
+         | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(term) AS s
+         |   FROM b JOIN pr USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
+         |    // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t18_dupfrac" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | d AS (SELECT doc_id, list_distinct(${shingleSql(4)}) AS grams FROM base),
+         | ex AS (SELECT doc_id, unnest(grams) AS g FROM d),
+         | dupg AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 2),
+         | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM ex GROUP BY doc_id),
+         | dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |   FROM ex JOIN dupg USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_grams,
+         |  coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS dup_frac
+         |FROM tot LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t19_redact" ->
+      s"""WITH r1 AS (SELECT event_id, props,
+         |    regexp_replace(props, '${TextStats.emailPat}', '<EMAIL>', 'g') AS after_email
+         |  FROM events),
+         | r2 AS (SELECT event_id, props, after_email,
+         |    regexp_replace(after_email, '${TextStats.ipv4Pat}', '<IP>', 'g') AS after_ip
+         |  FROM r1)
+         |SELECT event_id,
+         |  CAST(len(regexp_extract_all(props, '${TextStats.emailPat}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(after_email, '${TextStats.ipv4Pat}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(after_ip, '${TextStats.digitRunPat}')) AS BIGINT) AS n_nums,
+         |  regexp_replace(after_ip, '${TextStats.digitRunPat}', '<NUM>', 'g') AS redacted
+         |FROM r2 ORDER BY event_id""".stripMargin,
+
+    // d14: the keep decision replayed exactly — same (w·targetN)/n
+    // double arithmetic, same fmix64 bucket as t06/t08.
+    "d14_mixture" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+         | r AS (SELECT lang, least(1.0,
+         |     CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.15
+         |       WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
+         |     * 250.0 / CAST(n_stratum AS DOUBLE)) AS keep_rate FROM n),
+         | h AS (SELECT doc_id, lang, source,
+         |    ${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} AS hs
+         |  FROM documents),
+         | b AS (SELECT doc_id, lang, source,
+         |    ((hs % 10000) + 10000) % 10000 AS bucket FROM h)
+         |SELECT doc_id, lang, source FROM b JOIN r USING (lang)
+         |WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0
+         |ORDER BY doc_id""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),

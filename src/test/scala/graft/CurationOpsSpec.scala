@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, Sampling, TextStats}
+
+/** Round-4 curation operators: PII redaction, bigram-LM scoring,
+  * duplicated-gram fraction, mixture resampling.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("redactColumns masks emails, IPv4s, and digit runs in order, with counts") {
+    val df = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 room 42"),
+      (2L, "no pii here at all"),
+      (3L, "a.b-c_d%e+f@sub.domain.org wrote 2 mails to x@y.io"),
+      (4L, "ip 192.168.254.3 port 8080")
+    ).toDF("id", "text")
+    val cols = TextStats.redactColumns(col("text"))
+    val got = df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, "contact <EMAIL> or <IP> room <NUM>")))
+    assert(got(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(3L) == ((2L, 0L, 1L, "<EMAIL> wrote <NUM> mails to <EMAIL>")))
+    assert(got(4L) == ((0L, 1L, 1L, "ip <IP> port <NUM>")))
+  }
+
+  test("lmCrossEntropy is 0 for fully predictable text, positive when contexts branch") {
+    // corpus: "a b" always follows a->b (predictable), but c branches
+    // to d and e with equal counts, so docs 3/4 pay ln(2) per c-bigram.
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b"),
+      (3L, "c d c d"),
+      (4L, "c e c e")
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: bigrams (a,b)x3? no: "a b a b a b" -> ab, ba, ab, ba, ab.
+    // p(b|a)=1, p(a|b)=1 -> xent 0. doc 2: one bigram, p=1 -> 0.
+    assert(got(1L) == ((5L, 0.0)))
+    assert(got(2L) == ((1L, 0.0)))
+    // docs 3/4: bigrams cd/dc/cd resp ce/ec/ce. p(d|c)=p(e|c)=1/2,
+    // p(c|d)=p(c|e)=1. xent = (2*ln2 + 0)/3 rounded half-up at 4dp.
+    val ln2term = BigDecimal(math.round(math.log(2) * 1e6)) / 1e6
+    val exp = ((ln2term * 2 * 10000 / 3).setScale(0, BigDecimal.RoundingMode.HALF_UP) / 10000).toDouble
+    assert(got(3L) == ((3L, exp)))
+    assert(got(4L) == ((3L, exp)))
+  }
+
+  test("dupGramFraction scores verbatim overlap exposure per doc") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zz one two three four yy"),       // shares "one two three four"
+      (3L, "totally unrelated words only here")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupGramFraction(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1 grams: {1234, 2345, 3456}; doc2: {z123, 1234, 234y};
+    // shared gram: "one two three four" only.
+    assert(got(1L) == ((3L, 1L, 0.3333)))
+    assert(got(2L) == ((3L, 1L, 0.3333)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("mixtureSample thins rich strata toward target weights and keeps poor ones whole") {
+    val rows = (1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "zh"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.mixtureSample(df, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.5), targetN = 200L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh: rate = min(1, 100/100) = 1 -> all 100 kept.
+    assert(kept("zh") == 100L)
+    // en: rate = 100/900 -> hash thinning lands near 100 of 900.
+    assert(kept("en") > 50L && kept("en") < 150L)
+    // deterministic: same call, same kept set.
+    val again = Sampling.mixtureSample(df, "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.5), targetN = 200L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+}
