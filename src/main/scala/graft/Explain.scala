@@ -1,16 +1,14 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor: prints the formatted physical plan for each query so
-  * pushdown (PushedFilters/ReadSchema), broadcast joins, and
-  * whole-stage-codegen spans can be inspected. Usage:
-  *   runMain graft.Explain <sfDir> [queryPrefix,...]
+/** Plan-audit helper: print the formatted physical plan of one or
+  * more SparkEntry queries without executing them.
+  *
+  * Usage: runMain graft.Explain <sfDir> <name>[,<name>...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val only = args.lift(1).map(_.split(",").toSet)
+    val Array(sfDir, names) = args
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -18,12 +16,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only.forall(_.exists(name.startsWith))) {
-        println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
-      }
+    names.split(",").foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query $n; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      println(s"==== $n ====")
+      fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -124,8 +124,13 @@ object TextStats {
         slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("z"))
       .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
-    val ctx = bi.groupBy("w1").agg(sum("n_xy").as("n_ctx"))
-    val probs = bi.join(ctx, "w1")
+    // n_ctx (bigram-left occupancy) as a window over bi, not a second
+    // aggregation of the bigram stream: plan-audited to save a whole
+    // scan+shuffle chain (bi is vocabulary-sized; the window shuffles
+    // only it, on w1).
+    val probs = bi
+      .withColumn("n_ctx", sum("n_xy").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .withColumn("term",
         round(log(col("n_ctx").cast("double")) - log(col("n_xy").cast("double")), 6)
           .cast("decimal(18,6)"))

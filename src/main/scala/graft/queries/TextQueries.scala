@@ -340,7 +340,7 @@ object TextQueries {
     // L34: PII redaction over the events props payload — sequential
     // email → IPv4 → digit-run masking with per-class counts (this
     // corpus's props carry numeric ids; the email/IP classes are
-    // exercised on crafted rows in RedactSpec). Narrow regex
+    // exercised on crafted rows in CurationOpsSpec). Narrow regex
     // projection, zero shuffle.
     "t19_redact" -> ((s, dir) => {
       val cols = TextStats.redactColumns(col("props"))
