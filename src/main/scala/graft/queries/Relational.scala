@@ -465,6 +465,33 @@ object Relational {
     // rewrite is a dense_rank-over-first-occurrence self-maintaining
     // form. Explicit ROWS frame + unique tiebreak so both engines
     // see identical frames.
+    // R48: SCD2 dimension build — collapse each customer's order-
+    // priority history into effective-dated ranges: change detection
+    // via lag (consecutive repeats of the same value merge into one
+    // range), then [valid_from, valid_to) via lead over the change
+    // rows, version numbers, and an is_current flag. Two window
+    // passes over customer-partitioned data — one shuffle on the
+    // dimension key, linear at any scale. Timestamps travel as epoch
+    // micros (exact integers).
+    "q45_scd2" -> ((s, dir) => {
+      val w1 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderpriority").as("prio"),
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session (set by
+        // Verify/Bench) makes the cast a wall-clock identity
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        col("o_orderkey"))
+      val ch = o.withColumn("prev", lag("prio", 1).over(w1))
+        .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      val w2 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
+      ch.withColumn("valid_to_us", lead("ts_us", 1).over(w2))
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .select(col("o_custkey"), col("prio"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          col("version"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
     // R47: date-spine gap fill — densify a sparse daily aggregate onto
     // the full calendar (sequence() spine → left join → zero-fill +
     // forward-fill via last(ignoreNulls) over the date order). The
@@ -897,6 +924,23 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q45_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority AS prio,
+        |    epoch_us(o_orderdate) AS ts_us, o_orderkey FROM orders),
+        | c AS (SELECT *, lag(prio) OVER (PARTITION BY o_custkey
+        |    ORDER BY ts_us, o_orderkey) AS prev FROM o),
+        | ch AS (SELECT o_custkey, prio, ts_us, o_orderkey FROM c
+        |   WHERE prev IS NULL OR prev <> prio),
+        | v AS (SELECT o_custkey, prio, ts_us AS valid_from_us,
+        |    lead(ts_us) OVER (PARTITION BY o_custkey
+        |      ORDER BY ts_us, o_orderkey) AS valid_to_us,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY ts_us, o_orderkey) AS BIGINT) AS version
+        |  FROM ch)
+        |SELECT o_custkey, prio, valid_from_us, valid_to_us, version,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY o_custkey, version""".stripMargin,
 
     "q44_date_spine" ->
       """WITH dr AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,

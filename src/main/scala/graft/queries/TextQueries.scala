@@ -362,6 +362,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L37: PER-GROUP heavy hitters — one frequent-items sketch per
+    // language in a single keyed aggregation (mergeable O(maxMapSize)
+    // state per group, map-side partials; the per-group analogue of
+    // t15's corpus-wide sketch). Exact regime here (capacity >
+    // per-lang vocabulary) so the plain grouped-count oracle matches;
+    // at real scale the same plan degrades to ±n/maxMapSize bounds
+    // instead of a full (lang, token) shuffle.
+    "t20_group_hh" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(GraftFunctions.freq_items(col("tok"), 1 << 15, 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.item").as("token"), col("col.est").as("n"))
+        .orderBy("lang", "rnk")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -840,6 +858,20 @@ object TextQueries {
          |SELECT doc_id, lang, source FROM b JOIN r USING (lang)
          |WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0
          |ORDER BY doc_id""".stripMargin,
+
+    // t20: exact regime per group — grouped counts are ground truth;
+    // (n DESC, token) is the sketch's own output order.
+    "t20_group_hh" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split($normSql, ' ')) AS token
+         |  FROM documents),
+         | agg AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+         |  FROM toks GROUP BY lang, token),
+         | rk AS (SELECT lang, token, n,
+         |   CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)
+         |     AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT lang, rnk, token, n FROM rk WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin,
 
     "t09_repetition" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
