@@ -380,6 +380,33 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // L38: BPE tokenizer training — 8 merge rounds learned from the
+    // corpus word-frequency table (pair-count shuffle + 1-row argmax
+    // + narrow fuse per round; see operators/Bpe.scala). The oracle
+    // replays all 8 rounds as chained CTEs with the same
+    // delimiter-unambiguous replace semantics.
+    "t21_bpe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      Bpe.train(docs(s, dir), "text", merges = 8)
+        .toDF("round", "lft", "rgt", "pair_count")
+        .select(col("round").cast("long").as("round"), col("lft"),
+          col("rgt"), col("pair_count"))
+        .orderBy("round")
+    }),
+
+    // L39: subword encoding with the learned merges — the same
+    // replace chain training used, applied per document token (narrow,
+    // zero shuffle beyond the per-doc count); cross-validates the
+    // apply path against the oracle's trained vocabulary.
+    "t22_bpe_encode" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val merges = Bpe.train(docs(s, dir), "text", merges = 8)
+        .map(m => (m._2, m._3))
+      Bpe.encode(docs(s, dir), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -445,6 +472,53 @@ object TextQueries {
        | ELSE list_transform(range(1, len(toks)${if (n > 2) s" - ${n - 2}" else ""}),
        |   i -> $cat) END""".stripMargin
   }
+
+  /** DuckDB replay of the `Bpe.train(merges = k)` round chain —
+    * mirrors operators/Bpe.scala round for round. Returns the WITH
+    * body defining base, w0..wk, m1..mk.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val base =
+      s"""base AS (SELECT word, count(*) AS n_word FROM
+         |   (SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+         |   WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+         | w0 AS (SELECT word, n_word,
+         |   '|' || array_to_string(string_split(word, ''), '||') || '|' AS sym
+         |   FROM base)""".stripMargin
+    def roundCtes(i: Int): String =
+      s""" m$i AS (SELECT l, r, n FROM (
+         |   SELECT z[1] AS l, z[2] AS r, CAST(sum(n_word) AS BIGINT) AS n
+         |   FROM (SELECT n_word, unnest(list_zip(sy[1:len(sy)-1], sy[2:len(sy)])) AS z
+         |         FROM (SELECT n_word, string_split(trim(sym, '|'), '||') AS sy
+         |               FROM w${i - 1}))
+         |   GROUP BY 1, 2) ORDER BY n DESC, l, r LIMIT 1),
+         | w$i AS (SELECT word, n_word,
+         |   replace(sym, '|' || l || '||' || r || '|', '|' || l || r || '|') AS sym
+         |   FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    s"$base,\n${(1 to k).map(roundCtes).mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val selects = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, l AS lft, r AS rgt, n AS pair_count FROM m$i")
+      .mkString("\n UNION ALL ")
+    s"WITH ${bpeChainSql(k)}\n$selects\nORDER BY round"
+  }
+
+  /** Encode oracle: after k merge rounds, every corpus word's symbol
+    * string in wk IS its encoding — join doc tokens to it and count.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeChainSql(k)},
+       | tf AS (SELECT doc_id, word FROM
+       |   (SELECT doc_id, unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |   WHERE regexp_matches(word, '^[a-z]+$$')),
+       | enc AS (SELECT doc_id,
+       |   len(string_split(trim(sym, '|'), '||')) AS n_sub
+       |  FROM tf JOIN w$k USING (word))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val langidScoreSql: Seq[(String, String)] =
     TextStats.stopwords.map { case (lang, words) =>
@@ -858,6 +932,17 @@ object TextQueries {
          |SELECT doc_id, lang, source FROM b JOIN r USING (lang)
          |WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0
          |ORDER BY doc_id""".stripMargin,
+
+    // t21: the full 8-round BPE training loop replayed as chained
+    // CTEs — per round: pair counts over the current symbol encoding,
+    // (n DESC, l, r) argmax, then the same left-to-right
+    // non-overlapping replace fuse Spark applies.
+    "t21_bpe" -> bpeOracleSql(8),
+
+    // t22: the learned merges applied to every document token — the
+    // oracle reuses the training chain (w8's symbol strings ARE the
+    // encodings, since the vocab covers every corpus word).
+    "t22_bpe_encode" -> bpeEncodeOracleSql(8),
 
     // t20: exact regime per group — grouped counts are ground truth;
     // (n DESC, token) is the sketch's own output order.

@@ -67,6 +67,28 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("Bpe.train learns hand-computable merges; encode applies them") {
+    import graft.operators.Bpe
+    val df = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", merges = 3)
+    // round 1: (a,b) seen 3x beats (b,c) 2x and (b,d) 1x;
+    // round 2: (ab,c) 2x; round 3: (ab,d) 1x.
+    assert(merges == Seq((1, "a", "b", 3L), (2, "ab", "c", 2L), (3, "ab", "d", 1L)))
+    // with only 2 merges applied, abc -> [abc] (1), abd -> [ab, d] (2)
+    val enc = Bpe.encode(df, "doc_id", "text", merges.take(2).map(m => (m._2, m._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 3L, 1L + 1L + 2L)))
+  }
+
+  test("Bpe merge fuse is greedy left-to-right (BPE convention)") {
+    import graft.operators.Bpe
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", merges = 2)
+    // '|a||a||a|' has pair (a,a) twice; after fusing left-to-right the
+    // word is [aa, a] (NOT [a, aa]), so round 2 merges (aa, a).
+    assert(merges == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("mixtureSample thins rich strata toward target weights and keeps poor ones whole") {
     val rows = (1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "zh"))
     val df = rows.toDF("doc_id", "lang")
