@@ -465,6 +465,28 @@ object Relational {
     // rewrite is a dense_rank-over-first-occurrence self-maintaining
     // form. Explicit ROWS frame + unique tiebreak so both engines
     // see identical frames.
+    // R49: time-RANGE window frame — 30-day trailing spend per
+    // customer (RANGE BETWEEN 29 PRECEDING AND CURRENT ROW over epoch
+    // days). Unlike the ROWS frames elsewhere (q08/q42), the frame is
+    // defined by the ORDER-BY VALUE, so same-day peer rows always
+    // share a frame and tie order cannot matter. Money as integer
+    // cents → frame sums exact; one shuffle on the partition key.
+    "q46_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
+        .rangeBetween(-29, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+            .as("epoch_day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("trail30_cents", sum("cents").over(w))
+        .withColumn("trail30_n", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          (col("trail30_cents").cast("double") / lit(100.0)).as("trail30_spend"),
+          col("trail30_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // R48: SCD2 dimension build — collapse each customer's order-
     // priority history into effective-dated ranges: change detection
     // via lag (consecutive repeats of the same value merge into one
@@ -924,6 +946,20 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q46_range_window" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS epoch_day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, epoch_day,
+        |  CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS trail30_spend,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail30_n
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q45_scd2" ->
       """WITH o AS (SELECT o_custkey, o_orderpriority AS prio,
