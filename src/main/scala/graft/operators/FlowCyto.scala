@@ -174,6 +174,21 @@ object FlowCyto {
         round(sum(channel), 2).as("mass"))
   }
 
+  /** F14 — 2-D channel density (the dot-plot / pseudocolor binning
+    * behind every cytometry gate view): joint (x_bin, y_bin) counts on
+    * a fixed grid. One keyed aggregation — the bin pair is the
+    * shuffle key, so density at any event count is a linear job.
+    */
+  def histogram2d(df: DataFrame, x: Column, y: Column,
+                  xOrigin: Double, xWidth: Double,
+                  yOrigin: Double, yWidth: Double,
+                  groupCols: Seq[String]): DataFrame = {
+    val xb = floor((x - lit(xOrigin)) / lit(xWidth)).cast("long").as("x_bin")
+    val yb = floor((y - lit(yOrigin)) / lit(yWidth)).cast("long").as("y_bin")
+    val keys = groupCols.map(col) ++ Seq(xb.asInstanceOf[Column], yb)
+    df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+  }
+
   /** F12 — robust channel statistics (cytometry convention: outlier
     * events — doublets, debris — wreck mean/sd, so robust variants are
     * reported): trimmed mean over the [pLo, pHi] quantile band and MAD

@@ -130,6 +130,17 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "bin")
     }),
 
+    // F14: 2-D channel density — the dot-plot binning behind gate
+    // views (joint quantity × discount grid per return flag). Integer
+    // bin keys + counts → exact oracle.
+    "f14_hist2d" -> ((s, dir) => {
+      FlowCyto.histogram2d(
+          t(s, dir, "lineitem"),
+          col("l_quantity"), col("l_discount"),
+          0.0, 5.0, 0.0, 0.02, Seq("l_returnflag"))
+        .orderBy("l_returnflag", "x_bin", "y_bin")
+    }),
+
     // F11: KLL sketch quantiles — the mergeable approximate twin of
     // f06's exact percentiles (a few KB of state per group at any n;
     // the 100 TB path). Sketch output is rank-approximate → no DuckDB
@@ -315,6 +326,14 @@ object FlowCytoQueries {
         |  AND l.l_linestatus = c.l_linestatus
         |GROUP BY l.l_returnflag, l.l_linestatus
         |ORDER BY l.l_returnflag, l.l_linestatus""".stripMargin,
+
+    "f14_hist2d" ->
+      """SELECT l_returnflag,
+        | CAST(floor((l_quantity - 0.0) / 5.0) AS BIGINT) AS x_bin,
+        | CAST(floor((l_discount - 0.0) / 0.02) AS BIGINT) AS y_bin,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, x_bin, y_bin
+        |ORDER BY l_returnflag, x_bin, y_bin""".stripMargin,
 
     "f07_histogram" ->
       """SELECT l_returnflag,

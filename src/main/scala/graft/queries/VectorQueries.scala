@@ -139,6 +139,25 @@ object VectorQueries {
       Multimodal.decodeFeatures(Multimodal.blobsFromDocuments(docs(s, dir)))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // L12b: multipart blob layout — chunk each media payload into
+    // fixed 64-byte parts with offsets and per-part digests (the
+    // manifest a blob store / multipart upload needs; also how >2 GB
+    // media rows shard across parquet row groups). Purely narrow:
+    // posexplode over the offset sequence, substring + md5 per part —
+    // chunking 100 TB of media is a map job.
+    "m03_blob_chunks" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("blob"),
+          posexplode(sequence(lit(1), length(col("blob")), lit(64)))
+            .as(Seq("chunk_id", "off")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          (col("off") - 1).cast("long").as("byte_offset"),
+          length(expr("substring(blob, off, 64)")).cast("long").as("n_bytes"),
+          md5(expr("substring(blob, off, 64)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -258,6 +277,20 @@ object VectorQueries {
     // m02: Multimodal.fakeDecode mirrored — b0/b1 are the first two
     // bytes, mean is byte-sum/length in double, half-up rounded to 4
     // decimals with the same floor(x*1e4+0.5)/1e4 IEEE op sequence.
+    // m03: ASCII text ⇒ byte offsets == char offsets, and DuckDB's
+    // md5(VARCHAR) digests the same bytes Spark's md5(BINARY) does.
+    "m03_blob_chunks" ->
+      """WITH o AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1, 64)) AS off,
+        |    unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(off - 1 AS BIGINT) AS byte_offset,
+        |  CAST(length(substr(text, off, 64)) AS BIGINT) AS n_bytes,
+        |  md5(substr(text, off, 64)) AS chunk_md5
+        |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+
     "m02_blob_decode" ->
       """WITH f AS (
         |  SELECT doc_id,
