@@ -61,7 +61,7 @@ object Bpe {
         .agg(sum("n_word").as("n"))
         .orderBy(desc("n"), col("l"), col("r"))
         .limit(1).collect()
-      if (top.isEmpty) return out.result()
+      if (top.isEmpty) { v.unpersist(); return out.result() }
       val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += ((round, l, r, n))
       // plain replace, not regexp: the pair strings are literal

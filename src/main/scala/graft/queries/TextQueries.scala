@@ -407,6 +407,49 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L40: the END-TO-END curation pipeline in one composed plan —
+    // quality filter → exact dedup → decontamination → mixture
+    // resample → corpus manifest. Every stage is one of the library's
+    // operators; the oracle replays the whole chain. The quality
+    // score stays UNROUNDED for the filter (identical double ops on
+    // both engines → identical keep decisions; rounding is only ever
+    // for output columns).
+    "d15_corpus_manifest" -> ((s, dir) => {
+      import graft.operators.{CorpusOps, Sampling}
+      val d = docs(s, dir)
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val feat = d.select(col("doc_id"), col("lang"), col("source"),
+        norm.as("norm"), size(toks).as("n_tokens"),
+        length(norm).as("n_chars"),
+        length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
+        TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
+          .as("allstop"))
+      val nTok = col("n_tokens").cast("double")
+      val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+        (col("allstop").cast("double") / nTok) * lit(0.3) +
+        (col("alpha").cast("double") / col("n_chars").cast("double")) * lit(0.3)
+      val qk = feat.filter(quality >= 0.52)
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("norm")))
+      val dd = qk.withColumn("keep_id", min("doc_id").over(wDedup))
+        .filter(col("doc_id") === col("keep_id"))
+      // 5-grams, not d08's 3-grams: decontamination conventionally
+      // uses longer n-grams, and on this tiny-vocabulary corpus
+      // 3-gram collisions flag ~85% of docs (the pipeline would
+      // return an empty corpus).
+      val contaminated = CorpusOps.contamination(d, "doc_id", "text",
+        col("source").isin("src0", "src1"), n = 5).select("doc_id")
+      val clean = dd.filter(!col("source").isin("src0", "src1"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.mixtureSample(clean, "doc_id", "lang",
+          Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+            "es" -> 0.1, "fr" -> 0.1), targetN = 150L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -943,6 +986,47 @@ object TextQueries {
     // oracle reuses the training chain (w8's symbol strings ARE the
     // encodings, since the vocab covers every corpus word).
     "t22_bpe_encode" -> bpeEncodeOracleSql(8),
+
+    // d15: the full curation chain replayed — unrounded quality
+    // filter, md5 dedup window, string-gram decontamination, fmix64
+    // mixture buckets, manifest rollup.
+    "d15_corpus_manifest" ->
+      s"""WITH base AS (SELECT doc_id, lang, source, $normSql AS norm,
+         |    string_split($normSql, ' ') AS toks FROM documents),
+         | feat AS (SELECT doc_id, lang, source, norm, toks,
+         |    len(toks) AS n_tokens, length(norm) AS n_chars,
+         |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |    ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+         |  FROM base),
+         | q AS (SELECT *, least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         |    + (CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+         |    + (CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3 AS quality
+         |  FROM feat),
+         | qk AS (SELECT * FROM q WHERE quality >= 0.52),
+         | dd AS (SELECT * FROM (SELECT *,
+         |     min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM qk)
+         |   WHERE doc_id = keep_id),
+         | g AS (SELECT doc_id, source,
+         |    unnest(list_distinct(${shingleSql(5)})) AS gm FROM base),
+         | ev AS (SELECT DISTINCT gm FROM g WHERE source IN ('src0', 'src1')),
+         | cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gm)
+         |   WHERE g.source NOT IN ('src0', 'src1')),
+         | clean AS (SELECT dd.* FROM dd
+         |   WHERE dd.source NOT IN ('src0', 'src1')
+         |     AND dd.doc_id NOT IN (SELECT doc_id FROM cont)),
+         | n AS (SELECT lang, count(*) AS n_stratum FROM clean GROUP BY lang),
+         | r AS (SELECT lang, least(1.0,
+         |     CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.15
+         |       WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
+         |     * 150.0 / CAST(n_stratum AS DOUBLE)) AS keep_rate FROM n),
+         | h AS (SELECT clean.*,
+         |    ((${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} % 10000) + 10000) % 10000 AS bucket
+         |  FROM clean),
+         | keep AS (SELECT h.* FROM h JOIN r USING (lang)
+         |   WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t20: exact regime per group — grouped counts are ground truth;
     // (n DESC, token) is the sketch's own output order.
