@@ -46,6 +46,28 @@ object TidyIO {
       .saveAsTable(table)
   }
 
+  /** Training-shard writer: the final corpus-emit step of an LLM data
+    * pipeline — N deterministic shards assigned by the portable id
+    * hash (so the same row lands in the same shard on any engine or
+    * rerun), one file per shard, plus a manifest of per-shard row and
+    * payload-byte counts. Downstream loaders stream shard files
+    * round-robin; the hash assignment balances shards to ±O(√(n/N))
+    * without any global sort or size-measuring pass. Returns the
+    * manifest (shard, n_rows, n_payload_bytes).
+    */
+  def writeShards(df: DataFrame, idCol: String, payloadCol: String,
+                  nShards: Int, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sharded = df.withColumn("shard",
+      graft.operators.Sampling.hashBucket(col(idCol), nShards))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col(payloadCol)).cast("long")).as("n_payload_bytes"))
+      .orderBy("shard")
+  }
+
   /** CSV export with header (the reference's tabular emit format). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")

@@ -62,6 +62,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.columns.toSet == stats.columns.toSet)
   }
 
+  test("writeShards emits deterministic balanced shards with a faithful manifest") {
+    val docs = Graft.table(spark, SharedSpark.sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val manifest = TidyIO.writeShards(docs, "doc_id", "text", 8, dir).collect()
+    // manifest totals match the corpus
+    assert(manifest.map(_.getLong(1)).sum == docs.count())
+    val expBytes = docs.agg(sum(length(col("text")).cast("long")))
+      .head().getLong(0)
+    assert(manifest.map(_.getLong(2)).sum == expBytes)
+    // every shard non-empty and within 3x of fair share (hash balance)
+    assert(manifest.length == 8)
+    val fair = docs.count() / 8.0
+    assert(manifest.forall(r => r.getLong(1) > 0 && r.getLong(1) < 3 * fair))
+    // round trip: same rows, and each row sits in its hash shard
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val misplaced = back.filter(
+      col("shard") =!= graft.operators.Sampling.hashBucket(col("doc_id"), 8)).count()
+    assert(misplaced == 0)
+    // one file per shard (repartition on the shard key before write)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(files.length == 8 && files.forall(_._2 == 1), files.toSeq.toString)
+  }
+
   test("bucketed tables join without an Exchange (pre-shuffled layout)") {
     val sfDir = SharedSpark.sfDir
     val orders = Graft.table(spark, sfDir, "orders")
