@@ -89,6 +89,50 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(merges == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("Bpe.train matches an independent in-memory BPE on random corpora") {
+    import graft.operators.Bpe
+    // straightforward reference: explicit symbol vectors + greedy fuse
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.toVector.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      val out = Vector.newBuilder[(Int, String, String, Long)]
+      var stop = false
+      for (round <- 1 to k if !stop) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((round, l, r, n))
+          vocab = vocab.map { case (syms, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val lexicon = Vector.fill(12)((1 to (2 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val text = (1 to 60).map(_ => lexicon(rnd.nextInt(lexicon.size))).mkString(" ")
+      val df = Seq((trial.toLong, text)).toDF("doc_id", "text")
+      val words = text.split(" ").groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+      val got = graft.operators.Bpe.train(df, "text", merges = 6)
+      assert(got == refBpe(words, 6), s"trial $trial corpus: $text")
+    }
+  }
+
   test("mixtureSample thins rich strata toward target weights and keeps poor ones whole") {
     val rows = (1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "zh"))
     val df = rows.toDF("doc_id", "lang")
