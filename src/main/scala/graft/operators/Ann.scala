@@ -18,6 +18,40 @@ import scala.util.Random
   */
 object Ann {
 
+  /** L46 — deterministic Johnson–Lindenstrauss sign-projection planes:
+    * entries ±1/√k with the sign taken from the LSB of
+    * `Fmix64.fmix(j·d + i + 1)` — a data-independent random projection
+    * (Achlioptas, JCSS'03: ±1 entries preserve pairwise distances in
+    * expectation like Gaussian ones) that any engine can regenerate
+    * from (d, k) alone. Used as the cheap pre-reduce in front of
+    * brute-force / IVF ANN: 64-d floats → k-d doubles is a pure
+    * narrow map, and distances in the projected space approximate
+    * originals within the JL distortion bound.
+    */
+  def jlPlanes(d: Int, k: Int): Array[Array[Double]] = {
+    require(d >= 1 && k >= 1)
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    Array.tabulate(k, d) { (j, i) =>
+      val s = org.apache.spark.sql.graftx.Fmix64.fmix(j.toLong * d + i + 1)
+      if ((s & 1L) == 0L) inv else -inv
+    }
+  }
+
+  /** JL projection of a float-vector column onto [[jlPlanes]] — one
+    * codegen'd constant-plane dot product per row (ProjectPlanes, the
+    * same kernel PCA projection uses), zero shuffle. Output columns
+    * `p1..pk` are bit-identical across engines: float→double casts
+    * are exact and the dot accumulates in fixed index order.
+    */
+  def jlProject(vecs: DataFrame, idCol: String, embCol: String,
+                d: Int, k: Int): DataFrame = {
+    val proj = GraftFunctions.project_planes(col(embCol), jlPlanes(d, k),
+      Array.fill(k)(0.0))
+    vecs.select(col(idCol), proj.as("p"))
+      .select(col(idCol) +:
+        (0 until k).map(j => element_at(col("p"), j + 1).as(s"p${j + 1}")): _*)
+  }
+
   /** L5 — blocked embedding similarity pairs: only vectors sharing a
     * block (here: a label / IVF cell) are compared — the
     * embedding-space analogue of the text blocking in Dedup.

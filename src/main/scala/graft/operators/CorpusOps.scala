@@ -146,6 +146,111 @@ object CorpusOps {
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4))
   }
 
+  /** L42 — maximal duplicated-span extraction: the POSITIONAL form of
+    * exact-substring dedup (Lee et al. 2022) — where d11/t18 score
+    * WHICH docs overlap and HOW MUCH, this reports WHERE: for each
+    * document, the maximal token ranges covered by word n-grams that
+    * occur ≥ `minOcc` times corpus-wide (including same-doc repeats).
+    * A cutting pass can then drop exactly these spans instead of the
+    * whole document — the surgical variant of substring dedup.
+    *
+    * Method: positional gram hashes (one codegen pass, order
+    * preserved), one groupBy(gram) to find duplicated grams, a
+    * semi-join back to keep duplicated positions, then gaps-and-
+    * islands (pos − row_number per doc) to merge runs of overlapping
+    * duplicated grams into maximal spans. A run p1..p2 of gram starts
+    * covers tokens [p1, p2+n−1].
+    *
+    * Scale shape: two linear shuffles (gram key, then doc key); grams
+    * travel as 64-bit hashes. The islands window partitions by doc —
+    * never a global sort. Docs with < n tokens are excluded (they
+    * have no n-gram positions).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minOcc: Long = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .ngram_hashes(col("toks"), n, dedupSort = false)).as(Seq("p0", "g")))
+      // reused by the dup-gram count and the position semi-join; same
+      // persist contract as sharedGramPairs (callers clearCache).
+      .persist()
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOcc).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    grams.join(dupGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"))
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("p").as("span_start"), (max("p") + n - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_toks"))
+  }
+
+  /** L43 — FUZZY benchmark decontamination: where [[contamination]]
+    * flags exact n-gram overlap, this catches paraphrased / lightly
+    * edited benchmark leakage via MinHash-LSH banding between the
+    * corpus and the eval set, verified with exact Jaccard on distinct
+    * token sets. Returns a per-corpus-doc verdict: how many eval docs
+    * it matches at `threshold`, and the best (max) Jaccard.
+    *
+    * Scale shape: signatures are one codegen pass per doc; the eval
+    * side of the (band, bucket) join is benchmark-sized and
+    * BROADCAST, so the corpus never shuffles — candidates fan out at
+    * most |eval ∩ bucket| per corpus row, bounded by the eval set.
+    * The verify join ships slim sorted hash arrays for candidates
+    * only. Same LSH parameters/selectivity reasoning as
+    * [[Dedup.minhashLshPairs]] (d03).
+    */
+  def fuzzyContamination(docs: DataFrame, idCol: String, textCol: String,
+                         isEval: Column, threshold: Double,
+                         numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
+        array_distinct(tokens(col(textCol))).as("sh"))
+      .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
+      .withColumn("nt", size(col("sh")))
+      // read by the band explode (twice: eval + corpus sides) and the
+      // verify joins; callers clearCache between actions.
+      .persist()
+    val banded = base.select(
+        col("id"), col("is_eval"), col("nt"),
+        posexplode(array((0 until bands).map(b =>
+          GraftFunctions.mix_hash(
+            (lit(b.toLong) +: (0 until r).map(j =>
+              element_at(col("mh"), b * r + j + 1))): _*)): _*)))
+      .toDF("id", "is_eval", "nt", "band", "bucket")
+    val ev = banded.filter(col("is_eval"))
+      .select(col("band"), col("bucket"), col("id").as("eval_id"), col("nt").as("nt_e"))
+    // size-ratio prune (lossless under the final J ≥ t filter:
+    // J(A,B) ≤ min/max of the set sizes).
+    val tPermille = (threshold * 1000).toLong
+    val candidates = banded.filter(!col("is_eval"))
+      .join(broadcast(ev), Seq("band", "bucket"))
+      .filter(least(col("nt"), col("nt_e")) * 1000 >=
+        greatest(col("nt"), col("nt_e")) * tPermille)
+      .select(col("id").as("doc_id"), col("eval_id"))
+      .distinct()
+    val sets = base.select(col("id"),
+      sort_array(transform(col("sh"), t => xxhash64(t))).as("hs"))
+    candidates
+      .join(sets.toDF("doc_id", "hs_a"), Seq("doc_id"))
+      .join(broadcast(sets.toDF("eval_id", "hs_b")), Seq("eval_id"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sorted_long_intersect_size(col("hs_a"), col("hs_b")))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        round(max(col("jac")), 3).as("best_jaccard"))
+  }
+
   /** Repetition signals (the Gopher-style quality heuristics):
     * duplicate-token fraction, most-frequent-bigram share, and the
     * fraction of trigram occurrences that are repeats. High values

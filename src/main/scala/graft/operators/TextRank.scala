@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** L45 — TextRank keyword ranking (Mihalcea & Tarau, EMNLP'04) over the
+  * corpus co-occurrence graph: words are nodes, adjacent-word bigrams
+  * are undirected weighted edges, and a damped power iteration scores
+  * each word's centrality — the classic unsupervised keyword /
+  * salience signal a curation pipeline uses to profile a corpus (and
+  * to spot vocabulary drift between snapshots).
+  *
+  * DETERMINISM: the iteration runs in scaled 64-bit INTEGER
+  * arithmetic — ranks carry `scale` fixed-point units, each edge
+  * contribution is `rank · w div deg` (floor division), and the
+  * damping update is `0.15·scale + (85 · Σcontrib) div 100`. Every
+  * operation is exact integer math, so the result is bit-identical
+  * across engines (an external SQL oracle replays it as chained
+  * CTEs), unlike a floating-point PageRank whose sums reorder.
+  *
+  * Scale design (100 TB): the bigram extraction is one narrow pass +
+  * a groupBy(w1,w2) linear shuffle; vocabulary (= node count) is
+  * corpus-bounded (millions, not corpus-sized), so each of the
+  * `iters` rounds is a vocab-sized hash join + aggregate — the fact
+  * table is touched exactly once. Edges and degrees are persisted
+  * across rounds; ranks stay (word, long) slim.
+  */
+object TextRank {
+
+  /** Undirected weighted co-occurrence edges (w1 < w2 normalized on
+    * output for readability is NOT applied — both directions are kept
+    * so each node sees all incident weight): `src, dst, wt, deg`.
+    */
+  private def edges(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val e0 = bi.select(col("w1").as("src"), col("w2").as("dst"), col("cnt"))
+      .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst"), col("cnt")))
+    val e = e0.groupBy("src", "dst").agg(sum("cnt").as("wt"))
+    val deg = e.groupBy("src").agg(sum("wt").as("deg"))
+    e.join(deg, "src")
+  }
+
+  /** Ranks after `iters` damped rounds, in `scale` fixed-point units.
+    * Output: `w, rank` (BIGINT), one row per word that has at least
+    * one co-occurrence edge.
+    */
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50)
+    val ed = edges(docs, textCol)
+      // reused by every round; callers clearCache between actions
+      // (Verify/Bench contract, same as Dedup.jaccardPairs)
+      .persist()
+    val base = (scale * 15L) / 100L
+    var ranks = ed.select(col("src").as("w")).distinct()
+      .withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, ed("src") === ranks("w"))
+        .select(col("dst"), expr("(rank * wt) div deg").as("c"))
+        .groupBy(col("dst").as("w"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -147,6 +147,56 @@ object TextStats {
           "div (100L * n_bigrams) as double)") / lit(10000.0)).as("xent"))
   }
 
+  /** L44 — BM25 ranked retrieval (Robertson/Walker, the Okapi
+    * weighting): score every document against a bag of query terms —
+    * the relevance primitive behind corpus search, eval-set mining,
+    * and targeted subset extraction ("pull the docs about X") in a
+    * curation pipeline. idf = ln(1 + (N − df + ½)/(df + ½)); per-term
+    * tf normalization with the k1/b length correction.
+    *
+    * Determinism (cross-engine): per-(doc, term) scores are rounded
+    * to 6 dp and summed as DECIMAL(18,6) (≤ |terms| addends — order-
+    * free), and the final 4-dp rounding is half-up in integer space;
+    * see [[lmCrossEntropy]] for why round(double, n) alone diverges.
+    * dl and the corpus Σdl are integer-valued doubles, so N/avgdl are
+    * exact regardless of partial-aggregation order.
+    *
+    * Shape: one narrow pass for doc lengths, one explode+filter pass
+    * for term frequencies (the isin prunes before the shuffle — only
+    * query-term hits travel), df and the (N, avgdl) row broadcast.
+    * Corpus-linear; the per-doc fold touches only matching docs.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      // read by the length pass and the term pass; callers clearCache
+      // between actions (Verify/Bench contract).
+      .persist()
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfTab), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("term", round(col("idf") * col("tfn"), 6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        (expr("cast((cast(s * 1000000 as bigint) + 50L) div 100L as double)") /
+          lit(10000.0)).as("bm25"))
+  }
+
   /** PII scrub patterns — conservative syntax shared by Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
     */

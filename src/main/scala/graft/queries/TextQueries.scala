@@ -450,6 +450,53 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // L42: maximal duplicated-span extraction — WHERE each doc is
+    // verbatim-shared: runs of corpus-duplicated word 5-grams merged
+    // into maximal token ranges (gaps-and-islands), the surgical
+    // substring-dedup cut list. Two linear shuffles + a per-doc
+    // window; all-integer output → hash-exact oracle.
+    "d16_dup_spans" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.duplicatedSpans(docs(s, dir), "doc_id", "text",
+          n = 5, minOcc = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // L43: FUZZY decontamination — MinHash-LSH banding between the
+    // corpus and the eval sources (src0/src1 again stand in for the
+    // benchmark suite), exact-Jaccard verified at 0.9; catches the
+    // paraphrased leakage d08's exact gram probe misses. The eval
+    // side broadcasts; the oracle replays the full portable-hash LSH
+    // pipeline like d03.
+    "d17_fuzzy_decontam" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.fuzzyContamination(docs(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1"), threshold = 0.9,
+          numHashes = 64, bands = 8)
+        .orderBy("doc_id")
+    }),
+
+    // L44: BM25 ranked retrieval for a 3-term query mixing one rare
+    // term ('dup', df≈5%) with two common ones — the targeted-subset
+    // extraction primitive. Per-term 6-dp rounding + DECIMAL sums
+    // keep the score order-independent and oracle-exact.
+    "t23_bm25" -> ((s, dir) => {
+      TextStats.bm25(docs(s, dir), "doc_id", "text",
+          terms = Seq("dup", "spark", "merge"))
+        .orderBy("doc_id")
+    }),
+
+    // L45: TextRank keyword centrality over the word co-occurrence
+    // graph — 5 damped power-iteration rounds in scaled fixed-point
+    // INTEGER arithmetic (floor division), so the ranks are
+    // bit-identical on any engine; the oracle replays the rounds as
+    // chained CTEs.
+    "t24_textrank" -> ((s, dir) => {
+      import graft.operators.TextRank
+      TextRank.textRank(docs(s, dir), "text", iters = 5)
+        .orderBy(col("rank").desc, col("w"))
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -849,6 +896,103 @@ object TextQueries {
          |          WHERE e.source NOT IN ('src0', 'src1'))
          |SELECT doc_id, count(*) AS n_shared_grams
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d16: positional 5-gram duplication replayed on gram STRINGS
+    // (hash vs string equality — the d11 convention), then the same
+    // gaps-and-islands merge.
+    "d16_dup_spans" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS p
+         |         FROM base WHERE len(toks) >= 5),
+         | gr AS (SELECT doc_id, p, array_to_string(toks[p:p+4], ' ') AS g FROM pos),
+         | dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+         | dp AS (SELECT doc_id, p FROM gr WHERE g IN (SELECT g FROM dup)),
+         | isl AS (SELECT doc_id, p,
+         |           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |         FROM dp)
+         |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+         |  max(p) + 4 - min(p) + 1 AS span_toks
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // d17: the d03 portable-hash LSH pipeline with eval × corpus
+    // candidate generation (no hot-bucket cap — the eval side is
+    // benchmark-sized) and a per-corpus-doc verdict.
+    "d17_fuzzy_decontam" ->
+      s"""WITH dn AS (SELECT doc_id, source IN ('src0', 'src1') AS is_eval,
+         |       ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | d AS (SELECT doc_id, is_eval, list_distinct(split(ntx, ' ')) AS toks FROM dn),
+         | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
+         | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
+         |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
+         |        GROUP BY doc_id, k),
+         | msl AS (SELECT doc_id, k // 8 AS band,
+         |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
+         |         FROM mg GROUP BY doc_id, k // 8),
+         | mbk AS (SELECT doc_id, band,
+         |           ${PortableHashSql.toSigned(
+                        PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
+         |         FROM msl),
+         | ebk AS (SELECT mbk.doc_id, band, bucket FROM mbk
+         |         JOIN d USING (doc_id) WHERE d.is_eval),
+         | cbk AS (SELECT mbk.doc_id, band, bucket FROM mbk
+         |         JOIN d USING (doc_id) WHERE NOT d.is_eval),
+         | cand AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+         |          FROM cbk c JOIN ebk e ON c.band = e.band AND c.bucket = e.bucket),
+         | v AS (SELECT cand.doc_id, cand.eval_id,
+         |         len(list_intersect(da.toks, db.toks)) AS inter,
+         |         len(da.toks) AS na, len(db.toks) AS nb
+         |       FROM cand
+         |       JOIN d da ON da.doc_id = cand.doc_id
+         |       JOIN d db ON db.doc_id = cand.eval_id),
+         | vv AS (SELECT doc_id, eval_id,
+         |          CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac
+         |        FROM v)
+         |SELECT doc_id, count(*) AS n_eval_matches, round(max(jac), 3) AS best_jaccard
+         |FROM vv WHERE jac >= 0.9 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t23: BM25 with the EXACT same double-op association as the
+    // Spark side (idf * (tf-part / denom)); 6-dp DECIMAL term sums,
+    // half-up integer-space 4-dp final rounding (see t17).
+    "t23_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         | tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM tk)
+         |        WHERE w IN ('dup', 'spark', 'merge') GROUP BY doc_id, w),
+         | df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         | sc AS (SELECT tf.doc_id,
+         |          CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+         |            ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+         |            AS DECIMAL(18,6)) AS term
+         |        FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+         | ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(term) AS s
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_terms,
+         |  CAST((CAST(s * 1000000 AS BIGINT) + 50) // 100 AS DOUBLE) / 10000.0 AS bm25
+         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // t24: the 5 TextRank rounds replayed as chained CTEs — all
+    // integer math (floor division), bit-identical by construction.
+    "t24_textrank" ->
+      s"""WITH tk AS (SELECT string_split($normSql, ' ') AS l FROM documents),
+         | bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM tk),
+         | bi AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt FROM bg
+         |        WHERE z[1] <> z[2] GROUP BY 1, 2),
+         | e0 AS (SELECT w1 AS src, w2 AS dst, cnt FROM bi
+         |        UNION ALL SELECT w2, w1, cnt FROM bi),
+         | e AS (SELECT src, dst, sum(cnt) AS wt FROM e0 GROUP BY 1, 2),
+         | deg AS (SELECT src, sum(wt) AS deg FROM e GROUP BY 1),
+         | ed AS (SELECT e.src, e.dst, e.wt, deg.deg FROM e JOIN deg USING (src)),
+         | r0 AS (SELECT src AS w, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+         |${(1 to 5).map(i =>
+             s""" r$i AS (SELECT ed.dst AS w,
+                |   150000000 + (85 * sum((r${i - 1}.rank * ed.wt) // ed.deg)) // 100 AS rank
+                |   FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.w GROUP BY ed.dst)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT w, CAST(rank AS BIGINT) AS rank FROM r5
+         |ORDER BY rank DESC, w""".stripMargin,
 
     "d13_edit_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,

@@ -103,6 +103,18 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L46: Johnson–Lindenstrauss sign projection — data-independent
+    // 64-d float → 8-d double reduce (±1/√k planes regenerable from
+    // (d, k) alone), the narrow pre-reduce in front of ANN at scale.
+    // Bit-identical across engines: exact float→double casts, fixed
+    // accumulation order (ProjectPlanes ↔ the oracle's ordered fold).
+    "s07_jl_project" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      Ann.jlProject(e, "vec_id", "embedding", d, k = 8)
+        .orderBy("vec_id")
+    }),
+
     // L29: SemDeDup-style semantic dedup end-to-end — embedding
     // cosine pairs (label-blocked) → connected components → canonical
     // representative (cluster min id) per non-singleton member. The
@@ -186,6 +198,18 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // s07: the same ±1/√k plane literals (regenerated from (d, k)),
+    // dot products via the ordered fold — bit-identical doubles.
+    "s07_jl_project" -> {
+      val planes = Ann.jlPlanes(64, 8)
+      val de = "CAST(embedding AS DOUBLE[])"
+      val cols = (0 until 8).map { j =>
+        val w = planes(j).map(_.toString).mkString("[", ", ", "]")
+        s"${dotSql(de, w, 64)} AS p${j + 1}"
+      }
+      s"SELECT vec_id, ${cols.mkString(", ")} FROM embeddings ORDER BY vec_id"
+    },
+
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
          | codes AS (SELECT vec_id, de, ${srpCodeSql("de", 16, 64)} AS code FROM e),

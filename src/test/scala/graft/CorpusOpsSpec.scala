@@ -54,6 +54,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) == (3L, 2L))   // doc 4 hits "the lazy dog" in both
   }
 
+  test("duplicated spans merge overlapping dup 3-grams into maximal ranges") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h i j"),       // shares a..g 3-grams with doc 2
+      (2L, "x y a b c d e f g z"),
+      (3L, "m n o p m n o p m n o"),     // self-repeating → full-doc span
+      (4L, "q r s t u v w")              // unique → no spans
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.duplicatedSpans(spanDocs, "doc_id", "text",
+        n = 3, minOcc = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc1: dup gram starts p1..p5 → tokens [1, 5+3-1=7]
+    // doc2: dup gram starts p3..p7 → tokens [3, 9]
+    // doc3: every gram repeats (period 4) → [1, 11] = whole doc
+    assert(got == Set((1L, 1L, 7L, 7L), (2L, 3L, 9L, 7L), (3L, 1L, 11L, 11L)))
+  }
+
+  test("fuzzy decontamination flags the near-duplicate of an eval doc") {
+    val fc = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "eval"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "train"),
+      (3L, "one two three four five six seven eight nine ten", "train")
+    ).toDF("doc_id", "text", "split")
+    val got = CorpusOps.fuzzyContamination(fc, "doc_id", "text",
+        col("split") === "eval", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 2 is an exact dup of eval doc 1 (J = 1.0, every band
+    // collides); doc 3 shares nothing.
+    assert(got == Map(2L -> ((1L, 1.0))))
+  }
+
   test("edit-distance pairs verify with exact Levenshtein inside blocks") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, lit}
