@@ -53,6 +53,31 @@ object Multimodal {
     }
   }
 
+  /** L48 — frame-sample manifest: treat each media payload as a fixed
+    * frame grid (`frameBytes` bytes/frame) and emit every `stride`-th
+    * frame's index, byte offset, and digest — the manifest a sampled
+    * video-decode pass consumes (decode only the listed offsets, skip
+    * the rest), and the video analogue of m03's multipart chunking.
+    * Purely narrow: posexplode over the strided frame sequence +
+    * substring/md5 per sampled frame — sampling 100 TB of video is a
+    * map job; the real codec replaces the digest step, the manifest
+    * plumbing stays.
+    */
+  def frameSampleManifest(blobs: DataFrame, idCol: String,
+                          frameBytes: Int = 16, stride: Int = 4): DataFrame =
+    blobs
+      .withColumn("n_frames", expr(s"length(blob) div $frameBytes").cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col(idCol), col("blob"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as(Seq("sample_id", "frame_id")))
+      .select(col(idCol), col("sample_id").cast("long").as("sample_id"),
+        col("frame_id"),
+        (col("frame_id") * frameBytes).as("byte_offset"),
+        md5(expr(s"substring(blob, frame_id * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"),
+        col("n_frames"))
+
   /** documents.text → binary payload stand-in (the testdata has no
     * real media; the blob column type and lineage are what matters).
     */

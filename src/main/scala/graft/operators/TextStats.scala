@@ -197,6 +197,36 @@ object TextStats {
           lit(10000.0)).as("bm25"))
   }
 
+  /** L47 — vocabulary growth curve (Heaps'-law profile): per ingest
+    * bucket of `bucket` documents, how many NOVEL word bigrams first
+    * appear there, with the cumulative vocabulary size — the corpus
+    * diversity/saturation diagnostic (a flattening curve says more
+    * data is adding repetition, not coverage; a jump flags a domain
+    * shift in the crawl).
+    *
+    * Shape: "first seen" inverts the inherently sequential scan into
+    * one gram-keyed min aggregation — grams travel as 64-bit hashes
+    * (one codegen pass/doc), so the only corpus-sized work is a
+    * linear shuffle on the gram hash. The curve window runs over the
+    * BUCKET table (≤ corpus/bucket rows, one per ingest slice) —
+    * a deliberately driver-small global window, never the corpus.
+    */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, bucket: Int = 50): org.apache.spark.sql.DataFrame = {
+    val fs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .ngram_hashes(Dedup.tokens(col(textCol)), 2)).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_seen"))
+    val b = fs
+      .select(((expr(s"first_seen div $bucket") + 1) * bucket).as("bucket_end"))
+      .groupBy("bucket_end").agg(count(lit(1)).as("new_grams"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_end")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    b.withColumn("cum_vocab", sum("new_grams").over(w))
+  }
+
   /** PII scrub patterns — conservative syntax shared by Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
     */

@@ -497,6 +497,14 @@ object TextQueries {
         .orderBy(col("rank").desc, col("w"))
     }),
 
+    // L47: Heaps'-law vocabulary growth — novel bigrams per 50-doc
+    // ingest bucket with cumulative vocabulary; gram-hash min-agg
+    // inverts the sequential scan into one linear shuffle.
+    "t25_vocab_growth" -> ((s, dir) => {
+      TextStats.vocabGrowth(docs(s, dir), "doc_id", "text", bucket = 50)
+        .orderBy("bucket_end")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -993,6 +1001,20 @@ object TextQueries {
             .mkString(",\n")}
          |SELECT w, CAST(rank AS BIGINT) AS rank FROM r5
          |ORDER BY rank DESC, w""".stripMargin,
+
+    // t25: bigram first-seen replay on gram STRINGS (hash-vs-string
+    // equality, the d11 convention).
+    "t25_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         | bg AS (SELECT doc_id, z[1] || ' ' || z[2] AS g FROM
+         |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM tk)),
+         | fs AS (SELECT g, min(doc_id) AS first_seen FROM bg GROUP BY g),
+         | b AS (SELECT (first_seen // 50 + 1) * 50 AS bucket_end, count(*) AS new_grams
+         |       FROM fs GROUP BY 1)
+         |SELECT bucket_end, new_grams,
+         |  sum(new_grams) OVER (ORDER BY bucket_end
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+         |FROM b ORDER BY bucket_end""".stripMargin,
 
     "d13_edit_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,

@@ -153,6 +153,18 @@ object VectorQueries {
         .orderBy("doc_id")
     }),
 
+    // L48: frame-sample manifest — every 4th 16-byte "frame" of each
+    // payload with offset + digest (the sampled-decode work list; the
+    // codec consumes the manifest, the plumbing is the deliverable).
+    // Purely narrow, like m03.
+    "m04_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSampleManifest(
+          docs(s, dir).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("blob")),
+          "doc_id", frameBytes = 16, stride = 4)
+        .orderBy("doc_id", "sample_id")
+    }),
+
     // L12b: multipart blob layout — chunk each media payload into
     // fixed 64-byte parts with offsets and per-part digests (the
     // manifest a blob store / multipart upload needs; also how >2 GB
@@ -314,6 +326,23 @@ object VectorQueries {
         |  CAST(length(substr(text, off, 64)) AS BIGINT) AS n_bytes,
         |  md5(substr(text, off, 64)) AS chunk_md5
         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // m04: ASCII ⇒ byte==char offsets, md5(VARCHAR)==md5(BINARY), as
+    // in m03.
+    "m04_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) // 16 AS n_frames
+        |  FROM documents),
+        | s AS (SELECT doc_id, text, n_frames,
+        |    unnest(range(0, n_frames, 4)) AS frame_id,
+        |    unnest(generate_series(0, CAST(ceil(n_frames / 4.0) AS BIGINT) - 1))
+        |      AS sample_id
+        |  FROM f WHERE n_frames > 0)
+        |SELECT doc_id, CAST(sample_id AS BIGINT) AS sample_id,
+        |  CAST(frame_id AS BIGINT) AS frame_id,
+        |  CAST(frame_id * 16 AS BIGINT) AS byte_offset,
+        |  md5(substr(text, frame_id * 16 + 1, 16)) AS frame_md5,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM s ORDER BY doc_id, sample_id""".stripMargin,
 
     "m02_blob_decode" ->
       """WITH f AS (

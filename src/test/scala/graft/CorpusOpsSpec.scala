@@ -86,6 +86,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((1L, 1.0))))
   }
 
+  test("vocab growth counts novel bigrams per bucket with a running total") {
+    import graft.operators.TextStats
+    val vg = Seq(
+      (0L, "a b c"),    // bucket 2 (docs 0-1): "a b", "b c", "b d" novel
+      (1L, "a b d"),
+      (2L, "c a b"),    // bucket 4 (docs 2-3): "c a" novel
+      (3L, "a b c d")   // … and "c d"
+    ).toDF("doc_id", "text")
+    val got = TextStats.vocabGrowth(vg, "doc_id", "text", bucket = 2)
+      .orderBy("bucket_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 3L, 3L), (4L, 2L, 5L)))
+  }
+
   test("edit-distance pairs verify with exact Levenshtein inside blocks") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, lit}

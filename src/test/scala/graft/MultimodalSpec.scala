@@ -19,6 +19,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.n_frames >= 1 && r.n_frames <= 8)
   }
 
+  test("frame-sample manifest lists every stride-th full frame with offsets") {
+    import org.apache.spark.sql.functions._
+    // 70 bytes → 4 full 16-byte frames (6 tail bytes dropped);
+    // stride 2 samples frames 0 and 2
+    val blobs = Seq((1L, ("ab" * 35).getBytes("UTF-8")),
+        (2L, "short".getBytes("UTF-8")))   // 5 bytes → 0 frames → absent
+      .toDF("doc_id", "blob")
+    val got = Multimodal.frameSampleManifest(blobs, "doc_id",
+        frameBytes = 16, stride = 2)
+      .orderBy("doc_id", "sample_id")
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 0L), (1L, 2L, 32L)))
+    assert(got.forall(_.getLong(5) == 4L))
+    // digest is of exactly the 16-byte frame slice
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ab" * 8).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.head.getString(4) == expectMd5)
+  }
+
   test("batching shape: grouped batches cover all rows exactly once") {
     val blobs = (1L to 100L).map(i => Multimodal.BlobRow(i, Array.fill(8)(i.toByte))).toDS()
     val out = Multimodal.decodeFeatures(blobs.repartition(3), batchSize = 7)
