@@ -40,9 +40,17 @@ object TextRank {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-    val e0 = bi.select(col("w1").as("src"), col("w2").as("dst"), col("cnt"))
-      .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst"), col("cnt")))
-    val e = e0.groupBy("src", "dst").agg(sum("cnt").as("wt"))
+    // Both directions via ONE explode (a unionAll of bi with its swap
+    // would recompute the corpus aggregation per branch — plan-audited:
+    // 4 parquet scans at cache build, vs 1 with this shape). e is
+    // persisted because the degree aggregate and the join left side
+    // both read it; everything from here on is vocabulary-sized.
+    val e = bi.select(explode(array(
+        struct(col("w1").as("src"), col("w2").as("dst"), col("cnt")),
+        struct(col("w2").as("src"), col("w1").as("dst"), col("cnt")))).as("s"))
+      .select(col("s.src").as("src"), col("s.dst").as("dst"), col("s.cnt").as("cnt"))
+      .groupBy("src", "dst").agg(sum("cnt").as("wt"))
+      .persist()
     val deg = e.groupBy("src").agg(sum("wt").as("deg"))
     e.join(deg, "src")
   }
