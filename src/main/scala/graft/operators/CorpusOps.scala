@@ -251,6 +251,108 @@ object CorpusOps {
         round(max(col("jac")), 3).as("best_jaccard"))
   }
 
+  /** L49 — phrase mining + greedy fuse (word2phrase, Mikolov et al.
+    * 2013): learn the top-`topPhrases` bigram collocations (by count,
+    * deterministic (cnt desc, w1, w2) tie-break), then fuse their
+    * occurrences in every document with the greedy LEFT-TO-RIGHT scan
+    * the original tool uses — a token consumed by a fuse can't start
+    * the next one ("a a a" with phrase (a,a) fuses once).
+    *
+    * The greedy scan is inherently sequential per doc, but it
+    * factors exactly: candidate positions form runs (gaps-and-
+    * islands), and within a run starting at s the applied fuses are
+    * s, s+2, s+4, … — so "applied" = even offset from the island
+    * start. That turns the sequential scan into two windows over the
+    * candidate stream (islands, then min-per-island), all integer
+    * logic — engine-replayable bit-for-bit.
+    *
+    * Shape: one positional bigram pass (corpus-linear), a vocabulary-
+    * sized phrase table broadcast back, windows partitioned by doc.
+    * Returns per-doc (n_tokens, n_fused, n_after).
+    */
+  def phraseFuse(docs: DataFrame, idCol: String, textCol: String,
+                 topPhrases: Int = 5, minCount: Long = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      // read by the bigram pass and the final size join; callers
+      // clearCache between actions (Verify/Bench contract).
+      .persist()
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as(Seq("p0", "z")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val phrases = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(topPhrases)
+      .select("w1", "w2")
+    val wIsl = Window.partitionBy("doc_id").orderBy("p")
+    val cand = bg.join(broadcast(phrases), Seq("w1", "w2"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("grp", col("p") - row_number().over(wIsl))
+    val wGrp = Window.partitionBy("doc_id", "grp")
+    val fused = cand
+      .withColumn("applied", (col("p") - min("p").over(wGrp)) % 2 === 0)
+      .groupBy("doc_id")
+      .agg(sum(when(col("applied"), 1L).otherwise(0L)).as("n_fused"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(fused, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_fused"), lit(0L)).as("n_fused"))
+      .withColumn("n_after", col("n_tokens") - col("n_fused"))
+  }
+
+  /** L50 — per-source curation profile: the "which crawl went bad"
+    * dashboard. Per source: doc count, token mass, exact-duplicate
+    * docs (content-hash collisions within the source), mean document
+    * length, and a ROBUST z-score of that mean against the
+    * across-source distribution (median/MAD, the same rSD ≈
+    * 1.4826·MAD convention as F12's channel stats) — sources whose
+    * length profile deviates hard are flagged for review (truncated
+    * crawls, boilerplate floods, parser breakage).
+    *
+    * Shape: one corpus pass to per-source aggregates (linear shuffle
+    * on source), then median/MAD/z over the SOURCE table — group-
+    * cardinality rows, broadcast everywhere. The corpus is touched
+    * exactly once.
+    */
+  def sourceProfile(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String): DataFrame = {
+    val per = docs.select(col(srcCol).as("source"),
+      size(tokens(col(textCol))).cast("long").as("n_tok"),
+      md5(Dedup.normText(col(textCol))).as("h"))
+    val src = per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("n_distinct")).as("dup_docs"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tok"))
+      // the source table is read by the median, the MAD, and the
+      // final projection; callers clearCache between actions.
+      .persist()
+    val med = src.agg(percentile(col("mean_tok"), lit(0.5)).as("med"))
+    val cuts = src.crossJoin(broadcast(med))
+      .agg(max("med").as("med"),
+        percentile(abs(col("mean_tok") - col("med")), lit(0.5)).as("mad"))
+    // mad == 0 (over half the sources share one mean) would divide by
+    // zero — ANSI-fatal. Convention: zero spread → any deviation is
+    // significant; rz = ±9999 sentinel (0 when dev is 0 too), the
+    // same CASE both engines replay.
+    src.crossJoin(broadcast(cuts))
+      .withColumn("dev", col("mean_tok") - col("med"))
+      .withColumn("rz",
+        when(col("mad") > 0, col("dev") / (lit(1.4826) * col("mad")))
+          .when(col("dev") === 0, lit(0.0))
+          .otherwise(signum(col("dev")) * lit(9999.0)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("dup_docs"),
+        round(col("mean_tok"), 4).as("mean_tok"),
+        round(col("rz"), 4).as("tok_robust_z"),
+        (abs(col("rz")) > 2).as("outlier"))
+  }
+
   /** Repetition signals (the Gopher-style quality heuristics):
     * duplicate-token fraction, most-frequent-bigram share, and the
     * fraction of trigram occurrences that are repeats. High values

@@ -505,6 +505,26 @@ object TextQueries {
         .orderBy("bucket_end")
     }),
 
+    // L49: word2phrase — learn top-5 bigram collocations, fuse their
+    // occurrences per doc with the greedy left-to-right scan,
+    // factored into gaps-and-islands + even-offset parity (all
+    // integer logic → bit-exact oracle replay).
+    "t26_phrase_fuse" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.phraseFuse(docs(s, dir), "doc_id", "text",
+          topPhrases = 5, minCount = 10)
+        .orderBy("doc_id")
+    }),
+
+    // L50: per-source curation profile — doc/token mass, in-source
+    // exact-dup docs, mean length + robust z across sources
+    // (median/MAD) flagging deviant crawls.
+    "d18_source_profile" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.sourceProfile(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     // L18: Gopher-style repetition signals (dup-token fraction, top
     // bigram share, duplicated-trigram share).
     "t09_repetition" -> ((s, dir) => {
@@ -1015,6 +1035,57 @@ object TextQueries {
          |  sum(new_grams) OVER (ORDER BY bucket_end
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
          |FROM b ORDER BY bucket_end""".stripMargin,
+
+    // t26: the same phrase learning (deterministic tie-break) and the
+    // same islands+parity factoring of the greedy fuse.
+    "t26_phrase_fuse" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+         | bg AS (SELECT doc_id, p, l[p] AS w1, l[p + 1] AS w2
+         |   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS p
+         |         FROM tk WHERE len(l) >= 2)),
+         | ph AS (SELECT w1, w2 FROM
+         |   (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2)
+         |   WHERE cnt >= 10 ORDER BY cnt DESC, w1, w2 LIMIT 5),
+         | cand AS (SELECT doc_id, p,
+         |     p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |   FROM bg JOIN ph USING (w1, w2)),
+         | ap AS (SELECT doc_id,
+         |     (p - min(p) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS applied
+         |   FROM cand),
+         | f AS (SELECT doc_id, sum(CASE WHEN applied THEN 1 ELSE 0 END) AS n_fused
+         |   FROM ap GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(f.n_fused, 0) AS BIGINT) AS n_fused,
+         |  CAST(len(l) - coalesce(f.n_fused, 0) AS BIGINT) AS n_after
+         |FROM tk LEFT JOIN f ON tk.doc_id = f.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // d18: quantile_cont ↔ Spark percentile (the f12-proven pairing);
+    // identical double-op order for mean/z.
+    "d18_source_profile" ->
+      s"""WITH per AS (SELECT source,
+         |    len(string_split($normSql, ' ')) AS n_tok, md5($normSql) AS h
+         |  FROM documents),
+         | src AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         |    count(DISTINCT h) AS n_distinct FROM per GROUP BY source),
+         | m AS (SELECT source, n_docs, n_tokens, n_docs - n_distinct AS dup_docs,
+         |    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tok
+         |  FROM src),
+         | c1 AS (SELECT quantile_cont(mean_tok, 0.5) AS med FROM m),
+         | c2 AS (SELECT max(med) AS med,
+         |    quantile_cont(abs(mean_tok - med), 0.5) AS mad FROM m CROSS JOIN c1),
+         | z AS (SELECT m.*, CASE
+         |      WHEN mad > 0 THEN (mean_tok - med) / (1.4826 * mad)
+         |      WHEN mean_tok - med = 0 THEN 0.0
+         |      ELSE sign(mean_tok - med) * 9999.0 END AS rz
+         |   FROM m CROSS JOIN c2)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(dup_docs AS BIGINT) AS dup_docs,
+         |  round(mean_tok, 4) AS mean_tok,
+         |  round(rz, 4) AS tok_robust_z,
+         |  abs(rz) > 2 AS outlier
+         |FROM z ORDER BY source""".stripMargin,
 
     "d13_edit_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,

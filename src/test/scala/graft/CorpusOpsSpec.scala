@@ -100,6 +100,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 3L, 3L), (4L, 2L, 5L)))
   }
 
+  test("phrase fuse equals a sequential greedy word2phrase scan") {
+    // dense 3-letter alphabet → candidate runs exercise the
+    // islands+parity factoring against the real sequential scan
+    val rnd = new scala.util.Random(7)
+    val pf = (0L until 40L).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i, Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+    }
+    val got = CorpusOps.phraseFuse(pf.toDF("doc_id", "text"), "doc_id", "text",
+        topPhrases = 2, minCount = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val toksMap = pf.map { case (i, t) => i -> t.split(" ").toSeq }
+    val counts = toksMap.flatMap { case (_, ts) => ts.zip(ts.tail) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val phrases = counts.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(2).map(_._1).toSet
+    toksMap.foreach { case (id, ts) =>
+      var i = 0; var fused = 0
+      while (i < ts.length - 1) {
+        if (phrases((ts(i), ts(i + 1)))) { fused += 1; i += 2 } else i += 1
+      }
+      assert(got(id) == ((ts.length.toLong, fused.toLong,
+        (ts.length - fused).toLong)), s"doc $id")
+    }
+  }
+
+  test("source profile counts in-source dups and flags the deviant source") {
+    // 5 sources of 2 docs: four with ~4-token docs, one with 40-token
+    // docs (the broken crawl); src0 carries an exact duplicate pair
+    // source means 4, 4.5, 5, 6, 40 → med 5, MAD 1: src4 is the
+    // deviant crawl, the rest are within 2 robust SDs
+    val prof = Seq(
+      (1L, "a b c d", "src0"), (2L, "a b c d", "src0"),         // dup pair
+      (3L, "e f g h", "src1"), (4L, "i j k l m", "src1"),
+      (5L, "n o p q", "src2"), (6L, "r s t u v w", "src2"),
+      (7L, "w x y z", "src3"), (8L, "a c e g i k m o", "src3"),
+      (9L, ("tok " * 40).trim, "src4"), (10L, ("tok " * 40).trim, "src4")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceProfile(prof, "doc_id", "text", "source")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(6)))).toMap
+    assert(got("src0") == ((2L, 1L, false)))   // one dup doc, normal length
+    assert(got("src4")._2 == 1L)               // identical 40-token docs dup too
+    assert(got("src4")._3, "deviant-length source not flagged")
+    assert(Seq("src1", "src2", "src3").forall(s => !got(s)._3))
+  }
+
   test("edit-distance pairs verify with exact Levenshtein inside blocks") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.{col, lit}

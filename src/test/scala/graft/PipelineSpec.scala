@@ -87,6 +87,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(files.length == 8 && files.forall(_._2 == 1), files.toSeq.toString)
   }
 
+  test("clustered layout prunes partitions statically and dynamically (DPP)") {
+    val sfDir = SharedSpark.sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val orders = Graft.table(spark, sfDir, "orders")
+    TidyIO.writeClustered(orders, dir,
+      partitionBy = Seq("o_orderpriority"), sortBy = Seq("o_orderkey"))
+    val fact = spark.read.parquet(dir)
+    val nPrio = orders.select("o_orderpriority").distinct().count()
+
+    // static pruning: a literal partition predicate reaches the scan
+    // as a PartitionFilter and cuts the files actually read (the
+    // numFiles metric — Dataset.inputFiles lists pre-filter files)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      qe.toRdd.count()   // run THIS plan so its scan metrics populate
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(sys.error(s"no file scan in:\n$plan"))
+    }
+    val one = fact.filter(col("o_orderpriority") === "1-URGENT")
+    val staticScan = one.queryExecution.executedPlan.toString
+    assert(staticScan.contains("PartitionFilters"), staticScan)
+    assert(scanFiles(one) < scanFiles(fact),
+      s"${scanFiles(one)} vs ${scanFiles(fact)}")
+
+    // dynamic partition pruning: the partition predicate only exists
+    // on the dim side at runtime; the fact scan still prunes via the
+    // dynamicpruning subquery (broadcast reuse)
+    val dim = orders.select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("keep", col("prio").startsWith("1"))
+    val joined = fact.join(dim.filter(col("keep")),
+      fact("o_orderpriority") === dim("prio"))
+    val n = joined.count()
+    val dppScan = joined.queryExecution.executedPlan.toString
+    assert(dppScan.contains("dynamicpruning"), dppScan)
+    assert(n == orders.filter(col("o_orderpriority").startsWith("1")).count())
+    assert(nPrio > 1)   // pruning actually had alternatives to skip
+  }
+
   test("bucketed tables join without an Exchange (pre-shuffled layout)") {
     val sfDir = SharedSpark.sfDir
     val orders = Graft.table(spark, sfDir, "orders")
