@@ -471,6 +471,40 @@ object Relational {
     // defined by the ORDER-BY VALUE, so same-day peer rows always
     // share a frame and tie order cannot matter. Money as integer
     // cents → frame sums exact; one shuffle on the partition key.
+    // R50: data-quality audit gate (Deequ-style) — the validation
+    // pass a pipeline runs before training: null/range/uniqueness
+    // constraints in ONE scan (multi-measure aggregate + one distinct)
+    // plus referential integrity via a single anti-join, unpivoted
+    // into a (check, violations, pass) report. At 100 TB this is one
+    // fact scan + one key-shuffle; the report is 6 rows.
+    "q47_dq_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("c_null_key"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("c_qty_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("c_disc_range"),
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("c_neg_price"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("c_dup_key"))
+      val orphans = li
+        .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("c_orphans"))
+      agg.crossJoin(orphans).selectExpr(
+          """stack(6,
+            |  'discount_in_0_01', c_disc_range,
+            |  'not_null_orderkey', c_null_key,
+            |  'orderkey_in_orders', c_orphans,
+            |  'price_non_negative', c_neg_price,
+            |  'quantity_in_1_50', c_qty_range,
+            |  'unique_order_line', c_dup_key) AS (check_name, violations)"""
+            .stripMargin)
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("check_name")
+    }),
+
     "q46_range_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
         .rangeBetween(-29, 0)
@@ -946,6 +980,26 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q47_dq_audit" ->
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS c_null_key,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS c_qty_range,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS c_disc_range,
+        |    sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS c_neg_price,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS c_dup_key
+        |  FROM lineitem),
+        | o AS (SELECT count(*) AS c_orphans FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),
+        | u AS (SELECT 'discount_in_0_01' AS check_name, c_disc_range AS violations FROM a
+        |   UNION ALL SELECT 'not_null_orderkey', c_null_key FROM a
+        |   UNION ALL SELECT 'orderkey_in_orders', c_orphans FROM o
+        |   UNION ALL SELECT 'price_non_negative', c_neg_price FROM a
+        |   UNION ALL SELECT 'quantity_in_1_50', c_qty_range FROM a
+        |   UNION ALL SELECT 'unique_order_line', c_dup_key FROM a)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
 
     "q46_range_window" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
