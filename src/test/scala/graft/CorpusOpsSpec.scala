@@ -72,6 +72,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 7L, 7L), (2L, 3L, 9L, 7L), (3L, 1L, 11L, 11L)))
   }
 
+  test("duplicated spans equal a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val n = 3
+    val rndDocs = (0L until 30L).map { i =>
+      val len = n + rnd.nextInt(15)
+      (i, Seq.fill(len)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+    }
+    val got = CorpusOps.duplicatedSpans(rndDocs.toDF("doc_id", "text"),
+        "doc_id", "text", n = n, minOcc = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // reference: count grams globally, mark dup positions, merge runs
+    val toks = rndDocs.map { case (i, t) => i -> t.split(" ").toSeq }
+    val counts = toks.flatMap(_._2.sliding(n).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expect = toks.flatMap { case (id, ts) =>
+      val dupPos = ts.sliding(n).zipWithIndex.collect {
+        case (g, p) if counts(g.mkString(" ")) >= 2 => p + 1
+      }.toSeq
+      // merge consecutive starts into islands
+      val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      islands.map { case (s, e) =>
+        (id, s.toLong, (e + n - 1).toLong, (e + n - 1 - s + 1).toLong)
+      }
+    }.toSet
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("fuzzy decontamination flags the near-duplicate of an eval doc") {
     val fc = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "eval"),
