@@ -156,10 +156,14 @@ object CorpusOps {
     *
     * Method: positional gram hashes (one codegen pass, order
     * preserved), one groupBy(gram) to find duplicated grams, a
-    * semi-join back to keep duplicated positions, then gaps-and-
-    * islands (pos − row_number per doc) to merge runs of overlapping
-    * duplicated grams into maximal spans. A run p1..p2 of gram starts
-    * covers tokens [p1, p2+n−1].
+    * semi-join back to keep duplicated positions, then islands over
+    * the OVERLAP relation: gram starts p and q (p < q) cover
+    * overlapping token ranges iff q − p ≤ n − 1, so an island breaks
+    * exactly where the start gap exceeds n − 1 (a running sum of
+    * break flags via lag — NOT the consecutive-only pos − row_number
+    * trick, which would emit two "maximal" spans sharing tokens for
+    * starts 1 and 3 at n = 3). A merged run p1..p2 covers tokens
+    * [p1, p2+n−1]; output spans never overlap.
     *
     * Scale shape: two linear shuffles (gram key, then doc key); grams
     * travel as 64-bit hashes. The islands window partitions by doc —
@@ -182,7 +186,10 @@ object CorpusOps {
     val w = Window.partitionBy("doc_id").orderBy("p")
     grams.join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"))
-      .withColumn("grp", col("p") - row_number().over(w))
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) <= n - 1, 0L).otherwise(1L))
+      .withColumn("grp", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "grp")
       .agg(min("p").as("span_start"), (max("p") + n - 1).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
@@ -232,7 +239,9 @@ object CorpusOps {
     val tPermille = (threshold * 1000).toLong
     val candidates = banded.filter(!col("is_eval"))
       .join(broadcast(ev), Seq("band", "bucket"))
-      .filter(least(col("nt"), col("nt_e")) * 1000 >=
+      // 1000L: the int token count times 1000 overflows IntegerType
+      // past ~2.1M distinct tokens/doc (ANSI-fatal); long math first.
+      .filter(least(col("nt"), col("nt_e")) * lit(1000L) >=
         greatest(col("nt"), col("nt_e")) * tPermille)
       .select(col("id").as("doc_id"), col("eval_id"))
       .distinct()
@@ -277,9 +286,8 @@ object CorpusOps {
       // clearCache between actions (Verify/Bench contract).
       .persist()
     val bg = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), posexplode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as(Seq("p0", "z")))
+      .select(col("doc_id"),
+        posexplode(Dedup.bigramZip(col("toks"))).as(Seq("p0", "z")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
         col("z.w1").as("w1"), col("z.w2").as("w2"))
     val phrases = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))

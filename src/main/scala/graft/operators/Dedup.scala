@@ -121,6 +121,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
   }
 
+  /** Positional adjacent-word pairs of a token array — the shared
+    * bigram idiom (t13/t17/t24/t26 and their oracles all build on
+    * it): `arrays_zip` of the two shifted slices, struct fields
+    * `w1`/`w2`, element i = tokens (i, i+1). CALLERS MUST filter
+    * `size(toks) >= 2` first — the slice length goes negative on an
+    * empty array (runtime error; see t13's guard note).
+    */
+  def bigramZip(toks: Column): Column =
+    arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+
   /** Word n-gram shingles of the token sequence (order-sensitive). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -253,7 +265,8 @@ object Dedup {
     val tPermille = (threshold * 1000).toLong
     val candidates = l.join(rg, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(least(col("nt_a"), col("nt_b")) * 1000 >=
+      // 1000L: int count × 1000 overflows past ~2.1M shingles/doc
+      .filter(least(col("nt_a"), col("nt_b")) * lit(1000L) >=
         greatest(col("nt_a"), col("nt_b")) * tPermille)
       .select("id_a", "id_b")
       .distinct()

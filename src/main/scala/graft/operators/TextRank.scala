@@ -34,9 +34,7 @@ object TextRank {
   private def edges(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bi = toks.select(explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+    val bi = toks.select(explode(Dedup.bigramZip(col("toks"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
@@ -62,10 +60,19 @@ object TextRank {
   def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
                scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50)
+    // FIXED-POINT HEADROOM: each round computes rank·wt in Long.
+    // Total rank mass is ≈ V·scale (damping conserves it), so a hub
+    // word's rank is bounded by V·scale and the product needs
+    // V·scale·max(wt) < 2^63 — at scale=1e9 that allows e.g. a 1e6
+    // vocabulary with bigram counts up to ~9e3, or scale=1e6 for
+    // larger corpora. Callers at extreme scale lower `scale` (the
+    // ranking is invariant; only fixed-point resolution changes) or
+    // prune stop-word hub edges first. Overflow is ANSI-fatal, not
+    // silent.
+    // `edges` persists the vocab-sized edge relation internally; the
+    // deg join on top stays lazy (re-derived from that cache per
+    // round — vocab-sized, no second corpus scan, no double cache).
     val ed = edges(docs, textCol)
-      // reused by every round; callers clearCache between actions
-      // (Verify/Bench contract, same as Dedup.jaccardPairs)
-      .persist()
     val base = (scale * 15L) / 100L
     var ranks = ed.select(col("src").as("w")).distinct()
       .withColumn("rank", lit(scale))

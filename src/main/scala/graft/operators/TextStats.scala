@@ -119,9 +119,8 @@ object TextStats {
     val toks = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-    val bg = toks.select(col("doc_id"), explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("z"))
+    val bg = toks.select(col("doc_id"),
+        explode(Dedup.bigramZip(col("toks"))).as("z"))
       .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
     // n_ctx (bigram-left occupancy) as a window over bi, not a second
@@ -159,7 +158,11 @@ object TextStats {
     * free), and the final 4-dp rounding is half-up in integer space;
     * see [[lmCrossEntropy]] for why round(double, n) alone diverges.
     * dl and the corpus Σdl are integer-valued doubles, so N/avgdl are
-    * exact regardless of partial-aggregation order.
+    * exact regardless of partial-aggregation order. Residual risk
+    * (shared with t07/t17, measure-zero in practice): the per-term
+    * round(double, 6) itself — Spark rounds the shortest decimal
+    * repr, DuckDB the binary value, so a score landing within an ulp
+    * of a 6-dp half boundary could still round apart.
     *
     * Shape: one narrow pass for doc lengths, one explode+filter pass
     * for term frequencies (the isin prunes before the shuffle — only

@@ -486,7 +486,15 @@ object Relational {
         sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
           .otherwise(0L)).as("c_disc_range"),
         sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("c_neg_price"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        // uniqueness over NON-NULL keys only, in BOTH engines: Spark's
+        // countDistinct skips null tuples while DuckDB's
+        // count(DISTINCT (a,b)) counts them (the row-struct is
+        // non-null), so an unguarded count(*) − countDistinct
+        // disagrees by exactly the null rows — on the dirty data a DQ
+        // gate exists for. Null keys are the not_null check's job.
+        (sum(when(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull,
+          1L).otherwise(0L)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
           .as("c_dup_key"))
       val orphans = li
         .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
@@ -987,7 +995,10 @@ object Relational {
         |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS c_qty_range,
         |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS c_disc_range,
         |    sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS c_neg_price,
-        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS c_dup_key
+        |    count(*) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |      - count(DISTINCT (l_orderkey, l_linenumber))
+        |        FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |      AS c_dup_key
         |  FROM lineitem),
         | o AS (SELECT count(*) AS c_orphans FROM lineitem l
         |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),

@@ -217,9 +217,8 @@ object TextQueries {
       // negative length (size-1 when size=0) is a runtime error — the
       // oracle's list ops tolerate empties, so crash-vs-result is the
       // only way the engines could diverge here
-      val bi = toks.filter(size(col("toks")) >= 2).select(explode(arrays_zip(
-          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
-          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      val bi = toks.filter(size(col("toks")) >= 2)
+        .select(explode(Dedup.bigramZip(col("toks"))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
         .persist()
@@ -927,7 +926,7 @@ object TextQueries {
 
     // d16: positional 5-gram duplication replayed on gram STRINGS
     // (hash vs string equality — the d11 convention), then the same
-    // gaps-and-islands merge.
+    // overlap-islands merge (break when the start gap exceeds n−1).
     "d16_dup_spans" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
          | pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS p
@@ -935,9 +934,14 @@ object TextQueries {
          | gr AS (SELECT doc_id, p, array_to_string(toks[p:p+4], ' ') AS g FROM pos),
          | dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
          | dp AS (SELECT doc_id, p FROM gr WHERE g IN (SELECT g FROM dup)),
+         | br AS (SELECT doc_id, p, CASE WHEN
+         |           p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 4
+         |           THEN 0 ELSE 1 END AS brk
+         |         FROM dp),
          | isl AS (SELECT doc_id, p,
-         |           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-         |         FROM dp)
+         |           sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |         FROM br)
          |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
          |  max(p) + 4 - min(p) + 1 AS span_toks
          |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,

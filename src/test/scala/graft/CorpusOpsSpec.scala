@@ -59,7 +59,10 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, "a b c d e f g h i j"),       // shares a..g 3-grams with doc 2
       (2L, "x y a b c d e f g z"),
       (3L, "m n o p m n o p m n o"),     // self-repeating → full-doc span
-      (4L, "q r s t u v w")              // unique → no spans
+      (4L, "q r s t u v w"),             // unique → no spans
+      (5L, "a b c q d e f"),             // dup starts {1,3,5}: gaps of 2
+      (6L, "x a b c x"),                 //   overlap at n=3 → ONE span
+      (7L, "y c q d y")
     ).toDF("doc_id", "text")
     val got = CorpusOps.duplicatedSpans(spanDocs, "doc_id", "text",
         n = 3, minOcc = 2)
@@ -69,7 +72,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     // doc1: dup gram starts p1..p5 → tokens [1, 5+3-1=7]
     // doc2: dup gram starts p3..p7 → tokens [3, 9]
     // doc3: every gram repeats (period 4) → [1, 11] = whole doc
-    assert(got == Set((1L, 1L, 7L, 7L), (2L, 3L, 9L, 7L), (3L, 1L, 11L, 11L)))
+    // doc5: starts {1,3,5} are pairwise gap-2 (≤ n−1) → single
+    //   non-overlapping span [1, 7], NOT three token-sharing spans
+    assert(got == Set((1L, 1L, 7L, 7L), (2L, 3L, 9L, 7L), (3L, 1L, 11L, 11L),
+      (5L, 1L, 7L, 7L), (6L, 2L, 4L, 3L), (7L, 2L, 4L, 3L)))
   }
 
   test("duplicated spans equal a brute-force reference on random corpora") {
@@ -91,9 +97,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       val dupPos = ts.sliding(n).zipWithIndex.collect {
         case (g, p) if counts(g.mkString(" ")) >= 2 => p + 1
       }.toSeq
-      // merge consecutive starts into islands
+      // merge OVERLAPPING starts (gap <= n-1) into islands
       val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
-        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case ((s, e) :: rest, p) if p - e <= n - 1 => (s, p) :: rest
         case (acc, p) => (p, p) :: acc
       }.reverse
       islands.map { case (s, e) =>
