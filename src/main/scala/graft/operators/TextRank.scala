@@ -40,17 +40,18 @@ object TextRank {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     // Both directions via ONE explode (a unionAll of bi with its swap
     // would recompute the corpus aggregation per branch — plan-audited:
-    // 4 parquet scans at cache build, vs 1 with this shape). e is
-    // persisted because the degree aggregate and the join left side
-    // both read it; everything from here on is vocabulary-sized.
+    // 4 parquet scans at cache build, vs 1 with this shape). Degrees
+    // attach as a sum() WINDOW over the aggregated edge table (the
+    // t17 pattern) rather than a groupBy+join — one lineage, so ONE
+    // persist covers the whole per-round input and the corpus is
+    // scanned exactly once at cache build.
     val e = bi.select(explode(array(
         struct(col("w1").as("src"), col("w2").as("dst"), col("cnt")),
         struct(col("w2").as("src"), col("w1").as("dst"), col("cnt")))).as("s"))
       .select(col("s.src").as("src"), col("s.dst").as("dst"), col("s.cnt").as("cnt"))
       .groupBy("src", "dst").agg(sum("cnt").as("wt"))
-      .persist()
-    val deg = e.groupBy("src").agg(sum("wt").as("deg"))
-    e.join(deg, "src")
+    e.withColumn("deg", sum("wt").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("src")))
   }
 
   /** Ranks after `iters` damped rounds, in `scale` fixed-point units.
@@ -69,10 +70,11 @@ object TextRank {
     // ranking is invariant; only fixed-point resolution changes) or
     // prune stop-word hub edges first. Overflow is ANSI-fatal, not
     // silent.
-    // `edges` persists the vocab-sized edge relation internally; the
-    // deg join on top stays lazy (re-derived from that cache per
-    // round — vocab-sized, no second corpus scan, no double cache).
-    val ed = edges(docs, textCol)
+    // One persist, one corpus scan: `edges` is a single lineage
+    // (degrees via window, not a join), cached here because all
+    // `iters` rounds read it; callers clearCache between actions
+    // (Verify/Bench contract).
+    val ed = edges(docs, textCol).persist()
     val base = (scale * 15L) / 100L
     var ranks = ed.select(col("src").as("w")).distinct()
       .withColumn("rank", lit(scale))
