@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, names) = args
+    val (sfDir, names) = args match {
+      case Array(d, n) => (d, n)
+      case _ =>
+        System.err.println("usage: graft.Explain <sfDir> <name>[,<name>...]")
+        sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -124,6 +124,10 @@ object CorpusOps {
     * pass), one groupBy(gram) to find grams in ≥2 docs, a semi-join
     * back, one per-doc count — all linear shuffles on gram/doc keys;
     * grams travel as 64-bit hashes, never strings.
+    *
+    * CACHING: persists the exploded gram table (read by three
+    * downstream plans) for the returned lazy result; callers
+    * `spark.catalog.clearCache()` between materialized actions.
     */
   def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 4): DataFrame = {
@@ -169,6 +173,10 @@ object CorpusOps {
     * travel as 64-bit hashes. The islands window partitions by doc —
     * never a global sort. Docs with < n tokens are excluded (they
     * have no n-gram positions).
+    *
+    * CACHING: persists the positional gram table (read by the
+    * dup-gram count and the semi-join); callers
+    * `spark.catalog.clearCache()` between materialized actions.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minOcc: Long = 2): DataFrame = {
@@ -210,6 +218,10 @@ object CorpusOps {
     * The verify join ships slim sorted hash arrays for candidates
     * only. Same LSH parameters/selectivity reasoning as
     * [[Dedup.minhashLshPairs]] (d03).
+    *
+    * CACHING: persists the signature table (read by the band explode
+    * and both verify joins); callers `spark.catalog.clearCache()`
+    * between materialized actions.
     */
   def fuzzyContamination(docs: DataFrame, idCol: String, textCol: String,
                          isEval: Column, threshold: Double,
@@ -278,6 +290,10 @@ object CorpusOps {
     * Shape: one positional bigram pass (corpus-linear), a vocabulary-
     * sized phrase table broadcast back, windows partitioned by doc.
     * Returns per-doc (n_tokens, n_fused, n_after).
+    *
+    * CACHING: persists the tokenized corpus (read by the bigram pass
+    * and the final size join); callers `spark.catalog.clearCache()`
+    * between materialized actions.
     */
   def phraseFuse(docs: DataFrame, idCol: String, textCol: String,
                  topPhrases: Int = 5, minCount: Long = 10): DataFrame = {
@@ -324,6 +340,10 @@ object CorpusOps {
     * on source), then median/MAD/z over the SOURCE table — group-
     * cardinality rows, broadcast everywhere. The corpus is touched
     * exactly once.
+    *
+    * CACHING: persists the source-level aggregate (group-cardinality
+    * rows, read by the median/MAD/projection passes); callers
+    * `spark.catalog.clearCache()` between materialized actions.
     */
   def sourceProfile(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String): DataFrame = {

@@ -57,6 +57,12 @@ object TextRank {
   /** Ranks after `iters` damped rounds, in `scale` fixed-point units.
     * Output: `w, rank` (BIGINT), one row per word that has at least
     * one co-occurrence edge.
+    *
+    * CACHING: persists the edge table for reuse across rounds and
+    * leaves it cached for the returned (lazy) plan; long-lived
+    * sessions composing many operators should
+    * `spark.catalog.clearCache()` between materialized actions (the
+    * Verify/Bench contract).
     */
   def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
                scale: Long = 1000000000L): DataFrame = {

@@ -168,6 +168,11 @@ object TextStats {
     * for term frequencies (the isin prunes before the shuffle — only
     * query-term hits travel), df and the (N, avgdl) row broadcast.
     * Corpus-linear; the per-doc fold touches only matching docs.
+    *
+    * CACHING: persists the tokenized corpus (read by the length and
+    * term passes) and leaves it cached for the returned lazy plan;
+    * callers in long-lived sessions `spark.catalog.clearCache()`
+    * between materialized actions (the Verify/Bench contract).
     */
   def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
            textCol: String, terms: Seq[String],
@@ -213,13 +218,19 @@ object TextStats {
     * linear shuffle on the gram hash. The curve window runs over the
     * BUCKET table (≤ corpus/bucket rows, one per ingest slice) —
     * a deliberately driver-small global window, never the corpus.
+    *
+    * Requires a numeric `idCol` (ingest order); docs with fewer than
+    * two tokens contribute no bigram (ngram_hashes would otherwise
+    * fall back to one whole-array gram for short docs).
     */
   def vocabGrowth(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, bucket: Int = 50): org.apache.spark.sql.DataFrame = {
     val fs = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
         explode(graft.functions.GraftFunctions
-          .ngram_hashes(Dedup.tokens(col(textCol)), 2)).as("g"))
+          .ngram_hashes(col("toks"), 2)).as("g"))
       .groupBy("g").agg(min("doc_id").as("first_seen"))
     val b = fs
       .select(((expr(s"first_seen div $bucket") + 1) * bucket).as("bucket_end"))

@@ -130,7 +130,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, "a b c"),    // bucket 2 (docs 0-1): "a b", "b c", "b d" novel
       (1L, "a b d"),
       (2L, "c a b"),    // bucket 4 (docs 2-3): "c a" novel
-      (3L, "a b c d")   // … and "c d"
+      (3L, "a b c d"),  // … and "c d"
+      (4L, "z"),        // <2 tokens: no bigram, bucket 6 must NOT appear
+      (5L, "")          // empty doc likewise
     ).toDF("doc_id", "text")
     val got = TextStats.vocabGrowth(vg, "doc_id", "text", bucket = 2)
       .orderBy("bucket_end")
