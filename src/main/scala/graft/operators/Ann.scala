@@ -184,6 +184,39 @@ object Ann {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** L51 — nearest-seed cluster assignment (Voronoi partition of the
+    * corpus under cosine similarity): every vector goes to the most
+    * similar of a small seed/centroid set, ties to the lowest seed id.
+    * This is the cluster stage of SemDeDup-style semantic curation
+    * (cluster → dedup/score within cluster) and the assignment step
+    * of IVF index builds, exposed as a first-class operator.
+    *
+    * Scale shape: the seed set is tiny and BROADCAST — scoring is
+    * map-side over one corpus pass, and the argmax is a map-side-
+    * combinable groupBy(vec_id) (all k scored rows for a vector are
+    * born in the same partition, so partial aggregation collapses
+    * them before the shuffle; what travels is one slim row per
+    * vector). No window, no corpus×k shuffle.
+    *
+    * Determinism: cosines are double-precision fixed-order folds
+    * (same kernel the s01/d05 oracles replay bit-identically); the
+    * argmax compares raw doubles then the seed id, so the assignment
+    * is engine-exact. Only the reported similarity is rounded.
+    */
+  def assignToSeeds(corpus: DataFrame, seeds: DataFrame,
+                    idCol: String, embCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+    val sd = seeds.select(col(idCol).as("cluster"), col(embCol).as("semb"))
+    c.crossJoin(broadcast(sd))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("cemb"), col("semb")))
+      // argmax(cos, then lowest cluster) as a struct max: negate the
+      // cluster id so the lexicographic struct order breaks ties low.
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cluster")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"),
+        round(col("m.cos"), 4).as("cos"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -204,6 +204,43 @@ object CorpusOps {
         (col("span_end") - col("span_start") + 1).as("span_toks"))
   }
 
+  /** L52 — surgical span-cut application: the EMIT half of positional
+    * substring dedup. [[duplicatedSpans]] produces the cut list (the
+    * maximal corpus-duplicated token ranges); this operator applies
+    * it — every document is re-emitted with exactly those token
+    * ranges removed, plus kept/cut counts. Together they are the full
+    * Lee et al. 2022 exact-substring dedup: find WHERE the corpus
+    * repeats itself, then cut those spans instead of dropping whole
+    * documents.
+    *
+    * Shape: spans aggregate to one slim array per affected doc (docs
+    * with no duplicated span carry NULL and pass through untouched),
+    * joined back on doc_id — one linear shuffle. The cut itself is a
+    * narrow codegen'd `filter(toks, (tok, i) -> …)` over the token
+    * array (span lists per doc are short — bounded by n_tokens/n),
+    * and the re-emitted text is a deterministic order-preserving
+    * concat. Output: (doc_id, n_tokens, n_cut, cut_text), text in
+    * normalized token form.
+    */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 5, minOcc: Long = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minOcc)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(expr(
+          """filter(toks, (tok, i) ->
+            |  NOT exists(spans, sp ->
+            |    i + 1 >= sp.span_start AND i + 1 <= sp.span_end))"""
+            .stripMargin)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"),
+        concat_ws(" ", col("kept")).as("cut_text"))
+  }
+
   /** L43 — FUZZY benchmark decontamination: where [[contamination]]
     * flags exact n-gram overlap, this catches paraphrased / lightly
     * edited benchmark leakage via MinHash-LSH banding between the

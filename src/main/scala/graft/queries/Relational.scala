@@ -477,6 +477,60 @@ object Relational {
     // plus referential integrity via a single anti-join, unpivoted
     // into a (check, violations, pass) report. At 100 TB this is one
     // fact scan + one key-shuffle; the report is 6 rows.
+    // R51: exact grouped quantiles by rank selection — the EXACT
+    // counterpart of the KLL sketch path (F11): per (group, measure),
+    // lower median and p90 picked by integer rank over a sorted
+    // window. Rank targets are pure integer arithmetic ((n+1) div 2,
+    // (9n+9) div 10 = ceil(9n/10)) — a float 0.9·n would ceil apart
+    // across engines on exact multiples. Measures unpivot first, so
+    // ONE shuffle/sort on (group, measure) covers every measure —
+    // the generic shape for "exact p50/p90/p99 per key" reports. At
+    // 100 TB the sort cost is per-(group,measure) partition; for
+    // global or skew-heavy quantiles the KLL aggregate is the scale
+    // path, this is the exact one.
+    "q48_group_quantiles" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem").selectExpr(
+        "l_returnflag", "l_linestatus",
+        """stack(2,
+          |  'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+          |  'quantity',    CAST(l_quantity AS BIGINT)) AS (measure, v)"""
+          .stripMargin)
+      val wp = Window.partitionBy("l_returnflag", "l_linestatus", "measure")
+      m.withColumn("rn", row_number().over(wp.orderBy("v")))
+        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(9 * n + 9) div 10"))
+        .groupBy("l_returnflag", "l_linestatus", "measure")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("median_v"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("p90_v"))
+        .orderBy("l_returnflag", "l_linestatus", "measure")
+    }),
+
+    // R52: interval sweep-line concurrency — how many orders are
+    // "open" on each calendar day (open = [o_orderdate, +(key%30+1)
+    // days), a deterministic synthetic duration since the schema has
+    // no close date). The classic +1/−1 delta sweep: explode each
+    // interval to two endpoint deltas (narrow), ONE linear shuffle to
+    // per-day sums, then a running sum over the DAY table — date-
+    // cardinality rows (thousands), a deliberately driver-small
+    // global window, never the fact table. All integer/date math →
+    // hash-exact.
+    "q49_open_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders").selectExpr(
+        "CAST(o_orderdate AS DATE) AS s",
+        "date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 30 + 1 AS INT)) AS e")
+      o.select(explode(array(
+          struct(col("s").as("d"), lit(1L).as("delta")),
+          struct(col("e").as("d"), lit(-1L).as("delta")))).as("x"))
+        .select(col("x.d").as("d"), col("x.delta").as("delta"))
+        .groupBy("d").agg(sum("delta").as("delta"))
+        .withColumn("open", sum("delta").over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("d"), col("open"))
+        .orderBy("d")
+    }),
+
     "q47_dq_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val agg = li.agg(
@@ -988,6 +1042,35 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q48_group_quantiles" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus, 'price_cents' AS measure,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, 'quantity',
+        |         CAST(l_quantity AS BIGINT) FROM lineitem),
+        | r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus, measure
+        |      ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus, measure) AS n
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, measure, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_v,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_v
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q49_open_orders" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+        |  FROM orders),
+        | dd AS (SELECT s AS d, 1 AS delta FROM o
+        |   UNION ALL SELECT e, -1 FROM o),
+        | g AS (SELECT d, sum(delta) AS delta FROM dd GROUP BY d)
+        |SELECT d, CAST(sum(delta) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+        |FROM g ORDER BY d""".stripMargin,
 
     "q47_dq_audit" ->
       """WITH a AS (SELECT

@@ -146,6 +146,29 @@ object StreamQueries {
       }.orderBy("user_id", "event_type")
     }),
 
+    // S8: streaming windowed DISTINCT count — the per-window unique-
+    // users metric, through the REAL streaming engine. Streaming
+    // aggregation can't run COUNT(DISTINCT) (unbounded per-group
+    // rewrite), and approx_count_distinct isn't oracle-checkable; the
+    // theta sketch aggregate is BOTH: a mergeable bounded-state
+    // aggregate the state store can carry across micro-batches, and
+    // EXACT below its 2^16 nominal capacity — so the driver's
+    // count(DISTINCT) oracle checks the real incremental path. This
+    // is the 100 TB streaming-distinct architecture (sketch in the
+    // state store, estimate at read), verified in its exact regime.
+    "st10_stream_distinct" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      StreamRun.onEvents(s, dir, OutputMode.Complete()) { e =>
+        e.groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(GraftFunctions.theta_sketch(col("user_id"), 16).as("sk"),
+            count(lit(1)).as("n_events"))
+      }
+        .select(col("w.start").as("hour_start"),
+          GraftFunctions.theta_estimate(col("sk")).cast("long").as("n_users"),
+          col("n_events"))
+        .orderBy("hour_start")
+    }),
+
     // S5: per-sliding-window top-k event types. Batch twin of the
     // flatMapGroupsWithState streaming form (StreamingSpec asserts
     // the twin equivalence); rank partitioned by window key — no
@@ -162,6 +185,11 @@ object StreamQueries {
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "st10_stream_distinct" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY hour_start ORDER BY hour_start""".stripMargin,
 
     "st02_sessions" ->
       """WITH flagged AS (

@@ -461,6 +461,16 @@ object TextQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // L52: surgical span-cut application — d16's cut list APPLIED:
+    // every doc re-emitted with its corpus-duplicated 5-gram spans
+    // removed (token-positional filter + order-preserving concat),
+    // plus kept/cut counts. The emit half of exact-substring dedup.
+    "d19_span_cut" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.cutSpans(docs(s, dir), "doc_id", "text", n = 5, minOcc = 2)
+        .orderBy("doc_id")
+    }),
+
     // L43: FUZZY decontamination — MinHash-LSH banding between the
     // corpus and the eval sources (src0/src1 again stand in for the
     // benchmark suite), exact-Jaccard verified at 0.9; catches the
@@ -945,6 +955,39 @@ object TextQueries {
          |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
          |  max(p) + 4 - min(p) + 1 AS span_toks
          |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // d19: d16's span CTE chain, then tokens re-emitted by positional
+    // anti-range filter + ordered string_agg; docs whose every token
+    // is cut (or that never had spans) come back via the LEFT join.
+    "d19_span_cut" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         | pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS p
+         |         FROM base WHERE len(toks) >= 5),
+         | gr AS (SELECT doc_id, p, array_to_string(toks[p:p+4], ' ') AS g FROM pos),
+         | dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+         | dp AS (SELECT doc_id, p FROM gr WHERE g IN (SELECT g FROM dup)),
+         | br AS (SELECT doc_id, p, CASE WHEN
+         |           p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 4
+         |           THEN 0 ELSE 1 END AS brk
+         |         FROM dp),
+         | isl AS (SELECT doc_id, p,
+         |           sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |         FROM br),
+         | spans AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+         |           FROM isl GROUP BY doc_id, grp),
+         | tkn AS (SELECT doc_id, unnest(toks) AS tok,
+         |           unnest(generate_series(1, len(toks))) AS tp FROM base),
+         | kept AS (SELECT t.doc_id, t.tok, t.tp FROM tkn t
+         |          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |            WHERE sp.doc_id = t.doc_id AND t.tp >= sp.s AND t.tp <= sp.e)),
+         | ag AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY tp) AS cut_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(b.toks) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_cut,
+         |  coalesce(ag.cut_text, '') AS cut_text
+         |FROM base b LEFT JOIN ag USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // d17: the d03 portable-hash LSH pipeline with eval × corpus
     // candidate generation (no hot-bucket cap — the eval side is

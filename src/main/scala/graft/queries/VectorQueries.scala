@@ -115,6 +115,17 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L51: nearest-seed cluster assignment — the Voronoi/cluster
+    // stage of SemDeDup-style curation and of IVF index builds:
+    // seeds (vec_id < 8) broadcast, one corpus pass scores, a
+    // map-side-combinable groupBy argmax assigns (ties → lowest
+    // seed). Raw-double comparisons → engine-exact assignment.
+    "s08_cluster_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.assignToSeeds(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // L29: SemDeDup-style semantic dedup end-to-end — embedding
     // cosine pairs (label-blocked) → connected components → canonical
     // representative (cluster min id) per non-singleton member. The
@@ -221,6 +232,21 @@ object VectorQueries {
       }
       s"SELECT vec_id, ${cols.mkString(", ")} FROM embeddings ORDER BY vec_id"
     },
+
+    // s08: same double-fold cosine kernel as s01/s02; the argmax
+    // replays as row_number over (cos DESC, seed) on RAW doubles.
+    "s08_cluster_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+         | sd AS (SELECT vec_id AS cluster, de AS se FROM e WHERE vec_id < 8),
+         | scored AS (SELECT e.vec_id, sd.cluster,
+         |              ${cosSql("e.de", "sd.se", 64)} AS c
+         |            FROM e, sd),
+         | r AS (SELECT vec_id, cluster, c,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY c DESC, cluster) AS rn
+         |       FROM scored)
+         |SELECT vec_id, cluster, round(c, 4) AS cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),

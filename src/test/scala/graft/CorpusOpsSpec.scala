@@ -140,6 +140,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 3L, 3L), (4L, 2L, 5L)))
   }
 
+  test("span cut removes exactly the duplicated spans and keeps the rest") {
+    val cs = Seq(
+      (0L, "a b c d e f g"),     // shared 5-gram at p=1 → span [1,5], keep "f g"
+      (1L, "x a b c d e y"),     // same gram at p=2 → span [2,6], keep "x y"
+      (2L, "q r s"),             // <5 tokens: untouched
+      (3L, "m n o p q"),         // full-doc duplicate pair → everything cut
+      (4L, "m n o p q")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.cutSpans(cs, "doc_id", "text", n = 5, minOcc = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((7L, 5L, "f g")),
+      1L -> ((7L, 5L, "x y")),
+      2L -> ((3L, 0L, "q r s")),
+      3L -> ((5L, 5L, "")),
+      4L -> ((5L, 5L, ""))))
+  }
+
   test("phrase fuse equals a sequential greedy word2phrase scan") {
     // dense 3-letter alphabet → candidate runs exercise the
     // islands+parity factoring against the real sequential scan

@@ -100,6 +100,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(hits >= 15, s"recall@10 too low: $hits/50")
   }
 
+  test("nearest-seed assignment equals the brute-force argmax with low-id ties") {
+    val seeds = emb.filter(col("vec_id") < 8)
+    val got = Ann.assignToSeeds(emb, seeds, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: in-memory cosine argmax over the same data
+    val sv = seeds.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      r.getLong(0) -> sv.toSeq.map { case (sid, se) => (cos(v, se), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    }.toMap
+    assert(got == want)
+    // every seed is its own nearest seed (cos = 1 with itself)
+    (0L until 8L).foreach(sid => assert(got(sid) == sid))
+  }
+
   test("approx_count_distinct (HLL) is within 2% of exact") {
     val li = Graft.table(spark, sfDir, "lineitem")
     val r = li.agg(

@@ -41,6 +41,25 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("theta sketch aggregate carries streaming distinct state exactly") {
+    import graft.functions.GraftFunctions
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Complete()) { e =>
+      e.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(GraftFunctions.theta_sketch(col("user_id"), 16).as("sk"))
+    }
+      .select(col("w.start").as("h"),
+        GraftFunctions.theta_estimate(col("sk")).cast("long").as("n_users"))
+    // the sketch buffer must live in the streaming state store (the
+    // incremental path st10's oracle checks), not a batch rewrite
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite") &&
+      StreamRun.lastPlan.contains("StateStoreSave"))
+    val batch = Graft.table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("h"), col("n_users"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("RocksDB state store backs the streaming aggregate with identical results") {
     // the 100 TB state backend: state lives off-heap/on-disk per
     // executor instead of in the JVM heap — same plan, same results
