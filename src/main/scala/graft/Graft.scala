@@ -40,19 +40,29 @@ object Graft {
   /** Load one of the driver tables from an sf directory. Plain parquet
     * scan — Catalyst handles column pruning / predicate pushdown.
     *
-    * The `events` table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; we read nanos as long (legacy conf) and convert to
-    * a microsecond timestamp with integer division (`div`, not `/` —
-    * double math would lose precision on ~1e18 nanos). Truncation to
-    * micros matches how DuckDB reads the same file.
+    * The `events` table's `ts` has shipped as two physical types across
+    * testdata generations, both normalized here to a session-zone
+    * TIMESTAMP so every downstream operator (watermarks, unix_micros,
+    * window()) sees one type:
+    *   - TIMESTAMP(NANOS), which Spark's parquet reader rejects: read
+    *     nanos as long (legacy conf) and convert with integer division
+    *     (`div`, not `/` — double math would lose precision on ~1e18
+    *     nanos). Truncation to micros matches DuckDB's read.
+    *   - timestamp[us] without timezone (TIMESTAMP_NTZ): cast to
+    *     TIMESTAMP. The session is pinned to UTC, so the cast is a
+    *     pure reinterpretation — identical wall clock and epoch micros
+    *     to DuckDB's naive read of the same file.
     */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 }

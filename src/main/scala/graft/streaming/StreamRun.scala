@@ -61,9 +61,17 @@ object StreamRun {
     val schema = s.read.parquet(path).schema
     val globPath = path.dropRight(1) + "[" + path.last + "]"
     val raw = s.readStream.schema(schema).parquet(globPath)
-    if (schema.exists(f => f.name == "ts" && f.dataType == LongType))
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // Same normalization as Graft.table: UTC session makes the
+        // NTZ→TIMESTAMP cast a pure reinterpretation, and watermarks
+        // require TIMESTAMP.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run `transform` on a streamed read of `<dir>/<table>.parquet`,
