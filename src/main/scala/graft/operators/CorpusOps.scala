@@ -486,4 +486,43 @@ object CorpusOps {
         expr(s"cum_before div $capacity").as("first_block"),
         expr(s"(cum_before + n_toks - 1) div $capacity").as("last_block"))
   }
+
+  /** L54 — cross-source n-gram overlap matrix: pairwise Jaccard of
+    * distinct word-n-gram sets between sources (which crawls/dumps
+    * duplicate each other — the inter-snapshot dedup dashboard).
+    *
+    * Shape: one linear shuffle to distinct (source, gram), then
+    * gram → sorted source SET. The set is bounded by the number of
+    * sources (dump-level, small), so the per-gram pair expansion is
+    * ≤ S²/2 rows however hot the gram — never a per-gram doc×doc
+    * blowup — and the final aggregation is S²-sized. Per-source
+    * distinct-gram counts ride in on a broadcast (S rows); Jaccard
+    * denominators come from inclusion–exclusion.
+    *
+    * Jaccard is reported half-up at 4 dp in integer space
+    * (floor((20000·∩ + ∪)/(2∪))/10⁴) — exact in both engines.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, n: Int = 3): DataFrame = {
+    val g = docs.select(col(srcCol).as("source"),
+        explode(array_distinct(
+          Dedup.shingles(tokens(col(textCol)), n))).as("gm"))
+      .distinct()
+    val ns = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = g.groupBy("gm")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val u = col("n_a") + col("n_b") - col("inter")
+    pairs
+      .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+        (floor((lit(20000L) * col("inter") + u).cast("double")
+          / (u * lit(2L)).cast("double")) / lit(10000.0)).as("jaccard"))
+  }
 }

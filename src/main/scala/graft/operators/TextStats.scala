@@ -265,4 +265,69 @@ object TextStats {
       "n_nums" -> size(regexp_extract_all(afterIp, lit(digitRunPat), lit(0))).cast("long"),
       "redacted" -> afterNum)
   }
+
+  /** L53 — the Gopher quality-rule battery (Rae et al. 2021 §A1.1):
+    * the standard document-level heuristic filter set next to t02's
+    * scoring — word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic
+    * word fraction, and required-stopword presence, each reported as a
+    * per-rule flag plus the conjunctive `keep`.
+    *
+    * Engine-exactness: every threshold is evaluated by integer
+    * cross-multiplication on raw counts (3·n ≤ Σlen, 10·sym ≤ n, …),
+    * never on rounded doubles — a ratio landing exactly on a
+    * threshold can't flip between engines. The display ratios are
+    * rounded half-up in integer space: floor((20000·a + b) / (2b)) /
+    * 10⁴. The floor-of-double-division is exact here: numerator <
+    * 2^35 ≪ 2^53 and a true quotient r/b away from an integer by
+    * ≥ 1/b can't cross it under one correctly-rounded division.
+    *
+    * Narrow per-row projection — zero shuffle, folds into the scan.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    def r4(a: Column, b: Column): Column =
+      (floor((lit(20000L) * a + b).cast("double") / (b * lit(2L)).cast("double"))
+        / lit(10000.0))
+    val norm = Dedup.normText(text)
+    val toks = Dedup.tokens(text)
+    val nWords = size(toks).cast("long")
+    // Single-space join ⇒ Σ word length = |norm| − (n−1); exact for
+    // the empty doc too ("" → [""], 0 − 0).
+    val sumLen = (length(norm) - (size(toks) - lit(1))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val dots = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+      .cast("double") / lit(3.0)).cast("long")
+    val symbols = hashes + dots
+    val stopHits = size(filter(array_distinct(toks),
+      t => t.isin(gopherStopwords: _*))).cast("long")
+    val rLen = (nWords >= 50L && nWords <= 100000L).cast("int")
+    val rWordLen = (lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords).cast("int")
+    val rSymbol = (lit(10L) * symbols <= nWords).cast("int")
+    val rBullet = (lit(10L) * bulletLines <= nLines).cast("int")
+    val rEllipsis = (lit(10L) * ellipsisLines <= lit(3L) * nLines).cast("int")
+    val rAlpha = (lit(5L) * alphaWords >= lit(4L) * nWords).cast("int")
+    val rStop = (stopHits >= 2L).cast("int")
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> r4(sumLen, nWords),
+      "symbol_ratio" -> r4(symbols, nWords),
+      "bullet_frac" -> r4(bulletLines, nLines),
+      "ellipsis_frac" -> r4(ellipsisLines, nLines),
+      "alpha_word_frac" -> r4(alphaWords, nWords),
+      "stop_hits" -> stopHits,
+      "r_len" -> rLen, "r_wordlen" -> rWordLen, "r_symbol" -> rSymbol,
+      "r_bullet" -> rBullet, "r_ellipsis" -> rEllipsis,
+      "r_alpha" -> rAlpha, "r_stop" -> rStop,
+      "keep" -> (rLen * rWordLen * rSymbol * rBullet * rEllipsis * rAlpha * rStop))
+  }
 }

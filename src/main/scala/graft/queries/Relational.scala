@@ -531,6 +531,70 @@ object Relational {
         .orderBy("d")
     }),
 
+    // R53: compaction planner (OPTIMIZE bin-packing) — the
+    // table-maintenance op: given a file inventory (documents stand
+    // in as files: partition = source, bytes = n_chars), assign
+    // files to target-size output bins by START OFFSET (cumulative
+    // size before the file, div target) within each partition, and
+    // emit the per-bin write manifest plus before/after file counts.
+    // One window per partition key over the inventory (file-count
+    // cardinality, not data) — the plan an engine's OPTIMIZE would
+    // hand its rewrite tasks. All integer math → hash-exact.
+    "q50_compaction" -> ((s, dir) => {
+      val target = 4000L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val inv = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("bytes"))
+        .withColumn("start_off",
+          coalesce(sum("bytes").over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr(s"start_off div $target"))
+        .withColumn("small", (col("bytes") < target).cast("long"))
+      inv.groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+          sum("small").as("n_small_files"))
+        .orderBy("source", "bin")
+    }),
+
+    // R54: CDC latest-wins merge (the MERGE INTO / SCD1 apply): a
+    // versioned changelog (deterministically derived: every even
+    // orderkey carries versions 1..(key%3+1); op is DELETE when
+    // (key+ver)%7=0, else UPSERT with price+ver) collapses to its
+    // highest version per key — ONE window over the changelog, which
+    // at scale is the small delta side — then full-outer-merges onto
+    // the base snapshot (odd keys excluded-from-delta remain
+    // untouched): delete tombstones drop the row, upserts replace,
+    // base rows pass through. Exactly Delta/Iceberg MERGE semantics
+    // composed from window + full outer join.
+    "q51_cdc_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // Base snapshot excludes keys ≡ 0 (mod 5), so even multiples of
+      // five arriving in the changelog exercise the INSERT path.
+      val base = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val changelog = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"),
+          explode(sequence(lit(1), (col("o_orderkey") % 3 + 1).cast("int")))
+            .as("ver"))
+        .select(col("k"), col("ver"),
+          when((col("k") + col("ver")) % 7 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          (col("p0") + col("ver").cast("double")).as("new_price"))
+      val wv = Window.partitionBy("k").orderBy(col("ver").desc)
+      val latest = changelog.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("op"), col("new_price"))
+      base.join(latest, Seq("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("k"),
+          coalesce(col("new_price"), col("price")).as("price"),
+          when(col("op").isNull, "base")
+            .when(col("price").isNull, "inserted")
+            .otherwise("updated").as("action"))
+        .orderBy("k")
+    }),
+
     "q47_dq_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val agg = li.agg(
@@ -1071,6 +1135,44 @@ object Relational {
         |SELECT d, CAST(sum(delta) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
         |FROM g ORDER BY d""".stripMargin,
+
+    // q50: the same start-offset bin assignment (cumulative bytes
+    // BEFORE the file, integer-divided by the target) — all integer.
+    "q50_compaction" ->
+      """WITH inv AS (SELECT source, doc_id, n_chars AS bytes,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM documents),
+        | b AS (SELECT source, doc_id, bytes, start_off // 4000 AS bin,
+        |    CASE WHEN bytes < 4000 THEN 1 ELSE 0 END AS small FROM inv)
+        |SELECT source, bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(small) AS BIGINT) AS n_small_files
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // q51: latest-version-wins via row_number, FULL JOIN merge,
+    // tombstone filter; generate_series ≡ Spark sequence (inclusive).
+    "q51_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
+        |   FROM orders WHERE o_orderkey % 5 <> 0),
+        | cl AS (SELECT o_orderkey AS k, ver,
+        |    CASE WHEN (o_orderkey + ver) % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice + CAST(ver AS DOUBLE) AS new_price
+        |  FROM orders, unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS BIGINT))) AS t(ver)
+        |  WHERE o_orderkey % 2 = 0),
+        | latest AS (SELECT k, op, new_price FROM
+        |   (SELECT k, op, new_price,
+        |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn FROM cl)
+        |   WHERE rn = 1)
+        |SELECT coalesce(b.k, l.k) AS k,
+        |  coalesce(l.new_price, b.price) AS price,
+        |  CASE WHEN l.k IS NULL THEN 'base'
+        |       WHEN b.k IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM base b FULL JOIN latest l ON b.k = l.k
+        |WHERE coalesce(l.op, '') <> 'D'
+        |ORDER BY k""".stripMargin,
 
     "q47_dq_audit" ->
       """WITH a AS (SELECT

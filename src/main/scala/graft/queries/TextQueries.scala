@@ -525,6 +525,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L53: Gopher quality-rule battery (Rae et al. 2021) — the
+    // standard heuristic document filter: word-count / mean-word-
+    // length bounds, symbol-to-word ratio, bullet-/ellipsis-line
+    // fractions, alphabetic-word fraction, required-stopword
+    // presence; per-rule flags + conjunctive keep. Every threshold
+    // is an integer cross-multiplication on raw counts — no rounded-
+    // double comparisons anywhere (TextStats.gopherColumns).
+    "t27_gopher" -> ((s, dir) => {
+      val cols = TextStats.gopherColumns(col("text"))
+      docs(s, dir).select(
+          col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // L54: cross-source n-gram overlap matrix — pairwise Jaccard of
+    // distinct word-3-gram sets between sources (which crawls/dumps
+    // duplicate each other — the inter-snapshot dedup dashboard).
+    // Shape: distinct (source, gram) via one linear shuffle, then
+    // gram → sorted source SET (bounded by #sources, dump-level
+    // small) → per-gram pair expansion ≤ S²/2 rows, final agg is
+    // S²-sized. No per-gram doc×doc blowup anywhere — a hot gram in
+    // every source costs 190 rows at S=20, independent of corpus
+    // size. Jaccard via inclusion–exclusion on per-source distinct
+    // counts (broadcast, S rows).
+    "t28_source_overlap" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.sourceOverlap(docs(s, dir), "doc_id", "text", "source", n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     // L50: per-source curation profile — doc/token mass, in-source
     // exact-dup docs, mean length + robust z across sources
     // (median/MAD) flagging deviant crawls.
@@ -1106,6 +1136,65 @@ object TextQueries {
          |  CAST(len(l) - coalesce(f.n_fused, 0) AS BIGINT) AS n_after
          |FROM tk LEFT JOIN f ON tk.doc_id = f.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // t27: same integer cross-multiplied thresholds; ratios as
+    // floor((20000a+b)/(2b))/10000 — `//` here, floor(double) on the
+    // Spark side (exact: numerator < 2^35, see gopherColumns note).
+    "t27_gopher" ->
+      s"""SELECT doc_id, n_words,
+         |  CAST((20000*sum_len + n_words) // (2*n_words) AS DOUBLE)/10000 AS mean_word_len,
+         |  CAST((20000*symbols + n_words) // (2*n_words) AS DOUBLE)/10000 AS symbol_ratio,
+         |  CAST((20000*bullet_lines + n_lines) // (2*n_lines) AS DOUBLE)/10000 AS bullet_frac,
+         |  CAST((20000*ellipsis_lines + n_lines) // (2*n_lines) AS DOUBLE)/10000 AS ellipsis_frac,
+         |  CAST((20000*alpha_words + n_words) // (2*n_words) AS DOUBLE)/10000 AS alpha_word_frac,
+         |  stop_hits, r_len, r_wordlen, r_symbol, r_bullet, r_ellipsis,
+         |  r_alpha, r_stop,
+         |  r_len*r_wordlen*r_symbol*r_bullet*r_ellipsis*r_alpha*r_stop AS keep
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_len,
+         |    CASE WHEN 3*n_words <= sum_len AND sum_len <= 10*n_words THEN 1 ELSE 0 END AS r_wordlen,
+         |    CASE WHEN 10*symbols <= n_words THEN 1 ELSE 0 END AS r_symbol,
+         |    CASE WHEN 10*bullet_lines <= n_lines THEN 1 ELSE 0 END AS r_bullet,
+         |    CASE WHEN 10*ellipsis_lines <= 3*n_lines THEN 1 ELSE 0 END AS r_ellipsis,
+         |    CASE WHEN 5*alpha_words >= 4*n_words THEN 1 ELSE 0 END AS r_alpha,
+         |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(toks) AS n_words,
+         |      length(norm) - (len(toks) - 1) AS sum_len,
+         |      len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         |      len(lines) AS n_lines,
+         |      len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+         |      len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS ellipsis_lines,
+         |      (length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+         |      len(list_filter(list_distinct(toks),
+         |        t -> t IN (${TextStats.gopherStopwords.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |    FROM (SELECT doc_id, text, $normSql AS norm,
+         |            string_split($normSql, ' ') AS toks,
+         |            string_split(text, chr(10)) AS lines FROM documents)
+         |  )
+         |) ORDER BY doc_id""".stripMargin,
+
+    // t28: the pair set replayed as a gram-keyed self-join (exact for
+    // the oracle; the Spark side's bounded source-set expansion is
+    // the scale formulation); same half-up integer-space 4-dp
+    // Jaccard.
+    "t28_source_overlap" ->
+      s"""WITH base AS (SELECT doc_id, source, string_split($normSql, ' ') AS toks
+         |   FROM documents),
+         | g AS (SELECT DISTINCT source, gm FROM
+         |   (SELECT source, unnest(list_distinct(${shingleSql(3)})) AS gm FROM base)),
+         | ns AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         | pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+         |   FROM g a JOIN g b ON a.gm = b.gm AND a.source < b.source
+         |   GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b,
+         |  CAST((20000*inter + (na.n + nb.n - inter)) // (2*(na.n + nb.n - inter)) AS DOUBLE)/10000 AS jaccard
+         |FROM pr JOIN ns na ON pr.src_a = na.source
+         |        JOIN ns nb ON pr.src_b = nb.source
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // d18: quantile_cont ↔ Spark percentile (the f12-proven pairing);
     // identical double-op order for mean/z.

@@ -26,6 +26,23 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L55: within-cluster pair mining — SemDeDup's candidate stage
+    // end-to-end: s08's nearest-seed Voronoi assignment becomes the
+    // blocking key, then exact cosine pairs are mined only inside
+    // cells (cosinePairs with block = cluster; `cap` available for
+    // hot cells at scale). Corpus×k broadcast assign + per-cell
+    // equi-join — no global all-pairs anywhere.
+    "s09_cluster_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val assign = Ann.assignToSeeds(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster"))
+      Ann.cosinePairs(e.join(assign, "vec_id"), "vec_id", "embedding",
+          "cluster", threshold = 0.2)
+        .withColumnRenamed("block", "cluster")
+        .orderBy("id_a", "id_b")
+    }),
+
     // L6: brute-force cosine top-k (query set = vec_id < 5, broadcast).
     "s01_ann_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -247,6 +264,30 @@ object VectorQueries {
          |       FROM scored)
          |SELECT vec_id, cluster, round(c, 4) AS cos
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // s09: the assignment replay (cosSql kernel + row_number) feeding
+    // a cluster-equi self-join; pair cosine via list_cosine_similarity
+    // on DOUBLE[] (the d05-proven pairing), threshold on the raw
+    // double, display rounded.
+    "s09_cluster_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+         | sd AS (SELECT vec_id AS cluster, de AS se FROM e WHERE vec_id < 8),
+         | scored AS (SELECT e.vec_id, sd.cluster,
+         |              ${cosSql("e.de", "sd.se", 64)} AS c
+         |            FROM e, sd),
+         | r AS (SELECT vec_id, cluster,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY c DESC, cluster) AS rn
+         |       FROM scored),
+         | a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+         | j AS (SELECT a1.cluster, e1.vec_id AS id_a, e2.vec_id AS id_b,
+         |         list_cosine_similarity(e1.de, e2.de) AS c
+         |       FROM a a1 JOIN a a2
+         |         ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+         |       JOIN e e1 ON e1.vec_id = a1.vec_id
+         |       JOIN e e2 ON e2.vec_id = a2.vec_id)
+         |SELECT cluster, id_a, id_b, round(c, 4) AS cos
+         |FROM j WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "s02_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),

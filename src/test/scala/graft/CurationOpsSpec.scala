@@ -151,4 +151,57 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("sourceOverlap: hand-computed pairwise gram Jaccard, sources paired lexicographically") {
+    // s1 grams: {a b c, b c d}; s2: {a b c, b c e};
+    // s3: {x y z, y z w} ∪ {a b c, b c d} (two docs).
+    val df = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c e", "s2"),
+      (3L, "x y z w", "s3"),
+      (4L, "a b c d", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceOverlap(df, "doc_id", "text", "source", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1-s2: ∩=1 {abc}, ∪=3 → 0.3333; s1-s3: ∩=2, ∪=4 → 0.5;
+    // s2-s3: ∩=1, ∪=5 → 0.2.
+    assert(got(("s1", "s2")) == ((1L, 2L, 2L, 0.3333)))
+    assert(got(("s1", "s3")) == ((2L, 2L, 4L, 0.5)))
+    assert(got(("s2", "s3")) == ((1L, 2L, 4L, 0.2)))
+    assert(got.size == 3)
+  }
+
+  test("gopherColumns: each rule trips on its crafted violator and passes the clean doc") {
+    // 60 words of the/and/of filler → passes everything.
+    val clean = (("the and of that have with be to " * 8).trim)
+    val docs = Seq(
+      (1L, clean),                                   // all rules pass
+      (2L, "the and of short"),                      // r_len: 4 words < 50
+      (3L, ("a " * 60).trim),                        // r_wordlen: mean 1 < 3; r_stop: 1 hit
+      (4L, clean + " " + ("#" * 20)),                // r_symbol: 20 hashes vs 61 words
+      (5L, "- bullet one\n- bullet two\nthe and of"),// r_bullet: 2/3 lines
+      (6L, "trailing...\nalso trailing...\nthe and"),// r_ellipsis: 2/3 > 30%
+      (7L, clean.replace("the", "123").replace("and", "456")
+        .replace("of", "789")),                      // r_alpha: 3/8 words digits-only
+      (8L, "")                                       // degenerate empty doc
+    ).toDF("doc_id", "text")
+    val cols = TextStats.gopherColumns(col("text"))
+    val got = docs.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Int =
+      got(id).getInt(got(id).fieldIndex(name))
+    assert(flag(1L, "keep") == 1)
+    assert(flag(2L, "r_len") == 0 && flag(2L, "r_stop") == 1)
+    assert(flag(3L, "r_wordlen") == 0 && flag(3L, "r_stop") == 0)
+    assert(flag(4L, "r_symbol") == 0 && flag(4L, "r_len") == 1)
+    assert(flag(5L, "r_bullet") == 0)
+    assert(flag(6L, "r_ellipsis") == 0)
+    assert(flag(7L, "r_alpha") == 0 && flag(7L, "r_stop") == 1)
+    assert(flag(8L, "keep") == 0)
+    // ratio sanity: doc 5 bullet_frac = 2/3 half-up at 4dp = 0.6667.
+    val r5 = got(5L)
+    assert(r5.getDouble(r5.fieldIndex("bullet_frac")) == 0.6667)
+  }
 }
