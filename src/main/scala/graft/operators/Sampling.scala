@@ -95,4 +95,28 @@ object Sampling {
         col("keep_rate") * lit(denom.toDouble))
       .drop("keep_rate")
   }
+
+  /** L56 — per-group cap (the CCNet/Gopher per-domain cap): keep at
+    * most `k` rows per group, chosen by PORTABLE hash order — a
+    * deterministic uniform-without-replacement k-subset per group
+    * that any engine (and any later rerun) selects identically. The
+    * order key is the unsigned top-53 bits of fmix64(id)
+    * (`>>> 11`, the d10 priority trick) so the Spark BIGINT sort and
+    * the oracle's HUGEINT shift agree sign-free; distinct ids break
+    * the (negligible) collision ties.
+    *
+    * One window over (group, hash): a linear shuffle on the group
+    * key; a hot domain ranks inside its own partitions — nothing is
+    * collected. Output keeps `rk` (1-based) so callers can tighten
+    * the cap downstream without re-hashing.
+    */
+  def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    val hkey = shiftrightunsigned(
+      graft.functions.GraftFunctions.fmix64(col(idCol).cast("long")), 11)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(hkey, col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

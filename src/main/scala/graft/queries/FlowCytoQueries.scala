@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Graft
 import graft.functions.GraftFunctions
@@ -96,6 +96,36 @@ object FlowCytoQueries {
     // F6: per-sample channel summary stats. Quantiles over the integer
     // channel (interpolation lands on exact quarters — engine-proof),
     // moments over the continuous channel.
+    // F15: per-sample acquisition QC gate (flowAI/flowClean-style):
+    // debris fraction (low-scatter analog: quantity ≤ 2), saturation
+    // fraction (ADC-ceiling analog: quantity ≥ 49), channel extrema,
+    // and a pass flag — thresholds (debris ≤ 20%, saturation ≤ 5%)
+    // as integer cross-multiplications, fractions displayed half-up
+    // 4dp in integer space. ONE keyed aggregation over the event
+    // scan; the gate broadcast-joins back wherever samples are
+    // filtered.
+    "f15_sample_qc" -> ((s, dir) => {
+      def r4(a: Column, b: Column): Column =
+        floor((lit(20000L) * a + b).cast("double") / (b * lit(2L)).cast("double")) /
+          lit(10000.0)
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("l_quantity") <= 2, 1L).otherwise(0L)).as("debris_n"),
+        sum(when(col("l_quantity") >= 49, 1L).otherwise(0L)).as("sat_n"),
+        min(col("l_quantity").cast("long")).as("qty_min"),
+        max(col("l_quantity").cast("long")).as("qty_max"),
+        min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents_min"),
+        max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents_max"))
+      agg.select(col("l_returnflag"), col("l_linestatus"), col("n_events"),
+          col("debris_n"), r4(col("debris_n"), col("n_events")).as("debris_frac"),
+          col("sat_n"), r4(col("sat_n"), col("n_events")).as("sat_frac"),
+          col("qty_min"), col("qty_max"), col("cents_min"), col("cents_max"),
+          ((lit(5L) * col("debris_n") <= col("n_events")) &&
+            (lit(20L) * col("sat_n") <= col("n_events"))).cast("int").as("qc_pass"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "f06_channel_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -300,6 +330,27 @@ object FlowCytoQueries {
          |FROM lineitem
          |WHERE ${polySql("l_quantity", "l_discount")}
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // f15: identical integer thresholds and half-up 4dp fractions.
+    "f15_sample_qc" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |    count(*) AS n_events,
+        |    sum(CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END) AS debris_n,
+        |    sum(CASE WHEN l_quantity >= 49 THEN 1 ELSE 0 END) AS sat_n,
+        |    min(CAST(l_quantity AS BIGINT)) AS qty_min,
+        |    max(CAST(l_quantity AS BIGINT)) AS qty_max,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_min,
+        |    max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_max
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, n_events,
+        |  CAST(debris_n AS BIGINT) AS debris_n,
+        |  CAST((20000*debris_n + n_events) // (2*n_events) AS DOUBLE)/10000 AS debris_frac,
+        |  CAST(sat_n AS BIGINT) AS sat_n,
+        |  CAST((20000*sat_n + n_events) // (2*n_events) AS DOUBLE)/10000 AS sat_frac,
+        |  qty_min, qty_max, cents_min, cents_max,
+        |  CASE WHEN 5*debris_n <= n_events AND 20*sat_n <= n_events
+        |       THEN 1 ELSE 0 END AS qc_pass
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "f06_channel_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

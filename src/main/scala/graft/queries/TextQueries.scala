@@ -525,6 +525,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
+    // most 10 docs per source, selected by portable-hash order so the
+    // subset is a deterministic uniform k-sample any engine replays
+    // (Sampling.perGroupCap).
+    "d20_source_cap" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.perGroupCap(docs(s, dir), "doc_id", "source", k = 10)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
     // L53: Gopher quality-rule battery (Rae et al. 2021) — the
     // standard heuristic document filter: word-count / mean-word-
     // length bounds, symbol-to-word ratio, bullet-/ellipsis-line
@@ -1136,6 +1147,18 @@ object TextQueries {
          |  CAST(len(l) - coalesce(f.n_fused, 0) AS BIGINT) AS n_after
          |FROM tk LEFT JOIN f ON tk.doc_id = f.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // d20: same top-53-bit fmix64 order key (HUGEINT shift ≡ Spark's
+    // shiftrightunsigned on the signed BIGINT) + id tie-break.
+    "d20_source_cap" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    CAST(((${PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id"))}) >> 11) AS BIGINT) AS hkey
+         |  FROM documents),
+         | r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, rk, doc_id FROM r WHERE rk <= 10
+         |ORDER BY source, rk""".stripMargin,
 
     // t27: same integer cross-multiplied thresholds; ratios as
     // floor((20000a+b)/(2b))/10000 — `//` here, floor(double) on the
