@@ -504,10 +504,16 @@ object CorpusOps {
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, n: Int = 3): DataFrame = {
+    // Persisted: the distinct (source, gram) relation feeds the pair
+    // path AND both per-source count joins — without the cache the
+    // corpus gram explode runs three times (plan-audited). Callers
+    // run `spark.catalog.clearCache()` between actions (the library
+    // caching contract, see textRank/bm25).
     val g = docs.select(col(srcCol).as("source"),
         explode(array_distinct(
           Dedup.shingles(tokens(col(textCol)), n))).as("gm"))
       .distinct()
+      .persist()
     val ns = g.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = g.groupBy("gm")
       .agg(sort_array(collect_set(col("source"))).as("ss"))

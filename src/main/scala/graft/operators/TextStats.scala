@@ -225,6 +225,11 @@ object TextStats {
     */
   def vocabGrowth(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, bucket: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"vocabGrowth needs a numeric ingest-order id; '$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString} — derive one " +
+        "(e.g. a dense rank over ingest time) before calling")
     val fs = docs
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)

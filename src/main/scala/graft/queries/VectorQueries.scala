@@ -37,7 +37,13 @@ object VectorQueries {
       val assign = Ann.assignToSeeds(e, e.filter(col("vec_id") < 8),
           "vec_id", "embedding")
         .select(col("vec_id"), col("cluster"))
-      Ann.cosinePairs(e.join(assign, "vec_id"), "vec_id", "embedding",
+      // Persisted: cosinePairs self-joins this relation, and without
+      // the cache each branch recomputes the whole corpus×k
+      // assignment (plan-audited — the BroadcastNestedLoopJoin +
+      // argmax chain appeared twice). Verify/Bench clearCache
+      // between queries (the library caching contract).
+      val withCluster = e.join(assign, "vec_id").persist()
+      Ann.cosinePairs(withCluster, "vec_id", "embedding",
           "cluster", threshold = 0.2)
         .withColumnRenamed("block", "cluster")
         .orderBy("id_a", "id_b")

@@ -152,6 +152,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("perGroupCap keeps at most k per group, deterministically, prefix-consistent in k") {
+    val df = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    def kept(k: Int): Map[String, Seq[Long]] =
+      Sampling.perGroupCap(df, "doc_id", "source", k)
+        .orderBy("source", "rk").collect()
+        .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq).toMap
+    val k5 = kept(5)
+    assert(k5("big").size == 5 && k5("small").size == 3)
+    // deterministic: identical second run.
+    assert(kept(5) == k5)
+    // prefix-consistent: the k=2 selection is the head of the k=5 one.
+    assert(kept(2)("big") == k5("big").take(2))
+  }
+
   test("sourceOverlap: hand-computed pairwise gram Jaccard, sources paired lexicographically") {
     // s1 grams: {a b c, b c d}; s2: {a b c, b c e};
     // s3: {x y z, y z w} ∪ {a b c, b c d} (two docs).
