@@ -286,6 +286,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
   }
 
+  /** L57 — MinHash estimator calibration: for every LSH candidate
+    * pair (word-level signatures, same banding/cap as
+    * [[minhashLshPairs]] with shingleN=1), report the SIGNATURE
+    * estimate (matching components / K) next to the EXACT token-set
+    * Jaccard — the dashboard that tells you whether K and the band
+    * shape are adequate before trusting the sketch at corpus scale
+    * (E[est] = J; spread ~ √(J(1−J)/K)).
+    *
+    * Shape: identical linear band shuffle as the dedup path; the
+    * verification joins carry the K-long signature next to the hashed
+    * token set, so est and exact come from the SAME two slim joins.
+    * est is half-up 4-dp integer-space (matches/K); exact mirrors
+    * minhashLshPairs' 3-dp rounding.
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 8,
+                         cap: Int = 500): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("sh"))
+      .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
+    val banded = base.select(
+        col("id"),
+        posexplode(array((0 until bands).map(b =>
+          GraftFunctions.mix_hash(
+            (lit(b.toLong) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1))): _*)): _*)))
+      .toDF("id", "band", "bucket")
+    val counted = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bucket_n") <= cap)
+    val candidates = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(counted.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sigs = base.select(col("id"), col("mh"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("ht"))
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a"), col("ht").as("ht_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b"), col("ht").as("ht_b")), Seq("id_b"))
+      .withColumn("matches",
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b))
+          .cast("long"))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("ht_a"), col("ht_b")))
+      .select(col("id_a"), col("id_b"), col("matches"),
+        (floor((lit(20000L) * col("matches") + numHashes).cast("double")
+          / lit(2.0 * numHashes)) / lit(10000.0)).as("est"),
+        col("inter").cast("long").as("inter"),
+        (size(col("ht_a")) + size(col("ht_b")) - col("inter")).cast("long").as("uni"),
+        round(col("inter").cast("double") /
+          (size(col("ht_a")) + size(col("ht_b")) - col("inter")).cast("double"), 3)
+          .as("jaccard"))
+  }
+
   /** L4 — SimHash near-dedup: 64-bit fingerprint per doc, Hamming
     * band partitioning (pigeonhole: distance ≤ maxDist with
     * `maxDist+1` bands guarantees one identical band), verify with

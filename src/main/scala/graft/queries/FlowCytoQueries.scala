@@ -96,6 +96,29 @@ object FlowCytoQueries {
     // F6: per-sample channel summary stats. Quantiles over the integer
     // channel (interpolation lands on exact quarters — engine-proof),
     // moments over the continuous channel.
+    // F16: spillover coefficient ESTIMATION (the inverse of f03's
+    // application): per single-stain control sample, the spill
+    // coefficient is the regression-through-origin slope of the spill
+    // channel on the primary channel, β = Σxy/Σx². Sums run as exact
+    // DECIMAL(38,0) integer arithmetic (primary in cents) so the
+    // distributed fold is order-independent and the oracle replays
+    // it bit-for-bit; the single final division is reported half-up
+    // at 6 dp in integer space. ONE keyed aggregation over the event
+    // scan — the AutoSpill-lite matrix build.
+    "f16_spillover_fit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x", expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))"))
+        .withColumn("y", expr("CAST(l_quantity AS DECIMAL(38,0))"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          expr("CAST((2000000 * sxy + sxx) div (2 * sxx) AS DOUBLE) / 1000000")
+            .as("beta6"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F15: per-sample acquisition QC gate (flowAI/flowClean-style):
     // debris fraction (low-scatter analog: quantity ≤ 2), saturation
     // fraction (ADC-ceiling analog: quantity ≥ 49), channel extrema,
@@ -330,6 +353,19 @@ object FlowCytoQueries {
          |FROM lineitem
          |WHERE ${polySql("l_quantity", "l_discount")}
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // f16: HUGEINT sums ≡ Spark DECIMAL(38,0) sums (both exact
+    // integers); same half-up 6dp integer-space division.
+    "f16_spillover_fit" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |        * CAST(l_quantity AS HUGEINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  CAST((2000000 * sxy + sxx) // (2 * sxx) AS DOUBLE) / 1000000 AS beta6
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // f15: identical integer thresholds and half-up 4dp fractions.
     "f15_sample_qc" ->

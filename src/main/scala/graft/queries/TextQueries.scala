@@ -525,6 +525,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L57: MinHash estimator calibration — every LSH candidate pair
+    // with its signature estimate (matches/64) NEXT TO the exact
+    // token-set Jaccard: the K/band adequacy dashboard
+    // (Dedup.minhashCalibration; same banding+cap as d03).
+    "d21_minhash_calib" -> ((s, dir) => {
+      Dedup.minhashCalibration(docs(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
     // subset is a deterministic uniform k-sample any engine replays
@@ -1147,6 +1156,49 @@ object TextQueries {
          |  CAST(len(l) - coalesce(f.n_fused, 0) AS BIGINT) AS n_after
          |FROM tk LEFT JOIN f ON tk.doc_id = f.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // d21: d03's signature/band replay without the verification
+    // threshold or size prune (calibration wants EVERY candidate);
+    // matches counted per permutation index, est half-up 4dp in
+    // integer space, exact Jaccard with d03's 3-dp rounding.
+    "d21_minhash_calib" ->
+      s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
+         | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
+         | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
+         |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
+         |        GROUP BY doc_id, k),
+         | msl AS (SELECT doc_id, k // 8 AS band,
+         |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
+         |         FROM mg GROUP BY doc_id, k // 8),
+         | mbk AS (SELECT doc_id, band,
+         |           ${PortableHashSql.toSigned(
+                        PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
+         |         FROM msl),
+         | keep AS (SELECT band, bucket FROM mbk GROUP BY band, bucket HAVING count(*) <= 500),
+         | bk AS (SELECT mbk.* FROM mbk JOIN keep USING (band, bucket)),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |            AND a.doc_id < b.doc_id),
+         | mm AS (SELECT c.id_a, c.id_b,
+         |          sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS matches
+         |        FROM cand c JOIN mg a ON a.doc_id = c.id_a
+         |                    JOIN mg b ON b.doc_id = c.id_b AND b.k = a.k
+         |        GROUP BY 1, 2),
+         | v AS (SELECT id_a, id_b,
+         |         len(list_intersect(da.toks, db.toks)) AS inter,
+         |         len(da.toks) AS na, len(db.toks) AS nb
+         |       FROM cand
+         |       JOIN d da ON da.doc_id = id_a
+         |       JOIN d db ON db.doc_id = id_b)
+         |SELECT m.id_a, m.id_b, CAST(matches AS BIGINT) AS matches,
+         |  CAST((20000*matches + 64) // 128 AS DOUBLE)/10000 AS est,
+         |  CAST(inter AS BIGINT) AS inter,
+         |  CAST(na + nb - inter AS BIGINT) AS uni,
+         |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
+         |FROM mm m JOIN v USING (id_a, id_b)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // d20: same top-53-bit fmix64 order key (HUGEINT shift ≡ Spark's
     // shiftrightunsigned on the signed BIGINT) + id tie-break.

@@ -26,6 +26,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("minhash calibration: est is unbiased-shaped (dup pairs read 1.0, est tracks exact Jaccard)") {
+    val cal = Dedup.minhashCalibration(docs, "doc_id", "text").cache()
+    val rows = cal.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est")
+      val jac = r.getAs[Double]("jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      // identical token sets must show a perfect signature match...
+      if (jac == 1.0) assert(est == 1.0)
+      // ...and K=64 keeps the estimate near truth: |est − J| within
+      // 4·√(J(1−J)/64) + 1/64 (four sigmas + quantization).
+      val tol = 4.0 * math.sqrt(jac * (1 - jac) / 64.0) + 1.0 / 64.0
+      assert(math.abs(est - jac) <= tol,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): est $est vs jaccard $jac")
+    }
+    cal.unpersist()
+  }
+
   test("simhash pairs respect the Hamming bound and are symmetric-free") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).collect()
     assert(pairs.nonEmpty)
