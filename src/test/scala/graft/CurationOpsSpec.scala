@@ -189,6 +189,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("sourceOverlap >64-source fallback (set path) produces the same pair semantics") {
+    // 65 sources sharing one identical doc → every pair has
+    // inter = n_a = n_b = 1 → Jaccard 1.0; forces the collect_set
+    // fallback (bitmask path caps at 64).
+    val df = (1 to 65).map(i => (i.toLong, "w x y z", f"s$i%02d")).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceOverlap(df, "doc_id", "text", "source", n = 3).collect()
+    assert(got.length == 65 * 64 / 2)
+    got.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)) == ((2L, 2L, 2L, 1.0)))
+    }
+  }
+
   test("gopherColumns: each rule trips on its crafted violator and passes the clean doc") {
     // 60 words of the/and/of filler → passes everything.
     val clean = (("the and of that have with be to " * 8).trim)
