@@ -189,6 +189,17 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("sourceOverlap bitmask path: the corpus aggregation is a primitive HashAggregate, not set state") {
+    val df = Seq((1L, "a b c d", "s1"), (2L, "a b c e", "s2")).toDF("doc_id", "text", "source")
+    val plan = CorpusOps.sourceOverlap(df, "doc_id", "text", "source", n = 3)
+      .queryExecution.executedPlan.toString
+    // bit_or over a LONG rides the codegen HashAggregate; the
+    // ObjectHashAggregate (collect_set) must only appear on the
+    // > 64-source fallback.
+    assert(plan.contains("bit_or") || plan.toLowerCase.contains("bitor"))
+    assert(!plan.contains("collect_set"))
+  }
+
   test("sourceOverlap >64-source fallback (set path) produces the same pair semantics") {
     // 65 sources sharing one identical doc → every pair has
     // inter = n_a = n_b = 1 → Jaccard 1.0; forces the collect_set
