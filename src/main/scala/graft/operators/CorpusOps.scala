@@ -507,10 +507,14 @@ object CorpusOps {
     // Grams travel as xxhash64 LONGS — the vocabulary is corpus-sized
     // and an 8-byte key beats a ~25-byte string through the shuffle;
     // hash-equality ≡ string-equality is the d03/d11-established
-    // contract (collision odds ~n²/2⁶⁴).
+    // contract (collision odds ~n²/2⁶⁴). The fused native
+    // `ngram_hashes` (one array scan: gram → hash → dedup) replaces
+    // a transform-over-shingles lambda chain whose inlined tokenize
+    // re-evaluated per element (the d08/t25 lesson; measured 17 s →
+    // sub-second for the gram stage at sf0.1).
     val grams = docs.select(col(srcCol).as("source"),
-      explode(array_distinct(transform(
-        Dedup.shingles(tokens(col(textCol)), n), s => xxhash64(s)))).as("gm"))
+      explode(graft.functions.GraftFunctions
+        .ngram_hashes(tokens(col(textCol)), n)).as("gm"))
     val srcs = docs.select(col(srcCol).as("source")).distinct()
     if (srcs.count() <= 64) sourceOverlapBitmask(grams, srcs)
     else sourceOverlapSets(grams)

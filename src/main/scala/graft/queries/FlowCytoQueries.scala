@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Graft
 import graft.functions.GraftFunctions
@@ -96,6 +97,62 @@ object FlowCytoQueries {
     // F6: per-sample channel summary stats. Quantiles over the integer
     // channel (interpolation lands on exact quarters — engine-proof),
     // moments over the continuous channel.
+    // F17: automatic 1-D density gate (flowDensity/deGate-style): per
+    // sample, a fixed 32-bin histogram of the channel (in cents, with
+    // per-sample [lo, hi] range), 3-bin box smoothing, then the gate
+    // threshold = left edge of the first smoothed-count VALLEY after
+    // the main peak. Every step is integer arithmetic over the dense
+    // 32-row-per-sample bin spine (windows run on bin-spine
+    // cardinality, never events); the event scan is touched twice —
+    // histogram build and the below/above gate counts — both single
+    // keyed aggregations.
+    "f17_density_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val stats = li.groupBy(keys.map(col): _*)
+        .agg(min("cents").as("lo"), max("cents").as("hi"),
+          count(lit(1)).as("n_events"))
+      val binned = li.join(broadcast(stats), keys)
+        .withColumn("bin", least(lit(31L),
+          expr("((cents - lo) * 32) div (hi - lo + 1)")))
+      val hist = binned.groupBy((keys.map(col) :+ col("bin")): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val spine = stats.select((keys.map(col) :+
+          explode(sequence(lit(0L), lit(31L))).as("bin")): _*)
+        .join(hist, keys :+ "bin", "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val wS = Window.partitionBy(keys.map(col): _*).orderBy("bin")
+        .rowsBetween(-1, 1)
+      val sm = spine.withColumn("sm", sum("cnt").over(wS))
+      val wPeak = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("sm").desc, col("bin"))
+      val peak = sm.withColumn("pr", row_number().over(wPeak))
+        .filter(col("pr") === 1)
+        .select((keys.map(col) :+ col("bin").as("peak_bin")): _*)
+      val wValley = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("sm"), col("bin"))
+      val valley = sm.join(broadcast(peak), keys)
+        .filter(col("bin") > col("peak_bin"))
+        .withColumn("vr", row_number().over(wValley))
+        .filter(col("vr") === 1)
+        .select((keys.map(col) :+ col("peak_bin") :+ col("bin").as("valley_bin")): _*)
+      val gate = stats.join(valley, keys)
+        .withColumn("threshold_cents",
+          expr("lo + (valley_bin * (hi - lo + 1)) div 32"))
+      val counts = binned.join(broadcast(gate.select((keys.map(col) :+
+          col("valley_bin")): _*)), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(when(col("bin") < col("valley_bin"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("bin") >= col("valley_bin"), 1L).otherwise(0L)).as("n_above"))
+      gate.join(counts, keys)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_events"),
+          col("peak_bin"), col("valley_bin"), col("threshold_cents"),
+          col("n_below"), col("n_above"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F16: spillover coefficient ESTIMATION (the inverse of f03's
     // application): per single-stain control sample, the spill
     // coefficient is the regression-through-origin slope of the spill
@@ -353,6 +410,49 @@ object FlowCytoQueries {
          |FROM lineitem
          |WHERE ${polySql("l_quantity", "l_discount")}
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // f17: identical dense-spine windows; `//` ≡ Spark `div`.
+    "f17_density_gate" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        | stats AS (SELECT l_returnflag, l_linestatus, min(cents) AS lo,
+        |    max(cents) AS hi, count(*) AS n_events FROM li GROUP BY 1, 2),
+        | binned AS (SELECT li.l_returnflag, li.l_linestatus,
+        |    least(31, ((cents - lo) * 32) // (hi - lo + 1)) AS bin
+        |   FROM li JOIN stats USING (l_returnflag, l_linestatus)),
+        | hist AS (SELECT l_returnflag, l_linestatus, bin, count(*) AS cnt
+        |   FROM binned GROUP BY 1, 2, 3),
+        | spine AS (SELECT sb.l_returnflag, sb.l_linestatus, sb.bin,
+        |    coalesce(h.cnt, 0) AS cnt
+        |   FROM (SELECT l_returnflag, l_linestatus, unnest(range(0, 32)) AS bin
+        |         FROM stats) sb
+        |   LEFT JOIN hist h USING (l_returnflag, l_linestatus, bin)),
+        | sm AS (SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+        |    ORDER BY bin ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+        |   FROM spine),
+        | peak AS (SELECT l_returnflag, l_linestatus, bin AS peak_bin FROM
+        |   (SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY s DESC, bin) AS pr FROM sm) WHERE pr = 1),
+        | valley AS (SELECT l_returnflag, l_linestatus, peak_bin, bin AS valley_bin FROM
+        |   (SELECT sm.l_returnflag, sm.l_linestatus, sm.bin, sm.s, p.peak_bin,
+        |      row_number() OVER (PARTITION BY sm.l_returnflag, sm.l_linestatus
+        |        ORDER BY sm.s, sm.bin) AS vr
+        |    FROM sm JOIN peak p USING (l_returnflag, l_linestatus)
+        |    WHERE bin > peak_bin) WHERE vr = 1),
+        | gate AS (SELECT s.l_returnflag, s.l_linestatus, s.n_events, s.lo, s.hi,
+        |    v.peak_bin, v.valley_bin,
+        |    lo + (valley_bin * (hi - lo + 1)) // 32 AS threshold_cents
+        |   FROM stats s JOIN valley v USING (l_returnflag, l_linestatus)),
+        | counts AS (SELECT b.l_returnflag, b.l_linestatus,
+        |    sum(CASE WHEN bin < valley_bin THEN 1 ELSE 0 END) AS n_below,
+        |    sum(CASE WHEN bin >= valley_bin THEN 1 ELSE 0 END) AS n_above
+        |   FROM binned b JOIN gate USING (l_returnflag, l_linestatus)
+        |   GROUP BY 1, 2)
+        |SELECT g.l_returnflag, g.l_linestatus, n_events, peak_bin, valley_bin,
+        |  threshold_cents, CAST(n_below AS BIGINT) AS n_below,
+        |  CAST(n_above AS BIGINT) AS n_above
+        |FROM gate g JOIN counts USING (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
 
     // f16: HUGEINT sums ≡ Spark DECIMAL(38,0) sums (both exact
     // integers); same half-up 6dp integer-space division.
