@@ -111,9 +111,15 @@ object FlowCytoQueries {
         .select(col("l_returnflag"), col("l_linestatus"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
       val keys = Seq("l_returnflag", "l_linestatus")
+      // stats (sample-cardinality) and the smoothed spine (32 rows ×
+      // samples) are persisted: every downstream branch re-derived
+      // the whole histogram chain otherwise (plan-audited: 12+ event
+      // scans → the documented two). Verify/Bench clearCache between
+      // queries (library contract).
       val stats = li.groupBy(keys.map(col): _*)
         .agg(min("cents").as("lo"), max("cents").as("hi"),
           count(lit(1)).as("n_events"))
+        .persist()
       val binned = li.join(broadcast(stats), keys)
         .withColumn("bin", least(lit(31L),
           expr("((cents - lo) * 32) div (hi - lo + 1)")))
@@ -125,7 +131,7 @@ object FlowCytoQueries {
         .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       val wS = Window.partitionBy(keys.map(col): _*).orderBy("bin")
         .rowsBetween(-1, 1)
-      val sm = spine.withColumn("sm", sum("cnt").over(wS))
+      val sm = spine.withColumn("sm", sum("cnt").over(wS)).persist()
       val wPeak = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("sm").desc, col("bin"))
       val peak = sm.withColumn("pr", row_number().over(wPeak))

@@ -169,6 +169,26 @@ object StreamQueries {
         .orderBy("hour_start")
     }),
 
+    // S9: streaming data-quality monitor — q39's z-score prune run
+    // through the REAL engine as a stream-static join: per-type μ/σ
+    // computed batch-side (dim-sized, broadcast into the stream),
+    // stateless 3σ filter in append mode. A stateless plan's append
+    // output is batch-equal whatever the micro-batching, so the
+    // driver oracle (q39's proven avg/stddev pairing) checks the
+    // streaming path. At 100 TB this is the alerting topology:
+    // stats refresh on a slow batch cadence, the stream pays one
+    // broadcast probe per event, no state store at all.
+    "st11_stream_zscore" -> ((s, dir) => {
+      val stats = events(s, dir).groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.join(broadcast(stats), "event_type")
+          .filter(abs(col("value") - col("m")) > col("sd") * 3.0)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("m")) / col("sd"), 4).as("z"))
+      }.orderBy("event_id")
+    }),
+
     // S5: per-sliding-window top-k event types. Batch twin of the
     // flatMapGroupsWithState streaming form (StreamingSpec asserts
     // the twin equivalence); rank partitioned by window key — no
@@ -277,6 +297,16 @@ object StreamQueries {
 
     "st09_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // st11: q39's oracle verbatim — the streaming path must emit the
+    // identical outlier set.
+    "st11_stream_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, round((value - m) / sd, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(value - m) > sd * 3.0
+        |ORDER BY event_id""".stripMargin
   )
 }
