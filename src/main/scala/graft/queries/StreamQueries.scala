@@ -169,6 +169,25 @@ object StreamQueries {
         .orderBy("hour_start")
     }),
 
+    // S10: append-mode tumbling aggregation under a WATERMARK — the
+    // PRODUCTION streaming-agg form (st01 is complete-mode): only
+    // windows sealed by the final watermark are emitted. With the
+    // single-file AvailableNow source the run is deterministic: one
+    // data micro-batch advances the watermark to max(ts) − 10 min,
+    // and the closing batch emits exactly the windows whose end ≤
+    // that mark — which the oracle states directly (window_end ≤
+    // max(ts) − 10 min over the batch table).
+    "st12_append_windows" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("hour_start_us", "event_type")
+    }),
+
     // S9: streaming data-quality monitor — q39's z-score prune run
     // through the REAL engine as a stream-static join: per-type μ/σ
     // computed batch-side (dim-sized, broadcast into the stream),
@@ -298,6 +317,17 @@ object StreamQueries {
     "st09_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // st12: the sealed-window set stated directly — windows whose end
+    // is at or before the final watermark (max ts − 10 min).
+    "st12_append_windows" ->
+      """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS w FROM events),
+        | agg AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_start_us, event_type, n FROM agg, wm
+        |WHERE hour_start_us + 3600000000 <= w
+        |ORDER BY hour_start_us, event_type""".stripMargin,
 
     // st11: q39's oracle verbatim — the streaming path must emit the
     // identical outlier set.
