@@ -581,11 +581,17 @@ object CorpusOps {
     finishOverlap(named)
   }
 
-  /** Common tail: inclusion–exclusion union + half-up 4dp Jaccard. */
-  private def finishOverlap(named: DataFrame): DataFrame = {
-    val u = col("n_a") + col("n_b") - col("inter")
-    named.select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
-      (floor((lit(20000L) * col("inter") + u).cast("double")
-        / (u * lit(2L)).cast("double")) / lit(10000.0)).as("jaccard"))
-  }
+  /** Common tail: inclusion–exclusion union + half-up 4dp Jaccard.
+    * The half-up floor runs as DECIMAL(38,0) integral division (as
+    * f16's fit does), exact at any count magnitude — a double-space
+    * floor would lose integer exactness once 20000·inter + u crosses
+    * 2^53 (~4.5e11 shared grams), well inside 100 TB-corpus range.
+    */
+  private def finishOverlap(named: DataFrame): DataFrame =
+    named
+      .withColumn("u", col("n_a") + col("n_b") - col("inter"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+        (expr("(CAST(inter AS DECIMAL(38,0)) * 20000 + u) div " +
+            "(CAST(u AS DECIMAL(38,0)) * 2)").cast("double")
+          / lit(10000.0)).as("jaccard"))
 }

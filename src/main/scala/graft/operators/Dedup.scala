@@ -17,11 +17,27 @@ import graft.functions.GraftFunctions
 object Dedup {
 
   /** Canonical text normalization shared by every dedup/text operator
-    * (and mirrored verbatim in the DuckDB oracles): lowercase, trim,
-    * collapse whitespace runs.
+    * (and mirrored verbatim in the DuckDB oracles via
+    * [[graft.queries.PortableHashSql.norm]]): ASCII-fold — every run
+    * of characters outside printable ASCII (0x21–0x7E), i.e. all
+    * whitespace, control chars, and every non-ASCII codepoint,
+    * becomes one space; then trim and lowercase.
+    *
+    * The fold is what makes the definition provably engine-portable
+    * for ARBITRARY input (the t25 lesson, rounds 4–5): Java regex
+    * (UTF-16) and RE2 (UTF-8) agree exactly on `[^!-~]+`, and
+    * trim/lower over the resulting pure-ASCII string are
+    * byte-identical in both engines — whereas unicode-aware `lower`
+    * is not ('İ' → "i̇" in Java vs "i" in utf8proc; final 'Σ' → "ς"
+    * in Java vs "σ"), and Java's `\s` includes \x0B while RE2's
+    * excludes it. Downstream, pure-ASCII tokens also guarantee
+    * code-point = UTF-16 = byte counts (length/substring) and
+    * ord(char) = utf8 byte in the portable-hash oracles. The
+    * differential fuzz harness (tools/fuzzgen.py + FuzzSpec) pins
+    * cross-engine agreement on adversarial corpora.
     */
   def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    lower(trim(regexp_replace(c, "[^!-~]+", " ")))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")

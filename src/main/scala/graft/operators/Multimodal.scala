@@ -74,7 +74,11 @@ object Multimodal {
       .select(col(idCol), col("sample_id").cast("long").as("sample_id"),
         col("frame_id"),
         (col("frame_id") * frameBytes).as("byte_offset"),
-        md5(expr(s"substring(blob, frame_id * $frameBytes + 1, $frameBytes)"))
+        // md5 of the frame's HEX string, not its raw bytes: byte-exact
+        // in every engine (an arbitrary byte slice isn't valid UTF-8,
+        // so VARCHAR-md5 oracles can't digest it; DuckDB has no BLOB
+        // md5). Same content-addressing power, portable verification.
+        md5(hex(expr(s"substring(blob, frame_id * $frameBytes + 1, $frameBytes)")))
           .as("frame_md5"),
         col("n_frames"))
 

@@ -45,9 +45,14 @@ object Sampling {
   /** Weighted top-m sample: the m smallest priorities. Plans as
     * TakeOrderedAndProject — per-partition heap + driver merge of m
     * rows, no global sort, no shuffle of the losers.
+    *
+    * Rows with weight ≤ 0 are excluded up front: they cannot be drawn
+    * in A-ES weighted sampling, and dividing by a zero weight would
+    * abort the query under ANSI mode (fuzz-harness finding).
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, m: Int): DataFrame =
-    df.withColumn("priority", weightedPriority(col(idCol), col(weightCol)))
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", weightedPriority(col(idCol), col(weightCol)))
       .orderBy("priority", idCol)
       .limit(m)
 

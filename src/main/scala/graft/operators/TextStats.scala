@@ -42,8 +42,18 @@ object TextStats {
     }
   }
 
+  /** 0-safe ratio: a/b as doubles, 0.0 when b = 0 (the empty-doc
+    * convention — under ANSI mode a plain division would abort the
+    * whole query on the first empty document). Mirrored in oracles
+    * as CASE WHEN b = 0 THEN 0.0 ELSE a/b END.
+    */
+  def safeRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0))
+      .otherwise(num.cast("double") / den.cast("double"))
+
   /** L9 — quality metrics over the normalized text. All ratios are
-    * double divisions mirrored exactly in the oracle SQL.
+    * 0-safe double divisions mirrored exactly in the oracle SQL
+    * (an empty doc has n_chars = 0; its ratios report 0.0).
     */
   def qualityColumns(norm: Column, toks: Column): Seq[(String, Column)] = {
     val nChars = length(norm)
@@ -53,13 +63,13 @@ object TextStats {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,
-      "mean_tok_len" -> round((nChars - (nTok - lit(1))).cast("double") / nTok.cast("double"), 4),
-      "stop_ratio" -> round(allStop.cast("double") / nTok.cast("double"), 4),
-      "alpha_ratio" -> round(alpha.cast("double") / nChars.cast("double"), 4),
+      "mean_tok_len" -> round(safeRatio(nChars - (nTok - lit(1)), nTok), 4),
+      "stop_ratio" -> round(safeRatio(allStop, nTok), 4),
+      "alpha_ratio" -> round(safeRatio(alpha, nChars), 4),
       "quality" -> round(
         least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.4) +
-          (allStop.cast("double") / nTok.cast("double")) * lit(0.3) +
-          (alpha.cast("double") / nChars.cast("double")) * lit(0.3), 4))
+          safeRatio(allStop, nTok) * lit(0.3) +
+          safeRatio(alpha, nChars) * lit(0.3), 4))
   }
 
   /** L28 — unigram token entropy in nats: H = ln n − (Σ c·ln c)/n over
@@ -83,12 +93,17 @@ object TextStats {
 
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
-    * — the "~4 chars per token" rule of thumb).
+    * — the "~4 chars per token" rule of thumb). All three count over
+    * the canonical ASCII-fold normalization (Dedup.normText), so the
+    * counts are engine-portable for arbitrary input — raw-text `\s`
+    * splits and unicode `lower` both diverge between Java regex and
+    * RE2/utf8proc (see normText's doc).
     */
   def tokenCountColumns(text: Column): Seq[(String, Column)] = {
-    val words = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    val norm = Dedup.normText(text)
+    val words = regexp_extract_all(norm, lit("[a-z0-9]+"), lit(0))
     Seq(
-      "ws_tokens" -> size(split(trim(text), "\\s+")),
+      "ws_tokens" -> size(split(norm, " ")),
       "word_tokens" -> size(words),
       "bpe_ish_tokens" -> aggregate(
         transform(words, w => ceil(length(w) / lit(4.0)).cast("long")),
@@ -231,7 +246,8 @@ object TextStats {
         s"${docs.schema(idCol).dataType.simpleString} — derive one " +
         "(e.g. a dense rank over ingest time) before calling")
     val fs = docs
-      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions
@@ -303,7 +319,10 @@ object TextStats {
     // the empty doc too ("" → [""], 0 − 0).
     val sumLen = (length(norm) - (size(toks) - lit(1))).cast("long")
     val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
-    val lines = split(text, "\n")
+    // Lines are split after stripping \r, so CRLF text can't leave a
+    // trailing \r that Java's '$' treats as a line terminator while
+    // RE2's end-of-string '$' does not (cross-engine divergence).
+    val lines = split(regexp_replace(text, "\r", ""), "\n")
     val nLines = size(lines).cast("long")
     val bulletLines =
       size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
@@ -318,7 +337,9 @@ object TextStats {
     val rLen = (nWords >= 50L && nWords <= 100000L).cast("int")
     val rWordLen = (lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords).cast("int")
     val rSymbol = (lit(10L) * symbols <= nWords).cast("int")
-    val rBullet = (lit(10L) * bulletLines <= nLines).cast("int")
+    // Rae et al. §A1.1: drop docs with MORE than 90% bullet lines
+    // (10·b ≤ 9·n keeps ≤ 90%).
+    val rBullet = (lit(10L) * bulletLines <= lit(9L) * nLines).cast("int")
     val rEllipsis = (lit(10L) * ellipsisLines <= lit(3L) * nLines).cast("int")
     val rAlpha = (lit(5L) * alphaWords >= lit(4L) * nWords).cast("int")
     val rStop = (stopHits >= 2L).cast("int")

@@ -103,9 +103,10 @@ object FlowCytoQueries {
     // threshold = left edge of the first smoothed-count VALLEY after
     // the main peak. Every step is integer arithmetic over the dense
     // 32-row-per-sample bin spine (windows run on bin-spine
-    // cardinality, never events); the event scan is touched twice —
-    // histogram build and the below/above gate counts — both single
-    // keyed aggregations.
+    // cardinality, never events); the event scan is touched three
+    // times — the per-sample [lo, hi]/count stats, the histogram
+    // build, and the below/above gate counts — each a single keyed
+    // aggregation (the persisted frames stop any further recompute).
     "f17_density_gate" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),

@@ -54,8 +54,12 @@ object PortableHashSql {
     * expression, as an unsigned residue.
     */
   def roll(strExpr: String): String =
+    // list_filter guards the empty string: DuckDB split('', '') is
+    // [''] and ord('') is -1, which would fold one bogus byte where
+    // the Spark loop folds none (fuzz-harness finding).
     s"list_reduce(list_prepend(CAST(${u64(RollingHash.SEED)} AS HUGEINT), " +
-      s"list_transform(split($strExpr, ''), rc -> CAST(ord(rc) AS HUGEINT))), " +
+      s"list_transform(list_filter(split($strExpr, ''), rc -> rc <> ''), " +
+      s"rc -> CAST(ord(rc) AS HUGEINT))), " +
       s"(rh, rb) -> (rh * ${RollingHash.BASE} + rb) % $M)"
 
   /** SimHash64.tokenHash = fmix64(rollingHash(bytes)). */
@@ -68,9 +72,13 @@ object PortableHashSql {
     s"list_reduce(list_prepend(CAST(${u64(MixHashLongs.Seed)} AS HUGEINT), $listExpr), " +
       s"(mh, mv) -> ${fmix("xor(mh, mv)")})"
 
-  /** Dedup.normText mirrored: lower, trim, collapse whitespace. */
+  /** Dedup.normText mirrored: ASCII-fold (runs outside printable
+    * ASCII become one space), trim, lowercase. The fold guarantees
+    * pure-ASCII tokens, so this file's `ord(char) == utf8 byte`
+    * assumption holds for ARBITRARY input, not just ASCII testdata.
+    */
   def norm(c: String): String =
-    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+    s"lower(trim(regexp_replace($c, '[^!-~]+', ' ', 'g')))"
 
   /** CTE chain computing per-doc simhash64 fingerprints from the
     * documents table: exposes `simfp(doc_id, fp_sim)`.

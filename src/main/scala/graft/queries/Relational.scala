@@ -312,7 +312,7 @@ object Relational {
     "q26_word_explode" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"),
-          explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("word"))
+          explode(graft.operators.Dedup.tokens(col("text"))).as("word"))
         .groupBy("lang", "word")
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 100)
@@ -542,9 +542,19 @@ object Relational {
     // hand its rewrite tasks. All integer math → hash-exact.
     "q50_compaction" -> ((s, dir) => {
       val target = 4000L
-      val w = Window.partitionBy("source").orderBy("doc_id")
+      // Total order: a generated inventory may carry duplicate doc_id
+      // within a source (the q08 lesson) — tie-break on bytes, after
+      // which any remaining ties are FULLY identical (source, doc_id,
+      // bytes) rows, so every ordering yields the same output multiset.
+      // Inputs are cast to explicit types on BOTH sides so a drifted
+      // physical parquet schema (int32 ids, double sizes) can't change
+      // the arithmetic.
+      val w = Window.partitionBy("source")
+        .orderBy(asc_nulls_first("doc_id"), asc_nulls_first("bytes"))
       val inv = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars").as("bytes"))
+        .select(col("source").cast("string").as("source"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("bytes"))
         .withColumn("start_off",
           coalesce(sum("bytes").over(w.rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
@@ -1028,9 +1038,9 @@ object Relational {
         |ORDER BY event_type, k_bucket""".stripMargin,
 
     "q26_word_explode" ->
-      """SELECT lang, word, count(*) AS n FROM (
+      s"""SELECT lang, word, count(*) AS n FROM (
         | SELECT lang, unnest(string_split(
-        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+        |   ${PortableHashSql.norm("text")}, ' ')) AS word
         | FROM documents)
         |GROUP BY lang, word HAVING count(*) >= 100
         |ORDER BY lang, word""".stripMargin,
@@ -1139,10 +1149,14 @@ object Relational {
     // q50: the same start-offset bin assignment (cumulative bytes
     // BEFORE the file, integer-divided by the target) — all integer.
     "q50_compaction" ->
-      """WITH inv AS (SELECT source, doc_id, n_chars AS bytes,
-        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      """WITH src AS (SELECT CAST(source AS VARCHAR) AS source,
+        |    CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        | inv AS (SELECT source, doc_id, bytes,
+        |    coalesce(sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY doc_id NULLS FIRST, bytes NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-        |  FROM documents),
+        |  FROM src),
         | b AS (SELECT source, doc_id, bytes, start_off // 4000 AS bin,
         |    CASE WHEN bytes < 4000 THEN 1 ELSE 0 END AS small FROM inv)
         |SELECT source, bin, count(*) AS n_files,

@@ -19,10 +19,16 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
 
-  /** Shared SQL fragments so Spark and oracle can't drift. */
-  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  /** Shared SQL fragments so Spark and oracle can't drift: the one
+    * DuckDB replay of Dedup.normText (ASCII-fold — see its doc).
+    */
+  private val normSql = PortableHashSql.norm("text")
   private def stopFilterSql(toksExpr: String, words: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** TextStats.safeRatio replay: a/b as doubles, 0.0 when b = 0. */
+  private def safeDivSql(num: String, den: String): String =
+    s"(CASE WHEN ($den) = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1: exact dedup — md5 of normalized text, keep min id.
@@ -35,7 +41,7 @@ object TextQueries {
     // L2: blocked exact-Jaccard near-dup pairs.
     "d02_dedup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
-          Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+          Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
 
@@ -56,7 +62,7 @@ object TextQueries {
     "d07_dup_clusters" -> ((s, dir) => {
       import graft.operators.ConnectedComponents
       val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
-        Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+        Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
       val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
       val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "cluster")
@@ -73,7 +79,7 @@ object TextQueries {
       import graft.operators.ConnectedComponents
       val d = docs(s, dir)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        Seq(col("lang"), expr("n_chars div 100")), threshold = 0.9)
+        Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
       val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
       val norm = Dedup.normText(col("text"))
       val toks = Dedup.tokens(col("text"))
@@ -263,7 +269,7 @@ object TextQueries {
     "d13_edit_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.editDistancePairs(d, "doc_id", "text",
-          Seq(col("lang"), expr("n_chars div 100")), col("n_chars"))
+          Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), col("n_chars"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -426,8 +432,8 @@ object TextQueries {
           .as("allstop"))
       val nTok = col("n_tokens").cast("double")
       val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
-        (col("allstop").cast("double") / nTok) * lit(0.3) +
-        (col("alpha").cast("double") / col("n_chars").cast("double")) * lit(0.3)
+        TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
+        TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
       val qk = feat.filter(quality >= 0.52)
       val wDedup = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("norm")))
@@ -721,7 +727,7 @@ object TextQueries {
 
     "d02_dedup_jaccard" ->
       s"""WITH d AS (
-         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) // 100 AS lb,
          |    list_distinct(string_split($normSql, ' ')) AS toks
          |  FROM documents)
          |SELECT a.id AS id_a, b.id AS id_b,
@@ -738,7 +744,7 @@ object TextQueries {
 
     "d07_dup_clusters" ->
       s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) // 100 AS lb,
          |    list_distinct(string_split($normSql, ' ')) AS toks
          |  FROM documents),
          | pairs AS (
@@ -763,7 +769,7 @@ object TextQueries {
 
     "d09_keep_best" ->
       s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id AS id, lang, n_chars // 100 AS lb,
+         |  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) // 100 AS lb,
          |    list_distinct(string_split($normSql, ' ')) AS toks
          |  FROM documents),
          | pairs AS (
@@ -785,8 +791,8 @@ object TextQueries {
          | q AS (
          |  SELECT doc_id,
          |    round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
-         |          (CAST(allstop AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
-         |          (CAST(alpha AS DOUBLE) / CAST(length(norm) AS DOUBLE)) * 0.3, 4)
+         |          ${safeDivSql("allstop", "len(toks)")} * 0.3 +
+         |          ${safeDivSql("alpha", "length(norm)")} * 0.3, 4)
          |      AS quality
          |  FROM (SELECT doc_id, norm, toks,
          |          length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
@@ -855,7 +861,7 @@ object TextQueries {
       s"""WITH pri AS (SELECT doc_id, n_chars,
          |  (CAST((${PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id"))}) >> 11 AS DOUBLE)
          |     / 9007199254740992.0) / CAST(n_chars AS DOUBLE) AS priority
-         | FROM documents)
+         | FROM documents WHERE n_chars > 0)
          |SELECT doc_id, n_chars, priority FROM pri
          |ORDER BY priority, doc_id LIMIT 200""".stripMargin,
 
@@ -881,12 +887,12 @@ object TextQueries {
 
     "t02_quality" ->
       s"""SELECT doc_id, n_chars, n_tokens,
-         | round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
-         | round(CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-         | round(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
+         | round(${safeDivSql("n_chars - (n_tokens - 1)", "n_tokens")}, 4) AS mean_tok_len,
+         | round(${safeDivSql("allstop", "n_tokens")}, 4) AS stop_ratio,
+         | round(${safeDivSql("alpha", "n_chars")}, 4) AS alpha_ratio,
          | round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
-         |       (CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3 +
-         |       (CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3, 4) AS quality
+         |       ${safeDivSql("allstop", "n_tokens")} * 0.3 +
+         |       ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
          |FROM (
          |  SELECT doc_id, length(norm) AS n_chars, len(toks) AS n_tokens,
          |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
@@ -897,12 +903,13 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "t03_tokens" ->
-      """SELECT doc_id,
-        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
-        | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
-        | CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+        | len(string_split(norm, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(norm, '[a-z0-9]+')) AS word_tokens,
+        | CAST(coalesce(list_sum(list_transform(regexp_extract_all(norm, '[a-z0-9]+'),
+        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_ish_tokens
+        |FROM (SELECT doc_id, $normSql AS norm FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "t04_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp_md5
@@ -1122,7 +1129,8 @@ object TextQueries {
     // t25: bigram first-seen replay on gram STRINGS (hash-vs-string
     // equality, the d11 convention).
     "t25_vocab_growth" ->
-      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS l FROM documents),
+      s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |            string_split($normSql, ' ') AS l FROM documents),
          | bg AS (SELECT doc_id, z[1] || ' ' || z[2] AS g FROM
          |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM tk)),
          | fs AS (SELECT g, min(doc_id) AS first_seen FROM bg GROUP BY g),
@@ -1230,7 +1238,7 @@ object TextQueries {
          |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_len,
          |    CASE WHEN 3*n_words <= sum_len AND sum_len <= 10*n_words THEN 1 ELSE 0 END AS r_wordlen,
          |    CASE WHEN 10*symbols <= n_words THEN 1 ELSE 0 END AS r_symbol,
-         |    CASE WHEN 10*bullet_lines <= n_lines THEN 1 ELSE 0 END AS r_bullet,
+         |    CASE WHEN 10*bullet_lines <= 9*n_lines THEN 1 ELSE 0 END AS r_bullet,
          |    CASE WHEN 10*ellipsis_lines <= 3*n_lines THEN 1 ELSE 0 END AS r_ellipsis,
          |    CASE WHEN 5*alpha_words >= 4*n_words THEN 1 ELSE 0 END AS r_alpha,
          |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop
@@ -1248,7 +1256,8 @@ object TextQueries {
          |        t -> t IN (${TextStats.gopherStopwords.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
          |    FROM (SELECT doc_id, text, $normSql AS norm,
          |            string_split($normSql, ' ') AS toks,
-         |            string_split(text, chr(10)) AS lines FROM documents)
+         |            string_split(replace(text, chr(13), ''), chr(10)) AS lines
+         |          FROM documents)
          |  )
          |) ORDER BY doc_id""".stripMargin,
 
@@ -1304,7 +1313,7 @@ object TextQueries {
          | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    levenshtein(a.p, b.p) AS edit_dist
          |  FROM d a JOIN d b
-         |    ON a.lang = b.lang AND a.n_chars // 100 = b.n_chars // 100
+         |    ON a.lang = b.lang AND CAST(a.n_chars AS BIGINT) // 100 = CAST(b.n_chars AS BIGINT) // 100
          |    AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 20)
          |SELECT id_a, id_b, edit_dist FROM pairs
          |WHERE edit_dist <= 10 ORDER BY id_a, id_b""".stripMargin,
@@ -1447,8 +1456,8 @@ object TextQueries {
          |    ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
          |  FROM base),
          | q AS (SELECT *, least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-         |    + (CAST(allstop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-         |    + (CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3 AS quality
+         |    + ${safeDivSql("allstop", "n_tokens")} * 0.3
+         |    + ${safeDivSql("alpha", "n_chars")} * 0.3 AS quality
          |  FROM feat),
          | qk AS (SELECT * FROM q WHERE quality >= 0.52),
          | dd AS (SELECT * FROM (SELECT *,

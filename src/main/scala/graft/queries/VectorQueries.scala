@@ -205,16 +205,22 @@ object VectorQueries {
     // media rows shard across parquet row groups). Purely narrow:
     // posexplode over the offset sequence, substring + md5 per part —
     // chunking 100 TB of media is a map job.
+    // Zero-byte payloads have no chunks (and would crash sequence(1,0)
+    // under ANSI); digests are md5 of the chunk's HEX encoding — the
+    // one byte-exact digest both engines can compute (DuckDB's md5
+    // cannot digest BLOBs, and an arbitrary byte slice is not valid
+    // UTF-8, so md5-of-VARCHAR can't stand in).
     "m03_blob_chunks" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("blob", encode(col("text"), "UTF-8"))
+        .filter(length(col("blob")) > 0)
         .select(col("doc_id"), col("blob"),
           posexplode(sequence(lit(1), length(col("blob")), lit(64)))
             .as(Seq("chunk_id", "off")))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           (col("off") - 1).cast("long").as("byte_offset"),
           length(expr("substring(blob, off, 64)")).cast("long").as("n_bytes"),
-          md5(expr("substring(blob, off, 64)")).as("chunk_md5"))
+          md5(hex(expr("substring(blob, off, 64)"))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     })
   )
@@ -374,38 +380,39 @@ object VectorQueries {
         |  (sq - (((sq % n) + n) % n)) // n AS centroid_micro
         |FROM a ORDER BY label, dim""".stripMargin,
 
+    // m-family oracles are fully BYTE-wise via hex(encode(text)) — 2
+    // hex chars per UTF-8 byte — so they agree with Spark's binary
+    // slicing/arithmetic for ARBITRARY (non-ASCII) text. md5 digests
+    // hash the chunk's hex string (see the m03 query comment).
     "m01_blob_features" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,
         | md5(text) AS blob_md5,
-        | upper(hex(encode(substring(text, 1, 4)))) AS prefix_hex
+        | substr(hex(encode(text)), 1, 8) AS prefix_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
-      // md5(text): DuckDB's md5 takes VARCHAR; the blob IS text's
-      // UTF-8 bytes, so the digests are identical.
+      // md5(text): DuckDB's md5 takes VARCHAR and digests its UTF-8
+      // bytes — exactly the blob — so this one needs no hex detour.
 
-    // m02: Multimodal.fakeDecode mirrored — b0/b1 are the first two
-    // bytes, mean is byte-sum/length in double, half-up rounded to 4
-    // decimals with the same floor(x*1e4+0.5)/1e4 IEEE op sequence.
-    // m03: ASCII text ⇒ byte offsets == char offsets, and DuckDB's
-    // md5(VARCHAR) digests the same bytes Spark's md5(BINARY) does.
     "m03_blob_chunks" ->
-      """WITH o AS (SELECT doc_id, text,
-        |    unnest(range(1, length(text) + 1, 64)) AS off,
-        |    unnest(generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1))
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        | o AS (SELECT doc_id, h, nb,
+        |    unnest(range(1, nb + 1, 64)) AS off,
+        |    unnest(generate_series(0, CAST(ceil(nb / 64.0) AS BIGINT) - 1))
         |      AS chunk_id
-        |  FROM documents)
+        |  FROM b)
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |  CAST(off - 1 AS BIGINT) AS byte_offset,
-        |  CAST(length(substr(text, off, 64)) AS BIGINT) AS n_bytes,
-        |  md5(substr(text, off, 64)) AS chunk_md5
+        |  CAST(least(64, nb - off + 1) AS BIGINT) AS n_bytes,
+        |  md5(substr(h, 2 * off - 1, 128)) AS chunk_md5
         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
 
-    // m04: ASCII ⇒ byte==char offsets, md5(VARCHAR)==md5(BINARY), as
-    // in m03.
     "m04_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text, length(text) // 16 AS n_frames
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) // 16 AS n_frames
         |  FROM documents),
-        | s AS (SELECT doc_id, text, n_frames,
+        | s AS (SELECT doc_id, h, n_frames,
         |    unnest(range(0, n_frames, 4)) AS frame_id,
         |    unnest(generate_series(0, CAST(ceil(n_frames / 4.0) AS BIGINT) - 1))
         |      AS sample_id
@@ -413,24 +420,39 @@ object VectorQueries {
         |SELECT doc_id, CAST(sample_id AS BIGINT) AS sample_id,
         |  CAST(frame_id AS BIGINT) AS frame_id,
         |  CAST(frame_id * 16 AS BIGINT) AS byte_offset,
-        |  md5(substr(text, frame_id * 16 + 1, 16)) AS frame_md5,
+        |  md5(substr(h, frame_id * 32 + 1, 32)) AS frame_md5,
         |  CAST(n_frames AS BIGINT) AS n_frames
         |FROM s ORDER BY doc_id, sample_id""".stripMargin,
 
+    // m02: Multimodal.fakeDecode mirrored byte-for-byte — b0/b1 and
+    // the byte sum are decoded from hex pairs (16·hi + lo via strpos
+    // into the hex alphabet); mean is one exact integer sum and one
+    // correctly-rounded double division; half-up rounding is the same
+    // floor(x*1e4+0.5)/1e4 IEEE op sequence in both engines.
     "m02_blob_decode" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
-        |    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1,
-        |    length(text) AS len,
-        |    CASE WHEN length(text) = 0 THEN 0.0
-        |         ELSE CAST(list_sum(list_transform(split(text, ''), c -> ord(c))) AS DOUBLE)
-        |              / CAST(length(text) AS DOUBLE) END AS mean
-        |  FROM documents)
+      """WITH hb AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        | f AS (
+        |  SELECT doc_id, nb,
+        |    CASE WHEN nb > 0 THEN
+        |      16 * (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1)
+        |        + strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1
+        |      ELSE 0 END AS b0,
+        |    CASE WHEN nb > 1 THEN
+        |      16 * (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1)
+        |        + strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1
+        |      ELSE 0 END AS b1,
+        |    CASE WHEN nb = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(range(1, nb + 1),
+        |             i -> 16 * (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1)
+        |                  + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)) AS DOUBLE)
+        |              / CAST(nb AS DOUBLE) END AS mean
+        |  FROM hb)
         |SELECT doc_id,
         |  64 + (b0 % 64) AS width,
         |  64 + (b1 % 64) AS height,
-        |  1 + (len % 8) AS n_frames,
+        |  1 + (nb % 8) AS n_frames,
         |  floor(mean * 10000 + 0.5) / 10000 AS mean_byte
         |FROM f ORDER BY doc_id""".stripMargin
   )

@@ -221,7 +221,8 @@ class CurationOpsSpec extends AnyFunSuite {
       (2L, "the and of short"),                      // r_len: 4 words < 50
       (3L, ("a " * 60).trim),                        // r_wordlen: mean 1 < 3; r_stop: 1 hit
       (4L, clean + " " + ("#" * 20)),                // r_symbol: 20 hashes vs 61 words
-      (5L, "- bullet one\n- bullet two\nthe and of"),// r_bullet: 2/3 lines
+      (5L, "- b one\n- b two\n* b3\n• b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10\nthe"),
+                                                     // r_bullet: 10/11 > 90%
       (6L, "trailing...\nalso trailing...\nthe and"),// r_ellipsis: 2/3 > 30%
       (7L, clean.replace("the", "123").replace("and", "456")
         .replace("of", "789")),                      // r_alpha: 3/8 words digits-only
@@ -240,8 +241,9 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(flag(6L, "r_ellipsis") == 0)
     assert(flag(7L, "r_alpha") == 0 && flag(7L, "r_stop") == 1)
     assert(flag(8L, "keep") == 0)
-    // ratio sanity: doc 5 bullet_frac = 2/3 half-up at 4dp = 0.6667.
+    // ratio sanity: doc 5 bullet_frac = 10/11 half-up at 4dp = 0.9091
+    // (Rae et al. §A1.1 keeps bullet fractions up to 90%).
     val r5 = got(5L)
-    assert(r5.getDouble(r5.fieldIndex("bullet_frac")) == 0.6667)
+    assert(r5.getDouble(r5.fieldIndex("bullet_frac")) == 0.9091)
   }
 }

@@ -34,9 +34,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
       Seq((0L, 0L, 0L), (1L, 2L, 32L)))
     assert(got.forall(_.getLong(5) == 4L))
-    // digest is of exactly the 16-byte frame slice
+    // digest is md5 of the 16-byte frame slice's uppercase HEX string
+    // (byte-exact and DuckDB-replayable for arbitrary payload bytes)
+    val hex = ("ab" * 8).getBytes("UTF-8").map("%02X".format(_)).mkString
     val expectMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(("ab" * 8).getBytes("UTF-8"))
+      .digest(hex.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(got.head.getString(4) == expectMd5)
   }

@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Adversarial-instance generator for the differential fuzz harness.
+
+The driver regenerates /root/testdata each round; queries must be
+instance-proof, not instance-lucky (t25/q50 lesson, rounds 4-5).
+This writes fuzz variants of the `documents` table that exercise the
+cross-engine (Java-regex/UTF-16 Spark vs RE2/UTF-8 DuckDB) edges:
+
+  - unicode whitespace: NBSP, figure space, line/para separator,
+    zero-width space, vertical tab \\x0b, form feed, CR, CRLF, tabs
+  - unicode case chars: Turkish I/i, sharp s, final sigma, fullwidth,
+    non-BMP (surrogate pairs in UTF-16), combining marks
+  - empty / whitespace-only / 1-token / huge docs
+  - duplicate doc_id within source (incl. fully identical rows)
+  - n_chars inconsistent with len(text)
+  - drifted physical parquet types (doc_id int32, n_chars double)
+
+Usage: python3 tools/fuzzgen.py /tmp/fuzz
+Creates <out>/content/ and <out>/typedrift/ dirs, each a full table set
+(non-documents tables hard-linked from /root/testdata/sf0.001).
+"""
+import os, random, shutil, sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC_SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings"]
+
+WORDS = ("the quick brown fox jumps over lazy dog data spark engine "
+         "query token corpus model train shard merge scan filter "
+         "alpha beta gamma delta epsilon zeta eta theta").split()
+
+UNI_WS = [" ", " ", " ", " ", "​", "\x0b",
+          "\x0c", "\r", "\r\n", "\t", "\t\t", " \x0b ", "　"]
+UNI_CASE = ["İstanbul", "ıssız", "STRASSE", "straße", "ΣΟΦΟΣ", "σοφος",
+            "ὈΔΥΣΣΕΎΣ", "ﬁle", "Ｆｕｌｌ", "ｗｉｄｔｈ", "𝕏ray", "𝐁old",
+            "naïve", "café", "CAFÉ", "ҐаЗда", "ЩУКА", "ĳsberg", "Ǆevad"]
+
+
+def sentence(rng, n):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def make_docs(rng):
+    rows = []  # (doc_id, text, lang, source, n_chars)
+    doc_id = 0
+    langs = ["en", "de", "fr"]
+    sources = ["web", "books", "code", "wiki", "news"]
+
+    def add(text, did=None, nchars=None, lang=None, source=None):
+        nonlocal doc_id
+        i = doc_id if did is None else did
+        rows.append((i, text,
+                     lang or langs[i % 3], source or sources[i % 5],
+                     len(text) if nchars is None and text is not None else nchars))
+        if did is None:
+            doc_id += 1
+
+    # plain docs so frequency thresholds still trigger
+    for _ in range(120):
+        add(sentence(rng, rng.randint(5, 40)))
+    # unicode whitespace woven between ordinary tokens
+    for k in range(60):
+        ws = UNI_WS[k % len(UNI_WS)]
+        parts = [rng.choice(WORDS) for _ in range(rng.randint(2, 12))]
+        add(ws.join(parts) + rng.choice(["", ws, " ", "\n"]))
+    # unicode case / non-BMP tokens mixed into ASCII sentences
+    for k in range(60):
+        toks = [rng.choice(WORDS) for _ in range(rng.randint(2, 10))]
+        toks.insert(rng.randrange(len(toks)), UNI_CASE[k % len(UNI_CASE)])
+        add(" ".join(toks))
+    # degenerate sizes
+    add("")
+    add(" ")
+    add("   \t\n  ")
+    add("  ")
+    add("x")
+    add("word")
+    add("  edgecase  ")
+    add("UPPER ONLY DOC")
+    add("MiXeD CaSe DoC with The and Of")
+    add(sentence(rng, 2500))                     # huge
+    add("bullet\n- one\n- two\n* three\n• four\nend...")
+    add("dots...\nellipsis…\ncrlf...\r\nplain")
+    add("email a@b.co ip 1.2.3.4 num 12345")
+    # duplicate doc_id rows. doc_id is the table key in every driver
+    # instance, so dup ids only need to be survivable when the rows
+    # are row-level duplicates (identical, or differing in a column a
+    # query orders by) — dup ids with DIFFERENT text would make
+    # per-row semantics unreplayable in doc_id-keyed oracle SQL.
+    dup = sentence(rng, 6)
+    add(dup, did=9011, source=sources[1], nchars=len(dup))
+    add(dup, did=9011, source=sources[1], nchars=len(dup))
+    # same id + text, different n_chars: exercises q50's window-order
+    # ambiguity (the prefix-sum tie) without breaking text queries.
+    dup2 = sentence(rng, 7)
+    add(dup2, did=9013, source=sources[3], nchars=150)
+    add(dup2, did=9013, source=sources[3], nchars=350)
+    # n_chars lies about the text length
+    add(sentence(rng, 10), nchars=3)
+    add(sentence(rng, 10), nchars=999999)
+    # exact duplicate text under different ids (dedup food)
+    base = sentence(rng, 15)
+    for _ in range(6):
+        add(base)
+    # near-duplicates for jaccard/minhash paths
+    for _ in range(20):
+        toks = base.split()
+        i = rng.randrange(len(toks))
+        toks[i] = rng.choice(WORDS)
+        add(" ".join(toks))
+    rng.shuffle(rows)
+    return rows
+
+
+def write_variant(out_dir, rows, id_type, nchars_type):
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{SRC_SF}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{SRC_SF}/{t}.parquet", dst)
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "doc_id": pa.array(cols[0], type=id_type),
+        "text": pa.array(cols[1], type=pa.string()),
+        "lang": pa.array(cols[2], type=pa.string()),
+        "source": pa.array(cols[3], type=pa.string()),
+        "n_chars": pa.array(cols[4], type=nchars_type),
+    })
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+    print(f"wrote {out_dir}/documents.parquet rows={len(rows)}")
+
+
+def main(out):
+    rng = random.Random(20260814)
+    rows = make_docs(rng)
+    write_variant(f"{out}/content", rows, pa.int64(), pa.int64())
+    write_variant(f"{out}/typedrift", rows, pa.int32(), pa.float64())
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz")
