@@ -82,12 +82,23 @@ object StreamRun {
     val src = source(s, dir, table)
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val q = transform(src).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful streaming cost here is dominated by per-partition state
+    // stores (each maintains, snapshots, and commits one HDFS-backed
+    // map per trigger — the interval join keeps FOUR stores per
+    // partition), not by CPU: run the stream with fewer shuffle
+    // partitions than the batch queries use. On a real cluster this is
+    // the knob you size to state volume, not to core count.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val q = try {
+      transform(src).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     try {
       val buf = new java.io.ByteArrayOutputStream()
