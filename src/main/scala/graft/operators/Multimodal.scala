@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns + typed metadata. The
   * Spark-side plumbing — schema, batching, partition-parallel decode —
-  * is real; the codec itself is a deterministic STUB (`fakeDecode`),
-  * because no image/audio libraries ship in this environment. A real
-  * deployment swaps `fakeDecode` for JNI/javacpp codec calls without
-  * touching the plumbing.
+  * is real, and IMAGE payloads decode for real through the JDK's
+  * built-in `javax.imageio` (PNG/BMP/GIF/JPEG; see [[decodeImage]],
+  * pinned by MultimodalSpec on an in-memory PNG). Non-image payloads
+  * fall back to the deterministic [[fakeDecode]] stub (no audio/video
+  * codec ships in this environment); a real deployment swaps that for
+  * JNI/javacpp codec calls without touching the plumbing.
   */
 object Multimodal {
 
@@ -18,8 +20,41 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                            n_frames: Int, mean_byte: Double)
 
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG,
+    * BMP, GIF, JPEG — no external codec library needed): returns
+    * (width, height, 1, mean 8-bit luminance) for a payload that
+    * parses as an image, None otherwise. Text payloads (the
+    * testdata's stand-in blobs) can never decode — no image format's
+    * full structure is valid UTF-8 — so [[decodeFeatures]] falls back
+    * to the deterministic [[fakeDecode]] the oracle replicates.
+    */
+  private[graft] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // integer Rec.601 luma; one long accumulator, no FP drift
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((w, h, 1, if (n == 0) 0.0 else sum.toDouble / n))
+      }
+    } catch { case _: Throwable => None }
+
   /** STUB decoder: deterministic pseudo-metadata from the payload
-    * bytes (stands in for image decode / frame sampling).
+    * bytes (stands in for codecs imageio lacks — audio/video).
     */
   private[graft] def fakeDecode(blob: Array[Byte]): (Int, Int, Int, Double) = {
     val b0 = if (blob.nonEmpty) blob(0) & 0xff else 0
@@ -41,9 +76,10 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real codec would decode `batch` in one device call
+        // imageio handles real image payloads in-JVM; a GPU codec
+        // would decode `batch` in one device call instead
         batch.map { row =>
-          val (w, h, f, m) = fakeDecode(row.blob)
+          val (w, h, f, m) = decodeImage(row.blob).getOrElse(fakeDecode(row.blob))
           // floor(x+0.5), not rint: half-up is the same IEEE op
           // sequence in every engine, so the oracle can replicate it
           // (rint's half-to-even has no portable SQL equivalent).

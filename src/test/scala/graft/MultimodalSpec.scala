@@ -19,6 +19,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.n_frames >= 1 && r.n_frames <= 8)
   }
 
+  test("real PNG payloads decode through imageio in the batched path") {
+    // render a 20x12 PNG in memory: left half dark gray 32, right
+    // half light gray 224 → mean luminance exactly (32+224)/2 = 128
+    val img = new java.awt.image.BufferedImage(
+      20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val v = if (x < 10) 32 else 224
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val rows = Seq(Multimodal.BlobRow(1L, png),
+        Multimodal.BlobRow(2L, "not an image at all".getBytes("UTF-8")))
+      .toDS()
+    val got = Multimodal.decodeFeatures(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).width == 20 && got(1L).height == 12)
+    assert(got(1L).n_frames == 1)
+    assert(got(1L).mean_byte == 128.0)
+    // non-image payload falls back to the deterministic stub
+    val (w, h, f, _) = Multimodal.fakeDecode("not an image at all".getBytes("UTF-8"))
+    assert(got(2L).width == w && got(2L).height == h && got(2L).n_frames == f)
+  }
+
   test("frame-sample manifest lists every stride-th full frame with offsets") {
     import org.apache.spark.sql.functions._
     // 70 bytes → 4 full 16-byte frames (6 tail bytes dropped);
