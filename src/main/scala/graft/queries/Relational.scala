@@ -108,11 +108,13 @@ object Relational {
     // R8: running sum per partition key (cumulative frame).
     "q08_running_sum" -> ((s, dir) => {
       // the synthetic generator emits duplicate (orderkey, linenumber)
-      // rows at sf0.1 — partkey+price make the window order total, so
-      // both engines accumulate in the same sequence
+      // rows at sf0.1 — partkey+price+quantity make the window order
+      // total W.R.T. THE SUMMED MEASURE: rows tying on every order key
+      // also tie on l_quantity, so either accumulation order yields the
+      // same running values in both engines
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
-          "l_partkey", "l_extendedprice")
+          "l_partkey", "l_extendedprice", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
@@ -910,7 +912,7 @@ object Relational {
     "q08_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,

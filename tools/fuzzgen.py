@@ -135,11 +135,116 @@ def write_variant(out_dir, rows, id_type, nchars_type):
     print(f"wrote {out_dir}/documents.parquet rows={len(rows)}")
 
 
+ALL_TABLES = TABLES + ["documents"]
+
+
+def _dup_rows(tbl, idx):
+    """Append exact copies of the rows at `idx` (row-level duplicates —
+    the only dup shape a keyed generator can emit)."""
+    import pyarrow.compute as pc
+    picked = tbl.take(pa.array(idx, type=pa.int64()))
+    return pa.concat_tables([tbl, picked])
+
+
+def make_rel_content():
+    """Adversarial content for the relational/events side: row-level
+    duplicates in every fact table, plus lineitem rows that tie on
+    q08's full window-order key with a DIFFERENT l_quantity (the one
+    residual cum-sum ambiguity class), plus events rows tying on
+    (user_id, ts), plus null/empty props.
+    Returns {table: pa.Table}."""
+    import pyarrow.compute as pc
+    out = {}
+    for t in ALL_TABLES:
+        tbl = pa.parquet.read_table(f"{SRC_SF}/{t}.parquet")
+        if t in ("orders", "lineitem", "events", "documents"):
+            n = tbl.num_rows
+            tbl = _dup_rows(tbl, [0, 1, 2, n // 2, n - 1])
+        out[t] = tbl
+
+    li = out["lineitem"]
+    # two rows equal in (suppkey, shipdate, orderkey, linenumber,
+    # partkey, extendedprice) but different quantity → only a window
+    # order that includes l_quantity stays engine-deterministic
+    base = li.slice(0, 1).to_pylist()[0]
+    r1 = dict(base); r1["l_quantity"] = 7.0
+    r2 = dict(base); r2["l_quantity"] = 29.0
+    extra = pa.Table.from_pylist([r1, r2], schema=li.schema)
+    out["lineitem"] = pa.concat_tables([li, extra])
+
+    ev = out["events"]
+    base = ev.slice(0, 1).to_pylist()[0]
+    # same (user_id, ts), distinct event_id → session/asof order ties
+    r1 = dict(base); r1["event_id"] = 10**9 + 1; r1["event_type"] = "view"
+    r2 = dict(base); r2["event_id"] = 10**9 + 2; r2["event_type"] = "click"
+    # null + empty props
+    r3 = dict(base); r3["event_id"] = 10**9 + 3; r3["props"] = None
+    r4 = dict(base); r4["event_id"] = 10**9 + 4; r4["props"] = "{}"
+    r5 = dict(base); r5["event_id"] = 10**9 + 5; r5["value"] = 0.0
+    extra = pa.Table.from_pylist([r1, r2, r3, r4, r5], schema=ev.schema)
+    out["events"] = pa.concat_tables([ev, extra])
+    return out
+
+
+def _retype(tbl, casts):
+    """Cast named columns to new arrow types (values preserved)."""
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name in casts:
+            col = col.cast(casts[name])
+        cols[name] = col
+    return pa.table(cols)
+
+
+def make_rel_typedrift(tables):
+    """Drift the physical parquet types the way the driver's generator
+    already drifted events.ts once (nanos → NTZ): integer keys narrow
+    to int32, dates move between timestamp[us] and date32, floats
+    narrow to float32, int-valued doubles become int64."""
+    import pyarrow.compute as pc
+    out = dict(tables)
+    out["orders"] = _retype(tables["orders"], {
+        "o_orderkey": pa.int32(), "o_custkey": pa.int32(),
+        "o_orderdate": pa.date32(), "o_totalprice": pa.float64()})
+    li = tables["lineitem"]
+    # l_quantity is integral in every generated instance → int64 drift
+    li = _retype(li, {
+        "l_orderkey": pa.int32(), "l_partkey": pa.int32(),
+        "l_suppkey": pa.int32(), "l_linenumber": pa.int64(),
+        "l_shipdate": pa.date32(),
+        "l_quantity": pa.int64()})
+    out["lineitem"] = li
+    out["events"] = _retype(tables["events"], {
+        "event_id": pa.int32(), "user_id": pa.int32(),
+        "ts": pa.timestamp("ns")})
+    out["customer"] = _retype(tables["customer"], {
+        "c_custkey": pa.int32(), "c_acctbal": pa.float32()})
+    out["supplier"] = _retype(tables["supplier"], {
+        "s_suppkey": pa.int32(), "s_acctbal": pa.float32()})
+    out["part"] = _retype(tables["part"], {
+        "p_partkey": pa.int32(), "p_size": pa.int64(),
+        "p_retailprice": pa.float32()})
+    return out
+
+
+def write_tables(out_dir, tables):
+    os.makedirs(out_dir, exist_ok=True)
+    for t, tbl in tables.items():
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet",
+                       store_schema=False, version="2.6")
+    print(f"wrote {out_dir}: " +
+          ", ".join(f"{t}={tbl.num_rows}" for t, tbl in sorted(tables.items())))
+
+
 def main(out):
     rng = random.Random(20260814)
     rows = make_docs(rng)
     write_variant(f"{out}/content", rows, pa.int64(), pa.int64())
     write_variant(f"{out}/typedrift", rows, pa.int32(), pa.float64())
+    rel = make_rel_content()
+    write_tables(f"{out}/relcontent", rel)
+    write_tables(f"{out}/reltypes", make_rel_typedrift(rel))
 
 
 if __name__ == "__main__":
