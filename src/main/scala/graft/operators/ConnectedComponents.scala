@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * assignments (every doc in a component maps to the component's
   * minimum id, the row a dedup pipeline keeps).
   *
-  * Algorithm: min-label propagation. Every node starts labelled with
-  * its own id; each round replaces the label with the minimum over
-  * itself and its neighbours. Rounds needed = component diameter —
-  * near-dup clusters are shallow (a hot document links to its
-  * variants directly), so this converges in a handful of rounds.
-  * Each round is one equi-join plus one min-aggregate, both shuffling
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labelled with its own id; each round replaces the label
+  * with the minimum over itself and its neighbours, then SHORTCUTS
+  * through the previous round's label map (lbl := prevLbl(lbl) —
+  * valid because labels are always node ids of the same component
+  * and prevLbl(u) <= u, so the jump only tightens). The neighbour
+  * hop alone needs diameter rounds; the jump makes the reach
+  * compound (roughly doubling per round), so convergence is
+  * O(log diameter) — the path-halving trick from parallel
+  * union-find, at the cost of one extra node-sized equi-join per
+  * round against the already-persisted previous map.
+  * Each round is two equi-joins plus one min-aggregate, all shuffling
   * on node id — linear in |E| per round, no cross product anywhere.
   * For adversarially deep graphs (long chains), [[alternatingStar]]
   * implements the large-star/small-star fallback (Kiveris et al.,
@@ -64,13 +70,26 @@ object ConnectedComponents {
     while (!converged && round < maxIter) {
       val viaNbr = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("lbl"))
-      val next0 = labels.select("id", "lbl").union(viaNbr)
+      val hop = labels.select("id", "lbl").union(viaNbr)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      // persist() leaves the logical plan growing (~2× per round);
-      // truncate it with an eager checkpoint every 5th round so deep
-      // graphs can't blow up driver-side analysis.
+      // Pointer jump through the PREVIOUS (persisted) label map:
+      // hop.lbl is always some node's id, so the inner join is total;
+      // the looked-up label is <= hop.lbl by the min-includes-self
+      // invariant, making the select the min of the two for free.
+      // Jumping through `labels` (already materialized) instead of
+      // `hop` keeps the round at one action — a jump through `hop`
+      // would recompute the hop subtree once per reference.
+      val next0 = hop.join(
+          labels.select(col("id").as("__jid"), col("lbl").as("__jlbl")),
+          col("lbl") === col("__jid"))
+        .select(col("id"), col("__jlbl").as("lbl"))
+      // The round body references `labels` three times (hop join,
+      // union, jump), so the logical plan grows ~3× per round even
+      // though execution shortcuts through the persisted data —
+      // truncate with an eager checkpoint every 2nd round (3^2 = 9
+      // subtrees max) or driver-side analysis time explodes.
       val (next, newSum) = materialize(
-        if (round % 5 == 4) next0.localCheckpoint() else next0)
+        if (round % 2 == 1) next0.localCheckpoint() else next0)
       converged = (prevSum == null && newSum == null) ||
         (prevSum != null && newSum != null && prevSum.compareTo(newSum) == 0)
       labels.unpersist()

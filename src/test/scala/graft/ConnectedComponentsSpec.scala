@@ -29,6 +29,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("pointer jumping converges a 200-node chain within the default 20 rounds") {
+    // pure neighbour hops would need ~200 rounds (one per diameter
+    // step); the prev-map shortcut compounds the reach roughly 2^t,
+    // so the default maxIter=20 MUST fully converge — a partial
+    // result would leave multiple distinct labels and fail here
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L))
+  }
+
   private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 30): Map[Long, Long] = {
     import spark.implicits._
     ConnectedComponents.alternatingStar(edges.toDF("a", "b"), maxIter)
