@@ -13,8 +13,31 @@ import graft.operators.{Ann, Multimodal}
   */
 object VectorQueries {
 
+  /** The embedding contract: fixed dimension, float32 elements. The
+    * plane-based queries (s02's SRP codes, s07's JL planes) bake
+    * [[EmbDim]]-sized literals into their oracles, so the dimension
+    * is part of the query surface, not something read from data.
+    */
+  private[graft] val EmbDim = 64
+
+  /** Embedding-table loader with the same defensive normalization the
+    * text queries apply to documents (the t25/q50 instance-proofing
+    * lesson): ids to BIGINT regardless of the physical parquet width,
+    * vectors through a FLOAT fold regardless of the physical element
+    * type (the kernels accumulate float→double; an instance shipping
+    * float64 payloads would otherwise keep precision the float-folded
+    * oracle replays drop), and a dimension quarantine — rows whose
+    * vector is not exactly [[EmbDim]] long are dropped IDENTICALLY on
+    * both sides (oracle: WHERE len(embedding) = 64) instead of
+    * crashing list_cosine_similarity on mismatched lengths.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("long").as("label"))
+      .filter(size(col("embedding")) === EmbDim)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
 
@@ -118,8 +141,7 @@ object VectorQueries {
     "s06_pca_project" -> ((s, dir) => {
       import graft.operators.Pca
       val e = emb(s, dir)
-      val d = e.select(size(col("embedding"))).head().getInt(0)
-      val model = Pca.fit(e, col("embedding"), d, k = 2)
+      val model = Pca.fit(e, col("embedding"), EmbDim, k = 2)
       Pca.project(e, col("embedding"), model)
         .select(col("vec_id"), col("label"),
           round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"))
@@ -132,9 +154,7 @@ object VectorQueries {
     // Bit-identical across engines: exact float→double casts, fixed
     // accumulation order (ProjectPlanes ↔ the oracle's ordered fold).
     "s07_jl_project" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val d = e.select(size(col("embedding"))).head().getInt(0)
-      Ann.jlProject(e, "vec_id", "embedding", d, k = 8)
+      Ann.jlProject(emb(s, dir), "vec_id", "embedding", EmbDim, k = 8)
         .orderBy("vec_id")
     }),
 
@@ -249,23 +269,37 @@ object VectorQueries {
     }.mkString("(", " + ", ")")
   }
 
+  /** Shared defensive embeddings CTE mirroring [[emb]]: BIGINT ids,
+    * elements through a FLOAT fold, dim-[[EmbDim]] quarantine, plus
+    * the squared norm `n2` for zero-vector guards. A sum of squares
+    * is 0 iff every element is 0 — in ANY accumulation order — so
+    * the guard is order-independent. Zero-norm cosines must be
+    * guarded to NULL explicitly: DuckDB's list_cosine_similarity
+    * returns -1.0 for a zero vector while the Spark kernel
+    * (CosineSim.compute) returns NULL.
+    */
+  private val embSql: String =
+    s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS de,
+       |    ${foldSum(s"list_transform(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), fz -> fz * fz)")} AS n2
+       |  FROM embeddings WHERE len(embedding) = $EmbDim""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // s07: the same ±1/√k plane literals (regenerated from (d, k)),
     // dot products via the ordered fold — bit-identical doubles.
     "s07_jl_project" -> {
       val planes = Ann.jlPlanes(64, 8)
-      val de = "CAST(embedding AS DOUBLE[])"
       val cols = (0 until 8).map { j =>
         val w = planes(j).map(_.toString).mkString("[", ", ", "]")
-        s"${dotSql(de, w, 64)} AS p${j + 1}"
+        s"${dotSql("de", w, 64)} AS p${j + 1}"
       }
-      s"SELECT vec_id, ${cols.mkString(", ")} FROM embeddings ORDER BY vec_id"
+      s"WITH e AS ($embSql)\nSELECT vec_id, ${cols.mkString(", ")} FROM e ORDER BY vec_id"
     },
 
     // s08: same double-fold cosine kernel as s01/s02; the argmax
     // replays as row_number over (cos DESC, seed) on RAW doubles.
     "s08_cluster_assign" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      s"""WITH e AS ($embSql),
          | sd AS (SELECT vec_id AS cluster, de AS se FROM e WHERE vec_id < 8),
          | scored AS (SELECT e.vec_id, sd.cluster,
          |              ${cosSql("e.de", "sd.se", 64)} AS c
@@ -282,7 +316,7 @@ object VectorQueries {
     // on DOUBLE[] (the d05-proven pairing), threshold on the raw
     // double, display rounded.
     "s09_cluster_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      s"""WITH e AS ($embSql),
          | sd AS (SELECT vec_id AS cluster, de AS se FROM e WHERE vec_id < 8),
          | scored AS (SELECT e.vec_id, sd.cluster,
          |              ${cosSql("e.de", "sd.se", 64)} AS c
@@ -293,7 +327,8 @@ object VectorQueries {
          |       FROM scored),
          | a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
          | j AS (SELECT a1.cluster, e1.vec_id AS id_a, e2.vec_id AS id_b,
-         |         list_cosine_similarity(e1.de, e2.de) AS c
+         |         CASE WHEN e1.n2 = 0 OR e2.n2 = 0 THEN NULL
+         |              ELSE list_cosine_similarity(e1.de, e2.de) END AS c
          |       FROM a a1 JOIN a a2
          |         ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
          |       JOIN e e1 ON e1.vec_id = a1.vec_id
@@ -302,7 +337,7 @@ object VectorQueries {
          |FROM j WHERE c >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "s02_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      s"""WITH e AS ($embSql),
          | codes AS (SELECT vec_id, de, ${srpCodeSql("de", 16, 64)} AS code FROM e),
          | cb AS (SELECT vec_id, de, bb.b AS band, (code >> (4 * bb.b)) & 15 AS key
          |        FROM codes, (SELECT unnest(range(4)) AS b) bb),
@@ -316,20 +351,21 @@ object VectorQueries {
          |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "d05_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+      s"""WITH e AS ($embSql)
         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.de, b.de), 4) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.de, b.de) >= 0.3
+        |WHERE a.n2 > 0 AND b.n2 > 0
+        |  AND list_cosine_similarity(a.de, b.de) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d12_semantic_keep" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      s"""WITH RECURSIVE e AS ($embSql),
         | pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.de, b.de) >= 0.3),
+        |  WHERE a.n2 > 0 AND b.n2 > 0
+        |    AND list_cosine_similarity(a.de, b.de) >= 0.3),
         | edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -343,20 +379,24 @@ object VectorQueries {
         |FROM cc ORDER BY keep_id, vec_id""".stripMargin,
 
     "s01_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-        |           FROM embeddings WHERE vec_id < 5),
-        | scored AS (
+      s"""WITH e AS ($embSql),
+        | q AS (SELECT vec_id AS qid, de AS qe, n2 AS qn2 FROM e WHERE vec_id < 5),
+        | sc0 AS (
         |  SELECT qid, vec_id,
-        |    list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS c,
+        |    CASE WHEN qn2 = 0 OR n2 = 0 THEN NULL
+        |         ELSE list_cosine_similarity(qe, de) END AS c
+        |  FROM q CROSS JOIN e),
+        | scored AS (
+        |  SELECT qid, vec_id, c,
         |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
-        |               vec_id) AS rnk
-        |  FROM q CROSS JOIN embeddings)
+        |      ORDER BY c DESC NULLS LAST, vec_id) AS rnk
+        |  FROM sc0)
         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
         |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "s05_quantize" ->
-      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS ($embSql),
+        | d AS (SELECT vec_id, de AS v FROM e),
         | m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
         | s AS (SELECT vec_id, v,
         |   CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m)
@@ -369,7 +409,7 @@ object VectorQueries {
     // this replays labelCentroids exactly regardless of either
     // engine's aggregation order. Op order mirrored: (Σq/1e6)/n.
     "s04_label_centroid" ->
-      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+      s"""WITH e AS ($embSql),
         | x AS (SELECT label, di.i AS dim,
         |         CAST(floor(de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
         |       FROM e, (SELECT unnest(range(1, 65)) AS i) di),

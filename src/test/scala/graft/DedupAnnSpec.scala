@@ -141,6 +141,34 @@ class DedupAnnSpec extends AnyFunSuite {
     (0L until 8L).foreach(sid => assert(got(sid) == sid))
   }
 
+  test("cosine kernel: NULL on zero norm and size mismatch; pairs exclude zero vectors") {
+    // the cross-engine contract (oracle guards replicate it): a
+    // zero-norm side has no defined cosine — the kernel must yield
+    // NULL, never -1/NaN (DuckDB's unguarded list_cosine_similarity
+    // returns -1.0 there, the divergence the fuzz instances pin)
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val rows = Seq(
+      (1L, Array(0f, 0f, 0f), 0),
+      (2L, Array(1f, 2f, 2f), 0),
+      (3L, Array(2f, 4f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val cosines = rows.as("a").crossJoin(rows.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(cosines((1L, 2L)).isEmpty && cosines((1L, 1L)).isEmpty)
+    assert(math.abs(cosines((2L, 3L)).get.asInstanceOf[Double] - 1.0) < 1e-12)
+    // size mismatch is NULL too (the dim quarantine drops such rows
+    // before any kernel call in the driver queries)
+    val mism = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("x", "y")
+      .select(GraftFunctions.cosine_sim(col("x"), col("y"))).head()
+    assert(mism.isNullAt(0))
+    // a zero vector never appears in threshold-filtered pairs
+    val pairs = Ann.cosinePairs(rows, "vec_id", "embedding", "label", threshold = -10.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
   test("approx_count_distinct (HLL) is within 2% of exact") {
     val li = Graft.table(spark, sfDir, "lineitem")
     val r = li.agg(

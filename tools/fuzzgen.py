@@ -228,6 +228,59 @@ def make_rel_typedrift(tables):
     return out
 
 
+def make_embeddings():
+    """Adversarial embeddings: zero vectors (cosine undefined — Spark's
+    kernel yields NULL, DuckDB's list_cosine_similarity returns -1.0
+    unless guarded), a zero QUERY vector (vec_id 3 drives s01/s02
+    top-k), duplicate vec_ids (one exact copy, one with a DIFFERENT
+    vector), constant / alternating-sign / tiny-magnitude vectors, and
+    wrong-dimension + empty rows that the dim-64 quarantine must drop
+    identically on both engines. Returns list-of-dict rows."""
+    tbl = pq.read_table(f"{SRC_SF}/embeddings.parquet")
+    rows = tbl.to_pylist()
+    d = len(rows[0]["embedding"])
+    mx = max(r["vec_id"] for r in rows)
+    for r in rows:
+        if r["vec_id"] == 3:
+            r["embedding"] = [0.0] * d
+    extra = [
+        dict(vec_id=mx + 1, embedding=[0.0] * d, label=1),
+        dict(rows[10]),
+        dict(vec_id=rows[11]["vec_id"],
+             embedding=[((i * 7) % 13 - 6) / 7.0 for i in range(d)],
+             label=rows[11]["label"]),
+        dict(vec_id=mx + 2, embedding=[0.25] * d, label=2),
+        dict(vec_id=mx + 3,
+             embedding=[(-1.0 if i % 2 else 1.0) for i in range(d)], label=3),
+        dict(vec_id=mx + 4, embedding=[1e-20] * d, label=4),
+        dict(vec_id=mx + 5, embedding=[1.0] * (d // 2), label=5),
+        dict(vec_id=mx + 6, embedding=[], label=6),
+    ]
+    return rows + extra
+
+
+def write_emb_variant(out_dir, rows, id_type, elem_type, label_type):
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ALL_TABLES:
+        if t == "embeddings":
+            continue
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            try:
+                os.link(f"{SRC_SF}/{t}.parquet", dst)
+            except OSError:
+                shutil.copy(f"{SRC_SF}/{t}.parquet", dst)
+    tbl = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], type=id_type),
+        "embedding": pa.array([r["embedding"] for r in rows],
+                              type=pa.list_(elem_type)),
+        "label": pa.array([r["label"] for r in rows], type=label_type),
+    })
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet",
+                   store_schema=False, version="2.6")
+    print(f"wrote {out_dir}/embeddings.parquet rows={len(rows)}")
+
+
 def write_tables(out_dir, tables):
     os.makedirs(out_dir, exist_ok=True)
     for t, tbl in tables.items():
@@ -245,6 +298,15 @@ def main(out):
     rel = make_rel_content()
     write_tables(f"{out}/relcontent", rel)
     write_tables(f"{out}/reltypes", make_rel_typedrift(rel))
+    erows = make_embeddings()
+    # embcontent: canonical physical types; embtypes: int32 ids,
+    # float64 elements (float values widen losslessly — the FLOAT-fold
+    # normalization must make both instances byte-identical), int64
+    # labels.
+    write_emb_variant(f"{out}/embcontent", erows,
+                      pa.int64(), pa.float32(), pa.int32())
+    write_emb_variant(f"{out}/embtypes", erows,
+                      pa.int32(), pa.float64(), pa.int64())
 
 
 if __name__ == "__main__":
