@@ -217,6 +217,61 @@ object Ann {
         round(col("m.cos"), 4).as("cos"))
   }
 
+  /** L58 — oracle-exact distributed Lloyd refinement (k-means under
+    * cosine similarity): `iters` rounds of assign → centroid-update,
+    * starting from an explicit seed set (e.g. vec_id < k, or the
+    * output of a sampling pass). This is the cluster-refinement stage
+    * SemDeDup-style curation and IVF index builds run between "pick
+    * seeds" and "mine within cells" — exposed as a first-class
+    * operator rather than hidden inside ivfTopK's MLlib call, because
+    * the refinement itself must be reproducible for an incremental
+    * 100 TB pipeline (re-running the job must yield the same cells).
+    *
+    * Scale shape per round: one broadcast-seeds corpus pass + one
+    * map-side-combinable argmax (assignToSeeds), then one
+    * (cluster, dim)-keyed aggregate for the centroid update — the
+    * same linear-shuffle shapes as s08/s04; nothing corpus×corpus.
+    * Rounds are sequential by nature (like BPE merges) and each
+    * round's centroid table is k rows.
+    *
+    * Determinism (what makes every round oracle-replayable): the
+    * argmax compares raw fixed-order-fold doubles then the seed id;
+    * centroid means run in 1e-6-quantized BIGINT space (order-
+    * independent sums, floor division), and the rebuilt centroid
+    * vectors go through the same FLOAT fold as stored embeddings —
+    * so iteration i+1 scores against bit-identical centroids on any
+    * partitioning and any engine.
+    *
+    * @return final assignment (vec_id, cluster, cos) after `iters`
+    *         assign passes (centroids update between passes only)
+    */
+  def lloydIterate(corpus: DataFrame, seeds: DataFrame, idCol: String,
+                   embCol: String, iters: Int,
+                   quantScale: Double = 1e6): DataFrame = {
+    require(iters >= 1)
+    var centroids = seeds.select(col(idCol), col(embCol))
+    var assign = assignToSeeds(corpus, centroids, idCol, embCol)
+    for (_ <- 2 to iters) {
+      val members = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+      val cents = labelCentroids(members.select(col("cluster"), col("cemb")),
+        "cemb", "cluster", Some(quantScale))
+      // rebuild the k centroid vectors: sort the (dim, micro) structs
+      // so the collect order is total, then fold through FLOAT like a
+      // stored embedding — collect_list alone is partitioning-order-
+      // dependent, array_sort on the unique dim key makes it exact.
+      centroids = cents
+        .groupBy(col("label").as(idCol))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid_micro")))).as("dm"))
+        .select(col(idCol),
+          transform(col("dm"),
+            x => (x.getField("centroid_micro").cast("double") / lit(quantScale))
+              .cast("float")).as(embCol))
+      assign = assignToSeeds(corpus, centroids, idCol, embCol)
+    }
+    assign
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

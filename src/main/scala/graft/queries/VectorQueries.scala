@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Graft
-import graft.operators.{Ann, Multimodal}
+import graft.functions.GraftFunctions
+import graft.operators.{Ann, Multimodal, TextStats}
 
 /** Embedding similarity + multimodal — SURVEY.md §2.3 (L5–L7, L12).
   *
@@ -169,6 +170,17 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L58: oracle-exact Lloyd refinement — two assign→update rounds
+    // from the vec_id<8 seeds; the argmax and the 1e-6-quantized
+    // integer centroid means make every round engine-exact (the s08 +
+    // s04 determinism patterns composed into an iterative ML loop).
+    "s10_kmeans_refine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lloydIterate(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          iters = 2)
+        .orderBy("vec_id")
+    }),
+
     // L29: SemDeDup-style semantic dedup end-to-end — embedding
     // cosine pairs (label-blocked) → connected components → canonical
     // representative (cluster min id) per non-singleton member. The
@@ -183,6 +195,47 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("cluster").as("keep_id"),
           col("cluster_size"))
         .orderBy("keep_id", "vec_id")
+    }),
+
+    // L59: hybrid retrieval fusion — the RAG/eval-retrieval shape: a
+    // BM25 lexical arm (t23's scorer) and an embedding-cosine
+    // semantic arm (query = vector 0, doc_id ↔ vec_id), each cut to
+    // its top-100 by a TOTAL order (score desc, id), fused by
+    // Reciprocal Rank Fusion (Cormack et al., SIGIR'09:
+    // Σ 1/(60+rank)). Scale shape: each arm ends in a global
+    // sort-limit (TakeOrdered — no full-corpus window); ranking and
+    // fusion then run on the ≤100-row tops. rrf is reported in
+    // half-up micro-units; the fusion sum is two IEEE divisions and
+    // one addition of bit-equal inputs, so the order is engine-exact.
+    "t29_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = TextStats.bm25(
+          docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", "text", terms = Seq("dup", "spark", "merge"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      val lexR = lexTop
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "lex_rank")
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      val semTop = e.crossJoin(broadcast(q))
+        .withColumn("c", GraftFunctions.cosine_sim(col("embedding"), col("qemb")))
+        .select(col("vec_id").as("doc_id"), col("c"))
+        .orderBy(col("c").desc_nulls_last, col("doc_id")).limit(100)
+      val semR = semTop
+        .withColumn("sem_rank",
+          row_number().over(Window.orderBy(col("c").desc_nulls_last, col("doc_id"))))
+        .select("doc_id", "sem_rank")
+      val fused = lexR.join(semR, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select(col("rnk"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+          floor(col("rrf") * lit(1e6) + lit(0.5)).cast("long").as("rrf_micro"))
     }),
 
     // L12: multimodal blob features — SQL-expressible part (octet
@@ -311,6 +364,46 @@ object VectorQueries {
          |SELECT vec_id, cluster, round(c, 4) AS cos
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // s10: both Lloyd rounds replayed as chained CTEs — assignment
+    // via the cosSql kernel + row_number (the s08 pattern), centroid
+    // update via 1e-6 BIGINT floor-division means (the s04 pattern),
+    // rebuilt centroids ordered by dim and FLOAT-folded exactly like
+    // stored embeddings.
+    "s10_kmeans_refine" ->
+      s"""WITH e AS ($embSql),
+         | sd0 AS (SELECT vec_id AS cluster, de AS se FROM e WHERE vec_id < 8),
+         | sc1 AS (SELECT e.vec_id, sd0.cluster,
+         |           ${cosSql("e.de", "sd0.se", 64)} AS c
+         |         FROM e, sd0),
+         | r1 AS (SELECT vec_id, cluster,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY c DESC, cluster) AS rn
+         |        FROM sc1),
+         | a1 AS (SELECT vec_id, cluster FROM r1 WHERE rn = 1),
+         | x1 AS (SELECT a1.cluster, di.i AS dim,
+         |          CAST(floor(e.de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+         |        FROM e JOIN a1 USING (vec_id),
+         |          (SELECT unnest(range(1, 65)) AS i) di),
+         | g1 AS (SELECT cluster, dim, CAST(sum(qv) AS BIGINT) AS sq,
+         |          CAST(count(*) AS BIGINT) AS n
+         |        FROM x1 GROUP BY cluster, dim),
+         | c1 AS (SELECT cluster, dim,
+         |          (sq - (((sq % n) + n) % n)) // n AS cm
+         |        FROM g1),
+         | sd1 AS (SELECT cluster,
+         |          CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
+         |            AS FLOAT[]) AS DOUBLE[]) AS se
+         |        FROM c1 GROUP BY cluster),
+         | sc2 AS (SELECT e.vec_id, sd1.cluster,
+         |           ${cosSql("e.de", "sd1.se", 64)} AS c
+         |         FROM e, sd1),
+         | r2 AS (SELECT vec_id, cluster, c,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY c DESC, cluster) AS rn
+         |        FROM sc2)
+         |SELECT vec_id, cluster, round(c, 4) AS cos
+         |FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // s09: the assignment replay (cosSql kernel + row_number) feeding
     // a cluster-equi self-join; pair cosine via list_cosine_similarity
     // on DOUBLE[] (the d05-proven pairing), threshold on the raw
@@ -419,6 +512,56 @@ object VectorQueries {
         |SELECT label, dim,
         |  (sq - (((sq % n) + n) % n)) // n AS centroid_micro
         |FROM a ORDER BY label, dim""".stripMargin,
+
+    // t29: the t23 BM25 chain + the guarded-cosine arm, each cut by
+    // the same total ORDER BY ... LIMIT, ranked, full-outer fused
+    // with COALESCEd 1/(60+rank) contributions (double division of
+    // bit-equal inputs; IEEE addition is commutative bitwise, so the
+    // two-term sum is engine-exact), half-up micro rounding.
+    "t29_rrf_hybrid" -> {
+      val normSql = PortableHashSql.norm("text")
+      s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |        string_split($normSql, ' ') AS toks FROM documents),
+         | dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tk),
+         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         | tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM tk)
+         |        WHERE w IN ('dup', 'spark', 'merge') GROUP BY doc_id, w),
+         | df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+         | sc AS (SELECT tf.doc_id,
+         |          CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+         |            ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6)
+         |            AS DECIMAL(18,6)) AS term
+         |        FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+         | ag AS (SELECT doc_id, sum(term) AS s FROM sc GROUP BY doc_id),
+         | bm AS (SELECT doc_id,
+         |          CAST((CAST(s * 1000000 AS BIGINT) + 50) // 100 AS DOUBLE) / 10000.0 AS bm25
+         |        FROM ag),
+         | lext AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+         | lexr AS (SELECT doc_id,
+         |           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |         FROM lext),
+         | e AS ($embSql),
+         | q AS (SELECT de AS qe, n2 AS qn2 FROM e WHERE vec_id = 0),
+         | sem AS (SELECT e.vec_id AS doc_id,
+         |           CASE WHEN q.qn2 = 0 OR e.n2 = 0 THEN NULL
+         |                ELSE list_cosine_similarity(q.qe, e.de) END AS c
+         |         FROM e CROSS JOIN q),
+         | semt AS (SELECT doc_id, c FROM sem ORDER BY c DESC NULLS LAST, doc_id LIMIT 100),
+         | semr AS (SELECT doc_id,
+         |           row_number() OVER (ORDER BY c DESC NULLS LAST, doc_id) AS sem_rank
+         |         FROM semt),
+         | fused AS (SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+         |            lex_rank, sem_rank,
+         |            COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE)) +
+         |            COALESCE(CAST(1 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)) AS rrf
+         |          FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id),
+         | top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk,
+         |  doc_id, lex_rank, sem_rank,
+         |  CAST(floor(rrf * 1000000 + 0.5) AS BIGINT) AS rrf_micro
+         |FROM top ORDER BY rnk""".stripMargin
+    },
 
     // m-family oracles are fully BYTE-wise via hex(encode(text)) — 2
     // hex chars per UTF-8 byte — so they agree with Spark's binary

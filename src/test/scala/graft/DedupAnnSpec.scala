@@ -141,6 +141,27 @@ class DedupAnnSpec extends AnyFunSuite {
     (0L until 8L).foreach(sid => assert(got(sid) == sid))
   }
 
+  test("lloydIterate: iters=1 equals assignToSeeds; iters=2 refines without losing vectors") {
+    val seeds = emb.filter(col("vec_id") < 8)
+    val one = Ann.lloydIterate(emb, seeds, "vec_id", "embedding", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = Ann.assignToSeeds(emb, seeds, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == base)
+    val two = Ann.lloydIterate(emb, seeds, "vec_id", "embedding", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // still a partition of the corpus into the seeded cluster ids
+    assert(two.map(_._1).distinct.length == two.length)
+    assert(two.length == emb.count())
+    assert(two.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // the refined centroids should fit at least as well on average —
+    // Lloyd's objective improves monotonically up to the 1e-6 centroid
+    // quantization (allow that much slack)
+    val m1 = base.toSeq.map(_._3).sum / base.size
+    val m2 = two.map(_._3).sum / two.length
+    assert(m2 >= m1 - 1e-4, s"mean cos degraded: $m1 -> $m2")
+  }
+
   test("cosine kernel: NULL on zero norm and size mismatch; pairs exclude zero vectors") {
     // the cross-engine contract (oracle guards replicate it): a
     // zero-norm side has no defined cosine — the kernel must yield
