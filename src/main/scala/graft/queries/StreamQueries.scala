@@ -118,6 +118,48 @@ object StreamQueries {
       }.orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // S11: LEFT-OUTER stream-stream interval join through the REAL
+    // engine — the production "click with or without a purchase
+    // within 10 min" attribution shape. Outer rows are emitted only
+    // when the global watermark (min of the two stream watermarks)
+    // passes a left row's eviction point (tc + 10 min range), so the
+    // final-batch output near stream end is watermark-gated, not
+    // batch-equal. The oracle-checkable contract: restrict BOTH
+    // engines to the CLOSED region — clicks at least
+    // 30 min (delay) + 10 min (range) + 1 min (eviction epsilon:
+    // StreamingSymmetricHashJoin evicts at strictly-less-than the
+    // mark) before min(max click ts, max purchase ts). Every click
+    // there has provably had its NULL-vs-match fate sealed and
+    // flushed by the AvailableNow closing no-data batch; the cut is
+    // computed from the batch table (a 1-row min/max aggregate) and
+    // mirrored verbatim in the DuckDB oracle.
+    "st13_interval_left" -> ((s, dir) => {
+      val ext = events(s, dir).agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+        .select(least(col("mc"), col("mp")).as("m")).head().getLong(0)
+      val closedUs = ext - (30L + 10L + 1L) * 60L * 1000000L
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+          .withWatermark("tc", "30 minutes")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+          .withWatermark("tp", "30 minutes")
+        c.join(p, col("user_id") === col("p_user_id") &&
+            col("tc") <= col("tp") &&
+            col("tc") >= col("tp") - expr("interval 10 minutes"),
+          "left_outer")
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            ((unix_micros(col("tp")) - unix_micros(col("tc"))) / lit(1000000L))
+              .cast("long").as("lag_s"),
+            unix_micros(col("tc")).as("tc_us"))
+      }.filter(col("tc_us") <= lit(closedUs))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // R32: stream-static dim join through the streaming engine — the
     // event stream broadcast-joins the static nation dim (re-read per
     // micro-batch in general; one batch here), then a complete-mode
@@ -294,6 +336,24 @@ object StreamQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND tc <= tp AND tc >= tp - 600000000
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // st13: the same interval condition as LEFT JOIN, both engines
+    // cut to the closed region (≥ 41 min before min(max tc, max tp))
+    // where the streaming outer join's NULL-vs-match fate is sealed.
+    "st13_interval_left" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        | b AS (SELECT least((SELECT max(tc) FROM c), (SELECT max(tp) FROM p))
+        |    - 2460000000 AS bound)
+        |SELECT user_id, click_id, purchase_id,
+        |  (tp - tc) // 1000000 AS lag_s, tc AS tc_us
+        |FROM c LEFT JOIN p ON user_id = p_user_id
+        |  AND tc <= tp AND tc >= tp - 600000000, b
+        |WHERE tc <= bound
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     "st08_dim_enrich" ->
       """SELECT n_name, count(*) AS n, round(sum(value), 2) AS total

@@ -128,4 +128,49 @@ class StreamRunSpec extends AnyFunSuite {
       .select("user_id", "click_id", "purchase_id")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("left-outer interval join equals batch on the closed region and runs LeftOuter state") {
+    // st13's contract: inside the closed region (clicks at least
+    // 41 min before min(max tc, max tp)) the streaming left-outer
+    // output — matches AND watermark-evicted NULL rows — must equal
+    // the batch left join exactly; near stream end rows are watermark-
+    // gated and excluded by the same cut on both sides.
+    val e0 = Graft.table(spark, dir, "events")
+    val ext = e0.agg(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+      .select(least(col("mc"), col("mp")).as("m")).head().getLong(0)
+    val closedUs = ext - 41L * 60L * 1000000L
+    def shape(e: org.apache.spark.sql.DataFrame) = {
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("tp"))
+      (c, p)
+    }
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      val (c0, p0) = shape(e)
+      val c = c0.withWatermark("tc", "30 minutes")
+      val p = p0.withWatermark("tp", "30 minutes")
+      c.join(p, col("user_id") === col("p_user_id") &&
+        col("tc") <= col("tp") &&
+        col("tc") >= col("tp") - expr("interval 10 minutes"), "left_outer")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("tc")).as("tc_us"))
+    }.filter(col("tc_us") <= lit(closedUs))
+    assert(StreamRun.lastPlan.contains("StreamingSymmetricHashJoin"),
+      s"expected a streaming join in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("LeftOuter"),
+      s"expected LeftOuter join state in:\n${StreamRun.lastPlan}")
+    val (c, p) = shape(e0)
+    val batch = c.join(p, col("user_id") === col("p_user_id") &&
+      col("tc") <= col("tp") &&
+      col("tc") >= col("tp") - expr("interval 10 minutes"), "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("tc")).as("tc_us"))
+      .filter(col("tc_us") <= lit(closedUs))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
