@@ -52,6 +52,35 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** L60 — corpus snapshot delta (recrawl CDC): classify every doc id
+    * across two corpus snapshots as added / removed / changed /
+    * unchanged by comparing content hashes. This is the incremental-
+    * ingest primitive of a recrawl pipeline: downstream stages
+    * (dedup, quality, tokenization) re-run only on `added ∪ changed`
+    * instead of the full 100 TB corpus.
+    *
+    * Scale shape: each side reduces to (id, 16-byte md5) at the scan
+    * — documents themselves never shuffle — then ONE full-outer
+    * sort-merge join on id. The hash is md5 of [[normText]] (the
+    * d01-proven cross-engine content key); byte-level deltas that
+    * normalize away are deliberately "unchanged" (a recrawl that only
+    * reflows whitespace should not re-trigger the pipeline).
+    */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(normText(col(textCol))).as("old_hash"))
+    val n = newSnap.select(col(idCol).cast("long").as("doc_id"),
+      md5(normText(col(textCol))).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   /** L30 — blocked edit-distance pairs (record linkage / fuzzy join):
     * candidate pairs from a coarse blocking key plus the classic
     * length lower bound (|len_a − len_b| ≤ lenTol — edit distance is

@@ -540,6 +540,51 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L60: corpus snapshot delta (recrawl CDC). Snapshot A = the
+    // documents table; snapshot B is derived from it by a DETERMINISTIC
+    // perturbation both engines replay literally: docs with
+    // pmod(doc_id, 11) = 3 are dropped (→ removed), pmod(doc_id, 7) = 2
+    // get ' rev2' appended (→ changed), and fresh ids doc_id + 10^7
+    // appear for pmod(doc_id, 13) = 5 (→ added). The operator itself
+    // never sees the perturbation — it full-outer joins (id, md5) pairs.
+    "d22_snapshot_delta" -> ((s, dir) => {
+      val a = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val b = a.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7L)) === 2L, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(pmod(col("doc_id"), lit(13L)) === 5L)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("fresh crawl "), col("text")).as("text")))
+      Dedup.snapshotDelta(a, b, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // L61: leakage-safe corpus split — the WebText/GPT-2 lesson:
+    // train/valid/test assignment must be constant across each
+    // near-dup CLUSTER, or held-out docs leak into training via their
+    // duplicates. Composes d07's pair mining + connected components
+    // with t06's portable hash split, keyed on the cluster
+    // REPRESENTATIVE (min doc_id; singletons key on themselves):
+    // 90/5/5 by fmix64(rep_id) % 100. One window-free projection after
+    // the CC fixpoint; the leakage invariant (1 split per cluster) is
+    // structural — split is a function of rep_id.
+    "d23_cluster_split" -> ((s, dir) => {
+      import graft.operators.{ConnectedComponents, Sampling}
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
+      val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+      val bucket = Sampling.hashBucket(col("rep_id"))
+      d.select(col("doc_id")).join(cc, d("doc_id") === cc("id"), "left")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).cast("long").as("rep_id"))
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
     // subset is a deterministic uniform k-sample any engine replays
@@ -1207,6 +1252,68 @@ object TextQueries {
          |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
          |FROM mm m JOIN v USING (id_a, id_b)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // d22: the deterministic snapshot-B perturbation stated literally
+    // (pmod via ((x % k) + k) % k), both sides hashed with the
+    // d01-proven md5(norm) content key, full-outer joined on id.
+    "d22_snapshot_delta" ->
+      s"""WITH a AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         | b AS (
+         |   SELECT doc_id,
+         |     CASE WHEN ((doc_id % 7) + 7) % 7 = 2 THEN text || ' rev2'
+         |          ELSE text END AS text
+         |   FROM a WHERE ((doc_id % 11) + 11) % 11 <> 3
+         |   UNION ALL
+         |   SELECT doc_id + 10000000, 'fresh crawl ' || text
+         |   FROM a WHERE ((doc_id % 13) + 13) % 13 = 5),
+         | ah AS (SELECT doc_id, md5(${PortableHashSql.norm("text")}) AS old_hash FROM a),
+         | bh AS (SELECT doc_id, md5(${PortableHashSql.norm("text")}) AS new_hash FROM b),
+         | j AS (SELECT COALESCE(ah.doc_id, bh.doc_id) AS doc_id, old_hash, new_hash
+         |       FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN old_hash IS NULL THEN 'added'
+         |       WHEN new_hash IS NULL THEN 'removed'
+         |       WHEN old_hash = new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  old_hash, new_hash
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // d23: d07's cluster replay (same pairs + recursive min-label
+    // fixpoint), representative = COALESCE(cluster, doc_id), split by
+    // t06's fmix64 bucket of the representative.
+    "d23_cluster_split" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) // 100 AS lb,
+         |    list_distinct(string_split($normSql, ' ')) AS toks
+         |  FROM documents),
+         | pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND len(a.toks) = len(b.toks)
+         |    AND a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        >= 0.9),
+         | edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         | cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         | lab AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |     CAST(COALESCE(cc.cluster_id, doc_id) AS BIGINT) AS rep_id
+         |   FROM documents LEFT JOIN cc ON documents.doc_id = cc.id),
+         | h AS (SELECT doc_id, rep_id,
+         |     ${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("rep_id")))} AS hs
+         |   FROM lab),
+         | bkt AS (SELECT doc_id, rep_id, ((hs % 100) + 100) % 100 AS bucket FROM h)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin,
 
     // d20: same top-53-bit fmix64 order key (HUGEINT shift ≡ Spark's
     // shiftrightunsigned on the signed BIGINT) + id tie-break.

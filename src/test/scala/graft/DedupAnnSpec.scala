@@ -26,6 +26,43 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("snapshotDelta classifies added/removed/changed/unchanged; normalization-only edits are unchanged") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept doc"),
+      (4L, "whitespace   doc")).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha beta EDITED"),            // changed
+      (3L, "kept doc"),                               // unchanged
+      (4L, "  whitespace doc "),                      // normalizes equal → unchanged
+      (9L, "brand new")).toDF("doc_id", "text")       // added; 2 removed
+    val got = Dedup.snapshotDelta(a, b, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "removed", 3L -> "unchanged",
+      4L -> "unchanged", 9L -> "added"))
+  }
+
+  test("cluster-aware split has zero leakage: one split per dup cluster, covers every doc") {
+    import graft.operators.{ConnectedComponents, Sampling}
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
+    val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+    val labeled = docs.select(col("doc_id")).join(cc, col("doc_id") === cc("id"), "left")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).cast("long").as("rep_id"))
+      .withColumn("split",
+        when(Sampling.hashBucket(col("rep_id")) < 90, "train")
+          .when(Sampling.hashBucket(col("rep_id")) < 95, "valid").otherwise("test"))
+      .cache()
+    assert(labeled.count() == docs.count())
+    // leakage invariant: no cluster spans two splits (split is a pure
+    // function of rep_id, so this is structural — the test pins it)
+    val leaky = labeled.groupBy("rep_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(leaky == 0)
+    // and the clusters are non-trivial in the fixture
+    assert(labeled.groupBy("rep_id").count().filter(col("count") > 1).count() > 0)
+    labeled.unpersist()
+  }
+
   test("minhash calibration: est is unbiased-shaped (dup pairs read 1.0, est tracks exact Jaccard)") {
     val cal = Dedup.minhashCalibration(docs, "doc_id", "text").cache()
     val rows = cal.collect()
