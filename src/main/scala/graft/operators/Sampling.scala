@@ -124,4 +124,31 @@ object Sampling {
     df.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** RELATIVE quality gate (the FineWeb-era move from absolute
+    * thresholds to per-source percentiles): keep the top
+    * `fracNum/fracDen` fraction of each group by `scoreCol`, rank
+    * ties broken by id so the kept set is exactly reproducible.
+    * Keeps ⌈frac·n⌉ rows per group ((fracNum·n + fracDen − 1) div
+    * fracDen in integer space — every group keeps at least one doc),
+    * so the cut adapts to each source's own quality distribution
+    * instead of starving clean sources / flooding noisy ones.
+    *
+    * Scale shape: ONE window pass partitioned by group (rank + count
+    * over the same frame — no self-join, no global window). At 100 TB
+    * a giant single source makes that per-group sort the bottleneck;
+    * the scale path is a per-source KLL threshold (f11's sketch) +
+    * a stateless filter — this exact-rank form is the
+    * oracle-checkable contract the sketch path approximates.
+    */
+  def topFractionByScore(df: DataFrame, idCol: String, groupCol: String,
+                         scoreCol: String, fracNum: Int, fracDen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_group", count(lit(1)).over(wn))
+      .filter(col("rk") * lit(fracDen.toLong) <=
+        col("n_group") * lit(fracNum.toLong) + lit(fracDen.toLong - 1L))
+  }
 }

@@ -115,7 +115,7 @@ object FlowCytoQueries {
       // stats (sample-cardinality) and the smoothed spine (32 rows ×
       // samples) are persisted: every downstream branch re-derived
       // the whole histogram chain otherwise (plan-audited: 12+ event
-      // scans → the documented two). Verify/Bench clearCache between
+      // scans → the documented three). Verify/Bench clearCache between
       // queries (library contract).
       val stats = li.groupBy(keys.map(col): _*)
         .agg(min("cents").as("lo"), max("cents").as("hi"),

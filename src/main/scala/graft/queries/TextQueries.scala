@@ -585,6 +585,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L62: RELATIVE per-source quality gate (the FineWeb lesson:
+    // percentile cuts per source, not one absolute threshold) — keep
+    // the top 30% of each source by t02's proven quality score,
+    // ⌈0.3·n⌉ per group, ties broken by doc_id. One window pass per
+    // source; the 100 TB path swaps the exact rank for a per-source
+    // KLL threshold (see Sampling.topFractionByScore).
+    "d24_quality_topp" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val q = TextStats.qualityColumns(norm, toks).toMap.apply("quality")
+      val scored = docs(s, dir).select(col("source"),
+        col("doc_id").cast("long").as("doc_id"), q.as("quality"))
+      Sampling.topFractionByScore(scored, "doc_id", "source", "quality", 3, 10)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("quality"), col("n_group"))
+        .orderBy("source", "rk")
+    }),
+
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
     // subset is a deterministic uniform k-sample any engine replays
@@ -1314,6 +1333,32 @@ object TextQueries {
          |       WHEN bucket < 95 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM bkt ORDER BY doc_id""".stripMargin,
+
+    // d24: t02's exact quality chain + one ranked window per source;
+    // the ⌈0.3n⌉ keep is the integer cross-multiplication
+    // rk·10 ≤ n·3 + 9 on both engines.
+    "d24_quality_topp" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |          ${safeDivSql("allstop", "n_tokens")} * 0.3 +
+         |          ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
+         |  FROM (
+         |    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |      length(norm) AS n_chars, len(toks) AS n_tokens,
+         |      length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |      ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+         |    FROM (SELECT doc_id, source, $normSql AS norm,
+         |            string_split($normSql, ' ') AS toks
+         |          FROM documents))),
+         | r AS (SELECT source, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+         |  FROM q)
+         |SELECT source, rk, doc_id, quality, n_group FROM r
+         |WHERE rk * 10 <= n_group * 3 + 9
+         |ORDER BY source, rk""".stripMargin,
 
     // d20: same top-53-bit fmix64 order key (HUGEINT shift ≡ Spark's
     // shiftrightunsigned on the signed BIGINT) + id tie-break.
