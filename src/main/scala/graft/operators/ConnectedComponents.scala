@@ -38,7 +38,20 @@ object ConnectedComponents {
     *         covers only nodes that appear in `edges` (isolated nodes
     *         are trivially their own cluster — union them in if needed)
     */
-  def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @param localFinishEdges when the SYMMETRIZED edge list is at or
+    *   below this many rows (and ids are longs), solve with a single-
+    *   task union-find instead of distributed rounds — the standard
+    *   contraction-style local finish (Kiveris et al. §6: "once the
+    *   graph fits on one machine, finish there"). Dup-pair graphs are
+    *   orders of magnitude smaller than their corpus (only docs WITH
+    *   a near-dup edge appear), so even 100 TB corpora usually land
+    *   here; graphs above the bound take the iterative path
+    *   unchanged. 2M directed edges ≈ tens of MB of hash state in ONE
+    *   task — an executor-side job, not a driver collect. Pass 0 to
+    *   force the iterative path.
+    */
+  def minLabel(edges: DataFrame, maxIter: Int = 20,
+               localFinishEdges: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // The materializing action doubles as the convergence check:
     // every round takes each label to min(self, neighbours), so the
@@ -60,9 +73,49 @@ object ConnectedComponents {
     // round joins LOSES ~60% here — AQE's coalesced partitioning on
     // the label side never matches, so the extra up-front shuffle
     // buys nothing. Keep the plain persist.)
-    val sym = edges.select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
-      .union(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
+    // Symmetrize with ONE scan of the edge subtree (explode of both
+    // directions), not a self-union — a union's physical plan carries
+    // two copies of the un-persisted pair-mining subtree, so the
+    // materializing job would run the whole candidate-mining pass
+    // twice before the first propagation round.
+    val sym = edges.select(explode(array(
+        struct(col(ec(0)).as("src"), col(ec(1)).as("dst")),
+        struct(col(ec(1)).as("src"), col(ec(0)).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(MEMORY_AND_DISK)
+    // The count doubles as sym's materializing action (pair mining
+    // runs exactly once), and routes small graphs to the local finish.
+    val nDirected = sym.count()
+    val longIds = edges.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nDirected <= localFinishEdges && longIds) {
+      import edges.sparkSession.implicits._
+      val out = sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        // min-root union-find with path compression: the root of every
+        // set is its minimum member, so find(x) IS the component label.
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val keys = parent.keys.toArray
+        keys.iterator.map(k => (k, find(k)))
+      }.toDF("id", "cluster")
+        .persist(MEMORY_AND_DISK)
+      out.count() // materialize before sym is dropped
+      sym.unpersist()
+      return out
+    }
     var (labels, prevSum) = materialize(
       sym.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var converged = false
