@@ -157,7 +157,13 @@ object Ann {
     import org.apache.spark.ml.functions.vector_to_array
     val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("cemb")))
+    // A coarse quantizer does not need a converged clustering — cell
+    // QUALITY only moves recall a little (nProbe absorbs boundary
+    // error), while every extra Lloyd iteration is a full corpus
+    // pass. 8 iterations is the IVF-build convention (FAISS trains
+    // coarse quantizers with ~10); recall stays pinned by the spec.
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(8)
       .fit(c)
     val cells = model.transform(c).select(col("vec_id"), col("cemb"), col("prediction").as("cell"))
     // centroid table: (cell, centroid as float array) — nCells rows.

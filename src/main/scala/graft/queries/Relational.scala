@@ -579,6 +579,32 @@ object Relational {
     // untouched): delete tombstones drop the row, upserts replace,
     // base rows pass through. Exactly Delta/Iceberg MERGE semantics
     // composed from window + full outer join.
+    // R55: RECURSIVE CTE — hierarchy walk on Spark 4's native
+    // WITH RECURSIVE (UnionLoopExec: seed materialized, step re-joined
+    // per level, loop ends when a level is empty — the engine-managed
+    // form of the iterate-and-persist loops ConnectedComponents hand-
+    // rolls). The hierarchy is the implicit binary tree parent(k) =
+    // k div 2 over supplier keys; each node walks to the root, so
+    // depth/root are pure integer facts both engines must agree on.
+    // Levels here are log2(|supplier|) and each level is a narrow
+    // projection — at 100 TB the same plan walks a real parts/org
+    // hierarchy with dim-sized levels.
+    "q52_recursive_tree" -> ((s, dir) => {
+      val view = s"supplier_rec_${java.util.UUID.randomUUID.toString.take(8)}"
+      t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("s_suppkey"))
+        .createOrReplaceTempView(view)
+      val out = s.sql(
+        s"""WITH RECURSIVE chain(node, a) AS (
+           |  SELECT s_suppkey, s_suppkey FROM $view
+           |  UNION ALL
+           |  SELECT node, a div 2 FROM chain WHERE a >= 2
+           |)
+           |SELECT node, count(*) AS depth, min(a) AS root
+           |FROM chain GROUP BY node ORDER BY node""".stripMargin)
+      s.catalog.dropTempView(view)
+      out
+    }),
+
     "q51_cdc_merge" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       // Base snapshot excludes keys ≡ 0 (mod 5), so even multiples of
@@ -1166,6 +1192,17 @@ object Relational {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(sum(small) AS BIGINT) AS n_small_files
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // q52: the identical recursive walk — DuckDB's // is Spark's div
+    // on BIGINT; all-integer facts, no float anywhere.
+    "q52_recursive_tree" ->
+      """WITH RECURSIVE chain(node, a) AS (
+        |  SELECT CAST(s_suppkey AS BIGINT), CAST(s_suppkey AS BIGINT) FROM supplier
+        |  UNION ALL
+        |  SELECT node, a // 2 FROM chain WHERE a >= 2
+        |)
+        |SELECT node, count(*) AS depth, min(a) AS root
+        |FROM chain GROUP BY node ORDER BY node""".stripMargin,
 
     // q51: latest-version-wins via row_number, FULL JOIN merge,
     // tombstone filter; generate_series ≡ Spark sequence (inclusive).
