@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -85,6 +86,64 @@ object Sessionize {
           state.update(open.toList)
           closed.iterator
       }
+  }
+
+  /** The same sessionization on Spark 4's `transformWithState` — the
+    * successor API to flatMapGroupsWithState (SPARK-46815): explicit
+    * named state variables on a StatefulProcessor lifecycle instead of
+    * one opaque GroupState value, with timers/TTL available when the
+    * topology needs them. Requires the RocksDB state store provider.
+    * Semantics here are identical to [[sessionsStreaming]] (same
+    * in-trigger sort, same gap close, same open-session carry), so the
+    * two twins must emit the same closed sessions — the spec pins it.
+    */
+  private class SessionProcessor
+      extends StatefulProcessor[Long, Ev, Session] {
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      def fromMicros(us: Long): Timestamp = {
+        val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      }
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur: Option[SessionState] =
+        if (open.exists()) Some(open.get()) else None
+      val closed = scala.collection.mutable.ListBuffer.empty[Session]
+      for (e <- sorted) {
+        val us = micros(e.ts)
+        cur match {
+          case Some(st) if us - st.last > GapMicros =>
+            closed += Session(userId, fromMicros(st.start),
+              st.n, (st.last - st.start) / 1000000)
+            cur = Some(SessionState(us, us, 1))
+          case Some(st) =>
+            cur = Some(st.copy(last = math.max(st.last, us), n = st.n + 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur match {
+        case Some(st) => open.update(st)
+        case None => open.clear()
+      }
+      closed.iterator
+    }
+  }
+
+  def sessionsTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** S1 — tumbling window aggregate; identical code path for batch

@@ -101,6 +101,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization twin matches flatMapGroupsWithState") {
+    // Spark 4's arbitrary-state API (SPARK-46815) requires the
+    // RocksDB state store provider; same inputs, same closed sessions
+    // as the fMGWS twin above.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessionsTws(input.toDS())
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Sessionize.Ev(1, ts(0), 1), Sessionize.Ev(1, ts(10), 2),
+        Sessionize.Ev(1, ts(55), 3), Sessionize.Ev(1, ts(60), 4),
+        Sessionize.Ev(2, ts(5), 5))
+      q.processAllAvailable()
+      input.addData(Sessionize.Ev(1, ts(600), 6), Sessionize.Ev(2, ts(600), 7))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_tws")
+        .select("user_id", "session_start", "n_events", "duration_s")
+      // the executed plan must carry the new operator, not fMGWS
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      assert(buf.toString.contains("TransformWithState"),
+        s"expected TransformWithStateExec in:\n$buf")
+      val batch = Sessionize.sessionsBatch(
+        Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(55), 3L), (1L, ts(60), 4L),
+          (2L, ts(5), 5L), (1L, ts(600), 6L), (2L, ts(600), 7L))
+          .toDF("user_id", "ts", "event_id"))
+        .select("user_id", "session_start", "n_events", "duration_s")
+        .filter(col("session_start") < ts(600))
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      assert(streamed.count() == 3)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
