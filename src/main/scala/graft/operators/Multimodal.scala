@@ -89,6 +89,50 @@ object Multimodal {
     }
   }
 
+  /** L63 — REAL-codec roundtrip audit: per id, build a deterministic
+    * `side`×`side` RGB image (pixel channels are integer formulas of
+    * (id, x, y)), ENCODE it through the JDK's real PNG writer, then
+    * run the bytes back through [[decodeImage]] — the production
+    * decode path — and emit the decoded dimensions + integer-luma
+    * mean. PNG is lossless 8-bit RGB, so the decoded stats equal the
+    * formula's stats exactly; the DuckDB oracle replays the FORMULA
+    * (no codec needed) and thereby certifies the whole encode→decode
+    * plumbing value-for-value — the strongest oracle a binary codec
+    * path can have. (Encoded byte length is encoder-dependent and
+    * deliberately not exposed.)
+    *
+    * Scale shape: pure mapPartitions — zero shuffle; decode
+    * parallelism is the scan's partitioning, as in [[decodeFeatures]].
+    */
+  def imageRoundtripStats(ids: Dataset[java.lang.Long],
+                          side: Int = 8): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val r = Math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
+            val g = Math.floorMod(id * 17 + x * 3 + y * 5, 256).toInt
+            val b = Math.floorMod(id * 11 + x * 19 + y * 23, 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val (w, h, _, m) = decodeImage(baos.toByteArray).getOrElse(
+          throw new IllegalStateException(s"PNG roundtrip failed for id $id"))
+        (id, w, h, math.floor(m * 10000 + 0.5) / 10000)
+      }
+    }.toDF("doc_id", "width", "height", "mean_luma")
+  }
+
   /** L48 — frame-sample manifest: treat each media payload as a fixed
     * frame grid (`frameBytes` bytes/frame) and emit every `stride`-th
     * frame's index, byte offset, and digest — the manifest a sampled

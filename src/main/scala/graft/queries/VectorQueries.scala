@@ -272,6 +272,21 @@ object VectorQueries {
         .orderBy("doc_id", "sample_id")
     }),
 
+    // L63: real-codec roundtrip audit — deterministic 8×8 RGB images
+    // ENCODED through the JDK's real PNG writer and DECODED back
+    // through the production decodeImage path; the oracle replays the
+    // pixel FORMULA (PNG is lossless), certifying the whole binary
+    // encode→decode plumbing value-for-value without DuckDB needing a
+    // codec.
+    "m05_image_roundtrip" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.imageRoundtripStats(ids).orderBy("doc_id")
+    }),
+
     // L12b: multipart blob layout — chunk each media payload into
     // fixed 64-byte parts with offsets and per-part digests (the
     // manifest a blob store / multipart upload needs; also how >2 GB
@@ -606,6 +621,26 @@ object VectorQueries {
         |  md5(substr(h, frame_id * 32 + 1, 32)) AS frame_md5,
         |  CAST(n_frames AS BIGINT) AS n_frames
         |FROM s ORDER BY doc_id, sample_id""".stripMargin,
+
+    // m05: the pixel formula replayed directly — per-pixel integer
+    // Rec.601 luma with floor division, summed per image; mean is
+    // sum·1e4/64 (both factors exact in double) with half-up floor.
+    "m05_image_roundtrip" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | px AS (SELECT doc_id, xs.i AS x, ys.i AS y FROM ids,
+        |   (SELECT unnest(range(0, 8)) AS i) xs,
+        |   (SELECT unnest(range(0, 8)) AS i) ys),
+        | lum AS (SELECT doc_id,
+        |    ((((doc_id * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
+        |     (((doc_id * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((doc_id * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |   FROM px),
+        | agg AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS s
+        |   FROM lum GROUP BY doc_id)
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  floor(CAST(s AS DOUBLE) * 10000.0 / 64 + 0.5) / 10000.0 AS mean_luma
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // m02: Multimodal.fakeDecode mirrored byte-for-byte — b0/b1 and
     // the byte sum are decoded from hex pairs (16·hi + lo via strpos
