@@ -160,6 +160,29 @@ object StreamQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // S12: CHAINED STATEFUL OPERATORS — streaming dedup feeding a
+    // watermarked append-mode window aggregate in ONE query (two
+    // state stores in one MicroBatchExecution pipeline, the Spark
+    // 3.5+/4.x multi-stateful capability). Distinct users per hour:
+    // dropDuplicates on (user_id, hour window) exposes only key
+    // columns (arrival-order-invariant), the downstream agg counts
+    // keys per sealed window. Deterministic under the single-file
+    // AvailableNow source exactly as st12: one data batch advances
+    // the watermark to max(ts) − 10 min, the closing batch emits the
+    // sealed windows, which the oracle states directly.
+    "st14_chained_stateful" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.withWatermark("ts", "10 minutes")
+          .select(col("user_id"), window(col("ts"), "1 hour").as("w"))
+          .dropDuplicates("user_id", "w")
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_users"))
+      }
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("n_users"))
+        .orderBy("hour_start_us")
+    }),
+
     // R32: stream-static dim join through the streaming engine — the
     // event stream broadcast-joins the static nation dim (re-read per
     // micro-batch in general; one batch here), then a complete-mode
@@ -377,6 +400,17 @@ object StreamQueries {
     "st09_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // st14: distinct users per sealed hour window (same sealed-window
+    // cut as st12, dedup collapsed into COUNT(DISTINCT)).
+    "st14_chained_stateful" ->
+      """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS w FROM events),
+        | agg AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT hour_start_us, n_users FROM agg, wm
+        |WHERE hour_start_us + 3600000000 <= w
+        |ORDER BY hour_start_us""".stripMargin,
 
     // st12: the sealed-window set stated directly — windows whose end
     // is at or before the final watermark (max ts − 10 min).

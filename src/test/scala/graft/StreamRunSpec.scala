@@ -129,6 +129,23 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("chained stateful operators: dedup + windowed agg run as two state stores in one plan") {
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      e.withWatermark("ts", "10 minutes")
+        .select(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .dropDuplicates("user_id", "w")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+    }
+    // both stateful operators must appear in ONE executed micro-batch
+    // plan — the multi-stateful pipeline, not two separate queries
+    assert(StreamRun.lastPlan.contains("StreamingDeduplicate"),
+      s"expected dedup state in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("StateStoreSave"),
+      s"expected agg state in:\n${StreamRun.lastPlan}")
+    assert(streamed.count() > 0)
+  }
+
   test("left-outer interval join equals batch on the closed region and runs LeftOuter state") {
     // st13's contract: inside the closed region (clicks at least
     // 41 min before min(max tc, max tp)) the streaming left-outer
