@@ -134,11 +134,16 @@ object StreamQueries {
     // computed from the batch table (a 1-row min/max aggregate) and
     // mirrored verbatim in the DuckDB oracle.
     "st13_interval_left" -> ((s, dir) => {
-      val ext = events(s, dir).agg(
+      val extRow = events(s, dir).agg(
           max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
           max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
-        .select(least(col("mc"), col("mp")).as("m")).head().getLong(0)
-      val closedUs = ext - (30L + 10L + 1L) * 60L * 1000000L
+        .select(least(col("mc"), col("mp")).as("m")).head()
+      // A side with no rows never advances its watermark, so nothing
+      // is ever evicted/sealed: the closed region is empty — which is
+      // exactly what the oracle's NULL bound (tc <= NULL) yields.
+      val closedUs =
+        if (extRow.isNullAt(0)) Long.MinValue
+        else extRow.getLong(0) - (30L + 10L + 1L) * 60L * 1000000L
       StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
         val c = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
