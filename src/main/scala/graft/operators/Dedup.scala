@@ -111,6 +111,12 @@ object Dedup {
     val prep0 = docs.select(col(idCol).as("id"),
         struct(blockBy: _*).as("blk"), lenCol.cast("long").as("len"),
         substring(normText(col(textCol)), 1, prefixLen).as("p"))
+      // Sorted char-code multiset of the prefix, computed ONCE per doc:
+      // feeds the bag-distance lower bound below. (split("", "") yields
+      // [""] → a phantom code 0; normText is printable ASCII so 0 never
+      // collides with a real char and the bound stays a lower bound.)
+      .withColumn("pc", sort_array(transform(split(col("p"), ""),
+        ch => ascii(ch).cast("long"))))
       .persist()
     val prep = cap match {
       case Some(n) => prep0
@@ -123,6 +129,14 @@ object Dedup {
     prep.as("a").join(prep.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= lenTol)
+      // Bag-distance prune (Navarro: max(|x|,|y|) − |x ⊓ y| ≤ ed(x,y)):
+      // one codegen'd merge over the pre-sorted char codes kills most
+      // far-apart candidates for ~prefixLen comparisons instead of the
+      // O(maxDist·prefixLen) DP — a pure lower bound, so the survivor
+      // set (and the oracle) is unchanged.
+      .filter(greatest(size(col("a.pc")), size(col("b.pc"))) -
+        GraftFunctions.sorted_long_intersect_size(col("a.pc"), col("b.pc"))
+        <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         // banded DP: O(maxDist·prefixLen) per pair with early exit
         // (-1 when the distance exceeds the bound) — ~8× less work
