@@ -51,9 +51,57 @@ object Bpe {
 
   /** Run `merges` BPE rounds; returns (round, left, right, pair_count)
     * — the learned merge table, most-frequent-first by construction.
+    *
+    * @param localFinishWords once the corpus is reduced to its word-
+    *   frequency table, a vocabulary at or below this many rows runs
+    *   ALL merge rounds inside one executor task (the CC local-finish
+    *   pattern: identical argmax order and identical left-to-right
+    *   literal replace, so the merge table is bit-equal to the
+    *   distributed rounds') instead of paying `merges` scheduling
+    *   round-trips on a tiny table. Larger vocabularies take the
+    *   distributed per-round path unchanged. Pass 0 to force it.
     */
-  def train(docs: DataFrame, textCol: String, merges: Int): Seq[(Int, String, String, Long)] = {
-    var v = vocab(docs, textCol).select("n_word", "sym").persist()
+  def train(docs: DataFrame, textCol: String, merges: Int,
+            localFinishWords: Long = 2000000L): Seq[(Int, String, String, Long)] = {
+    val v0 = vocab(docs, textCol).select("n_word", "sym").persist()
+    // count doubles as the materializing action: the corpus-sized
+    // word count runs exactly once whichever path follows.
+    if (v0.count() <= localFinishWords) {
+      import docs.sparkSession.implicits._
+      val rows = v0.select(col("n_word"), col("sym")).coalesce(1)
+        .mapPartitions { it =>
+          var cur = it.map(r => (r.getLong(0), r.getString(1))).toArray
+          val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+          var round = 1
+          var go = true
+          while (round <= merges && go) {
+            val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            for ((nw, sym) <- cur) {
+              val syms = sym.substring(1, sym.length - 1).split("\\|\\|")
+              var i = 0
+              while (i < syms.length - 1) {
+                val k = (syms(i), syms(i + 1))
+                counts(k) = counts.getOrElse(k, 0L) + nw
+                i += 1
+              }
+            }
+            if (counts.isEmpty) go = false
+            else {
+              // (count DESC, left, right) — the distributed argmax order
+              val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+              acc += ((round, l, r, c))
+              cur = cur.map { case (nw, sym) =>
+                (nw, sym.replace(s"|$l||$r|", s"|$l$r|"))
+              }
+              round += 1
+            }
+          }
+          acc.iterator
+        }.collect() // ≤ `merges` rows — the merge table, driver-small
+      v0.unpersist()
+      return rows.toSeq.sortBy(_._1)
+    }
+    var v = v0
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to merges) {
       val top = v.select(col("n_word"), explode(pairs(col("sym"))).as("p"))
