@@ -46,6 +46,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("forced iterative path equals the union-find local finish") {
+    // the local finish (localFinishEdges default) now serves small
+    // graphs; the distributed pointer-jumping rounds are the 100 TB
+    // path and must stay correct — force them with localFinishEdges=0
+    // on the shapes above and on a seeded random graph
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val graphs = Seq(
+      (0L until 199L).map(i => (i, i + 1)),                        // deep chain
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (7L, 8L)),
+      Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b })
+    for (g <- graphs) {
+      val df = g.toDF("a", "b")
+      val local = ConnectedComponents.minLabel(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = ConnectedComponents.minLabel(df, localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist)
+    }
+  }
+
   test("alternatingStar matches minLabel on shallow mixed graphs") {
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (7L, 8L))

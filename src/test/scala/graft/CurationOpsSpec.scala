@@ -133,6 +133,18 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bpe.train forced distributed rounds equal the local finish") {
+    import graft.operators.Bpe
+    val rnd = new scala.util.Random(11)
+    val lexicon = Vector.fill(10)((1 to (2 + rnd.nextInt(4)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val text = (1 to 50).map(_ => lexicon(rnd.nextInt(lexicon.size))).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val local = Bpe.train(df, "text", merges = 5)
+    val dist = Bpe.train(df, "text", merges = 5, localFinishWords = 0L)
+    assert(local == dist)
+  }
+
   test("mixtureSample thins rich strata toward target weights and keeps poor ones whole") {
     val rows = (1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "zh"))
     val df = rows.toDF("doc_id", "lang")
