@@ -604,6 +604,47 @@ object TextQueries {
         .orderBy("source", "rk")
     }),
 
+    // L64: incremental curation end-to-end — the 100 TB recrawl flow
+    // the round's pieces compose into: d22's snapshot delta marks
+    // added ∪ changed docs, ONLY those are re-scored (t02's quality),
+    // d24's relative per-source gate keeps the top 30% of the new
+    // material, and the output is the per-source ingest report
+    // (n_ingested, n_kept, kept-quality micro sum). The full corpus
+    // is never rescanned — the work set is delta-sized, which is the
+    // entire point of the CDC primitive.
+    "d25_incremental_curation" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val a = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+      val b = a.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7L)) === 2L, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(pmod(col("doc_id"), lit(13L)) === 5L)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            concat(lit("fresh crawl "), col("text")).as("text")))
+      val delta = Dedup.snapshotDelta(a.select("doc_id", "text"),
+          b.select("doc_id", "text"), "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+        .select("doc_id").distinct()
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val qcol = TextStats.qualityColumns(norm, toks).toMap.apply("quality")
+      val work = b.join(delta, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), qcol.as("quality"))
+      val kept = Sampling.topFractionByScore(work, "doc_id", "source",
+        "quality", 3, 10)
+      val ingested = work.groupBy("source").agg(count(lit(1)).as("n_ingested"))
+      val keptAgg = kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
+        sum(floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long"))
+          .as("kept_quality_micro"))
+      ingested.join(keptAgg, Seq("source"), "left")
+        .select(col("source"), col("n_ingested"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_quality_micro"), lit(0L)).as("kept_quality_micro"))
+        .orderBy("source")
+    }),
+
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
     // subset is a deterministic uniform k-sample any engine replays
@@ -1333,6 +1374,58 @@ object TextQueries {
          |       WHEN bucket < 95 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM bkt ORDER BY doc_id""".stripMargin,
+
+    // d25: d22's delta CTEs (status restricted to added/changed) →
+    // t02's quality chain over the DELTA-sized work set → d24's
+    // window gate → the per-source ingest report; kept-quality summed
+    // as half-up micro BIGINTs so the sum is order-independent.
+    "d25_incremental_curation" ->
+      s"""WITH a AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents),
+         | b AS (
+         |   SELECT doc_id, source,
+         |     CASE WHEN ((doc_id % 7) + 7) % 7 = 2 THEN text || ' rev2'
+         |          ELSE text END AS text
+         |   FROM a WHERE ((doc_id % 11) + 11) % 11 <> 3
+         |   UNION ALL
+         |   SELECT doc_id + 10000000, source, 'fresh crawl ' || text
+         |   FROM a WHERE ((doc_id % 13) + 13) % 13 = 5),
+         | ah AS (SELECT doc_id, md5(${PortableHashSql.norm("text")}) AS old_hash FROM a),
+         | bh AS (SELECT doc_id, md5(${PortableHashSql.norm("text")}) AS new_hash FROM b),
+         | delta AS (SELECT DISTINCT COALESCE(ah.doc_id, bh.doc_id) AS doc_id
+         |   FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id
+         |   WHERE (ah.old_hash IS NULL AND bh.new_hash IS NOT NULL)
+         |      OR (ah.old_hash IS NOT NULL AND bh.new_hash IS NOT NULL
+         |          AND ah.old_hash <> bh.new_hash)),
+         | work AS (SELECT b.doc_id, b.source, b.text FROM b JOIN delta USING (doc_id)),
+         | q AS (
+         |  SELECT doc_id, source,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |          ${safeDivSql("allstop", "n_tokens")} * 0.3 +
+         |          ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      length(norm) AS n_chars, len(toks) AS n_tokens,
+         |      length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |      ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+         |    FROM (SELECT doc_id, source, $normSql AS norm,
+         |            string_split($normSql, ' ') AS toks
+         |          FROM work))),
+         | r AS (SELECT source, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+         |  FROM q),
+         | kept AS (SELECT * FROM r WHERE rk * 10 <= n_group * 3 + 9),
+         | ing AS (SELECT source, count(*) AS n_ingested FROM work GROUP BY source),
+         | ka AS (SELECT source, count(*) AS n_kept,
+         |    CAST(sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS kept_quality_micro
+         |  FROM kept GROUP BY source)
+         |SELECT source, n_ingested,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(kept_quality_micro, 0) AS kept_quality_micro
+         |FROM ing LEFT JOIN ka USING (source)
+         |ORDER BY source""".stripMargin,
 
     // d24: t02's exact quality chain + one ranked window per source;
     // the ⌈0.3n⌉ keep is the integer cross-multiplication
