@@ -103,10 +103,11 @@ object FlowCytoQueries {
     // threshold = left edge of the first smoothed-count VALLEY after
     // the main peak. Every step is integer arithmetic over the dense
     // 32-row-per-sample bin spine (windows run on bin-spine
-    // cardinality, never events); the event scan is touched three
-    // times — the per-sample [lo, hi]/count stats, the histogram
-    // build, and the below/above gate counts — each a single keyed
-    // aggregation (the persisted frames stop any further recompute).
+    // cardinality, never events); the event scan is touched twice
+    // — the per-sample [lo, hi]/count stats and the histogram
+    // build; the below/above gate counts are whole-bin sums read off
+    // the persisted spine (the gate sits on a bin edge), not a third
+    // event pass.
     "f17_density_gate" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
@@ -115,7 +116,7 @@ object FlowCytoQueries {
       // stats (sample-cardinality) and the smoothed spine (32 rows ×
       // samples) are persisted: every downstream branch re-derived
       // the whole histogram chain otherwise (plan-audited: 12+ event
-      // scans → the documented three). Verify/Bench clearCache between
+      // scans → the documented two). Verify/Bench clearCache between
       // queries (library contract).
       val stats = li.groupBy(keys.map(col): _*)
         .agg(min("cents").as("lo"), max("cents").as("hi"),
@@ -148,11 +149,14 @@ object FlowCytoQueries {
       val gate = stats.join(valley, keys)
         .withColumn("threshold_cents",
           expr("lo + (valley_bin * (hi - lo + 1)) div 32"))
-      val counts = binned.join(broadcast(gate.select((keys.map(col) :+
-          col("valley_bin")): _*)), keys)
+      // The gate sits on a bin EDGE, so below/above are exact sums of
+      // whole-bin counts — read them off the persisted 32-row spine
+      // instead of a third event scan.
+      val counts = sm.select((keys.map(col) :+ col("bin") :+ col("cnt")): _*)
+        .join(broadcast(gate.select((keys.map(col) :+ col("valley_bin")): _*)), keys)
         .groupBy(keys.map(col): _*)
-        .agg(sum(when(col("bin") < col("valley_bin"), 1L).otherwise(0L)).as("n_below"),
-          sum(when(col("bin") >= col("valley_bin"), 1L).otherwise(0L)).as("n_above"))
+        .agg(sum(when(col("bin") < col("valley_bin"), col("cnt")).otherwise(0L)).as("n_below"),
+          sum(when(col("bin") >= col("valley_bin"), col("cnt")).otherwise(0L)).as("n_above"))
       gate.join(counts, keys)
         .select(col("l_returnflag"), col("l_linestatus"), col("n_events"),
           col("peak_bin"), col("valley_bin"), col("threshold_cents"),
