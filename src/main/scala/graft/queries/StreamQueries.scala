@@ -258,6 +258,29 @@ object StreamQueries {
         .orderBy("hour_start_us", "event_type")
     }),
 
+    // S13: append-mode watermarked native session_window — the
+    // PRODUCTION sessionization form (st03 is complete-mode): only
+    // sessions SEALED by the final watermark emit. A session is
+    // sealed when its window end (last event + 30-min gap) is at or
+    // before the watermark; with the single-file AvailableNow source
+    // the final watermark is max(ts) − 10 min, so the oracle states
+    // the sealed set directly on top of st03's session derivation.
+    // Same >= split convention as st03 (session_window merges only
+    // strictly-overlapping windows).
+    "st15_append_sessions" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+      }
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          ((unix_micros(col("sw.end")) - unix_micros(col("sw.start"))
+            - 1800000000L) / lit(1000000L)).cast("long").as("duration_s"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // S9: streaming data-quality monitor — q39's z-score prune run
     // through the REAL engine as a stream-static join: per-type μ/σ
     // computed batch-side (dim-sized, broadcast into the stream),
@@ -405,6 +428,31 @@ object StreamQueries {
     "st09_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // st15: st03's session derivation + the sealed cut — a session
+    // emits iff its end (last event + 30-min gap) is at or before the
+    // ms-resolution final watermark (max ts − 10 min).
+    "st15_append_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        | sess AS (SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
+        |    count(*) AS n_events, max(epoch_us(ts)) AS last_us
+        |  FROM numbered GROUP BY user_id, session_idx),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS w FROM events)
+        |SELECT user_id, session_start_us, duration_s, n_events
+        |FROM sess, wm WHERE last_us + 1800000000 <= w
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // st14: distinct users per sealed hour window (same sealed-window
     // cut as st12, dedup collapsed into COUNT(DISTINCT)).
