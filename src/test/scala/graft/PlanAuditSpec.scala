@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-wide scale guard: PLAN every registered batch query and
+  * assert no unbounded join shape snuck in. This is the automated
+  * form of the per-operator `.explain` audit — a CartesianProduct
+  * (or an unexpected non-broadcast nested loop) is the class of plan
+  * that silently works at sf0.001 and detonates at 100 TB.
+  *
+  * Streaming queries (st*) are excluded: constructing them executes a
+  * full MicroBatchExecution run; their plan evidence lives in
+  * StreamRunSpec/StreamingSpec instead.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SharedSpark.{sfDir, spark}
+
+  // Deliberate broadcast nested loops (tiny broadcast side by
+  // construction — seeds/queries/planes/eval grams/1-row bounds or a
+  // driver-small dim): every OTHER query must plan pure equi-joins.
+  private val bnljAllowed = Set(
+    "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s04_centroids",
+    "s06_pca_project", "s08_cluster_assign", "s09_cluster_pairs",
+    "s10_kmeans_refine", "t29_rrf_hybrid", "d05_embed_neardup",
+    "d08_contamination", "d12_semantic_keep", "d17_fuzzy_decontam",
+    "q20_above_avg", "q33_bloom_join", "q47_dq_audit", "q48_group_quantiles",
+    "f16_spillover_fit", "t07_tfidf", "t17_lm_score", "t23_bm25",
+    "t25_vocab_growth", "t28_source_overlap", "d21_minhash_calib",
+    "d15_curation_pipeline", "d25_incremental_curation",
+    // crossJoin(broadcast(<1-row corpus aggregate>)) attachments:
+    "t12_vocab", "t13_bigram_lift", "d18_source_profile")
+
+  test("no registered batch query plans a CartesianProduct; BNLJ only where whitelisted") {
+    val batch = SparkEntry.queries.filterNot(_._1.startsWith("st"))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- batch.toSeq.sortBy(_._1)) {
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"scale-unsafe join shapes:\n${offenders.mkString("\n")}")
+  }
+}
