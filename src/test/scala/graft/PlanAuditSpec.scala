@@ -46,4 +46,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"scale-unsafe join shapes:\n${offenders.mkString("\n")}")
   }
+
+  test("filters and column pruning reach the parquet scan (q01 exemplar)") {
+    // The scan-side contract the whole relational family relies on:
+    // q01's shipdate predicate must appear in PushedFilters and the
+    // lineitem ReadSchema must be pruned to the referenced columns,
+    // not the full 16-column table.
+    val plan = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val nCols = scanCols.split(",").count(_.nonEmpty)
+    assert(nCols > 0 && nCols <= 8, s"lineitem scan not pruned ($nCols cols): $scanCols")
+  }
+
+  test("dim joins broadcast: q05 star join plans no shuffle on the dim sides") {
+    val plan = SparkEntry.queries("q05_region_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
