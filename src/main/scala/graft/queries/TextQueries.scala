@@ -645,6 +645,44 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // L65: containment near-dup (Broder's asymmetric measure
+    // |A∩B|/|A| — catches a doc QUOTED/EMBEDDED inside a larger one,
+    // which symmetric Jaccard misses because the union is dominated
+    // by the container). Candidates come from the shared-4-gram
+    // inverted index (d11's linear-shuffle blocking — size-based
+    // blocking is unusable here by definition, containee and
+    // container differ in size); the verify step is one sorted-long
+    // multiset merge per pair; the keep test is integer
+    // cross-multiplied (10·inter ≥ 9·|src|). Directed output: both
+    // orientations of a candidate pair are tested.
+    "d26_containment" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      val d = docs(s, dir)
+      val pairs = CorpusOps.sharedGramPairs(d, "doc_id", "text", n = 4)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+      val toks = d.select(col("doc_id").cast("long").as("id"),
+        sort_array(array_distinct(
+          transform(Dedup.tokens(col("text")), t => xxhash64(t)))).as("tk"))
+      val j = pairs
+        .join(toks.select(col("id").as("id_a"), col("tk").as("ta")), "id_a")
+        .join(toks.select(col("id").as("id_b"), col("tk").as("tb")), "id_b")
+        .withColumn("inter",
+          graft.functions.GraftFunctions.sorted_long_intersect_size(col("ta"), col("tb")))
+      val d1 = j.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("inter"), size(col("ta")).as("n_src"))
+      val d2 = j.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        col("inter"), size(col("tb")).as("n_src"))
+      d1.unionByName(d2)
+        .filter(col("inter").cast("long") * lit(10L) >= col("n_src").cast("long") * lit(9L))
+        .select(col("contained_id"), col("container_id"),
+          col("inter").cast("long").as("inter"),
+          col("n_src").cast("long").as("n_src"),
+          round(col("inter").cast("double") / col("n_src").cast("double"), 3)
+            .as("containment"))
+        .orderBy("contained_id", "container_id")
+    }),
+
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
     // subset is a deterministic uniform k-sample any engine replays
@@ -1426,6 +1464,33 @@ object TextQueries {
          |  COALESCE(kept_quality_micro, 0) AS kept_quality_micro
          |FROM ing LEFT JOIN ka USING (source)
          |ORDER BY source""".stripMargin,
+
+    // d26: d11's shared-gram candidate replay + list_intersect
+    // containment on distinct token sets, both orientations, integer
+    // cross-multiplied threshold.
+    "d26_containment" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+         |  FROM documents),
+         | d AS (SELECT doc_id, list_distinct(${shingleSql(4)}) AS grams,
+         |    list_distinct(toks) AS tk FROM base),
+         | ex AS (SELECT doc_id, unnest(grams) AS g FROM d),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         | j AS (SELECT id_a, id_b,
+         |    len(list_intersect(da.tk, db.tk)) AS inter,
+         |    len(da.tk) AS na, len(db.tk) AS nb
+         |   FROM cand
+         |   JOIN d da ON da.doc_id = id_a
+         |   JOIN d db ON db.doc_id = id_b),
+         | dird AS (SELECT id_a AS contained_id, id_b AS container_id, inter, na AS n_src FROM j
+         |   UNION ALL
+         |   SELECT id_b, id_a, inter, nb FROM j)
+         |SELECT CAST(contained_id AS BIGINT) AS contained_id,
+         |  CAST(container_id AS BIGINT) AS container_id,
+         |  CAST(inter AS BIGINT) AS inter, CAST(n_src AS BIGINT) AS n_src,
+         |  round(CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE), 3) AS containment
+         |FROM dird WHERE inter * 10 >= n_src * 9
+         |ORDER BY contained_id, container_id""".stripMargin,
 
     // d24: t02's exact quality chain + one ranked window per source;
     // the ⌈0.3n⌉ keep is the integer cross-multiplication
