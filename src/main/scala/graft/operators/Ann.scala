@@ -273,6 +273,10 @@ object Ann {
           transform(col("dm"),
             x => (x.getField("centroid_micro").cast("double") / lit(quantScale))
               .cast("float")).as(embCol))
+        // k-row table: truncate lineage every round, as the CC loop
+        // does — without this, round i's assign chains through every
+        // prior round's corpus passes and the plan grows per iteration.
+        .localCheckpoint(true)
       assign = assignToSeeds(corpus, centroids, idCol, embCol)
     }
     assign

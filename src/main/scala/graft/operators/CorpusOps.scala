@@ -89,6 +89,59 @@ object CorpusOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** L65 — asymmetric containment near-dup (Broder 1997's
+    * |A∩B|/|A|): catches a document QUOTED/EMBEDDED inside a larger
+    * one, which symmetric Jaccard misses because the union is
+    * dominated by the container. Candidates come from the shared-
+    * n-gram inverted index ([[sharedGramPairs]] — size-based blocking
+    * is unusable here by definition: containee and container differ
+    * in size); the verify step is one sorted-long multiset merge per
+    * pair; the keep test is integer cross-multiplied
+    * (100·inter ≥ threshPct·|src|). Directed output: both
+    * orientations of a candidate pair are tested.
+    *
+    * GOVERNANCE AT SCALE: with `cap = None` the candidate index is
+    * EXACT but a boilerplate n-gram shared by B documents fans out
+    * B² pairs — at 100 TB a single hot 4-gram (license header, nav
+    * bar) makes the index quadratic. Production runs MUST pass
+    * `cap = Some(c)` (same hot-bucket contract as d03's LSH bucket
+    * cap / s09's hot-cell cap): grams in more than c documents are
+    * dropped from the index, which can only LOSE candidate pairs
+    * whose every shared gram is boilerplate-hot — exactly the pairs
+    * a dedup pass doesn't want anyway. The oracle-exact d26 query
+    * uses cap = None because exactness is the contract there;
+    * CurationOpsSpec pins capped ⊆ uncapped and equality on a
+    * hot-gram-free corpus.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 4, threshPct: Int = 90,
+                       cap: Option[Int] = None): DataFrame = {
+    import graft.functions.GraftFunctions
+    val pairs = sharedGramPairs(docs, idCol, textCol, n = n, cap = cap)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      sort_array(array_distinct(
+        transform(tokens(col(textCol)), t => xxhash64(t)))).as("tk"))
+    val j = pairs
+      .join(toks.select(col("id").as("id_a"), col("tk").as("ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tk").as("tb")), "id_b")
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("ta"), col("tb")))
+    val d1 = j.select(col("id_a").as("contained_id"),
+      col("id_b").as("container_id"), col("inter"), size(col("ta")).as("n_src"))
+    val d2 = j.select(col("id_b").as("contained_id"),
+      col("id_a").as("container_id"), col("inter"), size(col("tb")).as("n_src"))
+    d1.unionByName(d2)
+      .filter(col("inter").cast("long") * lit(100L) >=
+        col("n_src").cast("long") * lit(threshPct.toLong))
+      .select(col("contained_id"), col("container_id"),
+        col("inter").cast("long").as("inter"),
+        col("n_src").cast("long").as("n_src"),
+        round(col("inter").cast("double") / col("n_src").cast("double"), 3)
+          .as("containment"))
+  }
+
   /** Decontamination with eval-doc attribution (which/how many eval
     * docs each corpus doc collides with). The gram-keyed inner join
     * multiplies hot grams by their eval-doc frequency — use on

@@ -110,22 +110,30 @@ object Multimodal {
     ids.mapPartitions { it =>
       it.map { boxedId =>
         val id: Long = boxedId
+        // Bound the id BEFORE the channel products: id*31 would wrap
+        // silently in Long for |id| ≳ 3e17, while the oracle's BIGINT
+        // multiplication raises out-of-range instead of wrapping — the
+        // two engines would diverge exactly when it matters. floorMod
+        // into [0, 2^31) keeps every product < 2^36; the oracle
+        // mirrors the same pmod.
+        val sid = Math.floorMod(id, 2147483648L)
         val img = new java.awt.image.BufferedImage(
           side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < side) {
           var x = 0
           while (x < side) {
-            val r = Math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
-            val g = Math.floorMod(id * 17 + x * 3 + y * 5, 256).toInt
-            val b = Math.floorMod(id * 11 + x * 19 + y * 23, 256).toInt
+            val r = Math.floorMod(sid * 31 + x * 7 + y * 13, 256).toInt
+            val g = Math.floorMod(sid * 17 + x * 3 + y * 5, 256).toInt
+            val b = Math.floorMod(sid * 11 + x * 19 + y * 23, 256).toInt
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
             x += 1
           }
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
+        if (!javax.imageio.ImageIO.write(img, "png", baos))
+          throw new IllegalStateException(s"no PNG writer for id $id")
         val (w, h, _, m) = decodeImage(baos.toByteArray).getOrElse(
           throw new IllegalStateException(s"PNG roundtrip failed for id $id"))
         (id, w, h, math.floor(m * 10000 + 0.5) / 10000)

@@ -1185,7 +1185,7 @@ object Relational {
         |      ORDER BY doc_id NULLS FIRST, bytes NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         |  FROM src),
-        | b AS (SELECT source, doc_id, bytes, start_off // 4000 AS bin,
+        | b AS (SELECT source, doc_id, bytes, CAST(start_off // 4000 AS BIGINT) AS bin,
         |    CASE WHEN bytes < 4000 THEN 1 ELSE 0 END AS small FROM inv)
         |SELECT source, bin, count(*) AS n_files,
         |  CAST(sum(bytes) AS BIGINT) AS bytes,

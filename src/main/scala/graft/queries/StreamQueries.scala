@@ -137,13 +137,17 @@ object StreamQueries {
       val extRow = events(s, dir).agg(
           max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
           max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
-        .select(least(col("mc"), col("mp")).as("m")).head()
-      // A side with no rows never advances its watermark, so nothing
-      // is ever evicted/sealed: the closed region is empty — which is
-      // exactly what the oracle's NULL bound (tc <= NULL) yields.
+        .head()
+      // A side with no rows never advances its watermark, so the global
+      // min watermark stays at epoch and nothing is ever evicted/sealed:
+      // the closed region is empty when EITHER side is empty. mc and mp
+      // are read separately because least() skips NULLs (in Spark AND
+      // DuckDB) — least(mc, NULL) = mc would claim a non-empty closed
+      // region on a purchase-free instance the engine never flushes.
       val closedUs =
-        if (extRow.isNullAt(0)) Long.MinValue
-        else extRow.getLong(0) - (30L + 10L + 1L) * 60L * 1000000L
+        if (extRow.isNullAt(0) || extRow.isNullAt(1)) Long.MinValue
+        else math.min(extRow.getLong(0), extRow.getLong(1)) -
+          (30L + 10L + 1L) * 60L * 1000000L
       StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
         val c = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
@@ -397,8 +401,11 @@ object StreamQueries {
         | p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
         |    epoch_us(ts) AS tp
         |  FROM events WHERE event_type = 'purchase'),
-        | b AS (SELECT least((SELECT max(tc) FROM c), (SELECT max(tp) FROM p))
-        |    - 2460000000 AS bound)
+        | b AS (SELECT CASE
+        |    WHEN (SELECT max(tc) FROM c) IS NULL
+        |      OR (SELECT max(tp) FROM p) IS NULL THEN NULL
+        |    ELSE least((SELECT max(tc) FROM c), (SELECT max(tp) FROM p))
+        |      - 2460000000 END AS bound)
         |SELECT user_id, click_id, purchase_id,
         |  (tp - tc) // 1000000 AS lag_s, tc AS tc_us
         |FROM c LEFT JOIN p ON user_id = p_user_id

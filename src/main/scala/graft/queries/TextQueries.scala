@@ -655,31 +655,14 @@ object TextQueries {
     // multiset merge per pair; the keep test is integer
     // cross-multiplied (10·inter ≥ 9·|src|). Directed output: both
     // orientations of a candidate pair are tested.
+    // cap = None here because the oracle hash-checks the EXACT pair
+    // set; production passes cap (see containmentPairs's governance
+    // scaladoc — a hot boilerplate 4-gram makes the exact index
+    // quadratic at 100 TB).
     "d26_containment" -> ((s, dir) => {
-      import graft.operators.CorpusOps
-      val d = docs(s, dir)
-      val pairs = CorpusOps.sharedGramPairs(d, "doc_id", "text", n = 4)
-        .select(col("id_a").cast("long").as("id_a"),
-          col("id_b").cast("long").as("id_b"))
-      val toks = d.select(col("doc_id").cast("long").as("id"),
-        sort_array(array_distinct(
-          transform(Dedup.tokens(col("text")), t => xxhash64(t)))).as("tk"))
-      val j = pairs
-        .join(toks.select(col("id").as("id_a"), col("tk").as("ta")), "id_a")
-        .join(toks.select(col("id").as("id_b"), col("tk").as("tb")), "id_b")
-        .withColumn("inter",
-          graft.functions.GraftFunctions.sorted_long_intersect_size(col("ta"), col("tb")))
-      val d1 = j.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
-        col("inter"), size(col("ta")).as("n_src"))
-      val d2 = j.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
-        col("inter"), size(col("tb")).as("n_src"))
-      d1.unionByName(d2)
-        .filter(col("inter").cast("long") * lit(10L) >= col("n_src").cast("long") * lit(9L))
-        .select(col("contained_id"), col("container_id"),
-          col("inter").cast("long").as("inter"),
-          col("n_src").cast("long").as("n_src"),
-          round(col("inter").cast("double") / col("n_src").cast("double"), 3)
-            .as("containment"))
+      graft.operators.CorpusOps
+        .containmentPairs(docs(s, dir), "doc_id", "text",
+          n = 4, threshPct = 90, cap = None)
         .orderBy("contained_id", "container_id")
     }),
 
@@ -1072,7 +1055,7 @@ object TextQueries {
     "d04_simhash" ->
       s"""WITH ${PortableHashSql.simhashCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  bit_count(xor(a.fp_sim, b.fp_sim)) AS hamming
+         |  CAST(bit_count(xor(a.fp_sim, b.fp_sim)) AS BIGINT) AS hamming
          |FROM simfp a JOIN simfp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp_sim, b.fp_sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
@@ -1280,8 +1263,8 @@ object TextQueries {
          | b AS (SELECT (first_seen // 50 + 1) * 50 AS bucket_end, count(*) AS new_grams
          |       FROM fs GROUP BY 1)
          |SELECT bucket_end, new_grams,
-         |  sum(new_grams) OVER (ORDER BY bucket_end
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+         |  CAST(sum(new_grams) OVER (ORDER BY bucket_end
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
          |FROM b ORDER BY bucket_end""".stripMargin,
 
     // t26: the same phrase learning (deterministic tie-break) and the

@@ -628,13 +628,15 @@ object VectorQueries {
     "m05_image_roundtrip" ->
       """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
         |   FROM documents WHERE doc_id IS NOT NULL),
-        | px AS (SELECT doc_id, xs.i AS x, ys.i AS y FROM ids,
+        | px AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   xs.i AS x, ys.i AS y FROM ids,
         |   (SELECT unnest(range(0, 8)) AS i) xs,
         |   (SELECT unnest(range(0, 8)) AS i) ys),
         | lum AS (SELECT doc_id,
-        |    ((((doc_id * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
-        |     (((doc_id * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
-        |     (((doc_id * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |    ((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
         |   FROM px),
         | agg AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS s
         |   FROM lum GROUP BY doc_id)

@@ -258,4 +258,54 @@ class CurationOpsSpec extends AnyFunSuite {
     val r5 = got(5L)
     assert(r5.getDouble(r5.fieldIndex("bullet_frac")) == 0.9091)
   }
+
+  test("containmentPairs: directed containment; cap drops only boilerplate-hot candidates") {
+    // Doc 2 is doc 1 quoted inside extra prose (containment 1.0 for
+    // the 1→2 direction); docs 3..6 all share one hot boilerplate
+    // 3-gram ("all rights reserved") and nothing else.
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      (1L, body),
+      (2L, s"intro text here $body closing remarks follow now"),
+      (3L, "all rights reserved doc three unique words one"),
+      (4L, "all rights reserved doc four unique words two"),
+      (5L, "all rights reserved doc five unique words three"),
+      (6L, "all rights reserved doc six unique words four")
+    ).toDF("doc_id", "text")
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("contained_id", "container_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = CorpusOps.containmentPairs(corpus, "doc_id", "text",
+      n = 3, threshPct = 90, cap = None)
+    val exactKeys = keyset(exact)
+    assert(exactKeys.contains((1L, 2L)), "quoted doc not caught as contained")
+    assert(!exactKeys.contains((2L, 1L)), "container wrongly marked contained")
+    val r12 = exact.filter(col("contained_id") === 1L).collect().head
+    assert(r12.getDouble(r12.fieldIndex("containment")) == 1.0)
+    spark.catalog.clearCache()
+
+    // cap=3: the "all rights reserved" gram sits in 4 docs → pruned
+    // from the index. Docs 3..6 share nothing else, so their candidate
+    // pairs vanish; the genuine 1↔2 containment must survive (its
+    // shared grams live in exactly 2 docs).
+    val capped = CorpusOps.containmentPairs(corpus, "doc_id", "text",
+      n = 3, threshPct = 90, cap = Some(3))
+    val cappedKeys = keyset(capped)
+    assert(cappedKeys.subsetOf(exactKeys), "cap invented pairs")
+    assert(cappedKeys.contains((1L, 2L)), "cap dropped a non-hot containment")
+    assert(!cappedKeys.exists { case (a, b) => a >= 3L && b >= 3L },
+      "boilerplate-only pairs survived the cap")
+    spark.catalog.clearCache()
+
+    // Hot-gram-free corpus (docs 1,2 only): capped == exact.
+    val clean = corpus.filter(col("doc_id") <= 2L)
+    val cleanExact = keyset(CorpusOps.containmentPairs(clean, "doc_id", "text",
+      n = 3, threshPct = 90, cap = None))
+    spark.catalog.clearCache()
+    val cleanCapped = keyset(CorpusOps.containmentPairs(clean, "doc_id", "text",
+      n = 3, threshPct = 90, cap = Some(3)))
+    assert(cleanExact == cleanCapped && cleanExact.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }

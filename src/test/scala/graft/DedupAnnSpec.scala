@@ -86,7 +86,7 @@ class DedupAnnSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).collect()
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
-      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("hamming") <= 3L)
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
     }
   }

@@ -30,21 +30,45 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin(broadcast(<1-row corpus aggregate>)) attachments:
     "t12_vocab", "t13_bigram_lift", "d18_source_profile")
 
-  test("no registered batch query plans a CartesianProduct; BNLJ only where whitelisted") {
+  // Global (unpartitioned) Window operators sort + stream the WHOLE
+  // input through one task — fine iff the relation is provably bounded
+  // (bucket-/calendar-/file-count cardinality after aggregation), fatal
+  // on a corpus-sized input at 100 TB. Each entry's bound:
+  //   q44_date_spine    — one row per calendar day of the order range
+  //   q49_open_orders   — ±1 delta per order after groupBy(day)
+  //   q50_compaction    — window is PARTITION BY source upstream; the
+  //                       global one ranks bin-count rows
+  //   t25_vocab_growth  — one row per 50-doc bucket after first-seen agg
+  //   t12_vocab         — window input is .limit(100) by construction
+  //   t28_source_overlap— window over source-pair rows (≤ sources²)
+  //   t29_rrf_hybrid    — window over top-k retrieval arms (≤ 2k rows)
+  private val globalWindowAllowed = Set(
+    "q44_date_spine", "q49_open_orders", "q50_compaction",
+    "t25_vocab_growth", "t12_vocab", "t28_source_overlap",
+    "t29_rrf_hybrid")
+
+  test("no CartesianProduct; BNLJ and global Window only where whitelisted") {
     val batch = SparkEntry.queries.filterNot(_._1.startsWith("st"))
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for ((name, fn) <- batch.toSeq.sortBy(_._1)) {
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
+      val qe =
+        try fn(spark, sfDir).queryExecution
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val plan = qe.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      val hasGlobalWindow = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (hasGlobalWindow && !globalWindowAllowed(name))
+        offenders += s"$name: unpartitioned Window over an unaudited relation"
       spark.catalog.clearCache()
     }
     assert(offenders.isEmpty,
-      s"scale-unsafe join shapes:\n${offenders.mkString("\n")}")
+      s"scale-unsafe plan shapes:\n${offenders.mkString("\n")}")
   }
 
   test("filters and column pruning reach the parquet scan (q01 exemplar)") {

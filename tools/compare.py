@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [only]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 sfDir tables, and diffs: column names (sorted), row count, and a hash
 of the value matrix with columns sorted by name and rows sorted.
+
+`only` is the comma-separated prefix list passed to Verify as
+SPARK_GRAFT_ONLY. A missing output directory is tolerated ONLY for
+queries excluded by that list — on a full run, a query that crashed
+engine-side and wrote nothing is a FAIL, not a skip.
 """
 import json, sys, math
 import duckdb
@@ -23,16 +28,23 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    prefixes = [p for p in (only or "").split(",") if p]
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        import os
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            n_skip += 1  # excluded by the SPARK_GRAFT_ONLY subset
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1  # subset run (SPARK_GRAFT_ONLY): not produced
+            # In-subset (or full-run) query with no output: Verify
+            # crashed on it — that is a failure, not a skip.
+            print(f"FAIL {name}: no output directory (engine-side crash?)")
+            n_fail += 1
             continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -60,8 +72,8 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail =="
-          + (f" ({n_skip} not produced, skipped)" if n_skip else ""))
+          + (f" ({n_skip} excluded by subset)" if n_skip else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))

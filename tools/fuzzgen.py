@@ -186,6 +186,20 @@ def make_rel_content():
     return out
 
 
+def make_rel_clicksonly(tables):
+    """One-sided event stream: every purchase row removed. A side with
+    no rows never advances its stream watermark, so st13's left-outer
+    closed region must collapse to EMPTY on both engines — the
+    least()-skips-NULLs trap (least(max_tc, NULL) = max_tc would claim
+    a non-empty region the streaming engine never flushes)."""
+    import pyarrow.compute as pc
+    out = dict(tables)
+    ev = tables["events"]
+    out["events"] = ev.filter(
+        pc.not_equal(ev.column("event_type"), pa.scalar("purchase")))
+    return out
+
+
 def _retype(tbl, casts):
     """Cast named columns to new arrow types (values preserved)."""
     cols = {}
@@ -298,6 +312,7 @@ def main(out):
     rel = make_rel_content()
     write_tables(f"{out}/relcontent", rel)
     write_tables(f"{out}/reltypes", make_rel_typedrift(rel))
+    write_tables(f"{out}/relclicks", make_rel_clicksonly(rel))
     erows = make_embeddings()
     # embcontent: canonical physical types; embtypes: int32 ids,
     # float64 elements (float values widen losslessly — the FLOAT-fold
