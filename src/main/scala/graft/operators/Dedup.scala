@@ -286,31 +286,44 @@ object Dedup {
     * Every stage is narrow or an equi-shuffle on a hash key; `cap`
     * drops degenerate buckets before they go quadratic.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, numHashes: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3, cap: Int = 100): DataFrame = {
+  /** Shared LSH staging: per doc, the banded bucket keys
+    * `(id, nt, band, bucket)` and the distinct-shingle-hash sets
+    * `(id, dtoks)` used for exact verification. One codegen pass:
+    * hash each shingle once, k multiply-add mins; band key is a
+    * portable combine-hash of the band's signature slice (band index
+    * first, then the r minhashes in order) — replicable by the DuckDB
+    * oracle, unlike xxhash64. Tokens are staged first (see
+    * ngramJaccardPairs: element_at inside the shingle lambda
+    * re-evaluates an inlined tokenize per element).
+    */
+  private def lshStaged(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, bands: Int,
+                        shingleN: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Tokens staged first (see ngramJaccardPairs: element_at inside
-    // the shingle lambda re-evaluates an inlined tokenize per element).
     val sh =
       if (shingleN == 1) array_distinct(col("toks"))
       else shingles(col("toks"), shingleN)
-    // one codegen pass: hash each shingle once, k multiply-add mins.
     val base = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), sh.as("sh"))
       .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
       .withColumn("nt", size(array_distinct(col("sh"))))
-    // band key: portable combine-hash of the band's signature slice
-    // (band index first, then the r minhashes in order) — replicable
-    // by the DuckDB oracle, unlike xxhash64.
     val banded = base.select(
         col("id"), col("nt"),
         posexplode(array((0 until bands).map(b =>
           GraftFunctions.mix_hash(
             (lit(b.toLong) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1))): _*)): _*)))
       .toDF("id", "nt", "band", "bucket")
+    val sets = base.select(col("id"),
+      sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("dtoks"))
+    (banded, sets)
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, cap: Int = 100): DataFrame = {
+    val (banded, sets) = lshStaged(docs, idCol, textCol, numHashes, bands, shingleN)
     // salting guard: drop hot buckets (degenerate bands) before pairing.
     val counted = banded
       .withColumn("bucket_n", count(lit(1)).over(
@@ -331,8 +344,6 @@ object Dedup {
       .distinct()
     // verify candidates with exact Jaccard (two slim equi-joins over
     // sorted hash arrays; see jaccardPairs for the hashing rationale).
-    val sets = base.select(col("id"),
-      sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("dtoks"))
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("dtoks", "toks_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("dtoks", "toks_b"), Seq("id_b"))
@@ -343,6 +354,57 @@ object Dedup {
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** L66 — incremental MinHash-LSH dedup: a NEW batch joined against
+    * a STATIC indexed corpus — the production recrawl shape (dedupe
+    * today's crawl against the existing 100 TB corpus WITHOUT
+    * re-mining corpus×corpus). Same signature/banding/verify kernels
+    * as [[minhashLshPairs]]; only new↔corpus pairs are formed — the
+    * candidate join is |batch bands| × matching index buckets, linear
+    * in the batch for healthy buckets. In production the corpus side
+    * of [[lshStaged]] is computed once and PERSISTED as the index
+    * (bucketed by (band, bucket)); here it is recomputed so the
+    * operator stays a pure function of its inputs.
+    *
+    * `cap` governs the INDEX buckets at build time: a corpus bucket
+    * hotter than `cap` docs (boilerplate band) is dropped before any
+    * batch ever probes it — the same hot-bucket contract as
+    * [[minhashLshPairs]], applied where the quadratic risk lives
+    * (hot index bucket × every future batch).
+    *
+    * @return (new_id, corpus_id, jaccard) — exact Jaccard ≥ threshold
+    */
+  def minhashAgainstIndex(newDocs: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 32,
+                          bands: Int = 8, shingleN: Int = 3,
+                          cap: Int = 100): DataFrame = {
+    val (nb, nsets) = lshStaged(newDocs, idCol, textCol, numHashes, bands, shingleN)
+    val (cb, csets) = lshStaged(corpus, idCol, textCol, numHashes, bands, shingleN)
+    val hot = cb.groupBy("band", "bucket").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > cap).select("band", "bucket")
+    val index = cb.join(hot, Seq("band", "bucket"), "left_anti")
+    val tPermille = (threshold * 1000).toLong
+    val cand = nb
+      .select(col("band"), col("bucket"), col("id").as("new_id"), col("nt").as("nt_n"))
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("nt").as("nt_c")), Seq("band", "bucket"))
+      // size-ratio prune, as in minhashLshPairs
+      .filter(least(col("nt_n"), col("nt_c")) * lit(1000L) >=
+        greatest(col("nt_n"), col("nt_c")) * tPermille)
+      .select("new_id", "corpus_id")
+      .distinct()
+    cand
+      .join(nsets.select(col("id").as("new_id"), col("dtoks").as("toks_n")), Seq("new_id"))
+      .join(csets.select(col("id").as("corpus_id"), col("dtoks").as("toks_c")), Seq("corpus_id"))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("toks_n"), col("toks_c")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("toks_n")) + size(col("toks_c")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jac"), 3).as("jaccard"))
   }
 
   /** L57 — MinHash estimator calibration: for every LSH candidate

@@ -91,6 +91,39 @@ object TextStats {
         round(log(col("n").cast("double")) - col("slc") / col("n").cast("double"), 4)
           .as("entropy"))
 
+  /** L67 — hashed linear classifier APPLICATION (the fastText-style
+    * quality/domain scorer every curation pipeline runs over the full
+    * corpus, CCNet/LLaMA-style): tokens hash into `numBuckets`
+    * feature buckets, each bucket contributes `weight(bucket)`, the
+    * doc's score is the sum. One narrow codegen pass that folds into
+    * whatever scan feeds it — at 100 TB the model applies at read
+    * speed, zero shuffle, no model state beyond the broadcast-sized
+    * weight column expression.
+    *
+    * Weights are INTEGER (production models quantize to int8/int16
+    * for exactly this reason): the per-doc sum is order-independent
+    * in integer space, so the score is bit-reproducible on any
+    * partitioning and replayable by the SQL oracle — a float dot
+    * product would drift under unordered aggregation. `weight` maps
+    * a bucket-index column to its integer weight: arithmetic
+    * pseudo-weights for tests/oracles, or
+    * `element_at(typedlit(model), idx + 1)` for a trained table.
+    * Use a power-of-two `numBuckets` so the oracle can reduce the
+    * unsigned 64-bit token hash mod 2^k without sign fix-ups.
+    */
+  def hashedLinearScore(text: Column, numBuckets: Int,
+                        weight: Column => Column): Seq[(String, Column)] = {
+    import graft.functions.GraftFunctions
+    val toks = Dedup.tokens(text)
+    val score = aggregate(toks, lit(0L), (acc, t) => acc +
+      weight(pmod(GraftFunctions.fmix64(GraftFunctions.rolling_hash(t)),
+        lit(numBuckets.toLong))).cast("long"))
+    Seq(
+      "n_toks" -> size(toks).cast("long"),
+      "score" -> score,
+      "score_mean" -> round(score.cast("double") / size(toks).cast("double"), 6))
+  }
+
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
     * — the "~4 chars per token" rule of thumb). All three count over

@@ -655,6 +655,22 @@ object TextQueries {
     // multiset merge per pair; the keep test is integer
     // cross-multiplied (10·inter ≥ 9·|src|). Directed output: both
     // orientations of a candidate pair are tested.
+    // L66: incremental LSH dedup — the "recrawl batch" (doc_id ≡ 0
+    // mod 5) deduped against the static index built from the REST of
+    // the corpus; only new↔corpus candidate pairs form, never
+    // corpus×corpus (that re-mine is d03's job, run once at index
+    // build). Same signature/banding/verify kernels and parameters
+    // as d03; the hot-bucket cap governs the index side.
+    "d27_incremental_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashAgainstIndex(
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", threshold = 0.9, numHashes = 64, bands = 8,
+          shingleN = 1, cap = 500)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // cap = None here because the oracle hash-checks the EXACT pair
     // set; production passes cap (see containmentPairs's governance
     // scaladoc — a hot boilerplate 4-gram makes the exact index
@@ -750,6 +766,20 @@ object TextQueries {
     // aggregated vocab is persisted because both the top-k and the
     // grand total read it; without the persist the corpus explode+agg
     // lineage would run twice.
+    // L67: hashed linear classifier application — the fastText-style
+    // quality scorer run over the whole corpus. The model here is a
+    // deterministic pseudo-weight table over 4096 hash buckets,
+    // w(j) = (j·2654435761 + 97) mod 2001 − 1000 ∈ [−1000, 1000]
+    // (integer weights: order-independent sums, oracle-replayable);
+    // swapping in a trained int table is element_at on a typedlit.
+    "t30_linear_score" -> ((s, dir) => {
+      val cols = TextStats.hashedLinearScore(col("text"), 4096,
+        j => (j * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L))
+      docs(s, dir)
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     "t12_vocab" -> ((s, dir) => {
       val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
@@ -1105,6 +1135,59 @@ object TextQueries {
          |FROM v
          |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // d27: d03's signature/banding CTE chain, split into batch
+    // (doc_id ≡ 0 mod 5) and index sides; the hot-bucket HAVING
+    // applies to the index only, candidates are batch↔index.
+    "d27_incremental_lsh" ->
+      s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
+         | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
+         | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
+         |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
+         |        GROUP BY doc_id, k),
+         | msl AS (SELECT doc_id, k // 8 AS band,
+         |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
+         |         FROM mg GROUP BY doc_id, k // 8),
+         | mbk AS (SELECT doc_id, band,
+         |           ${PortableHashSql.toSigned(
+                        PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
+         |         FROM msl),
+         | mbn AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 = 0),
+         | mbc AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 <> 0),
+         | keep AS (SELECT band, bucket FROM mbc GROUP BY band, bucket HAVING count(*) <= 500),
+         | bkc AS (SELECT mbc.* FROM mbc JOIN keep USING (band, bucket)),
+         | cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |          FROM mbn n JOIN bkc c ON n.band = c.band AND n.bucket = c.bucket),
+         | v AS (SELECT new_id, corpus_id,
+         |         len(list_intersect(da.toks, db.toks)) AS inter,
+         |         len(da.toks) AS na, len(db.toks) AS nb
+         |       FROM cand
+         |       JOIN d da ON da.doc_id = new_id
+         |       JOIN d db ON db.doc_id = corpus_id)
+         |SELECT new_id, corpus_id,
+         |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
+         |FROM v
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // t30: per-ROW replay (no GROUP BY — duplicate doc_id rows must
+    // keep their multiplicity): bucket each token's portable hash mod
+    // 4096 (power of two, so the unsigned residue needs no sign
+    // fix-up), apply the pseudo-weight formula, list-sum.
+    "t30_linear_score" ->
+      s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | th AS (SELECT doc_id, list_transform(split(ntx, ' '), tok ->
+         |          CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT)) AS js
+         |        FROM dn),
+         | sc AS (SELECT doc_id, len(js) AS n_toks,
+         |          CAST(list_aggregate(list_transform(js,
+         |            j -> (j * 2654435761 + 97) % 2001 - 1000), 'sum') AS BIGINT) AS score
+         |        FROM th)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, score,
+         |  round(CAST(score AS DOUBLE) / n_toks, 6) AS score_mean
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "d08_contamination" ->
       s"""WITH base AS (SELECT doc_id, source, string_split($normSql, ' ') AS toks

@@ -259,6 +259,81 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byLang("fr") == docs.filter(col("lang") === "fr").count())
   }
 
+  test("minhashAgainstIndex: only batch-vs-index pairs; equals the full-mine restriction; cap prunes hot index buckets") {
+    import spark.implicits._
+    val rep = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, rep),                                   // batch (id % 5 == 0)
+      (11L, rep + " extra"),                        // index near-dup of 10
+      (5L, "zeta eta theta iota kappa lambda mu"),  // batch
+      (15L, "zeta eta theta iota kappa lambda nu"), // batch near-dup of 5 → must NOT pair
+      (3L, "one two three four five six seven"),
+      (13L, "one two three four five six eight"),   // index near-dup of 3 → must NOT pair
+      (7L, "completely unrelated content words here")
+    ).toDF("doc_id", "text")
+    val isBatch = pmod(col("doc_id"), lit(5)) === 0
+    val got = Dedup.minhashAgainstIndex(
+      corpus.filter(isBatch), corpus.filter(!isBatch),
+      "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 16,
+      shingleN = 1, cap = 100)
+    val pairs = got.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), "batch↔index near-dup missed")
+    assert(pairs.forall { case (a, b) => a % 5 == 0 && b % 5 != 0 },
+      "every pair must be (batch id, index id) — no batch×batch or index×index")
+    spark.catalog.clearCache()
+    // Against-index == the full symmetric mine restricted to pairs
+    // that cross the split (modulo pair orientation).
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      threshold = 0.8, numHashes = 64, bands = 16, shingleN = 1, cap = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fullCross = full.collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(pairs == fullCross)
+    spark.catalog.clearCache()
+    // cap = 0 drops every index bucket → no candidates at all.
+    val capped = Dedup.minhashAgainstIndex(
+      corpus.filter(isBatch), corpus.filter(!isBatch),
+      "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 16,
+      shingleN = 1, cap = 0)
+    assert(capped.count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("hashedLinearScore equals an explode-based reference; trained-table form agrees") {
+    import graft.operators.TextStats
+    import graft.functions.GraftFunctions
+    val d = docs.limit(200)
+    val cols = TextStats.hashedLinearScore(col("text"), 4096,
+      j => (j * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L))
+    val got = d.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    // independent path: explode tokens, hash/weight per row, groupBy.
+    val ref = d.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .withColumn("j", pmod(GraftFunctions.fmix64(
+        GraftFunctions.rolling_hash(col("tok"))), lit(4096L)))
+      .withColumn("w", (col("j") * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("w").as("score"))
+      .select(col("doc_id"), col("n_toks"), col("score"),
+        round(col("score").cast("double") / col("n_toks").cast("double"), 6)
+          .as("score_mean"))
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    spark.catalog.clearCache()
+    // trained-table form: element_at over a typedlit weight array
+    // must equal the arithmetic form when the table holds the same
+    // formula values.
+    val table = Array.tabulate(4096)(j =>
+      (((j * 2654435761L + 97L) % 2001L) - 1000L).toInt)
+    val cols2 = TextStats.hashedLinearScore(col("text"), 4096,
+      j => element_at(typedLit(table), j.cast("int") + 1))
+    val got2 = d.select(col("doc_id") +: cols2.map { case (n, c) => c.as(n) }: _*)
+    assert(got2.except(got).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("q22 cluster-sort: rows are sorted within every partition") {
     val df = SparkEntry.queries("q22_cluster_sort")(spark, sfDir)
       // narrow projection: preserves partitioning and in-partition order
