@@ -347,11 +347,17 @@ object CorpusOps {
         greatest(col("nt"), col("nt_e")) * tPermille)
       .select(col("id").as("doc_id"), col("eval_id"))
       .distinct()
-    val sets = base.select(col("id"),
+    // Split the verify-side sets by eval flag BEFORE the joins: only
+    // the eval sets broadcast (benchmark-suite-sized by definition) —
+    // broadcasting the unfiltered table would ship the whole CORPUS's
+    // token-hash arrays to every executor, which cannot work at 100 TB.
+    val sets = base.select(col("id"), col("is_eval"),
       sort_array(transform(col("sh"), t => xxhash64(t))).as("hs"))
     candidates
-      .join(sets.toDF("doc_id", "hs_a"), Seq("doc_id"))
-      .join(broadcast(sets.toDF("eval_id", "hs_b")), Seq("eval_id"))
+      .join(sets.filter(!col("is_eval")).select(col("id").as("doc_id"),
+        col("hs").as("hs_a")), Seq("doc_id"))
+      .join(broadcast(sets.filter(col("is_eval")).select(col("id").as("eval_id"),
+        col("hs").as("hs_b"))), Seq("eval_id"))
       .withColumn("inter", graft.functions.GraftFunctions
         .sorted_long_intersect_size(col("hs_a"), col("hs_b")))
       .withColumn("jac", col("inter").cast("double") /

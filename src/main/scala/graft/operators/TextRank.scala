@@ -65,7 +65,8 @@ object TextRank {
     * Verify/Bench contract).
     */
   def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               localFinishEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1 && iters <= 50)
     // FIXED-POINT HEADROOM: each round computes rank·wt in Long.
     // Total rank mass is ≈ V·scale (damping conserves it), so a hub
@@ -82,6 +83,42 @@ object TextRank {
     // (Verify/Bench contract).
     val ed = edges(docs, textCol).persist()
     val base = (scale * 15L) / 100L
+    // LOCAL FINISH (the CC/BPE pattern): the per-round working set is
+    // the VOCAB-sized edge table, already reduced from the corpus by
+    // the persisted aggregation above. When it is executor-sized,
+    // `iters` scheduled join+agg rounds pay ~0.3–0.5 s each in pure
+    // scheduling at local[32] — and at 100 TB the edge table is STILL
+    // vocab-bounded, so one task iterating in memory is the honest
+    // production shape. Bit-equal: integer sums are order-independent
+    // and the merge/damping arithmetic is identical. Distributed
+    // fallback retained above the bound; spec pins both paths equal.
+    if (localFinishEdges > 0 && ed.count() <= localFinishEdges) {
+      import docs.sparkSession.implicits._
+      return ed.select(col("src"), col("dst"), col("wt"), col("deg"))
+        .as[(String, String, Long, Long)].coalesce(1).mapPartitions { it =>
+          val es = it.toArray
+          var rank = scala.collection.mutable.HashMap.empty[String, Long]
+          es.foreach { case (s, _, _, _) => rank(s) = scale }
+          var i = 0
+          while (i < iters) {
+            // addExact/multiplyExact mirror the distributed path's
+            // ANSI-fatal overflow; integer sums are order-independent
+            // so the per-round maps are bit-equal to the join+agg.
+            val contrib = scala.collection.mutable.HashMap.empty[String, Long]
+            es.foreach { case (s, d, w, dg) =>
+              contrib(d) = java.lang.Math.addExact(contrib.getOrElse(d, 0L),
+                java.lang.Math.multiplyExact(rank(s), w) / dg)
+            }
+            val next = scala.collection.mutable.HashMap.empty[String, Long]
+            contrib.foreach { case (w, c) =>
+              next(w) = base + java.lang.Math.multiplyExact(85L, c) / 100L
+            }
+            rank = next
+            i += 1
+          }
+          rank.iterator
+        }.toDF("w", "rank")
+    }
     var ranks = ed.select(col("src").as("w")).distinct()
       .withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {

@@ -102,5 +102,12 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(got == rank)
     assert(got.nonEmpty)
+
+    // forced distributed rounds (localFinishEdges=0) must equal the
+    // single-task local finish bit-for-bit (the CC/BPE contract).
+    val dist = TextRank.textRank(corpus, "text", iters = 5,
+        localFinishEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 }
