@@ -91,15 +91,41 @@ object StreamRun {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    // Checkpoint (offset WAL + per-partition state snapshots + commit
+    // log — fsync'd once per store per trigger) goes to tmpfs when the
+    // host has one: this harness's streams are verification runs whose
+    // checkpoints are deleted on completion, so durability buys
+    // nothing and the disk fsyncs are pure fixed cost. A production
+    // deployment points this at durable storage — that knob is exactly
+    // what `checkpointLocation` is.
+    val ckptBase = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-ckpt") else None
+    }
+    val ckptDir = ckptBase.map(b => s"$b/$name")
     val q = try {
-      transform(src).writeStream
+      val w = transform(src).writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      ckptDir.foreach(d => w.option("checkpointLocation", d))
+      w.start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
+    // explicit checkpoint locations are not auto-deleted (unlike the
+    // engine's temporary ones) — clean up so tmpfs never accumulates.
+    ckptDir.foreach { d =>
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root)) {
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () }
+    }
     try {
       val buf = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
