@@ -253,7 +253,19 @@ object Ann {
     */
   def lloydIterate(corpus: DataFrame, seeds: DataFrame, idCol: String,
                    embCol: String, iters: Int,
-                   quantScale: Double = 1e6): DataFrame = {
+                   quantScale: Double = 1e6): DataFrame =
+    lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)._2
+
+  /** [[lloydIterate]] exposing BOTH halves of the result: the final
+    * centroid table (the trained quantizer — what an IVF index probes
+    * at query time) and the final assignment (the cells). Same
+    * iteration structure and determinism contract.
+    *
+    * @return (centroids(idCol, embCol), assignment(vec_id, cluster, cos))
+    */
+  private[graft] def lloydRounds(corpus: DataFrame, seeds: DataFrame,
+                                 idCol: String, embCol: String, iters: Int,
+                                 quantScale: Double = 1e6): (DataFrame, DataFrame) = {
     require(iters >= 1)
     var centroids = seeds.select(col(idCol), col(embCol))
     var assign = assignToSeeds(corpus, centroids, idCol, embCol)
@@ -279,7 +291,45 @@ object Ann {
         .localCheckpoint(true)
       assign = assignToSeeds(corpus, centroids, idCol, embCol)
     }
-    assign
+    (centroids, assign)
+  }
+
+  /** L7b-exact — IVF top-k with a DETERMINISTIC coarse quantizer:
+    * the [[lloydRounds]] machinery (quantized-integer centroid means,
+    * FLOAT-folded rebuilds, low-id argmax ties) trains the cells, so
+    * the whole index build AND search is bit-reproducible on any
+    * engine — the external oracle replays quantizer, cells, probes,
+    * and ranking value-for-value. [[ivfTopK]] remains the MLlib-wired
+    * variant (production trains with more iterations; cell quality
+    * only moves recall, which the spec pins there).
+    *
+    * Scale shape: quantizer = `iters` broadcast corpus passes +
+    * (cell, dim)-sized shuffles; probing broadcasts the nCells-row
+    * centroid table and the (queries × nProbe)-row probe list; the
+    * candidate scan touches only probed cells. Nothing corpus×corpus.
+    */
+  def ivfTopKExact(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                   idCol: String, embCol: String, k: Int, nProbe: Int = 4,
+                   iters: Int = 2, quantScale: Double = 1e6): DataFrame = {
+    val (cents, assign) = lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)
+    val centroids = cents.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cells = assign.select(col("vec_id"), col("cluster").as("cell"))
+      .join(corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb")), Seq("vec_id"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "qemb", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Deterministic ±1 random-hyperplane weights (seeded). */

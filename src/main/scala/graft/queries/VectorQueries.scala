@@ -91,9 +91,15 @@ object VectorQueries {
 
     // L7b: IVF ANN — k-means cells + nProbe probing (rows-only;
     // recall vs brute force in spec).
+    // L7b: IVF ANN, oracle-EXACT since round 7 — the coarse quantizer
+    // is the deterministic Lloyd machinery (s10), so index build +
+    // probe + rank replay value-for-value in DuckDB. The MLlib-wired
+    // ivfTopK stays the production-training variant (recall spec).
     "s03_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      Ann.ivfTopKExact(e, e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          k = 10, nProbe = 4, iters = 2)
         .orderBy("qid", "rnk")
     }),
 
@@ -418,6 +424,66 @@ object VectorQueries {
          |        FROM sc2)
          |SELECT vec_id, cluster, round(c, 4) AS cos
          |FROM r2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // s03: full IVF replay — the s10 quantizer chain (seed, assign,
+    // quantized-integer centroid update, FLOAT-folded rebuild,
+    // re-assign = the cells), then per-query probe ranking over the
+    // rebuilt centroids and in-cell cosine top-k. cosSql's fold
+    // divides by zero on a zero norm, which DuckDB yields NULL for —
+    // exactly the Spark kernel's zero-norm NULL, so ORDER BY c DESC
+    // (nulls last in both engines) ranks identically.
+    "s03_ann_ivf" ->
+      s"""WITH e AS ($embSql),
+         | sd0 AS (SELECT vec_id AS cell, de AS se FROM e WHERE vec_id < 16),
+         | sc1 AS (SELECT e.vec_id, sd0.cell,
+         |           ${cosSql("e.de", "sd0.se", 64)} AS c
+         |         FROM e, sd0),
+         | r1 AS (SELECT vec_id, cell,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY c DESC, cell) AS rn
+         |        FROM sc1),
+         | a1 AS (SELECT vec_id, cell FROM r1 WHERE rn = 1),
+         | x1 AS (SELECT a1.cell, di.i AS dim,
+         |          CAST(floor(e.de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+         |        FROM e JOIN a1 USING (vec_id),
+         |          (SELECT unnest(range(1, 65)) AS i) di),
+         | g1 AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
+         |          CAST(count(*) AS BIGINT) AS n
+         |        FROM x1 GROUP BY cell, dim),
+         | c1 AS (SELECT cell, dim,
+         |          (sq - (((sq % n) + n) % n)) // n AS cm
+         |        FROM g1),
+         | sd1 AS (SELECT cell,
+         |          CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
+         |            AS FLOAT[]) AS DOUBLE[]) AS se
+         |        FROM c1 GROUP BY cell),
+         | sc2 AS (SELECT e.vec_id, sd1.cell,
+         |           ${cosSql("e.de", "sd1.se", 64)} AS c
+         |         FROM e, sd1),
+         | r2 AS (SELECT vec_id, cell,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY c DESC, cell) AS rn
+         |        FROM sc2),
+         | a2 AS (SELECT vec_id, cell FROM r2 WHERE rn = 1),
+         | q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < 5),
+         | pc AS (SELECT q.qid, q.qe, sd1.cell,
+         |          ${cosSql("q.qe", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, qe, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, qe, cell FROM pr WHERE rn <= 4),
+         | cand AS (SELECT pb.qid, e2.vec_id,
+         |            ${cosSql("pb.qe", "e2.de", 64)} AS c
+         |          FROM pb JOIN a2 USING (cell)
+         |          JOIN e e2 ON e2.vec_id = a2.vec_id),
+         | rk AS (SELECT qid, vec_id, c,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY c DESC, vec_id) AS rnk
+         |        FROM cand)
+         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     // s09: the assignment replay (cosSql kernel + row_number) feeding
     // a cluster-equi self-join; pair cosine via list_cosine_similarity
