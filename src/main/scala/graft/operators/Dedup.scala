@@ -242,12 +242,16 @@ object Dedup {
       col("block"), col("id"), col("sz"), explode(col("grams")).as("g"))
     // per-block doc frequency: the (df, g)-ascending total order.
     // grams are distinct per doc, so count(*) == docs containing g.
-    val dfTab = exploded.groupBy("block", "g").agg(count(lit(1)).as("df"))
+    // A count() WINDOW over (block, g) attaches df in ONE shuffle;
+    // the groupBy+join-back form paid the aggregation shuffle AND a
+    // second join shuffle of the exploded table on the same key.
+    val withDf = exploded.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("block", "g")))
     // Rank each doc's grams by (df, g) with a per-doc array sort (the
     // arrays are small) rather than a window function (which would
     // sort whole shuffle partitions); then keep only the prefix.
     // Persisted because the self-join below reads it twice.
-    val cand = exploded.join(dfTab, Seq("block", "g"))
+    val cand = withDf
       .groupBy("block", "id", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("dg"))
       .withColumn("pref", slice(col("dg"), lit(1),
