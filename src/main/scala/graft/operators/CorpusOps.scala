@@ -184,21 +184,19 @@ object CorpusOps {
     */
   def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 4): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
+    // One linear chain: explode → df window on the gram key → one
+    // doc-keyed aggregate. (The previous form aggregated the gram
+    // counts, semi-joined them BACK onto the exploded table, and
+    // joined a separate per-doc total — three shuffles and a persist
+    // where two shuffles and none suffice. Grams are distinct per
+    // doc, so the window count IS the doc frequency.)
+    docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.GraftFunctions
           .ngram_hashes(tokens(col(textCol)), n)).as("g"))
-      // Reused by three downstream plans (total, dup-set, dup-count).
-      // Same persist contract as sharedGramPairs: loop callers
-      // clearCache between actions, as Verify/Bench do.
-      .persist()
-    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("g")
-    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(dupGrams, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    tot.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4))
   }
@@ -233,19 +231,18 @@ object CorpusOps {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minOcc: Long = 2): DataFrame = {
+    // df attach via window on the gram key (one shuffle) instead of a
+    // groupBy + semi-join back (two on the same key + a persist).
     val grams = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions
           .ngram_hashes(col("toks"), n, dedupSort = false)).as(Seq("p0", "g")))
-      // reused by the dup-gram count and the position semi-join; same
-      // persist contract as sharedGramPairs (callers clearCache).
-      .persist()
-    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minOcc).select("g")
     val w = Window.partitionBy("doc_id").orderBy("p")
-    grams.join(dupGrams, Seq("g"), "left_semi")
+    grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cnt") >= minOcc)
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"))
       .withColumn("brk",
         when(col("p") - lag("p", 1).over(w) <= n - 1, 0L).otherwise(1L))
