@@ -104,41 +104,89 @@ object Multimodal {
     * Scale shape: pure mapPartitions — zero shuffle; decode
     * parallelism is the scan's partitioning, as in [[decodeFeatures]].
     */
+  /** Deterministic side×side RGB test image for id: pixel channels
+    * are integer formulas of (sid, x, y). The id is bounded BEFORE
+    * the channel products: id*31 would wrap silently in Long for
+    * |id| ≳ 3e17, while the oracle's BIGINT multiplication raises
+    * out-of-range instead of wrapping — the two engines would diverge
+    * exactly when it matters. floorMod into [0, 2^31) keeps every
+    * product < 2^36; the oracle mirrors the same pmod.
+    */
+  private def formulaPng(id: Long, side: Int): Array[Byte] = {
+    val sid = Math.floorMod(id, 2147483648L)
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val r = Math.floorMod(sid * 31 + x * 7 + y * 13, 256).toInt
+        val g = Math.floorMod(sid * 17 + x * 3 + y * 5, 256).toInt
+        val b = Math.floorMod(sid * 11 + x * 19 + y * 23, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException(s"no PNG writer for id $id")
+    baos.toByteArray
+  }
+
   def imageRoundtripStats(ids: Dataset[java.lang.Long],
                           side: Int = 8): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
       it.map { boxedId =>
         val id: Long = boxedId
-        // Bound the id BEFORE the channel products: id*31 would wrap
-        // silently in Long for |id| ≳ 3e17, while the oracle's BIGINT
-        // multiplication raises out-of-range instead of wrapping — the
-        // two engines would diverge exactly when it matters. floorMod
-        // into [0, 2^31) keeps every product < 2^36; the oracle
-        // mirrors the same pmod.
-        val sid = Math.floorMod(id, 2147483648L)
-        val img = new java.awt.image.BufferedImage(
-          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < side) {
-          var x = 0
-          while (x < side) {
-            val r = Math.floorMod(sid * 31 + x * 7 + y * 13, 256).toInt
-            val g = Math.floorMod(sid * 17 + x * 3 + y * 5, 256).toInt
-            val b = Math.floorMod(sid * 11 + x * 19 + y * 23, 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val baos = new java.io.ByteArrayOutputStream()
-        if (!javax.imageio.ImageIO.write(img, "png", baos))
-          throw new IllegalStateException(s"no PNG writer for id $id")
-        val (w, h, _, m) = decodeImage(baos.toByteArray).getOrElse(
+        val (w, h, _, m) = decodeImage(formulaPng(id, side)).getOrElse(
           throw new IllegalStateException(s"PNG roundtrip failed for id $id"))
         (id, w, h, math.floor(m * 10000 + 0.5) / 10000)
       }
     }.toDF("doc_id", "width", "height", "mean_luma")
+  }
+
+  /** L68 — real-codec RESIZE: decode the PNG through the production
+    * path, nearest-neighbor downsample to `outSide`×`outSide` (source
+    * pixel (x·side div outSide, y·side div outSide) — pure index
+    * math, the one resampling kernel with NO float arithmetic, so the
+    * resized pixels are bit-exact and the DuckDB oracle replays the
+    * pixel formula AT THE SAMPLED coordinates only). Emits the
+    * resized dimensions + integer-Rec.601 luma mean of the resized
+    * image — certifying decode + resize end-to-end the same way m05
+    * certifies encode + decode. Pure mapPartitions: zero shuffle,
+    * decode/resize parallelism is the scan's partitioning. Production
+    * swaps the kernel for an area/Lanczos resampler on the same
+    * plumbing (those are float kernels, spec-pinned not oracle-replayed).
+    */
+  def imageResizeStats(ids: Dataset[java.lang.Long], side: Int = 8,
+                       outSide: Int = 4): DataFrame = {
+    require(outSide >= 1 && outSide <= side)
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(formulaPng(id, side)))
+        if (img == null)
+          throw new IllegalStateException(s"PNG decode failed for id $id")
+        var sum = 0L
+        var y = 0
+        while (y < outSide) {
+          var x = 0
+          while (x < outSide) {
+            val rgb = img.getRGB(x * side / outSide, y * side / outSide)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              ((rgb & 0xff) * 114)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / (outSide * outSide)
+        (id, outSide, outSide, math.floor(mean * 10000 + 0.5) / 10000)
+      }
+    }.toDF("doc_id", "out_w", "out_h", "mean_luma_resized")
   }
 
   /** L48 — frame-sample manifest: treat each media payload as a fixed

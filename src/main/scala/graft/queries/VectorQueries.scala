@@ -293,6 +293,21 @@ object VectorQueries {
       Multimodal.imageRoundtripStats(ids).orderBy("doc_id")
     }),
 
+    // L68: real-codec resize — decode the deterministic PNG through
+    // the production path, nearest-neighbor 8×8 → 4×4 (pure index
+    // math, the only float-free resampling kernel), emit resized luma
+    // stats. The oracle replays the pixel formula AT THE SAMPLED
+    // coordinates, certifying decode+resize end-to-end like m05
+    // certifies encode+decode.
+    "m06_image_resize" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.imageResizeStats(ids, side = 8, outSide = 4).orderBy("doc_id")
+    }),
+
     // L12b: multipart blob layout — chunk each media payload into
     // fixed 64-byte parts with offsets and per-part digests (the
     // manifest a blob store / multipart upload needs; also how >2 GB
@@ -708,6 +723,28 @@ object VectorQueries {
         |   FROM lum GROUP BY doc_id)
         |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  floor(CAST(s AS DOUBLE) * 10000.0 / 64 + 0.5) / 10000.0 AS mean_luma
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // m06: the m05 pixel formula replayed at the nearest-neighbor
+    // SAMPLE coordinates only (x·8 // 4 = the source pixel the
+    // index-math kernel reads); same integer luma + half-up mean.
+    "m06_image_resize" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | px AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   (xs.i * 8) // 4 AS x, (ys.i * 8) // 4 AS y FROM ids,
+        |   (SELECT unnest(range(0, 4)) AS i) xs,
+        |   (SELECT unnest(range(0, 4)) AS i) ys),
+        | lum AS (SELECT doc_id,
+        |    ((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |   FROM px),
+        | agg AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS s
+        |   FROM lum GROUP BY doc_id)
+        |SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+        |  floor(CAST(s AS DOUBLE) * 10000.0 / 16 + 0.5) / 10000.0 AS mean_luma_resized
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // m02: Multimodal.fakeDecode mirrored byte-for-byte — b0/b1 and

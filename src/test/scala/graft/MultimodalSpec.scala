@@ -74,4 +74,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 100)
     assert(out.select("doc_id").distinct().count() == 100)
   }
+
+  test("nearest-neighbor resize through the real codec equals the formula at sampled coords") {
+    val ids = Seq(0L, 1L, 42L, -7L, Long.MaxValue).map(java.lang.Long.valueOf).toDS()
+    for ((outSide, side) <- Seq((4, 8), (2, 8), (8, 8))) {
+      val got = Multimodal.imageResizeStats(ids, side = side, outSide = outSide)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // independent replay: luma formula at (x*side/outSide, y*side/outSide)
+      for (id <- Seq(0L, 1L, 42L, -7L, Long.MaxValue)) {
+        val sid = Math.floorMod(id, 2147483648L)
+        var sum = 0L
+        for (y <- 0 until outSide; x <- 0 until outSide) {
+          val sx = x * side / outSide; val sy = y * side / outSide
+          val r = Math.floorMod(sid * 31 + sx * 7 + sy * 13, 256)
+          val g = Math.floorMod(sid * 17 + sx * 3 + sy * 5, 256)
+          val b = Math.floorMod(sid * 11 + sx * 19 + sy * 23, 256)
+          sum += (r * 299 + g * 587 + b * 114) / 1000
+        }
+        val exp = math.floor(sum.toDouble / (outSide * outSide) * 10000 + 0.5) / 10000
+        assert(got(id) == exp, s"id=$id out=$outSide")
+      }
+    }
+    // outSide == side must equal the unresized roundtrip luma.
+    val full = Multimodal.imageResizeStats(ids, side = 8, outSide = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rt = Multimodal.imageRoundtripStats(ids, side = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(full == rt)
+  }
 }
