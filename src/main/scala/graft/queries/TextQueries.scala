@@ -232,8 +232,13 @@ object TextQueries {
         .groupBy("w").agg(count(lit(1)).as("n_w"))
       val tot = bi.agg(sum("n_xy").cast("double").as("n_tot"))
       bi
-        .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_x"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_y"))), "w2")
+        // no broadcast HINT on the unigram table: vocabulary is
+        // corpus-bounded, not fixed-size — at 100 TB it can be 100M+
+        // words and a forced broadcast would ship it to every
+        // executor twice. Unhinted, AQE broadcasts it while it is
+        // small and falls back to a shuffle join when it is not.
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), "w2")
         .crossJoin(broadcast(tot))
         .withColumn("lift", round((col("n_xy").cast("double") * col("n_tot")) /
           (col("n_x").cast("double") * col("n_y").cast("double")), 4))
