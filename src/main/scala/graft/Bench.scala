@@ -95,18 +95,11 @@ object Bench {
     // PRINTED line above stays the raw run (the round's honest
     // measurement). SPARK_GRAFT_MERGE=0 re-baselines from scratch.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val merged = scala.collection.mutable.Map(names.map(k => k -> ms(best(k))): _*)
-    if (!sys.env.get("SPARK_GRAFT_MERGE").contains("0")) {
-      try {
-        val prev = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
-        val qobj = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(prev).map(_.group(1)).getOrElse("")
-        for (m <- """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qobj)) {
-          val (k, v) = (m.group(1), m.group(2).toDouble)
-          if (!merged.contains(k) || v < merged(k)) merged(k) = ms(v)
-        }
-      } catch { case _: Throwable => () } // no prior file: raw run is the baseline
-    }
+    val prevJson =
+      if (sys.env.get("SPARK_GRAFT_MERGE").contains("0")) ""
+      else try java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+      catch { case _: Throwable => "" } // no prior file: raw run is the baseline
+    val merged = mergeMinima(prevJson, names.map(k => k -> ms(best(k))).toMap)
     val mq = merged.keys.toSeq.sorted.map { k => s"\"" + k + "\":" + merged(k) }
       .mkString("{", ",", "}")
     val fileLine =
@@ -115,5 +108,26 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
+  }
+
+  /** Element-wise per-query minima merge against an existing
+    * BENCH.json body (the committed minima): keys from BOTH sides
+    * survive, each at its minimum — so a contended run can only
+    * improve the file, and a subset run can't drop other queries'
+    * entries. `prevJson` may be empty/garbage (first run, MERGE=0):
+    * the current run then stands alone. BenchMergeSpec pins this —
+    * it is the minima-protocol's load-bearing piece.
+    */
+  private[graft] def mergeMinima(prevJson: String,
+                                 current: Map[String, Double]): Map[String, Double] = {
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    val merged = scala.collection.mutable.Map(current.toSeq: _*)
+    val qobj = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(prevJson).map(_.group(1)).getOrElse("")
+    for (m <- """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qobj)) {
+      val (k, v) = (m.group(1), m.group(2).toDouble)
+      if (!merged.contains(k) || v < merged(k)) merged(k) = ms(v)
+    }
+    merged.toMap
   }
 }
