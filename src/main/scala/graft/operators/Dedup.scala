@@ -313,6 +313,11 @@ object Dedup {
       .select(col("id"), sh.as("sh"))
       .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
       .withColumn("nt", size(array_distinct(col("sh"))))
+      // Both the banding and the verify sets read this lineage; the
+      // K-permutation signature pass is the expensive half of LSH, so
+      // evaluate it once (same persist contract as sharedGramPairs:
+      // callers clearCache between actions, as Verify/Bench do).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(
         col("id"), col("nt"),
         posexplode(array((0 until bands).map(b =>
