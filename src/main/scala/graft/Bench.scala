@@ -105,8 +105,19 @@ object Bench {
     val fileLine =
       s"""{"metric":"total","value":${ms(merged.values.sum)},"unit":"sec","queries":$mq,"sf":"$sfDir",""" +
         f""""reps":$reps,"load_at_start":$load%.2f,"gate_waited_sec":$gateWaitedSec%.1f}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fileLine + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // Atomic publish: write a sibling temp file and ATOMIC_MOVE it over
+    // the target, so a concurrently-reading merge never sees a torn
+    // file. (Two concurrent writers still race read→write — last move
+    // wins — but each published file is a valid minima merge of SOME
+    // recent state, and the round-start re-merge ritual reconciles.)
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val target = Paths.get(out).toAbsolutePath
+      val tmp = Files.createTempFile(target.getParent, ".bench", ".tmp")
+      Files.writeString(tmp, fileLine + "\n")
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 
@@ -124,8 +135,11 @@ object Bench {
     val merged = scala.collection.mutable.Map(current.toSeq: _*)
     val qobj = """"queries":\{([^}]*)\}""".r
       .findFirstMatchIn(prevJson).map(_.group(1)).getOrElse("")
-    for (m <- """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qobj)) {
-      val (k, v) = (m.group(1), m.group(2).toDouble)
+    for (m <- """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qobj);
+         // the lenient regex admits non-numbers ("1.2.3", "-"): a
+         // corrupt entry is skipped, never aborts a finished bench run
+         v <- scala.util.Try(m.group(2).toDouble).toOption) {
+      val k = m.group(1)
       if (!merged.contains(k) || v < merged(k)) merged(k) = ms(v)
     }
     merged.toMap

@@ -28,9 +28,18 @@ object Multimodal {
     * full structure is valid UTF-8 — so [[decodeFeatures]] falls back
     * to the deterministic [[fakeDecode]] the oracle replicates.
     */
+  /** The ONE codec entry point: every image operator (m02 decode, m05
+    * roundtrip, m06 resize) decodes through here, so "the production
+    * path" the specs certify is a single code path, not per-operator
+    * ImageIO calls that could silently diverge.
+    */
+  private[graft] def decodeBuffered(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
+    catch { case _: Throwable => None }
+
   private[graft] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Int, Double)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      val img = decodeBuffered(blob).orNull
       if (img == null) None
       else {
         val w = img.getWidth
@@ -167,10 +176,13 @@ object Multimodal {
     ids.mapPartitions { it =>
       it.map { boxedId =>
         val id: Long = boxedId
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(formulaPng(id, side)))
-        if (img == null)
-          throw new IllegalStateException(s"PNG decode failed for id $id")
+        val img = decodeBuffered(formulaPng(id, side)).getOrElse(
+          throw new IllegalStateException(s"PNG decode failed for id $id"))
+        // A codec mismatch must fail loudly here, not surface as wrong
+        // luma downstream of the index math.
+        if (img.getWidth != side || img.getHeight != side)
+          throw new IllegalStateException(
+            s"decoded ${img.getWidth}x${img.getHeight}, expected ${side}x$side for id $id")
         var sum = 0L
         var y = 0
         while (y < outSide) {

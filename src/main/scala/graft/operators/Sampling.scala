@@ -136,10 +136,11 @@ object Sampling {
     *
     * Scale shape: ONE window pass partitioned by group (rank + count
     * over the same frame — no self-join, no global window). At 100 TB
-    * a giant single source makes that per-group sort the bottleneck;
-    * the scale path is a per-source KLL threshold (f11's sketch) +
-    * a stateless filter — this exact-rank form is the
-    * oracle-checkable contract the sketch path approximates.
+    * a giant single source makes that per-group sort the bottleneck —
+    * PRODUCTION SHOULD RUN [[topFractionBySketch]] (per-source KLL
+    * threshold + stateless filter, no sort); this exact-rank form is
+    * the oracle-checkable contract the sketch path approximates
+    * (agreement pinned within rank error by SamplingSketchSpec).
     */
   def topFractionByScore(df: DataFrame, idCol: String, groupCol: String,
                          scoreCol: String, fracNum: Int, fracDen: Int): DataFrame = {
@@ -150,5 +151,49 @@ object Sampling {
       .withColumn("n_group", count(lit(1)).over(wn))
       .filter(col("rk") * lit(fracDen.toLong) <=
         col("n_group") * lit(fracNum.toLong) + lit(fracDen.toLong - 1L))
+  }
+
+  /** PRODUCTION form of [[topFractionByScore]] — the per-source KLL
+    * threshold + stateless filter its scaladoc names as the 100 TB
+    * path. Two corpus scans, NO per-group sort anywhere:
+    *
+    *   pass 1: per-group KLL sketch of the score distribution
+    *     (TypedImperativeAggregate → map-side partials of a few KB per
+    *     (task, group), merged to ONE row per group; the aggregate
+    *     output is #groups rows no matter how big any group is), and
+    *     the keep threshold is the sketch's (1 − frac) quantile;
+    *   pass 2: broadcast the #groups-row threshold table back and keep
+    *     rows with score ≥ threshold — a stateless filter that pushes
+    *     into the scan's partitioning, no shuffle of the corpus.
+    *
+    * This is exactly where the exact form breaks at scale: its
+    * `row_number()` window sorts an ENTIRE source inside one window
+    * partition (the fraction cut needs n_group, so WindowGroupLimit
+    * cannot prune before the sort), and one crawl dump is most of a
+    * real corpus. Here a dominant group costs the same as any other:
+    * its sketch is still a few KB.
+    *
+    * Semantics vs the exact form (SamplingSketchSpec pins both):
+    *   - the kept set is a score-rank PREFIX of each group whose size
+    *     is within the sketch's normalized rank error of ⌈frac·n⌉
+    *     (±~1.65%·n at sketchK=200; tighten with a larger sketchK);
+    *   - TIES AT THE THRESHOLD ARE ALL KEPT (a pure score gate has no
+    *     id tiebreak) — callers needing an exact-size sample compose
+    *     [[perGroupCap]] downstream on the (much smaller) kept set.
+    * The exact form remains the oracle-checkable contract (d24); this
+    * form is what production should run.
+    */
+  def topFractionBySketch(df: DataFrame, idCol: String, groupCol: String,
+                          scoreCol: String, fracNum: Int, fracDen: Int,
+                          sketchK: Int = 200): DataFrame = {
+    require(fracNum >= 1 && fracNum <= fracDen,
+      s"need 1 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    val q = 1.0 - fracNum.toDouble / fracDen
+    val thresholds = df.groupBy(groupCol).agg(
+      graft.functions.GraftFunctions
+        .kll_quantiles(col(scoreCol).cast("double"), sketchK, Seq(q))
+        .getItem(0).as("score_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol).cast("double") >= col("score_thr"))
   }
 }

@@ -94,34 +94,64 @@ object TextStats {
   /** L67 — hashed linear classifier APPLICATION (the fastText-style
     * quality/domain scorer every curation pipeline runs over the full
     * corpus, CCNet/LLaMA-style): tokens hash into `numBuckets`
-    * feature buckets, each bucket contributes `weight(bucket)`, the
-    * doc's score is the sum. One narrow codegen pass that folds into
-    * whatever scan feeds it — at 100 TB the model applies at read
-    * speed, zero shuffle, no model state beyond the broadcast-sized
-    * weight column expression.
+    * feature buckets, each bucket contributes `weights(bucket)`, the
+    * doc's score is the sum. ONE fused native codegen pass
+    * ([[org.apache.spark.sql.graftx.HashedLinearScore]]): tokenize →
+    * hash → bucket → integer-weight accumulate in a single byte loop
+    * inside whole-stage codegen — at 100 TB the model applies at read
+    * speed, zero shuffle, no per-row allocation, no model state
+    * beyond the numBuckets-long weight array shipped with the plan.
     *
     * Weights are INTEGER (production models quantize to int8/int16
     * for exactly this reason): the per-doc sum is order-independent
     * in integer space, so the score is bit-reproducible on any
     * partitioning and replayable by the SQL oracle — a float dot
-    * product would drift under unordered aggregation. `weight` maps
-    * a bucket-index column to its integer weight: arithmetic
-    * pseudo-weights for tests/oracles, or
-    * `element_at(typedlit(model), idx + 1)` for a trained table.
+    * product would drift under unordered aggregation.
     * Use a power-of-two `numBuckets` so the oracle can reduce the
     * unsigned 64-bit token hash mod 2^k without sign fix-ups.
+    *
+    * An empty/whitespace-only document is (n_toks=0, score=0,
+    * score_mean=null) — the byte loop never emits an empty token (the
+    * same convention as the oracle roll()'s empty-string guard).
     */
   def hashedLinearScore(text: Column, numBuckets: Int,
-                        weight: Column => Column): Seq[(String, Column)] = {
+                        weights: Seq[Long]): Seq[(String, Column)] = {
+    val st = org.apache.spark.sql.graftx.GraftExpressions
+      .hashed_linear_score(Dedup.normText(text), numBuckets, weights)
+    // st appears once per output column; whole-stage codegen's
+    // subexpression elimination evaluates the fused loop once per row.
+    val n = st.getField("n_toks")
+    val sc = st.getField("score")
+    Seq(
+      "n_toks" -> n,
+      "score" -> sc,
+      "score_mean" -> when(n === 0, lit(null).cast("double"))
+        .otherwise(round(sc.cast("double") / n.cast("double"), 6)))
+  }
+
+  /** Composable higher-order-function form of [[hashedLinearScore]]:
+    * `weight` is an arbitrary Column function of the bucket index
+    * (e.g. a formula, or `element_at(typedlit(model), idx + 1)`).
+    * Spark's `aggregate()` lambda machinery is CodegenFallback —
+    * interpreted per token with a split() array per row — so this
+    * form exists for ad-hoc weight expressions and as the reference
+    * HashedLinearScoreSpec pins the fused loop against; production
+    * scans run the fused form.
+    */
+  def hashedLinearScoreHof(text: Column, numBuckets: Int,
+                           weight: Column => Column): Seq[(String, Column)] = {
     import graft.functions.GraftFunctions
-    val toks = Dedup.tokens(text)
+    // Empty-token guard: split("") yields [""] in both engines, which
+    // would score one phantom bucket and make an empty doc n_toks=1.
+    val toks = filter(Dedup.tokens(text), t => t =!= "")
     val score = aggregate(toks, lit(0L), (acc, t) => acc +
       weight(pmod(GraftFunctions.fmix64(GraftFunctions.rolling_hash(t)),
         lit(numBuckets.toLong))).cast("long"))
     Seq(
       "n_toks" -> size(toks).cast("long"),
       "score" -> score,
-      "score_mean" -> round(score.cast("double") / size(toks).cast("double"), 6))
+      "score_mean" -> when(size(toks) === 0, lit(null).cast("double"))
+        .otherwise(round(score.cast("double") / size(toks).cast("double"), 6)))
   }
 
   /** L10 — token counting three ways: whitespace split, wordish regex

@@ -775,11 +775,12 @@ object TextQueries {
     // quality scorer run over the whole corpus. The model here is a
     // deterministic pseudo-weight table over 4096 hash buckets,
     // w(j) = (j·2654435761 + 97) mod 2001 − 1000 ∈ [−1000, 1000]
-    // (integer weights: order-independent sums, oracle-replayable);
-    // swapping in a trained int table is element_at on a typedlit.
+    // (integer weights: order-independent sums, oracle-replayable),
+    // materialized to the 4096-long model array the fused codegen
+    // scorer ships with the plan; a trained model drops in as-is.
     "t30_linear_score" -> ((s, dir) => {
       val cols = TextStats.hashedLinearScore(col("text"), 4096,
-        j => (j * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L))
+        (0 until 4096).map(j => (j * 2654435761L + 97L) % 2001L - 1000L))
       docs(s, dir)
         .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
@@ -1180,18 +1181,22 @@ object TextQueries {
     // t30: per-ROW replay (no GROUP BY — duplicate doc_id rows must
     // keep their multiplicity): bucket each token's portable hash mod
     // 4096 (power of two, so the unsigned residue needs no sign
-    // fix-up), apply the pseudo-weight formula, list-sum.
+    // fix-up), apply the pseudo-weight formula, list-sum. Empty
+    // tokens are filtered (split('') is ['']) so an empty doc is
+    // (0, 0, NULL) — mirroring hashedLinearScore's guard.
     "t30_linear_score" ->
       s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
-         | th AS (SELECT doc_id, list_transform(split(ntx, ' '), tok ->
+         | th AS (SELECT doc_id, list_transform(
+         |          list_filter(split(ntx, ' '), tok -> tok <> ''), tok ->
          |          CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT)) AS js
          |        FROM dn),
          | sc AS (SELECT doc_id, len(js) AS n_toks,
-         |          CAST(list_aggregate(list_transform(js,
-         |            j -> (j * 2654435761 + 97) % 2001 - 1000), 'sum') AS BIGINT) AS score
+         |          CAST(coalesce(list_aggregate(list_transform(js,
+         |            j -> (j * 2654435761 + 97) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS score
          |        FROM th)
          |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, score,
-         |  round(CAST(score AS DOUBLE) / n_toks, 6) AS score_mean
+         |  CASE WHEN n_toks = 0 THEN NULL
+         |       ELSE round(CAST(score AS DOUBLE) / n_toks, 6) END AS score_mean
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "d08_contamination" ->

@@ -112,10 +112,13 @@ object StreamRun {
       ckptDir.foreach(d => w.option("checkpointLocation", d))
       w.start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
     // explicit checkpoint locations are not auto-deleted (unlike the
-    // engine's temporary ones) — clean up so tmpfs never accumulates.
-    ckptDir.foreach { d =>
+    // engine's temporary ones) — clean up in finally so tmpfs never
+    // accumulates even when the run fails or is killed mid-stream.
+    // (The dir name embeds this run's UUID, so a failed run can never
+    // be *resumed* by a later one — the finally guards leakage only.)
+    try q.awaitTermination()
+    finally ckptDir.foreach { d =>
       try {
         import java.nio.file.{Files, Path}
         import scala.jdk.CollectionConverters._

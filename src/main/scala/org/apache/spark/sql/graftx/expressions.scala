@@ -550,6 +550,105 @@ object Fmix64 {
   }
 }
 
+/** Fused hashed-linear-classifier scorer (the fastText-style quality
+  * model applied at scan speed): ONE pass over the normalized text's
+  * UTF-8 bytes does tokenize (split on ' ', empty tokens skipped) →
+  * rolling-hash → fmix64 → floorMod bucket → integer-weight
+  * accumulate, and returns struct(n_toks BIGINT, score BIGINT).
+  *
+  * This is the codegen replacement for the `aggregate()` higher-order
+  * composition (TextStats.hashedLinearScoreHof): HOF lambdas are
+  * CodegenFallback — interpreted per token, with a split() array
+  * materialized per row — while this loop compiles into whole-stage
+  * codegen with zero allocation besides the output row. Semantics are
+  * spec-pinned identical (HashedLinearScoreSpec), same DuckDB oracle.
+  *
+  * `weights` is the bucketed model table (size = numBuckets; trained
+  * int8/int16 weights in production — integer so the per-doc sum is
+  * order-independent and engine-replayable). Seq, not Array: expression
+  * canonicalization compares case-class fields structurally and an
+  * Array field compares by reference (see KllQuantiles' note).
+  */
+case class HashedLinearScore(child: Expression, numBuckets: Int, weights: Seq[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(numBuckets > 0 && weights.length == numBuckets,
+    s"hashed_linear_score: need weights.length == numBuckets, got ${weights.length} vs $numBuckets")
+  override def inputTypes = Seq[AbstractDataType](StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "hashed_linear_score"
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override protected def nullSafeEval(e: Any): Any = {
+    val s = e.asInstanceOf[UTF8String]
+    val nb = s.numBytes()
+    var h = RollingHash.SEED
+    var inTok = false
+    var nToks = 0L
+    var score = 0L
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if (b == 32) {
+        if (inTok) {
+          val bkt = java.lang.Math.floorMod(Fmix64.fmix(h), numBuckets.toLong).toInt
+          score += wArr(bkt); nToks += 1
+        }
+        inTok = false; h = RollingHash.SEED
+      } else {
+        h = h * RollingHash.BASE + (b & 0xffL); inTok = true
+      }
+      i += 1
+    }
+    if (inTok) {
+      val bkt = java.lang.Math.floorMod(Fmix64.fmix(h), numBuckets.toLong).toInt
+      score += wArr(bkt); nToks += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nToks, score))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ws = ctx.addReferenceObj("hlsWeights", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, s => {
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val inTok = ctx.freshName("inTok"); val nToks = ctx.freshName("nToks")
+      val score = ctx.freshName("score"); val th = ctx.freshName("th")
+      s"""
+         |int $nb = $s.numBytes();
+         |long $h = ${RollingHash.SEED}L;
+         |boolean $inTok = false;
+         |long $nToks = 0L;
+         |long $score = 0L;
+         |for (int $i = 0; $i <= $nb; $i++) {
+         |  byte $b = $i < $nb ? $s.getByte($i) : (byte) 32;
+         |  if ($b == 32) {
+         |    if ($inTok) {
+         |      long $th = $h;
+         |      $th ^= $th >>> 33; $th *= ${Fmix64.C1}L;
+         |      $th ^= $th >>> 33; $th *= ${Fmix64.C2}L;
+         |      $th ^= $th >>> 33;
+         |      $score += $ws[(int) java.lang.Math.floorMod($th, ${numBuckets}L)];
+         |      $nToks++;
+         |    }
+         |    $inTok = false; $h = ${RollingHash.SEED}L;
+         |  } else {
+         |    $h = $h * ${RollingHash.BASE}L + ($b & 0xffL);
+         |    $inTok = true;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$nToks, $score});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Portable combine-hash of N long values: h = fmix64(h XOR v) folded
   * left over the inputs from the FNV offset seed. Used for LSH band
   * bucket keys (band index + signature slice -> one 64-bit key) where
@@ -850,6 +949,9 @@ object GraftExpressions {
   def rolling_hash(s: Column): Column = col(RollingHash(exp(s)))
 
   def simhash64(tokens: Column): Column = col(SimHash64(exp(tokens)))
+
+  def hashed_linear_score(normText: Column, numBuckets: Int, weights: Seq[Long]): Column =
+    col(HashedLinearScore(exp(normText), numBuckets, weights))
 
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     col(MinHashSignature(exp(tokens), numHashes))

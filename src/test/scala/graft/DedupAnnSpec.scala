@@ -307,7 +307,7 @@ class DedupAnnSpec extends AnyFunSuite {
     import graft.functions.GraftFunctions
     val d = docs.limit(200)
     val cols = TextStats.hashedLinearScore(col("text"), 4096,
-      j => (j * lit(2654435761L) + lit(97L)) % lit(2001L) - lit(1000L))
+      (0 until 4096).map(j => (j * 2654435761L + 97L) % 2001L - 1000L))
     val got = d.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
     // independent path: explode tokens, hash/weight per row, groupBy.
     val ref = d.select(col("doc_id"),
@@ -322,12 +322,12 @@ class DedupAnnSpec extends AnyFunSuite {
           .as("score_mean"))
     assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
     spark.catalog.clearCache()
-    // trained-table form: element_at over a typedlit weight array
-    // must equal the arithmetic form when the table holds the same
+    // trained-table HOF form: element_at over a typedlit weight array
+    // must equal the fused form when the table holds the same
     // formula values.
     val table = Array.tabulate(4096)(j =>
       (((j * 2654435761L + 97L) % 2001L) - 1000L).toInt)
-    val cols2 = TextStats.hashedLinearScore(col("text"), 4096,
+    val cols2 = TextStats.hashedLinearScoreHof(col("text"), 4096,
       j => element_at(typedLit(table), j.cast("int") + 1))
     val got2 = d.select(col("doc_id") +: cols2.map { case (n, c) => c.as(n) }: _*)
     assert(got2.except(got).count() == 0)

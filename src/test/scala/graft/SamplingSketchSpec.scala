@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+/** Pins the production sketch-path quality gate
+  * (Sampling.topFractionBySketch: per-group KLL threshold + stateless
+  * filter, NO per-group sort) against the exact ranked-window form
+  * (topFractionByScore, d24's oracle contract) within the sketch's
+  * published normalized rank error.
+  */
+class SamplingSketchSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val SketchK = 200
+  // Single-quantile error bound (Karnin–Lang–Liberty): the library's
+  // own figure for k=200 is ~1.65% normalized rank error at 99%
+  // confidence. The sketch is RANDOMIZED, so the spec budgets 2× the
+  // published epsilon — far outside any plausible draw at these n.
+  private val eps = org.apache.datasketches.kll.KllSketch
+    .getNormalizedRankError(SketchK, false)
+
+  /** Corpus: one dominant group (the crawl-dump shape that breaks the
+    * exact form at scale) + one small group; scores are distinct
+    * doubles derived from a hash so the exact rank order is total.
+    */
+  private def corpus(nBig: Int, nSmall: Int) = {
+    val rows = (1 to nBig).map(i => (i.toLong, "big")) ++
+      (1 to nSmall).map(i => (nBig + i.toLong, "small"))
+    rows.toDF("doc_id", "source")
+      .withColumn("score",
+        (graft.functions.GraftFunctions.fmix64(col("doc_id")).cast("double")
+          / lit(1e18)))
+  }
+
+  test("sketch gate = a rank-prefix per group, size within rank error of the exact cut") {
+    val df = corpus(nBig = 4000, nSmall = 60).cache()
+    val fracNum = 3; val fracDen = 10
+    val exact = Sampling.topFractionByScore(df, "doc_id", "source", "score",
+        fracNum, fracDen)
+      .select("source", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sketch = Sampling.topFractionBySketch(df, "doc_id", "source", "score",
+        fracNum, fracDen, SketchK)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // Exact ranks of ALL docs (not just the kept 30%), for the band math.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    val allRanks = df.withColumn("rk", row_number().over(w))
+      .select("source", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val nByGroup = Map("big" -> 4000, "small" -> 60)
+
+    for ((g, n) <- nByGroup) {
+      val target = (fracNum * n + fracDen - 1) / fracDen // ⌈frac·n⌉
+      val band = math.ceil(2 * eps * n).toInt + 1
+      val keptG = sketch.collect { case (s, id) if s == g => allRanks((s, id)) }
+      // (1) kept count within the rank-error band of the exact cut
+      assert(math.abs(keptG.size - target) <= band,
+        s"$g: kept ${keptG.size}, exact target $target, band ±$band")
+      // (2) the kept set is a rank PREFIX (scores distinct → the score
+      // gate keeps exactly ranks 1..|kept|): max kept rank == |kept|
+      assert(keptG.nonEmpty && keptG.max == keptG.size,
+        s"$g: kept set is not a rank prefix (max rank ${keptG.max} of ${keptG.size})")
+      // (3) and therefore agrees with the exact form outside the band
+      val exactG = exact.collect { case ((s, _), rk) if s == g => rk }
+      assert(exactG.size == target)
+      assert((keptG.size - target).abs <= band)
+    }
+    df.unpersist()
+  }
+
+  test("fracNum == fracDen keeps everything; every group keeps its top doc") {
+    val df = corpus(nBig = 500, nSmall = 7)
+    assert(Sampling.topFractionBySketch(df, "doc_id", "source", "score",
+      1, 1, SketchK).count() == 507L)
+    // tiny fraction: the max-score doc always survives (thr <= max)
+    val kept1 = Sampling.topFractionBySketch(df, "doc_id", "source", "score",
+        1, 1000, SketchK)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept1.keySet == Set("big", "small"))
+    assert(kept1.values.forall(_ >= 1L))
+  }
+
+  test("plan has no per-group sort: threshold join broadcasts, filter stays narrow") {
+    val df = corpus(nBig = 300, nSmall = 9)
+    val plan = Sampling.topFractionBySketch(df, "doc_id", "source", "score",
+      3, 10, SketchK).queryExecution.executedPlan.toString
+    // the corpus side must reach the filter through a broadcast join,
+    // never through a Window/Sort chain like the exact form
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), s"sketch path must not plan a Window:\n$plan")
+  }
+}
