@@ -372,9 +372,12 @@ object Dedup {
     * as [[minhashLshPairs]]; only new↔corpus pairs are formed — the
     * candidate join is |batch bands| × matching index buckets, linear
     * in the batch for healthy buckets. In production the corpus side
-    * of [[lshStaged]] is computed once and PERSISTED as the index
-    * (bucketed by (band, bucket)); here it is recomputed so the
-    * operator stays a pure function of its inputs.
+    * of [[lshStaged]] is computed once and PERSISTED as the index:
+    * [[writeLshIndex]] writes it as (band, bucket)-bucketed tables and
+    * [[probeLshIndex]] probes it with NO Exchange on the index side.
+    * Here it is recomputed so the operator stays a pure function of
+    * its inputs (the d27 oracle contract); the two forms are
+    * spec-pinned equal.
     *
     * `cap` governs the INDEX buckets at build time: a corpus bucket
     * hotter than `cap` docs (boilerplate band) is dropped before any
@@ -400,6 +403,73 @@ object Dedup {
       .join(index.select(col("band"), col("bucket"),
         col("id").as("corpus_id"), col("nt").as("nt_c")), Seq("band", "bucket"))
       // size-ratio prune, as in minhashLshPairs
+      .filter(least(col("nt_n"), col("nt_c")) * lit(1000L) >=
+        greatest(col("nt_n"), col("nt_c")) * tPermille)
+      .select("new_id", "corpus_id")
+      .distinct()
+    cand
+      .join(nsets.select(col("id").as("new_id"), col("dtoks").as("toks_n")), Seq("new_id"))
+      .join(csets.select(col("id").as("corpus_id"), col("dtoks").as("toks_c")), Seq("corpus_id"))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("toks_n"), col("toks_c")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("toks_n")) + size(col("toks_c")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** Persist the corpus side of [[minhashAgainstIndex]] as a
+    * PROBE-READY index: two bucketed managed tables —
+    * `<prefix>_bands(band, bucket, id, nt)` bucketed on (band,
+    * bucket) and `<prefix>_sets(id, dtoks)` bucketed on id — with the
+    * hot-bucket `cap` applied AT BUILD TIME (a boilerplate bucket is
+    * dropped once, before any batch ever probes it — the quadratic
+    * risk lives on the index side).
+    *
+    * This is the production recrawl layout: the 100 TB corpus pays
+    * its signature pass and its (band, bucket) shuffle ONCE at write;
+    * every future batch probe ([[probeLshIndex]]) joins it with NO
+    * Exchange on the index side — only the batch (today's crawl)
+    * shuffles, and a batch is small. PipelineSpec pins the
+    * Exchange-free probe plan and result-equality with the
+    * recompute-everything form.
+    */
+  def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+                    tablePrefix: String, numHashes: Int = 32, bands: Int = 8,
+                    shingleN: Int = 3, cap: Int = 100,
+                    buckets: Int = 64): Unit = {
+    val (cb, csets) = lshStaged(corpus, idCol, textCol, numHashes, bands, shingleN)
+    val hot = cb.groupBy("band", "bucket").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > cap).select("band", "bucket")
+    val index = cb.join(hot, Seq("band", "bucket"), "left_anti")
+    graft.sources.TidyIO.writeBucketedCols(
+      index, s"${tablePrefix}_bands", Seq("band", "bucket"), buckets)
+    graft.sources.TidyIO.writeBucketedCols(
+      csets, s"${tablePrefix}_sets", Seq("id"), buckets)
+  }
+
+  /** Probe a [[writeLshIndex]] index with a new batch: identical
+    * semantics to [[minhashAgainstIndex]] (same banding, size-ratio
+    * prune, exact-Jaccard verify), but the corpus is READ, not
+    * recomputed — the candidate join consumes `<prefix>_bands`
+    * bucket-for-bucket (no Exchange on the index side; the batch
+    * side shuffles to match, bounded by the batch) and the verify
+    * join reads `<prefix>_sets` the same way on id.
+    */
+  def probeLshIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                    tablePrefix: String, threshold: Double,
+                    numHashes: Int = 32, bands: Int = 8,
+                    shingleN: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (nb, nsets) = lshStaged(newDocs, idCol, textCol, numHashes, bands, shingleN)
+    val index = spark.table(s"${tablePrefix}_bands")
+    val csets = spark.table(s"${tablePrefix}_sets")
+    val tPermille = (threshold * 1000).toLong
+    val cand = nb
+      .select(col("band"), col("bucket"), col("id").as("new_id"), col("nt").as("nt_n"))
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("nt").as("nt_c")), Seq("band", "bucket"))
       .filter(least(col("nt_n"), col("nt_c")) * lit(1000L) >=
         greatest(col("nt_n"), col("nt_c")) * tPermille)
       .select("new_id", "corpus_id")

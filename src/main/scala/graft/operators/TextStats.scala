@@ -51,9 +51,21 @@ object TextStats {
     when(den === 0, lit(0.0))
       .otherwise(num.cast("double") / den.cast("double"))
 
+  /** Half-up 4-dp rounding as PURE double arithmetic: floor(x·10⁴ +
+    * ½)/10⁴ — every step is one correctly-rounded IEEE op, so both
+    * engines produce the IDENTICAL double. `round(double, 4)` does
+    * NOT have that property: Spark rounds the shortest decimal
+    * representation (BigDecimal.valueOf) while DuckDB rounds the
+    * binary value, and they disagree exactly at half boundaries —
+    * the hotbucket fuzz corpus caught d25's micro sum off by one
+    * through a single boundary-landing quality value. Nonneg x only.
+    */
+  def halfUp4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   /** L9 — quality metrics over the normalized text. All ratios are
     * 0-safe double divisions mirrored exactly in the oracle SQL
-    * (an empty doc has n_chars = 0; its ratios report 0.0).
+    * (an empty doc has n_chars = 0; its ratios report 0.0), and all
+    * roundings are [[halfUp4]] so the doubles are engine-identical.
     */
   def qualityColumns(norm: Column, toks: Column): Seq[(String, Column)] = {
     val nChars = length(norm)
@@ -63,13 +75,13 @@ object TextStats {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,
-      "mean_tok_len" -> round(safeRatio(nChars - (nTok - lit(1)), nTok), 4),
-      "stop_ratio" -> round(safeRatio(allStop, nTok), 4),
-      "alpha_ratio" -> round(safeRatio(alpha, nChars), 4),
-      "quality" -> round(
+      "mean_tok_len" -> halfUp4(safeRatio(nChars - (nTok - lit(1)), nTok)),
+      "stop_ratio" -> halfUp4(safeRatio(allStop, nTok)),
+      "alpha_ratio" -> halfUp4(safeRatio(alpha, nChars)),
+      "quality" -> halfUp4(
         least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.4) +
           safeRatio(allStop, nTok) * lit(0.3) +
-          safeRatio(alpha, nChars) * lit(0.3), 4))
+          safeRatio(alpha, nChars) * lit(0.3)))
   }
 
   /** L28 — unigram token entropy in nats: H = ln n − (Σ c·ln c)/n over

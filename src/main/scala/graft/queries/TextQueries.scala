@@ -30,6 +30,13 @@ object TextQueries {
   private def safeDivSql(num: String, den: String): String =
     s"(CASE WHEN ($den) = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END)"
 
+  /** TextStats.halfUp4 replay: floor(x·10⁴ + ½)/10⁴ in pure double
+    * arithmetic — engine-identical, unlike round(x, 4) (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value).
+    */
+  private def hup4Sql(x: String): String =
+    s"(floor(($x) * 10000.0 + 0.5) / 10000.0)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1: exact dedup — md5 of normalized text, keep min id.
     "d01_dedup_exact" -> ((s, dir) => {
@@ -952,9 +959,10 @@ object TextQueries {
          | cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
          | q AS (
          |  SELECT doc_id,
-         |    round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |    ${hup4Sql(
+               s"""least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
          |          ${safeDivSql("allstop", "len(toks)")} * 0.3 +
-         |          ${safeDivSql("alpha", "length(norm)")} * 0.3, 4)
+         |          ${safeDivSql("alpha", "length(norm)")} * 0.3""")}
          |      AS quality
          |  FROM (SELECT doc_id, norm, toks,
          |          length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
@@ -1049,12 +1057,13 @@ object TextQueries {
 
     "t02_quality" ->
       s"""SELECT doc_id, n_chars, n_tokens,
-         | round(${safeDivSql("n_chars - (n_tokens - 1)", "n_tokens")}, 4) AS mean_tok_len,
-         | round(${safeDivSql("allstop", "n_tokens")}, 4) AS stop_ratio,
-         | round(${safeDivSql("alpha", "n_chars")}, 4) AS alpha_ratio,
-         | round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         | ${hup4Sql(safeDivSql("n_chars - (n_tokens - 1)", "n_tokens"))} AS mean_tok_len,
+         | ${hup4Sql(safeDivSql("allstop", "n_tokens"))} AS stop_ratio,
+         | ${hup4Sql(safeDivSql("alpha", "n_chars"))} AS alpha_ratio,
+         | ${hup4Sql(
+             s"""least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
          |       ${safeDivSql("allstop", "n_tokens")} * 0.3 +
-         |       ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
+         |       ${safeDivSql("alpha", "n_chars")} * 0.3""")} AS quality
          |FROM (
          |  SELECT doc_id, length(norm) AS n_chars, len(toks) AS n_tokens,
          |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
@@ -1513,9 +1522,10 @@ object TextQueries {
          | work AS (SELECT b.doc_id, b.source, b.text FROM b JOIN delta USING (doc_id)),
          | q AS (
          |  SELECT doc_id, source,
-         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |    ${hup4Sql(
+               s"""least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
          |          ${safeDivSql("allstop", "n_tokens")} * 0.3 +
-         |          ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
+         |          ${safeDivSql("alpha", "n_chars")} * 0.3""")} AS quality
          |  FROM (
          |    SELECT doc_id, source,
          |      length(norm) AS n_chars, len(toks) AS n_tokens,
@@ -1574,9 +1584,10 @@ object TextQueries {
     "d24_quality_topp" ->
       s"""WITH q AS (
          |  SELECT doc_id, source,
-         |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |    ${hup4Sql(
+               s"""least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4 +
          |          ${safeDivSql("allstop", "n_tokens")} * 0.3 +
-         |          ${safeDivSql("alpha", "n_chars")} * 0.3, 4) AS quality
+         |          ${safeDivSql("alpha", "n_chars")} * 0.3""")} AS quality
          |  FROM (
          |    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
          |      length(norm) AS n_chars, len(toks) AS n_tokens,

@@ -34,14 +34,24 @@ object TidyIO {
     * runs). PipelineSpec asserts the Exchange-free bucketed plan.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    // Pre-shuffle on the bucket column (same murmur3 hash as the
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit =
+    writeBucketedCols(df, table, Seq(bucketCol), buckets, sortCols)
+
+  /** Composite-key form of [[writeBucketed]] (e.g. an LSH index
+    * bucketed on (band, bucket) — see Dedup.writeLshIndex): a join on
+    * exactly these columns reads the table with no Exchange on this
+    * side.
+    */
+  def writeBucketedCols(df: DataFrame, table: String, bucketCols: Seq[String],
+                        buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty)
+    // Pre-shuffle on the bucket columns (same murmur3 hash as the
     // bucket id): ONE file per bucket instead of tasks×buckets small
     // files — and Spark only elides the downstream Sort for sorted
     // buckets when each bucket is a single file.
-    val w = df.repartition(buckets, df.col(bucketCol))
+    val w = df.repartition(buckets, bucketCols.map(df.col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

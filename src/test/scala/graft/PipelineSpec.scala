@@ -168,4 +168,71 @@ class PipelineSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_items_b")
     }
   }
+
+  test("persisted LSH index: probe is Exchange-free on the index side and equals the recompute form") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Graft.table(spark, SharedSpark.sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = pmod(col("doc_id"), lit(5)) === 0
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      Dedup.writeLshIndex(corpus, "doc_id", "text", "g_lsh",
+        numHashes = 32, bands = 8, shingleN = 3, cap = 100, buckets = 8)
+      spark.catalog.clearCache()
+      // force the shuffle-join path so an Exchange WOULD appear on the
+      // index side if the bucketed layout didn't already co-locate it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = Dedup.probeLshIndex(batch, "doc_id", "text", "g_lsh",
+        threshold = 0.8, numHashes = 32, bands = 8, shingleN = 3)
+      val exec = p.queryExecution.executedPlan
+      def indexScans(pl: SparkPlan) = pl.collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(t =>
+          t.table == "g_lsh_bands" || t.table == "g_lsh_sets") => s
+      }
+      assert(indexScans(exec).size == 2, s"expected both index scans:\n$exec")
+      assert(exec.toString.contains("Bucketed: true"),
+        s"bucketed scan not used:\n$exec")
+      // each join child whose ONLY leaves are index-table scans (the
+      // index side of the candidate and verify joins) must contain no
+      // ShuffleExchange — only the batch side is allowed to shuffle
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      val indexSides = joins.flatMap(_.children).filter { c =>
+        val leaves = c.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case s: FileSourceScanExec => s.tableIdentifier.exists(t =>
+            t.table == "g_lsh_bands" || t.table == "g_lsh_sets")
+          case _ => false
+        }
+      }
+      assert(indexSides.size == 2,
+        s"expected the two index-side join subtrees:\n$exec")
+      indexSides.foreach { c =>
+        assert(c.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"Exchange on the index side:\n$c")
+      }
+      val got = p.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      // equality with the pure recompute form (d27's oracle contract)
+      val ref = Dedup.minhashAgainstIndex(batch, corpus, "doc_id", "text",
+          threshold = 0.8, numHashes = 32, bands = 8, shingleN = 3, cap = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == ref, s"probe=${got.size} recompute=${ref.size}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.catalog.clearCache()
+      spark.sql("DROP TABLE IF EXISTS g_lsh_bands")
+      spark.sql("DROP TABLE IF EXISTS g_lsh_sets")
+    }
+  }
 }

@@ -114,6 +114,54 @@ def make_docs(rng):
     return rows
 
 
+def make_hot_docs(rng):
+    """Hot-bucket adversarial corpus: enough near-identical docs that
+    the quadratic-guard caps actually FIRE (on clean corpora they are
+    dead code in every sweep):
+
+      - a 660-doc cluster sharing ONE token set (order/repeat
+        variations): identical minhash signature in EVERY band, so
+        each (band, bucket) holds all 660 docs -> d03's bucket cap
+        (660 > 500) and d27's index-side cap (~528 index docs > 500)
+        fire, and the oracles' HAVING <= 500 must mirror the drop;
+      - a 30-doc identical-set cluster BELOW the cap whose pairs must
+        all survive (the cap drops hot buckets only);
+      - 40 docs sharing a boilerplate prefix with unique tails
+        (hot shared grams: d26 containment / d11 / d16 food).
+    """
+    rows = []
+    doc_id = 0
+    langs = ["en", "de", "fr"]
+    sources = ["web", "books", "code", "wiki", "news"]
+
+    def add(text):
+        nonlocal doc_id
+        rows.append((doc_id, text, langs[doc_id % 3],
+                     sources[doc_id % 5], len(text)))
+        doc_id += 1
+
+    # background docs so corpus-level stats are not degenerate
+    for _ in range(80):
+        add(sentence(rng, rng.randint(5, 30)))
+    core = ["boiler", "plate", "nav", "footer",
+            "cookie", "accept", "privacy", "terms"]
+    for _ in range(660):
+        toks = core[:]
+        rng.shuffle(toks)
+        toks += [rng.choice(core) for _ in range(rng.randint(0, 6))]
+        add(" ".join(toks))
+    core2 = ["qoph", "resh", "shin"]
+    for _ in range(30):
+        t = core2[:]
+        rng.shuffle(t)
+        add(" ".join(t))
+    boiler = sentence(rng, 12)
+    for _ in range(40):
+        add(boiler + " " + sentence(rng, rng.randint(3, 8)))
+    rng.shuffle(rows)
+    return rows
+
+
 def write_variant(out_dir, rows, id_type, nchars_type):
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -309,6 +357,8 @@ def main(out):
     rows = make_docs(rng)
     write_variant(f"{out}/content", rows, pa.int64(), pa.int64())
     write_variant(f"{out}/typedrift", rows, pa.int32(), pa.float64())
+    write_variant(f"{out}/hotbucket", make_hot_docs(rng),
+                  pa.int64(), pa.int64())
     rel = make_rel_content()
     write_tables(f"{out}/relcontent", rel)
     write_tables(f"{out}/reltypes", make_rel_typedrift(rel))
