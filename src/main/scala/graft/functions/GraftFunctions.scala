@@ -19,6 +19,13 @@ object GraftFunctions {
   def logicle(x: Column, t: Column, m: Column, w: Column): Column =
     GraftExpressions.logicle(x, t, m, w)
 
+  /** Fixed-point logicle on the 10⁻⁶ display grid: bit-for-bit
+    * engine-replayable (integer bisection; see LogicleFixedMath).
+    * Agrees with [[logicle]] within ~2e-6.
+    */
+  def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
+    GraftExpressions.logicle_q6(x, t, m, w)
+
   /** 64-bit polynomial rolling hash of a string (fingerprinting). */
   def rolling_hash(s: Column): Column = GraftExpressions.rolling_hash(s)
 

@@ -51,14 +51,21 @@ object FlowCytoQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // F2: logicle biexponential transform — rows-only (bisection
-    // inversion isn't SQL-expressible); inverse property in spec.
+    // F2: logicle biexponential transform — ORACLE-EXACT since round
+    // 8: the fixed-point grid form (LogicleFixedMath: integer
+    // bit-product exponentials + 23-step integer bisection on the
+    // 10^-6 display grid) replaces the float bisection whose branch
+    // decisions depended on sub-ulp pow() agreement between engines.
+    // The DuckDB oracle replays the identical integer recurrence in a
+    // recursive CTE with the SAME driver-computed constant tables.
+    // The float transform stays the spec-tested production kernel;
+    // ExpressionsSpec pins |q6 - float| <= 2e-6.
     "f02_logicle" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(GraftFunctions.logicle(
-            col("l_extendedprice"), lit(100000.0), lit(4.5), lit(0.5)), 6).as("logicle_price"))
+          GraftFunctions.logicle_q6(
+            col("l_extendedprice"), 100000.0, 4.5, 0.5).as("logicle_price"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -365,6 +372,73 @@ object FlowCytoQueries {
     if (s.contains("E")) f"$d%.17f" else s
   }
 
+  /** f02 oracle: the fixed-point logicle recurrence (LogicleFixedMath)
+    * replayed in DuckDB. The constant pack — bit-product power tables,
+    * p², 2^40/p, the outer coefficient, the edge values — is computed
+    * ONCE here (same JVM that builds the Spark plan) and embedded as
+    * literals, so both engines run the identical integer recurrence:
+    * 10^(k/2^40) as a list_reduce product over set bits, (a·b) >> 40
+    * per step (HUGEINT here, multiplyHigh there), and a 23-step
+    * integer bisection on the 10^-6 display grid as a recursive CTE.
+    * Every branch decision is an integer compare — bit-equal by
+    * construction, unlike the float bisection whose pow() comparisons
+    * sit inside the engines' 1-ulp libm disagreement.
+    */
+  private def logicleQ6Sql(xCol: String, t: Double, m: Double, w: Double): String = {
+    import org.apache.spark.sql.graftx.LogicleFixedMath
+    val c = LogicleFixedMath.consts(t, m, w)
+    val S = LogicleFixedMath.S
+    def tabList(tab: Array[Long]): String =
+      tab.zipWithIndex.map { case (v, b) =>
+        s"{'b': CAST($b AS BIGINT), 't': CAST($v AS HUGEINT)}"
+      }.mkString("[", ", ", "]")
+    // 10^(k/2^40) in S-scale: ordered bit-product, struct accumulator
+    // (list_reduce needs a uniform element type; the b field rides
+    // along unused in the accumulator).
+    def expfp(kCol: String, tab: Array[Long]): String =
+      s"list_reduce(list_prepend({'b': CAST(-1 AS BIGINT), 't': CAST($S AS HUGEINT)}, " +
+        s"${tabList(tab)}), (la, le) -> {'b': le.b, " +
+        s"'t': CASE WHEN (($kCol) >> le.b) & 1 = 1 THEN (la.t * le.t) >> 40 ELSE la.t END}).t"
+    s"""WITH RECURSIVE inp AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(floor($xCol * ${sqlDouble(S.toDouble)}) AS HUGEINT) AS x_fp
+       |  FROM lineitem),
+       | bis AS (
+       |  SELECT l_orderkey, l_linenumber, x_fp, CAST(0 AS BIGINT) AS it,
+       |         CAST(0 AS BIGINT) AS lo, CAST(${c.mMicro} AS BIGINT) AS hi
+       |  FROM inp WHERE x_fp > ${c.g0} AND x_fp < ${c.gM}
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, x_fp, it + 1,
+       |    CASE WHEN gm < x_fp THEN mid ELSE lo END AS lo,
+       |    CASE WHEN gm < x_fp THEN hi ELSE mid END AS hi
+       |  FROM (
+       |   SELECT *, CASE WHEN innr >= 0 THEN (CAST(${c.tc} AS HUGEINT) * innr) >> 40
+       |             ELSE -((CAST(${c.tc} AS HUGEINT) * (-innr)) >> 40) END AS gm
+       |   FROM (
+       |    SELECT *, va - ((CAST(${c.p2} AS HUGEINT) * vb) >> 40) + ${c.p2} - $S AS innr
+       |    FROM (
+       |     SELECT *, CASE WHEN k2 >= 0 THEN ${expfp("k2", c.tpos)}
+       |               ELSE ${expfp("-k2", c.tneg)} END AS vb
+       |     FROM (
+       |      SELECT *, CASE WHEN v_fp >= 0 THEN ${expfp("v_fp", c.tpos)}
+       |                ELSE ${expfp("-v_fp", c.tneg)} END AS va,
+       |             CASE WHEN v_fp >= 0 THEN -((v_fp * ${c.invp}) >> 40)
+       |             ELSE ((-v_fp) * ${c.invp}) >> 40 END AS k2
+       |      FROM (
+       |       SELECT *, mid * CAST($S AS HUGEINT) // 1000000 - ${c.wFp} AS v_fp
+       |       FROM (SELECT *, (lo + hi) // 2 AS mid FROM bis WHERE it < 23))))))),
+       | done AS (SELECT l_orderkey, l_linenumber,
+       |            CAST(hi AS DOUBLE) / 1000000.0 AS logicle_price
+       |          FROM bis WHERE it = 23),
+       | edges AS (SELECT l_orderkey, l_linenumber,
+       |             CASE WHEN x_fp <= ${c.g0} THEN 0.0
+       |                  ELSE ${sqlDouble(c.mMicro / 1e6)} END AS logicle_price
+       |           FROM inp WHERE x_fp <= ${c.g0} OR x_fp >= ${c.gM})
+       |SELECT l_orderkey, l_linenumber, logicle_price
+       |FROM (SELECT * FROM done UNION ALL SELECT * FROM edges)
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** Compensation SQL shares the Scala-side inverse coefficients so
     * both engines run the identical multiply-add sequence.
     */
@@ -383,6 +457,8 @@ object FlowCytoQueries {
     }.mkString("(", " AND ", ")")
 
   val oracle: Map[String, String] = Map(
+    "f02_logicle" -> logicleQ6Sql("l_extendedprice", 100000.0, 4.5, 0.5),
+
     "f01_arcsinh" ->
       """SELECT l_orderkey, l_linenumber,
         | round(ln(l_quantity/5.0 + sqrt((l_quantity/5.0)*(l_quantity/5.0) + 1.0)), 6) AS asinh_qty,

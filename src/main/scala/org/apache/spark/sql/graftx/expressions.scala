@@ -103,7 +103,7 @@ object LogicleMath {
   }
 
   /** Solve w = 2 p ln(p)/(p+1) for p (p >= 1). */
-  private def widthParam(w: Double): Double = {
+  private[graftx] def widthParam(w: Double): Double = {
     if (w <= 0) return 1.0
     var lo = 1.0; var hi = 1e6
     var i = 0
@@ -130,6 +130,143 @@ object LogicleMath {
     }
     (lo + hi) / 2
   }
+}
+
+/** FIXED-POINT logicle transform — the oracle-replayable twin of
+  * [[LogicleMath]] (which stays the float production/spec form).
+  *
+  * Why it exists: the float bisection's branch decisions compare
+  * pow(10, ·) outputs, and Java's Math.pow and C libm agree only to
+  * ~1 ulp — as the bisection converges the compared values differ by
+  * LESS than that, so the two engines take different branches and the
+  * result is only statistically (not provably) engine-identical. Here
+  * every quantity is an integer in 2^40 scale and every operation is
+  * integer multiply/shift/compare, so both engines compute the exact
+  * same bits by construction:
+  *
+  *   - 10^(k/2^40) = Π over set bits b of k of T[b], with
+  *     T[b] = round(2^40 · 10^(±2^b/2^40)) PRECOMPUTED ON THE DRIVER
+  *     and embedded as literals in BOTH the Spark plan and the DuckDB
+  *     SQL (the oracle string is generated in the same JVM, so the
+  *     constants are shared, not re-derived);
+  *   - each product is (a·b) >> 40 — exact via the 128-bit
+  *     intermediate (Math.multiplyHigh here, native HUGEINT there);
+  *   - the width parameter p enters only through driver constants
+  *     (p², 2^40/p), so its transcendental solve happens once, off
+  *     the replay path;
+  *   - the inversion is a 23-step integer bisection on the 10^-6
+  *     display grid [0, m·10^6]: G(mid) < x_fp is an integer compare,
+  *     immune to rounding noise. Output = hi/10^6, an exact decimal.
+  *
+  * Approximation error vs the float transform is ≤ ~2e-6 in y (the
+  * grid step dominates; table truncation contributes ~4e-11 relative)
+  * — pinned by ExpressionsSpec. LogicleQ6Spec-style caveat: x·2^40
+  * must fit a long, i.e. x < 8.3e12 — fine for any FCS channel.
+  */
+object LogicleFixedMath {
+  final val Shift = 40
+  final val S: Long = 1L << Shift
+  final val Bits = 43 // exponent args stay below 2^43 in S-scale
+
+  /** Driver-computed constant pack for one (t, m, w). */
+  final case class Consts(tpos: Array[Long], tneg: Array[Long], p2: Long,
+                          invp: Long, tc: Long, wFp: Long, mMicro: Long,
+                          g0: Long, gM: Long) extends Serializable
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), Consts]()
+
+  def consts(t: Double, m: Double, w: Double): Consts =
+    cache.computeIfAbsent((t, m, w), _ => build(t, m, w))
+
+  private def build(t: Double, m: Double, w: Double): Consts = {
+    val p = LogicleMath.widthParam(w)
+    val sD = S.toDouble
+    val tpos = Array.tabulate(Bits)(b =>
+      math.round(sD * math.pow(10.0, math.pow(2.0, b) / sD)))
+    val tneg = Array.tabulate(Bits)(b =>
+      math.round(sD * math.pow(10.0, -math.pow(2.0, b) / sD)))
+    val c0 = Consts(tpos, tneg,
+      p2 = math.round(sD * p * p),
+      invp = math.round(sD / p),
+      tc = math.round(sD * t * math.pow(10.0, w - m)),
+      wFp = math.round(sD * w),
+      mMicro = math.round(m * 1e6),
+      g0 = 0L, gM = 0L)
+    c0.copy(g0 = gFp(0L, c0), gM = gFp(c0.mMicro, c0))
+  }
+
+  /** (a·b) >> 40 for nonneg a, b with a·b < 2^104 — exact. */
+  def mulShift(a: Long, b: Long): Long =
+    (Math.multiplyHigh(a, b) << (64 - Shift)) | ((a * b) >>> Shift)
+
+  /** 10^(k/2^40) in S-scale via the bit-product tables; k signed. */
+  def exp10fp(k: Long, c: Consts): Long = {
+    val neg = k < 0
+    val kk = if (neg) -k else k
+    val tab = if (neg) c.tneg else c.tpos
+    var acc = S
+    var b = 0
+    while (b < Bits) {
+      if (((kk >> b) & 1L) == 1L) acc = mulShift(acc, tab(b))
+      b += 1
+    }
+    acc
+  }
+
+  /** Fixed-point biexponential at display grid point yMicro, S-scale. */
+  def gFp(yMicro: Long, c: Consts): Long = {
+    val vFp = yMicro * S / 1000000L - c.wFp
+    val a = exp10fp(vFp, c)
+    val k2 = if (vFp >= 0) -mulShift(vFp, c.invp) else mulShift(-vFp, c.invp)
+    val bt = exp10fp(k2, c)
+    val inner = a - mulShift(c.p2, bt) + c.p2 - S
+    if (inner >= 0) mulShift(c.tc, inner) else -mulShift(c.tc, -inner)
+  }
+
+  /** Inverse on the micro grid: 23-step integer bisection (2^23 >
+    * m·10^6 for any m ≤ 8), exact integer compares throughout.
+    */
+  def transform(x: Double, c: Consts): Double = {
+    val xFp = math.floor(x * S.toDouble).toLong
+    if (xFp <= c.g0) return 0.0
+    if (xFp >= c.gM) return c.mMicro / 1e6
+    var lo = 0L
+    var hi = c.mMicro
+    var i = 0
+    while (i < 23) {
+      val mid = (lo + hi) / 2
+      if (gFp(mid, c) < xFp) lo = mid else hi = mid
+      i += 1
+    }
+    hi / 1e6
+  }
+}
+
+/** [[LogicleFixedMath]] as an expression: logicle display transform on
+  * the 10^-6 grid, engine-replayable bit-for-bit (f02's oracle).
+  * t/m/w are plan literals; the constant pack ships with the plan.
+  */
+case class LogicleQ6(child: Expression, t: Double, m: Double, w: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "logicle_q6"
+
+  @transient private lazy val c = LogicleFixedMath.consts(t, m, w)
+
+  override protected def nullSafeEval(x: Any): Any =
+    LogicleFixedMath.transform(x.asInstanceOf[Double], c)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("logicleConsts", c,
+      "org.apache.spark.sql.graftx.LogicleFixedMath.Consts")
+    defineCodeGen(ctx, ev, x =>
+      s"org.apache.spark.sql.graftx.LogicleFixedMath.transform($x, $cref)")
+  }
+
+  override protected def withNewChildInternal(c2: Expression): Expression =
+    copy(child = c2)
 }
 
 /** 64-bit polynomial rolling hash of a string (base 1000003, FNV
@@ -952,6 +1089,9 @@ object GraftExpressions {
 
   def hashed_linear_score(normText: Column, numBuckets: Int, weights: Seq[Long]): Column =
     col(HashedLinearScore(exp(normText), numBuckets, weights))
+
+  def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
+    col(LogicleQ6(exp(x), t, m, w))
 
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     col(MinHashSignature(exp(tokens), numHashes))

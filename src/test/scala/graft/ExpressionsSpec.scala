@@ -77,6 +77,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(ys == ys.sorted)
   }
 
+  test("fixed-point logicle_q6 tracks the float transform within the grid step") {
+    import org.apache.spark.sql.graftx.LogicleFixedMath
+    val (t, m, w) = (100000.0, 4.5, 0.5)
+    val c = LogicleFixedMath.consts(t, m, w)
+    // broad sweep incl. the clamp regions, the linearized negative
+    // zone (biex(0) ~ -33, so small negatives map inside the range),
+    // and the log zone
+    val xs = (0 until 400).map(i => math.pow(10.0, -2.0 + i * 0.02)) ++
+      Seq(0.0, 0.001, -1.0, -5.0, -30.0, 99999.0, 100000.0, 1e7)
+    for (x <- xs) {
+      val yF = LogicleMath.transform(x, t, m, w)
+      val yQ = LogicleFixedMath.transform(x, c)
+      assert(math.abs(yQ - yF) <= 2e-6, s"x=$x float=$yF q6=$yQ")
+      // every output is an exact micro-grid point
+      assert(yQ == math.rint(yQ * 1e6) / 1e6, s"off-grid: $yQ")
+    }
+    // clamps mirror the float convention (biex(0) ~ -33: only data
+    // below that clamps to 0)
+    assert(LogicleFixedMath.transform(-1000.0, c) == 0.0)
+    assert(LogicleFixedMath.transform(1e9, c) == 4.5)
+    // monotone on the grid
+    val ys = Seq(1.0, 10.0, 100.0, 1000.0, 10000.0)
+      .map(LogicleFixedMath.transform(_, c))
+    assert(ys == ys.sorted)
+  }
+
   test("rolling_hash codegen equals reference implementation") {
     val strs = Seq("", "a", "hello world", "ünïcödé ✓")
     val got = strs.toDF("s")
