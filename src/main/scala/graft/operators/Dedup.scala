@@ -46,6 +46,58 @@ object Dedup {
     * per hash. One hash-aggregate; at 100 TB the md5 shuffle key is
     * 16 bytes/doc regardless of document size.
     */
+  /** L68b — LINE-level exact dedup with document reassembly (the
+    * RefinedWeb/CCNet line-dedup pass: boilerplate lines — nav bars,
+    * cookie banners, footers — repeat across millions of pages and
+    * survive whole-doc dedup because the surrounding page differs).
+    * Every line keeps only its FIRST corpus occurrence in
+    * (doc, line-position) order; each doc is then reassembled from
+    * its surviving lines.
+    *
+    * Per doc: surviving line count, dropped-duplicate count, and the
+    * md5 of the reassembled text (join with '\n') — the
+    * content-addressed form downstream stages diff against.
+    *
+    * Determinism: input collapses to DISTINCT (id, text) first (the
+    * fuzz-harness dup-row contract), lines are normText-normalized
+    * (so CRLF/unicode-space variants of one boilerplate line dedup
+    * together), empty lines are dropped on both engines, and
+    * first-occurrence is the total order (doc_id, line index).
+    *
+    * Scale: explode is narrow; ONE shuffle on the 16-byte line hash
+    * (first-occurrence via a min-struct window); ONE shuffle on
+    * doc_id for reassembly. Line payloads shuffle once each — linear
+    * at corpus scale, same shape as the d11/d16 gram passes.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")).distinct()
+    val lines = base
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("nline", normText(col("line")))
+      .filter(col("nline") =!= "")
+      .withColumn("h", md5(col("nline")))
+    // first corpus occurrence of each line hash, in (doc, idx) order:
+    // one min-struct window over the hash — no self-join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val marked = lines.withColumn("first",
+      min(struct(col("doc_id"), col("idx"))).over(w))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("first") =!= struct(col("doc_id"), col("idx")), 1L)
+        .otherwise(0L)).as("n_dup_lines"),
+      md5(array_join(transform(
+        array_sort(collect_list(when(
+          col("first") === struct(col("doc_id"), col("idx")),
+          struct(col("idx"), col("nline"))))),
+        x => x.getField("nline")), "\n")).as("clean_md5"))
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))

@@ -201,6 +201,72 @@ object Multimodal {
     }.toDF("doc_id", "out_w", "out_h", "mean_luma_resized")
   }
 
+  /** Deterministic PCM16 mono test signal for id: s(i) =
+    * floorMod(sid·7 + i·13, 65536) − 32768 — pure integer synthesis
+    * (no float oscillator), so the oracle replays the exact samples.
+    * The id is bounded first, same as [[formulaPng]].
+    */
+  private def formulaWav(id: Long, n: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val sid = Math.floorMod(id, 2147483648L)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (Math.floorMod(sid * 7 + i.toLong * 13, 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    if (AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos) <= 0)
+      throw new IllegalStateException(s"no WAV writer for id $id")
+    baos.toByteArray
+  }
+
+  /** L69 — real-codec AUDIO roundtrip: synthesize the deterministic
+    * PCM16 signal, encode through the JDK's actual WAV codec
+    * (javax.sound RIFF writer), decode through
+    * `AudioSystem.getAudioInputStream` — the production entry point —
+    * and emit integer sample stats (count, Σ|s|, peak). Because the
+    * samples are an integer formula of (id, i), the DuckDB oracle
+    * replays them value-for-value: any header/endianness/frame bug in
+    * the codec path shows up as a hash mismatch, the m05 contract
+    * applied to audio. Pure mapPartitions — zero shuffle; decode
+    * parallelism is the scan's partitioning.
+    */
+  def audioRoundtripStats(ids: Dataset[java.lang.Long],
+                          n: Int = 256): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(formulaWav(id, n)))
+        val fmt = ais.getFormat
+        // codec contract: anything but PCM16 mono little-endian at the
+        // written frame count must fail loudly, not skew the stats
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian || ais.getFrameLength != n)
+          throw new IllegalStateException(s"WAV roundtrip mangled id $id: $fmt")
+        val bytes = ais.readAllBytes()
+        var sumAbs = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(s)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        (id, n.toLong, sumAbs, peak)
+      }
+    }.toDF("doc_id", "n_samples", "sum_abs", "peak")
+  }
+
   /** L48 — frame-sample manifest: treat each media payload as a fixed
     * frame grid (`frameBytes` bytes/frame) and emit every `stride`-th
     * frame's index, byte offset, and digest — the manifest a sampled

@@ -683,6 +683,14 @@ object TextQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // L68b: line-level exact dedup + reassembly (the RefinedWeb
+    // boilerplate-line pass) — every line keeps its first corpus
+    // occurrence in (doc, position) order, docs reassemble from the
+    // survivors; per-doc counts + reassembled-text md5.
+    "d28_line_dedup" -> ((s, dir) => {
+      Dedup.lineDedup(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
     // cap = None here because the oracle hash-checks the EXACT pair
     // set; production passes cap (see containmentPairs's governance
     // scaladoc — a hot boilerplate 4-gram makes the exact index
@@ -1207,6 +1215,31 @@ object TextQueries {
          |  CASE WHEN n_toks = 0 THEN NULL
          |       ELSE round(CAST(score AS DOUBLE) / n_toks, 6) END AS score_mean
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // d28: per-line replay — 1-based subscripts here vs 0-based
+    // posexplode there is immaterial (the index only totals the
+    // first-occurrence order within each engine). row_number = 1 over
+    // (hash ORDER BY doc_id, idx) ≡ Spark's min-struct window; the
+    // reassembly string_agg keeps survivors in line order. Counts
+    // cast to BIGINT (DuckDB sum is HUGEINT).
+    "d28_line_dedup" ->
+      s"""WITH base AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         | pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
+         |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)),
+         | lf AS (SELECT doc_id, idx, nline, md5(nline) AS h
+         |        FROM (SELECT doc_id, idx, ${PortableHashSql.norm("ls[idx]")} AS nline FROM pos)
+         |        WHERE nline <> ''),
+         | mk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM lf),
+         | pd AS (SELECT doc_id, count(*) AS n_lines,
+         |          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |          md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN nline END, chr(10) ORDER BY idx), ''))
+         |            AS clean_md5
+         |        FROM mk GROUP BY doc_id)
+         |SELECT b.doc_id, COALESCE(n_lines, 0) AS n_lines,
+         |  COALESCE(n_dup_lines, 0) AS n_dup_lines,
+         |  COALESCE(clean_md5, md5('')) AS clean_md5
+         |FROM base b LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d08_contamination" ->
       s"""WITH base AS (SELECT doc_id, source, string_split($normSql, ' ') AS toks

@@ -308,6 +308,19 @@ object VectorQueries {
       Multimodal.imageResizeStats(ids, side = 8, outSide = 4).orderBy("doc_id")
     }),
 
+    // L69: real-codec audio roundtrip — the deterministic PCM16
+    // signal through the JDK's actual WAV encoder+decoder
+    // (javax.sound), integer sample stats replayed by the oracle
+    // formula; m05's certification contract applied to audio.
+    "m07_audio_roundtrip" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.audioRoundtripStats(ids).orderBy("doc_id")
+    }),
+
     // L12b: multipart blob layout — chunk each media payload into
     // fixed 64-byte parts with offsets and per-part digests (the
     // manifest a blob store / multipart upload needs; also how >2 GB
@@ -702,6 +715,23 @@ object VectorQueries {
         |  md5(substr(h, frame_id * 32 + 1, 32)) AS frame_md5,
         |  CAST(n_frames AS BIGINT) AS n_frames
         |FROM s ORDER BY doc_id, sample_id""".stripMargin,
+
+    // m07: the PCM formula replayed directly — per-sample
+    // floorMod(sid·7 + i·13, 65536) − 32768, integer |s| sum and max
+    // per doc. If the WAV writer/reader mangled a header, frame
+    // count, or byte order, the Spark side would throw or hash-differ.
+    "m07_audio_roundtrip" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | smp AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   unnest(range(0, 256)) AS i FROM ids),
+        | v AS (SELECT doc_id,
+        |   ((sid * 7 + i * 13) % 65536 + 65536) % 65536 - 32768 AS s FROM smp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // m05: the pixel formula replayed directly — per-pixel integer
     // Rec.601 luma with floor division, summed per image; mean is

@@ -164,6 +164,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("lineDedup: first corpus occurrence survives, docs reassemble from survivors") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "alpha one\ncookie banner\nbody text a"),
+      (2L, "cookie banner\nbody text b\n\n  \nalpha one"), // dups of doc1 lines + empties
+      (3L, "cookie banner"),                               // fully boilerplate
+      (4L, ""),                                            // empty doc
+      (5L, "COOKIE   banner\r\nfresh line")                // CRLF + case/space variant
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1: all three lines first occurrences
+    assert(got(1L) == ((3L, 0L, m("alpha one\ncookie banner\nbody text a"))))
+    // doc2: 'cookie banner' and 'alpha one' already seen in doc1
+    assert(got(2L) == ((3L, 2L, m("body text b"))))
+    // doc3: its only line is boilerplate -> empty reassembly
+    assert(got(3L) == ((1L, 1L, m(""))))
+    // doc4: no lines at all
+    assert(got(4L) == ((0L, 0L, m(""))))
+    // doc5: normText folds CRLF/case/space -> 'cookie banner' dups too
+    assert(got(5L) == ((2L, 1L, m("fresh line"))))
+  }
+
   test("perGroupCap keeps at most k per group, deterministically, prefix-consistent in k") {
     val df = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
       .toDF("doc_id", "source")

@@ -102,4 +102,22 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(full == rt)
   }
+
+  test("WAV audio roundtrip through the real codec equals the PCM formula") {
+    val idSeq = Seq(0L, 1L, 42L, -7L, Long.MaxValue)
+    val ids = idSeq.map(java.lang.Long.valueOf).toDS()
+    val n = 256
+    val got = Multimodal.audioRoundtripStats(ids, n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- idSeq) {
+      val sid = Math.floorMod(id, 2147483648L)
+      val samples = (0 until n).map(i =>
+        Math.floorMod(sid * 7 + i.toLong * 13, 65536L) - 32768L)
+      val exp = (n.toLong, samples.map(math.abs).sum, samples.map(math.abs).max)
+      assert(got(id) == exp, s"id=$id got=${got(id)} exp=$exp")
+    }
+    // determinism: identical second run
+    assert(Multimodal.audioRoundtripStats(ids, n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap == got)
+  }
 }
