@@ -497,15 +497,22 @@ object Relational {
           |  'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
           |  'quantity',    CAST(l_quantity AS BIGINT)) AS (measure, v)"""
           .stripMargin)
-      val wp = Window.partitionBy("l_returnflag", "l_linestatus", "measure")
-      m.withColumn("rn", row_number().over(wp.orderBy("v")))
-        .withColumn("n", count(lit(1)).over(wp))
-        .filter(col("rn") === expr("(n + 1) div 2") ||
-          col("rn") === expr("(9 * n + 9) div 10"))
-        .groupBy("l_returnflag", "l_linestatus", "measure")
-        .agg(max("n").as("n"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("median_v"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("p90_v"))
+      // Since round 8 the exact selection is sort-free: the ranked
+      // window sorted every (group, measure) inside ONE task — the
+      // d24 failure class at corpus scale — while the bracketed form
+      // (ExactQuantiles.groupedExactSelect) is two linear map-side-
+      // combined aggregations + a broadcast, with the SAME exact
+      // multiset order statistics (same oracle; spec pins equality
+      // with the ranked-window form incl. tie/tiny-group corpora).
+      graft.operators.ExactQuantiles.groupedExactSelect(m,
+          Seq("l_returnflag", "l_linestatus", "measure"), "v",
+          Seq(
+            ("median_v", 0.5,
+              (n: org.apache.spark.sql.Column) =>
+                floor((n + lit(1L)).cast("double") / 2.0).cast("long")),
+            ("p90_v", 0.9,
+              (n: org.apache.spark.sql.Column) =>
+                floor((n * lit(9L) + lit(9L)).cast("double") / 10.0).cast("long"))))
         .orderBy("l_returnflag", "l_linestatus", "measure")
     }),
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ExactQuantiles
+
+/** Pins the sort-free bracketed exact selection against the ranked-
+  * window reference form: identical exact order statistics on real
+  * data, heavy-tie corpora, and tiny groups — and deterministic
+  * across runs despite the randomized KLL bracket proposal.
+  */
+class ExactQuantilesSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val ranks = Seq(
+    ("median_v", 0.5,
+      (n: org.apache.spark.sql.Column) =>
+        floor((n + lit(1L)).cast("double") / 2.0).cast("long")),
+    ("p90_v", 0.9,
+      (n: org.apache.spark.sql.Column) =>
+        floor((n * lit(9L) + lit(9L)).cast("double") / 10.0).cast("long")))
+
+  /** The original ranked-window form (the oracle contract). */
+  private def windowed(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
+    val wp = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("rn", row_number().over(wp.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(wp))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("median_v"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v"))).as("p90_v"))
+  }
+
+  private def collectMap(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+    df.collect().map { r =>
+      keys.map(k => r.getAs[Any](k)).mkString("|") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("median_v"), r.getAs[Long]("p90_v")))
+    }.toMap
+
+  test("bracketed selection equals the ranked window on lineitem") {
+    val m = Graft.table(spark, SharedSpark.sfDir, "lineitem").selectExpr(
+      "l_returnflag", "l_linestatus",
+      """stack(2,
+        |  'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+        |  'quantity',    CAST(l_quantity AS BIGINT)) AS (measure, v)""".stripMargin)
+    val keys = Seq("l_returnflag", "l_linestatus", "measure")
+    val got = collectMap(
+      ExactQuantiles.groupedExactSelect(m, keys, "v", ranks), keys)
+    val ref = collectMap(windowed(m, keys), keys)
+    assert(got == ref)
+    // deterministic despite the randomized bracket proposal
+    assert(collectMap(
+      ExactQuantiles.groupedExactSelect(m, keys, "v", ranks), keys) == got)
+  }
+
+  test("heavy ties, tiny groups, constant groups — still exact") {
+    val rows =
+      // one huge heavily-tied group: values from a 5-element domain
+      (1 to 20000).map(i => ("tied", (i % 5).toLong)) ++
+        // tiny groups that exercise the collect-everything path
+        Seq(("one", 7L), ("two", 1L), ("two", 9L),
+          ("three", 5L), ("three", 3L), ("three", 8L)) ++
+        // constant group: every rank lands on the same value
+        (1 to 500).map(_ => ("const", 42L))
+    val df = rows.toDF("g", "v")
+    val keys = Seq("g")
+    val got = collectMap(
+      ExactQuantiles.groupedExactSelect(df, keys, "v", ranks), keys)
+    val ref = collectMap(windowed(df, keys), keys)
+    assert(got == ref)
+    assert(got("const") == ((500L, 42L, 42L)))
+    assert(got("one") == ((1L, 7L, 7L)))
+  }
+
+  test("plan is sort-free on the data path: no Window, no global sort of rows") {
+    val df = (1 to 1000).map(i => ("g" + (i % 3), i.toLong)).toDF("g", "v")
+    val plan = ExactQuantiles.groupedExactSelect(df, Seq("g"), "v", ranks)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+    // the only Sorts allowed are aggregate-internal (none expected on
+    // this shape — SortAggregate would betray a fallback)
+    assert(!plan.contains("SortAggregate"), s"unexpected SortAggregate:\n$plan")
+  }
+}
