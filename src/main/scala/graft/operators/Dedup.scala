@@ -64,10 +64,15 @@ object Dedup {
     * together), empty lines are dropped on both engines, and
     * first-occurrence is the total order (doc_id, line index).
     *
-    * Scale: explode is narrow; ONE shuffle on the 16-byte line hash
-    * (first-occurrence via a min-struct window); ONE shuffle on
-    * doc_id for reassembly. Line payloads shuffle once each — linear
-    * at corpus scale, same shape as the d11/d16 gram passes.
+    * Scale: explode is narrow; first-occurrence is a groupBy(hash)
+    * min-struct AGGREGATE (map-side combined — a boilerplate line
+    * repeated 100M times reduces to one row per partition before the
+    * shuffle) joined back on the hash; then ONE shuffle on doc_id for
+    * reassembly. Deliberately NOT the d06-style count window: a
+    * window buffers each hash group on one task, and uncapped hot
+    * lines are the EXPECTED skew here — the aggregate form is the
+    * one that survives them (the join's build side is one row per
+    * hash, and AQE skew-split handles the probe side).
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -77,11 +82,9 @@ object Dedup {
       .withColumn("nline", normText(col("line")))
       .filter(col("nline") =!= "")
       .withColumn("h", md5(col("nline")))
-    // first corpus occurrence of each line hash, in (doc, idx) order:
-    // one min-struct window over the hash — no self-join.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val marked = lines.withColumn("first",
-      min(struct(col("doc_id"), col("idx"))).over(w))
+    val firsts = lines.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val marked = lines.join(firsts, Seq("h"))
     val perDoc = marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("first") =!= struct(col("doc_id"), col("idx")), 1L)
