@@ -101,6 +101,22 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Drop every row whose `keys`-group holds more than `cap` rows —
+    * the hot-bucket/hot-block guard, in its skew-SAFE form: a
+    * map-side-combined count (hot groups reduce to one row per
+    * partition before the shuffle) joined back on the key. NOT a
+    * count window: a window buffers each group on one task, and the
+    * degenerate groups are exactly what the cap exists to survive —
+    * capping 100M identical docs must not first materialize 100M rows
+    * in one window buffer. The join's build side is ≤ one row per
+    * surviving group (AQE broadcasts it when small).
+    */
+  private def capGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val keep = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") <= cap).drop("__gn")
+    df.join(keep, keys)
+  }
+
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), md5(normText(col(textCol))).as("content_hash"))
@@ -174,11 +190,7 @@ object Dedup {
         ch => ascii(ch).cast("long"))))
       .persist()
     val prep = cap match {
-      case Some(n) => prep0
-        .withColumn("blk_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("blk")))
-        .filter(col("blk_n") <= n)
-        .drop("blk_n")
+      case Some(n) => capGroups(prep0, Seq("blk"), n)
       case None => prep0
     }
     prep.as("a").join(prep.as("b"),
@@ -388,11 +400,9 @@ object Dedup {
                       threshold: Double, numHashes: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, cap: Int = 100): DataFrame = {
     val (banded, sets) = lshStaged(docs, idCol, textCol, numHashes, bands, shingleN)
-    // salting guard: drop hot buckets (degenerate bands) before pairing.
-    val counted = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= cap)
+    // salting guard: drop hot buckets (degenerate bands) before
+    // pairing — skew-safe count+join, see [[capGroups]].
+    val counted = capGroups(banded, Seq("band", "bucket"), cap)
     val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("nt").as("nt_a"))
     val rg = counted.select(col("band"), col("bucket"), col("id").as("id_b"), col("nt").as("nt_b"))
     // cheap size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
@@ -569,10 +579,7 @@ object Dedup {
           GraftFunctions.mix_hash(
             (lit(b.toLong) +: (0 until r).map(j => element_at(col("mh"), b * r + j + 1))): _*)): _*)))
       .toDF("id", "band", "bucket")
-    val counted = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= cap)
+    val counted = capGroups(banded, Seq("band", "bucket"), cap)
     val candidates = counted.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(counted.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -623,11 +630,7 @@ object Dedup {
         posexplode(array(bandCols: _*)))
       .toDF("id", "sim", "band", "bucket")
     val counted = cap match {
-      case Some(n) => banded
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-        .filter(col("bucket_n") <= n)
-        .drop("bucket_n")
+      case Some(n) => capGroups(banded, Seq("band", "bucket"), n)
       case None => banded
     }
     val l = counted.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
