@@ -90,6 +90,14 @@ object GraftFunctions {
   def theta_sketch(key: Column, lgK: Int = 14): Column =
     GraftExpressions.theta_sketch(key, lgK)
 
+  /** Bounded top-k aggregate: the k smallest (ord, id) pairs per
+    * group in a map-side-combined heap — the scale-safe replacement
+    * for `row_number() <= k` ranked windows. Multiset semantics;
+    * output array ascending, so 1-based position = rank.
+    */
+  def top_k_pairs(ord: Column, id: Column, k: Int): Column =
+    GraftExpressions.top_k_pairs(ord, id, k)
+
   /** Distinct estimate of a theta sketch. */
   def theta_estimate(sketch: Column): Column = GraftExpressions.theta_estimate(sketch)
 

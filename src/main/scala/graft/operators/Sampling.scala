@@ -125,6 +125,35 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** PRODUCTION form of [[perGroupCap]]: the same deterministic
+    * hash-ordered k-subset per group, selected by a bounded top-k
+    * heap AGGREGATE (gx TopKPairsAgg) instead of a ranked window.
+    * The window form sorts each group inside one task — rank ≤ k
+    * prunes the OUTPUT via WindowGroupLimit but not the single-task
+    * sort of a hot domain — while the heap never exceeds k pairs per
+    * (task, group) and combines map-side, so a 100M-doc domain costs
+    * the same shuffle bytes as a 100-doc one: k pairs.
+    *
+    * Returns (groupCol, rk, idCol) — the selection, not the full
+    * rows (join back on (group, id) when row payloads are needed;
+    * the build side is ≤ k rows per group). Spec-pinned equal to the
+    * window form's (group, rk, id) set, including duplicate-id
+    * multiset behavior.
+    */
+  def perGroupCapAgg(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    val hkey = shiftrightunsigned(
+      graft.functions.GraftFunctions.fmix64(col(idCol).cast("long")), 11)
+    df.select(col(groupCol), hkey.as("__ord"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(groupCol)
+      .agg(graft.functions.GraftFunctions
+        .top_k_pairs(col("__ord"), col("__id"), k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("int").as("rk"),
+        col("__e").getField("id").as(idCol))
+  }
+
   /** RELATIVE quality gate (the FineWeb-era move from absolute
     * thresholds to per-source percentiles): keep the top
     * `fracNum/fracDen` fraction of each group by `scoreCol`, rank

@@ -704,11 +704,13 @@ object TextQueries {
 
     // L56: per-source cap (the CCNet/Gopher per-domain cap) — keep at
     // most 10 docs per source, selected by portable-hash order so the
-    // subset is a deterministic uniform k-sample any engine replays
-    // (Sampling.perGroupCap).
+    // subset is a deterministic uniform k-sample any engine replays.
+    // Since round 8 via the bounded top-k heap AGGREGATE
+    // (Sampling.perGroupCapAgg — no per-source sort; the window form
+    // stays the spec-pinned reference).
     "d20_source_cap" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.perGroupCap(docs(s, dir), "doc_id", "source", k = 10)
+      Sampling.perGroupCapAgg(docs(s, dir), "doc_id", "source", k = 10)
         .select(col("source"), col("rk"), col("doc_id"))
         .orderBy("source", "rk")
     }),

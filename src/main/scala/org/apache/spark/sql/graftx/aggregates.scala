@@ -489,3 +489,85 @@ case class FreqItemsAgg(child: Expression, maxMapSize: Int, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Bounded per-group top-k selection aggregate: keeps the k SMALLEST
+  * (ord, id) pairs — multiset semantics, duplicates retained — in a
+  * size-capped heap that partial aggregation combines map-side. This
+  * is the scale-safe replacement for `row_number() <= k` ranked
+  * windows (perGroupCap/d20): the window sorts an entire group inside
+  * one task — a hot domain at corpus scale is a single-task sort —
+  * while this buffer never exceeds k pairs per (task, group) and
+  * merges in O(k log k). Returns array<struct<ord,id>> sorted
+  * ascending, i.e. position p (1-based) IS the rank the window form
+  * would have assigned.
+  */
+case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]]
+  with ImplicitCastInputTypes {
+  require(k >= 1, s"top_k_pairs: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_pairs"
+
+  // max-heap on (ord, id): the root is the WORST retained pair, so a
+  // better candidate replaces it in O(log k).
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Long, Long)] =
+    scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.Tuple2[Long, Long])
+
+  private def push(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                   p: (Long, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(p)
+    else if (Ordering.Tuple2[Long, Long].lt(p, buf.head)) {
+      buf.dequeue(); buf.enqueue(p)
+    }
+  }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null) push(buf, (o.asInstanceOf[Long], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
+                     other: scala.collection.mutable.PriorityQueue[(Long, Long)]): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach(push(buf, _))
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Any = {
+    val sorted = buf.clone().dequeueAll.reverse // ascending (ord, id)
+    new GenericArrayData(sorted.map(p => InternalRow(p._1, p._2)).toArray[Any])
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (o, i) => bb.putLong(o); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(ord = cs(0), id = cs(1))
+}

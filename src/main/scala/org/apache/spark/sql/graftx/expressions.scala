@@ -1156,6 +1156,9 @@ object GraftExpressions {
   def freq_items(v: Column, maxMapSize: Int, k: Int): Column =
     col(FreqItemsAgg(exp(v), maxMapSize, k).toAggregateExpression())
 
+  def top_k_pairs(ord: Column, id: Column, k: Int): Column =
+    col(TopKPairsAgg(exp(ord), exp(id), k).toAggregateExpression())
+
   def winnow_fingerprints(toks: Column, n: Int, w: Int): Column =
     col(WinnowFingerprints(exp(toks), n, w))
 

@@ -206,6 +206,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(kept(2)("big") == k5("big").take(2))
   }
 
+  test("perGroupCapAgg (bounded heap) == perGroupCap (ranked window), incl. dup ids") {
+    val base = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    // duplicate-id rows (the fuzz contract): multiset semantics must
+    // match — the window emits BOTH copies with consecutive ranks.
+    val df = base.union(Seq((7L, "big"), (31L, "small")).toDF("doc_id", "source"))
+    def triples(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "rk", "doc_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    for (k <- Seq(2, 5, 40)) {
+      val win = triples(Sampling.perGroupCap(df, "doc_id", "source", k))
+      val agg = triples(Sampling.perGroupCapAgg(df, "doc_id", "source", k))
+      assert(agg == win, s"k=$k")
+    }
+    // the agg form plans no Window
+    val plan = Sampling.perGroupCapAgg(df, "doc_id", "source", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("sourceOverlap: hand-computed pairwise gram Jaccard, sources paired lexicographically") {
     // s1 grams: {a b c, b c d}; s2: {a b c, b c e};
     // s3: {x y z, y z w} ∪ {a b c, b c d} (two docs).
