@@ -125,14 +125,20 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
-  /** PRODUCTION form of [[perGroupCap]]: the same deterministic
+  /** Aggregate form of [[perGroupCap]]: the same deterministic
     * hash-ordered k-subset per group, selected by a bounded top-k
     * heap AGGREGATE (gx TopKPairsAgg) instead of a ranked window.
-    * The window form sorts each group inside one task — rank ≤ k
-    * prunes the OUTPUT via WindowGroupLimit but not the single-task
-    * sort of a hot domain — while the heap never exceeds k pairs per
-    * (task, group) and combines map-side, so a 100M-doc domain costs
-    * the same shuffle bytes as a 100-doc one: k pairs.
+    *
+    * To be precise about what this buys: the window form is NOT the
+    * q48-class single-task-sort hazard — Spark's
+    * InferWindowGroupLimit sees `row_number() <= k` and inserts a
+    * PARTIAL group limit below the exchange, so both forms shuffle
+    * ≤ k rows per (task, group). The heap form still improves on it:
+    * O(k) memory with no per-task local sort (the group limit sorts
+    * each task's rows first), only (ord, id) pairs shuffle instead
+    * of full rows, and the plan needs no Window at all — and it is
+    * the form that keeps working when the selection predicate can't
+    * be pattern-matched by the optimizer rule.
     *
     * Returns (groupCol, rk, idCol) — the selection, not the full
     * rows (join back on (group, id) when row payloads are needed;
