@@ -145,11 +145,16 @@ def make_hot_docs(rng):
         add(sentence(rng, rng.randint(5, 30)))
     core = ["boiler", "plate", "nav", "footer",
             "cookie", "accept", "privacy", "terms"]
-    for _ in range(660):
+    for j in range(660):
         toks = core[:]
         rng.shuffle(toks)
         toks += [rng.choice(core) for _ in range(rng.randint(0, 6))]
-        add(" ".join(toks))
+        # second line: a verbatim banner on most docs — ONE hot line
+        # repeated across hundreds of documents, the d28 line-dedup
+        # skew case (the first-occurrence aggregate must reduce it
+        # map-side, and only its first (doc, position) survives).
+        banner = "" if j % 10 == 0 else "\nthis site uses cookies accept to continue"
+        add(" ".join(toks) + banner)
     core2 = ["qoph", "resh", "shin"]
     for _ in range(30):
         t = core2[:]
