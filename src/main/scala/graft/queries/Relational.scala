@@ -596,6 +596,37 @@ object Relational {
     // Levels here are log2(|supplier|) and each level is a narrow
     // projection — at 100 TB the same plan walks a real parts/org
     // hierarchy with dim-sized levels.
+    // R30+: Avro round-trip DRIVER-VERIFIED (the f08 FCS pattern
+    // applied to AvroIO): lineitem → avro container files (one per
+    // partition, deflate, timestamp-micros) → read back → aggregate.
+    // The ORACLE computes the same aggregates from the PARQUET table,
+    // so DuckDB certifies the whole encode→decode path value-for-
+    // value — any header/codec/timestamp bug changes the sums. All
+    // aggregated quantities are integer-exact (cents as BIGINT,
+    // micros div 1e6 as seconds), so partial-aggregation order can't
+    // drift them.
+    "q53_avro_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate"))
+      // pid-suffixed path: contended Bench/Verify processes must not
+      // interleave each other's container files.
+      val tmp = s"/tmp/graft_avro_rt_${ProcessHandle.current().pid()}"
+      graft.sources.AvroIO.write(li, tmp)
+      graft.sources.AvroIO.read(s, tmp)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("sum_cents"),
+          // NTZ-or-TIMESTAMP robust: UTC session makes the cast a pure
+          // reinterpretation on either physical arrival
+          sum(expr("unix_micros(cast(l_shipdate as timestamp)) div 1000000"))
+            .as("sum_ship_s"))
+        .orderBy("l_returnflag")
+    }),
+
     "q52_recursive_tree" -> ((s, dir) => {
       val view = s"supplier_rec_${java.util.UUID.randomUUID.toString.take(8)}"
       t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("s_suppkey"))
@@ -1199,6 +1230,17 @@ object Relational {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(sum(small) AS BIGINT) AS n_small_files
         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // q53: the oracle aggregates the PARQUET table directly — the
+    // Spark side must reproduce the numbers through its avro
+    // write→read round trip, certifying the container path.
+    "q53_avro_roundtrip" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 1000000) AS BIGINT) AS sum_ship_s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q52: the identical recursive walk — DuckDB's // is Spark's div
     // on BIGINT; all-integer facts, no float anywhere.

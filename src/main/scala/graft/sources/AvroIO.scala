@@ -51,6 +51,9 @@ object AvroIO {
       case StringType => "\"string\""
       case BinaryType => "\"bytes\""
       case TimestampType => "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
+      case TimestampNTZType =>
+        "{\"type\":\"long\",\"logicalType\":\"local-timestamp-micros\"}"
+      case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
       case other => throw new IllegalArgumentException(
         s"AvroIO: unsupported type $other (flatten/cast upstream)")
     }
@@ -68,11 +71,16 @@ object AvroIO {
     require(s.getType == Schema.Type.RECORD, s"not a record schema: $s")
     def dt(t: Schema): DataType = t.getType match {
       case Schema.Type.BOOLEAN => BooleanType
-      case Schema.Type.INT => IntegerType
+      case Schema.Type.INT =>
+        if (t.getLogicalType != null && t.getLogicalType.getName == "date") DateType
+        else IntegerType
       case Schema.Type.LONG =>
-        if (t.getLogicalType != null &&
-          t.getLogicalType.getName == "timestamp-micros") TimestampType
-        else LongType
+        if (t.getLogicalType == null) LongType
+        else t.getLogicalType.getName match {
+          case "timestamp-micros" => TimestampType
+          case "local-timestamp-micros" => TimestampNTZType
+          case _ => LongType
+        }
       case Schema.Type.FLOAT => FloatType
       case Schema.Type.DOUBLE => DoubleType
       case Schema.Type.STRING => StringType
@@ -96,6 +104,14 @@ object AvroIO {
     case null => null
     case ts: java.sql.Timestamp =>
       java.lang.Long.valueOf(ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+    case ldt: java.time.LocalDateTime =>
+      java.lang.Long.valueOf(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000)
+    case d: java.sql.Date =>
+      java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate =>
+      java.lang.Integer.valueOf(d.toEpochDay.toInt)
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case other => other.asInstanceOf[AnyRef]
   }
@@ -107,6 +123,14 @@ object AvroIO {
       val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000)
       ts.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
       ts
+    case (l: java.lang.Long, TimestampNTZType) =>
+      val micros = l.longValue()
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC)
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (u: Utf8, _) => u.toString
     case (bb: java.nio.ByteBuffer, _) =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a

@@ -16,7 +16,7 @@ class AvroIOSpec extends AnyFunSuite {
   test("schema mapping inverts over the flat subset") {
     val st = org.apache.spark.sql.types.StructType.fromDDL(
       "b BOOLEAN, i INT, l BIGINT, f FLOAT, d DOUBLE, s STRING, " +
-        "bin BINARY, ts TIMESTAMP")
+        "bin BINARY, ts TIMESTAMP, tn TIMESTAMP_NTZ, dt DATE")
     val back = AvroIO.sparkSchemaFor(AvroIO.avroSchemaFor(st))
     assert(back == st)
     // non-nullable fields survive too
@@ -33,6 +33,8 @@ class AvroIOSpec extends AnyFunSuite {
       .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
       .withColumn("bin", when(col("id") =!= 3L, encode(col("s"), "UTF-8")))
       .withColumn("flag", col("id") % 2 === 0)
+      .withColumn("tsn", col("ts").cast("timestamp_ntz"))
+      .withColumn("dt", col("ts").cast("date"))
     for (codec <- Seq("deflate", "null")) {
       val dir = java.nio.file.Files.createTempDirectory("avroio").toString
       AvroIO.write(df, dir, codec)
