@@ -137,8 +137,11 @@ object AvroIO {
     case (other, _) => other
   }
 
-  /** Distributed emit: one container file per partition. */
-  def write(df: DataFrame, path: String, codec: String = "deflate"): Unit = {
+  /** Distributed emit: one container file per partition. Snappy by
+    * default (the common warehouse choice — ~5× the encode throughput
+    * of deflate at modest size cost; snappy-java ships with Spark).
+    */
+  def write(df: DataFrame, path: String, codec: String = "snappy"): Unit = {
     val st = df.schema
     val schemaJson = avroSchemaFor(st).toString
     val dir = java.nio.file.Paths.get(path)

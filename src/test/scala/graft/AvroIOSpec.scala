@@ -35,7 +35,7 @@ class AvroIOSpec extends AnyFunSuite {
       .withColumn("flag", col("id") % 2 === 0)
       .withColumn("tsn", col("ts").cast("timestamp_ntz"))
       .withColumn("dt", col("ts").cast("date"))
-    for (codec <- Seq("deflate", "null")) {
+    for (codec <- Seq("snappy", "deflate", "null")) {
       val dir = java.nio.file.Files.createTempDirectory("avroio").toString
       AvroIO.write(df, dir, codec)
       val back = AvroIO.read(spark, dir)
