@@ -332,6 +332,65 @@ object Ann {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** L72 — product quantization (Jégou/Douze/Schmid 2011): the
+    * standard embedding-COMPRESSION path for billion-vector corpora —
+    * split each D-dim vector into `m` subvectors, train an
+    * independent small quantizer per subspace with the deterministic
+    * [[lloydRounds]] machinery (quantized-integer centroid means,
+    * FLOAT-folded rebuilds, low-id ties — the s03/s10 contract), and
+    * store each vector as m small codes. At m=4, k=16 a 64-dim float
+    * vector (256 B) becomes 4 nibbles (2 B): a 10B-vector corpus
+    * drops from 2.5 TB of floats to 20 GB of codes — the difference
+    * between "fits in cluster memory" and not.
+    *
+    * Cosine-PQ: the in-house cosine quantizer (for unit-normalized
+    * embeddings cosine and L2 rank identically); reconstruction =
+    * concatenated code centroids, and the emitted `recon_cos`
+    * (original · reconstruction similarity) is the per-vector
+    * quantization-quality audit. Rounding is the engine-stable
+    * floor(x·10⁴+½)/10⁴ form.
+    *
+    * Scale shape: m independent Lloyd chains over persisted sliced
+    * subvectors (each the linear-shuffle s10 shape), an m-way
+    * id-keyed join of code columns, and k-row centroid broadcasts for
+    * reconstruction. Fully oracle-replayable — the DuckDB side
+    * replays all m chains. Known headroom: a fused assign evaluating
+    * all m subspaces in ONE corpus pass per iteration would cut scan
+    * count m× at true scale; the per-subspace form is kept because it
+    * reuses the certified lloydRounds contract verbatim.
+    */
+  def pqTrainEncode(vecs: DataFrame, idCol: String, embCol: String,
+                    m: Int = 4, subDim: Int = 16, k: Int = 16,
+                    iters: Int = 2, quantScale: Double = 1e6): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1)
+    val parts = (0 until m).map { s =>
+      // each subspace's Lloyd reads its slice iters+1 times (assign
+      // passes + centroid updates): persist the 16-dim slice instead
+      // of re-scanning and re-slicing the full-width corpus per pass.
+      // Same caching contract as cosinePairs/lshStaged: callers
+      // clearCache between actions, as Verify/Bench do.
+      val sub = vecs.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as(embCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = sub.filter(col(idCol) < k)
+      val (cents, assign) = lloydRounds(sub, seeds, idCol, embCol, iters, quantScale)
+      (cents.select(col(idCol).as(s"cell_$s"), col(embCol).as(s"se_$s")),
+        assign.select(col("vec_id"), col("cluster").cast("long").as(s"c_$s")))
+    }
+    val codes = parts.map(_._2).reduce(_.join(_, Seq("vec_id")))
+    val withCents = parts.zipWithIndex.foldLeft(codes) { case (acc, ((cents, _), s)) =>
+      acc.join(broadcast(cents), acc(s"c_$s") === cents(s"cell_$s"))
+        .drop(s"cell_$s")
+    }
+    val recon = (0 until m).map(s => col(s"se_$s")).reduce(concat(_, _))
+    withCents
+      .join(vecs.select(col(idCol).as("vec_id"), col(embCol).as("orig")), Seq("vec_id"))
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"c_$s")) :+
+        (floor(GraftFunctions.cosine_sim(col("orig"), recon) * lit(10000.0) +
+          lit(0.5)) / lit(10000.0)).as("recon_cos"): _*)
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

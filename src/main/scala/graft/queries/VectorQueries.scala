@@ -103,6 +103,16 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L72: product quantization — 4 deterministic sub-quantizers
+    // (the s10 Lloyd contract per 16-dim slice), per-vector codes +
+    // reconstruction-cosine quality audit; the oracle replays all
+    // four Lloyd chains and the reconstruction.
+    "s11_pq_encode" -> ((s, dir) => {
+      Ann.pqTrainEncode(emb(s, dir), "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iters = 2)
+        .orderBy("vec_id")
+    }),
+
     // L5b: per-label embedding centroid (class means / cluster
     // centers) — posexplode → one keyed agg on (label, dim); no
     // per-label collect_list, so a hot label can't OOM an executor.
@@ -460,6 +470,71 @@ object VectorQueries {
     // divides by zero on a zero norm, which DuckDB yields NULL for —
     // exactly the Spark kernel's zero-norm NULL, so ORDER BY c DESC
     // (nulls last in both engines) ranks identically.
+    // s11: all four sub-quantizer chains replayed (the s03 template
+    // per 16-dim slice: seed cells = vec_id < 16, cosine argmax via
+    // row_number, quantized-integer centroid means, FLOAT-folded
+    // rebuild, reassign), then the code join + concatenated-centroid
+    // reconstruction and the engine-stable floor rounding.
+    "s11_pq_encode" -> {
+      def chain(s: Int): String = {
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e),
+           | sd0_$s AS (SELECT vec_id AS cell, se FROM es_$s WHERE vec_id < 16),
+           | sc1_$s AS (SELECT es_$s.vec_id, sd0_$s.cell,
+           |            ${cosSql(s"es_$s.se", s"sd0_$s.se", 16)} AS c
+           |          FROM es_$s, sd0_$s),
+           | r1_$s AS (SELECT vec_id, cell,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY c DESC, cell) AS rn
+           |         FROM sc1_$s),
+           | a1_$s AS (SELECT vec_id, cell FROM r1_$s WHERE rn = 1),
+           | x1_$s AS (SELECT a1_$s.cell, di.i AS dim,
+           |           CAST(floor(es_$s.se[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+           |         FROM es_$s JOIN a1_$s USING (vec_id),
+           |           (SELECT unnest(range(1, 17)) AS i) di),
+           | g1_$s AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
+           |           CAST(count(*) AS BIGINT) AS n
+           |         FROM x1_$s GROUP BY cell, dim),
+           | c1_$s AS (SELECT cell, dim,
+           |           (sq - (((sq % n) + n) % n)) // n AS cm
+           |         FROM g1_$s),
+           | sd1_$s AS (SELECT cell,
+           |           CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
+           |             AS FLOAT[]) AS DOUBLE[]) AS se
+           |         FROM c1_$s GROUP BY cell),
+           | sc2_$s AS (SELECT es_$s.vec_id, sd1_$s.cell,
+           |            ${cosSql(s"es_$s.se", s"sd1_$s.se", 16)} AS c
+           |          FROM es_$s, sd1_$s),
+           | r2_$s AS (SELECT vec_id, cell,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY c DESC, cell) AS rn
+           |         FROM sc2_$s),
+           | a2_$s AS (SELECT vec_id, cell FROM r2_$s WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS ($embSql),
+         | ${(0 until 4).map(chain).mkString(",\n ")},
+         | codes AS (SELECT a2_0.vec_id,
+         |             a2_0.cell AS c_0, a2_1.cell AS c_1,
+         |             a2_2.cell AS c_2, a2_3.cell AS c_3
+         |           FROM a2_0 JOIN a2_1 USING (vec_id)
+         |             JOIN a2_2 USING (vec_id) JOIN a2_3 USING (vec_id)),
+         | recon AS (SELECT codes.vec_id,
+         |             list_concat(list_concat(s0.se, s1.se),
+         |                         list_concat(s2.se, s3.se)) AS re
+         |           FROM codes
+         |             JOIN sd1_0 s0 ON s0.cell = codes.c_0
+         |             JOIN sd1_1 s1 ON s1.cell = codes.c_1
+         |             JOIN sd1_2 s2 ON s2.cell = codes.c_2
+         |             JOIN sd1_3 s3 ON s3.cell = codes.c_3)
+         |SELECT codes.vec_id,
+         |  CAST(c_0 AS BIGINT) AS c_0, CAST(c_1 AS BIGINT) AS c_1,
+         |  CAST(c_2 AS BIGINT) AS c_2, CAST(c_3 AS BIGINT) AS c_3,
+         |  floor(${cosSql("e.de", "recon.re", 64)} * 10000.0 + 0.5) / 10000.0
+         |    AS recon_cos
+         |FROM codes JOIN recon USING (vec_id) JOIN e USING (vec_id)
+         |ORDER BY codes.vec_id""".stripMargin
+    },
+
     "s03_ann_ivf" ->
       s"""WITH e AS ($embSql),
          | sd0 AS (SELECT vec_id AS cell, de AS se FROM e WHERE vec_id < 16),
