@@ -29,6 +29,9 @@ object GraftFunctions {
   /** 64-bit polynomial rolling hash of a string (fingerprinting). */
   def rolling_hash(s: Column): Column = GraftExpressions.rolling_hash(s)
 
+  /** Inner product of two float arrays (codegen'd ordered fold). */
+  def dot_product(a: Column, b: Column): Column = GraftExpressions.dot_product(a, b)
+
   /** 64-bit SimHash fingerprint of a token array (near-dup detection). */
   def simhash64(tokens: Column): Column = GraftExpressions.simhash64(tokens)
 

@@ -359,9 +359,12 @@ object Ann {
     * count m× at true scale; the per-subspace form is kept because it
     * reuses the certified lloydRounds contract verbatim.
     */
-  def pqTrainEncode(vecs: DataFrame, idCol: String, embCol: String,
-                    m: Int = 4, subDim: Int = 16, k: Int = 16,
-                    iters: Int = 2, quantScale: Double = 1e6): DataFrame = {
+  /** The trained PQ model: per-subspace centroid tables
+    * (cell_s, se_s) and the code table (vec_id, c_0..c_{m-1}).
+    */
+  private[graft] def pqModel(vecs: DataFrame, idCol: String, embCol: String,
+                             m: Int, subDim: Int, k: Int, iters: Int,
+                             quantScale: Double): (Seq[DataFrame], DataFrame) = {
     require(m >= 1 && subDim >= 1 && k >= 1)
     val parts = (0 until m).map { s =>
       // each subspace's Lloyd reads its slice iters+1 times (assign
@@ -377,9 +380,15 @@ object Ann {
       (cents.select(col(idCol).as(s"cell_$s"), col(embCol).as(s"se_$s")),
         assign.select(col("vec_id"), col("cluster").cast("long").as(s"c_$s")))
     }
-    val codes = parts.map(_._2).reduce(_.join(_, Seq("vec_id")))
-    val withCents = parts.zipWithIndex.foldLeft(codes) { case (acc, ((cents, _), s)) =>
-      acc.join(broadcast(cents), acc(s"c_$s") === cents(s"cell_$s"))
+    (parts.map(_._1), parts.map(_._2).reduce(_.join(_, Seq("vec_id"))))
+  }
+
+  def pqTrainEncode(vecs: DataFrame, idCol: String, embCol: String,
+                    m: Int = 4, subDim: Int = 16, k: Int = 16,
+                    iters: Int = 2, quantScale: Double = 1e6): DataFrame = {
+    val (cents, codes) = pqModel(vecs, idCol, embCol, m, subDim, k, iters, quantScale)
+    val withCents = cents.zipWithIndex.foldLeft(codes) { case (acc, (c, s)) =>
+      acc.join(broadcast(c), acc(s"c_$s") === c(s"cell_$s"))
         .drop(s"cell_$s")
     }
     val recon = (0 until m).map(s => col(s"se_$s")).reduce(concat(_, _))
@@ -389,6 +398,58 @@ object Ann {
         (0 until m).map(s => col(s"c_$s")) :+
         (floor(GraftFunctions.cosine_sim(col("orig"), recon) * lit(10000.0) +
           lit(0.5)) / lit(10000.0)).as("recon_cos"): _*)
+  }
+
+  /** L73 — PQ asymmetric-distance top-k (the ADC query path of
+    * Jégou et al.): score every corpus vector against a query FROM
+    * ITS CODES ALONE — per subspace the query precomputes one
+    * k-entry lookup table (query-slice · centroid, plus the
+    * centroid's self-dot), and a vector's score needs only m table
+    * lookups, never the decompressed floats. Because subspaces
+    * occupy disjoint coordinates, Σ qd_s is EXACTLY q·recon(x) and
+    * Σ ns_s is exactly |recon(x)|², so the ADC score here is the
+    * exact cosine between the query and the reconstruction — which
+    * is what makes it oracle-replayable.
+    *
+    * Scale shape: the m lookup tables are (|queries|·k)-row
+    * broadcasts; scoring is a narrow map over the code table (m
+    * broadcast-hash lookups + arithmetic per row, no floats fetched);
+    * top-k via rank ≤ kTop (WindowGroupLimit prunes map-side). The
+    * 256 B/vector float fetch the brute-force scan pays becomes a
+    * 2 B/vector code read — the entire point of PQ retrieval.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, kTop: Int = 10, m: Int = 4, subDim: Int = 16,
+                k: Int = 16, iters: Int = 2,
+                quantScale: Double = 1e6): DataFrame = {
+    val (cents, codes) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val dists = (0 until m).map { s =>
+      q.select(col("qid"), slice(col("qemb"), s * subDim + 1, subDim).as("qs"))
+        .crossJoin(broadcast(cents(s)))
+        .select(col("qid").as(s"qid_$s"), col(s"cell_$s"),
+          GraftFunctions.dot_product(col("qs"), col(s"se_$s")).as(s"qd_$s"),
+          GraftFunctions.dot_product(col(s"se_$s"), col(s"se_$s")).as(s"ns_$s"))
+    }
+    val qn = q.select(col("qid"),
+      GraftFunctions.dot_product(col("qemb"), col("qemb")).as("qn2"))
+    val pairs = dists.zipWithIndex.foldLeft(codes.crossJoin(broadcast(qn))) {
+      case (acc, (d, s)) =>
+        acc.join(broadcast(d),
+            acc("qid") === d(s"qid_$s") && acc(s"c_$s") === d(s"cell_$s"))
+          .drop(s"qid_$s").drop(s"cell_$s")
+    }
+    val numer = (0 until m).map(s => col(s"qd_$s")).reduce(_ + _)
+    val den2 = (0 until m).map(s => col(s"ns_$s")).reduce(_ + _)
+    val adc = when(col("qn2") === 0.0 || den2 === 0.0, lit(null).cast("double"))
+      .otherwise(numer / (sqrt(col("qn2")) * sqrt(den2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    pairs.withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        (floor(col("adc") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("adc_cos"))
   }
 
   /** Deterministic ±1 random-hyperplane weights (seeded). */

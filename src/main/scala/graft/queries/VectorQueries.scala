@@ -113,6 +113,17 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
+    // score the whole corpus from CODES alone via per-subspace
+    // lookup tables; the ADC score is exactly cos(query,
+    // reconstruction), which the oracle replays.
+    "s12_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.pqAdcTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          kTop = 10, m = 4, subDim = 16, k = 16, iters = 2)
+        .orderBy("qid", "rnk")
+    }),
+
     // L5b: per-label embedding centroid (class means / cluster
     // centers) — posexplode → one keyed agg on (label, dim); no
     // per-label collect_list, so a hot label can't OOM an executor.
@@ -370,6 +381,56 @@ object VectorQueries {
   private def cosSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** One PQ sub-quantizer replay (subspace `s`, 16-dim slice): the
+    * s03/s10 Lloyd template — seed cells vec_id < 16, cosine argmax
+    * via row_number, quantized-integer centroid means, FLOAT-folded
+    * rebuild, reassign. Exposes a2_s (final assignment) and sd1_s
+    * (rebuilt centroids); shared by the s11/s12 oracles.
+    */
+  private def pqChainSql(s: Int): String = {
+    val lo = s * 16 + 1; val hi = s * 16 + 16
+    s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e),
+       | sd0_$s AS (SELECT vec_id AS cell, se FROM es_$s WHERE vec_id < 16),
+       | sc1_$s AS (SELECT es_$s.vec_id, sd0_$s.cell,
+       |            ${cosSql(s"es_$s.se", s"sd0_$s.se", 16)} AS c
+       |          FROM es_$s, sd0_$s),
+       | r1_$s AS (SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY c DESC, cell) AS rn
+       |         FROM sc1_$s),
+       | a1_$s AS (SELECT vec_id, cell FROM r1_$s WHERE rn = 1),
+       | x1_$s AS (SELECT a1_$s.cell, di.i AS dim,
+       |           CAST(floor(es_$s.se[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+       |         FROM es_$s JOIN a1_$s USING (vec_id),
+       |           (SELECT unnest(range(1, 17)) AS i) di),
+       | g1_$s AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
+       |           CAST(count(*) AS BIGINT) AS n
+       |         FROM x1_$s GROUP BY cell, dim),
+       | c1_$s AS (SELECT cell, dim,
+       |           (sq - (((sq % n) + n) % n)) // n AS cm
+       |         FROM g1_$s),
+       | sd1_$s AS (SELECT cell,
+       |           CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
+       |             AS FLOAT[]) AS DOUBLE[]) AS se
+       |         FROM c1_$s GROUP BY cell),
+       | sc2_$s AS (SELECT es_$s.vec_id, sd1_$s.cell,
+       |            ${cosSql(s"es_$s.se", s"sd1_$s.se", 16)} AS c
+       |          FROM es_$s, sd1_$s),
+       | r2_$s AS (SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY c DESC, cell) AS rn
+       |         FROM sc2_$s),
+       | a2_$s AS (SELECT vec_id, cell FROM r2_$s WHERE rn = 1)""".stripMargin
+  }
+
+  /** The 4-way code join over the chains' final assignments. */
+  private val pqCodesCte: String =
+    """codes AS (SELECT a2_0.vec_id,
+      |             a2_0.cell AS c_0, a2_1.cell AS c_1,
+      |             a2_2.cell AS c_2, a2_3.cell AS c_3
+      |           FROM a2_0 JOIN a2_1 USING (vec_id)
+      |             JOIN a2_2 USING (vec_id) JOIN a2_3 USING (vec_id))""".stripMargin
+
   /** SrpCode mirrored: bit p = [dot(e, w_p) > 0], planes emitted as
     * DOUBLE[] literals from the same seeded generator.
     */
@@ -476,48 +537,10 @@ object VectorQueries {
     // rebuild, reassign), then the code join + concatenated-centroid
     // reconstruction and the engine-stable floor rounding.
     "s11_pq_encode" -> {
-      def chain(s: Int): String = {
-        val lo = s * 16 + 1; val hi = s * 16 + 16
-        s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e),
-           | sd0_$s AS (SELECT vec_id AS cell, se FROM es_$s WHERE vec_id < 16),
-           | sc1_$s AS (SELECT es_$s.vec_id, sd0_$s.cell,
-           |            ${cosSql(s"es_$s.se", s"sd0_$s.se", 16)} AS c
-           |          FROM es_$s, sd0_$s),
-           | r1_$s AS (SELECT vec_id, cell,
-           |           row_number() OVER (PARTITION BY vec_id
-           |             ORDER BY c DESC, cell) AS rn
-           |         FROM sc1_$s),
-           | a1_$s AS (SELECT vec_id, cell FROM r1_$s WHERE rn = 1),
-           | x1_$s AS (SELECT a1_$s.cell, di.i AS dim,
-           |           CAST(floor(es_$s.se[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
-           |         FROM es_$s JOIN a1_$s USING (vec_id),
-           |           (SELECT unnest(range(1, 17)) AS i) di),
-           | g1_$s AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
-           |           CAST(count(*) AS BIGINT) AS n
-           |         FROM x1_$s GROUP BY cell, dim),
-           | c1_$s AS (SELECT cell, dim,
-           |           (sq - (((sq % n) + n) % n)) // n AS cm
-           |         FROM g1_$s),
-           | sd1_$s AS (SELECT cell,
-           |           CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
-           |             AS FLOAT[]) AS DOUBLE[]) AS se
-           |         FROM c1_$s GROUP BY cell),
-           | sc2_$s AS (SELECT es_$s.vec_id, sd1_$s.cell,
-           |            ${cosSql(s"es_$s.se", s"sd1_$s.se", 16)} AS c
-           |          FROM es_$s, sd1_$s),
-           | r2_$s AS (SELECT vec_id, cell,
-           |           row_number() OVER (PARTITION BY vec_id
-           |             ORDER BY c DESC, cell) AS rn
-           |         FROM sc2_$s),
-           | a2_$s AS (SELECT vec_id, cell FROM r2_$s WHERE rn = 1)""".stripMargin
-      }
+      def chain(s: Int): String = pqChainSql(s)
       s"""WITH e AS ($embSql),
          | ${(0 until 4).map(chain).mkString(",\n ")},
-         | codes AS (SELECT a2_0.vec_id,
-         |             a2_0.cell AS c_0, a2_1.cell AS c_1,
-         |             a2_2.cell AS c_2, a2_3.cell AS c_3
-         |           FROM a2_0 JOIN a2_1 USING (vec_id)
-         |             JOIN a2_2 USING (vec_id) JOIN a2_3 USING (vec_id)),
+         | $pqCodesCte,
          | recon AS (SELECT codes.vec_id,
          |             list_concat(list_concat(s0.se, s1.se),
          |                         list_concat(s2.se, s3.se)) AS re
@@ -533,6 +556,49 @@ object VectorQueries {
          |    AS recon_cos
          |FROM codes JOIN recon USING (vec_id) JOIN e USING (vec_id)
          |ORDER BY codes.vec_id""".stripMargin
+    },
+
+    // s12: the same four chains + codes, then the ADC replay — per
+    // subspace a (query, cell) lookup table of dot products, score =
+    // exact cos(query, reconstruction) assembled from lookups with
+    // the identical left-assoc addition order, zero-norm guarded to
+    // NULL on both engines.
+    "s12_pq_adc" -> {
+      s"""WITH e AS ($embSql),
+         | ${(0 until 4).map(pqChainSql).mkString(",\n ")},
+         | $pqCodesCte,
+         | q AS (SELECT vec_id AS qid, de AS qfull FROM e WHERE vec_id < 5),
+         | qn AS (SELECT qid, ${dotSql("qfull", "qfull", 64)} AS qn2 FROM q),
+         | ${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = s * 16 + 16
+             s"""qs_$s AS (SELECT qid, qfull[$lo:$hi] AS qe FROM q),
+             | dist_$s AS (SELECT qid, cell,
+             |               ${dotSql("qe", "se", 16)} AS qd,
+             |               ${dotSql("se", "se", 16)} AS ns
+             |             FROM qs_$s, sd1_$s)"""
+           }.mkString(",\n ")},
+         | sc AS (SELECT q.qid, codes.vec_id,
+         |          d0.qd + d1.qd + d2.qd + d3.qd AS num,
+         |          d0.ns + d1.ns + d2.ns + d3.ns AS dn2,
+         |          qn.qn2 AS qn2
+         |        FROM codes
+         |          CROSS JOIN q
+         |          JOIN dist_0 d0 ON d0.qid = q.qid AND d0.cell = codes.c_0
+         |          JOIN dist_1 d1 ON d1.qid = q.qid AND d1.cell = codes.c_1
+         |          JOIN dist_2 d2 ON d2.qid = q.qid AND d2.cell = codes.c_2
+         |          JOIN dist_3 d3 ON d3.qid = q.qid AND d3.cell = codes.c_3
+         |          JOIN qn ON qn.qid = q.qid),
+         | ad AS (SELECT qid, vec_id,
+         |          CASE WHEN qn2 = 0 OR dn2 = 0 THEN NULL
+         |               ELSE num / (sqrt(qn2) * sqrt(dn2)) END AS adc
+         |        FROM sc),
+         | rk AS (SELECT qid, vec_id, adc,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY adc DESC, vec_id) AS rnk
+         |        FROM ad)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_cos
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
 
     "s03_ann_ivf" ->

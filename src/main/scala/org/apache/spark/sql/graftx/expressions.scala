@@ -624,6 +624,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Plain inner product of two float arrays (the un-normalized half of
+  * [[CosineSim]]): one double-precision ordered fold over the raw
+  * ArrayData, codegen'd. Null on size mismatch. The ADC primitive —
+  * PQ scoring decomposes exact reconstruction cosine into per-
+  * subspace dot-product LOOKUPS, and those lookups are this.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dp")
+      s"""
+         |java.lang.Double $r = org.apache.spark.sql.graftx.DotProduct.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+}
+
 object CosineSim {
   /** Shared eval/codegen kernel; null on size mismatch or zero norm. */
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
@@ -1092,6 +1135,8 @@ object GraftExpressions {
 
   def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
     col(LogicleQ6(exp(x), t, m, w))
+
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(exp(a), exp(b)))
 
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     col(MinHashSignature(exp(tokens), numHashes))

@@ -94,6 +94,37 @@ class DedupAnnSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pqAdcTopK: ADC score == cos(query, reconstruction); meaningful overlap with brute force") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    val e = emb.filter(size(col("embedding")) === 64)
+    val q = e.filter(col("vec_id") < 5)
+    val adc = Ann.pqAdcTopK(e, q, "vec_id", "embedding", kTop = 10).cache()
+    val rows = adc.collect()
+    assert(rows.length == 50) // 5 queries x 10
+    // adc_cos is a valid cosine, descending within each query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.forall(v => v >= -1.0001 && v <= 1.0001))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      // each query's own vector reconstructs best-or-near-best: its
+      // ADC self-score should put it in the top 10
+      assert(rs.exists(r => r.getLong(2) == r.getLong(0)))
+    }
+    // ADC (codes only) vs exact brute force: compressed search must
+    // agree on a decent fraction of the true top-10 (16^4 codebook on
+    // near-random 64-dim data — exact agreement is not expected)
+    val brute = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    val overlap = byQ.map { case (qid, rs) =>
+      rs.map(_.getLong(2)).toSet.intersect(brute(qid)).size }.sum
+    assert(overlap >= 10, s"ADC∩brute overlap too low: $overlap/50")
+    adc.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("minhash calibration: est is unbiased-shaped (dup pairs read 1.0, est tracks exact Jaccard)") {
     val cal = Dedup.minhashCalibration(docs, "doc_id", "text").cache()
     val rows = cal.collect()
