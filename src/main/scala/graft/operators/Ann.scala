@@ -361,17 +361,78 @@ object Ann {
     */
   /** The trained PQ model: per-subspace centroid tables
     * (cell_s, se_s) and the code table (vec_id, c_0..c_{m-1}).
+    *
+    * FUSED training: all m sub-quantizers advance together — ONE
+    * corpus pass per Lloyd stage instead of m (the corpus explodes
+    * once into (vec_id, s, slice) rows; assignment is one broadcast
+    * argmax keyed by (vec_id, s); the centroid update is one
+    * (s, cell, dim)-keyed quantized-integer aggregate). The
+    * per-subspace math is independent, so every number is
+    * BIT-IDENTICAL to running [[lloydRounds]] per slice —
+    * PqFusedSpec pins the fused model equal to the sequential form
+    * ([[pqModelSequential]]), including duplicate-id and zero-vector
+    * corpora, and the s11/s12 oracles (which replay the per-subspace
+    * math) stay green unchanged.
     */
   private[graft] def pqModel(vecs: DataFrame, idCol: String, embCol: String,
                              m: Int, subDim: Int, k: Int, iters: Int,
                              quantScale: Double): (Seq[DataFrame], DataFrame) = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1)
+    // one slicing pass; cached across every Lloyd stage (library
+    // caching contract: callers clearCache between actions).
+    val sliced = vecs.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(embCol), s * subDim + 1, subDim)): _*)).as(Seq("s", "semb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(c: DataFrame): DataFrame =
+      sliced.join(broadcast(c), Seq("s"))
+        .withColumn("cos", GraftFunctions.cosine_sim(col("semb"), col("cemb")))
+        .groupBy("vec_id", "s")
+        .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("mx"))
+        .select(col("vec_id"), col("s"), (-col("mx.nc")).as("cluster"))
+    var cents = sliced.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("cell"), col("semb").as("cemb"))
+    var asg = assign(cents)
+    for (_ <- 2 to iters) {
+      val upd = sliced.join(asg, Seq("vec_id", "s"))
+        .select(col("s"), col("cluster"), posexplode(col("semb")))
+        .select(col("s"), col("cluster"),
+          (col("pos") + 1).cast("long").as("dim"),
+          floor(col("col").cast("double") * lit(quantScale) + lit(0.5))
+            .cast("long").as("qv"))
+        .groupBy("s", "cluster", "dim")
+        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+        .select(col("s"), col("cluster").as("cell"), col("dim"),
+          expr("(sq - pmod(sq, n)) div n").as("cm"))
+      cents = upd.groupBy("s", "cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("dm"))
+        .select(col("s"), col("cell"),
+          transform(col("dm"),
+            x => (x.getField("cm").cast("double") / lit(quantScale))
+              .cast("float")).as("cemb"))
+        // m·k-row table: truncate lineage per round, as lloydRounds does
+        .localCheckpoint(true)
+      asg = assign(cents)
+    }
+    val centsSeq = (0 until m).map(s => cents.filter(col("s") === s)
+      .select(col("cell").as(s"cell_$s"), col("cemb").as(s"se_$s")))
+    val codes = asg.groupBy("vec_id")
+      .agg((0 until m).map(s =>
+        max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")).head,
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")): _*)
+    (centsSeq, codes)
+  }
+
+  /** The per-subspace reference form of [[pqModel]] (m separate
+    * [[lloydRounds]] chains) — kept as the spec contract the fused
+    * trainer is pinned bit-equal to.
+    */
+  private[graft] def pqModelSequential(vecs: DataFrame, idCol: String, embCol: String,
+                                       m: Int, subDim: Int, k: Int, iters: Int,
+                                       quantScale: Double): (Seq[DataFrame], DataFrame) = {
     require(m >= 1 && subDim >= 1 && k >= 1)
     val parts = (0 until m).map { s =>
-      // each subspace's Lloyd reads its slice iters+1 times (assign
-      // passes + centroid updates): persist the 16-dim slice instead
-      // of re-scanning and re-slicing the full-width corpus per pass.
-      // Same caching contract as cosinePairs/lshStaged: callers
-      // clearCache between actions, as Verify/Bench do.
       val sub = vecs.select(col(idCol),
         slice(col(embCol), s * subDim + 1, subDim).as(embCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
