@@ -424,6 +424,38 @@ object Ann {
     (centsSeq, codes)
   }
 
+  /** L74 — INCREMENTAL PQ encoding: encode a NEW batch against
+    * codebooks trained on the EXISTING corpus only — the d27 recrawl
+    * shape applied to vector compression. A production code store is
+    * append-only: the quantizer trains once (or per major refresh),
+    * and every daily embedding batch encodes against the FROZEN
+    * centroids — retraining per batch would silently re-map old codes.
+    * One broadcast argmax pass over the batch slices; the batch never
+    * touches the corpus rows (only the m·k-row codebook ships).
+    */
+  def pqEncodeAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+                      embCol: String, m: Int = 4, subDim: Int = 16,
+                      k: Int = 16, iters: Int = 2,
+                      quantScale: Double = 1e6): DataFrame = {
+    val (cents, _) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
+    val allCents = cents.zipWithIndex.map { case (c, s) =>
+      c.select(lit(s).as("s"), col(s"cell_$s").as("cell"), col(s"se_$s").as("cemb"))
+    }.reduce(_.unionByName(_))
+    batch.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(embCol), s * subDim + 1, subDim)): _*)).as(Seq("s", "semb")))
+      .join(broadcast(allCents), Seq("s"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("semb"), col("cemb")))
+      .groupBy("vec_id", "s")
+      .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("mx"))
+      .select(col("vec_id"), col("s"), (-col("mx.nc")).as("cluster"))
+      .groupBy("vec_id")
+      .agg((0 until m).map(s =>
+        max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")).head,
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")): _*)
+  }
+
   /** The per-subspace reference form of [[pqModel]] (m separate
     * [[lloydRounds]] chains) — kept as the spec contract the fused
     * trainer is pinned bit-equal to.

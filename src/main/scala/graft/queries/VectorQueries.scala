@@ -113,6 +113,19 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L74: incremental PQ encode — the batch (vec_id ≡ 0 mod 5)
+    // encoded against codebooks trained on the REST of the corpus
+    // only (frozen-quantizer append: the d27 recrawl shape for
+    // vector compression).
+    "s13_pq_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.pqEncodeAgainst(
+          e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          e.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", m = 4, subDim = 16, k = 16, iters = 2)
+        .orderBy("vec_id")
+    }),
+
     // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
     // score the whole corpus from CODES alone via per-subspace
     // lookup tables; the ADC score is exactly cos(query,
@@ -387,9 +400,14 @@ object VectorQueries {
     * rebuild, reassign. Exposes a2_s (final assignment) and sd1_s
     * (rebuilt centroids); shared by the s11/s12 oracles.
     */
-  private def pqChainSql(s: Int): String = {
+  private def pqChainSql(s: Int): String = pqChainSql(s, "")
+
+  /** `srcFilter` restricts the TRAINING rows (s13's incremental form
+    * trains on the corpus split only; "" trains on everything).
+    */
+  private def pqChainSql(s: Int, srcFilter: String): String = {
     val lo = s * 16 + 1; val hi = s * 16 + 16
-    s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e),
+    s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e $srcFilter),
        | sd0_$s AS (SELECT vec_id AS cell, se FROM es_$s WHERE vec_id < 16),
        | sc1_$s AS (SELECT es_$s.vec_id, sd0_$s.cell,
        |            ${cosSql(s"es_$s.se", s"sd0_$s.se", 16)} AS c
@@ -556,6 +574,33 @@ object VectorQueries {
          |    AS recon_cos
          |FROM codes JOIN recon USING (vec_id) JOIN e USING (vec_id)
          |ORDER BY codes.vec_id""".stripMargin
+    },
+
+    // s13: the four chains trained on the CORPUS SPLIT only, then the
+    // batch's slices argmax-assigned to the frozen rebuilt centroids.
+    "s13_pq_incremental" -> {
+      val trainFilter = "WHERE (vec_id % 5 + 5) % 5 <> 0"
+      s"""WITH e AS ($embSql),
+         | ${(0 until 4).map(s => pqChainSql(s, trainFilter)).mkString(",\n ")},
+         | b AS (SELECT vec_id, de FROM e WHERE (vec_id % 5 + 5) % 5 = 0),
+         | ${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = s * 16 + 16
+             s"""bs_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM b),
+             | bc_$s AS (SELECT bs_$s.vec_id, sd1_$s.cell,
+             |             ${cosSql(s"bs_$s.se", s"sd1_$s.se", 16)} AS c
+             |           FROM bs_$s, sd1_$s),
+             | br_$s AS (SELECT vec_id, cell,
+             |            row_number() OVER (PARTITION BY vec_id
+             |              ORDER BY c DESC, cell) AS rn
+             |          FROM bc_$s),
+             | bb_$s AS (SELECT vec_id, cell FROM br_$s WHERE rn = 1)"""
+           }.mkString(",\n ")}
+         |SELECT bb_0.vec_id,
+         |  CAST(bb_0.cell AS BIGINT) AS c_0, CAST(bb_1.cell AS BIGINT) AS c_1,
+         |  CAST(bb_2.cell AS BIGINT) AS c_2, CAST(bb_3.cell AS BIGINT) AS c_3
+         |FROM bb_0 JOIN bb_1 USING (vec_id)
+         |  JOIN bb_2 USING (vec_id) JOIN bb_3 USING (vec_id)
+         |ORDER BY bb_0.vec_id""".stripMargin
     },
 
     // s12: the same four chains + codes, then the ADC replay — per
