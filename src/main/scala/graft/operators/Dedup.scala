@@ -503,15 +503,17 @@ object Dedup {
   def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
                     tablePrefix: String, numHashes: Int = 32, bands: Int = 8,
                     shingleN: Int = 3, cap: Int = 100,
-                    buckets: Int = 64): Unit = {
+                    buckets: Int = 64, path: Option[String] = None): Unit = {
     val (cb, csets) = lshStaged(corpus, idCol, textCol, numHashes, bands, shingleN)
     val hot = cb.groupBy("band", "bucket").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > cap).select("band", "bucket")
     val index = cb.join(hot, Seq("band", "bucket"), "left_anti")
     graft.sources.TidyIO.writeBucketedCols(
-      index, s"${tablePrefix}_bands", Seq("band", "bucket"), buckets)
+      index, s"${tablePrefix}_bands", Seq("band", "bucket"), buckets,
+      path = path.map(p => s"$p/bands"))
     graft.sources.TidyIO.writeBucketedCols(
-      csets, s"${tablePrefix}_sets", Seq("id"), buckets)
+      csets, s"${tablePrefix}_sets", Seq("id"), buckets,
+      path = path.map(p => s"$p/sets"))
   }
 
   /** Probe a [[writeLshIndex]] index with a new batch: identical

@@ -683,6 +683,26 @@ object TextQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // L71-driver: the persisted LSH index, DRIVER-VERIFIED — the
+    // corpus side written ONCE as (band,bucket)- and id-bucketed
+    // external tables (cap applied at build), then probed
+    // Exchange-free on the index side. Identical result contract to
+    // d27 (same params), so it reuses d27's oracle verbatim; what
+    // this query adds is DuckDB certifying the whole write→read→probe
+    // path, the q53 pattern applied to the index.
+    "d29_lsh_index_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prefix = s"g_lshq_${ProcessHandle.current().pid()}"
+      Dedup.writeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", prefix, numHashes = 64, bands = 8,
+        shingleN = 1, cap = 500, buckets = 8,
+        path = Some(s"/tmp/$prefix"))
+      Dedup.probeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", prefix, threshold = 0.9, numHashes = 64,
+          bands = 8, shingleN = 1)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // L68b: line-level exact dedup + reassembly (the RefinedWeb
     // boilerplate-line pass) — every line keeps its first corpus
     // occurrence in (doc, position) order, docs reassemble from the
@@ -897,7 +917,14 @@ object TextQueries {
     s"CASE ${whens.mkString(" ")} ELSE '${names.last}' END"
   }
 
-  val oracle: Map[String, String] = Map(
+  // d29 runs the persisted-index probe (writeLshIndex → probeLshIndex)
+  // with d27's exact parameters — the RESULT contract is identical
+  // (the index is d27's corpus side written once, the probe its join),
+  // so its oracle is d27's verbatim.
+  val oracle: Map[String, String] = oracleBase +
+    ("d29_lsh_index_probe" -> oracleBase("d27_incremental_lsh"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "d01_dedup_exact" ->
       s"""SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
          | count(*) AS n_copies

@@ -43,15 +43,20 @@ object TidyIO {
     * side.
     */
   def writeBucketedCols(df: DataFrame, table: String, bucketCols: Seq[String],
-                        buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+                        buckets: Int, sortCols: Seq[String] = Nil,
+                        path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty)
     // Pre-shuffle on the bucket columns (same murmur3 hash as the
     // bucket id): ONE file per bucket instead of tasks×buckets small
     // files — and Spark only elides the downstream Sort for sorted
-    // buckets when each bucket is a single file.
-    val w = df.repartition(buckets, bucketCols.map(df.col): _*)
+    // buckets when each bucket is a single file. With `path` the
+    // table is EXTERNAL (data at the path, bucketing metadata in the
+    // catalog) — what driver runs use so nothing lands in the
+    // session's default warehouse directory.
+    val w0 = df.repartition(buckets, bucketCols.map(df.col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w = path.fold(w0)(p => w0.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
