@@ -40,6 +40,12 @@ import org.apache.spark.sql.functions._
   * values. ExactQuantilesSpec pins equality with the ranked-window
   * form, including heavy-tie and tiny-group corpora.
   *
+  * Contract: group keys must be non-null (the bracket join is
+  * null-unsafe equality — a null-keyed group would silently drop;
+  * filter or coalesce keys upstream), and `vCol` non-null numeric.
+  * Works for integral AND fractional values: the long-floor/ceil
+  * bracket is just wider for doubles, the selection stays exact.
+  *
   * @param ranks  (outputName, pFraction, 1-based target rank as a
   *               function of the group-count column) — e.g.
   *               ("median_v", 0.5, n => (n+1) div 2).
