@@ -93,6 +93,18 @@ object GraftFunctions {
   def theta_sketch(key: Column, lgK: Int = 14): Column =
     GraftExpressions.theta_sketch(key, lgK)
 
+  /** CPC distinct-count sketch over a long key: ~40% better
+    * accuracy-per-stored-byte than HLL at the same nominal size, NO
+    * set algebra (use theta_sketch for intersections). The archival-
+    * counting sketch: per-source/per-batch cardinality profiles
+    * persisted for every crawl batch, where bytes-at-rest dominate.
+    */
+  def cpc_sketch(key: Column, lgK: Int = 11): Column =
+    GraftExpressions.cpc_sketch(key, lgK)
+
+  /** Distinct-count estimate of a serialized CPC sketch. */
+  def cpc_estimate(sketch: Column): Column = GraftExpressions.cpc_estimate(sketch)
+
   /** Bounded top-k aggregate: the k smallest (ord, id) pairs per
     * group in a map-side-combined heap — the scale-safe replacement
     * for `row_number() <= k` ranked windows. Multiset semantics;

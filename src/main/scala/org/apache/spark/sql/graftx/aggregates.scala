@@ -571,3 +571,61 @@ case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(ord = cs(0), id = cs(1))
 }
+
+/** CPC distinct-count sketch aggregate (Lang 2017, the DataSketches
+  * "compressed probabilistic counting" family): ~40% better
+  * accuracy-per-stored-byte than HLL at the same nominal size, at the
+  * cost of NO set algebra (use [[ThetaSketchAgg]] when intersections
+  * / A-not-B matter). The driving use case at corpus scale is
+  * ARCHIVAL counting: per-source / per-batch distinct-token or
+  * distinct-URL cardinality profiles persisted for every crawl batch
+  * — thousands of stored sketches per day where bytes-at-rest
+  * dominate and only unions are ever needed. Returns the serialized
+  * compact sketch (BINARY); read with [[CpcEstimate]]. Mergeable:
+  * partials combine through CpcUnion exactly like any
+  * TypedImperativeAggregate.
+  */
+case class CpcSketchAgg(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.cpc.CpcSketch]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(lgK >= 4 && lgK <= 26, s"cpc_sketch: lgK in [4, 26], got $lgK")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cpc_sketch"
+
+  override def createAggregationBuffer(): org.apache.datasketches.cpc.CpcSketch =
+    new org.apache.datasketches.cpc.CpcSketch(lgK)
+
+  override def update(buffer: org.apache.datasketches.cpc.CpcSketch,
+                      input: InternalRow): org.apache.datasketches.cpc.CpcSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: org.apache.datasketches.cpc.CpcSketch,
+                     other: org.apache.datasketches.cpc.CpcSketch): org.apache.datasketches.cpc.CpcSketch = {
+    val u = new org.apache.datasketches.cpc.CpcUnion(lgK)
+    u.update(buffer)
+    u.update(other)
+    u.getResult
+  }
+
+  override def eval(buffer: org.apache.datasketches.cpc.CpcSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(buffer: org.apache.datasketches.cpc.CpcSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): org.apache.datasketches.cpc.CpcSketch =
+    org.apache.datasketches.cpc.CpcSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): CpcSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CpcSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

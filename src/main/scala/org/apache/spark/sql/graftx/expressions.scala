@@ -1187,6 +1187,11 @@ object GraftExpressions {
   def theta_union_agg(sketch: Column, lgK: Int): Column =
     col(ThetaUnionAgg(exp(sketch), lgK).toAggregateExpression())
 
+  def cpc_sketch(key: Column, lgK: Int): Column =
+    col(CpcSketchAgg(exp(key), lgK).toAggregateExpression())
+
+  def cpc_estimate(sketch: Column): Column = col(CpcEstimate(exp(sketch)))
+
   def theta_estimate(sketch: Column): Column = col(ThetaEstimate(exp(sketch)))
 
   def theta_intersect_estimate(a: Column, b: Column): Column =
@@ -1284,4 +1289,18 @@ object GraftExpressions {
           s"ngram_hashes(toks, n[, dedup_sort]) with literal n; got ${es.length} args")
       }, "built-in")
   }
+}
+
+/** Distinct-count estimate of a serialized CPC sketch. */
+case class CpcEstimate(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes = Seq[AbstractDataType](BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cpc_estimate"
+  override protected def nullSafeEval(b: Any): Any =
+    org.apache.datasketches.cpc.CpcSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b.asInstanceOf[Array[Byte]]))
+      .getEstimate
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -99,6 +99,41 @@ class ThetaSpec extends AnyFunSuite {
     assert(viaSql == "hot")
   }
 
+  test("cpc_sketch: estimate within bounds, partition-invariant-enough, smaller at rest than theta") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 20000
+    val df = (1L to n).toDF("k")
+    def est(d: org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val r = d.agg(GraftFunctions.cpc_sketch(col("k"), lgK = 11).as("sk"))
+        .select(GraftFunctions.cpc_estimate(col("sk")).as("e"), length(col("sk")).as("b"))
+        .head()
+      (r.getDouble(0), r.getInt(1))
+    }
+    val (e1, bytes) = est(df)
+    // lgK=11 RSE ~ 0.59/sqrt(2^11) ~ 1.3%; allow 4 sigma
+    assert(math.abs(e1 - n) / n < 0.055, s"estimate $e1 for n=$n")
+    // mergeability: a different partitioning merges through CpcUnion
+    // to an estimate with the same error bound (CPC unions are not
+    // bit-stable across merge orders — the ESTIMATE is the contract)
+    val (e2, _) = est(df.repartition(13))
+    assert(math.abs(e2 - n) / n < 0.055, s"merged estimate $e2")
+    // the archival story: CPC stores materially smaller than theta at
+    // comparable nominal size
+    val thetaBytes = df.agg(GraftFunctions.theta_sketch(col("k"), lgK = 11).as("sk"))
+      .select(length(col("sk"))).head().getInt(0)
+    assert(bytes < thetaBytes,
+      s"cpc $bytes B should undercut theta $thetaBytes B at rest")
+    // serialization round trip via the estimate expression is what
+    // eval returns — a second read of the same bytes agrees exactly
+    val sk = df.agg(GraftFunctions.cpc_sketch(col("k"), 11).as("sk")).head().getAs[Array[Byte]](0)
+    val again = org.apache.datasketches.cpc.CpcSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(sk)).getEstimate
+    assert(math.abs(again - e1) < 1e-6 || math.abs(again - n).toDouble / n < 0.055)
+  }
+
   test("ThetaBuf.compact is idempotent: double serialize keeps the sketch") {
     import org.apache.spark.sql.graftx.ThetaBuf
     import org.apache.datasketches.theta.UpdateSketch
