@@ -100,11 +100,15 @@ object ExactQuantiles {
       .agg(allAggs.head, allAggs.tail: _*)
 
     // weighted selection walk over the sorted bracket pairs; a bracket
-    // miss surfaces as raise_error, never as a wrong value.
+    // miss surfaces as raise_error, never as a wrong value. The
+    // accumulator's ans field is typed from the DATA (a long-typed
+    // zero against a double column fails analysis in the merge
+    // lambda), so fractional value columns select exactly too.
+    val vType = df.schema(vCol).dataType
     val outs = ranks.map { case (name, _, rankFn) =>
       val target = rankFn(col("n")) - col(s"__less_$name")
       val walk = aggregate(col(s"__arr_$name"),
-        struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+        struct(lit(0L).as("cum"), lit(null).cast(vType).as("ans")),
         (acc, e) => struct(
           (acc.getField("cum") + e.getField("cnt")).as("cum"),
           coalesce(acc.getField("ans"),

@@ -76,6 +76,25 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got("one") == ((1L, 7L, 7L)))
   }
 
+  test("fractional value column selects exactly (double-typed accumulator)") {
+    // l_discount is a genuine DOUBLE column with heavy ties (11 distinct
+    // values) — the case the long-typed accumulator zero used to fail
+    // at analysis time with DATATYPE_MISMATCH.
+    val m = Graft.table(spark, SharedSpark.sfDir, "lineitem")
+      .selectExpr("l_returnflag AS g", "l_discount AS v")
+    val keys = Seq("g")
+    val got = ExactQuantiles.groupedExactSelect(m, keys, "v", ranks)
+      .collect().map { r =>
+        r.getAs[String]("g") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("median_v"), r.getAs[Double]("p90_v")))
+      }.toMap
+    val ref = windowed(m, keys).collect().map { r =>
+      r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("median_v"), r.getAs[Double]("p90_v")))
+    }.toMap
+    assert(got == ref)
+  }
+
   test("plan is sort-free on the data path: no Window, no global sort of rows") {
     val df = (1 to 1000).map(i => ("g" + (i % 3), i.toLong)).toDF("g", "v")
     val plan = ExactQuantiles.groupedExactSelect(df, Seq("g"), "v", ranks)
