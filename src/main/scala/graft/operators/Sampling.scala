@@ -114,6 +114,13 @@ object Sampling {
     * key; a hot domain ranks inside its own partitions — nothing is
     * collected. Output keeps `rk` (1-based) so callers can tighten
     * the cap downstream without re-hashing.
+    *
+    * Null-id contract (both forms): a null id has no portable hash
+    * identity, so null-id rows are EXCLUDED from the selection up
+    * front. Without the explicit filter the two forms would diverge
+    * — the window sorts null order keys first and keeps them, while
+    * the heap aggregate skips null inputs (CurationOpsSpec pins the
+    * agreement on a null-bearing corpus).
     */
   def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
                   k: Int): DataFrame = {
@@ -121,7 +128,8 @@ object Sampling {
       graft.functions.GraftFunctions.fmix64(col(idCol).cast("long")), 11)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(hkey, col(idCol))
-    df.withColumn("rk", row_number().over(w))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
 
@@ -150,7 +158,8 @@ object Sampling {
                      k: Int): DataFrame = {
     val hkey = shiftrightunsigned(
       graft.functions.GraftFunctions.fmix64(col(idCol).cast("long")), 11)
-    df.select(col(groupCol), hkey.as("__ord"),
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol), hkey.as("__ord"),
         col(idCol).cast("long").as("__id"))
       .groupBy(groupCol)
       .agg(graft.functions.GraftFunctions

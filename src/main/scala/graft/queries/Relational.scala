@@ -610,9 +610,11 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"), col("l_shipdate"))
-      // pid-suffixed path: contended Bench/Verify processes must not
-      // interleave each other's container files.
-      val tmp = s"/tmp/graft_avro_rt_${ProcessHandle.current().pid()}"
+      // pid-suffixed path via scratchDir: contended Bench/Verify
+      // processes must not interleave each other's container files,
+      // and dead runs' leftovers are swept here instead of
+      // accumulating in /tmp.
+      val tmp = graft.sources.TidyIO.scratchDir("graft_avro_rt")
       graft.sources.AvroIO.write(li, tmp)
       graft.sources.AvroIO.read(s, tmp)
         .groupBy("l_returnflag")

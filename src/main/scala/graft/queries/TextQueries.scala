@@ -692,11 +692,15 @@ object TextQueries {
     // path, the q53 pattern applied to the index.
     "d29_lsh_index_probe" -> ((s, dir) => {
       val d = docs(s, dir)
-      val prefix = s"g_lshq_${ProcessHandle.current().pid()}"
+      // scratchDir sweeps dead runs' /tmp/g_lshq_* leftovers; the
+      // pid-suffixed table names are in-memory-catalog only (die with
+      // the session) and saveAsTable overwrites within it.
+      val idxPath = graft.sources.TidyIO.scratchDir("g_lshq")
+      val prefix = idxPath.stripPrefix("/tmp/")
       Dedup.writeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         "doc_id", "text", prefix, numHashes = 64, bands = 8,
         shingleN = 1, cap = 500, buckets = 8,
-        path = Some(s"/tmp/$prefix"))
+        path = Some(idxPath))
       Dedup.probeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id", "text", prefix, threshold = 0.9, numHashes = 64,
           bands = 8, shingleN = 1)

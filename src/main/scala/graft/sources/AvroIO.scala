@@ -157,8 +157,16 @@ object AvroIO {
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(if (codec == "null") CodecFactory.nullCodec()
                  else CodecFactory.fromString(codec))
-      val f = new java.io.File(s"$path/part-$pid.avro")
-      w.create(schema, f)
+      // Attempt isolation: a retried or speculative task must never
+      // write the final part path concurrently with another attempt —
+      // each attempt encodes to its own dot-prefixed temp file (hidden
+      // from Spark listings, excluded by the *.avro glob) and
+      // atomically renames on success. Content per partition is
+      // deterministic, so a late duplicate rename is harmless.
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = if (tc != null) tc.taskAttemptId() else 0L
+      val tmpF = new java.io.File(s"$path/.part-$pid.avro.attempt-$attempt")
+      w.create(schema, tmpF)
       var n = 0L
       it.foreach { row =>
         val rec = new GenericData.Record(schema)
@@ -171,13 +179,51 @@ object AvroIO {
         n += 1
       }
       w.close()
+      java.nio.file.Files.move(
+        tmpF.toPath, new java.io.File(s"$path/part-$pid.avro").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       Iterator(n)
     }.sum()
     ()
   }
 
+  /** Header-only schema sniff: a container file embeds its schema in
+    * the header (magic + metadata map + sync marker) — reading it
+    * needs the first few KB, never the file. The bounded stream makes
+    * that a hard guarantee: if the header (plus the decoder's
+    * read-ahead buffer) ever exceeds `maxHeaderBytes`, this throws
+    * instead of silently degrading to a full-file read
+    * (AvroIOSpec pins a multi-MB file sniffing under the bound).
+    */
+  private[graft] def sniffSchema(f: java.io.File,
+                                 maxHeaderBytes: Int = 1 << 16): Schema = {
+    val raw = new java.io.FileInputStream(f)
+    val bounded = new java.io.InputStream {
+      private var seen = 0L
+      private def count(k: Int): Unit = {
+        if (k > 0) seen += k
+        if (seen > maxHeaderBytes) throw new IllegalStateException(
+          s"AvroIO: schema sniff read past $maxHeaderBytes bytes of ${f.getPath} " +
+            "— header larger than the bound (raise maxHeaderBytes)")
+      }
+      override def read(): Int = { val b = raw.read(); count(if (b < 0) 0 else 1); b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        // never hand the decoder more than the remaining budget, so a
+        // large buffered read can't overshoot before the check
+        val want = math.min(len.toLong, maxHeaderBytes + 1L - seen).toInt
+        val k = raw.read(b, off, math.max(want, 1)); count(math.max(k, 0)); k
+      }
+      override def close(): Unit = raw.close()
+    }
+    val ds = new DataFileStream(bounded, new GenericDatumReader[GenericRecord]())
+    try ds.getSchema finally ds.close()
+  }
+
   /** Distributed ingest: binaryFile scan → per-file container decode.
-    * The schema comes from the first file (container files embed it).
+    * The schema comes from the first file's HEADER (container files
+    * embed it) — listed via a content-pruned path scan and sniffed
+    * with [[sniffSchema]]'s bounded read, never a full-file collect.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     // pathGlobFilter, not a glob path: DataSource probes a glob path
@@ -185,29 +231,33 @@ object AvroIO {
     // a spurious FileNotFoundException stack per read.
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro").load(path)
-      .select("content")
-    val head = bin.limit(1).collect()
+    // selecting only `path` prunes `content`: the listing never reads
+    // file bytes (binaryFile materializes content on demand per column)
+    val head = bin.select("path").limit(1).collect()
     require(head.nonEmpty, s"AvroIO: no .avro files under $path")
-    val schema = {
-      val ds = new DataFileStream(
-        new java.io.ByteArrayInputStream(head(0).getAs[Array[Byte]](0)),
-        new GenericDatumReader[GenericRecord]())
-      try ds.getSchema finally ds.close()
-    }
+    val schema = sniffSchema(
+      new java.io.File(new java.net.URI(head(0).getString(0))))
     val st = sparkSchemaFor(schema)
-    val rows = bin.rdd.flatMap { r =>
+    val rows = bin.select("content").rdd.flatMap { r =>
+      // streaming decode: records surface as the downstream consumer
+      // pulls them — no per-file ArrayBuffer doubling the file's rows
+      // in task memory. The byte-array-backed stream needs no close
+      // beyond drain (closed when the iterator exhausts).
       val ds = new DataFileStream(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)),
         new GenericDatumReader[GenericRecord]())
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        while (ds.hasNext) {
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = ds.hasNext
+          if (!h) ds.close()
+          h
+        }
+        def next(): Row = {
           val rec = ds.next()
-          out += Row.fromSeq(st.fields.indices.map(i =>
+          Row.fromSeq(st.fields.indices.map(i =>
             fromAvro(rec.get(i), st(i).dataType)))
         }
-      } finally ds.close()
-      out
+      }
     }
     spark.createDataFrame(rows, st)
   }

@@ -12,6 +12,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TidyIO {
 
+  /** pid-suffixed /tmp scratch dir for driver-verified IO queries
+    * (q53's avro round-trip, d29's persisted LSH index). Returns
+    * `/tmp/<tag>_<pid>` after deleting (a) any remnant at that exact
+    * path — a recycled pid must not read a dead run's files — and
+    * (b) every sibling `<tag>_<otherPid>` whose owning process is no
+    * longer alive, so contended Bench/Verify invocations never
+    * interleave yet nothing accumulates across runs. The query's own
+    * dir is reclaimed by the NEXT invocation's sweep (it cannot be
+    * deleted eagerly: the returned DataFrame is lazy, the read
+    * happens at the driver's action).
+    */
+  def scratchDir(tag: String): String = {
+    val self = ProcessHandle.current().pid()
+    val re = (java.util.regex.Pattern.quote(tag) + "_(\\d+)").r
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        f.getName match {
+          case re(p) =>
+            val pid = p.toLong
+            val alive = pid != self && {
+              val h = ProcessHandle.of(pid)
+              h.isPresent && h.get.isAlive
+            }
+            if (!alive) deleteRecursively(f.toPath)
+          case _ => ()
+        }
+      }
+    s"/tmp/${tag}_$self"
+  }
+
+  /** Best-effort recursive delete (never throws — scratch cleanup
+    * must not fail a query).
+    */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () }
+
   /** Partition-pruned, sorted parquet layout. */
   def writeClustered(df: DataFrame, path: String,
                      partitionBy: Seq[String], sortBy: Seq[String]): Unit =

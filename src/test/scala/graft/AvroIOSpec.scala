@@ -65,4 +65,26 @@ class AvroIOSpec extends AnyFunSuite {
         .as[String].collect().sorted.toSeq
     assert(key(back) == key(ev))
   }
+
+  test("schema sniff reads only the header, even on a multi-MB file") {
+    // one uncompressed container file of ~3 MB (null codec so snappy
+    // can't shrink the synthetic text under the bar)
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      repeat(md5(col("id").cast("string")), 50).as("text")).repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("avrosniff").toString
+    AvroIO.write(docs, dir, codec = "null")
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    assert(f.length() > (1 << 20), s"want a multi-MB file, got ${f.length()}")
+    // default 64 KB bound sniffs fine — proof the read is header-only
+    val s = AvroIO.sniffSchema(f)
+    assert(s.getFields.size() == 2)
+    // and the bound is real: a bound smaller than the header throws
+    // instead of silently reading on
+    val e = intercept[IllegalStateException](AvroIO.sniffSchema(f, maxHeaderBytes = 8))
+    assert(e.getMessage.contains("schema sniff"))
+    // leftover attempt temp files are invisible to read(): plant one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-0.avro.attempt-99"), Array[Byte](1, 2, 3))
+    assert(AvroIO.read(spark, dir).count() == 2000)
+  }
 }

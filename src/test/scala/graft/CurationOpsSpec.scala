@@ -226,6 +226,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("perGroupCap forms agree on null ids: both exclude them") {
+    val df = ((1L to 10L).map(i => (java.lang.Long.valueOf(i), "big")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "big"),
+        (null.asInstanceOf[java.lang.Long], "only_nulls")))
+      .toDF("doc_id", "source")
+    def triples(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "rk", "doc_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val win = triples(Sampling.perGroupCap(df, "doc_id", "source", 5))
+    val agg = triples(Sampling.perGroupCapAgg(df, "doc_id", "source", 5))
+    assert(win == agg)
+    // null-id rows carry no portable identity: excluded, and a group
+    // of only nulls vanishes rather than emitting null selections.
+    assert(!win.exists(_._1 == "only_nulls"))
+    assert(win.count(_._1 == "big") == 5)
+  }
+
   test("sourceOverlap: hand-computed pairwise gram Jaccard, sources paired lexicographically") {
     // s1 grams: {a b c, b c d}; s2: {a b c, b c e};
     // s3: {x y z, y z w} ∪ {a b c, b c d} (two docs).
