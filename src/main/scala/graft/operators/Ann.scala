@@ -517,6 +517,21 @@ object Ann {
                 quantScale: Double = 1e6): DataFrame = {
     val (cents, codes) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    // exhaustive ADC: every (query, code) pair scores — the baseline
+    // the cell-pruned [[ivfAdcTopK]] path is measured against.
+    val cand = codes.crossJoin(broadcast(q.select(col("qid").as("qid_c"))))
+      .withColumnRenamed("qid_c", "qid")
+    adcRank(cand, q, cents, m, subDim, kTop)
+  }
+
+  /** ADC scoring + per-query ranking shared by [[pqAdcTopK]]
+    * (exhaustive) and [[ivfAdcTopK]] (cell-pruned): `cand` carries
+    * (qid, vec_id, c_0..c_{m-1}) — WHICH codes score against which
+    * query is the caller's candidate policy; the arithmetic here is
+    * identical, so the two paths rank any common candidate the same.
+    */
+  private def adcRank(cand: DataFrame, q: DataFrame, cents: Seq[DataFrame],
+                      m: Int, subDim: Int, kTop: Int): DataFrame = {
     val dists = (0 until m).map { s =>
       q.select(col("qid"), slice(col("qemb"), s * subDim + 1, subDim).as("qs"))
         .crossJoin(broadcast(cents(s)))
@@ -524,9 +539,10 @@ object Ann {
           GraftFunctions.dot_product(col("qs"), col(s"se_$s")).as(s"qd_$s"),
           GraftFunctions.dot_product(col(s"se_$s"), col(s"se_$s")).as(s"ns_$s"))
     }
-    val qn = q.select(col("qid"),
+    val qn = q.select(col("qid").as("qid_n"),
       GraftFunctions.dot_product(col("qemb"), col("qemb")).as("qn2"))
-    val pairs = dists.zipWithIndex.foldLeft(codes.crossJoin(broadcast(qn))) {
+    val base = cand.join(broadcast(qn), cand("qid") === qn("qid_n")).drop("qid_n")
+    val pairs = dists.zipWithIndex.foldLeft(base) {
       case (acc, (d, s)) =>
         acc.join(broadcast(d),
             acc("qid") === d(s"qid_$s") && acc(s"c_$s") === d(s"cell_$s"))
@@ -543,6 +559,77 @@ object Ann {
       .filter(col("rnk") <= kTop)
       .select(col("qid"), col("rnk"), col("vec_id"),
         (floor(col("adc") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("adc_cos"))
+  }
+
+  /** L76 — IVFADC retrieval (Jégou/Douze/Schmid 2011 §V): the actual
+    * billion-vector serving path — the coarse quantizer prunes the
+    * candidate set to the query's `nProbe` nearest cells, and ADC
+    * lookup tables score ONLY the codes inside probed cells. Both
+    * halves are the already-certified machinery: cells come from the
+    * deterministic [[lloydRounds]] coarse quantizer (the s03
+    * contract), codes and lookup tables from [[pqModel]] (the
+    * s11/s12 contract) — so the whole composition replays
+    * value-for-value in an external oracle.
+    *
+    * Codes here quantize the RAW vectors, not the residual
+    * (x − coarse centroid): the FAISS `by_residual=false` flavor.
+    * Residual codes buy accuracy at the same footprint but couple
+    * the two quantizers (PQ retrains whenever the coarse cells
+    * move); raw codes keep the code store valid under coarse-index
+    * rebuilds — the right trade for an append-only corpus, and the
+    * form whose ADC score stays exactly cos(query, reconstruction).
+    *
+    * Scale shape: candidate volume drops corpus → corpus·nProbe/
+    * nCells BEFORE any scoring arithmetic (the probe join is a
+    * broadcast of |queries|·nProbe rows against the cell-keyed code
+    * table — at rest, store codes partitioned by cell and this join
+    * becomes partition pruning). Everything else is the s12 shape:
+    * m·k-row lookup broadcasts, a narrow map over surviving codes,
+    * rank ≤ kTop. The |corpus|-row float table is touched only at
+    * TRAIN time, never at query time.
+    *
+    * @param seeds coarse-cell seed vectors (nCells rows, e.g.
+    *              vec_id < nCells) — the s03 seeding convention.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                 idCol: String, embCol: String, kTop: Int = 10,
+                 nProbe: Int = 4, m: Int = 4, subDim: Int = 16,
+                 k: Int = 16, iters: Int = 2,
+                 quantScale: Double = 1e6): DataFrame =
+    ivfAdcParts(corpus, queries, seeds, idCol, embCol, kTop, nProbe, m,
+      subDim, k, iters, quantScale)._2
+
+  /** [[ivfAdcTopK]] exposing the pruned candidate set next to the
+    * ranking, so specs can assert the pruning is real (candidates =
+    * codes in probed cells only, strictly fewer than |corpus| ×
+    * |queries| when nProbe < nCells).
+    */
+  private[graft] def ivfAdcParts(corpus: DataFrame, queries: DataFrame,
+                                 seeds: DataFrame, idCol: String, embCol: String,
+                                 kTop: Int, nProbe: Int, m: Int, subDim: Int,
+                                 k: Int, iters: Int,
+                                 quantScale: Double): (DataFrame, DataFrame) = {
+    // coarse quantizer: deterministic cells + centroid table (s03)
+    val (coarse, assign) = lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)
+    val centroids = coarse.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cells = assign.select(col("vec_id"), col("cluster").as("cell"))
+    // PQ codes over the raw vectors (s11)
+    val (cents, codes) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
+    // per-query probe list: nProbe nearest cells by centroid cosine
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    // the pruning: codes pick up their coarse cell and survive only
+    // if that cell is probed by the query — BEFORE any ADC arithmetic
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .drop("cell")
+    (cand, adcRank(cand, q, cents, m, subDim, kTop))
   }
 
   /** Deterministic ±1 random-hyperplane weights (seeded). */

@@ -137,6 +137,21 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L76: IVFADC — the composed billion-vector serving path: the
+    // s03 coarse quantizer prunes candidates to each query's 4
+    // nearest cells (of 16), and the s12 ADC lookup tables score
+    // ONLY inside probed cells. Raw-vector codes (FAISS
+    // by_residual=false), so the ADC score stays exactly
+    // cos(query, reconstruction) and the whole composition —
+    // quantizer, cells, codes, probes, ranking — replays in DuckDB.
+    "s14_ivf_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfAdcTopK(e, e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          kTop = 10, nProbe = 4, m = 4, subDim = 16, k = 16, iters = 2)
+        .orderBy("qid", "rnk")
+    }),
+
     // L5b: per-label embedding centroid (class means / cluster
     // centers) — posexplode → one keyed agg on (label, dim); no
     // per-label collect_list, so a hot label can't OOM an executor.
@@ -441,6 +456,45 @@ object VectorQueries {
        | a2_$s AS (SELECT vec_id, cell FROM r2_$s WHERE rn = 1)""".stripMargin
   }
 
+  /** The s03 coarse-quantizer replay (seeds = vec_id < 16, one
+    * quantized-integer centroid update, FLOAT-folded rebuild,
+    * reassign): exposes `sd1` (rebuilt coarse centroids) and `a2`
+    * (final cell per vector). Shared verbatim by the s03 and s14
+    * oracles — the composition MUST replay the identical quantizer.
+    */
+  private def coarseChainSql: String =
+    s"""sd0 AS (SELECT vec_id AS cell, de AS se FROM e WHERE vec_id < 16),
+       | sc1 AS (SELECT e.vec_id, sd0.cell,
+       |           ${cosSql("e.de", "sd0.se", 64)} AS c
+       |         FROM e, sd0),
+       | r1 AS (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY c DESC, cell) AS rn
+       |        FROM sc1),
+       | a1 AS (SELECT vec_id, cell FROM r1 WHERE rn = 1),
+       | x1 AS (SELECT a1.cell, di.i AS dim,
+       |          CAST(floor(e.de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+       |        FROM e JOIN a1 USING (vec_id),
+       |          (SELECT unnest(range(1, 65)) AS i) di),
+       | g1 AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
+       |          CAST(count(*) AS BIGINT) AS n
+       |        FROM x1 GROUP BY cell, dim),
+       | c1 AS (SELECT cell, dim,
+       |          (sq - (((sq % n) + n) % n)) // n AS cm
+       |        FROM g1),
+       | sd1 AS (SELECT cell,
+       |          CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
+       |            AS FLOAT[]) AS DOUBLE[]) AS se
+       |        FROM c1 GROUP BY cell),
+       | sc2 AS (SELECT e.vec_id, sd1.cell,
+       |           ${cosSql("e.de", "sd1.se", 64)} AS c
+       |         FROM e, sd1),
+       | r2 AS (SELECT vec_id, cell,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY c DESC, cell) AS rn
+       |        FROM sc2),
+       | a2 AS (SELECT vec_id, cell FROM r2 WHERE rn = 1)""".stripMargin
+
   /** The 4-way code join over the chains' final assignments. */
   private val pqCodesCte: String =
     """codes AS (SELECT a2_0.vec_id,
@@ -646,39 +700,63 @@ object VectorQueries {
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
 
+    // s14: IVFADC — the s03 coarse chain (verbatim, via
+    // coarseChainSql) supplies cells + probe centroids; the s12 PQ
+    // chains supply codes + ADC lookup tables; candidates are ONLY
+    // codes whose coarse cell is probed. Scoring/ranking text is
+    // s12's exactly, applied to the pruned candidate set.
+    "s14_ivf_adc" -> {
+      s"""WITH e AS ($embSql),
+         | $coarseChainSql,
+         | ${(0 until 4).map(pqChainSql).mkString(",\n ")},
+         | $pqCodesCte,
+         | q AS (SELECT vec_id AS qid, de AS qfull FROM e WHERE vec_id < 5),
+         | qn AS (SELECT qid, ${dotSql("qfull", "qfull", 64)} AS qn2 FROM q),
+         | pc AS (SELECT q.qid, sd1.cell,
+         |          ${cosSql("q.qfull", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, cell FROM pr WHERE rn <= 4),
+         | ${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = s * 16 + 16
+             s"""qs_$s AS (SELECT qid, qfull[$lo:$hi] AS qe FROM q),
+             | dist_$s AS (SELECT qid, cell,
+             |               ${dotSql("qe", "se", 16)} AS qd,
+             |               ${dotSql("se", "se", 16)} AS ns
+             |             FROM qs_$s, sd1_$s)"""
+           }.mkString(",\n ")},
+         | cand AS (SELECT pb.qid, codes.vec_id,
+         |            codes.c_0, codes.c_1, codes.c_2, codes.c_3
+         |          FROM codes JOIN a2 USING (vec_id) JOIN pb USING (cell)),
+         | sc AS (SELECT cand.qid, cand.vec_id,
+         |          d0.qd + d1.qd + d2.qd + d3.qd AS num,
+         |          d0.ns + d1.ns + d2.ns + d3.ns AS dn2,
+         |          qn.qn2 AS qn2
+         |        FROM cand
+         |          JOIN dist_0 d0 ON d0.qid = cand.qid AND d0.cell = cand.c_0
+         |          JOIN dist_1 d1 ON d1.qid = cand.qid AND d1.cell = cand.c_1
+         |          JOIN dist_2 d2 ON d2.qid = cand.qid AND d2.cell = cand.c_2
+         |          JOIN dist_3 d3 ON d3.qid = cand.qid AND d3.cell = cand.c_3
+         |          JOIN qn ON qn.qid = cand.qid),
+         | ad AS (SELECT qid, vec_id,
+         |          CASE WHEN qn2 = 0 OR dn2 = 0 THEN NULL
+         |               ELSE num / (sqrt(qn2) * sqrt(dn2)) END AS adc
+         |        FROM sc),
+         | rk AS (SELECT qid, vec_id, adc,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY adc DESC, vec_id) AS rnk
+         |        FROM ad)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_cos
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+
     "s03_ann_ivf" ->
       s"""WITH e AS ($embSql),
-         | sd0 AS (SELECT vec_id AS cell, de AS se FROM e WHERE vec_id < 16),
-         | sc1 AS (SELECT e.vec_id, sd0.cell,
-         |           ${cosSql("e.de", "sd0.se", 64)} AS c
-         |         FROM e, sd0),
-         | r1 AS (SELECT vec_id, cell,
-         |          row_number() OVER (PARTITION BY vec_id
-         |            ORDER BY c DESC, cell) AS rn
-         |        FROM sc1),
-         | a1 AS (SELECT vec_id, cell FROM r1 WHERE rn = 1),
-         | x1 AS (SELECT a1.cell, di.i AS dim,
-         |          CAST(floor(e.de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
-         |        FROM e JOIN a1 USING (vec_id),
-         |          (SELECT unnest(range(1, 65)) AS i) di),
-         | g1 AS (SELECT cell, dim, CAST(sum(qv) AS BIGINT) AS sq,
-         |          CAST(count(*) AS BIGINT) AS n
-         |        FROM x1 GROUP BY cell, dim),
-         | c1 AS (SELECT cell, dim,
-         |          (sq - (((sq % n) + n) % n)) // n AS cm
-         |        FROM g1),
-         | sd1 AS (SELECT cell,
-         |          CAST(CAST(list(CAST(cm AS DOUBLE) / 1000000.0 ORDER BY dim)
-         |            AS FLOAT[]) AS DOUBLE[]) AS se
-         |        FROM c1 GROUP BY cell),
-         | sc2 AS (SELECT e.vec_id, sd1.cell,
-         |           ${cosSql("e.de", "sd1.se", 64)} AS c
-         |         FROM e, sd1),
-         | r2 AS (SELECT vec_id, cell,
-         |          row_number() OVER (PARTITION BY vec_id
-         |            ORDER BY c DESC, cell) AS rn
-         |        FROM sc2),
-         | a2 AS (SELECT vec_id, cell FROM r2 WHERE rn = 1),
+         | $coarseChainSql,
          | q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < 5),
          | pc AS (SELECT q.qid, q.qe, sd1.cell,
          |          ${cosSql("q.qe", "sd1.se", 64)} AS cd

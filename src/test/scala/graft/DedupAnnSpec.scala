@@ -125,6 +125,40 @@ class DedupAnnSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfAdcTopK: candidates pruned to probed cells; nProbe=all cells equals exhaustive ADC") {
+    import org.apache.spark.sql.functions._
+    val e = emb.filter(size(col("embedding")) === 64)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val seeds = e.filter(col("vec_id") < 16)
+    val n = e.count()
+    val (cand, ranked) = Ann.ivfAdcParts(e, q, seeds, "vec_id", "embedding",
+      kTop = 10, nProbe = 4, m = 4, subDim = 16, k = 16, iters = 2,
+      quantScale = 1e6)
+    // the point of IVFADC: the scored candidate volume is a cell
+    // fraction of the exhaustive |corpus| × |queries|, pruned BEFORE
+    // any ADC arithmetic. 4 of 16 cells probed ⇒ ~25% expected; 60%
+    // is a generous skew allowance.
+    val candN = cand.count()
+    assert(candN < n * 5, s"no pruning: $candN candidates")
+    assert(candN <= (n * 5 * 0.6).toLong, s"weak pruning: $candN of ${n * 5}")
+    val rows = ranked.collect()
+    assert(rows.length == 50)
+    // every query still finds its own vector (self-cell is always
+    // the top probe, and self reconstructs best-or-near-best)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.exists(r => r.getLong(2) == r.getLong(0)))
+    }
+    // probing every cell = the exhaustive ADC ranking, row for row —
+    // the pruned path changes WHICH codes score, never how they score
+    val all = Ann.ivfAdcTopK(e, q, seeds, "vec_id", "embedding",
+      kTop = 10, nProbe = 16).collect()
+    val exh = Ann.pqAdcTopK(e, q, "vec_id", "embedding", kTop = 10).collect()
+    assert(all.map(_.toSeq).toSet == exh.map(_.toSeq).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("minhash calibration: est is unbiased-shaped (dup pairs read 1.0, est tracks exact Jaccard)") {
     val cal = Dedup.minhashCalibration(docs, "doc_id", "text").cache()
     val rows = cal.collect()
