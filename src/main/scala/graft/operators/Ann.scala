@@ -373,6 +373,17 @@ object Ann {
     * ([[pqModelSequential]]), including duplicate-id and zero-vector
     * corpora, and the s11/s12 oracles (which replay the per-subspace
     * math) stay green unchanged.
+    *
+    * Cache bound: the sliced corpus persists (MEMORY_AND_DISK)
+    * across the Lloyd stages — m·|corpus| slim rows. When the corpus
+    * exceeds what the cluster can cache, production does what PQ
+    * practice has always done: TRAIN THE CODEBOOKS ON A SAMPLE
+    * (codebook quality converges long before corpus size — Jégou et
+    * al. train on subsets), then run the full corpus through the
+    * frozen-codebook encode pass only ([[pqEncodeAgainst]] /
+    * [[pqEncodeStored]] — one broadcast argmax scan, nothing
+    * persisted). PqStoreSpec pins the sample-train → full-encode
+    * path.
     */
   private[graft] def pqModel(vecs: DataFrame, idCol: String, embCol: String,
                              m: Int, subDim: Int, k: Int, iters: Int,
@@ -438,13 +449,29 @@ object Ann {
                       k: Int = 16, iters: Int = 2,
                       quantScale: Double = 1e6): DataFrame = {
     val (cents, _) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
-    val allCents = cents.zipWithIndex.map { case (c, s) =>
+    encodeAgainstCodebooks(batch, stackCodebooks(cents), idCol, embCol, m, subDim)
+  }
+
+  /** The m per-subspace centroid tables stacked into one long-form
+    * codebook relation (s, cell, cemb) — the storable shape.
+    */
+  private def stackCodebooks(cents: Seq[DataFrame]): DataFrame =
+    cents.zipWithIndex.map { case (c, s) =>
       c.select(lit(s).as("s"), col(s"cell_$s").as("cell"), col(s"se_$s").as("cemb"))
     }.reduce(_.unionByName(_))
+
+  /** Frozen-codebook batch encode shared by [[pqEncodeAgainst]] (which
+    * trains the codebooks first) and [[pqEncodeStored]] (which reads
+    * them from the persisted model): one broadcast argmax pass over
+    * the batch slices; only the m·k-row codebook ships.
+    */
+  private def encodeAgainstCodebooks(batch: DataFrame, codebooks: DataFrame,
+                                     idCol: String, embCol: String,
+                                     m: Int, subDim: Int): DataFrame =
     batch.select(col(idCol).cast("long").as("vec_id"),
         posexplode(array((0 until m).map(s =>
           slice(col(embCol), s * subDim + 1, subDim)): _*)).as(Seq("s", "semb")))
-      .join(broadcast(allCents), Seq("s"))
+      .join(broadcast(codebooks), Seq("s"))
       .withColumn("cos", GraftFunctions.cosine_sim(col("semb"), col("cemb")))
       .groupBy("vec_id", "s")
       .agg(max(struct(col("cos"), (-col("cell")).as("nc"))).as("mx"))
@@ -454,7 +481,50 @@ object Ann {
         max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")).head,
         (1 until m).map(s =>
           max(when(col("s") === s, col("cluster"))).cast("long").as(s"c_$s")): _*)
+
+  /** L77 — the PERSISTED PQ model (the d29 pattern applied to
+    * vectors): train once, write codebooks + codes as external
+    * tables, and let every future batch encode against the STORED
+    * codebooks with no Lloyd stage anywhere in the query plan. This
+    * is the production code-store discipline [[pqEncodeAgainst]]'s
+    * scaladoc describes — here the model actually lives in storage,
+    * so "frozen" is a property of the data, not of the caller
+    * remembering to reuse a DataFrame.
+    *
+    *   - `<prefix>_codebooks`: (s, cell, cemb) — m·k rows, the whole
+    *     quantizer; broadcast at every encode.
+    *   - `<prefix>_codes`: (vec_id, c_0..c_{m-1}) bucketed on vec_id
+    *     — the corpus at 2 B/vector; id-keyed joins (fetch codes for
+    *     a doc set, append a new batch) read it Exchange-free.
+    *
+    * Training cost is paid HERE, once; [[pqEncodeStored]] plans are
+    * train-free. At 100 TB the codes table is the only corpus-sized
+    * artifact and it is ~128× smaller than the float table.
+    */
+  def writePqModel(corpus: DataFrame, idCol: String, embCol: String,
+                   tablePrefix: String, m: Int = 4, subDim: Int = 16,
+                   k: Int = 16, iters: Int = 2, quantScale: Double = 1e6,
+                   buckets: Int = 8, path: Option[String] = None): Unit = {
+    val (cents, codes) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
+    graft.sources.TidyIO.writeBucketedCols(
+      stackCodebooks(cents), s"${tablePrefix}_codebooks", Seq("s"), 1,
+      path = path.map(p => s"$p/codebooks"))
+    graft.sources.TidyIO.writeBucketedCols(
+      codes, s"${tablePrefix}_codes", Seq("vec_id"), buckets,
+      path = path.map(p => s"$p/codes"))
   }
+
+  /** Encode a batch against a [[writePqModel]] store: the codebooks
+    * are READ, never retrained — the plan contains the codebook scan
+    * and the batch argmax, nothing else (PqStoreSpec asserts no Lloyd
+    * machinery: no checkpointed centroid RDDs, no corpus scan).
+    */
+  def pqEncodeStored(batch: DataFrame, idCol: String, embCol: String,
+                     tablePrefix: String, m: Int = 4,
+                     subDim: Int = 16): DataFrame =
+    encodeAgainstCodebooks(batch,
+      batch.sparkSession.table(s"${tablePrefix}_codebooks"),
+      idCol, embCol, m, subDim)
 
   /** The per-subspace reference form of [[pqModel]] (m separate
     * [[lloydRounds]] chains) — kept as the spec contract the fused

@@ -126,6 +126,25 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L77: persisted PQ model, DRIVER-VERIFIED — the quantizer trains
+    // on the corpus split (vec_id ≢ 0 mod 5) and writes codebooks +
+    // codes as external tables; the batch then encodes against the
+    // STORED codebooks (no Lloyd stage in the encode plan). Same
+    // result contract as s13, so it reuses s13's oracle verbatim —
+    // what this query adds is DuckDB certifying the whole
+    // train→write→read→encode path.
+    "s15_pq_store" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val storePath = graft.sources.TidyIO.scratchDir("g_pqstore")
+      val prefix = storePath.stripPrefix("/tmp/")
+      Ann.writePqModel(e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", prefix, m = 4, subDim = 16, k = 16,
+        iters = 2, buckets = 8, path = Some(storePath))
+      Ann.pqEncodeStored(e.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", prefix, m = 4, subDim = 16)
+        .orderBy("vec_id")
+    }),
+
     // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
     // score the whole corpus from CODES alone via per-subspace
     // lookup tables; the ADC score is exactly cos(query,
@@ -529,7 +548,15 @@ object VectorQueries {
        |    ${foldSum(s"list_transform(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]), fz -> fz * fz)")} AS n2
        |  FROM embeddings WHERE len(embedding) = $EmbDim""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // s15 runs write-model → encode-batch with s13's exact parameters —
+  // the RESULT contract is identical (the stored codebooks ARE s13's
+  // trained centroids, the encode its frozen argmax), so its oracle
+  // is s13's verbatim; what s15 adds is DuckDB certifying the whole
+  // train→write→read→encode path (the d29/q53 promotion pattern).
+  val oracle: Map[String, String] = oracleBase +
+    ("s15_pq_store" -> oracleBase("s13_pq_incremental"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // s07: the same ±1/√k plane literals (regenerated from (d, k)),
     // dot products via the ordered fold — bit-identical doubles.
     "s07_jl_project" -> {
