@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ann
+
+/** The quality-vs-cost dashboard for the APPROXIMATE retrieval paths
+  * (round-8 verdict item #6): recall@10 against s01's exact brute
+  * force, measured on the real embeddings table AND on two
+  * adversarial corpora built inline (mirroring the embcontent /
+  * embtypes fuzz variants, so the spec never depends on /tmp fuzz
+  * dirs existing). The exact-twin queries (s02/s03/s12/s14) prove the
+  * pipelines REPLAY; this spec pins what they RETRIEVE — a regression
+  * in the approximate configurations (bands, nProbe, codebook size)
+  * cannot hide behind the exact twins. Floors are set ~10 recall
+  * points under the observed values on near-random synthetic vectors
+  * (real embedding corpora cluster, so production recall sits far
+  * above both).
+  */
+class RecallDashboardSpec extends AnyFunSuite {
+  import SharedSpark.{sfDir, spark}
+
+  private val EmbDim = 64
+
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .filter(size(col("embedding")) === EmbDim)
+
+  private lazy val base = normalize(Graft.table(spark, sfDir, "embeddings"))
+
+  /** embcontent-style: zero vectors, exact duplicates of a query,
+    * and a near-duplicate ε-perturbation appended under fresh ids.
+    */
+  private lazy val contentAdv: DataFrame = {
+    val mx = base.agg(max("vec_id")).head.getLong(0)
+    val dup = base.filter(col("vec_id") === 1)
+      .select((col("vec_id") + mx + 1).as("vec_id"), col("embedding"))
+    val nearDup = base.filter(col("vec_id") === 2)
+      .select((col("vec_id") + mx + 2).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(1e-4f)).cast("float")).as("embedding"))
+    val zeros = spark.range(mx + 10, mx + 13)
+      .select(col("id").as("vec_id"),
+        array_repeat(lit(0.0f), EmbDim).as("embedding"))
+    base.unionByName(dup).unionByName(nearDup).unionByName(zeros)
+  }
+
+  /** embtypes-style: the physical layout drifts (double elements,
+    * int ids) — [[normalize]] must make recall identical to base.
+    */
+  private lazy val typeDrift: DataFrame = normalize(
+    base.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")))
+
+  private def topIds(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+
+  private def recall(approx: DataFrame, exact: Map[Long, Set[Long]]): Double = {
+    val got = topIds(approx)
+    val hits = exact.map { case (q, ids) =>
+      got.getOrElse(q, Set.empty).intersect(ids).size }.sum
+    hits.toDouble / exact.values.map(_.size).sum
+  }
+
+  test("recall@10 floors: SRP-LSH, IVF (MLlib + exact), exhaustive ADC, IVFADC") {
+    val results = Seq("base" -> base, "content" -> contentAdv, "types" -> typeDrift)
+      .map { case (vname, e0) =>
+        val e = e0.cache()
+        val q = e.filter(col("vec_id") < 5)
+        val seeds = e.filter(col("vec_id") < 16)
+        val exact = topIds(Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10))
+        val paths = Seq(
+          ("srp_lsh", Ann.lshTopK(e, q, "vec_id", "embedding", k = 10), 0.20),
+          ("ivf_mllib", Ann.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+            nCells = 16, nProbe = 4), 0.20),
+          ("ivf_exact", Ann.ivfTopKExact(e, q, seeds, "vec_id", "embedding",
+            k = 10, nProbe = 4, iters = 2), 0.20),
+          ("adc_exhaustive", Ann.pqAdcTopK(e, q, "vec_id", "embedding",
+            kTop = 10), 0.20),
+          ("ivf_adc", Ann.ivfAdcTopK(e, q, seeds, "vec_id", "embedding",
+            kTop = 10, nProbe = 4), 0.10))
+        val rows = paths.map { case (pname, df, floor) =>
+          val r = recall(df, exact)
+          assert(r >= floor, f"$vname/$pname recall@10 $r%.2f under floor $floor%.2f")
+          (pname, r)
+        }
+        e.unpersist()
+        vname -> rows
+      }
+    spark.catalog.clearCache()
+    // the dashboard — surfaced in the test report, copied to PERF.md
+    results.foreach { case (v, rows) =>
+      info(f"$v%-8s " + rows.map { case (p, r) => f"$p=$r%.2f" }.mkString("  "))
+    }
+    // type drift must not move recall AT ALL (same logical data)
+    val byName = results.toMap
+    assert(byName("types").map(_._2) == byName("base").map(_._2),
+      "type drift changed recall — loader normalization broke")
+  }
+}
