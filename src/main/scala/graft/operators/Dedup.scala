@@ -75,16 +75,7 @@ object Dedup {
     * hash, and AQE skew-split handles the probe side).
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text")).distinct()
-    val lines = base
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-      .withColumn("nline", normText(col("line")))
-      .filter(col("nline") =!= "")
-      .withColumn("h", md5(col("nline")))
-    val firsts = lines.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    val marked = lines.join(firsts, Seq("h"))
+    val (base, marked) = lineMarked(docs, idCol, textCol)
     val perDoc = marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("first") =!= struct(col("doc_id"), col("idx")), 1L)
@@ -99,6 +90,47 @@ object Dedup {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Shared [[lineDedup]] pipeline: distinct (id, text) → exploded
+    * normalized non-empty lines → each line joined with its corpus
+    * FIRST occurrence. Returns (base, marked).
+    */
+  private def lineMarked(docs: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")).distinct()
+    val lines = base
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("nline", normText(col("line")))
+      .filter(col("nline") =!= "")
+      .withColumn("h", md5(col("nline")))
+    val firsts = lines.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    (base, lines.join(firsts, Seq("h")))
+  }
+
+  /** [[lineDedup]]'s reassembly exposed as TEXT, for composition: the
+    * surviving (first-occurrence) lines of each document joined back
+    * with newlines — the cleaned document the RefinedWeb order feeds
+    * into DOC-level curation (line dedup first, because boilerplate
+    * lines distort quality ratios and minhash signatures; see d30).
+    * Docs whose every line was boilerplate come back as "". Same
+    * aggregation as [[lineDedup]] (one keyed shuffle, no window on
+    * the hot line hash); the md5 the d28 oracle certifies is exactly
+    * md5 of this column.
+    */
+  def lineDedupText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (base, marked) = lineMarked(docs, idCol, textCol)
+    val clean = marked.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(when(
+          col("first") === struct(col("doc_id"), col("idx")),
+          struct(col("idx"), col("nline"))))),
+        x => x.getField("nline")), "\n").as("clean_text"))
+    base.select("doc_id").join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Drop every row whose `keys`-group holds more than `cap` rows —

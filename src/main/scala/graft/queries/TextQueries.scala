@@ -467,6 +467,51 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // L40b/d30: the d15 curation chain in RefinedWeb ORDER — line
+    // dedup FIRST (boilerplate lines distort quality ratios and
+    // content hashes; removing them BEFORE doc-level quality/dedup is
+    // the CCNet/RefinedWeb sequencing), then the identical
+    // quality → exact-dedup → decontamination → mixture → manifest
+    // chain over the CLEANED text. Line dedup runs over the whole
+    // table (the d28 pass), so the eval sources' boilerplate is
+    // removed before their 5-grams are mined too. The oracle replays
+    // the full composition: d28's line chain feeding d15's chain.
+    "d30_line_curated" -> ((s, dir) => {
+      import graft.operators.{CorpusOps, Sampling}
+      val d0 = docs(s, dir)
+      val d = d0.select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("source"))
+        .join(Dedup.lineDedupText(d0, "doc_id", "text"), Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text")
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val feat = d.select(col("doc_id"), col("lang"), col("source"),
+        norm.as("norm"), size(toks).as("n_tokens"),
+        length(norm).as("n_chars"),
+        length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
+        TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
+          .as("allstop"))
+      val nTok = col("n_tokens").cast("double")
+      val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+        TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
+        TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
+      val qk = feat.filter(quality >= 0.52)
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("norm")))
+      val dd = qk.withColumn("keep_id", min("doc_id").over(wDedup))
+        .filter(col("doc_id") === col("keep_id"))
+      val contaminated = CorpusOps.contamination(d, "doc_id", "text",
+        col("source").isin("src0", "src1"), n = 5).select("doc_id")
+      val clean = dd.filter(!col("source").isin("src0", "src1"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.mixtureSample(clean, "doc_id", "lang",
+          Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+            "es" -> 0.1, "fr" -> 0.1), targetN = 150L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     // L42: maximal duplicated-span extraction — WHERE each doc is
     // verbatim-shared: runs of corpus-duplicated word 5-grams merged
     // into maximal token ranges (gaps-and-islands), the surgical
@@ -851,6 +896,49 @@ object TextQueries {
   /** DuckDB word-n-gram shingle fragment over a `toks` list column —
     * mirrors [[graft.operators.Dedup.shingles]] exactly.
     */
+  /** The d15 quality→dedup→decontaminate→mixture→manifest chain as a
+    * CTE suffix over any `(doc_id, lang, source, text)` relation —
+    * shared VERBATIM by d15 (src = documents) and d30 (src = the
+    * line-deduped corpus), so the two compositions cannot drift.
+    */
+  private def manifestChainSql(src: String): String =
+    s"""base AS (SELECT doc_id, lang, source, $normSql AS norm,
+       |    string_split($normSql, ' ') AS toks FROM $src),
+       | feat AS (SELECT doc_id, lang, source, norm, toks,
+       |    len(toks) AS n_tokens, length(norm) AS n_chars,
+       |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+       |    ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
+       |  FROM base),
+       | q AS (SELECT *, least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+       |    + ${safeDivSql("allstop", "n_tokens")} * 0.3
+       |    + ${safeDivSql("alpha", "n_chars")} * 0.3 AS quality
+       |  FROM feat),
+       | qk AS (SELECT * FROM q WHERE quality >= 0.52),
+       | dd AS (SELECT * FROM (SELECT *,
+       |     min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM qk)
+       |   WHERE doc_id = keep_id),
+       | g AS (SELECT doc_id, source,
+       |    unnest(list_distinct(${shingleSql(5)})) AS gm FROM base),
+       | ev AS (SELECT DISTINCT gm FROM g WHERE source IN ('src0', 'src1')),
+       | cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gm)
+       |   WHERE g.source NOT IN ('src0', 'src1')),
+       | clean AS (SELECT dd.* FROM dd
+       |   WHERE dd.source NOT IN ('src0', 'src1')
+       |     AND dd.doc_id NOT IN (SELECT doc_id FROM cont)),
+       | n AS (SELECT lang, count(*) AS n_stratum FROM clean GROUP BY lang),
+       | r AS (SELECT lang, least(1.0,
+       |     CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.15
+       |       WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
+       |     * 150.0 / CAST(n_stratum AS DOUBLE)) AS keep_rate FROM n),
+       | h AS (SELECT clean.*,
+       |    ((${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} % 10000) + 10000) % 10000 AS bucket
+       |  FROM clean),
+       | keep AS (SELECT h.* FROM h JOIN r USING (lang)
+       |   WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
+
   private def shingleSql(n: Int): String = {
     val cat = (0 until n).map(k => s"toks[i${if (k > 0) s" + $k" else ""}]")
       .mkString("concat(", ", ' ', ", ")")
@@ -1910,43 +1998,26 @@ object TextQueries {
     // d15: the full curation chain replayed — unrounded quality
     // filter, md5 dedup window, string-gram decontamination, fmix64
     // mixture buckets, manifest rollup.
-    "d15_corpus_manifest" ->
-      s"""WITH base AS (SELECT doc_id, lang, source, $normSql AS norm,
-         |    string_split($normSql, ' ') AS toks FROM documents),
-         | feat AS (SELECT doc_id, lang, source, norm, toks,
-         |    len(toks) AS n_tokens, length(norm) AS n_chars,
-         |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
-         |    ${stopFilterSql("toks", TextStats.stopwords.flatMap(_._2))} AS allstop
-         |  FROM base),
-         | q AS (SELECT *, least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-         |    + ${safeDivSql("allstop", "n_tokens")} * 0.3
-         |    + ${safeDivSql("alpha", "n_chars")} * 0.3 AS quality
-         |  FROM feat),
-         | qk AS (SELECT * FROM q WHERE quality >= 0.52),
-         | dd AS (SELECT * FROM (SELECT *,
-         |     min(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM qk)
-         |   WHERE doc_id = keep_id),
-         | g AS (SELECT doc_id, source,
-         |    unnest(list_distinct(${shingleSql(5)})) AS gm FROM base),
-         | ev AS (SELECT DISTINCT gm FROM g WHERE source IN ('src0', 'src1')),
-         | cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gm)
-         |   WHERE g.source NOT IN ('src0', 'src1')),
-         | clean AS (SELECT dd.* FROM dd
-         |   WHERE dd.source NOT IN ('src0', 'src1')
-         |     AND dd.doc_id NOT IN (SELECT doc_id FROM cont)),
-         | n AS (SELECT lang, count(*) AS n_stratum FROM clean GROUP BY lang),
-         | r AS (SELECT lang, least(1.0,
-         |     CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.15
-         |       WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
-         |     * 150.0 / CAST(n_stratum AS DOUBLE)) AS keep_rate FROM n),
-         | h AS (SELECT clean.*,
-         |    ((${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} % 10000) + 10000) % 10000 AS bucket
-         |  FROM clean),
-         | keep AS (SELECT h.* FROM h JOIN r USING (lang)
-         |   WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0)
-         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+    "d15_corpus_manifest" -> s"WITH ${manifestChainSql("documents")}",
+
+    // d30: d28's line chain produces the cleaned corpus (surviving
+    // lines reassembled as TEXT), and d15's manifest chain — the
+    // identical CTE text via manifestChainSql — runs over it.
+    "d30_line_curated" ->
+      s"""WITH base0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         | pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
+         |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base0)),
+         | lf AS (SELECT doc_id, idx, nline, md5(nline) AS h
+         |        FROM (SELECT doc_id, idx, ${PortableHashSql.norm("ls[idx]")} AS nline FROM pos)
+         |        WHERE nline <> ''),
+         | mk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM lf),
+         | cl AS (SELECT doc_id,
+         |          string_agg(CASE WHEN rn = 1 THEN nline END, chr(10) ORDER BY idx) AS ctext
+         |        FROM mk GROUP BY doc_id),
+         | cd AS (SELECT CAST(d2.doc_id AS BIGINT) AS doc_id, d2.lang, d2.source,
+         |          COALESCE(cl.ctext, '') AS text
+         |        FROM documents d2 LEFT JOIN cl ON cl.doc_id = CAST(d2.doc_id AS BIGINT)),
+         | ${manifestChainSql("cd")}""".stripMargin,
 
     // t20: exact regime per group — grouped counts are ground truth;
     // (n DESC, token) is the sketch's own output order.
