@@ -526,6 +526,95 @@ object Ann {
       batch.sparkSession.table(s"${tablePrefix}_codebooks"),
       idCol, embCol, m, subDim)
 
+  /** Read a [[writePqModel]]/[[writeIvfAdcIndex]] codebook table back
+    * into the per-subspace shape [[adcRank]] consumes.
+    */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            tablePrefix: String, m: Int): Seq[DataFrame] = {
+    val cb = spark.table(s"${tablePrefix}_codebooks")
+    (0 until m).map(s => cb.filter(col("s") === s)
+      .select(col("cell").as(s"cell_$s"), col("cemb").as(s"se_$s")))
+  }
+
+  /** L78a — ADC retrieval SERVED from a [[writePqModel]] store: the
+    * query plan reads codebooks + codes tables and trains nothing —
+    * what a recurring retrieval workload actually runs (the model
+    * trained once, queries arriving forever after). Scoring is
+    * [[adcRank]] shared with s12/s14, so the served ranking is
+    * bit-identical to retraining in-query with the same corpus and
+    * parameters (that equality is s16's oracle contract).
+    */
+  def pqAdcTopKStored(queries: DataFrame, idCol: String, embCol: String,
+                      tablePrefix: String, kTop: Int = 10, m: Int = 4,
+                      subDim: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
+    val codes = spark.table(s"${tablePrefix}_codes")
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val cand = codes.crossJoin(broadcast(q.select(col("qid").as("qid_c"))))
+      .withColumnRenamed("qid_c", "qid")
+    adcRank(cand, q, readCodebooks(spark, tablePrefix, m), m, subDim, kTop)
+  }
+
+  /** L78b — the PERSISTED IVFADC index (the full FAISS-on-disk
+    * analog, and the d29 pattern applied to the s14 serving path):
+    *
+    *   - `<prefix>_coarse`: (cell, centroid) — nCells rows, the
+    *     probe table;
+    *   - `<prefix>_codebooks`: (s, cell, cemb) — the PQ quantizer;
+    *   - `<prefix>_codes`: (vec_id, c_0.., cell) BUCKETED ON CELL —
+    *     the FAISS inverted-list layout: a probe reads only matching
+    *     cell buckets, and at rest cell-partitioning turns the probe
+    *     join into partition pruning.
+    *
+    * All training cost lands here, once. [[ivfAdcTopKStored]] plans
+    * contain table scans, a broadcast probe join, and arithmetic —
+    * no Lloyd stage, no float-corpus scan.
+    */
+  def writeIvfAdcIndex(corpus: DataFrame, seeds: DataFrame, idCol: String,
+                       embCol: String, tablePrefix: String, m: Int = 4,
+                       subDim: Int = 16, k: Int = 16, iters: Int = 2,
+                       quantScale: Double = 1e6, buckets: Int = 8,
+                       path: Option[String] = None): Unit = {
+    val (coarse, assign) = lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)
+    val centroids = coarse.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cells = assign.select(col("vec_id"), col("cluster").as("cell"))
+    val (cents, codes) = pqModel(corpus, idCol, embCol, m, subDim, k, iters, quantScale)
+    graft.sources.TidyIO.writeBucketedCols(
+      centroids, s"${tablePrefix}_coarse", Seq("cell"), 1,
+      path = path.map(p => s"$p/coarse"))
+    graft.sources.TidyIO.writeBucketedCols(
+      stackCodebooks(cents), s"${tablePrefix}_codebooks", Seq("s"), 1,
+      path = path.map(p => s"$p/codebooks"))
+    graft.sources.TidyIO.writeBucketedCols(
+      codes.join(cells, Seq("vec_id")), s"${tablePrefix}_codes", Seq("cell"),
+      buckets, path = path.map(p => s"$p/codes"))
+  }
+
+  /** IVFADC retrieval SERVED from a [[writeIvfAdcIndex]] store:
+    * probe the stored coarse centroids, keep only codes in probed
+    * cells (the cell-keyed code table read, no recompute), ADC-score
+    * via the stored codebooks. Ranking is bit-identical to
+    * [[ivfAdcTopK]] with the same corpus/seeds/parameters — s17's
+    * oracle contract (s14's oracle verbatim).
+    */
+  def ivfAdcTopKStored(queries: DataFrame, idCol: String, embCol: String,
+                       tablePrefix: String, kTop: Int = 10, nProbe: Int = 4,
+                       m: Int = 4, subDim: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.table(s"${tablePrefix}_coarse")
+    val codes = spark.table(s"${tablePrefix}_codes")
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    val cand = codes.join(broadcast(probes), Seq("cell")).drop("cell")
+    adcRank(cand, q, readCodebooks(spark, tablePrefix, m), m, subDim, kTop)
+  }
+
   /** The per-subspace reference form of [[pqModel]] (m separate
     * [[lloydRounds]] chains) — kept as the spec contract the fused
     * trainer is pinned bit-equal to.

@@ -145,6 +145,40 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L78a: ADC retrieval SERVED from the persisted model — the
+    // model trains and writes once, the serving plan reads codebooks
+    // + codes and trains nothing. Result contract identical to s12
+    // (same corpus, same parameters, shared adcRank), so it reuses
+    // s12's oracle verbatim; what s16 adds is DuckDB certifying the
+    // whole train→write→read→serve path.
+    "s16_pq_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val storePath = graft.sources.TidyIO.scratchDir("g_pqserve")
+      val prefix = storePath.stripPrefix("/tmp/")
+      Ann.writePqModel(e, "vec_id", "embedding", prefix, m = 4,
+        subDim = 16, k = 16, iters = 2, buckets = 8, path = Some(storePath))
+      Ann.pqAdcTopKStored(e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          prefix, kTop = 10, m = 4, subDim = 16)
+        .orderBy("qid", "rnk")
+    }),
+
+    // L78b: the persisted IVFADC index served end-to-end — coarse
+    // centroids, codebooks, and CELL-BUCKETED codes (the FAISS
+    // inverted-list layout) written once; the serving query probes
+    // stored centroids and ADC-scores only probed cells' codes.
+    // Result contract identical to s14 → s14's oracle verbatim.
+    "s17_ivfadc_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val storePath = graft.sources.TidyIO.scratchDir("g_ivfserve")
+      val prefix = storePath.stripPrefix("/tmp/")
+      Ann.writeIvfAdcIndex(e, e.filter(col("vec_id") < 16), "vec_id",
+        "embedding", prefix, m = 4, subDim = 16, k = 16, iters = 2,
+        buckets = 8, path = Some(storePath))
+      Ann.ivfAdcTopKStored(e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", prefix, kTop = 10, nProbe = 4, m = 4, subDim = 16)
+        .orderBy("qid", "rnk")
+    }),
+
     // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
     // score the whole corpus from CODES alone via per-subspace
     // lookup tables; the ADC score is exactly cos(query,
@@ -553,8 +587,14 @@ object VectorQueries {
   // trained centroids, the encode its frozen argmax), so its oracle
   // is s13's verbatim; what s15 adds is DuckDB certifying the whole
   // train→write→read→encode path (the d29/q53 promotion pattern).
-  val oracle: Map[String, String] = oracleBase +
-    ("s15_pq_store" -> oracleBase("s13_pq_incremental"))
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "s15_pq_store" -> oracleBase("s13_pq_incremental"),
+    // s16/s17 serve from the persisted model/index with s12/s14's
+    // exact corpus + parameters — identical result contracts, so
+    // their oracles are s12's/s14's verbatim; the queries add DuckDB
+    // certification of the train→write→read→serve path.
+    "s16_pq_serve" -> oracleBase("s12_pq_adc"),
+    "s17_ivfadc_serve" -> oracleBase("s14_ivf_adc"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     // s07: the same ±1/√k plane literals (regenerated from (d, k)),

@@ -21,7 +21,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s04_centroids",
     "s06_pca_project", "s08_cluster_assign", "s09_cluster_pairs",
-    "s10_kmeans_refine", "s11_pq_encode", "s12_pq_adc", "s13_pq_incremental", "t29_rrf_hybrid", "d05_embed_neardup",
+    "s10_kmeans_refine", "s11_pq_encode", "s12_pq_adc", "s13_pq_incremental",
+    // s14/s16/s17: the s12-class broadcast attachments — probe
+    // centroids (nCells rows) and per-query lookup tables
+    // (|queries|·k rows) crossJoin the corpus/codes side by design
+    "s14_ivf_adc", "s16_pq_serve", "s17_ivfadc_serve",
+    "t29_rrf_hybrid", "d05_embed_neardup",
     "d08_contamination", "d12_semantic_keep", "d17_fuzzy_decontam",
     "q20_above_avg", "q33_bloom_join", "q47_dq_audit", "q48_group_quantiles",
     "f16_spillover_fit", "t07_tfidf", "t17_lm_score", "t23_bm25",

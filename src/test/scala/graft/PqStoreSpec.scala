@@ -47,6 +47,37 @@ class PqStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stored serving: ADC and IVFADC from tables == in-query forms; plans train-free") {
+    val q = emb.filter(col("vec_id") < 5)
+    val seeds = emb.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("pqserve").toString
+    Ann.writePqModel(emb, "vec_id", "embedding", "pqs_serve",
+      m = 4, subDim = 16, k = 16, iters = 2, buckets = 4, path = Some(s"$dir/pq"))
+    Ann.writeIvfAdcIndex(emb, seeds, "vec_id", "embedding", "pqs_ivf",
+      m = 4, subDim = 16, k = 16, iters = 2, buckets = 4, path = Some(s"$dir/ivf"))
+    spark.catalog.clearCache()
+    val servedAdc = Ann.pqAdcTopKStored(q, "vec_id", "embedding", "pqs_serve")
+    val servedIvf = Ann.ivfAdcTopKStored(q, "vec_id", "embedding", "pqs_ivf",
+      kTop = 10, nProbe = 4)
+    // serving plans read the stored tables and contain no Lloyd
+    // remnant (a training chain would scan checkpointed RDDs)
+    Seq("pqs_serve" -> servedAdc, "pqs_ivf" -> servedIvf).foreach {
+      case (prefix, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Scan ExistingRDD"),
+          s"Lloyd remnant in $prefix serving plan:\n$plan")
+        assert(plan.contains(s"${prefix}_codes"), s"stored code scan missing ($prefix)")
+    }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    assert(rows(servedAdc) ==
+      rows(Ann.pqAdcTopK(emb, q, "vec_id", "embedding", kTop = 10)))
+    assert(rows(servedIvf) ==
+      rows(Ann.ivfAdcTopK(emb, q, seeds, "vec_id", "embedding",
+        kTop = 10, nProbe = 4)))
+    spark.catalog.clearCache()
+  }
+
   test("sampled training: codebooks from a strict subset encode the FULL corpus") {
     // the pqModel cache-bound contract: at corpus scale codebooks
     // train on a sample (standard PQ practice) and the corpus-sized
