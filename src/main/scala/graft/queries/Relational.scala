@@ -673,6 +673,23 @@ object Relational {
         .orderBy("k")
     }),
 
+    // R56/q54: one-pass column profiler (the warehouse DQ primitive
+    // next to q47's threshold gate): per column row/null/distinct
+    // counts + typed min/max, one Expand pass + one keyed aggregate.
+    // Dates profile through their ISO string; the exact-distinct form
+    // is the oracle contract (production flips exact=false for HLL at
+    // corpus scale — ProfileSpec pins the approx twin within 5%).
+    "q54_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      graft.operators.Profile.profile(li,
+          numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax"),
+          strCols = Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+        .orderBy("col_name")
+    }),
+
     "q47_dq_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val agg = li.agg(
@@ -917,7 +934,35 @@ object Relational {
     })
   )
 
+  /** q54's oracle: one aggregate block per profiled column, UNION
+    * ALL'd — the exact replay of Profile.profile's stacked lanes.
+    */
+  private def profileOracleSql: String = {
+    val num = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def block(name: String, vExpr: String, isNum: Boolean): String = {
+      val (mnx, strs) =
+        if (isNum)
+          (s"CAST(min($vExpr) AS DOUBLE) AS min_num, CAST(max($vExpr) AS DOUBLE) AS max_num",
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str")
+        else
+          ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num",
+            s"min(CAST($vExpr AS VARCHAR)) AS min_str, max(CAST($vExpr AS VARCHAR)) AS max_str")
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $vExpr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $vExpr) AS BIGINT) AS n_distinct,
+         |  $mnx, $strs
+         |FROM lineitem""".stripMargin
+    }
+    val blocks = num.map(c => block(c, c, isNum = true)) ++
+      Seq(block("l_returnflag", "l_returnflag", isNum = false),
+        block("l_linestatus", "l_linestatus", isNum = false),
+        block("l_shipdate", "CAST(l_shipdate AS DATE)", isNum = false))
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q54_profile" -> profileOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
