@@ -791,6 +791,101 @@ object Ann {
     (cand, adcRank(cand, q, cents, m, subDim, kTop))
   }
 
+  /** L79 — RESIDUAL-coded IVFADC (Jégou et al. §V, `by_residual=
+    * true` — the FAISS default): PQ quantizes x − c(x) instead of x.
+    * Residuals are centered near zero, so the same m·k codebook
+    * budget spends its resolution on the part of the vector the
+    * coarse cell has NOT already explained — tighter reconstructions
+    * at identical code size. On clustered real corpora (where cells
+    * explain a lot) this is where residual coding's recall gain
+    * lives; on near-random synthetic vectors the cells explain
+    * little and the dashboard spec honestly pins only PARITY with
+    * raw-code s14 (within noise), not a win. The trade the raw-code
+    * form ([[ivfAdcTopK]]) wins instead: residual
+    * codes are COUPLED to the coarse quantizer (a cell rebuild
+    * invalidates every code), so append-mostly corpora may still
+    * prefer raw codes.
+    *
+    * The ADC score stays EXACTLY cos(query, c + r̂): both the
+    * numerator and ||c + r̂||² decompose per subspace —
+    * num_s = q_s·c_s + q_s·r̂_s, den_s = ||c_s||² + 2·c_s·r̂_s +
+    * ||r̂_s||² — into (query, cell, code)-keyed lookup tables of
+    * |q|·nCells·k rows per subspace, all broadcast-sized. Everything
+    * is the certified float-fold arithmetic, so the whole
+    * composition (coarse chain, residuals, residual chains, probes,
+    * scoring) replays value-for-value in the external oracle.
+    *
+    * Scale shape: identical to [[ivfAdcTopK]] — candidates prune to
+    * probed cells BEFORE scoring; scoring is m broadcast-hash
+    * lookups + arithmetic per surviving code; the float corpus is
+    * touched only at train time (one extra narrow pass to form
+    * residuals).
+    */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                         idCol: String, embCol: String, kTop: Int = 10,
+                         nProbe: Int = 4, m: Int = 4, subDim: Int = 16,
+                         k: Int = 16, iters: Int = 2,
+                         quantScale: Double = 1e6): DataFrame = {
+    val (coarse, assign) = lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)
+    val centroids = coarse.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cells = assign.select(col("vec_id"), col("cluster").as("cell"))
+    // residuals, double-subtracted then FLOAT-folded like any stored
+    // embedding (exact-input float subtraction rounds identically)
+    val resid = corpus.select(col(idCol).cast("long").as("vec_id"), col(embCol).as("cemb"))
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("cemb"), col("centroid"),
+          (a, b) => (a.cast("double") - b.cast("double")).cast("float")).as("resid"))
+    val (cents, codes) = pqModel(resid, "vec_id", "resid", m, subDim, k, iters, quantScale)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+    // per-subspace (query, cell, code) term tables: num_s and den_s
+    val terms = (0 until m).map { s =>
+      val qs = q.select(col("qid"), slice(col("qemb"), s * subDim + 1, subDim).as("qs"))
+      val cs = centroids.select(col("cell"),
+        slice(col("centroid"), s * subDim + 1, subDim).as("cs"))
+      val rb = cents(s).select(col(s"cell_$s").as("code"), col(s"se_$s").as("re"))
+      qs.crossJoin(broadcast(cs)).crossJoin(broadcast(rb))
+        .select(col("qid").as(s"qid_$s"), col("cell").as(s"cellt_$s"),
+          col("code").as(s"code_$s"),
+          (GraftFunctions.dot_product(col("qs"), col("cs")) +
+            GraftFunctions.dot_product(col("qs"), col("re"))).as(s"num_$s"),
+          (GraftFunctions.dot_product(col("cs"), col("cs")) +
+            lit(2.0) * GraftFunctions.dot_product(col("cs"), col("re")) +
+            GraftFunctions.dot_product(col("re"), col("re"))).as(s"den_$s"))
+    }
+    val qn = q.select(col("qid").as("qid_n"),
+      GraftFunctions.dot_product(col("qemb"), col("qemb")).as("qn2"))
+    val base = cand.join(broadcast(qn), cand("qid") === qn("qid_n")).drop("qid_n")
+    val pairs = terms.zipWithIndex.foldLeft(base) {
+      case (acc, (t, s)) =>
+        acc.join(broadcast(t),
+            acc("qid") === t(s"qid_$s") && acc("cell") === t(s"cellt_$s") &&
+              acc(s"c_$s") === t(s"code_$s"))
+          .drop(s"qid_$s").drop(s"cellt_$s").drop(s"code_$s")
+    }
+    val num = (0 until m).map(s => col(s"num_$s")).reduce(_ + _)
+    val den2 = (0 until m).map(s => col(s"den_$s")).reduce(_ + _)
+    val adc = when(col("qn2") === 0.0 || den2 === 0.0, lit(null).cast("double"))
+      .otherwise(num / (sqrt(col("qn2")) * sqrt(den2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    pairs.withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        (floor(col("adc") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("adc_cos"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights (seeded). */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)

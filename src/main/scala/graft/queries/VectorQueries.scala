@@ -179,6 +179,20 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L79: residual-coded IVFADC (by_residual=true, the FAISS
+    // default): PQ quantizes x − coarse_centroid(x), spending the
+    // codebook budget on what the cell hasn't explained. Score is
+    // exactly cos(query, c + r̂) via per-subspace decomposition —
+    // fully oracle-replayed: coarse chain, residual formation, four
+    // residual Lloyd chains, probes, term tables, ranking.
+    "s18_ivfadc_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfAdcResidualTopK(e, e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          kTop = 10, nProbe = 4, m = 4, subDim = 16, k = 16, iters = 2)
+        .orderBy("qid", "rnk")
+    }),
+
     // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
     // score the whole corpus from CODES alone via per-subspace
     // lookup tables; the ADC score is exactly cos(query,
@@ -471,11 +485,14 @@ object VectorQueries {
   private def pqChainSql(s: Int): String = pqChainSql(s, "")
 
   /** `srcFilter` restricts the TRAINING rows (s13's incremental form
-    * trains on the corpus split only; "" trains on everything).
+    * trains on the corpus split only; "" trains on everything);
+    * `srcRel` names the (vec_id, de) relation the chain trains on
+    * ("e" = raw embeddings; s18 passes its residual CTE).
     */
-  private def pqChainSql(s: Int, srcFilter: String): String = {
+  private def pqChainSql(s: Int, srcFilter: String,
+                         srcRel: String = "e"): String = {
     val lo = s * 16 + 1; val hi = s * 16 + 16
-    s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM e $srcFilter),
+    s"""es_$s AS (SELECT vec_id, de[$lo:$hi] AS se FROM $srcRel $srcFilter),
        | sd0_$s AS (SELECT vec_id AS cell, se FROM es_$s WHERE vec_id < 16),
        | sc1_$s AS (SELECT es_$s.vec_id, sd0_$s.cell,
        |            ${cosSql(s"es_$s.se", s"sd0_$s.se", 16)} AS c
@@ -807,6 +824,67 @@ object VectorQueries {
          |          JOIN dist_1 d1 ON d1.qid = cand.qid AND d1.cell = cand.c_1
          |          JOIN dist_2 d2 ON d2.qid = cand.qid AND d2.cell = cand.c_2
          |          JOIN dist_3 d3 ON d3.qid = cand.qid AND d3.cell = cand.c_3
+         |          JOIN qn ON qn.qid = cand.qid),
+         | ad AS (SELECT qid, vec_id,
+         |          CASE WHEN qn2 = 0 OR dn2 = 0 THEN NULL
+         |               ELSE num / (sqrt(qn2) * sqrt(dn2)) END AS adc
+         |        FROM sc),
+         | rk AS (SELECT qid, vec_id, adc,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY adc DESC, vec_id) AS rnk
+         |        FROM ad)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_cos
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // s18: the residual-IVFADC replay — coarse chain verbatim, the
+    // residual relation (double-subtract → FLOAT fold, the stored-
+    // embedding convention), the four PQ chains trained ON RESIDUALS
+    // (pqChainSql with srcRel = er), probes as s14, and per-subspace
+    // (query, cell, code) term tables whose inner sums mirror the
+    // Spark column expressions' association exactly.
+    "s18_ivfadc_residual" -> {
+      val termTables = (0 until 4).map { s =>
+        val lo = s * 16 + 1; val hi = s * 16 + 16
+        val qs = s"(q.qfull[$lo:$hi])"; val cs = s"(cc.se[$lo:$hi])"
+        s"""rt_$s AS (SELECT q.qid, cc.cell, sb.cell AS code,
+           |            (${dotSql(qs, cs, 16)} + ${dotSql(qs, "sb.se", 16)}) AS num,
+           |            (${dotSql(cs, cs, 16)} + 2 * ${dotSql(cs, "sb.se", 16)}
+           |              + ${dotSql("sb.se", "sb.se", 16)}) AS den
+           |          FROM q, sd1 cc, sd1_$s sb)"""
+      }.mkString(",\n ")
+      s"""WITH e AS ($embSql),
+         | $coarseChainSql,
+         | er AS (SELECT e.vec_id,
+         |          list_transform(range(1, 65), ri ->
+         |            CAST(CAST(e.de[ri] - cc.se[ri] AS FLOAT) AS DOUBLE)) AS de
+         |        FROM e JOIN a2 USING (vec_id) JOIN sd1 cc ON cc.cell = a2.cell),
+         | ${(0 until 4).map(s => pqChainSql(s, "", "er")).mkString(",\n ")},
+         | $pqCodesCte,
+         | q AS (SELECT vec_id AS qid, de AS qfull FROM e WHERE vec_id < 5),
+         | qn AS (SELECT qid, ${dotSql("qfull", "qfull", 64)} AS qn2 FROM q),
+         | pc AS (SELECT q.qid, sd1.cell,
+         |          ${cosSql("q.qfull", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, cell FROM pr WHERE rn <= 4),
+         | $termTables,
+         | cand AS (SELECT pb.qid, a2.cell, codes.vec_id,
+         |            codes.c_0, codes.c_1, codes.c_2, codes.c_3
+         |          FROM codes JOIN a2 USING (vec_id) JOIN pb USING (cell)),
+         | sc AS (SELECT cand.qid, cand.vec_id,
+         |          t0.num + t1.num + t2.num + t3.num AS num,
+         |          t0.den + t1.den + t2.den + t3.den AS dn2,
+         |          qn.qn2 AS qn2
+         |        FROM cand
+         |          JOIN rt_0 t0 ON t0.qid = cand.qid AND t0.cell = cand.cell AND t0.code = cand.c_0
+         |          JOIN rt_1 t1 ON t1.qid = cand.qid AND t1.cell = cand.cell AND t1.code = cand.c_1
+         |          JOIN rt_2 t2 ON t2.qid = cand.qid AND t2.cell = cand.cell AND t2.code = cand.c_2
+         |          JOIN rt_3 t3 ON t3.qid = cand.qid AND t3.cell = cand.cell AND t3.code = cand.c_3
          |          JOIN qn ON qn.qid = cand.qid),
          | ad AS (SELECT qid, vec_id,
          |          CASE WHEN qn2 = 0 OR dn2 = 0 THEN NULL

@@ -25,7 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // s14/s16/s17: the s12-class broadcast attachments — probe
     // centroids (nCells rows) and per-query lookup tables
     // (|queries|·k rows) crossJoin the corpus/codes side by design
-    "s14_ivf_adc", "s16_pq_serve", "s17_ivfadc_serve",
+    "s14_ivf_adc", "s16_pq_serve", "s17_ivfadc_serve", "s18_ivfadc_residual",
     "t29_rrf_hybrid", "d05_embed_neardup",
     "d08_contamination", "d12_semantic_keep", "d17_fuzzy_decontam",
     "q20_above_avg", "q33_bloom_join", "q47_dq_audit", "q48_group_quantiles",

@@ -80,7 +80,9 @@ class RecallDashboardSpec extends AnyFunSuite {
           ("adc_exhaustive", Ann.pqAdcTopK(e, q, "vec_id", "embedding",
             kTop = 10), 0.20),
           ("ivf_adc", Ann.ivfAdcTopK(e, q, seeds, "vec_id", "embedding",
-            kTop = 10, nProbe = 4), 0.10))
+            kTop = 10, nProbe = 4), 0.10),
+          ("ivf_adc_res", Ann.ivfAdcResidualTopK(e, q, seeds, "vec_id",
+            "embedding", kTop = 10, nProbe = 4), 0.10))
         val rows = paths.map { case (pname, df, floor) =>
           val r = recall(df, exact)
           assert(r >= floor, f"$vname/$pname recall@10 $r%.2f under floor $floor%.2f")
@@ -98,5 +100,14 @@ class RecallDashboardSpec extends AnyFunSuite {
     val byName = results.toMap
     assert(byName("types").map(_._2) == byName("base").map(_._2),
       "type drift changed recall — loader normalization broke")
+    // residual codes hold PARITY with raw codes at the same budget on
+    // this corpus (near-random vectors: cells explain little, so
+    // by_residual's gain doesn't show — the pin guards against the
+    // residual path silently degrading, not for a win here)
+    Seq("base", "content").foreach { v =>
+      val m = byName(v).toMap
+      assert(m("ivf_adc_res") >= m("ivf_adc") - 0.06,
+        s"$v: residual ${m("ivf_adc_res")} below raw ${m("ivf_adc")}")
+    }
   }
 }
