@@ -585,6 +585,79 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), round(col("jac"), 3).as("jaccard"))
   }
 
+  /** STREAMING form of [[probeLshIndex]] — the production recrawl
+    * INGEST: a document stream probes the persisted index as it
+    * arrives. Identical result contract to the batch probe (same
+    * banding, size-ratio prune, exact-Jaccard verify against the
+    * stored sets), restructured to be STREAM-LEGAL:
+    *
+    *   - the batch probe joins two derivatives of its input (bands ×
+    *     sets) — a stream SELF-join the engine rejects; here the band
+    *     explode CARRIES each doc's token set alongside, so the only
+    *     joins are stream-static (against the bucketed index tables);
+    *   - two stateful operators, both order-independent: an input
+    *     dedup on (id, text) — the lineDedup dup-row contract: a
+    *     re-delivered document must not double its pairs, where the
+    *     batch probe's verify join would multiply them — and the
+    *     candidate dedup on (new_id, corpus_id, token-set), content
+    *     in the key so an id collision with DIFFERENT text keeps one
+    *     verify row per text (matching the batch multiplicity
+    *     whenever each text's own bands find the pair; a pair found
+    *     only by the other text's bands is the one corner where the
+    *     streaming form emits fewer rows — a keyed ingest should not
+    *     ship colliding ids at all).
+    *
+    * Scale note: carrying the token set through the band explode
+    * costs ×bands payload on the candidate join's stream side —
+    * bounded by the BATCH (a recrawl probe batch is small by
+    * definition; the corpus-sized index side still ships nothing).
+    */
+  def probeLshIndexStreaming(newDocs: DataFrame, idCol: String, textCol: String,
+                             tablePrefix: String, threshold: Double,
+                             numHashes: Int = 32, bands: Int = 8,
+                             shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val spark = newDocs.sparkSession
+    val sh =
+      if (shingleN == 1) array_distinct(col("toks"))
+      else shingles(col("toks"), shingleN)
+    val base = newDocs
+      .select(col(idCol).as("new_id"), col(textCol).as("__text"))
+      .dropDuplicates("new_id", "__text")
+      .select(col("new_id"), tokens(col("__text")).as("toks"))
+      .select(col("new_id"), sh.as("sh"))
+      .withColumn("mh", GraftFunctions.minhash_signature(col("sh"), numHashes))
+      .withColumn("nt_n", size(array_distinct(col("sh"))))
+      .withColumn("toks_n",
+        sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+    val banded = base.select(col("new_id"), col("nt_n"), col("toks_n"),
+      posexplode(array((0 until bands).map(b =>
+        GraftFunctions.mix_hash(
+          (lit(b.toLong) +: (0 until r).map(j =>
+            element_at(col("mh"), b * r + j + 1))): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val index = spark.table(s"${tablePrefix}_bands")
+    val csets = spark.table(s"${tablePrefix}_sets")
+    val tPermille = (threshold * 1000).toLong
+    banded
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("corpus_id"), col("nt").as("nt_c")), Seq("band", "bucket"))
+      .filter(least(col("nt_n"), col("nt_c")) * lit(1000L) >=
+        greatest(col("nt_n"), col("nt_c")) * tPermille)
+      .select("new_id", "corpus_id", "toks_n")
+      .dropDuplicates("new_id", "corpus_id", "toks_n")
+      .join(csets.select(col("id").as("corpus_id"), col("dtoks").as("toks_c")),
+        Seq("corpus_id"))
+      .withColumn("inter",
+        GraftFunctions.sorted_long_intersect_size(col("toks_n"), col("toks_c")))
+      .withColumn("jac",
+        col("inter").cast("double") /
+          (size(col("toks_n")) + size(col("toks_c")) - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jac"), 3).as("jaccard"))
+  }
+
   /** L57 — MinHash estimator calibration: for every LSH candidate
     * pair (word-level signatures, same banding/cap as
     * [[minhashLshPairs]] with shingleN=1), report the SIGNATURE

@@ -312,10 +312,42 @@ object StreamQueries {
     "st06_sliding_topk" -> ((s, dir) => {
       graft.streaming.TopK.slidingTopK(events(s, dir), k = 2)
         .orderBy("win_start_s", "rnk")
+    }),
+
+    // S14: streaming probe of the PERSISTED LSH index — the recrawl
+    // INGEST composition: the index (d29's, same params) is built
+    // once as bucketed tables; the document stream probes it through
+    // the REAL engine (stream-static candidate/verify joins + ONE
+    // stateful candidate dedup, append mode). Result contract
+    // identical to d27/d29, so the oracle is d27's verbatim — what
+    // st16 adds is the engine executing the probe incrementally.
+    "st16_stream_index_probe" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val d = Graft.table(s, dir, "documents")
+      val idxPath = graft.sources.TidyIO.scratchDir("g_lshst")
+      val prefix = idxPath.stripPrefix("/tmp/")
+      // distinct (id, text) on BOTH sides — the streaming-ingest
+      // dup-row contract (the stream side dedups inside
+      // probeLshIndexStreaming; the index build mirrors it here)
+      Dedup.writeLshIndex(
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .dropDuplicates("doc_id", "text"),
+        "doc_id", "text", prefix, numHashes = 64, bands = 8,
+        shingleN = 1, cap = 500, buckets = 8, path = Some(idxPath))
+      StreamRun.onTable(s, dir, "documents", OutputMode.Append()) { ds =>
+        Dedup.probeLshIndexStreaming(
+          ds.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", prefix, threshold = 0.9, numHashes = 64,
+          bands = 8, shingleN = 1)
+      }.orderBy("new_id", "corpus_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // st16: d27's replay over a DISTINCT (doc_id, text) base — the
+    // streaming-ingest dup-row contract (see probeLshIndexStreaming).
+    "st16_stream_index_probe" ->
+      graft.queries.TextQueries.incrementalLshOracleSql(distinctBase = true),
     "st01_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -1009,6 +1009,49 @@ object TextQueries {
     s"CASE ${whens.mkString(" ")} ELSE '${names.last}' END"
   }
 
+  /** d27's replay (d03's signature/banding chain split into batch
+    * doc_id ≡ 0 mod 5 and index sides; hot-bucket HAVING on the
+    * index only, candidates batch↔index). `distinctBase = true`
+    * collapses exact duplicate (doc_id, text) rows FIRST — st16's
+    * streaming-ingest contract, where a re-delivered document must
+    * not multiply its verify rows like the batch join does.
+    */
+  private[queries] def incrementalLshOracleSql(distinctBase: Boolean): String = {
+    val src = if (distinctBase) "(SELECT DISTINCT doc_id, text FROM documents)"
+              else "documents"
+    s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM $src),
+       | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
+       | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
+       | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
+       |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
+       |        GROUP BY doc_id, k),
+       | msl AS (SELECT doc_id, k // 8 AS band,
+       |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
+       |         FROM mg GROUP BY doc_id, k // 8),
+       | mbk AS (SELECT doc_id, band,
+       |           ${PortableHashSql.toSigned(
+                      PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
+       |         FROM msl),
+       | mbn AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 = 0),
+       | mbc AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 <> 0),
+       | keep AS (SELECT band, bucket FROM mbc GROUP BY band, bucket HAVING count(*) <= 500),
+       | bkc AS (SELECT mbc.* FROM mbc JOIN keep USING (band, bucket)),
+       | cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |          FROM mbn n JOIN bkc c ON n.band = c.band AND n.bucket = c.bucket),
+       | v AS (SELECT new_id, corpus_id,
+       |         len(list_intersect(da.toks, db.toks)) AS inter,
+       |         len(da.toks) AS na, len(db.toks) AS nb
+       |       FROM cand
+       |       JOIN d da ON da.doc_id = new_id
+       |       JOIN d db ON db.doc_id = corpus_id)
+       |SELECT new_id, corpus_id,
+       |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
+       |FROM v
+       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   // d29 runs the persisted-index probe (writeLshIndex → probeLshIndex)
   // with d27's exact parameters — the RESULT contract is identical
   // (the index is d27's corpus side written once, the probe its join),
@@ -1283,38 +1326,7 @@ object TextQueries {
     // d27: d03's signature/banding CTE chain, split into batch
     // (doc_id ≡ 0 mod 5) and index sides; the hot-bucket HAVING
     // applies to the index only, candidates are batch↔index.
-    "d27_incremental_lsh" ->
-      s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
-         | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
-         | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         | th AS (SELECT doc_id, ${PortableHashSql.tokenHash("tok")} AS h FROM tk),
-         | mg AS (SELECT doc_id, k, min(${PortableHashSql.toSigned(PortableHashSql.permuteSql("h"))}) AS m
-         |        FROM th, ${PortableHashSql.minhashCoeffValues(64)}
-         |        GROUP BY doc_id, k),
-         | msl AS (SELECT doc_id, k // 8 AS band,
-         |           list(${PortableHashSql.toUnsigned("m")} ORDER BY k) AS ms
-         |         FROM mg GROUP BY doc_id, k // 8),
-         | mbk AS (SELECT doc_id, band,
-         |           ${PortableHashSql.toSigned(
-                        PortableHashSql.mixHashList("list_prepend(CAST(band AS HUGEINT), ms)"))} AS bucket
-         |         FROM msl),
-         | mbn AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 = 0),
-         | mbc AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 <> 0),
-         | keep AS (SELECT band, bucket FROM mbc GROUP BY band, bucket HAVING count(*) <= 500),
-         | bkc AS (SELECT mbc.* FROM mbc JOIN keep USING (band, bucket)),
-         | cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-         |          FROM mbn n JOIN bkc c ON n.band = c.band AND n.bucket = c.bucket),
-         | v AS (SELECT new_id, corpus_id,
-         |         len(list_intersect(da.toks, db.toks)) AS inter,
-         |         len(da.toks) AS na, len(db.toks) AS nb
-         |       FROM cand
-         |       JOIN d da ON da.doc_id = new_id
-         |       JOIN d db ON db.doc_id = corpus_id)
-         |SELECT new_id, corpus_id,
-         |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
-         |FROM v
-         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.9
-         |ORDER BY new_id, corpus_id""".stripMargin,
+    "d27_incremental_lsh" -> incrementalLshOracleSql(distinctBase = false),
 
     // t30: per-ROW replay (no GROUP BY — duplicate doc_id rows must
     // keep their multiplicity): bucket each token's portable hash mod

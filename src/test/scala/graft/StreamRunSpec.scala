@@ -190,4 +190,30 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming LSH index probe runs incrementally and equals the batch probe") {
+    import graft.operators.Dedup
+    val d = Graft.table(spark, dir, "documents").dropDuplicates("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("lshst").toString
+    Dedup.writeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", "lshst_spec", numHashes = 64, bands = 8,
+      shingleN = 1, cap = 500, buckets = 4, path = Some(idxDir))
+    val streamed = StreamRun.onTable(spark, dir, "documents", OutputMode.Append()) { ds =>
+      Dedup.probeLshIndexStreaming(
+        ds.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "lshst_spec", threshold = 0.9, numHashes = 64,
+        bands = 8, shingleN = 1)
+    }
+    // real incremental evidence: the epoch write + the candidate
+    // dedup's state store (StreamingDeduplicate), not a batch rewrite
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite") &&
+      StreamRun.lastPlan.contains("StreamingDeduplicate"),
+      s"expected incremental probe plan in:\n${StreamRun.lastPlan}")
+    val batch = Dedup.probeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", "lshst_spec", threshold = 0.9, numHashes = 64,
+      bands = 8, shingleN = 1)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    spark.catalog.clearCache()
+  }
 }
