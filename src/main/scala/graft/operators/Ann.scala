@@ -791,6 +791,52 @@ object Ann {
     (cand, adcRank(cand, q, cents, m, subDim, kTop))
   }
 
+  /** L80 — two-stage retrieval: IVFADC candidate generation + EXACT
+    * re-rank (the standard production serving shape — FAISS's
+    * `IndexRefineFlat`, Jégou et al. §VI "re-ranking with source
+    * coding"): stage 1 runs [[ivfAdcTopK]]'s cell-pruned ADC scan to
+    * a SHORTLIST of `shortlist` candidates per query (compressed
+    * codes only — the corpus floats are never scanned); stage 2
+    * fetches ONLY the shortlist's raw vectors and re-scores them with
+    * the exact cosine, returning the top `kTop`. ADC quantization
+    * error can misorder near-ties, so serving stacks a cheap exact
+    * pass over a small superset (shortlist ≫ kTop) to recover
+    * brute-force-quality ordering at ADC-scan cost.
+    *
+    * Scale shape: stage 1 is [[ivfAdcTopK]] verbatim (probe-pruned
+    * code scan, broadcast lookup tables). Stage 2's vector fetch is a
+    * BROADCAST semi-join of |queries|·shortlist ids against the
+    * vector store — with vectors stored bucketed by id this is a
+    * pruned point-lookup, not a corpus scan — followed by |q|·
+    * shortlist exact cosines and a bounded per-query window. The
+    * expensive float arithmetic runs on thousands of rows, not
+    * billions.
+    *
+    * Determinism: the shortlist ranks by (adc DESC, vec_id) and the
+    * re-rank by (cos DESC NULLS LAST, vec_id) — both engine-exact
+    * (the certified float-fold kernels), so the composition replays
+    * value-for-value in the external oracle.
+    */
+  def ivfAdcRerankTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                       idCol: String, embCol: String, kTop: Int = 10,
+                       shortlist: Int = 30, nProbe: Int = 4, m: Int = 4,
+                       subDim: Int = 16, k: Int = 16, iters: Int = 2,
+                       quantScale: Double = 1e6): DataFrame = {
+    val sl = ivfAdcParts(corpus, queries, seeds, idCol, embCol, shortlist,
+        nProbe, m, subDim, k, iters, quantScale)._2
+      .select(col("qid"), col("vec_id"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** L79 — RESIDUAL-coded IVFADC (Jégou et al. §V, `by_residual=
     * true` — the FAISS default): PQ quantizes x − c(x) instead of x.
     * Residuals are centered near zero, so the same m·k codebook

@@ -193,6 +193,23 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L80: two-stage serving — the s14 IVFADC scan truncated at a
+    // 30-deep shortlist, then an EXACT cosine re-rank of only those
+    // 30 raw vectors per query (FAISS IndexRefineFlat). ADC
+    // quantization error can misorder near-ties; the refine pass
+    // recovers exact ordering while the corpus floats stay untouched
+    // at query time (the fetch is a broadcast point-lookup of
+    // |q|·30 ids). Fully oracle-replayed: s14's chain to rnk ≤ 30,
+    // then the s01 exact-cosine kernel over the shortlist.
+    "s19_ivfadc_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfAdcRerankTopK(e, e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          kTop = 10, shortlist = 30, nProbe = 4, m = 4, subDim = 16,
+          k = 16, iters = 2)
+        .orderBy("qid", "rnk")
+    }),
+
     // L73: PQ asymmetric-distance retrieval — queries (vec_id < 5)
     // score the whole corpus from CODES alone via per-subspace
     // lookup tables; the ADC score is exactly cos(query,
@@ -836,6 +853,69 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
          |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_cos
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // s19: s14's replay verbatim down to the ranked ADC scores, the
+    // shortlist cut at rnk ≤ 30, then the exact re-rank via the s01
+    // kernel (list_cosine_similarity on the defensive double folds,
+    // zero-norm guarded to NULL) ordered (cos DESC NULLS LAST,
+    // vec_id) — exactly the Spark window's default null placement.
+    "s19_ivfadc_rerank" -> {
+      s"""WITH e AS ($embSql),
+         | $coarseChainSql,
+         | ${(0 until 4).map(pqChainSql).mkString(",\n ")},
+         | $pqCodesCte,
+         | q AS (SELECT vec_id AS qid, de AS qfull, n2 AS qn2 FROM e WHERE vec_id < 5),
+         | qn AS (SELECT qid, ${dotSql("qfull", "qfull", 64)} AS qn2 FROM q),
+         | pc AS (SELECT q.qid, sd1.cell,
+         |          ${cosSql("q.qfull", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, cell FROM pr WHERE rn <= 4),
+         | ${(0 until 4).map { s =>
+             val lo = s * 16 + 1; val hi = s * 16 + 16
+             s"""qs_$s AS (SELECT qid, qfull[$lo:$hi] AS qe FROM q),
+             | dist_$s AS (SELECT qid, cell,
+             |               ${dotSql("qe", "se", 16)} AS qd,
+             |               ${dotSql("se", "se", 16)} AS ns
+             |             FROM qs_$s, sd1_$s)"""
+           }.mkString(",\n ")},
+         | cand AS (SELECT pb.qid, codes.vec_id,
+         |            codes.c_0, codes.c_1, codes.c_2, codes.c_3
+         |          FROM codes JOIN a2 USING (vec_id) JOIN pb USING (cell)),
+         | sc AS (SELECT cand.qid, cand.vec_id,
+         |          d0.qd + d1.qd + d2.qd + d3.qd AS num,
+         |          d0.ns + d1.ns + d2.ns + d3.ns AS dn2,
+         |          qn.qn2 AS qn2
+         |        FROM cand
+         |          JOIN dist_0 d0 ON d0.qid = cand.qid AND d0.cell = cand.c_0
+         |          JOIN dist_1 d1 ON d1.qid = cand.qid AND d1.cell = cand.c_1
+         |          JOIN dist_2 d2 ON d2.qid = cand.qid AND d2.cell = cand.c_2
+         |          JOIN dist_3 d3 ON d3.qid = cand.qid AND d3.cell = cand.c_3
+         |          JOIN qn ON qn.qid = cand.qid),
+         | ad AS (SELECT qid, vec_id,
+         |          CASE WHEN qn2 = 0 OR dn2 = 0 THEN NULL
+         |               ELSE num / (sqrt(qn2) * sqrt(dn2)) END AS adc
+         |        FROM sc),
+         | rk AS (SELECT qid, vec_id, adc,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY adc DESC, vec_id) AS rnk
+         |        FROM ad),
+         | sl AS (SELECT qid, vec_id FROM rk WHERE rnk <= 30),
+         | rr AS (SELECT sl.qid, sl.vec_id,
+         |          CASE WHEN q.qn2 = 0 OR e.n2 = 0 THEN NULL
+         |               ELSE list_cosine_similarity(q.qfull, e.de) END AS cos
+         |        FROM sl JOIN q ON q.qid = sl.qid
+         |          JOIN e ON e.vec_id = sl.vec_id),
+         | rk2 AS (SELECT qid, vec_id, cos,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cos DESC NULLS LAST, vec_id) AS rnk
+         |        FROM rr)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, round(cos, 4) AS cos
+         |FROM rk2 WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
 
     // s18: the residual-IVFADC replay — coarse chain verbatim, the

@@ -82,7 +82,9 @@ class RecallDashboardSpec extends AnyFunSuite {
           ("ivf_adc", Ann.ivfAdcTopK(e, q, seeds, "vec_id", "embedding",
             kTop = 10, nProbe = 4), 0.10),
           ("ivf_adc_res", Ann.ivfAdcResidualTopK(e, q, seeds, "vec_id",
-            "embedding", kTop = 10, nProbe = 4), 0.10))
+            "embedding", kTop = 10, nProbe = 4), 0.10),
+          ("ivf_adc_rerank", Ann.ivfAdcRerankTopK(e, q, seeds, "vec_id",
+            "embedding", kTop = 10, shortlist = 30, nProbe = 4), 0.10))
         val rows = paths.map { case (pname, df, floor) =>
           val r = recall(df, exact)
           assert(r >= floor, f"$vname/$pname recall@10 $r%.2f under floor $floor%.2f")
@@ -108,6 +110,11 @@ class RecallDashboardSpec extends AnyFunSuite {
       val m = byName(v).toMap
       assert(m("ivf_adc_res") >= m("ivf_adc") - 0.06,
         s"$v: residual ${m("ivf_adc_res")} below raw ${m("ivf_adc")}")
+      // the exact re-rank can only promote true neighbors the ADC
+      // ordering buried inside the shortlist — recall must dominate
+      // the un-refined IVFADC ranking over the same candidate sets
+      assert(m("ivf_adc_rerank") >= m("ivf_adc"),
+        s"$v: rerank ${m("ivf_adc_rerank")} below ivf_adc ${m("ivf_adc")}")
     }
   }
 }
