@@ -166,6 +166,79 @@ object TextStats {
         .otherwise(round(score.cast("double") / size(toks).cast("double"), 6)))
   }
 
+  /** L81 — TRAINED hashed centroid classifier (Rocchio '71 relevance
+    * feedback, the TF-centroid form IR textbooks teach — trained
+    * in-corpus, not just applied like L67): the train split builds
+    * per-class hashed-bucket token counts cnt(c, j) and class masses
+    * T_c; a test doc's class score is Σ_occurrences cnt(c, bucket)/T_c
+    * — the mean train-class frequency of the doc's buckets — and the
+    * prediction is the argmax (ties to the smallest class label).
+    * This is distributed supervised TRAINING as a query: the model is
+    * an aggregate of the data, the apply a broadcast join against it.
+    *
+    * Oracle-exactness by construction: the model is pure INTEGER
+    * counts (order-independent under any partitioning), each score is
+    * ONE exact int/int division (correctly-rounded IEEE on both
+    * engines), and the argmax compares those doubles then the label —
+    * no float accumulation anywhere, so train + apply replay
+    * value-for-value in SQL. A test doc with no tokens scores 0 for
+    * every class and deterministically predicts the alphabetically
+    * first class.
+    *
+    * Scale shape: training is one map-side-combined groupBy over the
+    * token stream into ≤ C·numBuckets rows (the model is bounded by
+    * the schema, not the corpus — broadcast-sized by construction);
+    * apply joins the broadcast model on bucket (each test token fans
+    * out to ≤ C classes, partially aggregated to |docs|·C slim rows
+    * before the shuffle), and the argmax is a per-doc window over C
+    * rows. No corpus-sized sort, no skew-sensitive key (buckets are
+    * hash-uniform).
+    *
+    * Dup-row contract: base rows are DISTINCT (doc_id, label, text) —
+    * re-delivered rows must not double tokens (the d28 convention); a
+    * doc_id appearing with two labels yields one prediction per
+    * (doc_id, label) pair, deterministically.
+    */
+  def rocchioClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, labelCol: String, isTrain: Column,
+                      numBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions
+    // null-label rows are unlabelable — dropped from train AND test
+    // (a null class would order differently across engines)
+    val base = docs.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(labelCol).as("label"), Dedup.normText(col(textCol)).as("ntx"))
+      .distinct()
+    val tk = base.select(col("doc_id"), col("label"),
+        explode(filter(split(col("ntx"), " "), t => t =!= "")).as("tok"))
+      .withColumn("j", pmod(GraftFunctions.fmix64(
+        GraftFunctions.rolling_hash(col("tok"))), lit(numBuckets.toLong)))
+      .select("doc_id", "label", "j")
+    val tr = tk.filter(isTrain)
+    val cls = tr.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("t_c"))
+    val cnts = tr.groupBy(col("label").as("clabel"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val m0 = tk.filter(!isTrain).select("doc_id", "j")
+      .join(broadcast(cnts), Seq("j"))
+      .groupBy("doc_id", "clabel").agg(sum(col("c")).as("m"))
+    // skeleton: every (test doc, class) pair — zero-overlap classes
+    // and token-less docs still score (0.0), so every doc predicts
+    val skel = base.filter(!isTrain).select("doc_id", "label").distinct()
+      .crossJoin(broadcast(cls))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "label")
+      .orderBy(col("score").desc, col("clabel"))
+    skel.join(m0, Seq("doc_id", "clabel"), "left")
+      .withColumn("score",
+        coalesce(col("m"), lit(0L)).cast("double") / col("t_c").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("clabel").as("pred"),
+        (floor(col("score") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("score"),
+        when(col("clabel") === col("label"), lit(1)).otherwise(lit(0)).as("hit"))
+  }
+
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
     * — the "~4 chars per token" rule of thumb). All three count over

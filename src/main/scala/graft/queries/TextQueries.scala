@@ -872,6 +872,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L81: TRAINED hashed centroid classifier (Rocchio TF form) —
+    // distributed supervised training as a query: the train split
+    // (doc_id ≢ 0 mod 5) builds per-lang bucket counts, the test
+    // split scores against the broadcast model and argmaxes. Pure
+    // integer counts + one exact division per (doc, class) → the
+    // whole train+apply composition replays value-for-value.
+    "t31_trained_classifier" -> ((s, dir) => {
+      TextStats.rocchioClassify(docs(s, dir), "doc_id", "text", "lang",
+          pmod(col("doc_id"), lit(5)) =!= 0, numBuckets = 4096)
+        .orderBy("doc_id", "label")
+    }),
+
     "t12_vocab" -> ((s, dir) => {
       val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
@@ -1348,6 +1360,45 @@ object TextQueries {
          |  CASE WHEN n_toks = 0 THEN NULL
          |       ELSE round(CAST(score AS DOUBLE) / n_toks, 6) END AS score_mean
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // t31: full train+apply replay — per-class integer bucket counts
+    // over the train split (the model), per-(doc, class) integer
+    // overlap mass via the bucket join, ONE exact int/int division
+    // per score, argmax by (score DESC, clabel). halfUp6 display
+    // rounding (engine-stable, the t02 lesson). Null-label rows are
+    // dropped identically; the skeleton cross join guarantees every
+    // test doc scores every class (token-less docs predict the
+    // alphabetically first class at score 0).
+    "t31_trained_classifier" ->
+      s"""WITH b0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         |          lang AS label, ${PortableHashSql.norm("text")} AS ntx
+         |        FROM documents WHERE lang IS NOT NULL),
+         | tk AS (SELECT doc_id, label,
+         |          CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT) AS j
+         |        FROM (SELECT doc_id, label,
+         |                unnest(list_filter(split(ntx, ' '), t -> t <> '')) AS tok
+         |              FROM b0)),
+         | tr AS (SELECT * FROM tk WHERE (doc_id % 5 + 5) % 5 <> 0),
+         | cls AS (SELECT label AS clabel, CAST(count(*) AS BIGINT) AS t_c
+         |         FROM tr GROUP BY label),
+         | cnts AS (SELECT label AS clabel, j, CAST(count(*) AS BIGINT) AS c
+         |          FROM tr GROUP BY label, j),
+         | m0 AS (SELECT te.doc_id, cnts.clabel, CAST(sum(cnts.c) AS BIGINT) AS m
+         |        FROM (SELECT doc_id, j FROM tk WHERE (doc_id % 5 + 5) % 5 = 0) te
+         |        JOIN cnts ON cnts.j = te.j
+         |        GROUP BY te.doc_id, cnts.clabel),
+         | skel AS (SELECT DISTINCT b0.doc_id, b0.label, cls.clabel, cls.t_c
+         |          FROM b0, cls WHERE (b0.doc_id % 5 + 5) % 5 = 0),
+         | sc AS (SELECT skel.doc_id, skel.label, skel.clabel,
+         |          CAST(coalesce(m0.m, 0) AS DOUBLE) / CAST(skel.t_c AS DOUBLE) AS score
+         |        FROM skel LEFT JOIN m0
+         |          ON m0.doc_id = skel.doc_id AND m0.clabel = skel.clabel),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, label
+         |          ORDER BY score DESC, clabel) AS rn FROM sc)
+         |SELECT doc_id, label, clabel AS pred,
+         |  floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+         |  CASE WHEN clabel = label THEN 1 ELSE 0 END AS hit
+         |FROM rk WHERE rn = 1 ORDER BY doc_id, label""".stripMargin,
 
     // d28: per-line replay — 1-based subscripts here vs 0-based
     // posexplode there is immaterial (the index only totals the

@@ -26,6 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // centroids (nCells rows) and per-query lookup tables
     // (|queries|·k rows) crossJoin the corpus/codes side by design
     "s14_ivf_adc", "s16_pq_serve", "s17_ivfadc_serve", "s18_ivfadc_residual",
+    // s19: stage 1 is s14's plan verbatim; stage 2 adds only equi-joins
+    "s19_ivfadc_rerank",
+    // t31: the class-skeleton crossJoin broadcasts the ≤C-row model dim
+    "t31_trained_classifier",
     "t29_rrf_hybrid", "d05_embed_neardup",
     "d08_contamination", "d12_semantic_keep", "d17_fuzzy_decontam",
     "q20_above_avg", "q33_bloom_join", "q47_dq_audit", "q48_group_quantiles",
