@@ -267,6 +267,61 @@ object Multimodal {
     }.toDF("doc_id", "n_samples", "sum_abs", "peak")
   }
 
+  /** L82 — windowed audio FEATURES over the real-codec decode: the
+    * ASR/VAD preprocessing front end (frame the PCM stream into
+    * win-sample windows every stride samples; per window emit energy,
+    * zero-crossing count, and peak — the classic voice-activity /
+    * silence-trim features). The signal synthesizes from the m07
+    * integer formula, encodes through the JDK WAV codec and decodes
+    * through `AudioSystem.getAudioInputStream` (the production entry
+    * point, same contract checks as [[audioRoundtripStats]]), so the
+    * whole decode→frame→feature chain is certified: a codec bug OR a
+    * windowing off-by-one hash-differs against the oracle's formula
+    * replay.
+    *
+    * Determinism: sum_sq/zero_crossings/peak are pure integers;
+    * rms = sqrt(sum_sq/win) has an exactly-representable quotient for
+    * power-of-two `win` (sum_sq ≤ win·2³⁰ ≪ 2⁵³), and IEEE sqrt is
+    * correctly rounded on both engines — halfUp4 display rounding.
+    *
+    * Scale: features are computed inside the same mapPartitions pass
+    * that decodes the bytes — zero shuffle, decode parallelism = scan
+    * partitioning; featurizing 100 TB of audio is a map job.
+    */
+  def audioWindowFeatures(ids: Dataset[java.lang.Long], n: Int = 256,
+                          win: Int = 64, stride: Int = 32): DataFrame = {
+    require(Integer.bitCount(win) == 1, "win must be a power of two (exact rms quotient)")
+    import ids.sparkSession.implicits._
+    ids.flatMap { boxedId =>
+      val id: Long = boxedId
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(formulaWav(id, n)))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian || ais.getFrameLength != n)
+        throw new IllegalStateException(s"WAV roundtrip mangled id $id: $fmt")
+      val bytes = ais.readAllBytes()
+      val s = Array.tabulate(n)(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong)
+      (0 to n - win by stride).zipWithIndex.map { case (start, winId) =>
+        var sumSq = 0L
+        var zc = 0L
+        var peak = 0L
+        var i = start
+        while (i < start + win) {
+          sumSq += s(i) * s(i)
+          if (i > start && s(i - 1) * s(i) < 0) zc += 1
+          val a = math.abs(s(i))
+          if (a > peak) peak = a
+          i += 1
+        }
+        val rms = math.floor(math.sqrt(sumSq.toDouble / win) * 10000 + 0.5) / 10000
+        (id, winId.toLong, start.toLong, sumSq, zc, peak, rms)
+      }
+    }.toDF("doc_id", "win_id", "start_sample", "sum_sq", "zero_crossings",
+      "peak", "rms")
+  }
+
   /** L48 — frame-sample manifest: treat each media payload as a fixed
     * frame grid (`frameBytes` bytes/frame) and emit every `stride`-th
     * frame's index, byte offset, and digest — the manifest a sampled

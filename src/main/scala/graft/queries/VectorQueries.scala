@@ -454,6 +454,20 @@ object VectorQueries {
       Multimodal.audioRoundtripStats(ids).orderBy("doc_id")
     }),
 
+    // L82: windowed audio features over the REAL-codec decode — the
+    // ASR/VAD front end: 64-sample windows every 32, per-window
+    // integer energy/zero-crossings/peak + exact-quotient rms. The
+    // oracle replays the integer PCM formula and the windowing, so a
+    // codec bug or framing off-by-one hash-differs.
+    "m08_audio_features" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.audioWindowFeatures(ids).orderBy("doc_id", "win_id")
+    }),
+
     // L12b: multipart blob layout — chunk each media payload into
     // fixed 64-byte parts with offsets and per-part digests (the
     // manifest a blob store / multipart upload needs; also how >2 GB
@@ -1221,6 +1235,36 @@ object VectorQueries {
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m08: the m07 PCM formula replayed, then the windowing — samples
+    // joined into [start, start+64) ranges, previous sample attached
+    // for the sign-flip count, integer aggregates, exact-quotient
+    // sqrt for rms (sum_sq/64 exact in double, IEEE sqrt correctly
+    // rounded both engines, halfUp4 display).
+    "m08_audio_features" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | smp AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   unnest(range(0, 256)) AS i FROM ids),
+        | v AS (SELECT doc_id, i,
+        |   ((sid * 7 + i * 13) % 65536 + 65536) % 65536 - 32768 AS s FROM smp),
+        | w AS (SELECT doc_id, unnest(range(0, 7)) AS win_id FROM ids),
+        | wv AS (SELECT w.doc_id, w.win_id, v.i, v.s, p.s AS ps
+        |        FROM w JOIN v ON v.doc_id = w.doc_id
+        |          AND v.i >= w.win_id * 32 AND v.i < w.win_id * 32 + 64
+        |        LEFT JOIN v p ON p.doc_id = v.doc_id AND p.i = v.i - 1),
+        | ag AS (SELECT doc_id, win_id,
+        |          CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |          CAST(sum(CASE WHEN i > win_id * 32 AND ps * s < 0
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |          CAST(max(abs(s)) AS BIGINT) AS peak
+        |        FROM wv GROUP BY doc_id, win_id)
+        |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+        |  CAST(win_id * 32 AS BIGINT) AS start_sample, sum_sq, zero_crossings,
+        |  peak,
+        |  floor(sqrt(CAST(sum_sq AS DOUBLE) / 64.0) * 10000.0 + 0.5) / 10000.0 AS rms
+        |FROM ag ORDER BY doc_id, win_id""".stripMargin,
 
     // m05: the pixel formula replayed directly — per-pixel integer
     // Rec.601 luma with floor division, summed per image; mean is

@@ -120,4 +120,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioRoundtripStats(ids, n)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap == got)
   }
+
+  test("audio window features match a scalar replay of the PCM formula") {
+    val idSeq = Seq(0L, 42L, -7L)
+    val ids = idSeq.map(java.lang.Long.valueOf).toDS()
+    val n = 256; val win = 64; val stride = 32
+    val rows = Multimodal.audioWindowFeatures(ids, n, win, stride).collect()
+    // 7 windows per doc: starts 0, 32, …, 192
+    assert(rows.length == idSeq.size * 7)
+    for (id <- idSeq) {
+      val sid = Math.floorMod(id, 2147483648L)
+      val s = (0 until n).map(i =>
+        Math.floorMod(sid * 7 + i.toLong * 13, 65536L) - 32768L)
+      for (r <- rows.filter(_.getLong(0) == id)) {
+        val start = r.getLong(2).toInt
+        assert(start == r.getLong(1).toInt * stride)
+        val w = s.slice(start, start + win)
+        assert(r.getLong(3) == w.map(x => x * x).sum, s"sum_sq id=$id start=$start")
+        assert(r.getLong(4) == w.sliding(2).count(p => p.head * p.last < 0),
+          s"zero_crossings id=$id start=$start")
+        assert(r.getLong(5) == w.map(math.abs).max, s"peak id=$id start=$start")
+        val rms = math.floor(math.sqrt(r.getLong(3).toDouble / win) * 10000 + 0.5) / 10000
+        assert(r.getDouble(6) == rms)
+      }
+    }
+  }
 }
