@@ -321,6 +321,41 @@ object StreamQueries {
     // stateful candidate dedup, append mode). Result contract
     // identical to d27/d29, so the oracle is d27's verbatim — what
     // st16 adds is the engine executing the probe incrementally.
+    // S15: streaming CURATION gate — the quality-filter → exact-dedup
+    // ingest front of d15's pipeline run through the REAL engine: the
+    // doc stream computes the d15 quality score statelessly, drops
+    // sub-threshold docs, and streams dropDuplicates over the content
+    // hash (ONE bounded state store: 32-hex keys — the 100 TB ingest
+    // shape, state = distinct content seen, not the corpus). Emitted
+    // columns are content_hash + functions of the TEXT itself
+    // (identical for every copy), so although WHICH duplicate row
+    // survives is arrival-order-dependent, the emitted ROW is not —
+    // the st09 key-set contract extended with content-determined
+    // payload. Dup-row deliveries collapse into the same hash key.
+    "st17_stream_curation" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextStats}
+      StreamRun.onTable(s, dir, "documents", OutputMode.Append()) { d =>
+        val norm = Dedup.normText(col("text"))
+        val toks = Dedup.tokens(col("text"))
+        val feat = d.select(norm.as("norm"), size(toks).as("n_tokens"),
+          length(norm).as("n_chars"),
+          length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
+          TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
+            .as("allstop"))
+        val nTok = col("n_tokens").cast("double")
+        // d15's exact quality expression — UNROUNDED for the gate
+        val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+          TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
+          TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
+        feat.filter(quality >= 0.52)
+          .select(md5(col("norm")).as("content_hash"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            (floor(quality * lit(10000.0) + lit(0.5)) / lit(10000.0))
+              .as("quality"))
+          .dropDuplicates("content_hash")
+      }.orderBy("content_hash")
+    }),
+
     "st16_stream_index_probe" -> ((s, dir) => {
       import graft.operators.Dedup
       val d = Graft.table(s, dir, "documents")
@@ -348,6 +383,30 @@ object StreamQueries {
     // streaming-ingest dup-row contract (see probeLshIndexStreaming).
     "st16_stream_index_probe" ->
       graft.queries.TextQueries.incrementalLshOracleSql(distinctBase = true),
+
+    // st17: d15's quality CTEs (the same shared fragments — norm,
+    // stop filter, safe ratios, identical add order for the UNROUNDED
+    // gate), then GROUP BY content hash: every copy of a text has the
+    // same n_tokens/quality, so min() just reads the value.
+    "st17_stream_curation" -> {
+      import graft.queries.TextQueries.{normSql, safeDivSql, stopFilterSql}
+      s"""WITH base AS (SELECT $normSql AS norm,
+         |    string_split($normSql, ' ') AS toks FROM documents),
+         | feat AS (SELECT norm, toks, len(toks) AS n_tokens,
+         |    length(norm) AS n_chars,
+         |    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+         |    ${stopFilterSql("toks", graft.operators.TextStats.stopwords.flatMap(_._2))} AS allstop
+         |  FROM base),
+         | q AS (SELECT *, least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         |    + ${safeDivSql("allstop", "n_tokens")} * 0.3
+         |    + ${safeDivSql("alpha", "n_chars")} * 0.3 AS quality
+         |  FROM feat),
+         | qk AS (SELECT * FROM q WHERE quality >= 0.52)
+         |SELECT md5(norm) AS content_hash,
+         |  CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+         |  floor(min(quality) * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM qk GROUP BY md5(norm) ORDER BY content_hash""".stripMargin
+    },
     "st01_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -22,12 +22,12 @@ object TextQueries {
   /** Shared SQL fragments so Spark and oracle can't drift: the one
     * DuckDB replay of Dedup.normText (ASCII-fold — see its doc).
     */
-  private val normSql = PortableHashSql.norm("text")
-  private def stopFilterSql(toksExpr: String, words: Seq[String]): String =
+  private[queries] val normSql = PortableHashSql.norm("text")
+  private[queries] def stopFilterSql(toksExpr: String, words: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** TextStats.safeRatio replay: a/b as doubles, 0.0 when b = 0. */
-  private def safeDivSql(num: String, den: String): String =
+  private[queries] def safeDivSql(num: String, den: String): String =
     s"(CASE WHEN ($den) = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END)"
 
   /** TextStats.halfUp4 replay: floor(x·10⁴ + ½)/10⁴ in pure double

@@ -216,4 +216,17 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     spark.catalog.clearCache()
   }
+
+  test("streaming curation gate dedups incrementally and is dup-delivery invariant") {
+    val q = SparkEntry.queries("st17_stream_curation")
+    val once = q(spark, dir).collect()
+    // real incremental evidence: epoch write + the content-hash state store
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite") &&
+      StreamRun.lastPlan.contains("StreamingDeduplicate"),
+      s"expected incremental curation plan in:\n${StreamRun.lastPlan}")
+    assert(once.nonEmpty)
+    // every emitted row passes the gate and rows are hash-unique
+    assert(once.map(_.getString(0)).distinct.length == once.length)
+    assert(once.forall(_.getDouble(2) >= 0.52))
+  }
 }
