@@ -838,6 +838,50 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // R57: EWMA anomaly monitor over keyed hourly series — the ops
+    // monitoring pass streaming z-score (st11) can't express: an
+    // EXPONENTIALLY-weighted baseline (α=0.25) that adapts to drift,
+    // with a spike flag when an hour's volume deviates >50% from the
+    // smoothed baseline of everything before it. EWMA is a sequential
+    // recurrence (e_i = α·v_i + (1−α)·e_{i−1}) no window frame can
+    // compute, so the series folds per key: one map-side-combined
+    // count agg to (key, hour) rows — CALENDAR-BOUNDED, which is what
+    // makes the per-key collect safe at 100 TB (a year is 8,760
+    // entries regardless of corpus size; the heavy reduction happened
+    // in the count) — then a linear HOF fold per key. The metric is
+    // an integer COUNT (exact under any partitioning) and the fold
+    // order is pinned by the sorted array, so every double is
+    // engine-reproducible; the oracle replays e_i as the identical-
+    // op-order fold of the first i elements.
+    "q55_ewma_monitor" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("sv"))
+        .select(col("event_type"),
+          expr("transform(sv, x -> x.hr)").as("hrs"),
+          expr("transform(sv, x -> CAST(x.n AS DOUBLE))").as("vs"),
+          expr("transform(sv, x -> x.n)").as("ns"))
+        .withColumn("es", expr(
+          "aggregate(vs, CAST(array() AS ARRAY<DOUBLE>), (acc, v) -> " +
+            "concat(acc, array(CASE WHEN size(acc) = 0 THEN v " +
+            "ELSE 0.25 * v + 0.75 * element_at(acc, -1) END)))"))
+        .select(col("event_type"), col("hrs"), col("ns"), col("es"),
+          explode(expr("sequence(1, size(ns))")).as("i"))
+        .select(col("event_type"),
+          unix_micros(expr("element_at(hrs, i)")).as("hour_start_us"),
+          expr("element_at(ns, i)").cast("long").as("n"),
+          (floor(expr("element_at(es, i)") * lit(10000.0) + lit(0.5))
+            / lit(10000.0)).as("ewma"),
+          when(col("i") === 1, lit(0))
+            .when(abs(expr("CAST(element_at(ns, i) AS DOUBLE)")
+                - expr("element_at(es, i - 1)"))
+              > lit(0.5) * expr("element_at(es, i - 1)"), lit(1))
+            .otherwise(lit(0)).cast("long").as("spike"))
+        .orderBy("event_type", "hour_start_us")
+    }),
+
     "q41_retention" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val first = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
@@ -1417,6 +1461,33 @@ object Relational {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_prio
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // q55: e_i replayed as the identical-op-order fold of the first i
+    // elements (list_reduce seeds with vs[1] = the e_1 = v_1 base
+    // case; 0.25·b + 0.75·a mirrors the Spark lambda's add order).
+    // Quadratic in series length here, linear engine-side — same
+    // doubles either way because the recurrence is the same ops.
+    "q55_ewma_monitor" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        | s AS (SELECT event_type,
+        |    list(hr ORDER BY hr) AS hrs,
+        |    list(CAST(n AS DOUBLE) ORDER BY hr) AS vs,
+        |    list(n ORDER BY hr) AS ns
+        |  FROM h GROUP BY event_type),
+        | e AS (SELECT event_type, hrs, ns,
+        |    list_transform(range(1, len(ns) + 1),
+        |      i -> list_reduce(vs[1:i], (a, b) -> 0.25 * b + 0.75 * a)) AS es
+        |  FROM s),
+        | x AS (SELECT event_type, hrs, ns, es,
+        |    unnest(range(1, len(ns) + 1)) AS i FROM e)
+        |SELECT event_type, epoch_us(hrs[i]) AS hour_start_us,
+        |  CAST(ns[i] AS BIGINT) AS n,
+        |  floor(es[i] * 10000.0 + 0.5) / 10000.0 AS ewma,
+        |  CASE WHEN i = 1 THEN 0
+        |       WHEN abs(CAST(ns[i] AS DOUBLE) - es[i - 1]) > 0.5 * es[i - 1]
+        |       THEN 1 ELSE 0 END AS spike
+        |FROM x ORDER BY event_type, hour_start_us""".stripMargin,
 
     "q36_theta_overlap" ->
       """SELECT
