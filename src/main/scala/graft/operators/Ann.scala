@@ -791,6 +791,52 @@ object Ann {
     (cand, adcRank(cand, q, cents, m, subDim, kTop))
   }
 
+  /** L83 — int8 inner-product retrieval (MIPS over symmetric
+    * per-vector quantization — the s05 compaction codes used for
+    * SERVING): both sides quantize with scale 127/max|v| and
+    * elementwise floor(v·s + ½); the score is the reconstructed
+    * inner product Σq_i·c_i / (s_q·s_c). This is the production
+    * int8 path (FAISS `SQ8` / int8 GEMM serving): the hot loop is an
+    * INTEGER dot product over codes 4× smaller than floats — SIMD
+    * fodder — and the float correction is one multiply-divide per
+    * pair, applied AFTER the integer arithmetic.
+    *
+    * Oracle-exactness: the integer dot is exact under any order; the
+    * scales are deterministic doubles (one max, one divide); the
+    * descale is one double op — so the ranking replays
+    * value-for-value. A zero vector has scale 0 → score NULL (the
+    * s01 zero-norm convention), ranked last.
+    *
+    * Scale shape: s01's exactly — queries broadcast, one corpus
+    * pass, per-query bounded rank; at rest the corpus side reads
+    * int8 codes + one scale per vector, not floats.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               embCol: String, k: Int = 10): DataFrame = {
+    def quant(df: DataFrame, id: String, sc: String, arr: String): DataFrame =
+      df.select(col(idCol).as(id),
+          transform(col(embCol), v => v.cast("double")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn(sc, when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+        .withColumn(arr, transform(col("v"),
+          x => floor(x * col(sc) + lit(0.5)).cast("long")))
+        .drop("v", "mx")
+    val c = quant(corpus, "vec_id", "sc_c", "ca")
+    val q = quant(queries, "qid", "sc_q", "qa")
+    val idot = aggregate(zip_with(col("qa"), col("ca"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ip").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("ip",
+        when(col("sc_q") === 0.0 || col("sc_c") === 0.0, lit(null).cast("double"))
+          .otherwise(idot.cast("double") / (col("sc_q") * col("sc_c"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        (floor(col("ip") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("ip"))
+  }
+
   /** L80 — two-stage retrieval: IVFADC candidate generation + EXACT
     * re-rank (the standard production serving shape — FAISS's
     * `IndexRefineFlat`, Jégou et al. §VI "re-ranking with source

@@ -271,6 +271,17 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // L83: int8 MIPS retrieval — serving from s05's quantization:
+    // integer dot product over the 4×-smaller codes, one float
+    // descale after. Exact-integer core + deterministic scales →
+    // fully oracle-replayed; zero vectors score NULL (s01's
+    // convention).
+    "s20_int8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.int8TopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
     // L26: one-pass PCA — VecStatsAgg collects count/sum/Gram in a
     // single tree-reduced aggregate, the d×d eigenproblem solves on
     // the driver (Jacobi), and the projection is a narrow codegen'd
@@ -1098,6 +1109,39 @@ object VectorQueries {
         |  FROM sc0)
         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
         |FROM scored WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s20: s05's quantization replayed on BOTH sides, integer dot via
+    // the prepend-seeded fold (exact under any order), one
+    // multiply-then-divide descale in the same op order as the Spark
+    // column expression, zero-scale guarded to NULL, halfUp4 display.
+    "s20_int8_topk" ->
+      s"""WITH e AS ($embSql),
+         | qz AS (SELECT vec_id, de,
+         |          list_max(list_transform(de, x -> abs(x))) AS mx FROM e),
+         | qq AS (SELECT vec_id,
+         |          CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+         |          list_transform(de, x -> CAST(floor(x *
+         |            (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+         |            AS BIGINT)) AS q8
+         |        FROM qz),
+         | qs AS (SELECT vec_id AS qid, scale AS sq, q8 AS qa
+         |        FROM qq WHERE vec_id < 5),
+         | sc AS (SELECT qs.qid, c.vec_id, qs.sq, c.scale AS scc,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, 65), i -> qa[i] * c.q8[i])),
+         |            (a, b) -> a + b) AS idot
+         |        FROM qs, qq c),
+         | ad AS (SELECT qid, vec_id,
+         |          CASE WHEN sq = 0 OR scc = 0 THEN NULL
+         |               ELSE CAST(idot AS DOUBLE) / (sq * scc) END AS ip
+         |        FROM sc),
+         | rk AS (SELECT qid, vec_id, ip,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY ip DESC NULLS LAST, vec_id) AS rnk
+         |        FROM ad)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |  floor(ip * 10000.0 + 0.5) / 10000.0 AS ip
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "s05_quantize" ->
       s"""WITH e AS ($embSql),

@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "s14_ivf_adc", "s16_pq_serve", "s17_ivfadc_serve", "s18_ivfadc_residual",
     // s19: stage 1 is s14's plan verbatim; stage 2 adds only equi-joins
     "s19_ivfadc_rerank",
+    // s20: the s01 shape — tiny query side broadcast against the corpus
+    "s20_int8_topk",
     // t31: the class-skeleton crossJoin broadcasts the ≤C-row model dim
     "t31_trained_classifier",
     "t29_rrf_hybrid", "d05_embed_neardup",

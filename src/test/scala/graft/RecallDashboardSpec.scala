@@ -64,6 +64,27 @@ class RecallDashboardSpec extends AnyFunSuite {
     hits.toDouble / exact.values.map(_.size).sum
   }
 
+  test("int8 MIPS recall@10 vs exact float inner product") {
+    import graft.functions.GraftFunctions
+    val e = base.cache()
+    val q = e.filter(col("vec_id") < 5)
+    // exact float MIPS baseline: rank by the double dot product
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dp").desc, col("vec_id"))
+    val exact = topIds(e.select(col("vec_id"), col("embedding").as("cemb"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qemb"))))
+      .withColumn("dp", GraftFunctions.dot_product(
+        col("qemb").cast("array<double>"), col("cemb").cast("array<double>")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "vec_id"))
+    val r = recall(Ann.int8TopK(e, q, "vec_id", "embedding", k = 10), exact)
+    e.unpersist()
+    info(f"int8_mips=$r%.2f")
+    // 8-bit symmetric quantization barely perturbs a 64-d dot product
+    assert(r >= 0.80, f"int8 MIPS recall $r%.2f under 0.80")
+  }
+
   test("recall@10 floors: SRP-LSH, IVF (MLlib + exact), exhaustive ADC, IVFADC") {
     val results = Seq("base" -> base, "content" -> contentAdv, "types" -> typeDrift)
       .map { case (vname, e0) =>
