@@ -690,6 +690,44 @@ object Relational {
         .orderBy("col_name")
     }),
 
+    // R58/q56: incremental aggregate maintenance — the materialized-
+    // view refresh pattern (operators/IncrementalAgg): the base half
+    // of orders is reduced ONCE to per-customer partial state
+    // (count / sum / min / max over integer cents) and PERSISTED as a
+    // parquet table; the refresh aggregates only the DELTA half and
+    // merges on the |keys|-sized state. The oracle recomputes from
+    // ALL of orders, so DuckDB certifies merge(stored-partial,
+    // delta-partial) == full recompute value-for-value THROUGH a real
+    // write→read of the state table (the q53/d29 persisted-state
+    // certification pattern). avg is DERIVED at read (sum/cnt —
+    // exact-integer division in double), the classic non-stored
+    // measure; exact-distinct/quantile measures take the sketch-state
+    // road instead (q37's theta rollup). Split membership is
+    // null-safe (coalesce(pred, false)) so every dirty-instance row
+    // lands exactly one side; the split date never reaches the
+    // oracle — correctness is split-invariant by construction.
+    "q56_incr_mv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("o_custkey"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        col("o_orderdate").cast("date").as("od"))
+      val isBase = coalesce(col("od") < lit("1996-01-01").cast("date"),
+        lit(false))
+      val keys = Seq("o_custkey"); val ms = Seq("cents")
+      val tmp = graft.sources.TidyIO.scratchDir("graft_incr_mv")
+      graft.operators.IncrementalAgg.partial(o.filter(isBase), keys, ms)
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val deltaPart =
+        graft.operators.IncrementalAgg.partial(o.filter(!isBase), keys, ms)
+      graft.operators.IncrementalAgg.merge(Seq(stored, deltaPart), keys, ms)
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_cents"), col("min_cents"), col("max_cents"),
+          (col("sum_cents").cast("double") / col("cnt")).as("avg_cents"))
+        .orderBy("o_custkey")
+    }),
+
     "q47_dq_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val agg = li.agg(
@@ -1007,6 +1045,20 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q54_profile" -> profileOracleSql,
+
+    // Full recompute over ALL of orders — certifying that the Spark
+    // side's persisted-base + delta merge equals it value-for-value.
+    "q56_incr_mv" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents,
+        | min(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS min_cents,
+        | max(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS max_cents,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE)
+        |   / count(*) AS avg_cents
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

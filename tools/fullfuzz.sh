@@ -19,6 +19,6 @@ run "$FUZZ/hotbucket"  "d,t,q50,m" hotbucket
 run "$FUZZ/relcontent" "q,f,st"    relcontent
 run "$FUZZ/reltypes"   "q,f,st"    reltypes
 run "$FUZZ/relclicks"  "st"        relclicks
-run "$FUZZ/embcontent" "s0,s1,d05,d12,t29,m" embcontent
-run "$FUZZ/embtypes"   "s0,s1,d05,d12,t29,m" embtypes
+run "$FUZZ/embcontent" "s0,s1,s2,d05,d12,t29,m" embcontent
+run "$FUZZ/embtypes"   "s0,s1,s2,d05,d12,t29,m" embtypes
 echo DONE
