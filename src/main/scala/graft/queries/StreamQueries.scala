@@ -169,6 +169,37 @@ object StreamQueries {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // S16: LEFT-SEMI stream-stream interval join through the REAL
+    // engine — the "clicks that converted" audience-selection shape
+    // (the set form of st07's pair enumeration, without carrying the
+    // purchase payload). A semi join emits a matched left row exactly
+    // ONCE, in the micro-batch that completes its first match;
+    // unmatched left state is silently evicted at the watermark.
+    // Matched-set output is therefore exact in append mode like the
+    // inner join (no NULL rows → no closed-region cut, st13's gating
+    // not needed), and arrival-order-invariant because every emitted
+    // column is a left-row fact — which purchase matched first never
+    // shows. Duplicate click rows each emit once (row semantics, not
+    // key semantics), mirrored by the oracle's correlated EXISTS.
+    "st18_interval_semi" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+          .withWatermark("tc", "30 minutes")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+          .withWatermark("tp", "30 minutes")
+        c.join(p, col("user_id") === col("p_user_id") &&
+            col("tc") <= col("tp") &&
+            col("tc") >= col("tp") - expr("interval 10 minutes"),
+          "left_semi")
+          .select(col("user_id"), col("click_id"),
+            unix_micros(col("tc")).as("tc_us"))
+      }.orderBy("user_id", "click_id")
+    }),
+
     // S12: CHAINED STATEFUL OPERATORS — streaming dedup feeding a
     // watermarked append-mode window aggregate in ONE query (two
     // state stores in one MicroBatchExecution pipeline, the Spark
@@ -482,6 +513,19 @@ object StreamQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND tc <= tp AND tc >= tp - 600000000
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // st18: the st07 interval condition as a SEMI join — matched
+    // clicks only, row semantics (duplicate click rows each emit).
+    "st18_interval_semi" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id AS user_id, click_id, tc AS tc_us
+        |FROM c WHERE EXISTS (
+        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND tc <= tp AND tc >= tp - 600000000)
+        |ORDER BY 1, 2""".stripMargin,
 
     // st13: the same interval condition as LEFT JOIN, both engines
     // cut to the closed region (≥ 41 min before min(max tc, max tp))

@@ -191,6 +191,41 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-semi interval join equals batch exactly and runs LeftSemi state") {
+    // st18's contract: a semi join emits a matched left row once, in
+    // the micro-batch completing its first match — no NULL rows means
+    // no watermark gating, so streaming equals batch on the WHOLE
+    // output (the inner-join exactness argument applied to the
+    // matched set), and the emitted columns are left-row facts only
+    // (arrival-order-invariant by construction).
+    def shape(e: org.apache.spark.sql.DataFrame) = {
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("tp"))
+      (c, p)
+    }
+    val cond = col("user_id") === col("p_user_id") &&
+      col("tc") <= col("tp") &&
+      col("tc") >= col("tp") - expr("interval 10 minutes")
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      val (c0, p0) = shape(e)
+      c0.withWatermark("tc", "30 minutes")
+        .join(p0.withWatermark("tp", "30 minutes"), cond, "left_semi")
+        .select(col("user_id"), col("click_id"), unix_micros(col("tc")).as("tc_us"))
+    }
+    assert(StreamRun.lastPlan.contains("StreamingSymmetricHashJoin"),
+      s"expected a streaming join in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("LeftSemi"),
+      s"expected LeftSemi join state in:\n${StreamRun.lastPlan}")
+    val (c, p) = shape(Graft.table(spark, dir, "events"))
+    val batch = c.join(p, cond, "left_semi")
+      .select(col("user_id"), col("click_id"), unix_micros(col("tc")).as("tc_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming LSH index probe runs incrementally and equals the batch probe") {
     import graft.operators.Dedup
     val d = Graft.table(spark, dir, "documents").dropDuplicates("doc_id", "text")
