@@ -29,6 +29,13 @@ object GraftFunctions {
   /** 64-bit polynomial rolling hash of a string (fingerprinting). */
   def rolling_hash(s: Column): Column = GraftExpressions.rolling_hash(s)
 
+  /** Aho–Corasick one-pass multi-pattern scan: per-term greedy
+    * leftmost non-overlapping occurrence counts (array in term
+    * order). O(|text|) whatever the dictionary size.
+    */
+  def blocklist_counts(text: Column, terms: Seq[String]): Column =
+    GraftExpressions.blocklist_counts(text, terms)
+
   /** Inner product of two float arrays (codegen'd ordered fold). */
   def dot_product(a: Column, b: Column): Column = GraftExpressions.dot_product(a, b)
 

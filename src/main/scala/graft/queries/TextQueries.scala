@@ -884,6 +884,33 @@ object TextQueries {
         .orderBy("doc_id", "label")
     }),
 
+    // L84: Aho–Corasick blocklist scan — the policy-term / safety-
+    // filter pass: per-term greedy leftmost non-overlapping counts
+    // for the whole dictionary in ONE pass over the document bytes
+    // (gx BlocklistCounts; O(|text|) whatever the dictionary size,
+    // vs O(|text|·|terms|) for per-term contains). The term list
+    // exercises the semantics on purpose: 'a' hits inside words
+    // (substring, not word-boundary), 'agg' overlaps it, 'batch
+    // batch' self-overlaps in 'batch batch batch' (greedy counts 1),
+    // 'sort merge' is a phrase, 'zzz' never matches. Corpus report =
+    // explode + keyed agg over slim (term_idx, cnt) rows; the GATE
+    // form is the narrow zero-shuffle filter
+    // `exists(cnts, c -> c > 0)`. Oracle replays each term's count
+    // with the shared replace() length formula — the same greedy
+    // non-overlapping semantics by construction.
+    "t33_blocklist" -> ((s, dir) => {
+      val terms = Seq("a", "agg", "batch batch", "scan", "sort merge", "zzz")
+      docs(s, dir)
+        .select(GraftFunctions.blocklist_counts(
+          coalesce(col("text"), lit("")), terms).as("cnts"))
+        .select(posexplode(col("cnts")).as(Seq("ti", "cnt")))
+        .withColumn("term", element_at(array(terms.map(lit): _*), col("ti") + 1))
+        .groupBy("term")
+        .agg(sum("cnt").as("n_occurrences"),
+          count(when(col("cnt") > 0, 1)).as("n_docs"))
+        .orderBy("term")
+    }),
+
     "t12_vocab" -> ((s, dir) => {
       val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
@@ -1346,6 +1373,19 @@ object TextQueries {
     // fix-up), apply the pseudo-weight formula, list-sum. Empty
     // tokens are filtered (split('') is ['']) so an empty doc is
     // (0, 0, NULL) — mirroring hashedLinearScore's guard.
+    // t33: per-term greedy non-overlapping counts via the shared
+    // replace() length formula — exactly the AC scan's semantics.
+    "t33_blocklist" ->
+      """WITH terms(term) AS (VALUES ('a'), ('agg'), ('batch batch'),
+        |    ('scan'), ('sort merge'), ('zzz')),
+        | d AS (SELECT coalesce(text, '') AS tx FROM documents),
+        | x AS (SELECT term,
+        |    (length(tx) - length(replace(tx, term, ''))) // length(term) AS cnt
+        |  FROM d CROSS JOIN terms)
+        |SELECT term, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |  CAST(count(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT) AS n_docs
+        |FROM x GROUP BY term ORDER BY term""".stripMargin,
+
     "t30_linear_score" ->
       s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM documents),
          | th AS (SELECT doc_id, list_transform(

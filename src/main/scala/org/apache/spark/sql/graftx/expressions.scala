@@ -1116,6 +1116,143 @@ object Zorder2 {
   def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
 }
 
+/** Aho–Corasick multi-pattern scan (Aho & Corasick 1975): per-term
+  * greedy leftmost NON-OVERLAPPING occurrence counts for a fixed term
+  * dictionary, in ONE pass over the document bytes — the blocklist /
+  * policy-term / safety-filter hot path. A per-term `contains` scan is
+  * O(|text|·|terms|); the automaton is O(|text| + matches) whatever
+  * the dictionary size, which is the difference at 100 TB with a
+  * real blocklist (thousands of terms).
+  *
+  * Count semantics per term = the `replace(text, term, '')` length
+  * formula both SQL engines share (greedy leftmost non-overlapping,
+  * each term counted INDEPENDENTLY — overlaps between different terms
+  * all count): match ends arrive in increasing position, a match
+  * counts iff its start is at or past the previous counted end of the
+  * SAME term. Byte-level matching equals char-level matching on any
+  * valid UTF-8 (a pattern can't begin on a continuation byte), so the
+  * oracle's char-based replace arithmetic replays it exactly.
+  *
+  * The automaton (goto table flattened to int[states·256], BFS-built
+  * failure links, fail-closure output lists) is built once per
+  * Expression instance and shipped as a codegen reference object; the
+  * per-row call runs the compiled scan loop — the kernel stays inside
+  * whole-stage codegen, no interpreted fallback.
+  */
+final class AcAutomaton(termBytes: Array[Array[Byte]]) extends Serializable {
+  val nTerms: Int = termBytes.length
+  private val termLen: Array[Int] = termBytes.map(_.length)
+  // Build trie.
+  private val (next: Array[Int], outOff: Array[Int], outTerm: Array[Int]) = {
+    val maxStates = 1 + termBytes.map(_.length).sum
+    val goto = Array.fill(maxStates * 256)(-1)
+    val ends = Array.fill(maxStates)(-1) // term ending exactly at state
+    var nStates = 1
+    var t = 0
+    while (t < nTerms) {
+      var st = 0
+      val bs = termBytes(t)
+      var i = 0
+      while (i < bs.length) {
+        val c = bs(i) & 0xff
+        if (goto(st * 256 + c) < 0) { goto(st * 256 + c) = nStates; nStates += 1 }
+        st = goto(st * 256 + c)
+        i += 1
+      }
+      ends(st) = t
+      t += 1
+    }
+    // BFS failure links; convert goto to a total transition function.
+    val fail = Array.fill(nStates)(0)
+    val order = new java.util.ArrayDeque[Integer]()
+    var c = 0
+    while (c < 256) {
+      val s = goto(c)
+      if (s < 0) goto(c) = 0 else { fail(s) = 0; order.add(s) }
+      c += 1
+    }
+    while (!order.isEmpty) {
+      val r = order.poll().intValue()
+      var c = 0
+      while (c < 256) {
+        val s = goto(r * 256 + c)
+        if (s >= 0) {
+          fail(s) = goto(fail(r) * 256 + c)
+          order.add(s)
+        } else {
+          goto(r * 256 + c) = goto(fail(r) * 256 + c)
+        }
+        c += 1
+      }
+    }
+    // Output closure per state: own end + fail-chain ends, flattened.
+    val lists = Array.tabulate(nStates) { s =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = s
+      while (cur != 0) { if (ends(cur) >= 0) buf += ends(cur); cur = fail(cur) }
+      buf.toArray
+    }
+    val off = new Array[Int](nStates + 1)
+    var i = 0
+    while (i < nStates) { off(i + 1) = off(i) + lists(i).length; i += 1 }
+    val flat = new Array[Int](off(nStates))
+    i = 0
+    while (i < nStates) {
+      System.arraycopy(lists(i), 0, flat, off(i), lists(i).length); i += 1
+    }
+    (java.util.Arrays.copyOf(goto, nStates * 256), off, flat)
+  }
+
+  /** One-pass scan → per-term non-overlapping counts. */
+  def run(s: UTF8String): Array[Long] = {
+    val counts = new Array[Long](nTerms)
+    val lastEnd = new Array[Int](nTerms) // position AFTER last counted match
+    val nb = s.numBytes()
+    var st = 0
+    var i = 0
+    while (i < nb) {
+      st = next(st * 256 + (s.getByte(i) & 0xff))
+      var o = outOff(st)
+      val end = outOff(st + 1)
+      while (o < end) {
+        val t = outTerm(o)
+        val start = i + 1 - termLen(t)
+        if (start >= lastEnd(t)) { counts(t) += 1L; lastEnd(t) = i + 1 }
+        o += 1
+      }
+      i += 1
+    }
+    counts
+  }
+}
+
+case class BlocklistCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty), "blocklist_counts: non-empty terms required")
+  override def inputTypes = Seq[AbstractDataType](StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "blocklist_counts"
+
+  @transient private lazy val automaton =
+    new AcAutomaton(terms.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
+
+  override protected def nullSafeEval(e: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      automaton.run(e.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ac = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ac.run($s));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftExpressions {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def exp(c: Column): Expression = ExpressionUtils.expression(c)
@@ -1132,6 +1269,9 @@ object GraftExpressions {
 
   def hashed_linear_score(normText: Column, numBuckets: Int, weights: Seq[Long]): Column =
     col(HashedLinearScore(exp(normText), numBuckets, weights))
+
+  def blocklist_counts(text: Column, terms: Seq[String]): Column =
+    col(BlocklistCounts(exp(text), terms))
 
   def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
     col(LogicleQ6(exp(x), t, m, w))
