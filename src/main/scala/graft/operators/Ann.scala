@@ -837,6 +837,56 @@ object Ann {
         (floor(col("ip") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("ip"))
   }
 
+  /** L85 — truncated-dimension retrieval + exact re-rank (the
+    * Matryoshka / MRL serving shape, Kusupati et al. 2022: nested
+    * representations make the FIRST dPrefix coordinates a usable
+    * low-cost embedding): stage 1 ranks the corpus by cosine over the
+    * dPrefix-coordinate PREFIX only — on a matryoshka-laid-out store
+    * (prefix slice as its own column / column chunk) the scan reads
+    * dPrefix/dim of the float bytes, here 1/4 — and cuts a
+    * `shortlist`-deep candidate set per query; stage 2 fetches only
+    * the shortlist's full vectors (broadcast point-lookup, s19's
+    * fetch shape) and re-scores with the exact full-dimension cosine.
+    *
+    * Same algebra as PQ-then-refine but with zero trained state —
+    * the cheap representation is a projection, so there is nothing
+    * to retrain when the corpus drifts; the trade is a weaker cheap
+    * stage (a prefix keeps ~dPrefix/dim of the variance on
+    * isotropic vectors, while PQ spends its budget adaptively).
+    *
+    * Determinism: prefix cosine and full cosine are both the
+    * certified float-fold kernel; zero-norm prefixes rank NULLS LAST
+    * with vec_id tiebreak — the whole two-stage composition replays
+    * value-for-value in the external oracle (dot over the first
+    * dPrefix list positions).
+    */
+  def truncRerankTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, embCol: String, kTop: Int = 10,
+                      dPrefix: Int = 16, shortlist: Int = 30): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"),
+      slice(col(embCol), 1, dPrefix).as("qp"))
+    // stage 1 projects ONLY the prefix — the matryoshka layout's scan
+    val cPrefix = corpus.select(col(idCol).as("vec_id"),
+      slice(col(embCol), 1, dPrefix).as("cp"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("c1").desc, col("vec_id"))
+    val sl = cPrefix.crossJoin(broadcast(q.select("qid", "qp")))
+      .withColumn("c1", GraftFunctions.cosine_sim(col("qp"), col("cp")))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= shortlist)
+      .select("qid", "vec_id")
+    // stage 2: |q|·shortlist point-lookups + exact full-dim cosines
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(q.select("qid", "qemb")), Seq("qid"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** L80 — two-stage retrieval: IVFADC candidate generation + EXACT
     * re-rank (the standard production serving shape — FAISS's
     * `IndexRefineFlat`, Jégou et al. §VI "re-ranking with source

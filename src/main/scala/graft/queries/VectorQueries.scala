@@ -282,6 +282,21 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L85: truncated-dimension retrieval + exact re-rank — the
+    // Matryoshka/MRL serving shape: stage 1 ranks by cosine over the
+    // FIRST 16 of 64 coordinates (a prefix-sliced store scans 1/4 of
+    // the float bytes), stage 2 re-scores the 30-deep shortlist with
+    // the exact full-dim cosine (s19's point-lookup fetch). Zero
+    // trained state — nothing to retrain on corpus drift; both
+    // stages are the certified float-fold kernel, so the whole
+    // composition replays value-for-value.
+    "s21_trunc_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.truncRerankTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          kTop = 10, dPrefix = 16, shortlist = 30)
+        .orderBy("qid", "rnk")
+    }),
+
     // L26: one-pass PCA — VecStatsAgg collects count/sum/Gram in a
     // single tree-reduced aggregate, the d×d eigenproblem solves on
     // the driver (Jacobi), and the projection is a narrow codegen'd
@@ -1093,6 +1108,30 @@ object VectorQueries {
         |SELECT id AS vec_id, keep_id,
         |  count(*) OVER (PARTITION BY keep_id) AS cluster_size
         |FROM cc ORDER BY keep_id, vec_id""".stripMargin,
+
+    // s21: stage 1 = prefix cosine (dot over the first 16 list
+    // positions — exactly the slice the Spark side scores), NULL on a
+    // zero-norm prefix; stage 2 = full-dim cosine of the 30-deep
+    // shortlist. Both windows tiebreak on vec_id like s01.
+    "s21_trunc_rerank" ->
+      s"""WITH e AS ($embSql),
+        | q AS (SELECT vec_id AS qid, de AS qe, n2 AS qn2 FROM e WHERE vec_id < 5),
+        | s1 AS (
+        |  SELECT qid, e.vec_id, e.de, e.n2, qe, qn2,
+        |    CASE WHEN ${dotSql("qe", "qe", 16)} = 0
+        |           OR ${dotSql("e.de", "e.de", 16)} = 0 THEN NULL
+        |         ELSE ${cosSql("qe", "e.de", 16)} END AS c1
+        |  FROM q CROSS JOIN e),
+        | sh AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY c1 DESC NULLS LAST, vec_id) AS r1 FROM s1),
+        | rr AS (SELECT qid, vec_id,
+        |    CASE WHEN qn2 = 0 OR n2 = 0 THEN NULL
+        |         ELSE list_cosine_similarity(qe, de) END AS c
+        |  FROM sh WHERE r1 <= 30),
+        | sc AS (SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC NULLS LAST, vec_id) AS rnk FROM rr)
+        |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+        |FROM sc WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "s01_ann_brute" ->
       s"""WITH e AS ($embSql),
