@@ -728,6 +728,37 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // R59/q57: schema-evolution parquet read (schema-on-read over a
+    // column-accreting corpus — years of crawl batches where later
+    // batches carry columns earlier ones lack): batch 1 is written
+    // WITHOUT the priority column, batch 2 WITH it; the mergeSchema
+    // read unions the footers' schemas and nulls the missing column
+    // for old files, and the aggregate over the merged relation is
+    // certified value-for-value by an oracle that recomputes from the
+    // source table with the same old-batch→'missing' convention. At
+    // scale mergeSchema is a distributed footer-read job (metadata,
+    // not data); production declares the evolved schema in a catalog
+    // and gets the same null-fill from the reader for free — the
+    // certified behavior here is that read path itself.
+    "q57_schema_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority").cast("string").as("prio"))
+      val isNew = coalesce(pmod(col("k"), lit(2)) === 0, lit(false))
+      val tmp = graft.sources.TidyIO.scratchDir("graft_schema_merge")
+      o.filter(!isNew).select("k", "cents")
+        .write.mode("overwrite").parquet(tmp + "/b1")
+      o.filter(isNew).select("k", "cents", "prio")
+        .write.mode("overwrite").parquet(tmp + "/b2")
+      s.read.option("mergeSchema", "true").parquet(tmp + "/b1", tmp + "/b2")
+        .select(coalesce(col("prio"), lit("missing")).as("prio"), col("cents"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("prio")
+    }),
+
     "q47_dq_audit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val agg = li.agg(
@@ -1059,6 +1090,17 @@ object Relational {
         |   / count(*) AS avg_cents
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q57: recompute from orders with the same old-batch (odd/null
+    // key) → 'missing' convention the split wrote into batch 1.
+    "q57_schema_merge" ->
+      """SELECT CASE WHEN o_orderkey IS NOT NULL AND o_orderkey % 2 = 0
+        |         THEN coalesce(o_orderpriority, 'missing')
+        |         ELSE 'missing' END AS prio,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
