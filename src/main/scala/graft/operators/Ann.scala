@@ -887,6 +887,61 @@ object Ann {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** L86 — 1-bit sign-quantized Hamming retrieval + exact re-rank
+    * (binary hashing / SQ1 — Charikar's SRP at its degenerate
+    * identity-rotation point: bit j = sign(v_j)): each 64-d vector
+    * compresses to TWO longs (16 B — 16× smaller than the float
+    * payload, 4× smaller than s20's int8), candidate generation
+    * ranks by Hamming distance — xor + popcount, the cheapest
+    * possible scan arithmetic, integer-exact on any engine — and the
+    * `shortlist` survivors re-rank with the exact full-dim cosine
+    * (s19's point-lookup fetch). For angular similarity
+    * E[hamming]/bits = angle/π (the SRP guarantee), so sign bits
+    * preserve cosine ORDER in expectation; the exact re-rank
+    * recovers the ordering quantization buried inside the shortlist.
+    *
+    * Scale shape: the candidate scan reads 16 B/vector and does two
+    * xor+popcount ops — this is the regime where the scan is memory-
+    * bandwidth-bound, the point of binary codes; stage 2 touches
+    * |q|·shortlist raw vectors. Zero trained state, like [[
+    * truncRerankTopK]]. All-integer stage 1 + certified float-fold
+    * stage 2 → fully oracle-replayable (bits pack as Σ 2^j in two
+    * 32-bit halves — no sign-bit overflow — hamming via bit_count).
+    */
+  def signHammingTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, embCol: String, kTop: Int = 10,
+                      shortlist: Int = 30): DataFrame = {
+    def pack(df: DataFrame, id: String, lo: String, hi: String,
+             keepEmb: Option[String]): DataFrame = {
+      def half(off: Int) = expr(
+        s"""aggregate(transform(slice($embCol, ${off + 1}, 32),
+           |  (x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+      df.withColumn(lo, half(0)).withColumn(hi, half(32))
+        .select(col(idCol).as(id) +: (keepEmb.map(n => col(embCol).as(n)).toSeq
+          ++ Seq(col(lo), col(hi))): _*)
+    }
+    val q = pack(queries, "qid", "qlo", "qhi", Some("qemb"))
+    val cCodes = pack(corpus, "vec_id", "clo", "chi", None)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ham").asc, col("vec_id"))
+    val sl = cCodes.crossJoin(broadcast(q.select("qid", "qlo", "qhi")))
+      .withColumn("ham",
+        expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)").cast("long"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= shortlist)
+      .select("qid", "vec_id")
+    val c = corpus.select(col(idCol).as("vec_id"), col(embCol).as("cemb"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    c.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(q.select("qid", "qemb")), Seq("qid"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= kTop)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** L80 — two-stage retrieval: IVFADC candidate generation + EXACT
     * re-rank (the standard production serving shape — FAISS's
     * `IndexRefineFlat`, Jégou et al. §VI "re-ranking with source

@@ -297,6 +297,18 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L86: 1-bit sign Hamming retrieval + exact re-rank — the binary-
+    // hashing extreme of the compression family (s05 int8 → s11 PQ →
+    // 2 longs/vector here): xor+popcount candidate scan over 16 B
+    // codes, 30-deep shortlist, exact cosine re-rank. All-integer
+    // stage 1 → fully oracle-replayed.
+    "s22_sign_hamming" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.signHammingTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          kTop = 10, shortlist = 30)
+        .orderBy("qid", "rnk")
+    }),
+
     // L26: one-pass PCA — VecStatsAgg collects count/sum/Gram in a
     // single tree-reduced aggregate, the d×d eigenproblem solves on
     // the driver (Jacobi), and the projection is a narrow codegen'd
@@ -1124,6 +1136,35 @@ object VectorQueries {
         |  FROM q CROSS JOIN e),
         | sh AS (SELECT *, row_number() OVER (PARTITION BY qid
         |      ORDER BY c1 DESC NULLS LAST, vec_id) AS r1 FROM s1),
+        | rr AS (SELECT qid, vec_id,
+        |    CASE WHEN qn2 = 0 OR n2 = 0 THEN NULL
+        |         ELSE list_cosine_similarity(qe, de) END AS c
+        |  FROM sh WHERE r1 <= 30),
+        | sc AS (SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC NULLS LAST, vec_id) AS rnk FROM rr)
+        |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+        |FROM sc WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s22: sign bits pack as Σ 2^j in two 32-bit halves (no sign-bit
+    // overflow), hamming = popcount of the xors — all integer, then
+    // s21's exact-rerank tail verbatim.
+    "s22_sign_hamming" ->
+      s"""WITH e AS ($embSql),
+        | codes AS (SELECT vec_id, de, n2,
+        |    CAST(list_aggregate(list_transform(range(1, 33),
+        |      i -> CASE WHEN de[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+        |                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS lo,
+        |    CAST(list_aggregate(list_transform(range(33, 65),
+        |      i -> CASE WHEN de[i] > 0 THEN CAST(1 AS BIGINT) << (i - 33)
+        |                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS hi
+        |  FROM e),
+        | q AS (SELECT vec_id AS qid, de AS qe, n2 AS qn2, lo AS qlo, hi AS qhi
+        |  FROM codes WHERE vec_id < 5),
+        | s1 AS (SELECT qid, c.vec_id, c.de, c.n2, qe, qn2,
+        |    bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi)) AS ham
+        |  FROM q CROSS JOIN codes c),
+        | sh AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY ham ASC, vec_id) AS r1 FROM s1),
         | rr AS (SELECT qid, vec_id,
         |    CASE WHEN qn2 = 0 OR n2 = 0 THEN NULL
         |         ELSE list_cosine_similarity(qe, de) END AS c

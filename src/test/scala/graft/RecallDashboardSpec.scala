@@ -107,7 +107,9 @@ class RecallDashboardSpec extends AnyFunSuite {
           ("ivf_adc_rerank", Ann.ivfAdcRerankTopK(e, q, seeds, "vec_id",
             "embedding", kTop = 10, shortlist = 30, nProbe = 4), 0.10),
           ("trunc_rerank", Ann.truncRerankTopK(e, q, "vec_id", "embedding",
-            kTop = 10, dPrefix = 16, shortlist = 30), 0.20))
+            kTop = 10, dPrefix = 16, shortlist = 30), 0.20),
+          ("sign_hamming", Ann.signHammingTopK(e, q, "vec_id", "embedding",
+            kTop = 10, shortlist = 30), 0.20))
         val rows = paths.map { case (pname, df, floor) =>
           val r = recall(df, exact)
           assert(r >= floor, f"$vname/$pname recall@10 $r%.2f under floor $floor%.2f")
