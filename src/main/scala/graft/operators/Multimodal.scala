@@ -156,6 +156,52 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "mean_luma")
   }
 
+  /** L87 — ViT-style PATCHIFY over the real-codec decode: decode the
+    * PNG through the production path and split it into non-
+    * overlapping `patch`×`patch` tiles (the ViT/CLIP preprocessing
+    * front end — every vision-tower pipeline's first op after
+    * decode), emitting per-patch integer Rec.601 luma sum/min/max in
+    * (patch_row, patch_col) grid order. All-integer features → the
+    * oracle replays the pixel formula GROUPED BY patch coordinates,
+    * so a decode bug OR a tiling off-by-one (the classic patchify
+    * defect) is a hash mismatch. Computed inside the decode
+    * mapPartitions pass — zero shuffle; patchifying 100 TB of images
+    * is a map job whose parallelism is the blob scan's partitioning.
+    * Production swaps the per-patch feature for the float
+    * normalize-and-flatten ViT expects on the same plumbing.
+    */
+  def imagePatchStats(ids: Dataset[java.lang.Long], side: Int = 8,
+                      patch: Int = 4): DataFrame = {
+    require(patch >= 1 && side % patch == 0,
+      s"side $side must be a multiple of patch $patch")
+    import ids.sparkSession.implicits._
+    val np = side / patch
+    ids.flatMap { boxedId =>
+      val id: Long = boxedId
+      val img = decodeBuffered(formulaPng(id, side)).getOrElse(
+        throw new IllegalStateException(s"PNG decode failed for id $id"))
+      if (img.getWidth != side || img.getHeight != side)
+        throw new IllegalStateException(
+          s"decoded ${img.getWidth}x${img.getHeight}, expected ${side}x$side for id $id")
+      for (py <- 0 until np; px <- 0 until np) yield {
+        var sum = 0L; var mn = 255L; var mx = 0L
+        var y = py * patch
+        while (y < (py + 1) * patch) {
+          var x = px * patch
+          while (x < (px + 1) * patch) {
+            val rgb = img.getRGB(x, y)
+            val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              ((rgb & 0xff) * 114)) / 1000
+            sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+            x += 1
+          }
+          y += 1
+        }
+        (id, py, px, sum, mn, mx)
+      }
+    }.toDF("doc_id", "patch_row", "patch_col", "sum_luma", "min_luma", "max_luma")
+  }
+
   /** L68 — real-codec RESIZE: decode the PNG through the production
     * path, nearest-neighbor downsample to `outSide`×`outSide` (source
     * pixel (x·side div outSide, y·side div outSide) — pure index

@@ -479,6 +479,20 @@ object VectorQueries {
       Multimodal.imageResizeStats(ids, side = 8, outSide = 4).orderBy("doc_id")
     }),
 
+    // L87: ViT-style patchify over the real-codec decode — per-patch
+    // integer luma sum/min/max on the 4×4 tile grid; the oracle
+    // replays the pixel formula grouped by patch coordinates, so a
+    // tiling off-by-one is a hash mismatch. Zero shuffle.
+    "m09_image_patches" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.imagePatchStats(ids, side = 8, patch = 4)
+        .orderBy("doc_id", "patch_row", "patch_col")
+    }),
+
     // L69: real-codec audio roundtrip — the deterministic PCM16
     // signal through the JDK's actual WAV encoder+decoder
     // (javax.sound), integer sample stats replayed by the oracle
@@ -1415,6 +1429,29 @@ object VectorQueries {
     // m06: the m05 pixel formula replayed at the nearest-neighbor
     // SAMPLE coordinates only (x·8 // 4 = the source pixel the
     // index-math kernel reads); same integer luma + half-up mean.
+    // m09: the m06 pixel-formula replay grouped by patch coordinates
+    // (x//4, y//4) — integer luma sum/min/max per tile.
+    "m09_image_patches" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | px AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   xs.i AS x, ys.i AS y FROM ids,
+        |   (SELECT unnest(range(0, 8)) AS i) xs,
+        |   (SELECT unnest(range(0, 8)) AS i) ys),
+        | lum AS (SELECT doc_id, y // 4 AS patch_row, x // 4 AS patch_col,
+        |    ((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |   FROM px)
+        |SELECT doc_id, CAST(patch_row AS INT) AS patch_row,
+        |  CAST(patch_col AS INT) AS patch_col,
+        |  CAST(sum(l) AS BIGINT) AS sum_luma,
+        |  CAST(min(l) AS BIGINT) AS min_luma,
+        |  CAST(max(l) AS BIGINT) AS max_luma
+        |FROM lum GROUP BY doc_id, patch_row, patch_col
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
+
     "m06_image_resize" ->
       """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
         |   FROM documents WHERE doc_id IS NOT NULL),
