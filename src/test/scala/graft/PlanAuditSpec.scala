@@ -30,6 +30,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "s19_ivfadc_rerank",
     // s20: the s01 shape — tiny query side broadcast against the corpus
     "s20_int8_topk",
+    // s21/s22: stage 1 is the s01 shape (tiny query-side broadcast
+    // scanning the prefix/code projection); stage 2 adds only
+    // broadcast equi-joins for the shortlist fetch
+    "s21_trunc_rerank", "s22_sign_hamming",
     // t31: the class-skeleton crossJoin broadcasts the ≤C-row model dim
     "t31_trained_classifier",
     "t29_rrf_hybrid", "d05_embed_neardup",
