@@ -123,4 +123,43 @@ object ExactQuantiles {
     }
     grouped.select((keyCols :+ col("n")) ++ outs: _*)
   }
+
+  /** EXACT linearly-INTERPOLATED grouped quantiles — the
+    * `percentile_cont` contract (SQL standard / NIST R-7: value =
+    * v[⌊h⌋] + (v[⌈h⌉] − v[⌊h⌋])·(h − ⌊h⌋) at h = (n−1)·p, 0-based)
+    * on [[groupedExactSelect]]'s sort-free machinery: each quantile
+    * needs just the TWO bracketing order statistics, fetched as two
+    * rank selections in the same two-shuffle plan, then combined with
+    * pure Column arithmetic. Same scale shape and bracket-miss
+    * raise_error as the discrete form.
+    *
+    * Determinism: h and the interpolation run in IEEE double with a
+    * fixed op order — CAST(n−1 AS DOUBLE)·p, floor, subtract,
+    * multiply-add — which an external engine replays bit-for-bit by
+    * writing the same expression (the REPLAYED formula is the
+    * contract; for p where (n−1)·p is mathematically integral but
+    * binary-inexact, e.g. p=0.9 and n−1=10, both sides land on the
+    * same ≈2⁻⁵² fraction rather than 0). Same non-null key/value
+    * contract as [[groupedExactSelect]].
+    */
+  def groupedInterpolated(df: DataFrame, keys: Seq[String], vCol: String,
+                          quantiles: Seq[(String, Double)],
+                          sketchK: Int = 4096, delta: Double = 0.01,
+                          smallGroup: Long = 4096L): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    def h(n: Column, p: Double): Column = (n - 1L).cast("double") * lit(p)
+    val ranks = quantiles.flatMap { case (name, p) =>
+      Seq(
+        (s"__qlo_$name", p, (n: Column) => floor(h(n, p)).cast("long") + 1L),
+        (s"__qhi_$name", p, (n: Column) => least(floor(h(n, p)).cast("long") + 2L, n)))
+    }
+    val sel = groupedExactSelect(df, keys, vCol, ranks, sketchK, delta, smallGroup)
+    val outs = quantiles.map { case (name, p) =>
+      val frac = h(col("n"), p) - floor(h(col("n"), p))
+      val lo = col(s"__qlo_$name").cast("double")
+      val hi = col(s"__qhi_$name").cast("double")
+      (lo + (hi - lo) * frac).as(name)
+    }
+    sel.select((keys.map(col) :+ col("n")) ++ outs: _*)
+  }
 }

@@ -690,6 +690,24 @@ object Relational {
         .orderBy("col_name")
     }),
 
+    // R60/q58: exact INTERPOLATED grouped quantiles — the
+    // percentile_cont contract (R-7: v[⌊h⌋] + (v[⌈h⌉]−v[⌊h⌋])·frac at
+    // h=(n−1)p) on q48's sort-free selection machinery: two bracketing
+    // order statistics per quantile from the same two-shuffle plan,
+    // combined with fixed-op-order double arithmetic the oracle
+    // replays verbatim. Non-null key/value contract enforced with
+    // coalesce/filter on BOTH sides.
+    "q58_interp_quantiles" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        coalesce(col("o_orderpriority").cast("string"), lit("?")).as("prio"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+        .filter(col("cents").isNotNull)
+      graft.operators.ExactQuantiles.groupedInterpolated(o, Seq("prio"), "cents",
+          Seq(("p25_cents", 0.25), ("p50_cents", 0.5), ("p90_cents", 0.9)))
+        .orderBy("prio")
+    }),
+
     // R58/q56: incremental aggregate maintenance — the materialized-
     // view refresh pattern (operators/IncrementalAgg): the base half
     // of orders is reduced ONCE to per-customer partial state
@@ -1076,6 +1094,34 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q54_profile" -> profileOracleSql,
+
+    // q58: ranked-window reference with the SAME R-7 interpolation
+    // arithmetic (CAST(n−1 AS DOUBLE)·p, floor, subtract,
+    // multiply-add) — identical IEEE op order, bit-equal doubles.
+    "q58_interp_quantiles" ->
+      """WITH o0 AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '?') AS prio,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        | o AS (SELECT * FROM o0 WHERE cents IS NOT NULL),
+        | r AS (SELECT prio, cents,
+        |    row_number() OVER (PARTITION BY prio ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM o),
+        | sel AS (SELECT prio, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN rk = CAST(floor(CAST(n-1 AS DOUBLE)*0.25) AS BIGINT)+1 THEN cents END) AS lo25,
+        |    max(CASE WHEN rk = least(CAST(floor(CAST(n-1 AS DOUBLE)*0.25) AS BIGINT)+2, n) THEN cents END) AS hi25,
+        |    max(CASE WHEN rk = CAST(floor(CAST(n-1 AS DOUBLE)*0.5) AS BIGINT)+1 THEN cents END) AS lo50,
+        |    max(CASE WHEN rk = least(CAST(floor(CAST(n-1 AS DOUBLE)*0.5) AS BIGINT)+2, n) THEN cents END) AS hi50,
+        |    max(CASE WHEN rk = CAST(floor(CAST(n-1 AS DOUBLE)*0.9) AS BIGINT)+1 THEN cents END) AS lo90,
+        |    max(CASE WHEN rk = least(CAST(floor(CAST(n-1 AS DOUBLE)*0.9) AS BIGINT)+2, n) THEN cents END) AS hi90
+        |  FROM r GROUP BY prio)
+        |SELECT prio, n,
+        |  CAST(lo25 AS DOUBLE) + (CAST(hi25 AS DOUBLE) - CAST(lo25 AS DOUBLE))
+        |    * (CAST(n-1 AS DOUBLE)*0.25 - floor(CAST(n-1 AS DOUBLE)*0.25)) AS p25_cents,
+        |  CAST(lo50 AS DOUBLE) + (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE))
+        |    * (CAST(n-1 AS DOUBLE)*0.5 - floor(CAST(n-1 AS DOUBLE)*0.5)) AS p50_cents,
+        |  CAST(lo90 AS DOUBLE) + (CAST(hi90 AS DOUBLE) - CAST(lo90 AS DOUBLE))
+        |    * (CAST(n-1 AS DOUBLE)*0.9 - floor(CAST(n-1 AS DOUBLE)*0.9)) AS p90_cents
+        |FROM sel ORDER BY prio""".stripMargin,
 
     // Full recompute over ALL of orders — certifying that the Spark
     // side's persisted-base + delta merge equals it value-for-value.

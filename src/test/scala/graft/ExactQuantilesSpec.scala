@@ -95,6 +95,35 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("interpolated form matches a scalar R-7 reference (ties, tiny groups, doubles)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 7}", rnd.nextInt(40).toLong) // heavy ties
+    } ++ Seq(("solo", 5L)) // n = 1: h = 0, lo = hi = the single value
+    val df = rows.toDF("k", "v")
+    val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+    val got = ExactQuantiles.groupedInterpolated(df, Seq("k"), "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = rows.groupBy(_._1).map { case (k, vs) =>
+      val sorted = vs.map(_._2).sorted.toIndexedSeq
+      val n = sorted.length
+      def r7(p: Double): Double = {
+        val h = (n - 1).toDouble * p
+        val lo = sorted(math.floor(h).toInt).toDouble
+        val hi = sorted(math.min(math.floor(h).toInt + 1, n - 1)).toDouble
+        lo + (hi - lo) * (h - math.floor(h))
+      }
+      k -> ((r7(0.25), r7(0.5), r7(0.9)))
+    }
+    assert(got == ref)
+    // fractional value column interpolates exactly too
+    val dd = Seq(("a", 1.5), ("a", 2.5), ("a", 10.0)).toDF("k", "v")
+    val g = ExactQuantiles.groupedInterpolated(dd, Seq("k"), "v", Seq(("p50", 0.5)))
+      .collect().head
+    assert(g.getDouble(2) == 2.5)
+  }
+
   test("plan is sort-free on the data path: no Window, no global sort of rows") {
     val df = (1 to 1000).map(i => ("g" + (i % 3), i.toLong)).toDF("g", "v")
     val plan = ExactQuantiles.groupedExactSelect(df, Seq("g"), "v", ranks)
