@@ -37,6 +37,48 @@ object TextQueries {
   private def hup4Sql(x: String): String =
     s"(floor(($x) * 10000.0 + 0.5) / 10000.0)"
 
+  /** The d15 curation chain (quality score → threshold → exact dedup
+    * → 5-gram decontamination → mixture resample → per-lang manifest)
+    * over any corpus relation with (doc_id, lang, source, text) —
+    * d15 runs it on the raw snapshot, d30 on the line-deduped corpus,
+    * d31 on the blocklist-gated corpus. ONE body, so the compositions
+    * cannot drift (the Spark-side analogue of [[manifestChainSql]],
+    * which plays the same role for their oracles).
+    */
+  private def manifestChain(d: DataFrame): DataFrame = {
+    import graft.operators.{CorpusOps, Sampling}
+    val norm = Dedup.normText(col("text"))
+    val toks = Dedup.tokens(col("text"))
+    val feat = d.select(col("doc_id"), col("lang"), col("source"),
+      norm.as("norm"), size(toks).as("n_tokens"),
+      length(norm).as("n_chars"),
+      length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
+      TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
+        .as("allstop"))
+    val nTok = col("n_tokens").cast("double")
+    val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+      TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
+      TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
+    val qk = feat.filter(quality >= 0.52)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("norm")))
+    val dd = qk.withColumn("keep_id", min("doc_id").over(wDedup))
+      .filter(col("doc_id") === col("keep_id"))
+    // 5-grams, not d08's 3-grams: decontamination conventionally uses
+    // longer n-grams, and on this tiny-vocabulary corpus 3-gram
+    // collisions flag ~85% of docs (an empty-corpus pipeline).
+    val contaminated = CorpusOps.contamination(d, "doc_id", "text",
+      col("source").isin("src0", "src1"), n = 5).select("doc_id")
+    val clean = dd.filter(!col("source").isin("src0", "src1"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.mixtureSample(clean, "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
+          "es" -> 0.1, "fr" -> 0.1), targetN = 150L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1: exact dedup — md5 of normalized text, keep min id.
     "d01_dedup_exact" -> ((s, dir) => {
@@ -431,40 +473,22 @@ object TextQueries {
     // score stays UNROUNDED for the filter (identical double ops on
     // both engines → identical keep decisions; rounding is only ever
     // for output columns).
-    "d15_corpus_manifest" -> ((s, dir) => {
-      import graft.operators.{CorpusOps, Sampling}
-      val d = docs(s, dir)
-      val norm = Dedup.normText(col("text"))
-      val toks = Dedup.tokens(col("text"))
-      val feat = d.select(col("doc_id"), col("lang"), col("source"),
-        norm.as("norm"), size(toks).as("n_tokens"),
-        length(norm).as("n_chars"),
-        length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
-        TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
-          .as("allstop"))
-      val nTok = col("n_tokens").cast("double")
-      val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
-        TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
-        TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
-      val qk = feat.filter(quality >= 0.52)
-      val wDedup = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("norm")))
-      val dd = qk.withColumn("keep_id", min("doc_id").over(wDedup))
-        .filter(col("doc_id") === col("keep_id"))
-      // 5-grams, not d08's 3-grams: decontamination conventionally
-      // uses longer n-grams, and on this tiny-vocabulary corpus
-      // 3-gram collisions flag ~85% of docs (the pipeline would
-      // return an empty corpus).
-      val contaminated = CorpusOps.contamination(d, "doc_id", "text",
-        col("source").isin("src0", "src1"), n = 5).select("doc_id")
-      val clean = dd.filter(!col("source").isin("src0", "src1"))
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      Sampling.mixtureSample(clean, "doc_id", "lang",
-          Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
-            "es" -> 0.1, "fr" -> 0.1), targetN = 150L)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
-        .orderBy("lang")
+    "d15_corpus_manifest" -> ((s, dir) => manifestChain(docs(s, dir))),
+
+    // L88/d31: blocklist-gated curation — the policy/safety pass
+    // FIRST (t33's AC gate as the narrow `exists` filter: any hit on
+    // the phrase dictionary drops the doc at ingest, before any
+    // scoring work is spent on it), then the IDENTICAL d15 chain over
+    // the surviving corpus via manifestChain — the d30 composition
+    // pattern with the gate as the front stage. The oracle prepends a
+    // strpos-filtered `cd` CTE (absence of every term ⇔ the AC gate's
+    // all-zero counts) to the shared manifestChainSql, so the full
+    // composition replays.
+    "d31_blocklist_curated" -> ((s, dir) => {
+      val terms = Seq("batch batch", "big table", "fast join", "slow query")
+      manifestChain(docs(s, dir).filter(!exists(
+        GraftFunctions.blocklist_counts(coalesce(col("text"), lit("")), terms),
+        c => c > lit(0L))))
     }),
 
     // L40b/d30: the d15 curation chain in RefinedWeb ORDER — line
@@ -477,39 +501,12 @@ object TextQueries {
     // removed before their 5-grams are mined too. The oracle replays
     // the full composition: d28's line chain feeding d15's chain.
     "d30_line_curated" -> ((s, dir) => {
-      import graft.operators.{CorpusOps, Sampling}
       val d0 = docs(s, dir)
-      val d = d0.select(col("doc_id").cast("long").as("doc_id"),
+      manifestChain(d0
+        .select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("source"))
         .join(Dedup.lineDedupText(d0, "doc_id", "text"), Seq("doc_id"))
-        .withColumnRenamed("clean_text", "text")
-      val norm = Dedup.normText(col("text"))
-      val toks = Dedup.tokens(col("text"))
-      val feat = d.select(col("doc_id"), col("lang"), col("source"),
-        norm.as("norm"), size(toks).as("n_tokens"),
-        length(norm).as("n_chars"),
-        length(regexp_replace(norm, "[^a-z]", "")).as("alpha"),
-        TextStats.stopwordCount(toks, TextStats.stopwords.flatMap(_._2))
-          .as("allstop"))
-      val nTok = col("n_tokens").cast("double")
-      val quality = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
-        TextStats.safeRatio(col("allstop"), col("n_tokens")) * lit(0.3) +
-        TextStats.safeRatio(col("alpha"), col("n_chars")) * lit(0.3)
-      val qk = feat.filter(quality >= 0.52)
-      val wDedup = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("norm")))
-      val dd = qk.withColumn("keep_id", min("doc_id").over(wDedup))
-        .filter(col("doc_id") === col("keep_id"))
-      val contaminated = CorpusOps.contamination(d, "doc_id", "text",
-        col("source").isin("src0", "src1"), n = 5).select("doc_id")
-      val clean = dd.filter(!col("source").isin("src0", "src1"))
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      Sampling.mixtureSample(clean, "doc_id", "lang",
-          Map("en" -> 0.4, "zh" -> 0.25, "de" -> 0.15,
-            "es" -> 0.1, "fr" -> 0.1), targetN = 150L)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
-        .orderBy("lang")
+        .withColumnRenamed("clean_text", "text"))
     }),
 
     // L42: maximal duplicated-span extraction — WHERE each doc is
@@ -2106,6 +2103,16 @@ object TextQueries {
     // d30: d28's line chain produces the cleaned corpus (surviving
     // lines reassembled as TEXT), and d15's manifest chain — the
     // identical CTE text via manifestChainSql — runs over it.
+    // d31: the gate CTE — absence of every blocklist term (strpos =
+    // 0 ⇔ the AC scan's all-zero counts) — then the SHARED chain.
+    "d31_blocklist_curated" ->
+      s"""WITH cd AS (SELECT doc_id, lang, source, text FROM documents
+         |   WHERE strpos(coalesce(text, ''), 'batch batch') = 0
+         |     AND strpos(coalesce(text, ''), 'big table') = 0
+         |     AND strpos(coalesce(text, ''), 'fast join') = 0
+         |     AND strpos(coalesce(text, ''), 'slow query') = 0),
+         | ${manifestChainSql("cd")}""".stripMargin,
+
     "d30_line_curated" ->
       s"""WITH base0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
          | pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
