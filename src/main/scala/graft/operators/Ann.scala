@@ -332,6 +332,53 @@ object Ann {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** L89 — FILTERED vector search (the vector-DB serving shape every
+    * production system exposes — FAISS IDSelector / Qdrant-Milvus
+    * filtered search): top-k under a metadata PREDICATE, served from
+    * an index built ONCE on the FULL corpus (filters vary per query;
+    * rebuilding per predicate is not an option). This is PRE-
+    * filtering inside the probed cells: candidates prune to the
+    * query's nProbe cells (the IVF cost model), the predicate then
+    * cuts inside those cells BEFORE scoring, so every scored
+    * candidate is eligible — unlike POST-filtering (filter after
+    * top-k), which silently returns fewer than k whenever the
+    * unfiltered top-k wasn't predicate-dense. Declared at query time,
+    * the predicate reaches the cell scan via Catalyst's pushdown —
+    * the "filter inside the inverted list" production engines
+    * hand-implement falls out of the declarative plan.
+    *
+    * Fewer than k rows per query IS the honest filtered-IVF contract
+    * when probed cells lack eligible candidates (raise nProbe for
+    * recall under selective filters). Same deterministic Lloyd
+    * machinery as [[ivfTopKExact]] — fully oracle-replayable.
+    */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                      idCol: String, embCol: String, pred: Column,
+                      k: Int, nProbe: Int = 4, iters: Int = 2,
+                      quantScale: Double = 1e6): DataFrame = {
+    val (cents, assign) = lloydRounds(corpus, seeds, idCol, embCol, iters, quantScale)
+    val centroids = cents.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cells = assign.select(col("vec_id"), col("cluster").as("cell"))
+      .join(corpus.withColumnRenamed(idCol, "vec_id")
+        .withColumnRenamed(embCol, "cemb"), Seq("vec_id"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_sim(col("qemb"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "qemb", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(pred)
+      .withColumn("cos", GraftFunctions.cosine_sim(col("qemb"), col("cemb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** L72 — product quantization (Jégou/Douze/Schmid 2011): the
     * standard embedding-COMPRESSION path for billion-vector corpora —
     * split each D-dim vector into `m` subvectors, train an

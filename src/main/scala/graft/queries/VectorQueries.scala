@@ -282,6 +282,20 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L89: FILTERED vector search — top-k under a metadata predicate
+    // (label ≡ 1 mod 4) served from the s03 index built on the FULL
+    // corpus: candidates prune to probed cells, the predicate cuts
+    // INSIDE the cells before scoring (pre-filter, not the
+    // fewer-than-k-prone post-filter). Fully oracle-replayed.
+    "s23_filtered_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfFilteredTopK(e, e.filter(col("vec_id") < 5),
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          pred = pmod(col("label"), lit(4)) === 1,
+          k = 10, nProbe = 4, iters = 2)
+        .orderBy("qid", "rnk")
+    }),
+
     // L85: truncated-dimension retrieval + exact re-rank — the
     // Matryoshka/MRL serving shape: stage 1 ranks by cosine over the
     // FIRST 16 of 64 coordinates (a prefix-sliced store scans 1/4 of
@@ -1044,6 +1058,32 @@ object VectorQueries {
          |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_cos
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
+
+    // s23: s03's replay with the predicate cut inside probed cells —
+    // the one new line is the label filter on the candidate join.
+    "s23_filtered_ivf" ->
+      s"""WITH e AS ($embSql),
+         | $coarseChainSql,
+         | q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < 5),
+         | pc AS (SELECT q.qid, q.qe, sd1.cell,
+         |          ${cosSql("q.qe", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, qe, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, qe, cell FROM pr WHERE rn <= 4),
+         | cand AS (SELECT pb.qid, e2.vec_id,
+         |            ${cosSql("pb.qe", "e2.de", 64)} AS c
+         |          FROM pb JOIN a2 USING (cell)
+         |          JOIN e e2 ON e2.vec_id = a2.vec_id
+         |          WHERE ((e2.label % 4) + 4) % 4 = 1),
+         | rk AS (SELECT qid, vec_id, c,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY c DESC, vec_id) AS rnk
+         |        FROM cand)
+         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "s03_ann_ivf" ->
       s"""WITH e AS ($embSql),

@@ -34,6 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // scanning the prefix/code projection); stage 2 adds only
     // broadcast equi-joins for the shortlist fetch
     "s21_trunc_rerank", "s22_sign_hamming",
+    // s23: the s03 shape (centroid + probe-table broadcasts)
+    "s23_filtered_ivf",
     // t31: the class-skeleton crossJoin broadcasts the ≤C-row model dim
     "t31_trained_classifier",
     "t29_rrf_hybrid", "d05_embed_neardup",
