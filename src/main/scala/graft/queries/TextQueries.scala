@@ -908,6 +908,39 @@ object TextQueries {
         .orderBy("term")
     }),
 
+    // L90: the URL layer — host/path extraction through Spark's
+    // NATIVE parse_url (the expression a user reaches for on crawl
+    // metadata) + a registrable-domain reduction (last two labels —
+    // the public-suffix-list heuristic at its simplest) feeding the
+    // per-domain crawl-budget report (CCNet/RefinedWeb's per-domain
+    // accounting; d20's cap then enforces the budget). URLs are
+    // synthesized deterministically from (source, lang, doc_id) with
+    // both components sanitized IDENTICALLY on both engines (the
+    // codec-roundtrip certification pattern: the kernel under test is
+    // parse_url vs the oracle's regexp host/path split — a parser
+    // divergence is a hash mismatch). Narrow parse + one keyed agg.
+    "t32_url_domains" -> ((s, dir) => {
+      val src = concat(lit("d"),
+        regexp_replace(coalesce(col("source"), lit("")), "[^a-z0-9]", ""))
+      val lng = concat(lit("l"),
+        regexp_replace(coalesce(col("lang"), lit("")), "[^a-z0-9]", ""))
+      val sub = when(
+        pmod(coalesce(col("doc_id").cast("long"), lit(0L)), lit(2)) === 0,
+        "www").otherwise(lit("cdn"))
+      val url = concat(lit("https://"), sub, lit("."), src, lit(".com/"),
+        lng, lit("/doc/"),
+        coalesce(col("doc_id").cast("long"), lit(-1L)).cast("string"))
+      docs(s, dir).select(url.as("url"))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .withColumn("path", expr("parse_url(url, 'PATH')"))
+        .withColumn("reg_domain", substring_index(col("host"), ".", -2))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("path")).as("n_paths"))
+        .orderBy("reg_domain")
+    }),
+
     "t12_vocab" -> ((s, dir) => {
       val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
@@ -1370,6 +1403,29 @@ object TextQueries {
     // fix-up), apply the pseudo-weight formula, list-sum. Empty
     // tokens are filtered (split('') is ['']) so an empty doc is
     // (0, 0, NULL) — mirroring hashedLinearScore's guard.
+    // t32: the same synthesized URL; host/path via anchored regexp —
+    // any parse_url divergence from the plain grammar hash-differs.
+    "t32_url_domains" ->
+      """WITH u AS (SELECT
+        |    'https://' ||
+        |    CASE WHEN ((coalesce(CAST(doc_id AS BIGINT), 0) % 2) + 2) % 2 = 0
+        |         THEN 'www' ELSE 'cdn' END ||
+        |    '.d' || regexp_replace(coalesce(source, ''), '[^a-z0-9]', '', 'g') ||
+        |    '.com/l' || regexp_replace(coalesce(lang, ''), '[^a-z0-9]', '', 'g') ||
+        |    '/doc/' || CAST(coalesce(CAST(doc_id AS BIGINT), -1) AS VARCHAR) AS url
+        |  FROM documents),
+        | p AS (SELECT
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+        |  FROM u),
+        | r AS (SELECT host, path,
+        |    array_to_string(string_split(host, '.')[-2:], '.') AS reg_domain
+        |  FROM p)
+        |SELECT reg_domain, count(*) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // t33: per-term greedy non-overlapping counts via the shared
     // replace() length formula — exactly the AC scan's semantics.
     "t33_blocklist" ->
