@@ -202,6 +202,65 @@ object Multimodal {
     }.toDF("doc_id", "patch_row", "patch_col", "sum_luma", "min_luma", "max_luma")
   }
 
+  /** L91 — scene-cut detection over real-codec frame decodes (the
+    * video keyframe-selection front end — the shot-boundary pass
+    * every video curation pipeline runs before sampling frames for
+    * captioning/embedding): each doc is a deterministic `nFrames`-
+    * frame clip (frame f's image = the pixel formula at seed
+    * sid₀·97+f, each frame encoded AND decoded through the real PNG
+    * codec), per-frame integer luma sum, a cut wherever consecutive
+    * frames differ by more than `threshold` — the classic
+    * sum-of-absolute-differences detector in its integer form, so
+    * the oracle replays frame sums + lag + threshold exactly. Emits
+    * per-doc frame/cut counts and the first cut index (−1 = none).
+    * The doc id is bounded BEFORE the frame-seed product (the m05
+    * lesson: Long wraparound vs BIGINT overflow divergence). Zero
+    * shuffle — decoding and differencing 100 TB of video is a map
+    * job; production swaps the formula frames for codec
+    * frame-extraction on the same per-doc loop.
+    */
+  def sceneCuts(ids: Dataset[java.lang.Long], side: Int = 8,
+                nFrames: Int = 12, threshold: Long = 3000L): DataFrame = {
+    require(nFrames >= 2)
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val sid0 = Math.floorMod(id, 2147483648L)
+        val sums = (0 until nFrames).map { f =>
+          val img = decodeBuffered(formulaPng(sid0 * 97L + f, side)).getOrElse(
+            throw new IllegalStateException(s"PNG decode failed for id $id frame $f"))
+          if (img.getWidth != side || img.getHeight != side)
+            throw new IllegalStateException(
+              s"decoded ${img.getWidth}x${img.getHeight}, expected ${side}x$side for id $id frame $f")
+          var sum = 0L
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                ((rgb & 0xff) * 114)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          sum
+        }
+        var cuts = 0L
+        var first = -1L
+        var f = 1
+        while (f < nFrames) {
+          if (math.abs(sums(f) - sums(f - 1)) > threshold) {
+            cuts += 1; if (first < 0) first = f
+          }
+          f += 1
+        }
+        (id, nFrames.toLong, cuts, first)
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+  }
+
   /** L68 — real-codec RESIZE: decode the PNG through the production
     * path, nearest-neighbor downsample to `outSide`×`outSide` (source
     * pixel (x·side div outSide, y·side div outSide) — pure index

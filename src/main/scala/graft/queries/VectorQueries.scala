@@ -507,6 +507,19 @@ object VectorQueries {
         .orderBy("doc_id", "patch_row", "patch_col")
     }),
 
+    // L91: scene-cut detection — 6 formula frames per doc through
+    // the real PNG codec, integer SAD detector (|Δ luma sum| > 3000),
+    // per-doc cut count + first cut; oracle replays frame sums + lag.
+    "m10_scene_cuts" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.sceneCuts(ids, side = 8, nFrames = 6, threshold = 3000L)
+        .orderBy("doc_id")
+    }),
+
     // L69: real-codec audio roundtrip — the deterministic PCM16
     // signal through the JDK's actual WAV encoder+decoder
     // (javax.sound), integer sample stats replayed by the oracle
@@ -1469,6 +1482,35 @@ object VectorQueries {
     // m06: the m05 pixel formula replayed at the nearest-neighbor
     // SAMPLE coordinates only (x·8 // 4 = the source pixel the
     // index-math kernel reads); same integer luma + half-up mean.
+    // m10: frame seed = bounded(doc_id)·97 + f (bounded FIRST — the
+    // m05 wraparound lesson), per-frame luma sum via the shared pixel
+    // formula, lag + |Δ| > 3000 cut detector.
+    "m10_scene_cuts" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | fr AS (SELECT doc_id,
+        |   ((doc_id % 2147483648 + 2147483648) % 2147483648) * 97 + fs.i AS fid,
+        |   fs.i AS f FROM ids, (SELECT unnest(range(0, 6)) AS i) fs),
+        | px AS (SELECT doc_id, f, fid % 2147483648 AS sid,
+        |   xs.i AS x, ys.i AS y FROM fr,
+        |   (SELECT unnest(range(0, 8)) AS i) xs,
+        |   (SELECT unnest(range(0, 8)) AS i) ys),
+        | sums AS (SELECT doc_id, f, CAST(sum(
+        |    ((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000)
+        |   AS BIGINT) AS s
+        |   FROM px GROUP BY doc_id, f),
+        | d AS (SELECT doc_id, f, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps FROM sums),
+        | c AS (SELECT doc_id, f,
+        |    CASE WHEN ps IS NOT NULL AND abs(s - ps) > 3000 THEN 1 ELSE 0 END AS cut
+        |   FROM d)
+        |SELECT doc_id, CAST(6 AS BIGINT) AS n_frames,
+        |  CAST(sum(cut) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(min(CASE WHEN cut = 1 THEN f END), -1) AS BIGINT) AS first_cut
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // m09: the m06 pixel-formula replay grouped by patch coordinates
     // (x//4, y//4) — integer luma sum/min/max per tile.
     "m09_image_patches" ->
