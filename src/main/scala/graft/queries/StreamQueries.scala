@@ -200,6 +200,53 @@ object StreamQueries {
       }.orderBy("user_id", "click_id")
     }),
 
+    // S17: stream-stream JOIN feeding a watermarked window AGGREGATE
+    // — the other multi-stateful topology (st14 chains dedup→agg;
+    // this chains join→agg, the attribution-rollup shape: matched
+    // click→purchase pairs aggregated per click hour). Allowed since
+    // Spark 3.5 (SPARK-42376) with simulated watermark PROPAGATION:
+    // the agg's watermark is the join's OUTPUT watermark — the input
+    // mark min(max tc, max tp) − 30 min delayed further by the
+    // join's state retention on tc (the 10-min range) — so sealed
+    // windows are those ending ≤ that propagated mark. Both engines
+    // cut to a conservatively-sealed region: window end at least
+    // 30 + 10 + 2 min before min(max tc, max tp) (one minute under
+    // st13's eviction epsilon per stateful hop). The region is empty
+    // when EITHER side is empty (the st13 least()-skips-NULLs
+    // lesson). Pair emission inside it is exact (inner join), sums
+    // are integer seconds.
+    "st19_join_agg" -> ((s, dir) => {
+      val extRow = events(s, dir).agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+        .head()
+      val closedUs =
+        if (extRow.isNullAt(0) || extRow.isNullAt(1)) Long.MinValue
+        else math.min(extRow.getLong(0), extRow.getLong(1)) -
+          (30L + 10L + 2L) * 60L * 1000000L
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+          .withWatermark("tc", "30 minutes")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+          .withWatermark("tp", "30 minutes")
+        c.join(p, col("user_id") === col("p_user_id") &&
+            col("tc") <= col("tp") &&
+            col("tc") >= col("tp") - expr("interval 10 minutes"))
+          .groupBy(window(col("tc"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(((unix_micros(col("tp")) - unix_micros(col("tc"))) /
+              lit(1000000L)).cast("long")).as("sum_lag_s"))
+      }
+        .filter(unix_micros(col("w.end")) <= lit(closedUs))
+        .select(unix_micros(col("w.start")).as("hour_start_us"),
+          col("n_pairs"), col("sum_lag_s"))
+        .orderBy("hour_start_us")
+    }),
+
     // S12: CHAINED STATEFUL OPERATORS — streaming dedup feeding a
     // watermarked append-mode window aggregate in ONE query (two
     // state stores in one MicroBatchExecution pipeline, the Spark
@@ -513,6 +560,30 @@ object StreamQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND tc <= tp AND tc >= tp - 600000000
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // st19: the st07 join + per-click-hour rollup, both engines cut
+    // to windows ending ≥ 42 min before min(max tc, max tp); the
+    // region collapses to empty when either side is empty.
+    "st19_join_agg" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        | b AS (SELECT CASE
+        |    WHEN (SELECT max(tc) FROM c) IS NULL
+        |      OR (SELECT max(tp) FROM p) IS NULL THEN NULL
+        |    ELSE least((SELECT max(tc) FROM c), (SELECT max(tp) FROM p))
+        |      - 2520000000 END AS bound),
+        | j AS (SELECT tc, tp FROM c JOIN p ON c.user_id = p.p_user_id
+        |    AND tc <= tp AND tc >= tp - 600000000),
+        | w AS (SELECT (tc // 3600000000) * 3600000000 AS hour_start_us,
+        |    count(*) AS n_pairs,
+        |    CAST(sum((tp - tc) // 1000000) AS BIGINT) AS sum_lag_s
+        |  FROM j GROUP BY 1)
+        |SELECT hour_start_us, n_pairs, sum_lag_s
+        |FROM w, b WHERE hour_start_us + 3600000000 <= b.bound
+        |ORDER BY hour_start_us""".stripMargin,
 
     // st18: the st07 interval condition as a SEMI join — matched
     // clicks only, row semantics (duplicate click rows each emit).

@@ -226,6 +226,32 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("join-then-aggregate runs BOTH state stores in one plan (st19's topology)") {
+    // SPARK-42376: stream-stream join feeding a time-window aggregate
+    // — watermark propagation simulation gives the agg the join's
+    // output watermark. Evidence: symmetric hash join AND agg state
+    // in one executed micro-batch plan; the sealed-region equality is
+    // the driver oracle's job (st19).
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("tc"))
+        .withWatermark("tc", "30 minutes")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("tp"))
+        .withWatermark("tp", "30 minutes")
+      c.join(p, col("user_id") === col("p_user_id") &&
+          col("tc") <= col("tp") &&
+          col("tc") >= col("tp") - expr("interval 10 minutes"))
+        .groupBy(window(col("tc"), "1 hour"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+    assert(StreamRun.lastPlan.contains("StreamingSymmetricHashJoin"),
+      s"expected a streaming join in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("StateStoreSave"),
+      s"expected agg state in:\n${StreamRun.lastPlan}")
+    assert(streamed.count() > 0)
+  }
+
   test("streaming LSH index probe runs incrementally and equals the batch probe") {
     import graft.operators.Dedup
     val d = Graft.table(spark, dir, "documents").dropDuplicates("doc_id", "text")
