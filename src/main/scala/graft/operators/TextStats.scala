@@ -309,6 +309,51 @@ object TextStats {
           "div (100L * n_bigrams) as double)") / lit(10000.0)).as("xent"))
   }
 
+  /** L92 — HELD-OUT bigram cross-entropy: the production direction
+    * of [[lmCrossEntropy]] (CCNet/Wenzek et al.: the LM trains on a
+    * clean REFERENCE corpus and scores the crawl — t17's self-scoring
+    * is the degenerate same-corpus case). Scoring unseen text forces
+    * a smoothing choice; add-one (Laplace) keeps every term a pure
+    * function of integer counts: p(w2|w1) = (c(w1,w2)+1)/(c_ctx(w1)+V)
+    * with V the reference next-word vocabulary — unseen bigrams and
+    * unseen contexts both land on well-defined integer-count terms,
+    * so the whole score stays oracle-exact (same 6-dp DECIMAL term
+    * sums + integer micro-nat mean as t17).
+    *
+    * Shape: the reference model (bi, ctx, V) is vocabulary-bounded
+    * and BROADCAST; the crawl bigram stream is the only corpus-sized
+    * side — one narrow explode, two broadcast left joins, one per-doc
+    * fold. Re-scoring 100 TB of crawl against a fixed reference is a
+    * map-plus-fold, never a crawl×crawl shuffle.
+    */
+  def lmHeldoutXent(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, trainPred: Column): org.apache.spark.sql.DataFrame = {
+    def bigrams(d: org.apache.spark.sql.DataFrame) = {
+      val toks = d.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      toks.select(col("doc_id"), explode(Dedup.bigramZip(col("toks"))).as("z"))
+        .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    }
+    val bi = bigrams(docs.filter(trainPred))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+      .persist() // read by ctx, V, and the score join (library caching contract)
+    val ctx = bi.groupBy("w1").agg(sum("n_xy").as("n_ctx"))
+    val vRow = bi.agg(countDistinct(col("w2")).as("v"))
+    bigrams(docs.filter(!trainPred))
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
+      .withColumn("term",
+        round(log((coalesce(col("n_ctx"), lit(0L)) + col("v")).cast("double"))
+          - log((coalesce(col("n_xy"), lit(0L)) + lit(1L)).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("term").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("cast((cast(s * 1000000 as bigint) + 50L * n_bigrams) " +
+          "div (100L * n_bigrams) as double)") / lit(10000.0)).as("xent"))
+  }
+
   /** L44 — BM25 ranked retrieval (Robertson/Walker, the Okapi
     * weighting): score every document against a bag of query terms —
     * the relevance primitive behind corpus search, eval-set mining,

@@ -387,6 +387,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L92: HELD-OUT bigram cross-entropy — the CCNet direction: the
+    // LM trains on the reference split (doc_id ≢ 0 mod 5) and scores
+    // ONLY the crawl split; Laplace add-one keeps unseen bigrams/
+    // contexts integer-exact. Model tables broadcast; the crawl
+    // stream is the only corpus-sized side.
+    "t34_heldout_ppl" -> ((s, dir) => {
+      TextStats.lmHeldoutXent(docs(s, dir), "doc_id", "text",
+          pmod(col("doc_id").cast("long"), lit(5)) =!= 0)
+        .orderBy("doc_id")
+    }),
+
     // L35: per-doc duplicated-4-gram fraction — the exact-substring-
     // dedup diagnostic: how much of each doc is verbatim-shared with
     // the rest of the corpus (d11 finds the pairs; this ranks docs).
@@ -2091,6 +2102,32 @@ object TextQueries {
          |   FROM bi JOIN ctx USING (w1)),
          | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(term) AS s
          |   FROM b JOIN pr USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
+         |    // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // t34: t17's bigram machinery split train/test, Laplace add-one
+    // terms from integer counts, same micro-nat mean.
+    "t34_heldout_ppl" ->
+      s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |     string_split($normSql, ' ') AS l FROM documents),
+         | f AS (SELECT doc_id, l FROM tk WHERE len(l) >= 2),
+         | b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM
+         |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM f)),
+         | trb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 <> 0),
+         | teb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 = 0),
+         | bi AS (SELECT w1, w2, count(*) AS n_xy FROM trb GROUP BY 1, 2),
+         | ctx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_ctx FROM bi GROUP BY 1),
+         | vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bi),
+         | pr AS (SELECT teb.doc_id,
+         |     CAST(round(ln(CAST(coalesce(n_ctx, 0) + v AS DOUBLE))
+         |       - ln(CAST(coalesce(n_xy, 0) + 1 AS DOUBLE)), 6)
+         |       AS DECIMAL(18,6)) AS term
+         |   FROM teb LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |   CROSS JOIN vv),
+         | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(term) AS s
+         |   FROM pr GROUP BY doc_id)
          |SELECT doc_id, n_bigrams,
          |  CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
          |    // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
