@@ -708,6 +708,29 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // R61/q59: exact grouped MODE (most-frequent value; the
+    // categorical twin of q48's order statistics): tie-collapsed
+    // (keys, v) counts — one map-side-combined shuffle — then a
+    // per-group struct-max argmax with a DETERMINISTIC tie rule
+    // (highest count, then smallest value, encoded as max(struct(cnt,
+    // −v))). No window anywhere: the d28/d20 aggregate discipline —
+    // a hot group reduces per-partition before it travels. The
+    // negation is overflow-safe here (quantities are small positive
+    // integers; a general library caller would use a (cnt, v)
+    // struct-ordering UDAF instead — TopKPairsAgg's k=1 case).
+    "q59_group_mode" -> ((s, dir) => {
+      val vc = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .filter(col("qty").isNotNull)
+        .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("cnt"))
+      vc.groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("qty")).as("negq"))).as("m"),
+          count(lit(1)).as("n_distinct_v"))
+        .select(col("l_returnflag"), (-col("m.negq")).as("mode_qty"),
+          col("m.cnt").as("mode_cnt"), col("n_distinct_v"))
+        .orderBy("l_returnflag")
+    }),
+
     // R58/q56: incremental aggregate maintenance — the materialized-
     // view refresh pattern (operators/IncrementalAgg): the base half
     // of orders is reduced ONCE to per-customer partial state
@@ -1094,6 +1117,20 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q54_profile" -> profileOracleSql,
+
+    // q59: ranked reference — (cnt DESC, qty ASC) row 1 per group.
+    "q59_group_mode" ->
+      """WITH vc AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        | r AS (SELECT l_returnflag, qty, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, qty ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n_distinct_v
+        |  FROM vc)
+        |SELECT l_returnflag, qty AS mode_qty, CAST(cnt AS BIGINT) AS mode_cnt,
+        |  CAST(n_distinct_v AS BIGINT) AS n_distinct_v
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     // q58: ranked-window reference with the SAME R-7 interpolation
     // arithmetic (CAST(n−1 AS DOUBLE)·p, floor, subtract,
