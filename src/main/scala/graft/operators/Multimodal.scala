@@ -427,6 +427,60 @@ object Multimodal {
       "peak", "rms")
   }
 
+  /** L93 — energy-threshold VAD segmentation over the real-codec
+    * decode (the voice-activity front end ASR pipelines run before
+    * transcription — WebRTC-VAD's energy mode in its integer form):
+    * the decoded PCM16 stream splits into NON-overlapping `win`-
+    * sample windows, a window is ACTIVE iff its integer energy
+    * Σs² exceeds `thresholdPerSample`·win (pure integer compare, no
+    * float anywhere), and consecutive active windows merge into
+    * segments — the gaps-and-islands pass, here a per-doc scalar loop
+    * because a clip's window count is CLIP-bounded (duration/win),
+    * never corpus-bounded. Emits per segment: ordinal, start/end
+    * window, window count, integer energy sum. Decode runs through
+    * the real WAV codec with m07/m08's format checks, so a codec bug
+    * OR a segmentation off-by-one is a hash mismatch; the oracle
+    * replays sample formula → window energies → threshold → islands.
+    * Zero shuffle: segmenting 100 TB of audio is a map job.
+    */
+  def vadSegments(ids: Dataset[java.lang.Long], n: Int = 512, win: Int = 32,
+                  thresholdPerSample: Long = 358000000L): DataFrame = {
+    require(n % win == 0 && win > 0)
+    import ids.sparkSession.implicits._
+    ids.flatMap { boxedId =>
+      val id: Long = boxedId
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(formulaWav(id, n)))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian || ais.getFrameLength != n)
+        throw new IllegalStateException(s"WAV roundtrip mangled id $id: $fmt")
+      val bytes = ais.readAllBytes()
+      val s = Array.tabulate(n)(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong)
+      val nw = n / win
+      val sums = Array.tabulate(nw) { w =>
+        var sq = 0L
+        var i = w * win
+        while (i < (w + 1) * win) { sq += s(i) * s(i); i += 1 }
+        sq
+      }
+      val cut = thresholdPerSample * win
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var w = 0
+      while (w < nw) {
+        if (sums(w) > cut) {
+          val start = w
+          var energy = 0L
+          while (w < nw && sums(w) > cut) { energy += sums(w); w += 1 }
+          segs += ((segs.length.toLong, start.toLong, (w - 1).toLong,
+            (w - start).toLong, energy))
+        } else w += 1
+      }
+      segs.map { case (segId, st, en, nw2, e) => (id, segId, st, en, nw2, e) }
+    }.toDF("doc_id", "seg_id", "start_win", "end_win", "n_wins", "energy_sum")
+  }
+
   /** L48 — frame-sample manifest: treat each media payload as a fixed
     * frame grid (`frameBytes` bytes/frame) and emit every `stride`-th
     * frame's index, byte offset, and digest — the manifest a sampled

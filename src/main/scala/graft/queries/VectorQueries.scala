@@ -520,6 +520,21 @@ object VectorQueries {
         .orderBy("doc_id")
     }),
 
+    // L93: energy-threshold VAD segmentation — non-overlapping
+    // 32-sample windows over the real-codec decode, active iff
+    // integer energy > threshold·win, consecutive active windows
+    // merged to segments; oracle replays formula → energies →
+    // threshold → islands.
+    "m11_vad_segments" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.vadSegments(ids, n = 512, win = 32)
+        .orderBy("doc_id", "seg_id")
+    }),
+
     // L69: real-codec audio roundtrip — the deterministic PCM16
     // signal through the JDK's actual WAV encoder+decoder
     // (javax.sound), integer sample stats replayed by the oracle
@@ -1432,6 +1447,33 @@ object VectorQueries {
     // for the sign-flip count, integer aggregates, exact-quotient
     // sqrt for rms (sum_sq/64 exact in double, IEEE sqrt correctly
     // rounded both engines, halfUp4 display).
+    // m11: sample formula → 16 non-overlapping 32-sample window
+    // energies → integer threshold → islands (seg = win − rank among
+    // active windows), per-segment integer sums.
+    "m11_vad_segments" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | smp AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   unnest(range(0, 512)) AS i FROM ids),
+        | v AS (SELECT doc_id, i, i // 32 AS w,
+        |   ((sid * 7 + i * 13) % 65536 + 65536) % 65536 - 32768 AS s FROM smp),
+        | en AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS sq
+        |   FROM v GROUP BY doc_id, w),
+        | act AS (SELECT doc_id, w, sq,
+        |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS isl
+        |   FROM en WHERE sq > CAST(358000000 AS BIGINT) * 32),
+        | seg AS (SELECT doc_id, isl, CAST(min(w) AS BIGINT) AS start_win,
+        |    CAST(max(w) AS BIGINT) AS end_win,
+        |    CAST(count(*) AS BIGINT) AS n_wins,
+        |    CAST(sum(sq) AS BIGINT) AS energy_sum
+        |   FROM act GROUP BY doc_id, isl)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win) - 1
+        |    AS BIGINT) AS seg_id,
+        |  start_win, end_win, n_wins, energy_sum
+        |FROM seg ORDER BY doc_id, seg_id""".stripMargin,
+
     "m08_audio_features" ->
       """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
         |   FROM documents WHERE doc_id IS NOT NULL),
