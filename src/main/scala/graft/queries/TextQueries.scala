@@ -120,6 +120,37 @@ object TextQueries {
         .orderBy("cluster_id", "doc_id")
     }),
 
+    // L94/d32: dup-cluster size histogram — the dedup-SAVINGS
+    // dashboard (what fraction of the corpus is removable, and
+    // whether duplication is a few mega-clusters or a long tail of
+    // pairs — the number that sizes d03's cap and justifies the
+    // whole dedup spend): d07's pairs→CC clusters reduced to a
+    // (cluster_size → n_clusters, n_docs, docs_removed) profile,
+    // singletons counted by an anti-join against the clustered id
+    // set so the histogram covers the WHOLE corpus. Histogram
+    // cardinality is bounded by max cluster size — a dashboard
+    // relation, not data.
+    "d32_cluster_histogram" -> ((s, dir) => {
+      import graft.operators.ConnectedComponents
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        Seq(col("lang"), expr("CAST(n_chars AS BIGINT) div 100")), threshold = 0.9)
+      val cc = ConnectedComponents.minLabel(pairs.select("id_a", "id_b"))
+      val multi = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val singles = d.filter(col("doc_id").isNotNull)
+        .select(col("doc_id")).distinct()
+        .join(cc.select(col("id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      multi.unionByName(singles)
+        .filter(col("n_clusters") > 0)
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1L) * col("n_clusters")).as("docs_removed"))
+        .orderBy("cluster_size")
+    }),
+
     // L23: canonicalization end step — every doc maps to the
     // HIGHEST-QUALITY member of its dup cluster (tie: min doc_id),
     // composing pair mining → connected components → quality scoring.
@@ -1187,6 +1218,41 @@ object TextQueries {
          |SELECT id AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM cc ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // d32: d07's reachability replay reduced to the size histogram;
+    // singletons = distinct ids minus clustered ids.
+    "d32_cluster_histogram" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) // 100 AS lb,
+         |    list_distinct(string_split($normSql, ' ')) AS toks
+         |  FROM documents),
+         | pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND len(a.toks) = len(b.toks)
+         |    AND a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        >= 0.9),
+         | edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         | reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         | cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         | sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1),
+         | hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS ncl FROM sizes GROUP BY sz),
+         | alln AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         | clustered AS (SELECT count(DISTINCT id) AS c FROM cc),
+         | u AS (SELECT * FROM hist
+         |   UNION ALL
+         |   SELECT 1 AS sz, CAST(n - c AS BIGINT) AS ncl FROM alln, clustered)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size, ncl AS n_clusters,
+         |  CAST(sz * ncl AS BIGINT) AS n_docs,
+         |  CAST((sz - 1) * ncl AS BIGINT) AS docs_removed
+         |FROM u WHERE ncl > 0 ORDER BY 1""".stripMargin,
 
     "d09_keep_best" ->
       s"""WITH RECURSIVE d AS (
