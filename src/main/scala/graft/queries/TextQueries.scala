@@ -429,6 +429,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L95/t35: boilerplate-line mining — the DISCOVERY dashboard that
+    // justifies d28's line dedup (which lines are the nav/footer
+    // templates, per source): normalized lines hashed with the
+    // portable fmix∘roll kernel, (source, line) counts map-side
+    // combined, then the per-source top-3 via the BOUNDED top-k heap
+    // aggregate (TopKPairsAgg on (−cnt, hash) — O(k) state, Window-
+    // free: a hot source never sorts its distinct-line table), hashes
+    // joined back to representative text (min per hash). The tie rule
+    // (cnt DESC, hash ASC) is the heap's own order, mirrored in the
+    // oracle's ranked window.
+    "t35_boilerplate" -> ((s, dir) => {
+      val ln = docs(s, dir)
+        .select(coalesce(col("source"), lit("?")).as("source"),
+          explode(split(col("text"), "\n")).as("l"))
+        .select(col("source"), Dedup.normText(col("l")).as("nline"))
+        .filter(col("nline") =!= "")
+      val c = ln
+        .withColumn("lh",
+          GraftFunctions.fmix64(GraftFunctions.rolling_hash(col("nline"))))
+        .groupBy("source", "lh")
+        .agg(min("nline").as("line"), count(lit(1)).as("cnt"))
+      val top = c.groupBy("source")
+        .agg(GraftFunctions.top_k_pairs(-col("cnt"), col("lh"), 3).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("source"), (col("p") + 1).cast("long").as("rank"),
+          (-col("e.ord")).as("cnt"), col("e.id").as("lh"))
+      top.join(c.select("source", "lh", "line"), Seq("source", "lh"))
+        .select(col("source"), col("rank"), col("line"), col("cnt"))
+        .orderBy("source", "rank")
+    }),
+
     // L35: per-doc duplicated-4-gram fraction — the exact-substring-
     // dedup diagnostic: how much of each doc is verbatim-shared with
     // the rest of the corpus (d11 finds the pairs; this ranks docs).
@@ -2198,6 +2229,27 @@ object TextQueries {
          |  CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
          |    // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // t35: the heap's (cnt DESC, hash ASC) order as a ranked window;
+    // line hash via the shared portable fmix∘roll replay.
+    "t35_boilerplate" ->
+      s"""WITH ln AS (SELECT source, nline FROM (
+         |   SELECT coalesce(source, '?') AS source, ${PortableHashSql.norm("l")} AS nline
+         |   FROM (SELECT source, unnest(string_split(text, chr(10))) AS l
+         |         FROM documents))
+         |  WHERE nline <> ''),
+         | h AS (SELECT source, nline,
+         |    ${PortableHashSql.toSigned(PortableHashSql.tokenHash("nline"))} AS lh
+         |  FROM ln),
+         | c AS (SELECT source, lh, min(nline) AS line, count(*) AS cnt
+         |  FROM h GROUP BY 1, 2),
+         | r AS (SELECT source, line, cnt,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, lh ASC) AS rank
+         |  FROM c)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, line,
+         |  CAST(cnt AS BIGINT) AS cnt
+         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     "t18_dupfrac" ->
       s"""WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
