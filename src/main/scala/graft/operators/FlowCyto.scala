@@ -228,6 +228,55 @@ object FlowCyto {
       .orderBy("bin")
   }
 
+  /** f17's automatic density-gate THRESHOLD as a reusable piece (the
+    * flowDensity/deGate valley rule: 32-bin histogram over the
+    * per-sample [lo, hi] range → 3-bin box smoothing → first valley
+    * after the main peak, threshold on that bin's left edge) —
+    * returns one (keys, threshold) row per sample for composition
+    * (f18 crosses two channels' thresholds into quadrants; f17 stays
+    * the full per-channel dashboard). All integer; two scans of
+    * `events` (stats + binning) like f17, spine windows are
+    * 32-row-per-sample relations.
+    *
+    * `valueCol` must be an integral column; callers quantize floats
+    * upstream (cents) so the bin arithmetic is exact cross-engine.
+    */
+  def densityThreshold(events: DataFrame, keys: Seq[String],
+                       valueCol: String, bins: Int = 32): DataFrame = {
+    val v = col(valueCol)
+    val keyCols = keys.map(col)
+    val stats = events.groupBy(keyCols: _*)
+      .agg(min(v).as("lo"), max(v).as("hi"))
+    val hist = events.join(broadcast(stats), keys)
+      .withColumn("bin", least(lit(bins - 1L),
+        expr(s"(($valueCol - lo) * $bins) div (hi - lo + 1)")))
+      .groupBy((keyCols :+ col("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val spine = stats.select((keyCols :+
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin")): _*)
+      .join(hist, keys :+ "bin", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy("bin").rowsBetween(-1, 1)
+    val sm = spine.withColumn("sm", sum("cnt").over(wS))
+      .persist() // read by peak and valley; Verify/Bench clearCache contract
+    val wPeak = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("sm").desc, col("bin"))
+    val peak = sm.withColumn("pr", row_number().over(wPeak))
+      .filter(col("pr") === 1)
+      .select((keyCols :+ col("bin").as("peak_bin")): _*)
+    val wValley = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("sm"), col("bin"))
+    val valley = sm.join(broadcast(peak), keys)
+      .filter(col("bin") > col("peak_bin"))
+      .withColumn("vr", row_number().over(wValley))
+      .filter(col("vr") === 1)
+      .select((keyCols :+ col("bin").as("valley_bin")): _*)
+    stats.join(valley, keys)
+      .select((keyCols :+
+        expr(s"lo + (valley_bin * (hi - lo + 1)) div $bins").as("threshold")): _*)
+  }
+
   def robustStats(df: DataFrame, channel: Column, groupCols: Seq[String],
                   pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
     val cuts = df.groupBy(groupCols.map(col): _*)

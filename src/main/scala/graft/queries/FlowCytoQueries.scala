@@ -115,6 +115,39 @@ object FlowCytoQueries {
     // build; the below/above gate counts are whole-bin sums read off
     // the persisted spine (the gate sits on a bin edge), not a third
     // event pass.
+    // F18: QUADRANT gating — the FlowJo two-channel quadrant stats,
+    // with both thresholds set AUTOMATICALLY by f17's density-valley
+    // rule (FlowCyto.densityThreshold — the same deGate machinery,
+    // factored for composition): per sample, channel X (price cents)
+    // and channel Y (quantity) each get a valley threshold, and every
+    // event lands in one of four quadrants by VALUE comparison
+    // against the broadcast thresholds (value-space gating, so the
+    // quadrant rule is engine-exact regardless of bin-edge rounding).
+    // Integer counts, one event scan for the gating pass.
+    "f18_quadrant_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val tx = graft.operators.FlowCyto.densityThreshold(li, keys, "x")
+        .withColumnRenamed("threshold", "tx")
+      val ty = graft.operators.FlowCyto.densityThreshold(li, keys, "y")
+        .withColumnRenamed("threshold", "ty")
+      li.join(broadcast(tx), keys).join(broadcast(ty), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(max("tx").as("tx"), max("ty").as("ty"),
+          sum(when(col("x") < col("tx") && col("y") < col("ty"), 1L)
+            .otherwise(0L)).as("n_ll"),
+          sum(when(col("x") < col("tx") && col("y") >= col("ty"), 1L)
+            .otherwise(0L)).as("n_lh"),
+          sum(when(col("x") >= col("tx") && col("y") < col("ty"), 1L)
+            .otherwise(0L)).as("n_hl"),
+          sum(when(col("x") >= col("tx") && col("y") >= col("ty"), 1L)
+            .otherwise(0L)).as("n_hh"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "f17_density_gate" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
@@ -353,6 +386,41 @@ object FlowCytoQueries {
   /** Half-integers < 500 — exactly representable in float32, and in
     * any partial-sum order below 2^53, so both engines agree bit-wise.
     */
+  /** f17's density-valley threshold chain with prefixed CTE names so
+    * f18 can replay it once per channel — ends in
+    * `{p}gate(l_returnflag, l_linestatus, threshold)`; the unprefixed
+    * f17 oracle text stays the pinned dashboard form.
+    */
+  private def densityChainSql(p: String, valueExpr: String): String =
+    s"""${p}li AS (SELECT l_returnflag, l_linestatus, $valueExpr AS v FROM lineitem),
+       | ${p}stats AS (SELECT l_returnflag, l_linestatus, min(v) AS lo,
+       |    max(v) AS hi FROM ${p}li GROUP BY 1, 2),
+       | ${p}binned AS (SELECT t.l_returnflag, t.l_linestatus,
+       |    least(31, ((v - lo) * 32) // (hi - lo + 1)) AS bin
+       |   FROM ${p}li t JOIN ${p}stats USING (l_returnflag, l_linestatus)),
+       | ${p}hist AS (SELECT l_returnflag, l_linestatus, bin, count(*) AS cnt
+       |   FROM ${p}binned GROUP BY 1, 2, 3),
+       | ${p}spine AS (SELECT sb.l_returnflag, sb.l_linestatus, sb.bin,
+       |    coalesce(h.cnt, 0) AS cnt
+       |   FROM (SELECT l_returnflag, l_linestatus, unnest(range(0, 32)) AS bin
+       |         FROM ${p}stats) sb
+       |   LEFT JOIN ${p}hist h USING (l_returnflag, l_linestatus, bin)),
+       | ${p}sm AS (SELECT *, sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+       |    ORDER BY bin ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+       |   FROM ${p}spine),
+       | ${p}peak AS (SELECT l_returnflag, l_linestatus, bin AS peak_bin FROM
+       |   (SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+       |      ORDER BY s DESC, bin) AS pr FROM ${p}sm) WHERE pr = 1),
+       | ${p}valley AS (SELECT l_returnflag, l_linestatus, bin AS valley_bin FROM
+       |   (SELECT sm2.l_returnflag, sm2.l_linestatus, sm2.bin, sm2.s,
+       |      row_number() OVER (PARTITION BY sm2.l_returnflag, sm2.l_linestatus
+       |        ORDER BY sm2.s, sm2.bin) AS vr
+       |    FROM ${p}sm sm2 JOIN ${p}peak pk USING (l_returnflag, l_linestatus)
+       |    WHERE bin > peak_bin) WHERE vr = 1),
+       | ${p}gate AS (SELECT s.l_returnflag, s.l_linestatus,
+       |    lo + (valley_bin * (hi - lo + 1)) // 32 AS threshold
+       |   FROM ${p}stats s JOIN ${p}valley USING (l_returnflag, l_linestatus))""".stripMargin
+
   private def f08Value(s: Int, i: Int, j: Int): Double =
     ((i * 37 + j * 101 + s * 13) % 997) * 0.5
 
@@ -497,6 +565,25 @@ object FlowCytoQueries {
          |FROM lineitem
          |WHERE ${polySql("l_quantity", "l_discount")}
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // f18: the f17 chain replayed once per channel (prefixed CTEs),
+    // quadrants by VALUE comparison against the two thresholds.
+    "f18_quadrant_gate" ->
+      s"""WITH ${densityChainSql("x_", "CAST(round(l_extendedprice * 100) AS BIGINT)")},
+         | ${densityChainSql("y_", "CAST(l_quantity AS BIGINT)")},
+         | ev AS (SELECT l_returnflag, l_linestatus,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+         |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+         | j AS (SELECT ev.*, gx.threshold AS tx, gy.threshold AS ty
+         |   FROM ev JOIN x_gate gx USING (l_returnflag, l_linestatus)
+         |   JOIN y_gate gy USING (l_returnflag, l_linestatus))
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(max(tx) AS BIGINT) AS tx, CAST(max(ty) AS BIGINT) AS ty,
+         |  CAST(sum(CASE WHEN x < tx AND y < ty THEN 1 ELSE 0 END) AS BIGINT) AS n_ll,
+         |  CAST(sum(CASE WHEN x < tx AND y >= ty THEN 1 ELSE 0 END) AS BIGINT) AS n_lh,
+         |  CAST(sum(CASE WHEN x >= tx AND y < ty THEN 1 ELSE 0 END) AS BIGINT) AS n_hl,
+         |  CAST(sum(CASE WHEN x >= tx AND y >= ty THEN 1 ELSE 0 END) AS BIGINT) AS n_hh
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // f17: identical dense-spine windows; `//` ≡ Spark `div`.
     "f17_density_gate" ->
