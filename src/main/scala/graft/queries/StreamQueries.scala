@@ -434,6 +434,27 @@ object StreamQueries {
       }.orderBy("content_hash")
     }),
 
+    // S18/st20: the BLOCKLIST gate through the real engine — st17's
+    // ingest topology with the policy pass in front (d31's batch
+    // composition, streamed): stateless AC gate (exists on the
+    // one-pass multi-pattern counts — the t33 Expression inside a
+    // streaming plan) → content-hash dropDuplicates (one bounded
+    // state store). Emitted columns are functions of the content, so
+    // the output set is arrival-order-invariant (st17's contract).
+    "st20_stream_blocklist" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val terms = Seq("batch batch", "big table", "fast join", "slow query")
+      StreamRun.onTable(s, dir, "documents", OutputMode.Append()) { d =>
+        d.filter(!exists(
+            graft.functions.GraftFunctions.blocklist_counts(
+              coalesce(col("text"), lit("")), terms),
+            c => c > lit(0L)))
+          .select(md5(Dedup.normText(col("text"))).as("content_hash"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+          .dropDuplicates("content_hash")
+      }.orderBy("content_hash")
+    }),
+
     "st16_stream_index_probe" -> ((s, dir) => {
       import graft.operators.Dedup
       val d = Graft.table(s, dir, "documents")
@@ -484,6 +505,21 @@ object StreamQueries {
          |  CAST(min(n_tokens) AS BIGINT) AS n_tokens,
          |  floor(min(quality) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM qk GROUP BY md5(norm) ORDER BY content_hash""".stripMargin
+    },
+    // st20: the strpos gate (⇔ the AC scan's all-zero counts) +
+    // content-hash distinct with content-determined columns.
+    "st20_stream_blocklist" -> {
+      import graft.queries.TextQueries.normSql
+      s"""WITH cd AS (SELECT text FROM documents
+         |   WHERE strpos(coalesce(text, ''), 'batch batch') = 0
+         |     AND strpos(coalesce(text, ''), 'big table') = 0
+         |     AND strpos(coalesce(text, ''), 'fast join') = 0
+         |     AND strpos(coalesce(text, ''), 'slow query') = 0),
+         | n AS (SELECT $normSql AS norm,
+         |    len(string_split($normSql, ' ')) AS n_tokens FROM cd)
+         |SELECT md5(norm) AS content_hash,
+         |  CAST(min(n_tokens) AS BIGINT) AS n_tokens
+         |FROM n GROUP BY md5(norm) ORDER BY content_hash""".stripMargin
     },
     "st01_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
