@@ -23,6 +23,35 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** The q45/q60 SCD2 source rows: (o_custkey, prio, ts_us,
+    * o_orderkey). o_orderdate is TIMESTAMP_NTZ; the UTC session (set
+    * by Verify/Bench) makes the cast a wall-clock identity.
+    */
+  private def scd2Input(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey"),
+      col("o_orderpriority").as("prio"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+      col("o_orderkey"))
+
+  /** q45's SCD2 version build, shared with q60's point-in-time
+    * lookup (one body so build and lookup cannot drift): change
+    * detection via lag collapses repeat values, [valid_from,
+    * valid_to) via lead, version numbers, is_current. Two window
+    * passes over dimension-key-partitioned data — one shuffle,
+    * linear at any scale.
+    */
+  private def scd2Versions(o: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
+    val ch = o.withColumn("prev", lag("prio", 1).over(w1))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+    val w2 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
+    ch.withColumn("valid_to_us", lead("ts_us", 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select(col("o_custkey"), col("prio"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("version"), col("valid_to_us").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1+R2: scan + filter pushdown + multi-measure hash aggregate.
     "q01_pricing_summary" -> ((s, dir) => {
@@ -860,23 +889,32 @@ object Relational {
     // passes over customer-partitioned data — one shuffle on the
     // dimension key, linear at any scale. Timestamps travel as epoch
     // micros (exact integers).
-    "q45_scd2" -> ((s, dir) => {
-      val w1 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
-      val o = t(s, dir, "orders").select(col("o_custkey"),
-        col("o_orderpriority").as("prio"),
-        // o_orderdate is TIMESTAMP_NTZ; the UTC session (set by
-        // Verify/Bench) makes the cast a wall-clock identity
-        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
-        col("o_orderkey"))
-      val ch = o.withColumn("prev", lag("prio", 1).over(w1))
-        .filter(col("prev").isNull || col("prev") =!= col("prio"))
-      val w2 = Window.partitionBy("o_custkey").orderBy("ts_us", "o_orderkey")
-      ch.withColumn("valid_to_us", lead("ts_us", 1).over(w2))
-        .withColumn("version", row_number().over(w2).cast("long"))
-        .select(col("o_custkey"), col("prio"),
-          col("ts_us").as("valid_from_us"), col("valid_to_us"),
-          col("version"), col("valid_to_us").isNull.as("is_current"))
-        .orderBy("o_custkey", "version")
+    "q45_scd2" -> ((s, dir) =>
+      scd2Versions(scd2Input(s, dir)).orderBy("o_custkey", "version")),
+
+    // R62/q60: SCD2 POINT-IN-TIME lookup — the consumption pattern
+    // q45's build exists for (the warehouse temporal join: enrich
+    // every fact with the dimension attributes in effect AT ITS OWN
+    // timestamp): facts equi-join the version table on the dimension
+    // key with the [valid_from, valid_to) range predicate — an
+    // equi-join plus filter, NOT a nested loop; per-key version
+    // chains are change-count-sized, so the join's right side is
+    // dimension-scale. Half-open ranges make the version at any
+    // instant unique (zero-length ranges from same-instant changes
+    // match nothing, by design). ONE shared version build
+    // (scd2Versions) with q45, so build and lookup cannot drift.
+    "q60_scd2_lookup" -> ((s, dir) => {
+      val o = scd2Input(s, dir)
+      val dim = scd2Versions(o)
+        .select(col("o_custkey"), col("prio").as("prio_then"),
+          col("valid_from_us"), col("valid_to_us"), col("version"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("ts_us"))
+        .join(dim, Seq("o_custkey"))
+        .filter(col("ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+        .select(col("o_orderkey"), col("o_custkey"), col("version"),
+          col("prio_then"))
+        .orderBy("o_orderkey", "o_custkey", "version")
     }),
 
     // R47: date-spine gap fill — densify a sparse daily aggregate onto
@@ -1597,6 +1635,26 @@ object Relational {
         |SELECT o_custkey, prio, valid_from_us, valid_to_us, version,
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY o_custkey, version""".stripMargin,
+
+    // q60: q45's version chain + the half-open-range fact join.
+    "q60_scd2_lookup" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority AS prio,
+        |    epoch_us(o_orderdate) AS ts_us, o_orderkey FROM orders),
+        | c AS (SELECT *, lag(prio) OVER (PARTITION BY o_custkey
+        |    ORDER BY ts_us, o_orderkey) AS prev FROM o),
+        | ch AS (SELECT o_custkey, prio, ts_us, o_orderkey FROM c
+        |   WHERE prev IS NULL OR prev <> prio),
+        | v AS (SELECT o_custkey, prio, ts_us AS valid_from_us,
+        |    lead(ts_us) OVER (PARTITION BY o_custkey
+        |      ORDER BY ts_us, o_orderkey) AS valid_to_us,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY ts_us, o_orderkey) AS BIGINT) AS version
+        |  FROM ch)
+        |SELECT f.o_orderkey, f.o_custkey, v.version, v.prio AS prio_then
+        |FROM o f JOIN v ON f.o_custkey = v.o_custkey
+        |  AND f.ts_us >= v.valid_from_us
+        |  AND (v.valid_to_us IS NULL OR f.ts_us < v.valid_to_us)
+        |ORDER BY f.o_orderkey, f.o_custkey, v.version""".stripMargin,
 
     "q44_date_spine" ->
       """WITH dr AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
