@@ -323,6 +323,45 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L96/s24: embedding diversity — mean PAIRWISE inner product per
+    // label WITHOUT pair enumeration, via the sum-vector identity
+    // Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖² (the representation-collapse /
+    // dedup-potential dashboard: a mean pair dot near the mean square
+    // norm means the corpus has collapsed to near-duplicates). The
+    // O(n²) pair sum computed by ONE linear pass: vectors quantize to
+    // 1e-6 integer space (the s10 convention) so both Σ-terms are
+    // EXACT integer aggregates — order-independent under any
+    // partitioning — combined in DECIMAL(38,0)/HUGEINT and divided
+    // once at the end (half-up 6 dp in the shared double formula).
+    // n=1 groups report NULL pair dot (no pairs), mirrored.
+    "s24_embed_diversity" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("q"))
+      def hup6(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      val base = e
+        .withColumn("sq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("sq").cast("decimal(38,0)")).as("sumsq"))
+      val s2 = e.select(col("label"), posexplode(col("q")).as(Seq("d", "qv")))
+        .groupBy("label", "d").agg(sum("qv").as("sd"))
+        .groupBy("label")
+        .agg(sum(col("sd").cast("decimal(38,0)") * col("sd").cast("decimal(38,0)"))
+          .as("ssq"))
+      base.join(s2, Seq("label"))
+        .select(col("label"), col("n"),
+          hup6((col("sumsq").cast("double") / col("n").cast("double"))
+            / lit(1.0e12)).as("mean_sq_norm"),
+          when(col("n") > 1,
+            hup6(((col("ssq") - col("sumsq")).cast("double")
+              / (col("n") * (col("n") - 1L)).cast("double")) / lit(1.0e12)))
+            .as("mean_pair_dot"))
+        .orderBy("label")
+    }),
+
     // L26: one-pass PCA — VecStatsAgg collects count/sum/Gram in a
     // single tree-reduced aggregate, the d×d eigenproblem solves on
     // the driver (Jacobi), and the projection is a narrow codegen'd
@@ -1255,6 +1294,31 @@ object VectorQueries {
         |      ORDER BY c DESC NULLS LAST, vec_id) AS rnk FROM rr)
         |SELECT qid, rnk, vec_id, round(c, 4) AS cos
         |FROM sc WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s24: the sum-vector identity in HUGEINT over the same 1e-6
+    // quantization; identical double op order for the final divides.
+    "s24_embed_diversity" ->
+      """WITH e0 AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |   FROM embeddings WHERE len(embedding) = 64),
+        | sq AS (SELECT label,
+        |    CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS HUGEINT) AS sqv
+        |   FROM e0),
+        | base AS (SELECT label, count(*) AS n, sum(sqv) AS sumsq
+        |   FROM sq GROUP BY label),
+        | dims AS (SELECT label, d.i AS d, CAST(sum(q[d.i]) AS BIGINT) AS sd
+        |   FROM e0, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2),
+        | s2 AS (SELECT label, sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ssq
+        |   FROM dims GROUP BY label)
+        |SELECT b.label, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000000000.0
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_sq_norm,
+        |  CASE WHEN n > 1 THEN
+        |    floor((CAST(ssq - sumsq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |      / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0
+        |  END AS mean_pair_dot
+        |FROM base b JOIN s2 USING (label) ORDER BY label""".stripMargin,
 
     "s01_ann_brute" ->
       s"""WITH e AS ($embSql),
