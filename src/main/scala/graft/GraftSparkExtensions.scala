@@ -69,6 +69,16 @@ object GraftSparkExtensions {
       case es => throw new IllegalArgumentException(
         s"kll_quantiles(x, k, array(probs...)) with literal k/probs; got ${es.length} args")
     }),
+    ("blocklist_counts", info("blocklist_counts",
+      "blocklist_counts(text, array(term1, ...)) - Aho-Corasick per-term " +
+        "greedy non-overlapping occurrence counts in one pass"), {
+      case Seq(text, arr) if arr.foldable =>
+        BlocklistCounts(text, arr.eval().asInstanceOf[ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq)
+      case es => throw new IllegalArgumentException(
+        s"blocklist_counts(text, array(terms...)) with literal terms; got ${es.length} args")
+    }),
     ("freq_items", info("freq_items",
       "freq_items(x, maxMapSize, k) - frequent-items (heavy hitters) sketch top-k"), {
       case Seq(v, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>

@@ -1014,6 +1014,26 @@ object TextQueries {
         .orderBy("reg_domain")
     }),
 
+    // L97/t36: per-language tokenizer FERTILITY (subwords per word —
+    // the number that drives vocab-size and language-mix decisions
+    // when one BPE vocabulary serves a multilingual corpus: a lang
+    // with fertility ≫ 1 pays more sequence length per word): t21's
+    // trained merges applied via t22's encoder with LANG as the
+    // grouping key — row-level word streams group straight to
+    // languages, no per-doc intermediate. Integer word/subword sums +
+    // half-up 4 dp integer-space ratio → oracle-exact through the
+    // same 8-round chained-CTE replay as t21/t22.
+    "t36_bpe_fertility" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir).withColumn("lang", coalesce(col("lang"), lit("?")))
+      val merges = Bpe.train(d, "text", merges = 8).map(m => (m._2, m._3))
+      Bpe.encode(d, "lang", "text", merges)
+        .select(col("doc_id").as("lang"), col("n_words"), col("n_subwords"),
+          expr("CAST((20000 * n_subwords + n_words) div (2 * n_words) AS DOUBLE) / 10000.0")
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
     "t12_vocab" -> ((s, dir) => {
       val vocab = docs(s, dir)
         .select(explode(Dedup.tokens(col("text"))).as("word"))
@@ -2305,6 +2325,22 @@ object TextQueries {
     // oracle reuses the training chain (w8's symbol strings ARE the
     // encodings, since the vocab covers every corpus word).
     "t22_bpe_encode" -> bpeEncodeOracleSql(8),
+
+    // t36: the t21/t22 chain grouped by language; half-up 4 dp
+    // integer-space fertility ratio.
+    "t36_bpe_fertility" ->
+      s"""WITH ${bpeChainSql(8)},
+         | tf AS (SELECT coalesce(lang, '?') AS lang, word FROM
+         |   (SELECT lang, unnest(string_split($normSql, ' ')) AS word FROM documents)
+         |   WHERE regexp_matches(word, '^[a-z]+$$')),
+         | enc AS (SELECT lang,
+         |   len(string_split(trim(sym, '|'), '||')) AS n_sub
+         |  FROM tf JOIN w8 USING (word))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST((20000 * CAST(sum(n_sub) AS BIGINT) + count(*))
+         |    // (2 * count(*)) AS DOUBLE) / 10000.0 AS fertility
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // d15: the full curation chain replayed — unrounded quality
     // filter, md5 dedup window, string-gram decontamination, fmix64

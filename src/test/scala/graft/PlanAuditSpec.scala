@@ -45,7 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "t25_vocab_growth", "t28_source_overlap", "d21_minhash_calib",
     "d15_curation_pipeline", "d25_incremental_curation",
     // crossJoin(broadcast(<1-row corpus aggregate>)) attachments:
-    "t12_vocab", "t13_bigram_lift", "d18_source_profile")
+    "t12_vocab", "t13_bigram_lift", "d18_source_profile",
+    // t34: the 1-row vocabulary-size broadcast (V) crossJoins the
+    // crawl bigram stream; bi/ctx attach as broadcast equi-joins
+    "t34_heldout_ppl")
 
   // Global (unpartitioned) Window operators sort + stream the WHOLE
   // input through one task — fine iff the relation is provably bounded
