@@ -1412,6 +1412,15 @@ object GraftExpressions {
           s"freq_items(x, maxMapSize, k) with literal sizes; got ${es.length} args")
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "blocklist_counts", {
+        case Seq(text, arr) if arr.foldable =>
+          BlocklistCounts(text, arr.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(StringType).map(_.toString).toSeq)
+        case es => throw new IllegalArgumentException(
+          s"blocklist_counts(text, array(terms...)) with literal terms; got ${es.length} args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "winnow_fingerprints", {
         case Seq(toks, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>
           WinnowFingerprints(toks, n, w)

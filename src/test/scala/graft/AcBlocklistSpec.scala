@@ -86,6 +86,17 @@ class AcBlocklistSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("SQL registry form matches the Column API") {
+    Graft.registerFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT blocklist_counts('batch batch batch', array('batch batch', 'a')) AS c")
+      .collect().head.getSeq[Long](0).toSeq
+    assert(viaSql == Seq(1L, 3L))
+    intercept[Exception] {
+      spark.sql("SELECT blocklist_counts('x')").collect()
+    }
+  }
+
   test("null text → null; randomized agreement with the scalar reference") {
     val r = Seq[(String)](null).toDF("text")
       .select(GraftFunctions.blocklist_counts(col("text"), Seq("x")).as("c"))
