@@ -760,6 +760,39 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // R63/q61: zone-map data-skipping report — the lakehouse
+    // min/max-statistics audit (what fraction of file IO a predicate
+    // saves — the ROI dashboard behind q34's z-order clustering and
+    // q50's compaction): the file inventory (documents chunked as
+    // files: 50-doc groups per source) reduces to per-file zones
+    // (min/max n_chars), a file is HIT iff its zone overlaps the
+    // predicate range [60, 100], and the per-source report counts
+    // files hit, rows scanned vs skipped, and rows actually matched
+    // (provably all inside hit files — the zone-map guarantee). At
+    // scale zones are parquet footer metadata and this report is
+    // file-count cardinality; the skip decision is exactly what the
+    // reader's pushdown applies at scan time. All integer.
+    "q61_zone_skip" -> ((s, dir) => {
+      val (loP, hiP) = (60L, 100L)
+      val zones = t(s, dir, "documents")
+        .select(coalesce(col("source"), lit("?")).as("source"),
+          expr("coalesce(CAST(doc_id AS BIGINT), -1) div 50").as("file_id"),
+          col("n_chars").cast("long").as("nc"))
+        .filter(col("nc").isNotNull)
+        .groupBy("source", "file_id")
+        .agg(min("nc").as("zlo"), max("nc").as("zhi"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("nc").between(loP, hiP), 1L).otherwise(0L)).as("n_match"))
+      zones.withColumn("hit", col("zlo") <= hiP && col("zhi") >= loP)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+          sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(when(!col("hit"), col("n_rows")).otherwise(0L)).as("rows_skipped"),
+          sum("n_match").as("rows_matched"))
+        .orderBy("source")
+    }),
+
     // R58/q56: incremental aggregate maintenance — the materialized-
     // view refresh pattern (operators/IncrementalAgg): the base half
     // of orders is reduced ONCE to per-customer partial state
@@ -1155,6 +1188,24 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q54_profile" -> profileOracleSql,
+
+    // q61: the same zone/hit/report arithmetic over 50-doc files.
+    "q61_zone_skip" ->
+      """WITH f AS (SELECT coalesce(source, '?') AS source,
+        |    coalesce(CAST(doc_id AS BIGINT), -1) // 50 AS file_id,
+        |    CAST(n_chars AS BIGINT) AS nc
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        | z AS (SELECT source, file_id, min(nc) AS zlo, max(nc) AS zhi,
+        |    count(*) AS n_rows,
+        |    sum(CASE WHEN nc BETWEEN 60 AND 100 THEN 1 ELSE 0 END) AS n_match
+        |  FROM f GROUP BY 1, 2),
+        | h AS (SELECT *, (zlo <= 100 AND zhi >= 60) AS hit FROM z)
+        |SELECT source, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+        |  CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(CASE WHEN hit THEN 0 ELSE n_rows END) AS BIGINT) AS rows_skipped,
+        |  CAST(sum(n_match) AS BIGINT) AS rows_matched
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // q59: ranked reference — (cnt DESC, qty ASC) row 1 per group.
     "q59_group_mode" ->

@@ -13,9 +13,9 @@ run() {  # dir subset tag
   echo "== $3 ($2):"
   python3 tools/compare.py "$1" "/tmp/ff_$3" "$2" 2>/dev/null | tail -1
 }
-run "$FUZZ/content"    "d,t,q50,m" content
-run "$FUZZ/typedrift"  "d,t,q50,m" typedrift
-run "$FUZZ/hotbucket"  "d,t,q50,m" hotbucket
+run "$FUZZ/content"    "d,t,q50,q61,m" content
+run "$FUZZ/typedrift"  "d,t,q50,q61,m" typedrift
+run "$FUZZ/hotbucket"  "d,t,q50,q61,m" hotbucket
 run "$FUZZ/relcontent" "q,f,st"    relcontent
 run "$FUZZ/reltypes"   "q,f,st"    reltypes
 run "$FUZZ/relclicks"  "st"        relclicks
