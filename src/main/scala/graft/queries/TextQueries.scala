@@ -798,6 +798,29 @@ object TextQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // L98/d33: lexical CLONE SEARCH — "find the corpus documents most
+    // similar to this one" as top-k retrieval (the license-scan /
+    // provenance / template-hunt query; dedup asks ≥ threshold, clone
+    // search asks WHICH and HOW CLOSE): d27's batch-vs-index
+    // candidate machinery at a LOW floor (0.1 — the size-ratio prune
+    // stays implied, J ≤ min/max), exact Jaccard verify, then top-3
+    // per query doc by (jaccard DESC, corpus_id) — a window keyed on
+    // the query id, bounded by the banding/cap candidate volume.
+    "d33_clone_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = Dedup.minhashAgainstIndex(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", threshold = 0.1, numHashes = 64, bands = 8,
+        shingleN = 1, cap = 500)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("new_id").orderBy(col("jaccard").desc, col("corpus_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("new_id", "rnk", "corpus_id", "jaccard")
+        .orderBy("new_id", "rnk")
+    }),
+
     // L71-driver: the persisted LSH index, DRIVER-VERIFIED — the
     // corpus side written ONCE as (band,bucket)- and id-bucketed
     // external tables (cap applied at build), then probed
@@ -1214,12 +1237,30 @@ object TextQueries {
        |ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  /** d33: d27's chain at a 0.1 floor + rank-3 per query doc, ranked
+    * on the ROUNDED jaccard with corpus_id tie-break (both sides).
+    */
+  private def cloneTopkOracleSql: String = {
+    val base = incrementalLshOracleSql(distinctBase = false)
+    val chain = base.substring(0, base.lastIndexOf("SELECT new_id"))
+    s"""${chain.trim.stripSuffix(")")}),
+       | scored AS (SELECT new_id, corpus_id,
+       |   round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 3) AS jaccard
+       | FROM v
+       | WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.1),
+       | rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY new_id
+       |     ORDER BY jaccard DESC, corpus_id) AS BIGINT) AS rnk FROM scored)
+       |SELECT new_id, rnk, corpus_id, jaccard
+       |FROM rk WHERE rnk <= 3 ORDER BY new_id, rnk""".stripMargin
+  }
+
   // d29 runs the persisted-index probe (writeLshIndex → probeLshIndex)
   // with d27's exact parameters — the RESULT contract is identical
   // (the index is d27's corpus side written once, the probe its join),
   // so its oracle is d27's verbatim.
   val oracle: Map[String, String] = oracleBase +
-    ("d29_lsh_index_probe" -> oracleBase("d27_incremental_lsh"))
+    ("d29_lsh_index_probe" -> oracleBase("d27_incremental_lsh")) +
+    ("d33_clone_topk" -> cloneTopkOracleSql)
 
   private lazy val oracleBase: Map[String, String] = Map(
     "d01_dedup_exact" ->
