@@ -151,6 +151,36 @@ object TextQueries {
         .orderBy("cluster_size")
     }),
 
+    // L99/d34: EFFECTIVE token mass per source — the "how much data
+    // do we actually have" dashboard (raw token counts overstate a
+    // crawl: duplicated content trains like one copy; Kaplan-style
+    // budget math needs the DEDUPED mass): raw per-source doc/token
+    // counts next to the post-exact-dedup mass, where each distinct
+    // content (md5 of norm) counts ONCE globally and attributes to
+    // its keeper's source (min (doc_id, source, nt) — d01's keeper
+    // convention made a total order). Two map-side-combined
+    // aggregates, no window — a hot content hash reduces
+    // per-partition before it travels (the d28 discipline).
+    "d34_effective_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        coalesce(col("source"), lit("?")).as("source"),
+        md5(Dedup.normText(col("text"))).as("h"),
+        coalesce(col("doc_id").cast("long"), lit(-1L)).as("did"),
+        size(Dedup.tokens(col("text"))).cast("long").as("nt"))
+      val raw = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("raw_tokens"))
+      val uniq = d.groupBy("h")
+        .agg(min(struct(col("did"), col("source"), col("nt"))).as("k"))
+        .select(col("k.source").as("source"), col("k.nt").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique_docs"), sum("nt").as("effective_tokens"))
+      raw.join(uniq, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          coalesce(col("n_unique_docs"), lit(0L)).as("n_unique_docs"),
+          coalesce(col("effective_tokens"), lit(0L)).as("effective_tokens"))
+        .orderBy("source")
+    }),
+
     // L23: canonicalization end step — every doc maps to the
     // HIGHEST-QUALITY member of its dup cluster (tie: min doc_id),
     // composing pair mining → connected components → quality scoring.
@@ -1345,6 +1375,29 @@ object TextQueries {
          |  CAST(sz * ncl AS BIGINT) AS n_docs,
          |  CAST((sz - 1) * ncl AS BIGINT) AS docs_removed
          |FROM u WHERE ncl > 0 ORDER BY 1""".stripMargin,
+
+    // d34: the keeper convention replayed as arg-min by the same
+    // (did, source, nt) total order; raw counts straight off rows.
+    "d34_effective_tokens" ->
+      s"""WITH d AS (SELECT coalesce(source, '?') AS source,
+         |    md5($normSql) AS h,
+         |    coalesce(CAST(doc_id AS BIGINT), -1) AS did,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nt
+         |  FROM documents),
+         | raw AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS raw_tokens
+         |  FROM d GROUP BY source),
+         | k AS (SELECT h, source, nt FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY h
+         |      ORDER BY did, source, nt) AS rn FROM d) WHERE rn = 1),
+         | uniq AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique_docs,
+         |    CAST(sum(nt) AS BIGINT) AS effective_tokens
+         |  FROM k GROUP BY source)
+         |SELECT raw.source, n_docs, raw_tokens,
+         |  coalesce(n_unique_docs, 0) AS n_unique_docs,
+         |  coalesce(effective_tokens, 0) AS effective_tokens
+         |FROM raw LEFT JOIN uniq ON raw.source = uniq.source
+         |ORDER BY raw.source""".stripMargin,
 
     "d09_keep_best" ->
       s"""WITH RECURSIVE d AS (
