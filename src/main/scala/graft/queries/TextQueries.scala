@@ -511,6 +511,27 @@ object TextQueries {
         .orderBy("event_id")
     }),
 
+    // L100/t37: per-stream PII-density profile — the compliance
+    // dashboard over t19's redaction counts ("which event streams
+    // leak identifiers, and how much"): the sequential email→IP→
+    // digit-run counting per event, rolled up per event_type with an
+    // any-PII event count. Purely narrow scan + one keyed aggregate;
+    // null props count as clean (both engines' CASE-over-NULL → 0).
+    "t37_pii_profile" -> ((s, dir) => {
+      val cols = TextStats.redactColumns(col("props"))
+        .filter(_._1 != "redacted")
+      Graft.table(s, dir, "events")
+        .select(coalesce(col("event_type"), lit("?")).as("event_type") +:
+          cols.map { case (n, c) => c.as(n) }: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("n_emails").as("n_emails"), sum("n_ips").as("n_ips"),
+          sum("n_nums").as("n_nums"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_nums") > 0, 1L)
+            .otherwise(0L)).as("n_dirty"))
+        .orderBy("event_type")
+    }),
+
     // L36: mixture resampling to target LANGUAGE weights — keep rates
     // computed from observed stratum counts (min(1, targetN·w/n)),
     // applied via the portable id-hash filter, so the exact kept-row
@@ -2391,6 +2412,26 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(after_ip, '${TextStats.digitRunPat}')) AS BIGINT) AS n_nums,
          |  regexp_replace(after_ip, '${TextStats.digitRunPat}', '<NUM>', 'g') AS redacted
          |FROM r2 ORDER BY event_id""".stripMargin,
+
+    // t37: t19's sequential counting chain rolled up per event_type.
+    "t37_pii_profile" ->
+      s"""WITH r1 AS (SELECT coalesce(event_type, '?') AS event_type, props,
+         |    regexp_replace(props, '${TextStats.emailPat}', '<EMAIL>', 'g') AS after_email
+         |  FROM events),
+         | r2 AS (SELECT event_type, props, after_email,
+         |    regexp_replace(after_email, '${TextStats.ipv4Pat}', '<IP>', 'g') AS after_ip
+         |  FROM r1),
+         | per AS (SELECT event_type,
+         |    len(regexp_extract_all(props, '${TextStats.emailPat}')) AS e,
+         |    len(regexp_extract_all(after_email, '${TextStats.ipv4Pat}')) AS i,
+         |    len(regexp_extract_all(after_ip, '${TextStats.digitRunPat}')) AS n
+         |  FROM r2)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(i) AS BIGINT) AS n_ips,
+         |  CAST(sum(n) AS BIGINT) AS n_nums,
+         |  CAST(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+         |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // d14: the keep decision replayed exactly — same (w·targetN)/n
     // double arithmetic, same fmix64 bucket as t06/t08.
