@@ -574,6 +574,38 @@ object VectorQueries {
         .orderBy("doc_id", "seg_id")
     }),
 
+    // L101/m12: multipart INTEGRITY audit — the download-side twin of
+    // m03's upload manifest (every blob store's multipart protocol:
+    // fetch parts by offset, reassemble in part order, digest-check
+    // against the manifest's whole-object hash): chunks re-emitted by
+    // the m03 grid, reassembled via an ordered fold, and the
+    // reassembled digest compared to the original — a chunk-boundary
+    // or ordering bug flips `intact` AND hash-differs. Hex-string
+    // convention throughout (the m03 precedent: byte-exact without
+    // binary-type comparisons). Distinct (doc_id, text) base — the
+    // streaming-ingest dup-row contract.
+    "m12_blob_integrity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("text")).distinct()
+        .withColumn("h", hex(encode(col("text"), "UTF-8")))
+        .filter(length(col("h")) > 0)
+      val chunks = d.select(col("doc_id"), col("h"),
+          posexplode(expr("sequence(1L, CAST(length(h) / 2 AS BIGINT), 64L)"))
+            .as(Seq("cid", "off")))
+        .select(col("doc_id"), col("h"), col("cid").cast("long").as("cid"),
+          expr("substring(h, 2 * off - 1, 128)").as("p"))
+      chunks.groupBy("doc_id", "h")
+        .agg(count(lit(1)).as("n_chunks"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("cid"), col("p")))),
+            x => x.getField("p")), "").as("rh"))
+        .select(col("doc_id"), col("n_chunks"),
+          (length(col("h")) / 2).cast("long").as("n_bytes"),
+          (md5(col("rh")) === md5(col("h"))).as("intact"),
+          md5(col("h")).as("blob_md5"))
+        .orderBy("doc_id", "blob_md5")
+    }),
+
     // L69: real-codec audio roundtrip — the deterministic PCM16
     // signal through the JDK's actual WAV encoder+decoder
     // (javax.sound), integer sample stats replayed by the oracle
@@ -1457,6 +1489,25 @@ object VectorQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
       // md5(text): DuckDB's md5 takes VARCHAR and digests its UTF-8
       // bytes — exactly the blob — so this one needs no hex detour.
+
+    // m12: the m03 grid + string_agg reassembly in part order; the
+    // digest equality certifies the boundary arithmetic.
+    "m12_blob_integrity" ->
+      """WITH b AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+        |    hex(encode(text)) AS h
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        | o AS (SELECT doc_id, h,
+        |    unnest(range(1, length(h) // 2 + 1, 64)) AS off,
+        |    unnest(generate_series(1, CAST(ceil((length(h) // 2) / 64.0) AS BIGINT)))
+        |      AS cid
+        |  FROM b),
+        | c AS (SELECT doc_id, h, cid, substr(h, 2 * off - 1, 128) AS p FROM o),
+        | re AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    string_agg(p, '' ORDER BY cid) AS rh
+        |  FROM c GROUP BY doc_id, h)
+        |SELECT doc_id, n_chunks, CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+        |  md5(rh) = md5(h) AS intact, md5(h) AS blob_md5
+        |FROM re ORDER BY doc_id, blob_md5""".stripMargin,
 
     "m03_blob_chunks" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
