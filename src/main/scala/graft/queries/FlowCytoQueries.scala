@@ -204,6 +204,40 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F19: per-sample channel CORRELATION (the compensation-QC
+    // metric: residual correlation between channels after
+    // compensation means the spillover matrix is wrong — f16
+    // estimates the coefficients, this audits the result): Pearson r
+    // from the five exact DECIMAL(38,0)/HUGEINT integer sums in ONE
+    // keyed aggregation — the moment sums are order-independent under
+    // any partitioning, and the single final double formula runs in
+    // a fixed op order both engines replay; zero-variance samples
+    // report NULL (exact integer compare, not an epsilon). Half-up
+    // 6 dp display.
+    "f19_channel_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("x", expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))"))
+        .withColumn("y", expr("CAST(l_quantity AS DECIMAL(38,0))"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n").cast("long").as("n_events"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+               col("n") * col("syy") - col("sy") * col("sy") === 0,
+            lit(null).cast("double"))
+            .otherwise(
+              floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+                  * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+                * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+            .as("pearson_r"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F16: spillover coefficient ESTIMATION (the inverse of f03's
     // application): per single-stain control sample, the spill
     // coefficient is the regression-through-origin slope of the spill
@@ -627,6 +661,29 @@ object FlowCytoQueries {
         |  CAST(n_above AS BIGINT) AS n_above
         |FROM gate g JOIN counts USING (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    // f19: the same five HUGEINT moment sums; identical final double
+    // op order (numerator / sqrt(varx · vary)); exact zero-variance
+    // NULL guard.
+    "f19_channel_corr" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sx,
+        |    sum(CAST(l_quantity AS HUGEINT)) AS sy,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |        * CAST(l_quantity AS HUGEINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxx,
+        |    sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_events,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |       ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))
+        |         * 1000000.0 + 0.5) / 1000000.0
+        |  END AS pearson_r
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // f16: HUGEINT sums ≡ Spark DECIMAL(38,0) sums (both exact
     // integers); same half-up 6dp integer-space division.
