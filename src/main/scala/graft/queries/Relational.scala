@@ -793,6 +793,36 @@ object Relational {
         .orderBy("source")
     }),
 
+    // R64/q62: bucketed-layout join, DRIVER-VERIFIED (the q53/d29
+    // certification applied to R30's bucketed tables: PipelineSpec
+    // proves the Exchange-free PLAN, this proves the VALUES through
+    // the store): lineitem and orders written once as external
+    // tables bucketed on the join key, the join+aggregate read from
+    // STORAGE — the oracle computes the same aggregate from the raw
+    // parquet, so a bucket-assignment or bucketed-read bug changes
+    // the sums. At scale this is the co-located fact⋈fact layout:
+    // both sides pay their key shuffle ONCE at write, every
+    // downstream join is Exchange-free. Integer-cent sums.
+    "q62_bucketed_join" -> ((s, dir) => {
+      val pth = graft.sources.TidyIO.scratchDir("g_bkj")
+      val sfx = pth.stripPrefix("/tmp/")
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").cast("string").as("prio"))
+      graft.sources.TidyIO.writeBucketedCols(li, s"li_$sfx", Seq("k"), 8,
+        path = Some(pth + "/li"))
+      graft.sources.TidyIO.writeBucketedCols(o, s"o_$sfx", Seq("k"), 8,
+        path = Some(pth + "/o"))
+      s.table(s"li_$sfx").join(s.table(s"o_$sfx"), Seq("k"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("prio")
+    }),
+
     // R58/q56: incremental aggregate maintenance — the materialized-
     // view refresh pattern (operators/IncrementalAgg): the base half
     // of orders is reduced ONCE to per-customer partial state
@@ -1188,6 +1218,15 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q54_profile" -> profileOracleSql,
+
+    // q62: the same join+aggregate straight off the raw parquet —
+    // certifying the bucketed write→read path value-for-value.
+    "q62_bucketed_join" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON CAST(l_orderkey AS BIGINT) = CAST(o_orderkey AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q61: the same zone/hit/report arithmetic over 50-doc files.
     "q61_zone_skip" ->
