@@ -73,12 +73,21 @@ object GraftSparkExtensions {
       "blocklist_counts(text, array(term1, ...)) - Aho-Corasick per-term " +
         "greedy non-overlapping occurrence counts in one pass"), {
       case Seq(text, arr) if arr.foldable =>
-        BlocklistCounts(text, arr.eval().asInstanceOf[ArrayData]
+        val evaled = arr.eval()
+        if (evaled == null) throw new IllegalArgumentException(
+          "blocklist_counts(text, array(terms...)): terms array must not be NULL")
+        val elems = evaled.asInstanceOf[ArrayData]
           .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq)
+        if (elems.exists(_ == null)) throw new IllegalArgumentException(
+          "blocklist_counts(text, array(terms...)): terms must not contain NULL")
+        BlocklistCounts(text, elems.map(_.toString).toSeq)
       case es => throw new IllegalArgumentException(
         s"blocklist_counts(text, array(terms...)) with literal terms; got ${es.length} args")
     }),
+    ("html_text", info("html_text",
+      "html_text(html) - visible-text extraction (WET step): tag strip, " +
+        "script/style/comment drop, block-element line breaks, entity decode"),
+      es => HtmlVisibleText(es.head)),
     ("freq_items", info("freq_items",
       "freq_items(x, maxMapSize, k) - frequent-items (heavy hitters) sketch top-k"), {
       case Seq(v, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>

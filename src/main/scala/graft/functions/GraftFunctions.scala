@@ -36,6 +36,8 @@ object GraftFunctions {
   def blocklist_counts(text: Column, terms: Seq[String]): Column =
     GraftExpressions.blocklist_counts(text, terms)
 
+  def html_text(html: Column): Column = GraftExpressions.html_text(html)
+
   /** Inner product of two float arrays (codegen'd ordered fold). */
   def dot_product(a: Column, b: Column): Column = GraftExpressions.dot_product(a, b)
 

@@ -638,11 +638,24 @@ object Ann {
   }
 
   /** IVFADC retrieval SERVED from a [[writeIvfAdcIndex]] store:
-    * probe the stored coarse centroids, keep only codes in probed
-    * cells (the cell-keyed code table read, no recompute), ADC-score
-    * via the stored codebooks. Ranking is bit-identical to
-    * [[ivfAdcTopK]] with the same corpus/seeds/parameters — s17's
-    * oracle contract (s14's oracle verbatim).
+    * probe the stored coarse centroids, then read ONLY the probed
+    * cells' code buckets, ADC-score via the stored codebooks.
+    * Ranking is bit-identical to [[ivfAdcTopK]] with the same
+    * corpus/seeds/parameters — s17's oracle contract (s14's oracle
+    * verbatim).
+    *
+    * The probed-cell set is bounded by |queries|·nProbe BY
+    * CONSTRUCTION (row_number ≤ nProbe per query), so collecting it
+    * to the driver is a handful of longs, never a data-sized
+    * collect. That bounded set is pushed as a LITERAL `isin`
+    * predicate on the bucket column: a broadcast hash join on
+    * `cell` alone filters rows only AFTER every code file is read,
+    * while the literal In prunes buckets AT the scan
+    * (`SelectedBucketsCount: probed out of total` in the executed
+    * plan — PqStoreSpec asserts it), which is the FAISS
+    * inverted-list read: untouched cells cost zero IO. The probe
+    * pairs themselves come back as a LocalRelation for the residual
+    * (qid, cell) broadcast join, so the probe chain runs once.
     */
   def ivfAdcTopKStored(queries: DataFrame, idCol: String, embCol: String,
                        tablePrefix: String, kTop: Int = 10, nProbe: Int = 4,
@@ -658,7 +671,14 @@ object Ann {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select("qid", "cell")
-    val cand = codes.join(broadcast(probes), Seq("cell")).drop("cell")
+    val probeRows = probes.collect()
+    val probedCells = probeRows.map(_.getAs[Any]("cell")).distinct.toSeq
+    val probeLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val pruned =
+      if (probedCells.isEmpty) codes.filter(lit(false))
+      else codes.filter(col("cell").isin(probedCells: _*))
+    val cand = pruned.join(broadcast(probeLocal), Seq("cell")).drop("cell")
     adcRank(cand, q, readCodebooks(spark, tablePrefix, m), m, subDim, kTop)
   }
 
@@ -952,29 +972,48 @@ object Ann {
     * bandwidth-bound, the point of binary codes; stage 2 touches
     * |q|·shortlist raw vectors. Zero trained state, like [[
     * truncRerankTopK]]. All-integer stage 1 + certified float-fold
-    * stage 2 → fully oracle-replayable (bits pack as Σ 2^j in two
-    * 32-bit halves — no sign-bit overflow — hamming via bit_count).
+    * stage 2 → fully oracle-replayable (bits pack as Σ 2^j in
+    * ⌈dim/32⌉ 32-bit halves — no sign-bit overflow — hamming via
+    * bit_count). `dim` drives the packing width; a row whose
+    * embedding size differs raises at scan time rather than silently
+    * hashing only a prefix of the coordinates.
     */
   def signHammingTopK(corpus: DataFrame, queries: DataFrame,
                       idCol: String, embCol: String, kTop: Int = 10,
-                      shortlist: Int = 30): DataFrame = {
-    def pack(df: DataFrame, id: String, lo: String, hi: String,
+                      shortlist: Int = 30, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    // One packed long per 32 coordinates, derived from `dim` — a
+    // corpus whose vectors don't match `dim` fails LOUDLY at scan
+    // time (assert_true) instead of silently hashing a prefix.
+    val nHalves = (dim + 31) / 32
+    def pack(df: DataFrame, id: String, prefix: String,
              keepEmb: Option[String]): DataFrame = {
-      def half(off: Int) = expr(
-        s"""aggregate(transform(slice($embCol, ${off + 1}, 32),
-           |  (x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
-      df.withColumn(lo, half(0)).withColumn(hi, half(32))
-        .select(col(idCol).as(id) +: (keepEmb.map(n => col(embCol).as(n)).toSeq
-          ++ Seq(col(lo), col(hi))): _*)
+      def half(off: Int) = {
+        val width = math.min(32, dim - off)
+        expr(
+          s"""aggregate(transform(slice($embCol, ${off + 1}, $width),
+             |  (x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+             |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+      }
+      // filter(assert_true(..).isNull) instead of a dropped column:
+      // an unused projected column would be pruned by the optimizer
+      // and the guard silently skipped; a Filter survives.
+      val guarded = df.filter(
+        assert_true(size(col(embCol)) === dim,
+          lit(s"signHammingTopK: $embCol must have exactly $dim elements"))
+          .isNull)
+      val halves = (0 until nHalves).map(h => half(h * 32).as(s"$prefix$h"))
+      guarded.select(col(idCol).as(id) +:
+        (keepEmb.map(n => col(embCol).as(n)).toSeq ++ halves): _*)
     }
-    val q = pack(queries, "qid", "qlo", "qhi", Some("qemb"))
-    val cCodes = pack(corpus, "vec_id", "clo", "chi", None)
+    val q = pack(queries, "qid", "qh", Some("qemb"))
+    val cCodes = pack(corpus, "vec_id", "ch", None)
+    val hamExpr = (0 until nHalves)
+      .map(h => s"bit_count(qh$h ^ ch$h)").mkString(" + ")
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("ham").asc, col("vec_id"))
-    val sl = cCodes.crossJoin(broadcast(q.select("qid", "qlo", "qhi")))
-      .withColumn("ham",
-        expr("bit_count(qlo ^ clo) + bit_count(qhi ^ chi)").cast("long"))
+    val sl = cCodes.crossJoin(broadcast(q.drop("qemb")))
+      .withColumn("ham", expr(hamExpr).cast("long"))
       .withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= shortlist)
       .select("qid", "vec_id")

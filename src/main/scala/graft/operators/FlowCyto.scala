@@ -230,13 +230,21 @@ object FlowCyto {
 
   /** f17's automatic density-gate THRESHOLD as a reusable piece (the
     * flowDensity/deGate valley rule: 32-bin histogram over the
-    * per-sample [lo, hi] range → 3-bin box smoothing → first valley
-    * after the main peak, threshold on that bin's left edge) —
+    * per-sample [lo, hi] range → 3-bin box smoothing → the GLOBAL
+    * MINIMUM smoothed bin strictly after the main peak (ties broken
+    * toward the lower bin), threshold on that bin's left edge) —
     * returns one (keys, threshold) row per sample for composition
     * (f18 crosses two channels' thresholds into quadrants; f17 stays
     * the full per-channel dashboard). All integer; two scans of
     * `events` (stats + binning) like f17, spine windows are
     * 32-row-per-sample relations.
+    *
+    * A sample whose peak lands in the LAST bin has no post-peak bin
+    * and produces NO output row (the valley join is inner) — callers
+    * composing by inner join (f18) therefore drop such samples, and
+    * any oracle replaying this formula drops them identically. This
+    * is deliberate: a monotone-increasing density has no valley, so
+    * no deGate threshold exists for it.
     *
     * `valueCol` must be an integral column; callers quantize floats
     * upstream (cents) so the bin arithmetic is exact cross-engine.

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * re-aggregatable cube state): the base corpus is reduced ONCE to a
   * per-key partial-state table of commutative-monoid accumulators
   * (count / sum / min / max — `avg` is derived at read time as
-  * sum/count, never stored), and every refresh aggregates only the
-  * DELTA and merges it with the stored state. Merging is the same
+  * sum_<m>/cnt_<m>, never stored), and every refresh aggregates only
+  * the DELTA and merges it with the stored state. Merging is the same
   * keyed aggregate over state rows, so merge(partial(A), partial(B))
   * == partial(A ∪ B) by associativity — the property
   * IncrementalAggSpec pins (including multi-way merges and empty
@@ -27,19 +27,25 @@ import org.apache.spark.sql.functions._
   * is the same merge discipline over sketch accumulators instead of
   * scalars.
   *
-  * State schema: keys ++ (cnt, sum_<m>, min_<m>, max_<m> per measure).
+  * State schema: keys ++ (cnt, then cnt_<m>, sum_<m>, min_<m>,
+  * max_<m> per measure). `cnt` is the ROW count (count(*));
+  * `cnt_<m>` is the NON-NULL count for measure m, stored so the
+  * read-time derived average sum_<m>/cnt_<m> equals SQL AVG(m)
+  * exactly even when a measure has NULLs (AVG divides by the
+  * non-null count, not the row count).
   */
 object IncrementalAgg {
 
   /** Reduce rows to per-key partial state. Measure columns must be
     * integral (cast upstream); null measures are skipped by sum/min/
-    * max and do not count into `cnt_<m>`-less semantics — `cnt` is
-    * the ROW count (count(*)), matching the full-recompute contract.
+    * max and by `cnt_<m>` (count(col) is SQL's non-null count) —
+    * only `cnt` counts every row.
     */
   def partial(df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame = {
     require(keys.nonEmpty && measures.nonEmpty)
     val aggs = count(lit(1)).as("cnt") +:
       measures.flatMap(m => Seq(
+        count(col(m)).as(s"cnt_$m"),
         sum(col(m)).as(s"sum_$m"),
         min(col(m)).as(s"min_$m"),
         max(col(m)).as(s"max_$m")))
@@ -54,6 +60,7 @@ object IncrementalAgg {
     require(parts.nonEmpty)
     val aggs = sum(col("cnt")).as("cnt") +:
       measures.flatMap(m => Seq(
+        sum(col(s"cnt_$m")).as(s"cnt_$m"),
         sum(col(s"sum_$m")).as(s"sum_$m"),
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m")))

@@ -857,7 +857,10 @@ object Relational {
       graft.operators.IncrementalAgg.merge(Seq(stored, deltaPart), keys, ms)
         .select(col("o_custkey"), col("cnt").as("n_orders"),
           col("sum_cents"), col("min_cents"), col("max_cents"),
-          (col("sum_cents").cast("double") / col("cnt")).as("avg_cents"))
+          // AVG divides by the stored NON-NULL count (cnt_cents ==
+          // cnt here, cents is non-null) so the derived average
+          // equals SQL AVG even on NULL-bearing measures.
+          (col("sum_cents").cast("double") / col("cnt_cents")).as("avg_cents"))
         .orderBy("o_custkey")
     }),
 

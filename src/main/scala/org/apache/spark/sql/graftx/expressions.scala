@@ -1146,7 +1146,11 @@ final class AcAutomaton(termBytes: Array[Array[Byte]]) extends Serializable {
   private val (next: Array[Int], outOff: Array[Int], outTerm: Array[Int]) = {
     val maxStates = 1 + termBytes.map(_.length).sum
     val goto = Array.fill(maxStates * 256)(-1)
-    val ends = Array.fill(maxStates)(-1) // term ending exactly at state
+    // ALL terms ending exactly at a state — a duplicated dictionary term
+    // shares the trie path, so a single slot would keep only the last
+    // index and silently report 0 for earlier copies; a list makes
+    // duplicates count identically to their first occurrence.
+    val ends = Array.fill(maxStates)(List.empty[Int])
     var nStates = 1
     var t = 0
     while (t < nTerms) {
@@ -1159,7 +1163,7 @@ final class AcAutomaton(termBytes: Array[Array[Byte]]) extends Serializable {
         st = goto(st * 256 + c)
         i += 1
       }
-      ends(st) = t
+      ends(st) = t :: ends(st)
       t += 1
     }
     // BFS failure links; convert goto to a total transition function.
@@ -1185,11 +1189,11 @@ final class AcAutomaton(termBytes: Array[Array[Byte]]) extends Serializable {
         c += 1
       }
     }
-    // Output closure per state: own end + fail-chain ends, flattened.
+    // Output closure per state: own end(s) + fail-chain ends, flattened.
     val lists = Array.tabulate(nStates) { s =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cur = s
-      while (cur != 0) { if (ends(cur) >= 0) buf += ends(cur); cur = fail(cur) }
+      while (cur != 0) { buf ++= ends(cur).reverseIterator; cur = fail(cur) }
       buf.toArray
     }
     val off = new Array[Int](nStates + 1)
@@ -1253,6 +1257,216 @@ case class BlocklistCounts(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** HTML → visible-text extraction kernel (the WET step — the first
+  * stage of every crawl-curation lineage: CommonCrawl WET files,
+  * CCNet §3.1, RefinedWeb §3.2 all consume tag-stripped visible
+  * text). One pass over the chars, no DOM build — at 100 TB the
+  * extractor is a map job and its cost is this loop:
+  *
+  *   - tags are skipped with a real attribute scanner (a quoted '>'
+  *     inside an attribute value does NOT close the tag);
+  *   - `<script>`/`<style>` are HTML raw-text elements: everything
+  *     to the matching close tag is dropped, including any markup-
+  *     looking payload inside;
+  *   - comments `<!-- -->` and declarations/PIs (`<!doctype>`,
+  *     `<?xml?>`) are dropped;
+  *   - BLOCK elements (p, div, h1–h6, li, br, tr, nav, title, …)
+  *     open and close LINES; inline elements (a, b, span, …)
+  *     contribute no break — exactly the browser's line model;
+  *   - character references decode: the five XML named entities +
+  *     nbsp (to a plain space) + `&#N;` / `&#xH;` numeric forms;
+  *     malformed or unknown references stay literal (HTML5 rule);
+  *   - ASCII whitespace runs ([ \t\n\r\f\v]) collapse to one space
+  *     and lines are trimmed; EMPTY lines are dropped. Unicode
+  *     spaces (NBSP, U+2028, zero-width) are NOT whitespace to HTML
+  *     and pass through untouched.
+  *
+  * A '<' not opening a tag/comment/declaration (next char not a
+  * letter, '/', '!' or '?') is literal text, per the HTML5
+  * tokenizer. Output is visible lines joined by '\n'.
+  */
+final class HtmlExtractor extends Serializable {
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("html", "head", "body", "title", "p", "div", "br", "hr",
+      "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "dl",
+      "dt", "dd", "table", "tr", "td", "th", "thead", "tbody",
+      "caption", "nav", "header", "footer", "section", "article",
+      "aside", "main", "blockquote", "pre", "form", "fieldset",
+      "figure", "figcaption", "address", "center").foreach(s.add)
+    s
+  }
+
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  def run(s: UTF8String): UTF8String = UTF8String.fromString(extract(s.toString))
+
+  def extract(html: String): String = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(n)
+    val cur = new java.lang.StringBuilder(64)
+    var pendingSpace = false
+
+    def flushLine(): Unit = {
+      // cur is built already-collapsed and left-trimmed; trailing
+      // space is impossible (spaces are appended lazily).
+      if (cur.length > 0) {
+        if (out.length > 0) out.append('\n')
+        out.append(cur)
+        cur.setLength(0)
+      }
+      pendingSpace = false
+    }
+
+    def emit(c: Char): Unit = {
+      if (isAsciiWs(c)) { if (cur.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { cur.append(' '); pendingSpace = false }
+        cur.append(c)
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!' && html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (c1 == '!' || c1 == '?') {
+          val e = html.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+        } else if (isLetter(c1) || c1 == '/') {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (isLetter(html.charAt(j)) ||
+            (html.charAt(j) >= '0' && html.charAt(j) <= '9'))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          // attribute scan: honor quoted values so '>' inside them
+          // does not terminate the tag
+          var quote: Char = 0
+          var done = false
+          while (j < n && !done) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') done = true
+            j += 1
+          }
+          i = if (done) j else n
+          if (!closing && (name == "script" || name == "style")) {
+            // raw-text element: drop to the matching close tag
+            val close = "</" + name
+            var k = i
+            var found = -1
+            while (found < 0 && k >= 0) {
+              k = indexOfIgnoreCase(html, close, k)
+              if (k >= 0) {
+                val after = k + close.length
+                if (after >= n || html.charAt(after) == '>' ||
+                  isAsciiWs(html.charAt(after))) found = k
+                else k += 1
+              }
+            }
+            if (found < 0) i = n
+            else {
+              val e = html.indexOf('>', found)
+              i = if (e < 0) n else e + 1
+            }
+          }
+          if (name.nonEmpty && blockTags.contains(name)) flushLine()
+        } else { emit(c); i += 1 }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        if (next > i) { decoded.foreach(emit); i = next }
+        else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    flushLine()
+    out.toString
+  }
+
+  private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val max = s.length - sub.length
+    while (i <= max) {
+      var k = 0
+      while (k < sub.length &&
+        Character.toLowerCase(s.charAt(i + k)) == sub.charAt(k)) k += 1
+      if (k == sub.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode one character reference at `i` (html(i) == '&').
+    * Returns (replacement, indexAfter); indexAfter == i means "not a
+    * well-formed reference — keep the '&' literal".
+    */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    val semi = {
+      var k = i + 1
+      val lim = math.min(n, i + 12) // longest handled ref: &#x10FFFF;
+      while (k < lim && html.charAt(k) != ';') k += 1
+      if (k < lim && k < n && html.charAt(k) == ';') k else -1
+    }
+    if (semi < 0) return ("", i)
+    val body = html.substring(i + 1, semi)
+    val rep: String = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if body.startsWith("#x") || body.startsWith("#X") =>
+        try {
+          val cp = Integer.parseInt(body.substring(2), 16)
+          if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+        } catch { case _: NumberFormatException => null }
+      case _ if body.startsWith("#") =>
+        try {
+          val cp = Integer.parseInt(body.substring(1), 10)
+          if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else null
+        } catch { case _: NumberFormatException => null }
+      case _ => null
+    }
+    if (rep == null) ("", i) else (rep, semi + 1)
+  }
+}
+
+/** `html_text(html)` — visible-text extraction as a codegen scalar
+  * (see [[HtmlExtractor]] for the exact semantics). The kernel ships
+  * as a codegen reference object like [[AcAutomaton]]; the per-row
+  * call stays inside whole-stage codegen.
+  */
+case class HtmlVisibleText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text"
+
+  @transient private lazy val extractor = new HtmlExtractor
+
+  override protected def nullSafeEval(e: Any): Any =
+    extractor.run(e.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ex = ctx.addReferenceObj("htmlExtractor", extractor,
+      classOf[HtmlExtractor].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ex.run($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftExpressions {
   private def col(e: Expression): Column = ExpressionUtils.column(e)
   private def exp(c: Column): Expression = ExpressionUtils.expression(c)
@@ -1272,6 +1486,8 @@ object GraftExpressions {
 
   def blocklist_counts(text: Column, terms: Seq[String]): Column =
     col(BlocklistCounts(exp(text), terms))
+
+  def html_text(html: Column): Column = col(HtmlVisibleText(exp(html)))
 
   def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
     col(LogicleQ6(exp(x), t, m, w))
@@ -1414,12 +1630,20 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction(
       "blocklist_counts", {
         case Seq(text, arr) if arr.foldable =>
-          BlocklistCounts(text, arr.eval()
+          val evaled = arr.eval()
+          if (evaled == null) throw new IllegalArgumentException(
+            "blocklist_counts(text, array(terms...)): terms array must not be NULL")
+          val elems = evaled
             .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toObjectArray(StringType).map(_.toString).toSeq)
+            .toObjectArray(StringType)
+          if (elems.exists(_ == null)) throw new IllegalArgumentException(
+            "blocklist_counts(text, array(terms...)): terms must not contain NULL")
+          BlocklistCounts(text, elems.map(_.toString).toSeq)
         case es => throw new IllegalArgumentException(
           s"blocklist_counts(text, array(terms...)) with literal terms; got ${es.length} args")
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "html_text", es => HtmlVisibleText(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints", {
         case Seq(toks, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>

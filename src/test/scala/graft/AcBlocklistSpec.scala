@@ -49,6 +49,29 @@ class AcBlocklistSpec extends AnyFunSuite {
     assert(got(3) == Seq(0L, 0L, 3L, 1L, 3L, 0L)) // 'ba'/'a' hit inside 'batch'
   }
 
+  test("duplicated dictionary terms each report the full count") {
+    // A duplicate term shares the trie path to one end state; every
+    // copy must report the same count as a lone occurrence of the
+    // term (earlier builds kept only the LAST index — earlier copies
+    // silently read 0).
+    val terms = Seq("ab", "a", "ab", "ab")
+    val got = run(Seq("abab xab", "", "b"), terms)
+    assert(got(0) == Seq(3L, 3L, 3L, 3L))
+    assert(got(1) == Seq(0L, 0L, 0L, 0L))
+    assert(got(2) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("SQL registration rejects NULL terms arrays and NULL elements clearly") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT blocklist_counts('x', CAST(NULL AS ARRAY<STRING>))").collect()
+    }
+    assert(e1.getMessage.contains("must not be NULL"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT blocklist_counts('x', array('a', NULL))").collect()
+    }
+    assert(e2.getMessage.contains("must not contain NULL"), e2.getMessage)
+  }
+
   test("unicode payloads: byte-level matching equals char-level on valid UTF-8") {
     val terms = Seq("é", "naïve", "da", "ta")
     val texts = Seq("café café", "naïve naïveté", "données data данные", "日本語 da ta")

@@ -28,9 +28,15 @@ class IncrementalAggSpec extends AnyFunSuite {
         IncrementalAgg.partial(b, keys, ms)), keys, ms)
     val full = IncrementalAgg.partial(df, keys, ms)
     assert(sorted(merged) == sorted(full))
-    // spot-check the all-null-measure group: cnt counts rows, sums skip
+    // spot-check the null-bearing group: cnt counts rows, cnt_v only
+    // non-null measures, sums skip nulls — so the read-time derived
+    // average sum_v/cnt_v equals SQL AVG(v) (divides by non-null
+    // count), NOT sum_v/cnt (divides by row count).
     val g2 = merged.filter($"k" === 2L).collect().head
-    assert(g2.getLong(1) == 2 && g2.getLong(2) == 5)
+    assert(g2.getAs[Long]("cnt") == 2 && g2.getAs[Long]("cnt_v") == 1 &&
+      g2.getAs[Long]("sum_v") == 5)
+    val sqlAvg = df.filter($"k" === 2L).agg(avg($"v")).collect().head.getDouble(0)
+    assert(g2.getAs[Long]("sum_v").toDouble / g2.getAs[Long]("cnt_v") == sqlAvg)
   }
 
   test("merges associate: three-way == chained two-way; empty side is identity") {

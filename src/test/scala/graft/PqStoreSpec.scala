@@ -78,6 +78,28 @@ class PqStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stored IVFADC probe prunes code buckets AT the scan (SelectedBucketsCount)") {
+    // One query, nProbe=1 → exactly one probed cell. The probed-cell
+    // set is pushed as a literal In on the bucket column, so the
+    // codes scan must read at most 1 of the 4 buckets — the FAISS
+    // inverted-list read, not a full scan filtered afterwards.
+    val seeds = emb.filter(col("vec_id") < 16)
+    val dir = java.nio.file.Files.createTempDirectory("pqprune").toString
+    Ann.writeIvfAdcIndex(emb, seeds, "vec_id", "embedding", "pqs_prune",
+      m = 4, subDim = 16, k = 16, iters = 2, buckets = 4, path = Some(dir))
+    spark.catalog.clearCache()
+    val q1 = emb.filter(col("vec_id") === 0)
+    val served = Ann.ivfAdcTopKStored(q1, "vec_id", "embedding", "pqs_prune",
+      kTop = 5, nProbe = 1)
+    val plan = served.queryExecution.executedPlan.toString
+    val picks = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(picks.exists { case (sel, tot) => tot == 4 && sel <= 1 },
+      s"codes scan not bucket-pruned (picks=$picks):\n$plan")
+    assert(served.count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("sampled training: codebooks from a strict subset encode the FULL corpus") {
     // the pqModel cache-bound contract: at corpus scale codebooks
     // train on a sample (standard PQ practice) and the corpus-sized
