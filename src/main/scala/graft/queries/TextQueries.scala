@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Graft
 import graft.functions.GraftFunctions
@@ -77,6 +77,36 @@ object TextQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
       .orderBy("lang")
+  }
+
+  /** Deterministic synthetic HTML page around a document (t38/d36 —
+    * the m05 pattern: synthesize → run the kernel → the oracle
+    * replays the grammar). The page exercises every extractor
+    * semantic: head metadata, raw-text script/style with markup
+    * payloads, a comment, a quoted-'>' attribute, inline-vs-block
+    * elements, literal entities, <br/>, ragged indentation. Payload
+    * text is entity-encoded (&, <, > — the encode half of the decode
+    * the kernel certifies), so ANY document round-trips verbatim.
+    */
+  private def synthHtml(id: Column, text: Column): Column = {
+    def enc(c: Column): Column =
+      replace(replace(replace(c, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val body = enc(coalesce(text, lit("")))
+    val fw = enc(element_at(split(coalesce(text, lit("")), " "), 1))
+    concat(
+      lit("<!doctype html>\n<html>\n <head>\n  <title>Doc "), id,
+      lit("</title>\n  <style type=\"text/css\">.nav > li { color: #fff } " +
+        "/* <p>sneak</p> */</style>\n  <script type=\"text/javascript\">" +
+        "if (1 < 2 && n > 0) { document.write(\"<p>sneak</p>\"); }" +
+        "</script>\n </head>\n <body>\n  <!-- synthesized page <p>sneak</p> -->\n" +
+        "  <nav>Home | <a href=\"/about?x=1&amp;y>2\" title='q>r'>About</a>" +
+        " | Contact</nav>\n  <h1><b>"),
+      fw, lit("</b>   heads this page</h1>\n  <p>"),
+      body, lit("</p>\n  <p>Q &amp;   A &lt;section   "), id,
+      lit("&gt; ends</p>\n  <p>lineA "), id,
+      lit("<br/>lineB</p>\n  <footer>Copyright 2026 Example Corp</footer>\n" +
+        " </body>\n</html>"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,6 +663,52 @@ object TextQueries {
         .withColumnRenamed("clean_text", "text"))
     }),
 
+    // L102/t38: HTML → visible-text extraction (the WET step — the
+    // stage every crawl-curation lineage runs FIRST: CommonCrawl WET,
+    // CCNet §3.1, RefinedWeb §3.2 all start from tag-stripped text).
+    // The m05 certification pattern: each document is wrapped in a
+    // deterministic HTML page (title/nav/h1/paragraphs/footer, a
+    // script and style with markup-looking payloads, a quoted-'>'
+    // attribute, literal entities, ragged indentation) and the kernel
+    // under test is html_text — the one-pass codegen extractor. The
+    // oracle never parses HTML: it replays the GRAMMAR, rebuilding
+    // the expected visible lines from the raw text with DuckDB string
+    // functions, so a tag-scanner bug, a raw-text-element leak, an
+    // entity-decode bug or a whitespace-collapse drift is a hash
+    // mismatch. Extraction is a pure projection — at 100 TB the WET
+    // step is a map job with zero shuffle; the only pass over the
+    // payload bytes is this kernel.
+    "t38_html_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id").cast("long").as("doc_id"),
+          GraftFunctions.html_text(
+            synthHtml(col("doc_id").cast("long"), col("text"))).as("visible"))
+        .withColumn("n_lines", size(split(col("visible"), "\n")).cast("long"))
+        .withColumn("n_bytes", octet_length(col("visible")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // L103/d36: the full crawl-ingest composition — synthesize HTML
+    // (the corpus as a crawler sees it), extract visible text with
+    // t38's kernel, then run the EXISTING d30 RefinedWeb sequencing
+    // (line dedup first — the extracted nav/footer/button lines are
+    // exactly the boilerplate line dedup exists to strip — then the
+    // shared d15 quality → dedup → decontamination → mixture chain).
+    // One chain body (manifestChain + Dedup.lineDedupText) shared
+    // with d15/d30/d31, so the four orderings cannot drift; the
+    // oracle prepends the grammar-replay `wet` CTE to the SAME
+    // lineChainSql + manifestChainSql text d30 uses.
+    "d36_wet_curated" -> ((s, dir) => {
+      val wet = docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"), col("lang"), col("source"),
+        GraftFunctions.html_text(
+          synthHtml(col("doc_id").cast("long"), col("text"))).as("text"))
+      manifestChain(wet
+        .select(col("doc_id"), col("lang"), col("source"))
+        .join(Dedup.lineDedupText(wet, "doc_id", "text"), Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text"))
+    }),
+
     // L42: maximal duplicated-span extraction — WHERE each doc is
     // verbatim-shared: runs of corpus-duplicated word 5-grams merged
     // into maximal token ranges (gaps-and-islands), the surgical
@@ -1174,6 +1250,55 @@ object TextQueries {
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The d28 line-dedup chain as oracle CTEs over any (doc_id, lang,
+    * source, text) relation, ending in `cd` — the cleaned corpus d30
+    * (src=documents) and d36 (src=the grammar-replayed WET text) both
+    * feed into manifestChainSql. ONE text, so the compositions'
+    * oracles cannot drift (mirror of the Spark-side shared body).
+    */
+  private def lineChainSql(src: String): String =
+    s"""base0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM $src),
+       | pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
+       |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base0)),
+       | lf AS (SELECT doc_id, idx, nline, md5(nline) AS h
+       |        FROM (SELECT doc_id, idx, ${PortableHashSql.norm("ls[idx]")} AS nline FROM pos)
+       |        WHERE nline <> ''),
+       | mk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM lf),
+       | cl AS (SELECT doc_id,
+       |          string_agg(CASE WHEN rn = 1 THEN nline END, chr(10) ORDER BY idx) AS ctext
+       |        FROM mk GROUP BY doc_id),
+       | cd AS (SELECT CAST(d2.doc_id AS BIGINT) AS doc_id, d2.lang, d2.source,
+       |          COALESCE(cl.ctext, '') AS text
+       |        FROM $src d2 LEFT JOIN cl ON cl.doc_id = CAST(d2.doc_id AS BIGINT))""".stripMargin
+
+  /** t38/d36 grammar replay: the EXPECTED visible text of the
+    * synthesized page, rebuilt from raw `doc_id`/`text` with string
+    * functions only. Mirrors [[synthHtml]] line for line: title, nav,
+    * h1 (first word + fixed tail, whitespace-collapsed), the document
+    * body (ASCII-whitespace-collapsed, dropped when empty), the
+    * entity paragraph, the <br/>-split pair, the footer. The entity
+    * encode/decode pair cancels, so raw text passes through verbatim
+    * modulo the whitespace rule.
+    */
+  private val wsClassSql = """'[ \t\n\r\x0B\x0C]+'"""
+  private def collapseSql(x: String): String =
+    // NOT trim(): DuckDB's trim strips unicode spaces (NBSP) too,
+    // but HTML whitespace is ASCII-only — NBSP is visible content
+    // the kernel must keep. Collapse runs to one space, then strip a
+    // single leading/trailing space with an anchored ASCII regex.
+    s"regexp_replace(regexp_replace($x, $wsClassSql, ' ', 'g'), '^ | $$', '', 'g')"
+  private val visibleSql: String =
+    s"""array_to_string(list_filter([
+       |   'Doc ' || CAST(doc_id AS BIGINT),
+       |   'Home | About | Contact',
+       |   ${collapseSql("split_part(coalesce(text, ''), ' ', 1) || ' heads this page'")},
+       |   ${collapseSql("coalesce(text, '')")},
+       |   'Q & A <section ' || CAST(doc_id AS BIGINT) || '> ends',
+       |   'lineA ' || CAST(doc_id AS BIGINT),
+       |   'lineB',
+       |   'Copyright 2026 Example Corp'
+       | ], x -> x <> ''), chr(10))""".stripMargin
 
   private def shingleSql(n: Int): String = {
     val cat = (0 until n).map(k => s"toks[i${if (k > 0) s" + $k" else ""}]")
@@ -2496,19 +2621,26 @@ object TextQueries {
          | ${manifestChainSql("cd")}""".stripMargin,
 
     "d30_line_curated" ->
-      s"""WITH base0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
-         | pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx
-         |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base0)),
-         | lf AS (SELECT doc_id, idx, nline, md5(nline) AS h
-         |        FROM (SELECT doc_id, idx, ${PortableHashSql.norm("ls[idx]")} AS nline FROM pos)
-         |        WHERE nline <> ''),
-         | mk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM lf),
-         | cl AS (SELECT doc_id,
-         |          string_agg(CASE WHEN rn = 1 THEN nline END, chr(10) ORDER BY idx) AS ctext
-         |        FROM mk GROUP BY doc_id),
-         | cd AS (SELECT CAST(d2.doc_id AS BIGINT) AS doc_id, d2.lang, d2.source,
-         |          COALESCE(cl.ctext, '') AS text
-         |        FROM documents d2 LEFT JOIN cl ON cl.doc_id = CAST(d2.doc_id AS BIGINT)),
+      s"""WITH ${lineChainSql("documents")},
+         | ${manifestChainSql("cd")}""".stripMargin,
+
+    // t38: the oracle REPLAYS THE GRAMMAR — it rebuilds the expected
+    // visible lines from the raw document text with string functions
+    // (never parsing HTML), so every kernel semantic the synthesized
+    // page exercises is value-certified.
+    "t38_html_extract" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $visibleSql AS visible,
+         | CAST(len(string_split($visibleSql, chr(10))) AS BIGINT) AS n_lines,
+         | CAST(strlen($visibleSql) AS BIGINT) AS n_bytes
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // d36: grammar-replay `wet` CTE (t38's expected visible text AS
+    // the corpus), then the IDENTICAL d30 composition text — shared
+    // lineChainSql + manifestChainSql.
+    "d36_wet_curated" ->
+      s"""WITH wet AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+         |   $visibleSql AS text FROM documents),
+         | ${lineChainSql("wet")},
          | ${manifestChainSql("cd")}""".stripMargin,
 
     // t20: exact regime per group — grouped counts are ground truth;
