@@ -121,7 +121,7 @@ object Multimodal {
     * exactly when it matters. floorMod into [0, 2^31) keeps every
     * product < 2^36; the oracle mirrors the same pmod.
     */
-  private def formulaPng(id: Long, side: Int): Array[Byte] = {
+  private[graft] def formulaPng(id: Long, side: Int): Array[Byte] = {
     val sid = Math.floorMod(id, 2147483648L)
     val img = new java.awt.image.BufferedImage(
       side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -606,6 +606,52 @@ object VectorQueries {
         .orderBy("doc_id", "blob_md5")
     }),
 
+    // L104/m13: WebDataset tar-shard ingest — the container format
+    // multimodal corpora ship in: (key.txt, key.json) members packed
+    // into ustar shards by TarShards.write (hash-sharded, name-sorted,
+    // byte-deterministic), read back through the binaryFile→offset-
+    // math parser, and reassembled per sample key (the WebDataset
+    // grouping). DRIVER-VERIFIED real IO: the tars are written and
+    // re-parsed inside the query (the q53/s15 certification pattern),
+    // and every output value — per-member md5 (m03's hex convention),
+    // byte counts, member counts, shard assignment — is replayed by
+    // the oracle from the raw table + the portable-hash shard formula.
+    // Real binary members (PNG) ride the same writer in TarShardsSpec;
+    // the query keeps to text members so the oracle stays exact.
+    // Scale shape: write is one linear shuffle (hash-partition on
+    // shard, in-task serialization); read is a zero-shuffle map over
+    // shard files; the groupBy is sample-cardinality.
+    "m13_tar_shards" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("lang"), lit("xx")).as("lang"))
+      val entries = d.select(col("doc_id"),
+          graft.operators.Sampling.hashBucket(col("doc_id"), 8).as("shard"),
+          explode(array(
+            struct(concat(col("doc_id"), lit(".txt")).as("name"),
+              encode(col("text"), "UTF-8").as("payload")),
+            struct(concat(col("doc_id"), lit(".json")).as("name"),
+              encode(concat(lit("{\"doc_id\":"), col("doc_id"),
+                lit(",\"lang\":\""), col("lang"), lit("\"}")), "UTF-8")
+                .as("payload")))).as("e"))
+        .select(col("shard"), col("e.name").as("name"), col("e.payload").as("payload"))
+      val tmp = graft.sources.TidyIO.scratchDir("graft_tar_shards")
+      graft.sources.TarShards.write(entries, "shard", "name", "payload", tmp)
+      graft.sources.TarShards.read(s, tmp)
+        .select(col("shard"),
+          regexp_extract(col("name"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
+          regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
+          col("payload"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(col("shard")).as("shard"),
+          max(when(col("ext") === "txt", md5(hex(col("payload"))))).as("txt_md5"),
+          max(when(col("ext") === "txt", length(col("payload"))))
+            .cast("long").as("txt_bytes"),
+          max(when(col("ext") === "json", md5(hex(col("payload"))))).as("json_md5"))
+        .orderBy("doc_id")
+    }),
+
     // L69: real-codec audio roundtrip — the deterministic PCM16
     // signal through the JDK's actual WAV encoder+decoder
     // (javax.sound), integer sample stats replayed by the oracle
@@ -1508,6 +1554,23 @@ object VectorQueries {
         |SELECT doc_id, n_chunks, CAST(length(h) // 2 AS BIGINT) AS n_bytes,
         |  md5(rh) = md5(h) AS intact, md5(h) AS blob_md5
         |FROM re ORDER BY doc_id, blob_md5""".stripMargin,
+
+    // m13: replay from the raw table — member digests via the m03
+    // hex convention, the shard via the portable fmix bucket formula
+    // (d15's mixture-bucket idiom, modulus 8). Dup-id rows double the
+    // member count (2 members per ROW), which the 2*count(*) mirrors.
+    "m13_tar_shards" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    coalesce(text, '') AS text, coalesce(lang, 'xx') AS lang
+         |  FROM documents)
+         |SELECT doc_id, CAST(2 * count(*) AS BIGINT) AS n_members,
+         |  ((${PortableHashSql.toSigned(PortableHashSql.fmix(
+                PortableHashSql.toUnsigned("doc_id")))} % 8) + 8) % 8 AS shard,
+         |  md5(hex(encode(text))) AS txt_md5,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+         |  md5(hex(encode('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}')))
+         |    AS json_md5
+         |FROM d GROUP BY doc_id, text, lang ORDER BY doc_id""".stripMargin,
 
     "m03_blob_chunks" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
