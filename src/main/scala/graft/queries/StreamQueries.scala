@@ -200,6 +200,58 @@ object StreamQueries {
       }.orderBy("user_id", "click_id")
     }),
 
+    // S19/st21: FULL-OUTER stream-stream interval join through the
+    // REAL engine — completes the join matrix (st07 inner, st13
+    // left-outer, st18 left-semi): clicks with-or-without a purchase
+    // AND purchases with-or-without a click, both NULL shapes
+    // watermark-evicted. st13's closed-region argument applies to
+    // EACH side with its own seal point: a row's NULL-vs-match fate
+    // is sealed once the opposing watermark passes its match range —
+    // rows carrying a click are cut on tc (st13's exact rule: matched
+    // pairs are append-exact, so any tp rides along), click-less
+    // purchase rows are cut on tp (a purchase's matchable clicks all
+    // have tc ≤ tp, so the same conservative bound seals them
+    // earlier than clicks). The single bound
+    // min(max tc, max tp) − (30 delay + 10 range + 1 eviction-ε) min
+    // is mirrored verbatim in the oracle's CASE/WHERE; empty-side
+    // instances have an EMPTY closed region (a side with no rows
+    // never advances its watermark — the st13 least()-skips-NULLs
+    // lesson).
+    "st21_interval_full" -> ((s, dir) => {
+      val extRow = events(s, dir).agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+        .head()
+      val closedUs =
+        if (extRow.isNullAt(0) || extRow.isNullAt(1)) Long.MinValue
+        else math.min(extRow.getLong(0), extRow.getLong(1)) -
+          (30L + 10L + 1L) * 60L * 1000000L
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("tc"))
+          .withWatermark("tc", "30 minutes")
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("tp"))
+          .withWatermark("tp", "30 minutes")
+        c.join(p, col("user_id") === col("p_user_id") &&
+            col("tc") <= col("tp") &&
+            col("tc") >= col("tp") - expr("interval 10 minutes"),
+          "full_outer")
+          .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+            col("click_id"), col("purchase_id"),
+            ((unix_micros(col("tp")) - unix_micros(col("tc"))) / lit(1000000L))
+              .cast("long").as("lag_s"),
+            unix_micros(col("tc")).as("tc_us"),
+            unix_micros(col("tp")).as("tp_us"))
+      }.filter(
+          (col("click_id").isNotNull && col("tc_us") <= lit(closedUs)) ||
+          (col("click_id").isNull && col("tp_us") <= lit(closedUs)))
+        .select("uid", "click_id", "purchase_id", "lag_s")
+        .orderBy("uid", "click_id", "purchase_id")
+    }),
+
     // S17: stream-stream JOIN feeding a watermarked window AGGREGATE
     // — the other multi-stateful topology (st14 chains dedup→agg;
     // this chains join→agg, the attribution-rollup shape: matched
@@ -637,6 +689,28 @@ object StreamQueries {
     // st13: the same interval condition as LEFT JOIN, both engines
     // cut to the closed region (≥ 41 min before min(max tc, max tp))
     // where the streaming outer join's NULL-vs-match fate is sealed.
+    // st21: full outer on the same interval condition; rows carrying
+    // a click cut on tc (st13's rule), click-less purchase rows cut
+    // on tp — identical CASE bound, both NULL shapes enumerated.
+    "st21_interval_full" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        | b AS (SELECT CASE
+        |    WHEN (SELECT max(tc) FROM c) IS NULL
+        |      OR (SELECT max(tp) FROM p) IS NULL THEN NULL
+        |    ELSE least((SELECT max(tc) FROM c), (SELECT max(tp) FROM p))
+        |      - 2460000000 END AS bound)
+        |SELECT coalesce(user_id, p_user_id) AS uid, click_id, purchase_id,
+        |  (tp - tc) // 1000000 AS lag_s
+        |FROM c FULL JOIN p ON user_id = p_user_id
+        |  AND tc <= tp AND tc >= tp - 600000000, b
+        |WHERE (click_id IS NOT NULL AND tc <= bound)
+        |   OR (click_id IS NULL AND tp <= bound)
+        |ORDER BY uid, click_id, purchase_id""".stripMargin,
+
     "st13_interval_left" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tc
         |  FROM events WHERE event_type = 'click'),

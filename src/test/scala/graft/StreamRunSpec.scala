@@ -191,6 +191,56 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("full-outer interval join equals batch on the closed region and runs FullOuter state") {
+    // st21's contract: inside the closed region — rows carrying a
+    // click cut on tc (matched pairs are append-exact, st13's rule),
+    // click-less purchase rows cut on tp — the streaming full-outer
+    // output (matches + BOTH watermark-evicted NULL shapes) must
+    // equal the batch full join exactly.
+    val e0 = Graft.table(spark, dir, "events")
+    val ext = e0.agg(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).as("mc"),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("mp"))
+      .select(least(col("mc"), col("mp")).as("m")).head().getLong(0)
+    val closedUs = ext - 41L * 60L * 1000000L
+    def shape(e: org.apache.spark.sql.DataFrame) = {
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("tp"))
+      (c, p)
+    }
+    def cut(d: org.apache.spark.sql.DataFrame) = d.filter(
+      (col("click_id").isNotNull && col("tc_us") <= lit(closedUs)) ||
+      (col("click_id").isNull && col("tp_us") <= lit(closedUs)))
+    def joined(c: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      c.join(p, col("user_id") === col("p_user_id") &&
+        col("tc") <= col("tp") &&
+        col("tc") >= col("tp") - expr("interval 10 minutes"), "full_outer")
+        .select(coalesce(col("user_id"), col("p_user_id")).as("uid"),
+          col("click_id"), col("purchase_id"),
+          unix_micros(col("tc")).as("tc_us"), unix_micros(col("tp")).as("tp_us"))
+    val streamed = cut(StreamRun.onEvents(spark, dir, OutputMode.Append()) { e =>
+      val (c0, p0) = shape(e.withColumn("tp", col("ts")))
+      joined(c0.withWatermark("tc", "30 minutes"),
+        p0.withWatermark("tp", "30 minutes"))
+    })
+    assert(StreamRun.lastPlan.contains("StreamingSymmetricHashJoin"),
+      s"expected a streaming join in:\n${StreamRun.lastPlan}")
+    assert(StreamRun.lastPlan.contains("FullOuter"),
+      s"expected FullOuter join state in:\n${StreamRun.lastPlan}")
+    val (c, p) = shape(e0.withColumn("tp", col("ts")))
+    val batch = cut(joined(c, p))
+    assert(streamed.count() > 0)
+    // both NULL shapes must actually occur in the closed region
+    assert(streamed.filter(col("purchase_id").isNull).count() > 0,
+      "no click-side NULL rows — test instance too easy")
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "no purchase-side NULL rows — test instance too easy")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("left-semi interval join equals batch exactly and runs LeftSemi state") {
     // st18's contract: a semi join emits a matched left row once, in
     // the micro-batch completing its first match — no NULL rows means
