@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC changelog application — the lakehouse MERGE/time-travel pair
+  * (Delta/Iceberg "table state AS OF version k" reconstructed from a
+  * base snapshot plus a keyed changelog of U/D operations):
+  *
+  *   - [[latestState]] collapses the whole changelog latest-wins and
+  *     merges over base (q51's consumption shape);
+  *   - [[asOfVersion]] is the time-travel READ: the same collapse
+  *     over the changelog PREFIX `ver <= k` — the state exactly as
+  *     of version k (q63). `asOfVersion(b, cl, Long.MaxValue)` ==
+  *     `latestState(b, cl)` by construction (ChangeLogSpec pins it,
+  *     along with monotonicity: replaying prefixes k-1 → k applies
+  *     exactly version k's ops).
+  *
+  * Contract shape: base (keyCol, valCol); changelog (keyCol, verCol,
+  * opCol ∈ {'U','D'}, newValCol). Upserts override base values,
+  * deletes drop the key, keys absent from base insert. `action`
+  * labels the provenance (base / updated / inserted).
+  *
+  * Scale shape: ONE window over the changelog partitioned by key (at
+  * rest a changelog is stored sorted by (key, ver), making this a
+  * merge pass) + one full-outer shuffle join on the key — both linear;
+  * the output is snapshot-sized, never |base|·|versions|.
+  */
+object ChangeLog {
+
+  def latestState(base: DataFrame, changelog: DataFrame,
+                  keyCol: String = "k", verCol: String = "ver",
+                  opCol: String = "op", valCol: String = "price",
+                  newValCol: String = "new_price"): DataFrame = {
+    val wv = Window.partitionBy(keyCol).orderBy(col(verCol).desc)
+    val latest = changelog.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col(opCol), col(newValCol))
+    base.join(latest, Seq(keyCol), "full_outer")
+      .filter(coalesce(col(opCol), lit("")) =!= "D")
+      .select(col(keyCol),
+        coalesce(col(newValCol), col(valCol)).as(valCol),
+        when(col(opCol).isNull, "base")
+          .when(col(valCol).isNull, "inserted")
+          .otherwise("updated").as("action"))
+  }
+
+  /** Snapshot time travel: table state AS OF version `k` — replay
+    * only changelog entries with `ver <= k`. A key whose entries are
+    * ALL beyond k contributes nothing (its base row, if any, shows
+    * as 'base'), which is exactly the lakehouse read semantics.
+    */
+  def asOfVersion(base: DataFrame, changelog: DataFrame, k: Long,
+                  keyCol: String = "k", verCol: String = "ver",
+                  opCol: String = "op", valCol: String = "price",
+                  newValCol: String = "new_price"): DataFrame =
+    latestState(base, changelog.filter(col(verCol) <= k),
+      keyCol, verCol, opCol, valCol, newValCol)
+}

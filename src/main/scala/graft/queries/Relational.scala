@@ -23,6 +23,54 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Graft.table(s, dir, name)
 
+  /** The shared q51/q63 oracle text: latest-wins merge of the
+    * synthetic changelog over base; `verBound` prefixes the changelog
+    * (`ver <= k`) for the time-travel read. One text, two bounds.
+    */
+  private def cdcMergeSql(verBound: Option[Int]): String = {
+    val bound = verBound.map(k => s" AND ver <= $k").getOrElse("")
+    s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
+       |   FROM orders WHERE o_orderkey % 5 <> 0),
+       | cl AS (SELECT o_orderkey AS k, ver,
+       |    CASE WHEN (o_orderkey + ver) % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+       |    o_totalprice + CAST(ver AS DOUBLE) AS new_price
+       |  FROM orders, unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS BIGINT))) AS t(ver)
+       |  WHERE o_orderkey % 2 = 0$bound),
+       | latest AS (SELECT k, op, new_price FROM
+       |   (SELECT k, op, new_price,
+       |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn FROM cl)
+       |   WHERE rn = 1)
+       |SELECT coalesce(b.k, l.k) AS k,
+       |  coalesce(l.new_price, b.price) AS price,
+       |  CASE WHEN l.k IS NULL THEN 'base'
+       |       WHEN b.k IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS action
+       |FROM base b FULL JOIN latest l ON b.k = l.k
+       |WHERE coalesce(l.op, '') <> 'D'
+       |ORDER BY k""".stripMargin
+  }
+
+  /** q51/q63's shared CDC instance: base snapshot (keys ≢ 0 mod 5,
+    * so changelog-only keys exercise the INSERT path) + a synthetic
+    * keyed changelog (1–3 versions per even key, (k+ver) ≡ 0 mod 7
+    * deletes). ONE body so the merge and its time-travel read cannot
+    * drift (mirrored by the shared cdcMergeSql oracle text).
+    */
+  private def cdcInstance(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val changelog = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"),
+        explode(sequence(lit(1), (col("o_orderkey") % 3 + 1).cast("int")))
+          .as("ver"))
+      .select(col("k"), col("ver"),
+        when((col("k") + col("ver")) % 7 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        (col("p0") + col("ver").cast("double")).as("new_price"))
+    (base, changelog)
+  }
+
   /** The q45/q60 SCD2 source rows: (o_custkey, prio, ts_us,
     * o_orderkey). o_orderdate is TIMESTAMP_NTZ; the UTC session (set
     * by Verify/Bench) makes the cast a wall-clock identity.
@@ -674,33 +722,27 @@ object Relational {
       out
     }),
 
-    "q51_cdc_merge" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      // Base snapshot excludes keys ≡ 0 (mod 5), so even multiples of
-      // five arriving in the changelog exercise the INSERT path.
-      val base = o.filter(col("o_orderkey") % 5 =!= 0)
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
-      val changelog = o.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"),
-          explode(sequence(lit(1), (col("o_orderkey") % 3 + 1).cast("int")))
-            .as("ver"))
-        .select(col("k"), col("ver"),
-          when((col("k") + col("ver")) % 7 === 0, lit("D")).otherwise(lit("U"))
-            .as("op"),
-          (col("p0") + col("ver").cast("double")).as("new_price"))
-      val wv = Window.partitionBy("k").orderBy(col("ver").desc)
-      val latest = changelog.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-        .select(col("k"), col("op"), col("new_price"))
-      base.join(latest, Seq("k"), "full_outer")
-        .filter(coalesce(col("op"), lit("")) =!= "D")
-        .select(col("k"),
-          coalesce(col("new_price"), col("price")).as("price"),
-          when(col("op").isNull, "base")
-            .when(col("price").isNull, "inserted")
-            .otherwise("updated").as("action"))
-        .orderBy("k")
-    }),
+    "q51_cdc_merge" -> ((s, dir) =>
+      cdcInstance(s, dir) match { case (base, changelog) =>
+        graft.operators.ChangeLog.latestState(base, changelog).orderBy("k")
+      }),
+
+    // R65/q63: snapshot TIME-TRAVEL read — the consumption twin of
+    // q51's latest-wins collapse: rebuild the table state AS OF
+    // version 2 from the SAME base + changelog (shared cdcInstance
+    // body, shared ChangeLog operator — asOfVersion is latestState
+    // over the `ver <= k` prefix), the Delta/Iceberg "SELECT ... AS
+    // OF" read users run against CDC stores. Keys whose only ops are
+    // beyond version 2 revert to their base row; a key deleted at
+    // ver ≤ 2 but re-upserted later stays deleted in this snapshot.
+    // The oracle replays q51's text with the same prefix bound
+    // (shared cdcMergeSql). Same scale shape as q51: one changelog
+    // window + one keyed full-outer join, both linear — the version
+    // filter PRUNES changelog partitions when stored ver-partitioned.
+    "q63_time_travel" -> ((s, dir) =>
+      cdcInstance(s, dir) match { case (base, changelog) =>
+        graft.operators.ChangeLog.asOfVersion(base, changelog, 2L).orderBy("k")
+      }),
 
     // R56/q54: one-pass column profiler (the warehouse DQ primitive
     // next to q47's threshold gate): per column row/null/distinct
@@ -1654,26 +1696,11 @@ object Relational {
 
     // q51: latest-version-wins via row_number, FULL JOIN merge,
     // tombstone filter; generate_series ≡ Spark sequence (inclusive).
-    "q51_cdc_merge" ->
-      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price
-        |   FROM orders WHERE o_orderkey % 5 <> 0),
-        | cl AS (SELECT o_orderkey AS k, ver,
-        |    CASE WHEN (o_orderkey + ver) % 7 = 0 THEN 'D' ELSE 'U' END AS op,
-        |    o_totalprice + CAST(ver AS DOUBLE) AS new_price
-        |  FROM orders, unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS BIGINT))) AS t(ver)
-        |  WHERE o_orderkey % 2 = 0),
-        | latest AS (SELECT k, op, new_price FROM
-        |   (SELECT k, op, new_price,
-        |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn FROM cl)
-        |   WHERE rn = 1)
-        |SELECT coalesce(b.k, l.k) AS k,
-        |  coalesce(l.new_price, b.price) AS price,
-        |  CASE WHEN l.k IS NULL THEN 'base'
-        |       WHEN b.k IS NULL THEN 'inserted'
-        |       ELSE 'updated' END AS action
-        |FROM base b FULL JOIN latest l ON b.k = l.k
-        |WHERE coalesce(l.op, '') <> 'D'
-        |ORDER BY k""".stripMargin,
+    "q51_cdc_merge" -> cdcMergeSql(verBound = None),
+
+    // q63: q51's text with the changelog prefix-bounded at ver <= 2 —
+    // the AS OF version read replayed over the same instance.
+    "q63_time_travel" -> cdcMergeSql(verBound = Some(2)),
 
     "q47_dq_audit" ->
       """WITH a AS (SELECT

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ChangeLog
+
+/** Pins the CDC changelog algebra: asOfVersion(MaxValue) ==
+  * latestState, prefix monotonicity (k−1 → k applies exactly version
+  * k's ops), delete/re-upsert visibility at a bound, insert path for
+  * base-absent keys, and empty-changelog identity.
+  */
+class ChangeLogSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+    .toDF("k", "price")
+  // key 1: U@1 then D@2 then U@3 (delete visible only at k=2)
+  // key 2: D@1 (deleted from version 1 on)
+  // key 3: untouched (base)
+  // key 5: base-absent, U@2 (insert appears at k>=2)
+  private val cl = Seq(
+    (1L, 1L, "U", 11.0), (1L, 2L, "D", 0.0), (1L, 3L, "U", 13.0),
+    (2L, 1L, "D", 0.0),
+    (5L, 2L, "U", 55.0)).toDF("k", "ver", "op", "new_price")
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+
+  test("asOfVersion(MaxValue) == latestState; final state correct") {
+    assert(rows(ChangeLog.asOfVersion(base, cl, Long.MaxValue)) ==
+      rows(ChangeLog.latestState(base, cl)))
+    assert(rows(ChangeLog.latestState(base, cl)) == Seq(
+      (1L, 13.0, "updated"), (3L, 30.0, "base"), (4L, 40.0, "base"),
+      (5L, 55.0, "inserted")))
+  }
+
+  test("prefix snapshots: each version bound shows exactly the sealed state") {
+    assert(rows(ChangeLog.asOfVersion(base, cl, 0L)) == Seq(
+      (1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"),
+      (4L, 40.0, "base"))) // empty prefix == base
+    assert(rows(ChangeLog.asOfVersion(base, cl, 1L)) == Seq(
+      (1L, 11.0, "updated"), (3L, 30.0, "base"), (4L, 40.0, "base")))
+    // at k=2: key 1 deleted (D@2 wins), key 5 inserted
+    assert(rows(ChangeLog.asOfVersion(base, cl, 2L)) == Seq(
+      (3L, 30.0, "base"), (4L, 40.0, "base"), (5L, 55.0, "inserted")))
+    // at k=3: key 1 resurrected by U@3
+    assert(rows(ChangeLog.asOfVersion(base, cl, 3L)) == Seq(
+      (1L, 13.0, "updated"), (3L, 30.0, "base"), (4L, 40.0, "base"),
+      (5L, 55.0, "inserted")))
+  }
+}
