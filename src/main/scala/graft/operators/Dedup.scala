@@ -92,23 +92,31 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
-  /** Shared [[lineDedup]] pipeline: distinct (id, text) → exploded
-    * normalized non-empty lines → each line joined with its corpus
-    * FIRST occurrence. Returns (base, marked).
+  /** Shared [[lineDedup]]/[[paragraphDedup]] pipeline: distinct
+    * (id, text) → units exploded by `sepRegex` → normalized non-empty
+    * units → each unit joined with its corpus FIRST occurrence.
+    * Returns (base, marked). The granularity is entirely the split
+    * regex: "\n" gives lines (d28), "\n{2,}" gives blank-line
+    * paragraphs (d35) — [[normText]] collapses intra-unit whitespace
+    * either way, so a reflowed paragraph hashes identically.
     */
-  private def lineMarked(docs: DataFrame, idCol: String,
-                         textCol: String): (DataFrame, DataFrame) = {
+  private def unitMarked(docs: DataFrame, idCol: String, textCol: String,
+                         sepRegex: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")).distinct()
-    val lines = base
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val units = base
+      .select(col("doc_id"), posexplode(split(col("text"), sepRegex)).as(Seq("idx", "line")))
       .withColumn("nline", normText(col("line")))
       .filter(col("nline") =!= "")
       .withColumn("h", md5(col("nline")))
-    val firsts = lines.groupBy("h")
+    val firsts = units.groupBy("h")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    (base, lines.join(firsts, Seq("h")))
+    (base, units.join(firsts, Seq("h")))
   }
+
+  private def lineMarked(docs: DataFrame, idCol: String,
+                         textCol: String): (DataFrame, DataFrame) =
+    unitMarked(docs, idCol, textCol, "\n")
 
   /** [[lineDedup]]'s reassembly exposed as TEXT, for composition: the
     * surviving (first-occurrence) lines of each document joined back
@@ -128,6 +136,52 @@ object Dedup {
           col("first") === struct(col("doc_id"), col("idx")),
           struct(col("idx"), col("nline"))))),
         x => x.getField("nline")), "\n").as("clean_text"))
+    base.select("doc_id").join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** L105 — PARAGRAPH-granularity near-dedup: the RefinedWeb middle
+    * granularity between d28's lines and d16/d19's token spans —
+    * blank-line-separated paragraphs ("\n{2,}", tolerant of extra
+    * blank lines), normalized so reflowed copies collide, corpus
+    * first occurrence kept, per-doc dup stats + cleaned-content
+    * digest. Identical machinery to [[lineDedup]] (shared
+    * [[unitMarked]] body, one keyed shuffle, the skew-safe
+    * first-occurrence aggregate — a boilerplate paragraph repeated
+    * across millions of pages reduces map-side, never buffering in a
+    * window).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (base, marked) = unitMarked(docs, idCol, textCol, "\\n{2,}")
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("first") =!= struct(col("doc_id"), col("idx")), 1L)
+        .otherwise(0L)).as("n_dup_paras"),
+      md5(array_join(transform(
+        array_sort(collect_list(when(
+          col("first") === struct(col("doc_id"), col("idx")),
+          struct(col("idx"), col("nline"))))),
+        x => x.getField("nline")), "\n\n")).as("clean_md5"))
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** [[paragraphDedup]]'s reassembly as TEXT (surviving paragraphs
+    * joined by blank lines) — the composition form, like
+    * [[lineDedupText]] for lines.
+    */
+  def paragraphDedupText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (base, marked) = unitMarked(docs, idCol, textCol, "\\n{2,}")
+    val clean = marked.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(when(
+          col("first") === struct(col("doc_id"), col("idx")),
+          struct(col("idx"), col("nline"))))),
+        x => x.getField("nline")), "\n\n").as("clean_text"))
     base.select("doc_id").join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

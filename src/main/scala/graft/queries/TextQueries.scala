@@ -980,6 +980,32 @@ object TextQueries {
       Dedup.lineDedup(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
+    // L105/d35: PARAGRAPH-granularity near-dedup — the RefinedWeb
+    // middle granularity (d28 lines < paragraphs < d16/d19 token
+    // spans). The corpus is re-shaped into blank-line paragraphs
+    // deterministically (25-token chunks, t10's grid, joined by
+    // "\n\n") so the oracle replays the split; shared near-dup docs
+    // then collide on whole leading paragraphs and the corpus-first-
+    // occurrence keep yields per-doc dup stats + a cleaned digest.
+    // Same scale shape as d28 (shared unitMarked body): one keyed
+    // shuffle, skew-safe first-occurrence aggregate — hot boilerplate
+    // paragraphs reduce map-side (hotbucket fuzz exercises this).
+    "d35_paragraph_dedup" -> ((s, dir) => {
+      // newlines inside tokens are flattened BEFORE chunking —
+      // otherwise a raw "\n\n" inside a chunk would make the
+      // blank-line re-split disagree with the chunk grid the oracle
+      // replays (norm() collapses them at hash time anyway).
+      val toks = split(replace(coalesce(col("text"), lit("")),
+        lit("\n"), lit(" ")), " ")
+      val ptext = array_join(transform(
+        sequence(lit(1), size(toks), lit(25)),
+        st => array_join(slice(toks, st, lit(25)), " ")), "\n\n")
+      Dedup.paragraphDedup(
+          docs(s, dir).select(col("doc_id"), ptext.as("ptext")),
+          "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // cap = None here because the oracle hash-checks the EXACT pair
     // set; production passes cap (see containmentPairs's governance
     // scaladoc — a hot boilerplate 4-gram makes the exact index
@@ -1884,6 +1910,31 @@ object TextQueries {
          |  COALESCE(n_dup_lines, 0) AS n_dup_lines,
          |  COALESCE(clean_md5, md5('')) AS clean_md5
          |FROM base b LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d35: the chunk grid (t10's stepped range), PortableHashSql.norm
+    // per rebuilt paragraph, then d28's first-occurrence chain with a
+    // blank-line joiner for the cleaned digest.
+    "d35_paragraph_dedup" ->
+      s"""WITH base0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         | b2 AS (SELECT doc_id,
+         |    string_split(replace(coalesce(text, ''), chr(10), ' '), ' ') AS toks
+         |  FROM base0),
+         | pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 25)) AS st FROM b2),
+         | pr AS (SELECT doc_id, (st - 1) // 25 AS idx,
+         |    ${PortableHashSql.norm("array_to_string(toks[st:st+24], ' ')")} AS npara
+         |  FROM pos),
+         | lf AS (SELECT doc_id, idx, npara, md5(npara) AS h FROM pr WHERE npara <> ''),
+         | mk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM lf),
+         | pd AS (SELECT doc_id, count(*) AS n_paras,
+         |          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+         |          md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN npara END,
+         |            chr(10) || chr(10) ORDER BY idx), '')) AS clean_md5
+         |        FROM mk GROUP BY doc_id)
+         |SELECT b.doc_id, COALESCE(n_paras, 0) AS n_paras,
+         |  COALESCE(n_dup_paras, 0) AS n_dup_paras,
+         |  COALESCE(clean_md5, md5('')) AS clean_md5
+         |FROM (SELECT DISTINCT doc_id FROM base0) b LEFT JOIN pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "d08_contamination" ->

@@ -190,6 +190,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 1L, m("fresh line"))))
   }
 
+  test("paragraphDedup: blank-line units, reflow-invariant hashes, first occurrence wins") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "intro para one\n\nshared cookie banner\n\nbody a"),
+      // extra blank lines tolerated ("\n{2,}"); banner dups doc1's;
+      // REFLOWED copy of 'intro para one' (internal newline) dups too
+      (2L, "shared cookie banner\n\n\n\nintro\npara   ONE\n\nbody b"),
+      (3L, "shared cookie banner"), // fully boilerplate
+      (4L, "")                      // empty doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((3L, 0L, m("intro para one\n\nshared cookie banner\n\nbody a"))))
+    assert(got(2L) == ((3L, 2L, m("body b"))))
+    assert(got(3L) == ((1L, 1L, m(""))))
+    assert(got(4L) == ((0L, 0L, m(""))))
+    // reassembly form agrees with the digest form
+    val txt = Dedup.paragraphDedupText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(txt(2L) == "body b" && txt(3L) == "" && txt(4L) == "")
+  }
+
   test("perGroupCap keeps at most k per group, deterministically, prefix-consistent in k") {
     val df = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
       .toDF("doc_id", "source")
