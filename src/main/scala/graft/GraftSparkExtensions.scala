@@ -84,6 +84,9 @@ object GraftSparkExtensions {
       case es => throw new IllegalArgumentException(
         s"blocklist_counts(text, array(terms...)) with literal terms; got ${es.length} args")
     }),
+    ("nfkc_lower", info("nfkc_lower",
+      "nfkc_lower(s) - NFKC compatibility normalization + locale-independent lowercase"),
+      es => NfkcLower(es.head)),
     ("html_text", info("html_text",
       "html_text(html) - visible-text extraction (WET step): tag strip, " +
         "script/style/comment drop, block-element line breaks, entity decode"),

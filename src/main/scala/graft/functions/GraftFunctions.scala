@@ -38,6 +38,8 @@ object GraftFunctions {
 
   def html_text(html: Column): Column = GraftExpressions.html_text(html)
 
+  def nfkc_lower(s: Column): Column = GraftExpressions.nfkc_lower(s)
+
   /** Inner product of two float arrays (codegen'd ordered fold). */
   def dot_product(a: Column, b: Column): Column = GraftExpressions.dot_product(a, b)
 

@@ -39,6 +39,32 @@ object Dedup {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "[^!-~]+", " ")))
 
+  /** Unicode-preserving normalization tier: NFKC (compatibility
+    * composition — fullwidth→ASCII, ligature expansion, combining
+    * sequences composed) then locale-independent lowercase, then the
+    * SAME ASCII whitespace collapse discipline as [[normText]]
+    * (unicode letters are KEPT, not folded to spaces).
+    *
+    * Deliberately a SEPARATE tier with NO DuckDB oracle (documented,
+    * not an omission): NFKC + unicode lower have no cross-engine-
+    * identical replay — Java's Normalizer and utf8proc disagree on
+    * edge codepoints, and unicode `lower` itself diverges ('İ',
+    * final sigma; see [[normText]]'s doc). Production multilingual
+    * corpora dedup with THIS tier behind the same call sites;
+    * certification stays on the ASCII fold, which the fuzz harness
+    * replays exactly. UnicodeNormSpec pins the JVM-side contract
+    * (idempotence, width folds, combining-mark composition, casefold
+    * stability) so the tier is spec-verified even though it is not
+    * oracle-verified.
+    *
+    * A codegen-friendly scalar: java.text.Normalizer is JDK-built-in
+    * and allocation-light; at 100 TB this remains a map-side
+    * projection like normText.
+    */
+  def normTextUnicode(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.GraftFunctions.nfkc_lower(c), "\\s+", " "))
+
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 

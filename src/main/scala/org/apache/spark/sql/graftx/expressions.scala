@@ -1442,6 +1442,43 @@ final class HtmlExtractor extends Serializable {
   }
 }
 
+/** NFKC + locale-independent lowercase as a codegen scalar — the
+  * kernel of Dedup.normTextUnicode (the unicode-preserving
+  * normalization tier; see that method's doc for why this tier is
+  * spec-pinned rather than oracle-replayed). JDK-built-in
+  * java.text.Normalizer; the fast path skips normalization entirely
+  * when the input is already NFKC (ASCII always is).
+  */
+final class NfkcFolder extends Serializable {
+  def run(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n =
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) str
+      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC)
+    UTF8String.fromString(n.toLowerCase(java.util.Locale.ROOT))
+  }
+}
+
+/** `nfkc_lower(s)` — see [[NfkcFolder]]. */
+case class NfkcLower(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq[AbstractDataType](StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_lower"
+
+  @transient private lazy val folder = new NfkcFolder
+
+  override protected def nullSafeEval(e: Any): Any =
+    folder.run(e.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("nfkcFolder", folder, classOf[NfkcFolder].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $f.run($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `html_text(html)` — visible-text extraction as a codegen scalar
   * (see [[HtmlExtractor]] for the exact semantics). The kernel ships
   * as a codegen reference object like [[AcAutomaton]]; the per-row
@@ -1488,6 +1525,8 @@ object GraftExpressions {
     col(BlocklistCounts(exp(text), terms))
 
   def html_text(html: Column): Column = col(HtmlVisibleText(exp(html)))
+
+  def nfkc_lower(s: Column): Column = col(NfkcLower(exp(s)))
 
   def logicle_q6(x: Column, t: Double, m: Double, w: Double): Column =
     col(LogicleQ6(exp(x), t, m, w))
@@ -1644,6 +1683,8 @@ object GraftExpressions {
       }, "built-in")
     reg.createOrReplaceTempFunction(
       "html_text", es => HtmlVisibleText(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfkc_lower", es => NfkcLower(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints", {
         case Seq(toks, Literal(n: Int, IntegerType), Literal(w: Int, IntegerType)) =>
