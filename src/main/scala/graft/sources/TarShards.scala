@@ -17,14 +17,20 @@ import java.nio.charset.StandardCharsets
   * partition, so ingesting 100 TB of shards is a map job whose
   * parallelism is the file listing's.
   *
-  * Reader semantics (ustar + the two long-name forms in the wild):
+  * Reader semantics (ustar + the three long-name forms in the wild):
   *   - regular files only (typeflag '0' or NUL); directories, links
-  *     and PAX/metadata members are skipped;
+  *     and global-metadata members are skipped;
   *   - ustar prefix field (POSIX split names): `prefix + '/' + name`;
   *   - GNU 'L' longname members: the payload names the NEXT member;
+  *   - PAX extended headers ('x' members — what Python's tarfile
+  *     writes by default): "len key=value\n" records, with `path`
+  *     overriding the next member's name and `size` its size (the
+  *     PAX size rule for >8 GB members);
   *   - size is octal, NUL/space padded; payload padded to 512;
   *   - archive ends at the first zero header block (tolerates a
-  *     truncated final padding block).
+  *     truncated final padding block);
+  *   - gzip-compressed shards (.tar.gz magic 1f 8b) decompress
+  *     transparently in [[read]].
   *
   * Writer: one tar per distinct shard value, hash-partitioned so a
   * shard's members serialize in ONE task (members sorted by name —
@@ -93,7 +99,39 @@ object TarShards {
     new Iterator[(String, Array[Byte])] {
       private var pos = 0
       private var pendingLongName: String = null
+      private var pendingPaxSize: Long = -1L
       private var nextEntry: (String, Array[Byte]) = null
+
+      /** PAX extended-header records: "<len> <key>=<value>\n", len =
+        * the record's TOTAL byte length including itself. Returns the
+        * (path, size) overrides present, if any.
+        */
+      private def parsePax(data: Array[Byte]): (Option[String], Option[Long]) = {
+        var path: Option[String] = None
+        var size: Option[Long] = None
+        var p = 0
+        while (p < data.length) {
+          var sp = p
+          while (sp < data.length && data(sp) != ' '.toByte) sp += 1
+          val lenStr = new String(data, p, sp - p, StandardCharsets.US_ASCII)
+          val recLen = try lenStr.trim.toInt catch { case _: NumberFormatException => -1 }
+          if (recLen <= 0 || p + recLen > data.length) p = data.length
+          else {
+            // record body between "len " and the trailing '\n'
+            val body = new String(data, sp + 1, recLen - (sp + 1 - p) - 1,
+              StandardCharsets.UTF_8)
+            val eq = body.indexOf('=')
+            if (eq > 0) {
+              val (k, v) = (body.substring(0, eq), body.substring(eq + 1))
+              if (k == "path") path = Some(v)
+              else if (k == "size") size = try Some(v.toLong)
+              catch { case _: NumberFormatException => None }
+            }
+            p += recLen
+          }
+        }
+        (path, size)
+      }
 
       private def octal(off: Int, len: Int): Long = {
         var i = off
@@ -121,12 +159,17 @@ object TarShards {
           while (allZero && i < pos + BlockSize) { allZero = bytes(i) == 0; i += 1 }
           if (allZero) { pos = bytes.length } // end-of-archive marker
           else {
-            val size = octal(pos + 124, 12).toInt
+            val headerSize = octal(pos + 124, 12)
             val typeflag = bytes(pos + 156)
             val magic = cstr(pos + 257, 6)
             val base = cstr(pos, 100)
             val prefix = if (magic.startsWith("ustar")) cstr(pos + 345, 155) else ""
             val name0 = if (prefix.isEmpty) base else prefix + "/" + base
+            // a preceding PAX 'size' record overrides the octal field
+            // (the PAX rule for members beyond the 8 GiB octal range)
+            val size = (if (typeflag == '0' || typeflag == 0) {
+              if (pendingPaxSize >= 0) pendingPaxSize else headerSize
+            } else headerSize).toInt
             val dataStart = pos + BlockSize
             pos = dataStart + (size + BlockSize - 1) / BlockSize * BlockSize
             if (typeflag == 'L') {
@@ -136,13 +179,21 @@ object TarShards {
               while (e < lim && bytes(e) != 0) e += 1
               pendingLongName = new String(bytes, dataStart, e - dataStart,
                 StandardCharsets.UTF_8)
+            } else if (typeflag == 'x') {
+              // PAX extended header for the NEXT member
+              val (p, s) = parsePax(java.util.Arrays.copyOfRange(
+                bytes, dataStart, math.min(dataStart + size, bytes.length)))
+              p.foreach(pendingLongName = _)
+              s.foreach(pendingPaxSize = _)
             } else if (typeflag == '0' || typeflag == 0) {
               val name = if (pendingLongName != null) pendingLongName else name0
               pendingLongName = null
+              pendingPaxSize = -1L
               val payload = java.util.Arrays.copyOfRange(
                 bytes, dataStart, math.min(dataStart + size, bytes.length))
               nextEntry = (name, payload)
-            } else pendingLongName = null // dir/link/PAX member: skip
+            } else { pendingLongName = null; pendingPaxSize = -1L }
+            // dir/link/'g' global members: skip (and clear overrides)
           }
         }
       }
@@ -213,14 +264,27 @@ object TarShards {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$path/*.tar")
+    spark.read.format("binaryFile").load(s"$path/*.tar*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(file)
+        val shard = "shard-(\\d+)\\.tar(\\.gz)?$".r.findFirstMatchIn(file)
           .map(_.group(1).toLong).getOrElse(-1L)
-        parseEntries(bytes).map { case (name, payload) => (shard, name, payload) }
+        parseEntries(gunzipIfNeeded(bytes))
+          .map { case (name, payload) => (shard, name, payload) }
       }
       .toDF("shard", "name", "payload")
   }
+
+  /** Transparent .tar.gz handling: gzip magic 1f 8b → decompress.
+    * Gzipped shards are NOT splittable — acceptable for WebDataset
+    * shards, which are sized (100 MB–1 GB) to be the unit of
+    * parallelism themselves.
+    */
+  private[graft] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } else bytes
 }
