@@ -200,6 +200,28 @@ object StreamQueries {
       }.orderBy("user_id", "click_id")
     }),
 
+    // S20/st22: STREAMING WebDataset tar-shard ingest — the
+    // production multimodal ingest topology: shards land as FILES
+    // and each micro-batch parses only the new ones (binaryFile is a
+    // FileFormat, so the file stream source's offset log tracks seen
+    // shards). The m13 store is written batch-side first (like
+    // st16's index), then TarShards.readStream parses it through the
+    // REAL engine into the SAME sample reassembly aggregate
+    // (tarSampleStats — one shared body with m13). Complete-mode
+    // aggregation is a function of the full input set, so the output
+    // is arrival-order/micro-batch-chop invariant and m13's oracle
+    // replays verbatim (the d29→d27 pattern).
+    "st22_stream_tar_ingest" -> ((s, dir) => {
+      val tmp = graft.sources.TidyIO.scratchDir("graft_tar_stream")
+      graft.sources.TarShards.write(
+        VectorQueries.tarCorpusEntries(s, dir), "shard", "name", "payload", tmp)
+      StreamRun.onSource(s, graft.sources.TarShards.readStream(s, tmp),
+          OutputMode.Complete()) { parsed =>
+          VectorQueries.tarSampleStats(parsed)
+        }
+        .orderBy("doc_id")
+    }),
+
     // S19/st21: FULL-OUTER stream-stream interval join through the
     // REAL engine — completes the join matrix (st07 inner, st13
     // left-outer, st18 left-semi): clicks with-or-without a purchase
@@ -530,6 +552,10 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // st22 runs m13's sample reassembly through the streaming engine
+    // over the same store — the RESULT contract is identical, so its
+    // oracle is m13's verbatim (the d29→d27 pattern).
+    "st22_stream_tar_ingest" -> VectorQueries.oracle("m13_tar_shards"),
     // st16: d27's replay over a DISTINCT (doc_id, text) base — the
     // streaming-ingest dup-row contract (see probeLshIndexStreaming).
     "st16_stream_index_probe" ->

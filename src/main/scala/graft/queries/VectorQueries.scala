@@ -42,6 +42,47 @@ object VectorQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Graft.table(s, dir, "documents")
 
+  /** m13/st22's shared WebDataset instance: two members per document
+    * — key.txt (the text bytes) and key.json (a deterministic
+    * metadata record) — hash-sharded by doc id. ONE body so the batch
+    * certification and the streaming ingest cannot drift.
+    */
+  private[queries] def tarCorpusEntries(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(col("text"), lit("")).as("text"),
+      coalesce(col("lang"), lit("xx")).as("lang"))
+    d.select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id"), 8).as("shard"),
+        explode(array(
+          struct(concat(col("doc_id"), lit(".txt")).as("name"),
+            encode(col("text"), "UTF-8").as("payload")),
+          struct(concat(col("doc_id"), lit(".json")).as("name"),
+            encode(concat(lit("{\"doc_id\":"), col("doc_id"),
+              lit(",\"lang\":\""), col("lang"), lit("\"}")), "UTF-8")
+              .as("payload")))).as("e"))
+      .select(col("shard"), col("e.name").as("name"), col("e.payload").as("payload"))
+  }
+
+  /** The WebDataset sample reassembly over parsed (shard, name,
+    * payload) members — per sample key: member count, shard, per-
+    * member digests/sizes. Pure aggregate (arrival-order-invariant),
+    * so the SAME body serves m13's batch read and st22's complete-
+    * mode streaming ingest; callers sort.
+    */
+  private[queries] def tarSampleStats(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("shard"),
+        regexp_extract(col("name"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
+        regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
+        col("payload"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(col("shard")).as("shard"),
+        max(when(col("ext") === "txt", md5(hex(col("payload"))))).as("txt_md5"),
+        max(when(col("ext") === "txt", length(col("payload"))))
+          .cast("long").as("txt_bytes"),
+        max(when(col("ext") === "json", md5(hex(col("payload"))))).as("json_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L5: label-blocked cosine similarity pairs (IVF-style blocking).
     "d05_embed_neardup" -> ((s, dir) => {
@@ -622,34 +663,10 @@ object VectorQueries {
     // shard, in-task serialization); read is a zero-shuffle map over
     // shard files; the groupBy is sample-cardinality.
     "m13_tar_shards" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("lang"), lit("xx")).as("lang"))
-      val entries = d.select(col("doc_id"),
-          graft.operators.Sampling.hashBucket(col("doc_id"), 8).as("shard"),
-          explode(array(
-            struct(concat(col("doc_id"), lit(".txt")).as("name"),
-              encode(col("text"), "UTF-8").as("payload")),
-            struct(concat(col("doc_id"), lit(".json")).as("name"),
-              encode(concat(lit("{\"doc_id\":"), col("doc_id"),
-                lit(",\"lang\":\""), col("lang"), lit("\"}")), "UTF-8")
-                .as("payload")))).as("e"))
-        .select(col("shard"), col("e.name").as("name"), col("e.payload").as("payload"))
       val tmp = graft.sources.TidyIO.scratchDir("graft_tar_shards")
-      graft.sources.TarShards.write(entries, "shard", "name", "payload", tmp)
-      graft.sources.TarShards.read(s, tmp)
-        .select(col("shard"),
-          regexp_extract(col("name"), "^(\\d+)\\.", 1).cast("long").as("doc_id"),
-          regexp_extract(col("name"), "\\.([a-z]+)$", 1).as("ext"),
-          col("payload"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_members"),
-          max(col("shard")).as("shard"),
-          max(when(col("ext") === "txt", md5(hex(col("payload"))))).as("txt_md5"),
-          max(when(col("ext") === "txt", length(col("payload"))))
-            .cast("long").as("txt_bytes"),
-          max(when(col("ext") === "json", md5(hex(col("payload"))))).as("json_md5"))
-        .orderBy("doc_id")
+      graft.sources.TarShards.write(
+        tarCorpusEntries(s, dir), "shard", "name", "payload", tmp)
+      tarSampleStats(graft.sources.TarShards.read(s, tmp)).orderBy("doc_id")
     }),
 
     // L69: real-codec audio roundtrip — the deterministic PCM16

@@ -262,17 +262,42 @@ object TarShards {
     * (shard, name, payload) — shard is the numeric id parsed from
     * the file name. binaryFile scan → in-partition parse, no shuffle.
     */
+  private def entryRows(file: String,
+                        bytes: Array[Byte]): Iterator[(Long, String, Array[Byte])] = {
+    val shard = "shard-(\\d+)\\.tar(\\.gz)?$".r.findFirstMatchIn(file)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    parseEntries(gunzipIfNeeded(bytes))
+      .map { case (name, payload) => (shard, name, payload) }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$path/*.tar*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        val shard = "shard-(\\d+)\\.tar(\\.gz)?$".r.findFirstMatchIn(file)
-          .map(_.group(1).toLong).getOrElse(-1L)
-        parseEntries(gunzipIfNeeded(bytes))
-          .map { case (name, payload) => (shard, name, payload) }
-      }
+      .flatMap((entryRows _).tupled)
+      .toDF("shard", "name", "payload")
+  }
+
+  /** Streaming form of [[read]] — the production INGEST topology:
+    * shards land as files and each micro-batch parses only the new
+    * ones (binaryFile is a FileFormat, so the file stream source
+    * tracks seen files in its offset log). Shared parse body with
+    * the batch read, so the two forms cannot drift.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq( // binaryFile's fixed schema (file streams don't infer)
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.tar*").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap((entryRows _).tupled)
       .toDF("shard", "name", "payload")
   }
 

