@@ -628,6 +628,41 @@ object Dedup {
       path = path.map(p => s"$p/sets"))
   }
 
+  /** Right-to-be-forgotten purge of a persisted LSH index: drop every
+    * index row belonging to a tombstoned id from BOTH tables (bands
+    * and verify sets) and write the purged index as a NEW versioned
+    * snapshot under `dstPrefix` — the lakehouse deletion pattern:
+    * never rewrite a table you are reading; swap the new version in
+    * and retire the old per retention policy (q63's AS OF story is
+    * the read side of the same discipline).
+    *
+    * Deletion requests are request-sized, not corpus-sized, so the
+    * tombstone list broadcasts and both purges are anti-join map
+    * passes over the index — cost is index-sized, zero corpus
+    * touches. The hot-bucket cap stays as applied AT BUILD (purging
+    * can only shrink buckets; re-capping would resurrect rows the
+    * build dropped, changing history). PipelineSpec certifies the
+    * purged index probes EXACTLY like an index built from the purged
+    * corpus, and d37 driver-verifies it end-to-end.
+    */
+  def purgeLshIndex(spark: org.apache.spark.sql.SparkSession,
+                    srcPrefix: String, dstPrefix: String,
+                    tombstones: DataFrame, buckets: Int = 64,
+                    path: Option[String] = None): Unit = {
+    val t = tombstones.select(
+      col(tombstones.columns.head).cast("long").as("id"))
+    val bands = spark.table(s"${srcPrefix}_bands")
+      .join(broadcast(t), Seq("id"), "left_anti")
+    val sets = spark.table(s"${srcPrefix}_sets")
+      .join(broadcast(t), Seq("id"), "left_anti")
+    graft.sources.TidyIO.writeBucketedCols(
+      bands, s"${dstPrefix}_bands", Seq("band", "bucket"), buckets,
+      path = path.map(p => s"$p/bands"))
+    graft.sources.TidyIO.writeBucketedCols(
+      sets, s"${dstPrefix}_sets", Seq("id"), buckets,
+      path = path.map(p => s"$p/sets"))
+  }
+
   /** Probe a [[writeLshIndex]] index with a new batch: identical
     * semantics to [[minhashAgainstIndex]] (same banding, size-ratio
     * prune, exact-Jaccard verify), but the corpus is READ, not

@@ -972,6 +972,35 @@ object TextQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // L107/d37: right-to-be-forgotten purge of the persisted LSH
+    // index (the deletion-propagation twin of d29: training-data
+    // governance requires deletions to reach DERIVED artifacts, not
+    // just the corpus). d29's index is built over the corpus split,
+    // tombstones (doc_id ≡ 3 mod 17) are purged into a NEW versioned
+    // snapshot (never rewrite a table being read — q63's versioning
+    // discipline on the write side), and the batch probes the PURGED
+    // index. The hot-bucket cap stays as applied at build (purging
+    // only shrinks buckets; re-capping would resurrect build-dropped
+    // rows). Oracle = d27's replay with the tombstone filter applied
+    // AFTER the keep-cap join, exactly where the purge acts.
+    "d37_index_purge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idxPath = graft.sources.TidyIO.scratchDir("g_lshp")
+      val prefix = idxPath.stripPrefix("/tmp/")
+      Dedup.writeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", s"${prefix}_v1", numHashes = 64, bands = 8,
+        shingleN = 1, cap = 500, buckets = 8,
+        path = Some(s"$idxPath/v1"))
+      Dedup.purgeLshIndex(s, s"${prefix}_v1", s"${prefix}_v2",
+        d.filter(pmod(col("doc_id"), lit(17)) === 3)
+          .select(col("doc_id").cast("long").as("id")),
+        buckets = 8, path = Some(s"$idxPath/v2"))
+      Dedup.probeLshIndex(d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", s"${prefix}_v2", threshold = 0.9,
+          numHashes = 64, bands = 8, shingleN = 1)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // L68b: line-level exact dedup + reassembly (the RefinedWeb
     // boilerplate-line pass) — every line keeps its first corpus
     // occurrence in (doc, position) order, docs reassemble from the
@@ -1403,9 +1432,20 @@ object TextQueries {
     * streaming-ingest contract, where a re-delivered document must
     * not multiply its verify rows like the batch join does.
     */
-  private[queries] def incrementalLshOracleSql(distinctBase: Boolean): String = {
+  private[queries] def incrementalLshOracleSql(distinctBase: Boolean): String =
+    incrementalLshOracleSql(distinctBase, purgeMod = None)
+
+  /** `purgeMod = Some((m, r))` drops corpus rows with doc_id ≡ r
+    * (mod m) AFTER the hot-bucket keep join — exactly where
+    * Dedup.purgeLshIndex acts on the already-capped stored index
+    * (d37). None replays the unpurged d27/d29 contract.
+    */
+  private[queries] def incrementalLshOracleSql(distinctBase: Boolean,
+                                               purgeMod: Option[(Int, Int)]): String = {
     val src = if (distinctBase) "(SELECT DISTINCT doc_id, text FROM documents)"
               else "documents"
+    val purge = purgeMod.map { case (m, r) =>
+      s" WHERE (mbc.doc_id % $m + $m) % $m <> $r" }.getOrElse("")
     s"""WITH dn AS (SELECT doc_id, ${PortableHashSql.norm("text")} AS ntx FROM $src),
        | d AS (SELECT doc_id, list_distinct(split(ntx, ' ')) AS toks FROM dn),
        | tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
@@ -1423,7 +1463,7 @@ object TextQueries {
        | mbn AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 = 0),
        | mbc AS (SELECT * FROM mbk WHERE (doc_id % 5 + 5) % 5 <> 0),
        | keep AS (SELECT band, bucket FROM mbc GROUP BY band, bucket HAVING count(*) <= 500),
-       | bkc AS (SELECT mbc.* FROM mbc JOIN keep USING (band, bucket)),
+       | bkc AS (SELECT mbc.* FROM mbc JOIN keep USING (band, bucket)$purge),
        | cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
        |          FROM mbn n JOIN bkc c ON n.band = c.band AND n.bucket = c.bucket),
        | v AS (SELECT new_id, corpus_id,
@@ -1462,7 +1502,11 @@ object TextQueries {
   // so its oracle is d27's verbatim.
   val oracle: Map[String, String] = oracleBase +
     ("d29_lsh_index_probe" -> oracleBase("d27_incremental_lsh")) +
-    ("d33_clone_topk" -> cloneTopkOracleSql)
+    ("d33_clone_topk" -> cloneTopkOracleSql) +
+    // d37 = d29's probe over the PURGED index: d27's replay with the
+    // tombstone filter applied after the keep-cap join.
+    ("d37_index_purge" ->
+      incrementalLshOracleSql(distinctBase = false, purgeMod = Some((17, 3))))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "d01_dedup_exact" ->

@@ -235,4 +235,50 @@ class PipelineSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_lsh_sets")
     }
   }
+
+  test("purged LSH index probes exactly like an index built from the purged corpus") {
+    // d37's deletion-propagation contract. One deliberate asymmetry:
+    // the hot-bucket cap is applied AT BUILD — a purge only shrinks
+    // buckets and never resurrects build-dropped rows — so the
+    // reference build uses the SAME keep set (cap high enough here
+    // that no bucket caps, making purge-then-probe and
+    // build-from-purged identical).
+    import graft.operators.Dedup
+    val docs = Graft.table(spark, SharedSpark.sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = pmod(col("doc_id"), lit(5)) === 0
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    val isTomb = pmod(col("doc_id"), lit(17)) === 3
+    try {
+      Dedup.writeLshIndex(corpus, "doc_id", "text", "g_pg_v1",
+        numHashes = 64, bands = 8, shingleN = 1, cap = 100000, buckets = 8)
+      Dedup.purgeLshIndex(spark, "g_pg_v1", "g_pg_v2",
+        docs.filter(isTomb).select(col("doc_id").as("id")), buckets = 8)
+      spark.catalog.clearCache()
+      def pairs(prefix: String) =
+        Dedup.probeLshIndex(batch, "doc_id", "text", prefix,
+            threshold = 0.9, numHashes = 64, bands = 8, shingleN = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val purged = pairs("g_pg_v2")
+      // 1. no output row references a tombstoned corpus id
+      assert(purged.forall { case (_, cid, _) => cid % 17 != 3 })
+      // 2. the purge actually removed something on this instance
+      val v1 = pairs("g_pg_v1")
+      assert(v1.exists { case (_, cid, _) => cid % 17 == 3 },
+        "test instance too easy: no tombstoned pair existed pre-purge")
+      assert(purged == v1.filter { case (_, cid, _) => cid % 17 != 3 })
+      // 3. equality with an index BUILT from the purged corpus
+      Dedup.writeLshIndex(corpus.filter(!isTomb), "doc_id", "text", "g_pg_ref",
+        numHashes = 64, bands = 8, shingleN = 1, cap = 100000, buckets = 8)
+      spark.catalog.clearCache()
+      assert(pairs("g_pg_ref") == purged)
+    } finally {
+      spark.catalog.clearCache()
+      Seq("g_pg_v1", "g_pg_v2", "g_pg_ref").foreach { p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_sets")
+      }
+    }
+  }
 }
