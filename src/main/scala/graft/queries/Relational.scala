@@ -744,6 +744,40 @@ object Relational {
         graft.operators.ChangeLog.asOfVersion(base, changelog, 2L).orderBy("k")
       }),
 
+    // R66/q64: PERMISSIVE-ingest quarantine (the DQ story's INGEST
+    // half, next to q47's post-ingest audit): orders synthesized as
+    // JSONL with keys ≡ 0 (mod 7) truncated mid-record — the classic
+    // partial-write corruption — written as real text files and read
+    // back through TidyIO.readJsonl's PERMISSIVE + _corrupt_record
+    // path. Malformed lines land in the quarantine group with every
+    // data column NULL; the rollup certifies the reader's error
+    // routing value-for-value (the oracle replays the corruption
+    // rule — it never parses JSON). At 100 TB this is THE ingest
+    // posture: a corrupt shard must quarantine rows, not kill the
+    // job; FAILFAST is the alternative documented in readJsonl.
+    "q64_jsonl_quarantine" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        coalesce(col("o_orderpriority").cast("string"), lit("")).as("prio"))
+      val line = concat(lit("{\"k\":"), col("k"),
+        lit(",\"cents\":"), col("cents"),
+        lit(",\"prio\":\""), col("prio"), lit("\"}"))
+      // 15-char prefix can never close the object → always malformed
+      val written = when(pmod(col("k"), lit(7)) === 0,
+        substring(line, 1, 15)).otherwise(line)
+      val tmp = graft.sources.TidyIO.scratchDir("graft_jsonl_q")
+      o.select(written.as("value")).write.mode("overwrite").text(tmp)
+      graft.sources.TidyIO
+        .readJsonl(s, tmp, Some("k BIGINT, cents BIGINT, prio STRING"))
+        .groupBy(coalesce(col("prio"), lit("__quarantine__")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_bad"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("bucket")
+    }),
+
     // R56/q54: one-pass column profiler (the warehouse DQ primitive
     // next to q47's threshold gate): per column row/null/distinct
     // counts + typed min/max, one Expand pass + one keyed aggregate.
@@ -1697,6 +1731,24 @@ object Relational {
     // q51: latest-version-wins via row_number, FULL JOIN merge,
     // tombstone filter; generate_series ≡ Spark sequence (inclusive).
     "q51_cdc_merge" -> cdcMergeSql(verBound = None),
+
+    // q64: the corruption rule replayed from orders — never parsing
+    // JSON: keys ≡ 0 (mod 7) form the NULL-columned quarantine
+    // bucket, everything else rolls up under its priority.
+    "q64_jsonl_quarantine" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents,
+        |    coalesce(CAST(o_orderpriority AS VARCHAR), '') AS prio
+        |  FROM orders),
+        | b AS (SELECT CASE WHEN (k % 7 + 7) % 7 = 0
+        |      THEN '__quarantine__' ELSE prio END AS bucket,
+        |    CASE WHEN (k % 7 + 7) % 7 = 0 THEN NULL ELSE cents END AS cents,
+        |    CASE WHEN (k % 7 + 7) % 7 = 0 THEN 1 ELSE 0 END AS bad
+        |  FROM o)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bad) AS BIGINT) AS n_bad,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // q63: q51's text with the changelog prefix-bounded at ver <= 2 —
     // the AS OF version read replayed over the same instance.

@@ -372,6 +372,28 @@ object StreamQueries {
       }.orderBy("user_id", "event_type")
     }),
 
+    // S21/st23: BOUNDED-STATE streaming dedup —
+    // dropDuplicatesWithinWatermark (Spark 3.5+), the production form
+    // of st09: plain dropDuplicates keeps every key seen FOREVER
+    // (state grows with corpus cardinality — the thing that falls
+    // over at 100 TB of stream history), while WithinWatermark
+    // retains a key only for the watermark delay, so state is bounded
+    // by the key-arrival rate × delay window. Under the single-file
+    // AvailableNow source all rows share one data batch (nothing is
+    // evicted mid-batch), so the emitted key set equals DISTINCT and
+    // the oracle checks the incremental path exactly; the semantics
+    // that DIFFER from st09 — re-emission of a key that returns after
+    // eviction — are pinned in StreamRunSpec with a two-batch
+    // MemoryStream run. Key-only output (the st09 arrival-order
+    // contract).
+    "st23_dedup_within_wm" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Append()) { e =>
+        e.withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+      }.orderBy("user_id", "event_type")
+    }),
+
     // S8: streaming windowed DISTINCT count — the per-window unique-
     // users metric, through the REAL streaming engine. Streaming
     // aggregation can't run COUNT(DISTINCT) (unbounded per-group
@@ -775,6 +797,13 @@ object StreamQueries {
         |ORDER BY win_start_s, rnk""".stripMargin,
 
     "st09_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // st23: single-data-batch AvailableNow → nothing evicts mid-batch
+    // → the bounded-state dedup's emitted key set equals DISTINCT;
+    // the eviction/re-emission semantics are StreamRunSpec-pinned.
+    "st23_dedup_within_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 

@@ -191,6 +191,46 @@ class StreamRunSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark: bounded state — an evicted key RE-EMITS (st23's semantics)") {
+    // The production-vs-demo dedup distinction: plain dropDuplicates
+    // keeps every key forever (one emission per key, state grows with
+    // key cardinality); WithinWatermark retains a key only for the
+    // watermark delay, so a key returning AFTER eviction emits again.
+    // Three batches: key A at t0 → emit; watermark pushed far past
+    // A's retention; key A again much later → second emission. Plain
+    // dropDuplicates on the same feed emits A once.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    implicit val sqlCtx = spark.sqlContext
+    def run(within: Boolean): Seq[(String, String)] = {
+      val in = MemoryStream[(String, Timestamp)]
+      val base = in.toDF().toDF("k", "ts").withWatermark("ts", "10 minutes")
+      val dd = if (within) base.dropDuplicatesWithinWatermark("k")
+               else base.dropDuplicates("k")
+      val name = s"ddwm_${within}_${System.nanoTime()}"
+      val q = dd.select("k", "ts").writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        in.addData(("A", ts(0)), ("A", ts(0))) // dup in-batch: one emission
+        q.processAllAvailable()
+        in.addData(("W", ts(5))) // watermark → 04:50, far past A + 10 min
+        q.processAllAvailable()
+        in.addData(("A", ts(9))) // A returns after eviction
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSeq.sorted
+      } finally q.stop()
+    }
+    val within = run(within = true)
+    assert(within.count(_._1 == "A") == 2,
+      s"evicted key must re-emit under WithinWatermark: $within")
+    val plain = run(within = false)
+    assert(plain.count(_._1 == "A") == 1,
+      s"plain dropDuplicates emits a key exactly once: $plain")
+  }
+
   test("streaming tar-shard ingest parses through the incremental engine and equals batch") {
     // st22's contract: the binaryFile file-stream source parses tar
     // shards micro-batch-incrementally and the complete-mode sample
