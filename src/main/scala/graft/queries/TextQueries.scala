@@ -489,6 +489,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L108/d38: CCNet head/middle/tail perplexity buckets (Wenzek
+    // 2020 §4.3 — the production quality triage that decides which
+    // crawl slice trains, which is held for review, which is cut):
+    // t34's held-out LM scores (shared lmHeldoutXent body — the
+    // scorer and its consumer cannot drift), lang joined back, then
+    // per-language TERTILES over the deterministic total order
+    // (xent ASC, doc_id) — ntile(3), identical rank semantics both
+    // engines — rolled up per (lang, bucket). min/max xent are
+    // order-free; the summed quality measure is the exact micro-nat
+    // INTEGER (xent·10⁴ rounds back to the integer the scorer
+    // divided out — no float-sum drift at any partitioning). Scale:
+    // scoring is t34's map-plus-fold; the window runs on the scored
+    // heldout slice partitioned by language — doc-cardinality rows,
+    // bounded width; the rollup is bucket-cardinality.
+    "d38_ccnet_buckets" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val scored = TextStats.lmHeldoutXent(d0, "doc_id", "text",
+          pmod(col("doc_id").cast("long"), lit(5)) =!= 0)
+        .join(d0.select(col("doc_id").cast("long").as("doc_id"),
+            coalesce(col("lang"), lit("?")).as("lang")).distinct(),
+          Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+      scored.withColumn("t", ntile(3).over(w))
+        .withColumn("bucket", when(col("t") === 1, "head")
+          .when(col("t") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").cast("long").as("n_bigrams"),
+          min("xent").as("min_xent"), max("xent").as("max_xent"),
+          sum(expr("CAST(round(xent * 10000) AS BIGINT)")).cast("long")
+            .as("sum_uxent"))
+        .orderBy("lang", "bucket")
+    }),
+
     // L95/t35: boilerplate-line mining — the DISCOVERY dashboard that
     // justifies d28's line dedup (which lines are the nav/footer
     // templates, per source): normalized lines hashed with the
@@ -1432,6 +1467,35 @@ object TextQueries {
     * streaming-ingest contract, where a re-delivered document must
     * not multiply its verify rows like the batch join does.
     */
+  /** t34's held-out bigram cross-entropy replay as shared CTEs ending
+    * in `xe` (doc_id, n_bigrams, xent) — t34 selects it directly,
+    * d38 buckets it per language. ONE text, so the scorer and its
+    * CCNet bucket consumer cannot drift.
+    */
+  private lazy val heldoutXentSql: String =
+    s"""tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |     string_split($normSql, ' ') AS l FROM documents),
+       | f AS (SELECT doc_id, l FROM tk WHERE len(l) >= 2),
+       | b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM
+       |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM f)),
+       | trb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 <> 0),
+       | teb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 = 0),
+       | bi AS (SELECT w1, w2, count(*) AS n_xy FROM trb GROUP BY 1, 2),
+       | ctx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_ctx FROM bi GROUP BY 1),
+       | vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bi),
+       | pr AS (SELECT teb.doc_id,
+       |     CAST(round(ln(CAST(coalesce(n_ctx, 0) + v AS DOUBLE))
+       |       - ln(CAST(coalesce(n_xy, 0) + 1 AS DOUBLE)), 6)
+       |       AS DECIMAL(18,6)) AS term
+       |   FROM teb LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |   CROSS JOIN vv),
+       | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(term) AS s
+       |   FROM pr GROUP BY doc_id),
+       | xe AS (SELECT doc_id, n_bigrams,
+       |   CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
+       |     // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
+       |  FROM sc)""".stripMargin
+
   private[queries] def incrementalLshOracleSql(distinctBase: Boolean): String =
     incrementalLshOracleSql(distinctBase, purgeMod = None)
 
@@ -2562,28 +2626,29 @@ object TextQueries {
     // t34: t17's bigram machinery split train/test, Laplace add-one
     // terms from integer counts, same micro-nat mean.
     "t34_heldout_ppl" ->
-      s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |     string_split($normSql, ' ') AS l FROM documents),
-         | f AS (SELECT doc_id, l FROM tk WHERE len(l) >= 2),
-         | b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM
-         |   (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM f)),
-         | trb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 <> 0),
-         | teb AS (SELECT * FROM b WHERE ((doc_id % 5) + 5) % 5 = 0),
-         | bi AS (SELECT w1, w2, count(*) AS n_xy FROM trb GROUP BY 1, 2),
-         | ctx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_ctx FROM bi GROUP BY 1),
-         | vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bi),
-         | pr AS (SELECT teb.doc_id,
-         |     CAST(round(ln(CAST(coalesce(n_ctx, 0) + v AS DOUBLE))
-         |       - ln(CAST(coalesce(n_xy, 0) + 1 AS DOUBLE)), 6)
-         |       AS DECIMAL(18,6)) AS term
-         |   FROM teb LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1)
-         |   CROSS JOIN vv),
-         | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(term) AS s
-         |   FROM pr GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams,
-         |  CAST((CAST(s * 1000000 AS BIGINT) + 50 * n_bigrams)
-         |    // (100 * n_bigrams) AS DOUBLE) / 10000.0 AS xent
-         |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH $heldoutXentSql
+         |SELECT doc_id, n_bigrams, xent FROM xe ORDER BY doc_id""".stripMargin,
+
+    // d38: t34's per-doc scores (shared heldoutXentSql text), lang
+    // joined back, per-language tertiles via ntile over the total
+    // order (xent, doc_id), bucket rollup. min/max are order-free;
+    // the summed measure is the exact micro-nat integer.
+    "d38_ccnet_buckets" ->
+      s"""WITH $heldoutXentSql,
+         | lg AS (SELECT xe.doc_id, n_bigrams, xent,
+         |     coalesce(lang, '?') AS lang
+         |   FROM xe JOIN (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, lang
+         |                 FROM documents) d2 ON d2.doc_id = xe.doc_id),
+         | nt AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+         |     ORDER BY xent, doc_id) AS t FROM lg),
+         | bk AS (SELECT lang,
+         |     CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |     n_bigrams, xent FROM nt)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  min(xent) AS min_xent, max(xent) AS max_xent,
+         |  CAST(sum(CAST(round(xent * 10000) AS BIGINT)) AS BIGINT) AS sum_uxent
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     // t35: the heap's (cnt DESC, hash ASC) order as a ranked window;
     // line hash via the shared portable fmix∘roll replay.
