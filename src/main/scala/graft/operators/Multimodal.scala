@@ -143,6 +143,118 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** [[formulaPng]] with CONTROLLED near-duplicates for the
+    * perceptual-dedup path (m14): ids share an image GROUP
+    * (id div 4) and differ only by a one-pixel red-channel bump per
+    * VARIANT (id mod 4) — the deterministic stand-in for re-encoded
+    * /lightly-edited copies of the same picture that flood crawled
+    * image corpora. floorDiv/floorMod so the oracle's `//`/pmod
+    * replay is exact for any id.
+    */
+  private[graft] def formulaPngVariant(id: Long, side: Int): Array[Byte] = {
+    val sid = Math.floorMod(Math.floorDiv(id, 4L), 2147483648L)
+    val variant = Math.floorMod(id, 4L).toInt
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        var r = Math.floorMod(sid * 31 + x * 7 + y * 13, 256).toInt
+        if (variant > 0 && x == variant && y == 0) r = (r + 100) % 256
+        val g = Math.floorMod(sid * 17 + x * 3 + y * 5, 256).toInt
+        val b = Math.floorMod(sid * 11 + x * 19 + y * 23, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException(s"no PNG writer for id $id")
+    baos.toByteArray
+  }
+
+  /** L109 — perceptual-hash image near-dup pairs (the LAION-style
+    * image-dedup pass: re-encoded or lightly-edited copies of one
+    * picture collide, distinct pictures don't): REAL-codec decode of
+    * [[formulaPngVariant]] → 64-bit aHash (average hash — bit j set
+    * iff pixel j's integer luma exceeds the image mean; the
+    * comparison is `luma·64 > Σluma`, all integer, no division) →
+    * multi-index banding (Norouzi 2012: 4 disjoint 16-bit bands; by
+    * pigeonhole any pair within Hamming ≤ 3 matches EXACTLY in at
+    * least one band, so candidate generation is exact, never
+    * recall-lossy) → exact Hamming verify via xor+bit_count ≤
+    * `maxHamming`.
+    *
+    * Scale shape: hashing is a zero-shuffle map over the decode scan
+    * (the 100 TB hash pass is embarrassingly parallel); the
+    * candidate self-join shuffles 4 longs per image on (band,
+    * value). `cap = None` here because the oracle hash-checks the
+    * EXACT pair set; production passes a cap — a hot band bucket
+    * (solid-color images) makes the self-join quadratic, the d26
+    * governance rule — which drops only provably-hot buckets.
+    * All-integer output → fully oracle-replayable from the pixel
+    * formula (no codec in the oracle — the m05 certification
+    * contract).
+    */
+  def imageNearDupPairs(ids: Dataset[java.lang.Long], side: Int = 8,
+                        maxHamming: Int = 3,
+                        cap: Option[Int] = None): DataFrame = {
+    require(side * side == 64, "aHash banding is defined for 8x8 (64-bit) hashes")
+    import ids.sparkSession.implicits._
+    val hashes = ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val img = decodeBuffered(formulaPngVariant(id, side)).getOrElse(
+          throw new IllegalStateException(s"PNG decode failed for id $id"))
+        val lum = new Array[Long](64)
+        var s = 0L
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val rgb = img.getRGB(x, y)
+            val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            lum(y * side + x) = l
+            s += l
+            x += 1
+          }
+          y += 1
+        }
+        val bands = new Array[Long](4)
+        var j = 0
+        while (j < 64) {
+          if (lum(j) * 64 > s) bands(j / 16) |= 1L << (j % 16)
+          j += 1
+        }
+        (id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF("doc_id", "v0", "v1", "v2", "v3")
+    val banded = hashes.select(col("doc_id"),
+      col("v0"), col("v1"), col("v2"), col("v3"),
+      posexplode(array(col("v0"), col("v1"), col("v2"), col("v3")))
+        .as(Seq("bidx", "bv")))
+    val capped = cap.fold(banded) { c =>
+      val keep = banded.groupBy("bidx", "bv").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= c).drop("__n")
+      banded.join(keep, Seq("bidx", "bv"))
+    }
+    val a = capped.select(col("doc_id").as("id_a"), col("bidx"), col("bv"),
+      col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"), col("v3").as("a3"))
+    val b = capped.select(col("doc_id").as("id_b"), col("bidx"), col("bv"),
+      col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"), col("v3").as("b3"))
+    a.join(b, Seq("bidx", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   def imageRoundtripStats(ids: Dataset[java.lang.Long],
                           side: Int = 8): DataFrame = {
     import ids.sparkSession.implicits._

@@ -587,6 +587,26 @@ object VectorQueries {
         .orderBy("doc_id", "patch_row", "patch_col")
     }),
 
+    // L109/m14: perceptual-hash image near-dup (the LAION image-dedup
+    // pass): controlled duplicate groups — id div 4 shares the
+    // picture, id mod 4 perturbs one pixel (re-encoded/edited copies)
+    // — REAL-codec decoded, aHashed (integer mean comparison), 4×16-
+    // bit multi-index bands (pigeonhole-exact candidates for
+    // Hamming ≤ 3), exact xor+bit_count verify. Oracle replays the
+    // PIXEL FORMULA (no codec): luma grid → aHash bands → the same
+    // band join — a decode bug, a hash-bit off-by-one or a banding
+    // slip is a hash mismatch. Zero-shuffle hashing; the self-join
+    // shuffles 4 longs per image.
+    "m14_image_neardup" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.imageNearDupPairs(ids, side = 8, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // L91: scene-cut detection — 6 formula frames per doc through
     // the real PNG codec, integer SAD detector (|Δ luma sum| > 3000),
     // per-doc cut count + first cut; oracle replays frame sums + lag.
@@ -1747,6 +1767,47 @@ object VectorQueries {
         |  CAST(sum(cut) AS BIGINT) AS n_cuts,
         |  CAST(coalesce(min(CASE WHEN cut = 1 THEN f END), -1) AS BIGINT) AS first_cut
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // m14: full pixel-formula replay — luma grid (with the variant's
+    // one-pixel red bump) → integer-mean aHash bits → 16-bit band
+    // values → the same band self-join + xor/bit_count verify.
+    "m14_image_neardup" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | px AS (SELECT doc_id,
+        |   ((doc_id // 4) % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   ((doc_id % 4) + 4) % 4 AS variant, xs.i AS x, ys.i AS y FROM ids,
+        |   (SELECT unnest(range(0, 8)) AS i) xs,
+        |   (SELECT unnest(range(0, 8)) AS i) ys),
+        | lum AS (SELECT doc_id, y * 8 + x AS j,
+        |    (((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256
+        |       + CASE WHEN variant > 0 AND x = variant AND y = 0
+        |              THEN 100 ELSE 0 END) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |   FROM px),
+        | tot AS (SELECT doc_id, sum(l) AS s FROM lum GROUP BY doc_id),
+        | bits AS (SELECT lum.doc_id, j // 16 AS bidx,
+        |     CASE WHEN l * 64 > s THEN CAST(1 AS BIGINT) << CAST(j % 16 AS INT)
+        |          ELSE 0 END AS bit
+        |   FROM lum JOIN tot USING (doc_id)),
+        | bnd AS (SELECT doc_id, bidx, CAST(sum(bit) AS BIGINT) AS bv
+        |   FROM bits GROUP BY doc_id, bidx),
+        | hsh AS (SELECT doc_id,
+        |     CAST(sum(CASE WHEN bidx = 0 THEN bv END) AS BIGINT) AS v0,
+        |     CAST(sum(CASE WHEN bidx = 1 THEN bv END) AS BIGINT) AS v1,
+        |     CAST(sum(CASE WHEN bidx = 2 THEN bv END) AS BIGINT) AS v2,
+        |     CAST(sum(CASE WHEN bidx = 3 THEN bv END) AS BIGINT) AS v3
+        |   FROM bnd GROUP BY doc_id),
+        | bb AS (SELECT h.doc_id, b.bidx, b.bv, v0, v1, v2, v3
+        |   FROM hsh h JOIN bnd b USING (doc_id)),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |     bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1)) +
+        |     bit_count(xor(a.v2, b.v2)) + bit_count(xor(a.v3, b.v3)) AS hamming
+        |   FROM bb a JOIN bb b ON a.bidx = b.bidx AND a.bv = b.bv
+        |     AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // m09: the m06 pixel-formula replay grouped by patch coordinates
     // (x//4, y//4) — integer luma sum/min/max per tile.

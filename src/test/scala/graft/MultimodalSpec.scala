@@ -145,4 +145,40 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("perceptual near-dup: same-group variants collide, banding is pigeonhole-exact") {
+    import graft.operators.Multimodal
+    import SharedSpark.spark
+    import spark.implicits._
+    // 8 groups x 4 variants
+    val ids = (0L until 32L).map(java.lang.Long.valueOf).toDS()
+    val pairs = Multimodal.imageNearDupPairs(ids, side = 8, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every intra-group pair must be found (one-pixel edits stay
+    // within Hamming 3 of their original on this formula corpus)
+    val intra = for (g <- 0L until 8L; a <- 0 until 4; b <- a + 1 until 4)
+      yield (g * 4 + a, g * 4 + b)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    intra.foreach { p => assert(found.contains(p), s"missing intra-group pair $p") }
+    // exactness of candidates: brute-force hashes agree with the
+    // banded join's verdict for EVERY pair at the threshold
+    def hash(id: Long): Array[Long] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.formulaPngVariant(id, 8)))
+      val lum = Array.tabulate(64)(j =>
+        (((img.getRGB(j % 8, j / 8) >> 16) & 0xff) * 299 +
+          ((img.getRGB(j % 8, j / 8) >> 8) & 0xff) * 587 +
+          (img.getRGB(j % 8, j / 8) & 0xff) * 114) / 1000L)
+      val s0 = lum.sum
+      val b = new Array[Long](4)
+      for (j <- 0 until 64) if (lum(j) * 64 > s0) b(j / 16) |= 1L << (j % 16)
+      b
+    }
+    val hs = (0L until 32L).map(i => i -> hash(i)).toMap
+    def ham(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val brute = (for (a <- 0L until 32L; b <- a + 1 until 32L;
+                      h = ham(hs(a), hs(b)) if h <= 3) yield (a, b, h.toLong)).toSet
+    assert(pairs.toSet == brute, "banded candidates must equal brute force at the threshold")
+  }
 }

@@ -47,8 +47,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin(broadcast(<1-row corpus aggregate>)) attachments:
     "t12_vocab", "t13_bigram_lift", "d18_source_profile",
     // t34: the 1-row vocabulary-size broadcast (V) crossJoins the
-    // crawl bigram stream; bi/ctx attach as broadcast equi-joins
-    "t34_heldout_ppl")
+    // crawl bigram stream; bi/ctx attach as broadcast equi-joins.
+    // d38 runs t34's scorer body (the shared lmHeldoutXent), so the
+    // same 1-row V broadcast appears in its plan too.
+    "t34_heldout_ppl", "d38_ccnet_buckets")
 
   // Global (unpartitioned) Window operators sort + stream the WHOLE
   // input through one task — fine iff the relation is provably bounded
