@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.Graft
+import graft.functions.GraftFunctions
 import graft.streaming.{Sessionize, StreamRun}
 
 /** Streaming operators — SURVEY.md §2.4. st01/st03/st05/st07/st08/st09
@@ -198,6 +199,27 @@ object StreamQueries {
           .select(col("user_id"), col("click_id"),
             unix_micros(col("tc")).as("tc_us"))
       }.orderBy("user_id", "click_id")
+    }),
+
+    // S22/st24: STREAMING WET ingest gate — t38's HTML→visible-text
+    // kernel inside a streaming plan (crawl pages arrive as a
+    // stream, the extractor is a stateless codegen Expression, so it
+    // runs in the micro-batch pipeline untouched), feeding st17's
+    // content-hash dropDuplicates — ONE bounded state store over
+    // distinct extracted content. Every emitted column is a function
+    // of the content (the st17 arrival-order contract), so the
+    // output is delivery-order invariant and the oracle replays
+    // synthesis grammar → expected visible text → DISTINCT (shared
+    // visibleSql text with t38/d36).
+    "st24_stream_wet" -> ((s, dir) => {
+      StreamRun.onTable(s, dir, "documents", OutputMode.Append()) { d =>
+        d.select(GraftFunctions.html_text(TextQueries.synthHtml(
+            col("doc_id").cast("long"), col("text"))).as("v"))
+          .select(md5(col("v")).as("content_hash"),
+            size(split(col("v"), "\n")).cast("long").as("n_lines"),
+            octet_length(col("v")).cast("long").as("n_bytes"))
+          .dropDuplicates("content_hash")
+      }.orderBy("content_hash")
     }),
 
     // S20/st22: STREAMING WebDataset tar-shard ingest — the
@@ -578,6 +600,16 @@ object StreamQueries {
     // over the same store — the RESULT contract is identical, so its
     // oracle is m13's verbatim (the d29→d27 pattern).
     "st22_stream_tar_ingest" -> VectorQueries.oracle("m13_tar_shards"),
+
+    // st24: t38's grammar replay (shared visibleSql), DISTINCT'd —
+    // the extracted content is a function of (doc_id, text), so the
+    // streaming dedup's emitted set is exactly this.
+    "st24_stream_wet" ->
+      s"""WITH w AS (SELECT DISTINCT ${TextQueries.visibleSql} AS v FROM documents)
+         |SELECT md5(v) AS content_hash,
+         |  CAST(len(string_split(v, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(strlen(v) AS BIGINT) AS n_bytes
+         |FROM w ORDER BY content_hash""".stripMargin,
     // st16: d27's replay over a DISTINCT (doc_id, text) base — the
     // streaming-ingest dup-row contract (see probeLshIndexStreaming).
     "st16_stream_index_probe" ->

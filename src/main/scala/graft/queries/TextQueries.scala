@@ -88,7 +88,7 @@ object TextQueries {
     * text is entity-encoded (&, <, > — the encode half of the decode
     * the kernel certifies), so ANY document round-trips verbatim.
     */
-  private def synthHtml(id: Column, text: Column): Column = {
+  private[queries] def synthHtml(id: Column, text: Column): Column = {
     def enc(c: Column): Column =
       replace(replace(replace(c, lit("&"), lit("&amp;")),
         lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
@@ -1378,7 +1378,7 @@ object TextQueries {
     // the kernel must keep. Collapse runs to one space, then strip a
     // single leading/trailing space with an anchored ASCII regex.
     s"regexp_replace(regexp_replace($x, $wsClassSql, ' ', 'g'), '^ | $$', '', 'g')"
-  private val visibleSql: String =
+  private[queries] val visibleSql: String =
     s"""array_to_string(list_filter([
        |   'Doc ' || CAST(doc_id AS BIGINT),
        |   'Home | About | Contact',
