@@ -480,6 +480,36 @@ object TextStats {
       "redacted" -> afterNum)
   }
 
+  /** L110 — PSEUDONYMIZATION (the governance tier between t19's
+    * destructive redaction and keeping raw PII): every email is
+    * replaced by a STABLE keyed surrogate —
+    * `user_<pmod(fmix64(rollingHash(email)), 10^6)>@redacted.example`
+    * — so the identifier is gone but equality survives: the same
+    * address maps to the same surrogate everywhere, and joins /
+    * sessionization / dedup over the pseudonymized corpus still
+    * work (the GDPR-pseudonymization contract; re-identification
+    * needs the hash preimage, not present in the data).
+    *
+    * Mechanics: one regexp_extract_all pass collects the matches
+    * ([[emailPat]], t19's class), then a higher-order `aggregate`
+    * fold replaces each match with its surrogate — `replace` is
+    * whole-string, so a repeated address is rewritten by its first
+    * fold step and later steps no-op. All codegen builtins plus the
+    * portable fmix∘roll kernel — the DuckDB oracle replays the fold
+    * with the identical hash arithmetic (t35's idiom). Narrow
+    * per-row projection: zero shuffle, folds into the scan at any
+    * scale.
+    */
+  def pseudonymizeEmails(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit(emailPat), lit(0)),
+      text,
+      (acc, m) => replace(acc, m,
+        concat(lit("user_"),
+          pmod(graft.functions.GraftFunctions.fmix64(
+            graft.functions.GraftFunctions.rolling_hash(m)), lit(1000000L)),
+          lit("@redacted.example"))))
+
   /** L53 — the Gopher quality-rule battery (Rae et al. 2021 §A1.1):
     * the standard document-level heuristic filter set next to t02's
     * scoring — word-count bounds, mean-word-length bounds,

@@ -576,6 +576,35 @@ object TextQueries {
         .orderBy("event_id")
     }),
 
+    // L110/t39: PSEUDONYMIZATION — the governance tier between t19's
+    // destructive redaction and keeping raw PII: every email becomes
+    // a STABLE keyed surrogate (portable fmix∘roll of the address,
+    // mod 10^6), so identity joins/sessionization/dedup still work
+    // over the anonymized corpus while the identifier itself is
+    // gone. Emails are synthesized deterministically per document
+    // (the t32 URL pattern — the kernel under test is the
+    // extract-and-fold, the oracle replays the grammar AND the hash
+    // arithmetic), and any email already in the raw text (fuzz
+    // corpora carry some) is pseudonymized by the same pass. The
+    // full rewritten text is a compared column — a regex drift, a
+    // fold-order bug or a hash mismatch is a value diff. Narrow
+    // per-row projection, zero shuffle.
+    "t39_pseudonymize" -> ((s, dir) => {
+      val tx = concat(coalesce(col("text"), lit("")), lit(" contact "),
+        regexp_replace(coalesce(col("source"), lit("s")), "[^a-z0-9]", ""),
+        lit("_"), col("doc_id").cast("long"),
+        lit("@mail-"),
+        regexp_replace(coalesce(col("lang"), lit("x")), "[^a-z0-9]", ""),
+        lit(".example"))
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), tx.as("tx"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("tx"), lit(TextStats.emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          TextStats.pseudonymizeEmails(col("tx")).as("ptext"))
+        .orderBy("doc_id")
+    }),
+
     // L100/t37: per-stream PII-density profile — the compliance
     // dashboard over t19's redaction counts ("which event streams
     // leak identifiers, and how much"): the sequential email→IP→
@@ -2683,6 +2712,35 @@ object TextQueries {
          |  coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
          |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS dup_frac
          |FROM tot LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // t39: synthesis grammar + the extract-and-fold replay — matches
+    // exploded with ordinals, surrogates via the proven fmix∘roll
+    // column replay, re-listed in match order and folded with a
+    // chr(1)-encoded (match, surrogate) pair list (chr(1) cannot
+    // occur inside an email match).
+    "t39_pseudonymize" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    coalesce(text, '') || ' contact ' ||
+         |    regexp_replace(coalesce(source, 's'), '[^a-z0-9]', '', 'g') || '_' ||
+         |    CAST(doc_id AS BIGINT) || '@mail-' ||
+         |    regexp_replace(coalesce(lang, 'x'), '[^a-z0-9]', '', 'g') ||
+         |    '.example' AS tx
+         |  FROM documents),
+         | m AS (SELECT doc_id, tx,
+         |    regexp_extract_all(tx, '${TextStats.emailPat}') AS ms FROM d),
+         | ex AS (SELECT doc_id, i, ms[i] AS em FROM
+         |   (SELECT doc_id, ms, unnest(generate_series(1, len(ms))) AS i FROM m)),
+         | sg AS (SELECT doc_id, i, em || chr(1) || 'user_' ||
+         |    CAST(((${PortableHashSql.toSigned(PortableHashSql.tokenHash("em"))})
+         |      % 1000000 + 1000000) % 1000000 AS VARCHAR) ||
+         |    '@redacted.example' AS pr
+         |  FROM ex),
+         | ag AS (SELECT doc_id, list(pr ORDER BY i) AS ps FROM sg GROUP BY doc_id),
+         | j AS (SELECT m.doc_id, m.tx, m.ms, ag.ps FROM m JOIN ag USING (doc_id))
+         |SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_emails,
+         |  list_reduce(list_prepend(tx, ps), (acc, p) -> replace(acc,
+         |    string_split(p, chr(1))[1], string_split(p, chr(1))[2])) AS ptext
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "t19_redact" ->
       s"""WITH r1 AS (SELECT event_id, props,

@@ -215,6 +215,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(txt(2L) == "body b" && txt(3L) == "" && txt(4L) == "")
   }
 
+  test("pseudonymizeEmails: surrogates are stable across docs, raw emails vanish, equality survives") {
+    import graft.operators.TextStats
+    val df = Seq(
+      (1L, "write to alice.w@example.org or bob@corp.io"),
+      (2L, "alice.w@example.org again"), // same address -> same surrogate
+      (3L, "no addresses here 1.2.3.4"),
+      (4L, "a@b.co and a@b.co twice")).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextStats.pseudonymizeEmails(col("t")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sur(s: String): Seq[String] = "user_\\d+".r.findAllIn(s).toSeq
+    // the ORIGINAL addresses are gone (surrogates themselves keep an
+    // email SHAPE by design — user_N@redacted.example — so equality
+    // and email-bearing stats still behave downstream)
+    assert(!out(1).contains("alice.w@") && !out(1).contains("bob@corp.io"))
+    assert(sur(out(1)).size == 2 && sur(out(1)).distinct.size == 2)
+    // stability: the same address maps to the same surrogate in
+    // another document (the join-preservation contract)
+    assert(sur(out(2)).size == 1)
+    assert(sur(out(1)).contains(sur(out(2)).head))
+    // untouched text passes through verbatim
+    assert(out(3) == "no addresses here 1.2.3.4")
+    // repeated address in one doc: one surrogate, both occurrences
+    assert(sur(out(4)).size == 2 && sur(out(4)).distinct.size == 1)
+  }
+
   test("perGroupCap keeps at most k per group, deterministically, prefix-consistent in k") {
     val df = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
       .toDF("doc_id", "source")
