@@ -232,6 +232,11 @@ object Multimodal {
         (id, bands(0), bands(1), bands(2), bands(3))
       }
     }.toDF("doc_id", "v0", "v1", "v2", "v3")
+      // both sides of the band self-join read this — without the
+      // persist each side re-runs the REAL codec decode over the
+      // whole corpus (the d06 prepped-persist precedent); callers
+      // clearCache between actions (the Verify/Bench contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(col("doc_id"),
       col("v0"), col("v1"), col("v2"), col("v3"),
       posexplode(array(col("v0"), col("v1"), col("v2"), col("v3")))
