@@ -20,7 +20,18 @@ import org.apache.spark.sql.functions._
   * Contract shape: base (keyCol, valCol); changelog (keyCol, verCol,
   * opCol ∈ {'U','D'}, newValCol). Upserts override base values,
   * deletes drop the key, keys absent from base insert. `action`
-  * labels the provenance (base / updated / inserted).
+  * labels the provenance (base / updated / inserted) — presence in
+  * base is detected by a join-side marker, never by valCol
+  * NULL-ness, so a base row whose value IS NULL still reads 'base' /
+  * 'updated' correctly.
+  *
+  * NULL semantics (documented contract): an 'U' entry whose
+  * newValCol is NULL is a "touch" — the key survives with its base
+  * value (coalesce(new, base)); a key inserted by such an entry
+  * carries a NULL value. Version ties (two changelog entries with
+  * the same (key, ver)) are resolved deterministically: op DESC
+  * NULLS LAST ('U' over 'D'), then newValCol DESC NULLS LAST — a
+  * malformed feed cannot flip the merge between runs.
   *
   * Scale shape: ONE window over the changelog partitioned by key (at
   * rest a changelog is stored sorted by (key, ver), making this a
@@ -33,16 +44,18 @@ object ChangeLog {
                   keyCol: String = "k", verCol: String = "ver",
                   opCol: String = "op", valCol: String = "price",
                   newValCol: String = "new_price"): DataFrame = {
-    val wv = Window.partitionBy(keyCol).orderBy(col(verCol).desc)
+    val wv = Window.partitionBy(keyCol).orderBy(col(verCol).desc,
+      col(opCol).desc_nulls_last, col(newValCol).desc_nulls_last)
     val latest = changelog.withColumn("rn", row_number().over(wv))
       .filter(col("rn") === 1)
       .select(col(keyCol), col(opCol), col(newValCol))
-    base.join(latest, Seq(keyCol), "full_outer")
+    base.withColumn("__in_base", lit(1))
+      .join(latest, Seq(keyCol), "full_outer")
       .filter(coalesce(col(opCol), lit("")) =!= "D")
       .select(col(keyCol),
         coalesce(col(newValCol), col(valCol)).as(valCol),
         when(col(opCol).isNull, "base")
-          .when(col(valCol).isNull, "inserted")
+          .when(col("__in_base").isNull, "inserted")
           .otherwise("updated").as("action"))
   }
 

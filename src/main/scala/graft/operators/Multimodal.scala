@@ -234,8 +234,11 @@ object Multimodal {
     }.toDF("doc_id", "v0", "v1", "v2", "v3")
       // both sides of the band self-join read this — without the
       // persist each side re-runs the REAL codec decode over the
-      // whole corpus (the d06 prepped-persist precedent); callers
-      // clearCache between actions (the Verify/Bench contract)
+      // whole corpus (the d06 prepped-persist precedent). The
+      // operator OWNS this cache entry: the pair result is
+      // materialized eagerly below and the persist released before
+      // returning, so long-lived sessions don't accumulate
+      // corpus-sized cache entries across calls.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(col("doc_id"),
       col("v0"), col("v1"), col("v2"), col("v3"),
@@ -250,7 +253,7 @@ object Multimodal {
       col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"), col("v3").as("a3"))
     val b = capped.select(col("doc_id").as("id_b"), col("bidx"), col("bv"),
       col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"), col("v3").as("b3"))
-    a.join(b, Seq("bidx", "bv"))
+    val pairs = a.join(b, Seq("bidx", "bv"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming",
         expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
@@ -258,6 +261,15 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
+    // Eagerly materialize the (near-dup-pair-sized, ≪ corpus) result
+    // so the hash cache can be released HERE instead of leaning on a
+    // caller clearCache convention. localCheckpoint blocks are
+    // reference-tracked by the ContextCleaner — freed when the
+    // returned frame is unreferenced — unlike plan-keyed
+    // CacheManager entries, which only an explicit unpersist drops.
+    val out = pairs.localCheckpoint(true)
+    hashes.unpersist(false)
+    out
   }
 
   def imageRoundtripStats(ids: Dataset[java.lang.Long],

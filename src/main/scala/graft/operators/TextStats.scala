@@ -483,31 +483,45 @@ object TextStats {
   /** L110 — PSEUDONYMIZATION (the governance tier between t19's
     * destructive redaction and keeping raw PII): every email is
     * replaced by a STABLE keyed surrogate —
-    * `user_<pmod(fmix64(rollingHash(email)), 10^6)>@redacted.example`
+    * `user_<pmod(fmix64(rollingHash(email)), 10^12)>@redacted.example`
     * — so the identifier is gone but equality survives: the same
     * address maps to the same surrogate everywhere, and joins /
     * sessionization / dedup over the pseudonymized corpus still
     * work (the GDPR-pseudonymization contract; re-identification
-    * needs the hash preimage, not present in the data).
+    * needs the hash preimage, not present in the data). The 10^12
+    * surrogate space keeps the birthday-collision probability below
+    * ~0.5 up to ~1.2M distinct addresses per corpus (vs ~1.2k at
+    * the naive 10^6), so pseudonym equality tracks true identity at
+    * corpus scale.
     *
     * Mechanics: one regexp_extract_all pass collects the matches
-    * ([[emailPat]], t19's class), then a higher-order `aggregate`
-    * fold replaces each match with its surrogate — `replace` is
-    * whole-string, so a repeated address is rewritten by its first
-    * fold step and later steps no-op. All codegen builtins plus the
-    * portable fmix∘roll kernel — the DuckDB oracle replays the fold
-    * with the identical hash arithmetic (t35's idiom). Narrow
-    * per-row projection: zero shuffle, folds into the scan at any
-    * scale.
+    * ([[emailPat]], t19's class), sorted LONGEST-FIRST (ties broken
+    * lexically) so a shorter address that is a substring of a longer
+    * one in the same document (alice@x.com inside malice@x.com)
+    * cannot corrupt the longer match — the longer replace runs
+    * before the shorter's whole-string pass can touch it. Then a
+    * higher-order `aggregate` fold replaces each match with its
+    * surrogate — `replace` is whole-string, so a repeated address is
+    * rewritten by its first fold step and later steps no-op. All
+    * codegen builtins plus the portable fmix∘roll kernel — the
+    * DuckDB oracle replays the fold with the identical hash
+    * arithmetic and the identical (length DESC, value) order (t35's
+    * idiom). Email matches are ASCII by construction, so the length
+    * sort is engine-independent (bytes == codepoints == UTF-16
+    * units). Narrow per-row projection: zero shuffle, folds into
+    * the scan at any scale.
     */
   def pseudonymizeEmails(text: Column): Column =
     aggregate(
-      regexp_extract_all(text, lit(emailPat), lit(0)),
+      array_sort(
+        regexp_extract_all(text, lit(emailPat), lit(0)),
+        (a, b) => when(length(a) =!= length(b), length(b) - length(a))
+          .when(a < b, lit(-1)).when(a > b, lit(1)).otherwise(lit(0))),
       text,
       (acc, m) => replace(acc, m,
         concat(lit("user_"),
           pmod(graft.functions.GraftFunctions.fmix64(
-            graft.functions.GraftFunctions.rolling_hash(m)), lit(1000000L)),
+            graft.functions.GraftFunctions.rolling_hash(m)), lit(1000000000000L)),
           lit("@redacted.example"))))
 
   /** L53 — the Gopher quality-rule battery (Rae et al. 2021 §A1.1):

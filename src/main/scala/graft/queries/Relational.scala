@@ -38,7 +38,8 @@ object Relational {
        |  WHERE o_orderkey % 2 = 0$bound),
        | latest AS (SELECT k, op, new_price FROM
        |   (SELECT k, op, new_price,
-       |      row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn FROM cl)
+       |      row_number() OVER (PARTITION BY k
+       |        ORDER BY ver DESC, op DESC NULLS LAST, new_price DESC NULLS LAST) AS rn FROM cl)
        |   WHERE rn = 1)
        |SELECT coalesce(b.k, l.k) AS k,
        |  coalesce(l.new_price, b.price) AS price,

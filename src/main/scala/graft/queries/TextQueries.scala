@@ -2715,9 +2715,11 @@ object TextQueries {
 
     // t39: synthesis grammar + the extract-and-fold replay — matches
     // exploded with ordinals, surrogates via the proven fmix∘roll
-    // column replay, re-listed in match order and folded with a
-    // chr(1)-encoded (match, surrogate) pair list (chr(1) cannot
-    // occur inside an email match).
+    // column replay, re-listed LONGEST-FIRST (length DESC, value —
+    // the operator's substring-safe fold order; email matches are
+    // ASCII so DuckDB codepoint length == Spark UTF-16 length) and
+    // folded with a chr(1)-encoded (match, surrogate) pair list
+    // (chr(1) cannot occur inside an email match).
     "t39_pseudonymize" ->
       s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |    coalesce(text, '') || ' contact ' ||
@@ -2730,12 +2732,13 @@ object TextQueries {
          |    regexp_extract_all(tx, '${TextStats.emailPat}') AS ms FROM d),
          | ex AS (SELECT doc_id, i, ms[i] AS em FROM
          |   (SELECT doc_id, ms, unnest(generate_series(1, len(ms))) AS i FROM m)),
-         | sg AS (SELECT doc_id, i, em || chr(1) || 'user_' ||
+         | sg AS (SELECT doc_id, i, em, em || chr(1) || 'user_' ||
          |    CAST(((${PortableHashSql.toSigned(PortableHashSql.tokenHash("em"))})
-         |      % 1000000 + 1000000) % 1000000 AS VARCHAR) ||
+         |      % 1000000000000 + 1000000000000) % 1000000000000 AS VARCHAR) ||
          |    '@redacted.example' AS pr
          |  FROM ex),
-         | ag AS (SELECT doc_id, list(pr ORDER BY i) AS ps FROM sg GROUP BY doc_id),
+         | ag AS (SELECT doc_id, list(pr ORDER BY length(em) DESC, em ASC) AS ps
+         |   FROM sg GROUP BY doc_id),
          | j AS (SELECT m.doc_id, m.tx, m.ms, ag.ps FROM m JOIN ag USING (doc_id))
          |SELECT doc_id, CAST(len(ms) AS BIGINT) AS n_emails,
          |  list_reduce(list_prepend(tx, ps), (acc, p) -> replace(acc,

@@ -159,6 +159,13 @@ object TarShards {
           while (allZero && i < pos + BlockSize) { allZero = bytes(i) == 0; i += 1 }
           if (allZero) { pos = bytes.length } // end-of-archive marker
           else {
+            // GNU base-256 size encoding (high bit of byte 124 set)
+            // is NOT octal — silently parsing it as 0 would
+            // mis-advance pos and corrupt the rest of the archive.
+            // Fail loudly instead (graft's writer never emits it;
+            // PAX covers the >8 GiB range for foreign archives).
+            require((bytes(pos + 124) & 0x80) == 0,
+              s"tar header at offset $pos uses GNU base-256 size encoding (unsupported)")
             val headerSize = octal(pos + 124, 12)
             val typeflag = bytes(pos + 156)
             val magic = cstr(pos + 257, 6)
@@ -167,9 +174,16 @@ object TarShards {
             val name0 = if (prefix.isEmpty) base else prefix + "/" + base
             // a preceding PAX 'size' record overrides the octal field
             // (the PAX rule for members beyond the 8 GiB octal range)
-            val size = (if (typeflag == '0' || typeflag == 0) {
+            val sizeL: Long = if (typeflag == '0' || typeflag == 0) {
               if (pendingPaxSize >= 0) pendingPaxSize else headerSize
-            } else headerSize).toInt
+            } else headerSize
+            // members are materialized as in-memory byte arrays; a
+            // size beyond Int.MaxValue would truncate via .toInt and
+            // silently mis-advance the parse — reject it loudly.
+            require(sizeL >= 0 && sizeL <= Int.MaxValue,
+              s"tar member size $sizeL at offset $pos exceeds the supported " +
+                "in-memory member range (0..Int.MaxValue)")
+            val size = sizeL.toInt
             val dataStart = pos + BlockSize
             pos = dataStart + (size + BlockSize - 1) / BlockSize * BlockSize
             if (typeflag == 'L') {

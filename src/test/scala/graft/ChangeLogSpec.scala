@@ -49,4 +49,36 @@ class ChangeLogSpec extends AnyFunSuite {
       (1L, 13.0, "updated"), (3L, 30.0, "base"), (4L, 40.0, "base"),
       (5L, 55.0, "inserted")))
   }
+
+  test("version ties resolve deterministically: 'U' over 'D', then higher new value") {
+    // two entries at the SAME (k, ver): the documented tiebreak is
+    // op DESC ('U' beats 'D'), then new_price DESC — so key 1
+    // survives with 99.0 and key 2 takes the larger of its two Us,
+    // identically on every run.
+    val tied = Seq(
+      (1L, 1L, "D", 0.0), (1L, 1L, "U", 99.0),
+      (2L, 1L, "U", 5.0), (2L, 1L, "U", 7.0)).toDF("k", "ver", "op", "new_price")
+    val expect = Seq((1L, 99.0, "updated"), (2L, 7.0, "updated"),
+      (3L, 30.0, "base"), (4L, 40.0, "base"))
+    (1 to 3).foreach { _ =>
+      assert(rows(ChangeLog.latestState(base, tied)) == expect)
+    }
+  }
+
+  test("NULL semantics: NULL base value still reads 'base'/'updated'; NULL-new 'U' is a touch") {
+    val baseN = Seq((1L, Some(10.0)), (2L, None), (3L, None))
+      .toDF("k", "price")
+    // key 2 (base value NULL) touched by a NULL-new 'U' keeps NULL
+    // and reads 'updated' (NOT 'inserted' — it IS in base); key 3
+    // (base value NULL) untouched reads 'base'; key 9 inserted by a
+    // NULL-new 'U' appears with NULL value.
+    val clN = Seq((2L, 1L, "U", None: Option[Double]),
+      (9L, 1L, "U", None: Option[Double])).toDF("k", "ver", "op", "new_price")
+    val got = ChangeLog.latestState(baseN, clN).orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, Some(10.0), "base"), (2L, None, "updated"),
+      (3L, None, "base"), (9L, None, "inserted")))
+  }
 }

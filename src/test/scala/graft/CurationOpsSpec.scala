@@ -241,6 +241,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sur(out(4)).size == 2 && sur(out(4)).distinct.size == 1)
   }
 
+  test("pseudonymizeEmails: a substring address cannot corrupt a longer one (longest-first fold)") {
+    import graft.operators.TextStats
+    // alice@x.com is a strict substring of malice@x.com and occurs
+    // FIRST in the text — a match-order fold would rewrite the tail
+    // of malice@x.com into 'm' + alice's surrogate. Longest-first
+    // replaces malice@x.com before alice@x.com can touch it.
+    val out = Seq((1L, "alice@x.com wrote to malice@x.com"))
+      .toDF("id", "t")
+      .select(TextStats.pseudonymizeEmails(col("t")).as("p"))
+      .collect().head.getString(0)
+    val sur = "user_\\d+@redacted\\.example".r.findAllIn(out).toSeq
+    assert(sur.size == 2, s"expected two intact surrogates in: $out")
+    assert(sur.distinct.size == 2, "distinct addresses must get distinct surrogates")
+    assert(!out.contains("alice@x.com") && !out.contains("malice@x.com"))
+    // no corruption residue: every '@' in the output belongs to a
+    // well-formed surrogate, so the text is exactly the two
+    // surrogates joined by the original connective
+    assert(out == s"${sur(0)} wrote to ${sur(1)}" ||
+      out == s"${sur(1)} wrote to ${sur(0)}")
+  }
+
   test("perGroupCap keeps at most k per group, deterministically, prefix-consistent in k") {
     val df = ((1L to 30L).map(i => (i, "big")) ++ (31L to 33L).map(i => (i, "small")))
       .toDF("doc_id", "source")
