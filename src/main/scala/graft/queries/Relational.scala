@@ -779,6 +779,59 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R67/q65: the versioned table-format COMMIT LOG certified
+    // end-to-end THROUGH the store (the q53/d29 real-IO pattern):
+    // orders subset A committed as v0, subset B appended as v1, the
+    // whole snapshot compacted as v2 (content-preserving, the q50
+    // planner executed), a CDC batch (deletes ≡0 mod 10, updates ≡5
+    // mod 10, inserts from the mod-3≡2 subset) merged COPY-ON-WRITE
+    // as v3 — only zone-affected files rewritten. Each step is then
+    // read back AS OF its version from the manifest store and
+    // aggregated; the oracle recomputes all four snapshots from raw
+    // orders by set algebra + the q51 latest-wins merge, so any
+    // corruption in commit, footer stats, manifest resolution,
+    // compaction binning, zone-based rewrite selection, or the
+    // as-of read shows up value-for-value. TableLogSpec separately
+    // pins the physical claims (zone file pruning before the scan,
+    // carried-by-reference files, OCC commit point, vacuum).
+    "q65_table_log" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q65_tablelog")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val a = o.filter(pmod(col("k"), lit(3L)) === 0L)
+      val b = o.filter(pmod(col("k"), lit(3L)) === 1L)
+      val layout = expr("k div 500")
+      val v0 = TableLog.commit(a, root, layout, 8, "overwrite")
+      val v1 = TableLog.commit(b, root, layout, 4, "append")
+      val v2 = TableLog.compact(s, root, "k",
+        targetRows = 20000L, smallRows = Long.MaxValue)
+      val changes = o
+        .filter(pmod(col("k"), lit(3L)) === 0L &&
+          pmod(col("k"), lit(10L)).isin(0L, 5L))
+        .select(col("k"), lit(1L).as("ver"),
+          when(pmod(col("k"), lit(10L)) === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L)).as("new_price"))
+        .unionByName(o
+          .filter(pmod(col("k"), lit(3L)) === 2L && pmod(col("k"), lit(2L)) === 0L)
+          .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
+            (col("price") + lit(7L)).as("new_price")))
+      val v3 = TableLog.merge(a, root, changes, "k", layout, 4)
+      Seq(("initial", v0), ("append", v1), ("compact", v2), ("merge", v3))
+        .map { case (nm, v) =>
+          TableLog.read(s, root, Some(v)).agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum("price").as("sum_price"),
+            min("k").as("min_k"), max("k").as("max_k"))
+            .select(lit(nm).as("step"), col("n_rows"), col("n_keys"),
+              col("sum_price"), col("min_k"), col("max_k"))
+        }.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // R56/q54: one-pass column profiler (the warehouse DQ primitive
     // next to q47's threshold gate): per column row/null/distinct
     // counts + typed min/max, one Expand pass + one keyed aggregate.
@@ -1754,6 +1807,45 @@ object Relational {
     // q63: q51's text with the changelog prefix-bounded at ver <= 2 —
     // the AS OF version read replayed over the same instance.
     "q63_time_travel" -> cdcMergeSql(verBound = Some(2)),
+
+    // q65: the four store snapshots recomputed from raw orders — A,
+    // A∪B, A∪B (compaction is content-preserving BY CONTRACT; the
+    // oracle asserting it equal to the append state is exactly the
+    // certification), and the q51-style latest-wins merge. The Spark
+    // side produced these by real IO through the manifest store.
+    "q65_table_log" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | a AS (SELECT * FROM o WHERE (k % 3 + 3) % 3 = 0),
+        | ab AS (SELECT * FROM o WHERE (k % 3 + 3) % 3 IN (0, 1)),
+        | ch AS (
+        |   SELECT k, 1 AS ver,
+        |     CASE WHEN (k % 10 + 10) % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |     price + 100 AS new_price
+        |   FROM o WHERE (k % 3 + 3) % 3 = 0 AND (k % 10 + 10) % 10 IN (0, 5)
+        |   UNION ALL
+        |   SELECT k, 1 AS ver, 'U' AS op, price + 7 AS new_price
+        |   FROM o WHERE (k % 3 + 3) % 3 = 2 AND (k % 2 + 2) % 2 = 0),
+        | latest AS (SELECT k, op, new_price FROM
+        |   (SELECT k, op, new_price, row_number() OVER (PARTITION BY k
+        |      ORDER BY ver DESC, op DESC NULLS LAST, new_price DESC NULLS LAST)
+        |      AS rn FROM ch)
+        |   WHERE rn = 1),
+        | merged AS (SELECT coalesce(bb.k, l.k) AS k,
+        |     coalesce(l.new_price, bb.price) AS price
+        |   FROM ab bb FULL JOIN latest l ON bb.k = l.k
+        |   WHERE coalesce(l.op, '') <> 'D'),
+        | snap AS (
+        |   SELECT 'initial' AS step, k, price FROM a
+        |   UNION ALL SELECT 'append', k, price FROM ab
+        |   UNION ALL SELECT 'compact', k, price FROM ab
+        |   UNION ALL SELECT 'merge', k, price FROM merged)
+        |SELECT step, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM snap GROUP BY step ORDER BY step""".stripMargin,
 
     "q47_dq_audit" ->
       """WITH a AS (SELECT

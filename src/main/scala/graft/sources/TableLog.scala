@@ -1,0 +1,444 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** R67 — the versioned table-format commit log: the skeleton that
+  * ties graft's existing lakehouse organs — compaction planning
+  * (q50), zone-map data skipping (q61), snapshot time travel (q63 /
+  * [[graft.operators.ChangeLog]]), CDC merge (q51), versioned purge
+  * (d37) — to ONE on-disk manifest store, the role Delta's `_delta_log`
+  * / Iceberg's metadata tree plays in a real 100 TB deployment.
+  *
+  * On-disk layout (all paths relative to the table root):
+  *
+  * {{{
+  *   <root>/files/v<k>/part-*.parquet   immutable data files, written
+  *                                      once by the commit that
+  *                                      created version k, NEVER
+  *                                      rewritten (copy-on-write)
+  *   <root>/_log/v<%08d k>.manifest     version k's manifest: the
+  *                                      COMPLETE file listing of the
+  *                                      snapshot (Delta-checkpoint
+  *                                      style — a reader resolves any
+  *                                      version from ONE manifest,
+  *                                      no log replay), one line per
+  *                                      file with row count and
+  *                                      per-column zone (min/max)
+  * }}}
+  *
+  * Commit protocol: the manifest is written to a temp name and
+  * hard-LINKED to `v<k>.manifest` (link(2) fails EEXIST; POSIX
+  * rename would silently replace) — the link IS the commit point,
+  * and two writers racing to the same version see exactly one winner
+  * (optimistic concurrency; the loser gets
+  * FileAlreadyExistsException and must re-resolve + retry). Data
+  * files written by a failed/losing commit are unreferenced and
+  * reclaimed by [[vacuum]]. On an object store without an atomic
+  * create-if-absent this step becomes a conditional PUT / a commit
+  * service — same contract, different primitive.
+  *
+  * Zone stats come from the parquet FOOTERS of the just-written
+  * files — a metadata-only pass (what Iceberg does at commit),
+  * distributed over the executors so a commit of 10^5 files never
+  * serializes through the driver. Long-typed (int/long/date-as-days)
+  * columns are zoned; a file whose chunk is all-NULL simply carries
+  * no zone for that column and is skipped by range predicates (a
+  * NULL never satisfies a range).
+  *
+  * Scale notes: a manifest holds one line per live file — index-sized
+  * (≤ a few 10^6 lines at 100 TB), never data-sized; reading it is a
+  * driver-side text parse, bounded by construction (the s17 probe-
+  *-collect argument). Past ~10^6 files per version the full-snapshot
+  * text manifest should itself become parquet with incremental
+  * deltas + periodic checkpoints (the Delta log evolution); the
+  * commit/read/prune contract here is unchanged by that swap.
+  */
+object TableLog {
+
+  /** One data file of one version: relative path, exact row count,
+    * and per-column zones (present only for long-typed columns with
+    * at least one non-NULL value in the file).
+    */
+  final case class FileEntry(path: String, rows: Long,
+                             zMin: Map[String, Long], zMax: Map[String, Long])
+
+  final case class Manifest(version: Long, parent: Long, action: String,
+                            schemaDdl: String, files: Seq[FileEntry]) {
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+  private def manifestPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%08d.manifest")
+
+  /** Latest committed version, or -1 for an empty/absent table. */
+  def currentVersion(root: String): Long = {
+    val d = logDir(root)
+    if (!Files.isDirectory(d)) -1L
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  // ---- manifest text format -------------------------------------------
+  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<schemaDdl>
+  // line 2+: f\t<relpath>\t<rows>\t<col>=<min>:<max>[;<col>=<min>:<max>...]
+  // Tab-free fields by construction (schema DDL never contains tabs for
+  // the supported types; paths are ours). Deterministic: files sorted
+  // by path.
+
+  private def renderManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.schemaDdl}\n")
+    m.files.sortBy(_.path).foreach { f =>
+      val zones = f.zMin.keys.toSeq.sorted
+        .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
+      sb.append(s"f\t${f.path}\t${f.rows}\t$zones\n")
+    }
+    sb.toString
+  }
+
+  def readManifest(root: String, version: Long): Manifest = {
+    val p = manifestPath(root, version)
+    require(Files.exists(p),
+      s"table-log version $version does not exist at $root (vacuumed or never committed)")
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    val h = lines.head.split("\t", -1)
+    require(h(0) == "graft-table-log" && h.length == 5,
+      s"malformed manifest header at $p")
+    val files = lines.tail.filter(_.nonEmpty).map { ln =>
+      val f = ln.split("\t", -1)
+      require(f(0) == "f" && f.length == 4, s"malformed manifest line in $p: $ln")
+      val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
+        val Array(c, mm) = z.split("=", 2)
+        val Array(lo, hi) = mm.split(":", 2)
+        (c, lo.toLong, hi.toLong)
+      }
+      FileEntry(f(1), f(2).toLong,
+        zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap)
+    }
+    Manifest(h(1).toLong, h(2).toLong, h(3), h(4), files)
+  }
+
+  /** Atomic commit-point write: temp file + hard-link to the final
+    * manifest name. link(2) fails with EEXIST when the target
+    * already exists — unlike POSIX rename, which silently REPLACES —
+    * so the link is an atomic claim: exactly one of two racing
+    * commits to the same version wins, the loser gets
+    * FileAlreadyExistsException and must re-resolve the head and
+    * retry (optimistic concurrency).
+    */
+  private[graft] def writeManifest(root: String, m: Manifest): Long = {
+    Files.createDirectories(logDir(root))
+    val tmp = logDir(root).resolve(s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
+    Files.write(tmp, renderManifest(m).getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifestPath(root, m.version), tmp)
+    finally Files.deleteIfExists(tmp)
+    m.version
+  }
+
+  // ---- footer stats ----------------------------------------------------
+
+  /** Per-file (rows, zones) from parquet footers — metadata-only IO,
+    * distributed: the file list is parallelized over the executors
+    * and only the index-sized stat tuples come back to the driver.
+    */
+  private def footerStats(spark: SparkSession, root: String,
+                          relPaths: Seq[String]): Seq[FileEntry] = {
+    if (relPaths.isEmpty) return Nil
+    val rootAbs = root
+    val slices = math.max(1, math.min(relPaths.size, 64))
+    spark.sparkContext.parallelize(relPaths, slices).map { rel =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$rootAbs/$rel"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val footer = r.getFooter
+        var rows = 0L
+        val mins = scala.collection.mutable.Map[String, Long]()
+        val maxs = scala.collection.mutable.Map[String, Long]()
+        footer.getBlocks.asScala.foreach { blk =>
+          rows += blk.getRowCount
+          blk.getColumns.asScala.foreach { cc =>
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val (loOpt, hiOpt) = (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  (Some(lo.longValue), Some(hi.longValue))
+                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                  (Some(lo.longValue), Some(hi.longValue))
+                case _ => (None, None) // non-integral column: not zoned
+              }
+              (loOpt, hiOpt) match {
+                case (Some(lo), Some(hi)) =>
+                  val c = cc.getPath.toDotString
+                  mins.update(c, math.min(lo, mins.getOrElse(c, Long.MaxValue)))
+                  maxs.update(c, math.max(hi, maxs.getOrElse(c, Long.MinValue)))
+                case _ => ()
+              }
+            }
+          }
+        }
+        FileEntry(rel, rows, mins.toMap, maxs.toMap)
+      } finally r.close()
+    }.collect().toSeq
+  }
+
+  /** File slot = the layout value itself (mod numFiles) — an EXACT
+    * partitioner, not a hash: `repartition(n, col)` murmur3-hashes,
+    * which collides distinct layout values into shared files and
+    * scatters key ranges across them, wrecking zone tightness. With
+    * value-as-slot, `layout = key div K` produces range-CLUSTERED
+    * files whose key zones are tight, disjoint intervals — the whole
+    * point of zone pruning (and what makes the merge stabbing probe
+    * O(log files)).
+    */
+  private final class SlotPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** Write `df`'s rows as the data files of version `v` under
+    * `files/v<k>/` and return their footer-stat entries. `layout`
+    * clusters rows into files (e.g. `key div 200` — co-ranged keys
+    * land together; see [[SlotPartitioner]]); deterministic: the
+    * slot is a pure function of the row, so reruns produce identical
+    * file CONTENTS (names carry a job UUID; identity is the manifest
+    * listing, not the name). The one-pass RDD detour exists solely
+    * to place each row in an EXACT slot — parquet encode dominates
+    * the write cost either way.
+    */
+  private def writeDataFiles(df: DataFrame, root: String, v: Long,
+                             layout: Column, numFiles: Int): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val rel = f"files/v$v%08d"
+    val dir = s"$root/$rel"
+    val n = math.max(1, numFiles)
+    val schema = df.schema
+    val keyed = df.withColumn("__graft_slot",
+      pmod(coalesce(layout.cast("long"), lit(0L)), lit(n.toLong)).cast("int"))
+    val placed = keyed.rdd
+      .map(r => (r.getInt(r.length - 1), r))
+      .partitionBy(new SlotPartitioner(n))
+      .map { case (_, r) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)) }
+    spark.createDataFrame(placed, schema).write.mode("overwrite").parquet(dir)
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .toSeq.sorted
+    footerStats(spark, root, names.map(n => s"$rel/$n"))
+  }
+
+  // ---- public write path ----------------------------------------------
+
+  /** Commit `df` as a new version. `mode` "overwrite" starts the
+    * snapshot from scratch; "append" carries the parent's files
+    * forward and adds the new ones (the only data IO is the NEW
+    * rows — append never touches existing files).
+    */
+  def commit(df: DataFrame, root: String, layout: Column,
+             numFiles: Int = 8, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val parent = currentVersion(root)
+    val v = parent + 1
+    val added = writeDataFiles(df, root, v, layout, numFiles)
+    val carried =
+      if (mode == "overwrite" || parent < 0) Nil
+      else readManifest(root, parent).files
+    writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, carried ++ added))
+  }
+
+  // ---- read path -------------------------------------------------------
+
+  /** The file listing a range predicate `lo <= zoneCol <= hi` must
+    * read, resolved PURELY from the manifest (zone intersect — no
+    * data IO): the q61 skipping report, executed. Returns
+    * (selected, total) so callers can assert the prune.
+    */
+  def planFiles(root: String, zoneCol: String, lo: Long, hi: Long,
+                asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val sel = m.files.filter { f =>
+      (f.zMin.get(zoneCol), f.zMax.get(zoneCol)) match {
+        case (Some(zlo), Some(zhi)) => zlo <= hi && zhi >= lo
+        case _ => false // all-NULL (or un-zoned) chunk: no row can match a range
+      }
+    }
+    (sel, m.files.size)
+  }
+
+  /** Snapshot read, optionally AS OF an older version (the q63
+    * semantics through the store: the manifest IS the time machine —
+    * old versions stay readable until vacuumed because their files
+    * are immutable).
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else spark.read.parquet(m.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Zone-pruned range read: only files whose [min,max] intersects
+    * [lo,hi] are handed to the scan (file-level skip BEFORE any IO),
+    * then the row-level predicate still applies inside the survivors.
+    */
+  def readRange(spark: SparkSession, root: String, zoneCol: String,
+                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val (sel, _) = planFiles(root, zoneCol, lo, hi, asOf)
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    if (sel.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        .filter(col(zoneCol).between(lo, hi))
+    else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
+      .filter(col(zoneCol).between(lo, hi))
+  }
+
+  // ---- maintenance commits --------------------------------------------
+
+  /** Compaction as a COMMIT (q50's planner executed through the
+    * store): files below `smallRows` are greedily binned to
+    * `targetRows` in (zone-min, path) order — the q50 cumulative
+    * layout — and each multi-file bin is rewritten as one file;
+    * right-sized files carry forward untouched. Content-preserving
+    * by construction; only the small tail is read or written.
+    */
+  def compact(spark: SparkSession, root: String, orderCol: String,
+              targetRows: Long, smallRows: Long): Long = {
+    val parent = currentVersion(root)
+    require(parent >= 0, s"nothing to compact at $root")
+    val m = readManifest(root, parent)
+    val small = m.files.filter(_.rows < smallRows)
+      .sortBy(f => (f.zMin.getOrElse(orderCol, Long.MaxValue), f.path))
+    val keep = m.files.filterNot(_.rows < smallRows)
+    if (small.size < 2) return parent // nothing worth rewriting
+    // q50 bin assignment: bin = floor(cumulative-rows-before / target)
+    val bins = small.zip(small.scanLeft(0L)(_ + _.rows))
+      .map { case (f, before) => (f.path, before / targetRows) }
+    val v = parent + 1
+    // file-name -> bin as a literal map column: codegen'd O(1) lookup
+    // per row (names are part-<idx>-<jobUUID> — unique across versions)
+    val binByName: Map[String, Long] = bins.map { case (rel, b) =>
+      rel.substring(rel.lastIndexOf('/') + 1) -> b
+    }.toMap
+    val nBins = bins.map(_._2).distinct.size
+    val srcPaths = small.map(f => s"$root/${f.path}")
+    val withBin = spark.read.parquet(srcPaths: _*)
+      .withColumn("__bin", element_at(typedlit(binByName),
+        element_at(split(input_file_name(), "/"), -1)))
+    val rel = f"files/v$v%08d"
+    withBin.repartition(nBins, col("__bin")).drop("__bin")
+      .write.mode("overwrite").parquet(s"$root/$rel")
+    val names = Files.list(Paths.get(s"$root/$rel")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .toSeq.sorted
+    val added = footerStats(spark, root, names.map(n => s"$rel/$n"))
+    writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl, keep ++ added))
+  }
+
+  /** CDC MERGE as a COMMIT — copy-on-write at FILE granularity (the
+    * Delta/Iceberg MERGE shape): only files whose key zone could
+    * contain a changed key are rewritten; everything else carries
+    * forward by manifest reference, zero IO. The rewrite itself is
+    * [[graft.operators.ChangeLog.latestState]] over the affected
+    * rows — deletes drop, upserts override, inserts (keys in no
+    * file's zone) land in the new files.
+    *
+    * Affected-file detection: zone intervals come to the driver
+    * (manifest-sized, bounded by construction) and each DISTINCT
+    * change key probes them via a broadcast sorted array — one
+    * linear pass over the changes, no join. Intervals are scanned
+    * from the first candidate (sorted by zMin, early-exit on zMin >
+    * key); with a range-clustered layout intervals are near-disjoint
+    * and this is effectively a binary search. The returned affected
+    * set is file-path-sized.
+    */
+  def merge(base: DataFrame, root: String, changes: DataFrame,
+            keyCol: String, layout: Column, numFiles: Int = 8,
+            verCol: String = "ver", opCol: String = "op",
+            valCol: String = "price", newValCol: String = "new_price"): Long = {
+    val spark = changes.sparkSession
+    val parent = currentVersion(root)
+    require(parent >= 0, s"merge target $root has no committed version")
+    val m = readManifest(root, parent)
+    val zoned = m.files
+      .filter(f => f.zMin.contains(keyCol))
+      .map(f => (f.zMin(keyCol), f.zMax(keyCol), f.path))
+      .sortBy(z => (z._1, z._3))
+    val unzoned = m.files.filterNot(f => f.zMin.contains(keyCol)).map(_.path)
+    val zlos = zoned.map(_._1).toArray
+    val zhis = zoned.map(_._2).toArray
+    val zpaths = zoned.map(_._3).toArray
+    // prefix max of zHi over the zMin-sorted intervals: the stabbing
+    // scan stops as soon as no earlier interval can still reach k,
+    // so with a range-clustered (near-disjoint) layout each probe is
+    // binary search + O(overlap depth), not O(files)
+    val prefMaxHi = new Array[Long](zhis.length)
+    var pi = 0
+    while (pi < zhis.length) {
+      prefMaxHi(pi) = if (pi == 0) zhis(0) else math.max(prefMaxHi(pi - 1), zhis(pi))
+      pi += 1
+    }
+    import spark.implicits._
+    val affectedPaths: Set[String] = changes.select(col(keyCol).cast("long"))
+      .na.drop().distinct().as[Long]
+      .mapPartitions { it =>
+        val hit = scala.collection.mutable.Set[Int]()
+        it.foreach { k =>
+          // first index with zMin > k: candidates are strictly left of it
+          var i = java.util.Arrays.binarySearch(zlos, k) match {
+            case neg if neg < 0 => -neg - 1
+            case pos => // walk right over equal zMins
+              var p = pos; while (p < zlos.length && zlos(p) == k) p += 1; p
+          }
+          var j = i - 1
+          while (j >= 0 && prefMaxHi(j) >= k) { if (zhis(j) >= k) hit += j; j -= 1 }
+        }
+        hit.iterator.map(zpaths)
+      }.collect().toSet ++ unzoned // un-zoned (all-NULL-key) files always rewrite
+    val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
+    val v = parent + 1
+    val affectedRows =
+      if (affectedPaths.isEmpty)
+        base.filter(lit(false))
+      else spark.read.parquet(affectedPaths.toSeq.sorted.map(p => s"$root/$p"): _*)
+    val merged = graft.operators.ChangeLog.latestState(
+        affectedRows, changes, keyCol, verCol, opCol, valCol, newValCol)
+      .drop("action")
+    val added = writeDataFiles(merged, root, v, layout, numFiles)
+    writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl, carried ++ added))
+  }
+
+  // ---- retention -------------------------------------------------------
+
+  /** Drop history: delete manifests below `keepFrom` and every data
+    * file referenced ONLY by them (files shared with surviving
+    * versions stay — immutability makes the reference set exact).
+    * Returns the deleted data-file paths. AS-OF reads below
+    * `keepFrom` fail loudly afterwards — the retention contract.
+    */
+  def vacuum(root: String, keepFrom: Long): Seq[String] = {
+    val head = currentVersion(root)
+    require(keepFrom <= head, s"keepFrom $keepFrom beyond head $head")
+    val versions = (0L to head).filter(v => Files.exists(manifestPath(root, v)))
+    val (dead, live) = versions.partition(_ < keepFrom)
+    val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
+    val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
+      .distinct.filterNot(liveFiles)
+    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    dead.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    deadFiles
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TableLog
+
+/** Pins the versioned table-format commit log: commit/append/AS-OF
+  * reads through the manifest, zone-map file pruning BEFORE the scan
+  * (file counts asserted from planFiles AND the scan's inputFiles),
+  * content-preserving compaction, copy-on-write merge (only
+  * zone-affected files rewritten; result equals a whole-table
+  * ChangeLog merge), vacuum retention, and the atomic-rename
+  * optimistic-concurrency commit point.
+  */
+class TableLogSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val p = s"/tmp/tablelog_spec_${tag}_${ProcessHandle.current().pid()}"
+    graft.sources.TidyIO.deleteRecursively(java.nio.file.Paths.get(p))
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("k").cast("long"), col("cents").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def mkDf(ks: Seq[Long]) =
+    ks.map(k => (k, k * 10 + 1)).toDF("k", "cents")
+
+  test("commit/append/read + AS-OF: every version stays readable and exact") {
+    val root = freshRoot("asof")
+    val v0 = TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    assert(v0 == 0L)
+    val v1 = TableLog.commit(mkDf(100L until 160L), root, expr("k div 25"), 2, "append")
+    assert(v1 == 1L && TableLog.currentVersion(root) == 1L)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 160L)))
+    // AS-OF v0 unchanged by the later append (time travel through the store)
+    assert(rows(TableLog.read(spark, root, Some(0L))) == rows(mkDf(0L until 100L)))
+    // manifest row counts are exact (footer stats, not estimates)
+    assert(TableLog.readManifest(root, 1L).totalRows == 160L)
+    intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(9L)) }
+  }
+
+  test("zone pruning: planFiles skips non-intersecting files and the scan reads only survivors") {
+    val root = freshRoot("zones")
+    // 8 files over keys 0..799, range-clustered by k div 100 => per-file
+    // key zones are tight 100-wide ranges
+    TableLog.commit(mkDf(0L until 800L), root, expr("k div 100"), 8, "overwrite")
+    val (sel, total) = TableLog.planFiles(root, "k", 150L, 249L)
+    assert(total == 8)
+    assert(sel.nonEmpty && sel.size < total,
+      s"expected a strict prune, got ${sel.size}/$total")
+    // the zone intersect is conservative AND sufficient: pruned read
+    // equals the full-table filter
+    val pruned = TableLog.readRange(spark, root, "k", 150L, 249L)
+    assert(rows(pruned) == rows(mkDf(150L to 249L)))
+    // the executed scan touches ONLY the selected files (prune happens
+    // BEFORE the scan, not as a post-filter)
+    val selAbs = sel.map(f => s"$root/${f.path}").toSet
+    assert(pruned.inputFiles.toSet
+      .map((s: String) => new java.net.URI(s).getPath) == selAbs)
+    // an out-of-zone range reads zero files
+    val (none, _) = TableLog.planFiles(root, "k", 5000L, 6000L)
+    assert(none.isEmpty)
+    assert(TableLog.readRange(spark, root, "k", 5000L, 6000L).count() == 0L)
+  }
+
+  test("compact: content preserved, small tail folded, big files untouched") {
+    val root = freshRoot("compact")
+    TableLog.commit(mkDf(0L until 400L), root, expr("k div 100"), 4, "overwrite")
+    // four appends of 25 rows each -> small-file tail
+    (0 until 4).foreach { i =>
+      TableLog.commit(mkDf((400L + i * 25) until (400L + (i + 1) * 25)),
+        root, expr("k div 100"), 1, "append")
+    }
+    val before = TableLog.readManifest(root, TableLog.currentVersion(root))
+    val v = TableLog.compact(spark, root, "k", targetRows = 100L, smallRows = 50L)
+    val after = TableLog.readManifest(root, v)
+    assert(after.files.size < before.files.size,
+      s"${after.files.size} !< ${before.files.size}")
+    assert(after.totalRows == before.totalRows)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 500L)))
+    // big files carried forward by REFERENCE (same path, no rewrite)
+    val bigBefore = before.files.filter(_.rows >= 50L).map(_.path).toSet
+    assert(bigBefore.subsetOf(after.files.map(_.path).toSet))
+  }
+
+  test("merge: copy-on-write rewrites only zone-affected files; equals whole-table ChangeLog") {
+    val root = freshRoot("merge")
+    val base = mkDf(0L until 400L).withColumnRenamed("cents", "price")
+    TableLog.commit(base, root, expr("k div 100"), 4, "overwrite")
+    val before = TableLog.readManifest(root, 0L)
+    // changes touch ONLY keys 0..49 (one zone) plus inserts 1000..1009
+    val changes = ((0L until 50L).map(k =>
+        (k, 1L, if (k % 5 == 0) "D" else "U", k * 10 + 2)) ++
+      (1000L until 1010L).map(k => (k, 1L, "U", k)))
+      .toDF("k", "ver", "op", "new_price")
+    val v = TableLog.merge(base.filter(lit(false)), root, changes,
+      "k", expr("k div 100"), 2)
+    val after = TableLog.readManifest(root, v)
+    assert(after.action == "merge")
+    // untouched zones carried by reference
+    val carried = after.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    assert(carried.nonEmpty && carried.size < before.files.size)
+    // result equals the reference merge over the WHOLE table
+    val expect = graft.operators.ChangeLog.latestState(base, changes).drop("action")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TableLog.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // AS-OF v0 still shows the pre-merge table
+    assert(TableLog.read(spark, root, Some(0L)).count() == 400L)
+  }
+
+  test("vacuum: dead files deleted, shared files survive, retention boundary enforced") {
+    val root = freshRoot("vacuum")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 50"), 2, "overwrite")
+    TableLog.commit(mkDf(100L until 150L), root, expr("k div 50"), 1, "append")
+    TableLog.commit(mkDf(150L until 200L), root, expr("k div 50"), 1, "append")
+    val deleted = TableLog.vacuum(root, keepFrom = 2L)
+    // v0/v1 manifests dropped; their files survive ONLY if referenced by v2
+    assert(deleted.isEmpty, s"v2 references every file, nothing should die: $deleted")
+    intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(0L)) }
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 200L)))
+    // overwrite makes v0..v2's files dead, vacuum reclaims them
+    TableLog.commit(mkDf(0L until 10L), root, expr("k div 50"), 1, "overwrite")
+    val deleted2 = TableLog.vacuum(root, keepFrom = 3L)
+    assert(deleted2.nonEmpty)
+    deleted2.foreach(p => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, p)), s"$p not deleted"))
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 10L)))
+  }
+
+  test("optimistic concurrency: a racing commit to the same version loses loudly") {
+    val root = freshRoot("occ")
+    TableLog.commit(mkDf(0L until 10L), root, expr("k"), 1, "overwrite")
+    // the race at the COMMIT POINT: both writers resolved head=0 and
+    // race to claim v1 — exactly one link wins
+    val winner = TableLog.Manifest(1L, 0L, "append", "k BIGINT", Nil)
+    TableLog.writeManifest(root, winner)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      TableLog.writeManifest(root,
+        TableLog.Manifest(1L, 0L, "append", "k BIGINT,cents BIGINT", Nil))
+    }
+    // the loser left no damage: v1 is the winner's manifest, no temp junk
+    assert(TableLog.readManifest(root, 1L).schemaDdl == "k BIGINT")
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_log")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(names.forall(!_.startsWith(".tmp")), s"temp junk left: $names")
+  }
+}
