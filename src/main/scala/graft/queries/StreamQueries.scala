@@ -416,6 +416,54 @@ object StreamQueries {
       }.orderBy("user_id", "event_type")
     }),
 
+    // S23/st25: STREAMING incremental-MV maintenance — q56's
+    // delta-merge loop as the sink of a REAL stream, via foreachBatch
+    // (the one streaming sink pattern the built-in writers can't
+    // express: MERGE upkeep of a persisted state table). The orders
+    // fact is split into 4 files and streamed one-file-per-trigger,
+    // so the engine genuinely delivers ≥4 micro-batches; each batch
+    // reduces to IncrementalAgg partial state and merges into the
+    // stored MV, committed as a NEW VERSION of an R67 TableLog store
+    // — so the MV gets snapshot isolation, time travel across
+    // refreshes, and idempotent batch replay (re-running batch k just
+    // rebuilds version k) for free. Determinism: the merge monoid is
+    // commutative + associative over integer-exact cents, so the
+    // final state is invariant to how the engine chops or orders the
+    // batches — which is what lets q56's full-recompute oracle check
+    // the INCREMENTAL path value-for-value. 100 TB shape: each
+    // refresh shuffles only (delta + MV keys), never the fact table;
+    // the fact is scanned exactly once across the stream's lifetime.
+    "st25_incr_mv" -> ((s, dir) => {
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("o_custkey"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+      val keys = Seq("o_custkey"); val ms = Seq("cents")
+      val src = graft.sources.TidyIO.scratchDir("st25_src")
+      o.repartition(4).write.mode("overwrite").parquet(src)
+      val root = graft.sources.TidyIO.scratchDir("st25_mv")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      StreamRun.runForeachBatch(s, stream) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val part = graft.operators.IncrementalAgg.partial(batch, keys, ms)
+          val cur = graft.sources.TableLog.currentVersion(root)
+          val state =
+            if (cur < 0) part
+            else graft.operators.IncrementalAgg.merge(
+              Seq(graft.sources.TableLog.read(s, root), part), keys, ms)
+          graft.sources.TableLog.commit(state, root, col("o_custkey"),
+            numFiles = 2, mode = "overwrite")
+        }
+      }
+      graft.sources.TableLog.read(s, root)
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_cents"), col("min_cents"), col("max_cents"),
+          (col("sum_cents").cast("double") / col("cnt_cents")).as("avg_cents"))
+        .orderBy("o_custkey")
+    }),
+
     // S8: streaming windowed DISTINCT count — the per-window unique-
     // users metric, through the REAL streaming engine. Streaming
     // aggregation can't run COUNT(DISTINCT) (unbounded per-group
@@ -596,6 +644,11 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // st25: the per-batch merges must telescope to the full aggregate
+    // — exactly q56's full-recompute oracle, reused verbatim (same
+    // projection, same integer-cents measures).
+    "st25_incr_mv" -> Relational.oracle("q56_incr_mv"),
+
     // st22 runs m13's sample reassembly through the streaming engine
     // over the same store — the RESULT contract is identical, so its
     // oracle is m13's verbatim (the d29→d27 pattern).

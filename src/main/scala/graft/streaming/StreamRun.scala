@@ -152,4 +152,61 @@ object StreamRun {
   def onEvents(s: SparkSession, dir: String, mode: OutputMode)
               (transform: DataFrame => DataFrame): DataFrame =
     onTable(s, dir, "events", mode)(transform)
+
+  /** Run `fn` as a `foreachBatch` sink over a streaming source — the
+    * Structured Streaming pattern for sinks the built-in writers
+    * can't express (MERGE upkeep, multi-table writes, upserts into a
+    * store). Each micro-batch's DataFrame is handed to `fn` on the
+    * driver with its batch id; the engine guarantees ids are
+    * monotonically increasing and, under a checkpoint, that a batch
+    * is re-delivered with the SAME id on recovery — so `fn` must be
+    * idempotent per id (the commit-version-per-batch discipline st25
+    * uses gets this for free: re-running batch k just re-creates
+    * version k's state from the same inputs).
+    *
+    * Same checkpoint/trigger/plan-capture/cleanup contract as
+    * [[onSource]]; returns the number of micro-batches executed.
+    */
+  def runForeachBatch(s: SparkSession, src: DataFrame)
+                     (fn: (DataFrame, Long) => Unit): Long = {
+    val name = "graft_feb_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val ckptBase = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-ckpt") else None
+    }
+    val ckptDir = ckptBase.map(b => s"$b/$name")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = try {
+      val w = src.writeStream
+        .queryName(name)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches.incrementAndGet(); fn(df, id)
+        }
+        .trigger(Trigger.AvailableNow())
+      ckptDir.foreach(d => w.option("checkpointLocation", d))
+      w.start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.awaitTermination()
+    finally ckptDir.foreach { d =>
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root)) {
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () }
+    }
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      lastPlan = buf.toString
+    } catch { case _: Throwable => lastPlan = "" }
+    batches.get()
+  }
 }

@@ -409,4 +409,45 @@ class StreamRunSpec extends AnyFunSuite {
     assert(once.map(_.getString(0)).distinct.length == once.length)
     assert(once.forall(_.getDouble(2) >= 0.52))
   }
+
+  test("foreachBatch incremental-MV: per-batch merges telescope to the batch refresh") {
+    import graft.operators.IncrementalAgg
+    import graft.sources.{TableLog, TidyIO}
+    val o = Graft.table(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("k"),
+      expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+    val keys = Seq("k"); val ms = Seq("cents")
+    val src = TidyIO.scratchDir("st25spec_src")
+    o.repartition(3).write.mode("overwrite").parquet(src)
+    val root = TidyIO.scratchDir("st25spec_mv")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val nBatches = StreamRun.runForeachBatch(spark, stream) { (b, _) =>
+      if (!b.isEmpty) {
+        val part = IncrementalAgg.partial(b, keys, ms)
+        val cur = TableLog.currentVersion(root)
+        val state =
+          if (cur < 0) part
+          else IncrementalAgg.merge(Seq(TableLog.read(spark, root), part), keys, ms)
+        TableLog.commit(state, root, col("k"), numFiles = 2, mode = "overwrite")
+      }
+    }
+    // one-file-per-trigger over 3 files: the engine must actually
+    // deliver multiple micro-batches (the incremental path), and each
+    // data batch commits exactly one MV version — the per-batch merge
+    // evidence (version k = state after k+1 batches, time-travelable).
+    assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+    assert(TableLog.currentVersion(root) >= 2L,
+      s"expected one MV version per data batch, head=${TableLog.currentVersion(root)}")
+    val streamedState = TableLog.read(spark, root)
+    val refresh = IncrementalAgg.partial(o, keys, ms)
+    assert(streamedState.exceptAll(refresh).isEmpty &&
+      refresh.exceptAll(streamedState).isEmpty,
+      "streamed per-batch merges must equal the full batch refresh")
+    // intermediate versions stay readable (snapshot isolation across
+    // refreshes): version 0 is the first batch's partial alone
+    val v0 = TableLog.read(spark, root, Some(0L))
+    assert(v0.agg(sum("cnt")).head.getLong(0) < streamedState.agg(sum("cnt")).head.getLong(0))
+  }
 }
