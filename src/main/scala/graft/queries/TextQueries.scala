@@ -1283,6 +1283,39 @@ object TextQueries {
         .orderBy("reg_domain")
     }),
 
+    // L111/t40: domain LINK-GRAPH ranking — the crawl-accounting step
+    // after t32's registrable-domain parse (the CCNet/frontier move:
+    // rank domains by link authority before deciding how much of each
+    // to crawl/keep). Edges are synthesized DETERMINISTICALLY from the
+    // same sanitized URL grammar t32 uses: every doc links its source
+    // domain d<source>.com to its language hub l<lang>.org (content→
+    // topic edge), and even-numbered docs backlink hub→domain
+    // (directory edge) — a cyclic directed weighted multi-community
+    // graph whose weights are doc counts, replayable verbatim in SQL.
+    // Ranking is op/LinkGraph's damped PageRank in scaled-integer
+    // fixed point (the TextRank discipline), so the oracle replays
+    // all 4 rounds as chained CTEs bit-for-bit. One corpus scan: both
+    // edge directions come out of ONE explode (the TextRank shape);
+    // the per-round work is domain-sized, never corpus-sized.
+    "t40_domain_rank" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        concat(lit("d"), regexp_replace(coalesce(col("source"), lit("")),
+          "[^a-z0-9]", ""), lit(".com")).as("dom"),
+        concat(lit("l"), regexp_replace(coalesce(col("lang"), lit("")),
+          "[^a-z0-9]", ""), lit(".org")).as("hub"),
+        pmod(coalesce(col("doc_id").cast("long"), lit(0L)), lit(2L)).as("par"))
+      val e0 = d.select(explode(when(col("par") === 0, array(
+          struct(col("dom").as("src"), col("hub").as("dst")),
+          struct(col("hub").as("src"), col("dom").as("dst"))))
+        .otherwise(array(
+          struct(col("dom").as("src"), col("hub").as("dst"))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val edges = e0.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      graft.operators.LinkGraph.pageRank(edges, iters = 4)
+        .select(col("w").as("domain"), col("rank").as("rank_fp"))
+        .orderBy("domain")
+    }),
+
     // L97/t36: per-language tokenizer FERTILITY (subwords per word —
     // the number that drives vocab-size and language-mix decisions
     // when one BPE vocabulary serves a multilingual corpus: a lang
@@ -1956,6 +1989,50 @@ object TextQueries {
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t40: the full 4-round damped PageRank replayed as chained CTEs
+    // — same grammar, same integer fixed-point arithmetic (// is
+    // floor division; every quantity is positive so it matches
+    // Spark's `div`), deg/contrib sums cast back from DuckDB's
+    // HUGEINT to BIGINT at each step.
+    "t40_domain_rank" ->
+      """WITH d AS (SELECT
+        |    'd' || regexp_replace(coalesce(source, ''), '[^a-z0-9]', '', 'g')
+        |        || '.com' AS dom,
+        |    'l' || regexp_replace(coalesce(lang, ''), '[^a-z0-9]', '', 'g')
+        |        || '.org' AS hub,
+        |    ((coalesce(CAST(doc_id AS BIGINT), 0) % 2) + 2) % 2 AS par
+        |  FROM documents),
+        | e0 AS (SELECT dom AS src, hub AS dst FROM d
+        |        UNION ALL
+        |        SELECT hub AS src, dom AS dst FROM d WHERE par = 0),
+        | e AS (SELECT src, dst, count(*) AS wt FROM e0
+        |       WHERE src <> dst GROUP BY 1, 2),
+        | g AS (SELECT src, dst, wt,
+        |        CAST(sum(wt) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+        | nodes AS (SELECT src AS w FROM g UNION SELECT dst FROM g),
+        | r0 AS (SELECT w, CAST(1000000000 AS BIGINT) AS rk FROM nodes),
+        | c1 AS (SELECT g.dst, CAST(sum((r.rk * g.wt) // g.deg) AS BIGINT) AS s
+        |        FROM g JOIN r0 r ON r.w = g.src GROUP BY g.dst),
+        | r1 AS (SELECT n.w,
+        |        CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rk
+        |        FROM nodes n LEFT JOIN c1 c ON c.dst = n.w),
+        | c2 AS (SELECT g.dst, CAST(sum((r.rk * g.wt) // g.deg) AS BIGINT) AS s
+        |        FROM g JOIN r1 r ON r.w = g.src GROUP BY g.dst),
+        | r2 AS (SELECT n.w,
+        |        CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rk
+        |        FROM nodes n LEFT JOIN c2 c ON c.dst = n.w),
+        | c3 AS (SELECT g.dst, CAST(sum((r.rk * g.wt) // g.deg) AS BIGINT) AS s
+        |        FROM g JOIN r2 r ON r.w = g.src GROUP BY g.dst),
+        | r3 AS (SELECT n.w,
+        |        CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rk
+        |        FROM nodes n LEFT JOIN c3 c ON c.dst = n.w),
+        | c4 AS (SELECT g.dst, CAST(sum((r.rk * g.wt) // g.deg) AS BIGINT) AS s
+        |        FROM g JOIN r3 r ON r.w = g.src GROUP BY g.dst),
+        | r4 AS (SELECT n.w,
+        |        CAST(150000000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rk
+        |        FROM nodes n LEFT JOIN c4 c ON c.dst = n.w)
+        |SELECT w AS domain, rk AS rank_fp FROM r4 ORDER BY 1""".stripMargin,
 
     // t33: per-term greedy non-overlapping counts via the shared
     // replace() length formula — exactly the AC scan's semantics.
