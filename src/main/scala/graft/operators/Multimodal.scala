@@ -175,6 +175,150 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** 8×8 integer luma grid of a decoded image, row-major (j = y·8+x)
+    * — the shared front end of both perceptual hashes (m14 aHash, m15
+    * pHash): Rec.601 integer luma per pixel, no FP.
+    */
+  private[graft] def lumaGrid(img: java.awt.image.BufferedImage,
+                              side: Int): Array[Long] = {
+    val lum = new Array[Long](side * side)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val rgb = img.getRGB(x, y)
+        lum(y * side + x) = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    lum
+  }
+
+  /** aHash over a 64-pixel luma grid as 4×16-bit band values: bit j
+    * set iff pixel j's luma exceeds the image mean — the comparison
+    * is `luma·64 > Σluma`, all integer, no division.
+    */
+  private[graft] def aHashBands(lum: Array[Long]): Array[Long] = {
+    var s = 0L
+    var j = 0
+    while (j < 64) { s += lum(j); j += 1 }
+    val bands = new Array[Long](4)
+    j = 0
+    while (j < 64) {
+      if (lum(j) * 64 > s) bands(j / 16) |= 1L << (j % 16)
+      j += 1
+    }
+    bands
+  }
+
+  /** Fixed-point DCT-II basis, `dctK(u)(x) = round(10⁴·cos((2x+1)uπ/16))`
+    * — an integer constant table, so the m15 pHash is EXACT integer
+    * arithmetic end to end (the TextRank/LinkGraph discipline) and an
+    * external SQL oracle replays it from the same 9 literals. Only
+    * the SIGN of each DCT coefficient is consumed, and the DCT's
+    * α(u)α(v) normalization factors are strictly positive, so
+    * dropping them loses nothing.
+    */
+  private[graft] val dctK: Array[Array[Long]] = {
+    val base = Array(10000L, 9808L, 9239L, 8315L, 7071L, 5556L, 3827L, 1951L, 0L)
+    Array.tabulate(8, 8) { (u, x) =>
+      val m = ((2 * x + 1) * u) % 32
+      val r = math.min(m, 32 - m)
+      if (r <= 8) base(r) else -base(16 - r)
+    }
+  }
+
+  /** pHash over a 64-pixel luma grid as 4×16-bit band values: bit
+    * j = u·8+v set iff the (u,v) DCT-II coefficient is positive,
+    * computed by the separable two-pass row/column transform in
+    * exact integer arithmetic (magnitudes ≤ 255·10⁴·10⁴·64 ≈ 1.6e12,
+    * far inside Long).
+    *
+    * Why this beats aHash as the robust near-dup tier: for every
+    * u ≠ 0 the basis row sums to ZERO exactly (the rounded table
+    * keeps the ±symmetry), so a global brightness shift — adding c
+    * to every pixel — changes no coefficient with u≠0 or v≠0, and a
+    * contrast scale multiplies all coefficients by a positive
+    * factor: the 63 non-DC sign bits are INVARIANT under both, by
+    * integer identity, not approximately (PHashSpec pins it).
+    * aHash's mean threshold, by contrast, flips en masse when a
+    * nonlinear/rounded edit collapses pixels that straddle the mean
+    * (the alternating-grid case in the spec: aHash Hamming 32, pHash
+    * Hamming 0).
+    */
+  private[graft] def pHashBands(lum: Array[Long]): Array[Long] = {
+    // row pass: t(u)(y) = Σ_x lum(y·8+x) · K(u,x)
+    val t = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) { acc += lum(y * 8 + x) * dctK(u)(x); x += 1 }
+        t(u)(y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    // column pass + sign bits: S(u,v) = Σ_y t(u)(y) · K(v,y)
+    val bands = new Array[Long](4)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) { s += t(u)(y) * dctK(v)(y); y += 1 }
+        if (s > 0) { val j = u * 8 + v; bands(j / 16) |= 1L << (j % 16) }
+        v += 1
+      }
+      u += 1
+    }
+    bands
+  }
+
+  /** Shared multi-index-banding tail of m14/m15 (Norouzi 2012): the
+    * 4 disjoint 16-bit bands make candidate generation pigeonhole-
+    * exact at Hamming ≤ 3, the band self-join ships 4 longs per
+    * image, and the exact xor+bit_count verify closes it. Persists
+    * the hash relation for the join's two sides and RELEASES it
+    * before returning (the pair result is localCheckpoint'd eagerly)
+    * — the operator owns its cache entry, no caller clearCache
+    * contract.
+    */
+  private def bandedHammingPairs(hashesIn: DataFrame, maxHamming: Int,
+                                 cap: Option[Int]): DataFrame = {
+    val hashes = hashesIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashes.select(col("doc_id"),
+      col("v0"), col("v1"), col("v2"), col("v3"),
+      posexplode(array(col("v0"), col("v1"), col("v2"), col("v3")))
+        .as(Seq("bidx", "bv")))
+    val capped = cap.fold(banded) { c =>
+      val keep = banded.groupBy("bidx", "bv").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= c).drop("__n")
+      banded.join(keep, Seq("bidx", "bv"))
+    }
+    val a = capped.select(col("doc_id").as("id_a"), col("bidx"), col("bv"),
+      col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"), col("v3").as("a3"))
+    val b = capped.select(col("doc_id").as("id_b"), col("bidx"), col("bv"),
+      col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"), col("v3").as("b3"))
+    val pairs = a.join(b, Seq("bidx", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+    val out = pairs.localCheckpoint(true)
+    hashes.unpersist(false)
+    out
+  }
+
   /** L109 — perceptual-hash image near-dup pairs (the LAION-style
     * image-dedup pass: re-encoded or lightly-edited copies of one
     * picture collide, distinct pictures don't): REAL-codec decode of
@@ -208,68 +352,44 @@ object Multimodal {
         val id: Long = boxedId
         val img = decodeBuffered(formulaPngVariant(id, side)).getOrElse(
           throw new IllegalStateException(s"PNG decode failed for id $id"))
-        val lum = new Array[Long](64)
-        var s = 0L
-        var y = 0
-        while (y < side) {
-          var x = 0
-          while (x < side) {
-            val rgb = img.getRGB(x, y)
-            val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            lum(y * side + x) = l
-            s += l
-            x += 1
-          }
-          y += 1
-        }
-        val bands = new Array[Long](4)
-        var j = 0
-        while (j < 64) {
-          if (lum(j) * 64 > s) bands(j / 16) |= 1L << (j % 16)
-          j += 1
-        }
+        val bands = aHashBands(lumaGrid(img, side))
         (id, bands(0), bands(1), bands(2), bands(3))
       }
     }.toDF("doc_id", "v0", "v1", "v2", "v3")
-      // both sides of the band self-join read this — without the
-      // persist each side re-runs the REAL codec decode over the
-      // whole corpus (the d06 prepped-persist precedent). The
-      // operator OWNS this cache entry: the pair result is
-      // materialized eagerly below and the persist released before
-      // returning, so long-lived sessions don't accumulate
-      // corpus-sized cache entries across calls.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = hashes.select(col("doc_id"),
-      col("v0"), col("v1"), col("v2"), col("v3"),
-      posexplode(array(col("v0"), col("v1"), col("v2"), col("v3")))
-        .as(Seq("bidx", "bv")))
-    val capped = cap.fold(banded) { c =>
-      val keep = banded.groupBy("bidx", "bv").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= c).drop("__n")
-      banded.join(keep, Seq("bidx", "bv"))
-    }
-    val a = capped.select(col("doc_id").as("id_a"), col("bidx"), col("bv"),
-      col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"), col("v3").as("a3"))
-    val b = capped.select(col("doc_id").as("id_b"), col("bidx"), col("bv"),
-      col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"), col("v3").as("b3"))
-    val pairs = a.join(b, Seq("bidx", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming",
-        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
-          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .distinct()
-    // Eagerly materialize the (near-dup-pair-sized, ≪ corpus) result
-    // so the hash cache can be released HERE instead of leaning on a
-    // caller clearCache convention. localCheckpoint blocks are
-    // reference-tracked by the ContextCleaner — freed when the
-    // returned frame is unreferenced — unlike plan-keyed
-    // CacheManager entries, which only an explicit unpersist drops.
-    val out = pairs.localCheckpoint(true)
-    hashes.unpersist(false)
-    out
+    bandedHammingPairs(hashes, maxHamming, cap)
+  }
+
+  /** L112 — DCT perceptual-hash (pHash) image near-dup pairs: the
+    * robust tier above m14's aHash. Same REAL-codec decode of
+    * [[formulaPngVariant]], same multi-index banding + exact verify
+    * ([[bandedHammingPairs]]); the hash is [[pHashBands]] — sign of
+    * each 8×8 DCT-II coefficient in exact fixed-point integer
+    * arithmetic, so the 63 non-DC bits are invariant BY INTEGER
+    * IDENTITY under global brightness shift and contrast scale,
+    * where aHash's mean threshold flips en masse on rounded edits
+    * (PHashSpec pins both directions). Fully oracle-replayable from
+    * the pixel formula + the 9-literal cosine table — no codec, no
+    * floating point in the oracle.
+    *
+    * Scale shape identical to m14: zero-shuffle hashing over the
+    * decode scan, the self-join ships 4 longs per image, `cap` drops
+    * provably-hot band buckets (d26 governance) in production.
+    */
+  def imagePHashNearDupPairs(ids: Dataset[java.lang.Long], side: Int = 8,
+                             maxHamming: Int = 3,
+                             cap: Option[Int] = None): DataFrame = {
+    require(side == 8, "the pHash DCT is defined over the 8x8 luma grid")
+    import ids.sparkSession.implicits._
+    val hashes = ids.mapPartitions { it =>
+      it.map { boxedId =>
+        val id: Long = boxedId
+        val img = decodeBuffered(formulaPngVariant(id, side)).getOrElse(
+          throw new IllegalStateException(s"PNG decode failed for id $id"))
+        val bands = pHashBands(lumaGrid(img, side))
+        (id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF("doc_id", "v0", "v1", "v2", "v3")
+    bandedHammingPairs(hashes, maxHamming, cap)
   }
 
   def imageRoundtripStats(ids: Dataset[java.lang.Long],

@@ -607,6 +607,26 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L112/m15: DCT pHash near-dup — the robust perceptual tier
+    // above m14's aHash: same real-codec decode + formula corpus +
+    // multi-index banding, hash = SIGN of each 8×8 DCT-II
+    // coefficient in exact fixed-point integer arithmetic (9-literal
+    // cosine table ×10⁴; α normalization dropped — it never changes
+    // a sign). The 63 non-DC bits are brightness/contrast-shift
+    // invariant by integer identity (PHashSpec), where aHash's mean
+    // threshold flips en masse. Oracle replays pixel formula → the
+    // same cosine literals → separable row/column integer DCT →
+    // sign bits → band join: no codec, no floating point.
+    "m15_phash_neardup" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.imagePHashNearDupPairs(ids, side = 8, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // L91: scene-cut detection — 6 formula frames per doc through
     // the real PNG codec, integer SAD detector (|Δ luma sum| > 3000),
     // per-doc cut count + first cut; oracle replays frame sums + lag.
@@ -1791,6 +1811,61 @@ object VectorQueries {
         |     CASE WHEN l * 64 > s THEN CAST(1 AS BIGINT) << CAST(j % 16 AS INT)
         |          ELSE 0 END AS bit
         |   FROM lum JOIN tot USING (doc_id)),
+        | bnd AS (SELECT doc_id, bidx, CAST(sum(bit) AS BIGINT) AS bv
+        |   FROM bits GROUP BY doc_id, bidx),
+        | hsh AS (SELECT doc_id,
+        |     CAST(sum(CASE WHEN bidx = 0 THEN bv END) AS BIGINT) AS v0,
+        |     CAST(sum(CASE WHEN bidx = 1 THEN bv END) AS BIGINT) AS v1,
+        |     CAST(sum(CASE WHEN bidx = 2 THEN bv END) AS BIGINT) AS v2,
+        |     CAST(sum(CASE WHEN bidx = 3 THEN bv END) AS BIGINT) AS v3
+        |   FROM bnd GROUP BY doc_id),
+        | bb AS (SELECT h.doc_id, b.bidx, b.bv, v0, v1, v2, v3
+        |   FROM hsh h JOIN bnd b USING (doc_id)),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |     bit_count(xor(a.v0, b.v0)) + bit_count(xor(a.v1, b.v1)) +
+        |     bit_count(xor(a.v2, b.v2)) + bit_count(xor(a.v3, b.v3)) AS hamming
+        |   FROM bb a JOIN bb b ON a.bidx = b.bidx AND a.bv = b.bv
+        |     AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // m15: pixel-formula replay → the 9-literal fixed-point cosine
+    // table → separable integer DCT (row pass t, column pass sg) →
+    // sign bits → the same band self-join as m14. All integer.
+    "m15_phash_neardup" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | px AS (SELECT doc_id,
+        |   ((doc_id // 4) % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   ((doc_id % 4) + 4) % 4 AS variant, xs.i AS x, ys.i AS y FROM ids,
+        |   (SELECT unnest(range(0, 8)) AS i) xs,
+        |   (SELECT unnest(range(0, 8)) AS i) ys),
+        | lum AS (SELECT doc_id, y * 8 + x AS j,
+        |    (((((sid * 31 + x * 7 + y * 13) % 256 + 256) % 256
+        |       + CASE WHEN variant > 0 AND x = variant AND y = 0
+        |              THEN 100 ELSE 0 END) % 256) * 299 +
+        |     (((sid * 17 + x * 3 + y * 5) % 256 + 256) % 256) * 587 +
+        |     (((sid * 11 + x * 19 + y * 23) % 256 + 256) % 256) * 114) // 1000 AS l
+        |   FROM px),
+        | kt AS (SELECT u, x, CASE WHEN r <= 8
+        |     THEN ([10000,9808,9239,8315,7071,5556,3827,1951,0])[r + 1]
+        |     ELSE -([10000,9808,9239,8315,7071,5556,3827,1951,0])[17 - r] END AS k
+        |   FROM (SELECT uu.i AS u, xx.i AS x,
+        |       least(((2 * xx.i + 1) * uu.i) % 32,
+        |             32 - ((2 * xx.i + 1) * uu.i) % 32) AS r
+        |     FROM (SELECT unnest(range(0, 8)) AS i) uu,
+        |          (SELECT unnest(range(0, 8)) AS i) xx)),
+        | t AS (SELECT l.doc_id, k.u AS u, l.j // 8 AS y,
+        |     CAST(sum(l.l * k.k) AS BIGINT) AS tv
+        |   FROM lum l JOIN kt k ON k.x = l.j % 8 GROUP BY 1, 2, 3),
+        | sg AS (SELECT t.doc_id, t.u, k.u AS v,
+        |     CAST(sum(t.tv * k.k) AS BIGINT) AS sv
+        |   FROM t JOIN kt k ON k.x = t.y GROUP BY 1, 2, 3),
+        | bits AS (SELECT doc_id, (u * 8 + v) // 16 AS bidx,
+        |     CASE WHEN sv > 0
+        |          THEN CAST(1 AS BIGINT) << CAST((u * 8 + v) % 16 AS INT)
+        |          ELSE 0 END AS bit
+        |   FROM sg),
         | bnd AS (SELECT doc_id, bidx, CAST(sum(bit) AS BIGINT) AS bv
         |   FROM bits GROUP BY doc_id, bidx),
         | hsh AS (SELECT doc_id,
