@@ -779,6 +779,43 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R68/q66: q64's corruption certification through the CSV
+    // PERMISSIVE path — the other ingest format a 100 TB corpus
+    // arrives in. Orders synthesized as CSV lines with keys ≡ 0
+    // (mod 7) truncated to their FIRST TOKEN (the partial-write /
+    // split-shard corruption), written as real text files and read
+    // back through TidyIO.readCsvQuarantine. The CSV semantics that
+    // DIFFER from q64's JSON are exactly what the rollup certifies:
+    // the parser PARTIALLY RECOVERS a malformed record — the leading
+    // key still parses and contributes to the quarantine bucket's
+    // sum_k, while cents/prio are NULL — where a broken JSON line
+    // loses every field. prio is sanitized and 'p'-prefixed on write
+    // because an EMPTY CSV field reads back as NULL (not '' like
+    // JSON), which would smear legit rows into the quarantine group.
+    "q66_csv_quarantine" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        concat(lit("p"), regexp_replace(
+          coalesce(col("o_orderpriority").cast("string"), lit("")),
+          "[^a-zA-Z0-9-]", "")).as("prio"))
+      val line = concat(col("k"), lit(","), col("cents"), lit(","), col("prio"))
+      val written = when(pmod(col("k"), lit(7)) === 0,
+        col("k").cast("string")).otherwise(line)
+      val tmp = graft.sources.TidyIO.scratchDir("graft_csv_q")
+      o.select(written.as("value")).write.mode("overwrite").text(tmp)
+      graft.sources.TidyIO
+        .readCsvQuarantine(s, tmp, "k BIGINT, cents BIGINT, prio STRING")
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("__quarantine__"))
+          .otherwise(col("prio")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_bad"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("bucket")
+    }),
+
     // R67/q65: the versioned table-format COMMIT LOG certified
     // end-to-end THROUGH the store (the q53/d29 real-IO pattern):
     // orders subset A committed as v0, subset B appended as v1, the
@@ -1802,6 +1839,27 @@ object Relational {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q66: the CSV corruption rule replayed from orders — never
+    // parsing CSV: keys ≡ 0 (mod 7) quarantine with their k still
+    // counted (the partial-recovery semantics) and cents NULLed.
+    "q66_csv_quarantine" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents,
+        |    'p' || regexp_replace(coalesce(CAST(o_orderpriority AS VARCHAR), ''),
+        |                          '[^a-zA-Z0-9-]', '', 'g') AS prio
+        |  FROM orders),
+        | b AS (SELECT CASE WHEN (k % 7 + 7) % 7 = 0
+        |      THEN '__quarantine__' ELSE prio END AS bucket,
+        |    CASE WHEN (k % 7 + 7) % 7 = 0 THEN NULL ELSE cents END AS cents,
+        |    CASE WHEN (k % 7 + 7) % 7 = 0 THEN 1 ELSE 0 END AS bad,
+        |    k
+        |  FROM o)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bad) AS BIGINT) AS n_bad,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // q63: q51's text with the changelog prefix-bounded at ver <= 2 —

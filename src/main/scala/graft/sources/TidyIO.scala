@@ -143,6 +143,24 @@ object TidyIO {
     schemaDdl.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
 
+  /** CSV ingest with the PERMISSIVE quarantine path — readJsonl's
+    * twin for the OTHER format 100 TB corpora actually arrive in.
+    * Malformed records land in `_corrupt_record` instead of killing
+    * the job; unlike JSON (where a broken line loses every field),
+    * the CSV parser PARTIALLY RECOVERS a bad record — leading fields
+    * that tokenize and type-check are kept, only the missing/
+    * type-invalid ones are NULLed — which q66 certifies
+    * value-for-value. FAILFAST remains the strict alternative via a
+    * plain `spark.read.option("mode","FAILFAST")`.
+    */
+  def readCsvQuarantine(spark: SparkSession, path: String, schemaDdl: String,
+                        header: Boolean = false): DataFrame =
+    spark.read.option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schemaDdl + ", _corrupt_record STRING")
+      .csv(path)
+
   /** JSON-Lines export — the interchange format LLM corpora ship in.
     * One JSON object per line; gzip keeps the files splittable-enough
     * in practice (one file per task, sized by upstream repartition).
