@@ -779,6 +779,55 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R69/q67: DELTA manifests + checkpoint materialization — the
+    // documented evolution of R67's full-snapshot log (Delta Lake's
+    // _delta_log JSON + checkpoint.parquet shape): with
+    // checkpointInterval > 1, an append/compact/merge commits only
+    // its ADD/REMOVE lines (delta-sized metadata, the thing that
+    // matters past ~10^6 live files where a full listing per commit
+    // is O(files) IO), and a reader RESOLVES a version by replaying
+    // the delta chain down to the nearest full manifest/checkpoint.
+    // The certification drives both resolution paths in one query:
+    // the head read is constructed BEFORE vacuum (pure delta replay
+    // v3→v2→v1→v0), the AS-OF read AFTER vacuum (v2 through the
+    // checkpoint vacuum materialized when it dropped v0/v1 history —
+    // metadata-only, never a data rewrite). Oracle recomputes both
+    // snapshots from raw orders. TableLogSpec pins the physical
+    // claims: delta manifests carry no full listing, replay equals a
+    // full-manifest twin version-for-version, vacuum's checkpoint
+    // keeps surviving deltas resolvable while below-retention reads
+    // fail loudly.
+    "q67_delta_log" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q67_deltalog")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite", checkpointInterval = 10) // v0: full by rule
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 1L), root,
+        layout, 4, "append", checkpointInterval = 10) // v1: add-only delta
+      TableLog.compact(s, root, "k", targetRows = 20000L,
+        smallRows = Long.MaxValue, checkpointInterval = 10) // v2: remove+add delta
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 2L), root,
+        layout, 4, "append", checkpointInterval = 10) // v3: add-only delta
+      val headReplay = TableLog.read(s, root, Some(3L)) // delta replay to v0
+      TableLog.vacuum(root, keepFrom = 2L) // checkpoint v2, drop v0/v1
+      val asofCkpt = TableLog.read(s, root, Some(2L)) // via the checkpoint
+      Seq(("asof_checkpoint", asofCkpt), ("head_replay", headReplay))
+        .map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum("price").as("sum_price"),
+            min("k").as("min_k"), max("k").as("max_k"))
+            .select(lit(nm).as("step"), col("n_rows"), col("n_keys"),
+              col("sum_price"), col("min_k"), col("max_k"))
+        }.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // R68/q66: q64's corruption certification through the CSV
     // PERMISSIVE path — the other ingest format a 100 TB corpus
     // arrives in. Orders synthesized as CSV lines with keys ≡ 0
@@ -1840,6 +1889,28 @@ object Relational {
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q67: the two store snapshots recomputed from raw orders —
+    // compaction is content-preserving by contract (the q65 lesson),
+    // so v2 == a∪b and v3 == everything; the Spark side produced
+    // them through delta replay and the vacuum-materialized
+    // checkpoint respectively.
+    "q67_delta_log" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | ab AS (SELECT * FROM o WHERE (k % 3 + 3) % 3 IN (0, 1))
+        |SELECT 'asof_checkpoint' AS step, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM ab
+        |UNION ALL
+        |SELECT 'head_replay', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT k) AS BIGINT), CAST(sum(price) AS BIGINT),
+        |  CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+        |FROM o
+        |ORDER BY step""".stripMargin,
 
     // q66: the CSV corruption rule replayed from orders — never
     // parsing CSV: keys ≡ 0 (mod 7) quarantine with their k still

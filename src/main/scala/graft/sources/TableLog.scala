@@ -67,14 +67,35 @@ object TableLog {
   final case class FileEntry(path: String, rows: Long,
                              zMin: Map[String, Long], zMax: Map[String, Long])
 
+  /** `kind` is how the version was WRITTEN: "full" manifests carry
+    * the complete snapshot listing; "delta" manifests carry only
+    * adds/removes against the parent (the Delta-log evolution the
+    * scale note below describes — at 10^6 files a full listing per
+    * commit is O(files) metadata IO per APPEND). [[readManifest]]
+    * always returns the RESOLVED file list either way; `removes` is
+    * populated only on a delta read (what the delta dropped), kept
+    * for spec introspection.
+    */
   final case class Manifest(version: Long, parent: Long, action: String,
-                            schemaDdl: String, files: Seq[FileEntry]) {
+                            schemaDdl: String, files: Seq[FileEntry],
+                            kind: String = "full",
+                            removes: Seq[String] = Nil) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
   private def manifestPath(root: String, v: Long): Path =
     logDir(root).resolve(f"v$v%08d.manifest")
+
+  /** Checkpoint side-file: the RESOLVED full listing of one version,
+    * written by [[vacuum]] before it drops the manifests a delta
+    * chain would otherwise need (Delta's checkpoint.parquet move —
+    * metadata-only, content-identical to the replayed resolution,
+    * never a data rewrite). [[readManifest]] prefers it when present,
+    * which also caps replay depth for hot old versions.
+    */
+  private def checkpointPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"v$v%08d.checkpoint")
 
   /** Latest committed version, or -1 for an empty/absent table. */
   def currentVersion(root: String): Long = {
@@ -88,43 +109,79 @@ object TableLog {
   }
 
   // ---- manifest text format -------------------------------------------
-  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<schemaDdl>
-  // line 2+: f\t<relpath>\t<rows>\t<col>=<min>:<max>[;<col>=<min>:<max>...]
+  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<kind>\t<schemaDdl>
+  //          (a 5-field header with no <kind> is read as legacy "full")
+  // line 2+: full manifest:  f\t<relpath>\t<rows>\t<col>=<min>:<max>[;...]
+  //          delta manifest: a\t<relpath>\t<rows>\t<zones>   added file
+  //                          r\t<relpath>                    removed file
   // Tab-free fields by construction (schema DDL never contains tabs for
   // the supported types; paths are ours). Deterministic: files sorted
-  // by path.
+  // by path. A checkpoint side-file uses the full format verbatim.
+
+  private def renderEntry(tag: String, f: FileEntry): String = {
+    val zones = f.zMin.keys.toSeq.sorted
+      .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
+    s"$tag\t${f.path}\t${f.rows}\t$zones\n"
+  }
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.schemaDdl}\n")
-    m.files.sortBy(_.path).foreach { f =>
-      val zones = f.zMin.keys.toSeq.sorted
-        .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
-      sb.append(s"f\t${f.path}\t${f.rows}\t$zones\n")
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\n")
+    if (m.kind == "full")
+      m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("f", f)))
+    else {
+      m.removes.sorted.foreach(p => sb.append(s"r\t$p\n"))
+      m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("a", f)))
     }
     sb.toString
   }
 
+  private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
+    require(f.length == 4, s"malformed manifest line in $p: $ln")
+    val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
+      val Array(c, mm) = z.split("=", 2)
+      val Array(lo, hi) = mm.split(":", 2)
+      (c, lo.toLong, hi.toLong)
+    }
+    FileEntry(f(1), f(2).toLong,
+      zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap)
+  }
+
+  /** Read + RESOLVE version `version`: a checkpoint side-file or a
+    * full manifest resolves directly; a delta manifest recursively
+    * resolves its parent and applies removes-then-adds. Replay depth
+    * is bounded by the writer's `checkpointInterval` (and by vacuum's
+    * checkpoint materialization after history is dropped).
+    */
   def readManifest(root: String, version: Long): Manifest = {
-    val p = manifestPath(root, version)
+    val ck = checkpointPath(root, version)
+    val p = if (Files.exists(ck)) ck else manifestPath(root, version)
     require(Files.exists(p),
       s"table-log version $version does not exist at $root (vacuumed or never committed)")
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val h = lines.head.split("\t", -1)
-    require(h(0) == "graft-table-log" && h.length == 5,
+    require(h(0) == "graft-table-log" && (h.length == 5 || h.length == 6),
       s"malformed manifest header at $p")
-    val files = lines.tail.filter(_.nonEmpty).map { ln =>
-      val f = ln.split("\t", -1)
-      require(f(0) == "f" && f.length == 4, s"malformed manifest line in $p: $ln")
-      val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
-        val Array(c, mm) = z.split("=", 2)
-        val Array(lo, hi) = mm.split(":", 2)
-        (c, lo.toLong, hi.toLong)
+    val (kind, ddl) = if (h.length == 6) (h(4), h(5)) else ("full", h(4))
+    val entries = lines.tail.filter(_.nonEmpty).map(ln => (ln.split("\t", -1), ln))
+    if (kind == "full") {
+      val files = entries.map { case (f, ln) =>
+        require(f(0) == "f", s"malformed manifest line in $p: $ln")
+        parseEntry(f, p, ln)
       }
-      FileEntry(f(1), f(2).toLong,
-        zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap)
+      Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files)
+    } else {
+      val removes = entries.collect { case (f, ln) =>
+        require(f(0) == "r" || f(0) == "a", s"malformed manifest line in $p: $ln")
+        if (f(0) == "r") Some(f(1)) else None
+      }.flatten
+      val adds = entries.collect { case (f, ln) if f(0) == "a" => parseEntry(f, p, ln) }
+      val parentM = readManifest(root, h(2).toLong)
+      val removed = removes.toSet
+      Manifest(h(1).toLong, h(2).toLong, h(3), ddl,
+        parentM.files.filterNot(f => removed(f.path)) ++ adds,
+        kind = "delta", removes = removes)
     }
-    Manifest(h(1).toLong, h(2).toLong, h(3), h(4), files)
   }
 
   /** Atomic commit-point write: temp file + hard-link to the final
@@ -240,21 +297,40 @@ object TableLog {
 
   // ---- public write path ----------------------------------------------
 
+  /** Should version v be a full (checkpoint-style) manifest under
+    * `checkpointInterval`? interval ≤ 1 keeps every manifest full
+    * (the default, and the original behavior); above that, every
+    * interval-th version checkpoints and the rest write deltas —
+    * the knob that turns an O(files)-per-commit metadata write into
+    * O(delta), the thing that matters past ~10^6 live files.
+    */
+  private def fullDue(v: Long, checkpointInterval: Int): Boolean =
+    checkpointInterval <= 1 || v % checkpointInterval == 0
+
   /** Commit `df` as a new version. `mode` "overwrite" starts the
     * snapshot from scratch; "append" carries the parent's files
     * forward and adds the new ones (the only data IO is the NEW
-    * rows — append never touches existing files).
+    * rows — append never touches existing files; with
+    * `checkpointInterval` > 1 the manifest write is also only
+    * delta-sized except at checkpoints).
     */
   def commit(df: DataFrame, root: String, layout: Column,
-             numFiles: Int = 8, mode: String = "append"): Long = {
+             numFiles: Int = 8, mode: String = "append",
+             checkpointInterval: Int = 1): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = currentVersion(root)
     val v = parent + 1
     val added = writeDataFiles(df, root, v, layout, numFiles)
-    val carried =
-      if (mode == "overwrite" || parent < 0) Nil
-      else readManifest(root, parent).files
-    writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, carried ++ added))
+    if (mode == "overwrite" || parent < 0)
+      // an overwrite IS a full snapshot — a delta encoding of it
+      // would be remove-everything + add-everything, strictly worse
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, added))
+    else if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+        readManifest(root, parent).files ++ added))
+    else
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+        added, kind = "delta"))
   }
 
   // ---- read path -------------------------------------------------------
@@ -315,7 +391,8 @@ object TableLog {
     * by construction; only the small tail is read or written.
     */
   def compact(spark: SparkSession, root: String, orderCol: String,
-              targetRows: Long, smallRows: Long): Long = {
+              targetRows: Long, smallRows: Long,
+              checkpointInterval: Int = 1): Long = {
     val parent = currentVersion(root)
     require(parent >= 0, s"nothing to compact at $root")
     val m = readManifest(root, parent)
@@ -345,7 +422,14 @@ object TableLog {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .toSeq.sorted
     val added = footerStats(spark, root, names.map(n => s"$rel/$n"))
-    writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl, keep ++ added))
+    if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl, keep ++ added))
+    else
+      // delta form: the folded small tail is the remove set, the bins
+      // are the adds — the manifest write is tail-sized, not
+      // table-sized
+      writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl,
+        added, kind = "delta", removes = small.map(_.path)))
   }
 
   /** CDC MERGE as a COMMIT — copy-on-write at FILE granularity (the
@@ -368,7 +452,8 @@ object TableLog {
   def merge(base: DataFrame, root: String, changes: DataFrame,
             keyCol: String, layout: Column, numFiles: Int = 8,
             verCol: String = "ver", opCol: String = "op",
-            valCol: String = "price", newValCol: String = "new_price"): Long = {
+            valCol: String = "price", newValCol: String = "new_price",
+            checkpointInterval: Int = 1): Long = {
     val spark = changes.sparkSession
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
@@ -418,7 +503,12 @@ object TableLog {
         affectedRows, changes, keyCol, verCol, opCol, valCol, newValCol)
       .drop("action")
     val added = writeDataFiles(merged, root, v, layout, numFiles)
-    writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl, carried ++ added))
+    if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl, carried ++ added))
+    else
+      // delta form: only the zone-affected rewrite set is logged
+      writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl,
+        added, kind = "delta", removes = affectedPaths.toSeq.sorted))
   }
 
   // ---- retention -------------------------------------------------------
@@ -434,6 +524,25 @@ object TableLog {
     require(keepFrom <= head, s"keepFrom $keepFrom beyond head $head")
     val versions = (0L to head).filter(v => Files.exists(manifestPath(root, v)))
     val (dead, live) = versions.partition(_ < keepFrom)
+    // A surviving DELTA manifest replays through its parent chain,
+    // which may dip below the retention line — materialize the
+    // LOWEST surviving version as a checkpoint FIRST (its resolved
+    // listing, content-identical, metadata-only) so every surviving
+    // version resolves without the dead manifests. Only the lowest
+    // needs it: parents are consecutive, so every other survivor's
+    // chain stops there.
+    live.headOption.foreach { low =>
+      if (dead.nonEmpty && !Files.exists(checkpointPath(root, low))) {
+        val resolved = readManifest(root, low)
+        val ck = Manifest(resolved.version, resolved.parent, resolved.action,
+          resolved.schemaDdl, resolved.files)
+        val tmp = logDir(root).resolve(
+          s".tmpck_v${low}_${ProcessHandle.current().pid()}")
+        Files.write(tmp, renderManifest(ck).getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(checkpointPath(root, low), tmp)
+        finally Files.deleteIfExists(tmp)
+      }
+    }
     val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
     val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
       .distinct.filterNot(liveFiles)

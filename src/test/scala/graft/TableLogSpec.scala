@@ -152,4 +152,72 @@ class TableLogSpec extends AnyFunSuite {
     while (leftovers.hasNext) names += leftovers.next().getFileName.toString
     assert(names.forall(!_.startsWith(".tmp")), s"temp junk left: $names")
   }
+
+  test("delta manifests: delta-sized on disk, replay equals a full-manifest twin") {
+    import java.nio.file.{Files, Paths}
+    val rootD = freshRoot("delta")
+    val rootF = freshRoot("deltafull")
+    def drive(root: String, interval: Int): Unit = {
+      TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4,
+        "overwrite", checkpointInterval = interval)
+      TableLog.commit(mkDf(100L until 160L), root, expr("k div 25"), 2,
+        "append", checkpointInterval = interval)
+      TableLog.compact(spark, root, "k", targetRows = 1000L,
+        smallRows = Long.MaxValue, checkpointInterval = interval)
+      TableLog.commit(mkDf(160L until 200L), root, expr("k div 25"), 2,
+        "append", checkpointInterval = interval)
+    }
+    drive(rootD, 10); drive(rootF, 1)
+    // version-for-version, the delta chain resolves to the same
+    // CONTENT as the all-full twin
+    for (v <- 0L to 3L)
+      assert(rows(TableLog.read(spark, rootD, Some(v))) ==
+        rows(TableLog.read(spark, rootF, Some(v))), s"version $v")
+    // physical claim: v1/v3 manifests carry ONLY add lines, v2
+    // (compaction) removes + adds — never a full listing
+    def lines(v: Long) = Files.readAllLines(
+      Paths.get(rootD, "_log", f"v$v%08d.manifest")).asScalaTags
+    def tags(v: Long) = lines(v).drop(1).filter(_.nonEmpty).map(_.takeWhile(_ != '\t'))
+    assert(tags(0L).forall(_ == "f"), "v0 (overwrite) must be full")
+    assert(tags(1L).nonEmpty && tags(1L).forall(_ == "a"), "v1 must be add-only delta")
+    assert(tags(2L).contains("r") && tags(2L).contains("a") &&
+      !tags(2L).contains("f"), "v2 (compact) must be a remove+add delta")
+    assert(tags(3L).nonEmpty && tags(3L).forall(_ == "a"), "v3 must be add-only delta")
+    // the delta manifest is tail-sized: v3 lists 2 added files, while
+    // the full twin's v3 lists the whole snapshot
+    val fullV3 = Files.readAllLines(
+      Paths.get(rootF, "_log", "v00000003.manifest")).size
+    assert(lines(3L).size < fullV3,
+      s"delta v3 (${lines(3L).size} lines) must be smaller than full twin ($fullV3)")
+  }
+
+  // small shim: readAllLines → Scala Seq (kept local to the delta test)
+  implicit private class JListLines(l: java.util.List[String]) {
+    def asScalaTags: Seq[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      l.forEach(s => b += s)
+      b.toSeq
+    }
+  }
+
+  test("vacuum materializes a checkpoint: surviving deltas resolve, dropped history fails") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("ckpt")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2,
+      "overwrite", checkpointInterval = 10)
+    TableLog.commit(mkDf(50L until 80L), root, expr("k div 25"), 1,
+      "append", checkpointInterval = 10)
+    TableLog.commit(mkDf(80L until 90L), root, expr("k div 25"), 1,
+      "append", checkpointInterval = 10)
+    TableLog.vacuum(root, keepFrom = 1L)
+    // v1 was a DELTA whose parent v0 is gone — the checkpoint vacuum
+    // wrote at v1 keeps it (and v2's replay through it) resolvable
+    assert(Files.exists(Paths.get(root, "_log", "v00000001.checkpoint")))
+    assert(rows(TableLog.read(spark, root, Some(1L))) == rows(mkDf(0L until 80L)))
+    assert(rows(TableLog.read(spark, root, Some(2L))) == rows(mkDf(0L until 90L)))
+    // retention is real: v0 is gone, loudly
+    intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(0L)) }
+    // idempotent: a second vacuum at the same boundary changes nothing
+    assert(TableLog.vacuum(root, keepFrom = 1L).isEmpty)
+  }
 }
