@@ -445,8 +445,14 @@ object StreamQueries {
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      StreamRun.runForeachBatch(s, stream) { (batch, _) =>
-        if (!batch.isEmpty) {
+      StreamRun.runForeachBatch(s, stream) { (batch, id) =>
+        // txn guard = exactly-once: foreachBatch re-delivers a batch
+        // with the SAME id on recovery, and re-merging the same delta
+        // would double-count — skip ids at or below the store's
+        // high-water mark (TableLog.commitTxn's contract, inlined
+        // here because the MV refresh commits mode=overwrite).
+        if (!batch.isEmpty &&
+            id > graft.sources.TableLog.lastTxn(root, "st25")) {
           val part = graft.operators.IncrementalAgg.partial(batch, keys, ms)
           val cur = graft.sources.TableLog.currentVersion(root)
           val state =
@@ -454,7 +460,7 @@ object StreamQueries {
             else graft.operators.IncrementalAgg.merge(
               Seq(graft.sources.TableLog.read(s, root), part), keys, ms)
           graft.sources.TableLog.commit(state, root, col("o_custkey"),
-            numFiles = 2, mode = "overwrite")
+            numFiles = 2, mode = "overwrite", txnTag = Some(s"st25:$id"))
         }
       }
       graft.sources.TableLog.read(s, root)
@@ -462,6 +468,48 @@ object StreamQueries {
           col("sum_cents"), col("min_cents"), col("max_cents"),
           (col("sum_cents").cast("double") / col("cnt_cents")).as("avg_cents"))
         .orderBy("o_custkey")
+    }),
+
+    // S24/st26: exactly-once streaming APPEND ingest into the R67/R69
+    // commit log — the Delta-sink shape: each micro-batch lands as a
+    // transactional TableLog version stamped with its batch id
+    // (commitTxn; delta manifests past the checkpoint interval), and
+    // a RE-DELIVERED batch — foreachBatch re-runs a batch with the
+    // same id on recovery — is a content-exact no-op because its txn
+    // is at or below the store's per-app high-water mark. The query
+    // certifies that value-for-value: after the 4-batch stream it
+    // REPLAYS a duplicate delivery of batch 0 (with the whole fact
+    // table as payload — the worst case) and emits the store's
+    // version count + aggregate; a broken guard double-counts sums
+    // AND inflates n_versions. Oracle recomputes from raw orders.
+    "st26_stream_table_ingest" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+      val src = TidyIO.scratchDir("st26_src")
+      o.repartition(4).write.mode("overwrite").parquet(src)
+      val root = TidyIO.scratchDir("st26_tbl")
+      val layout = expr("k div 500")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      StreamRun.runForeachBatch(s, stream) { (batch, id) =>
+        if (!batch.isEmpty)
+          TableLog.commitTxn(batch, root, layout, numFiles = 2,
+            appId = "st26", txn = id, checkpointInterval = 4)
+      }
+      // failure-recovery path: batch 0 re-delivered after the run —
+      // MUST be skipped by the txn high-water mark
+      TableLog.commitTxn(o, root, layout, numFiles = 2,
+        appId = "st26", txn = 0L, checkpointInterval = 4)
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+        .select(lit(TableLog.currentVersion(root) + 1).as("n_versions"),
+          col("n_rows"), col("n_keys"), col("sum_cents"))
     }),
 
     // S8: streaming windowed DISTINCT count — the per-window unique-
@@ -648,6 +696,18 @@ object StreamQueries {
     // — exactly q56's full-recompute oracle, reused verbatim (same
     // projection, same integer-cents measures).
     "st25_incr_mv" -> Relational.oracle("q56_incr_mv"),
+
+    // st26: 4 one-file batches → versions v0..v3, and the replayed
+    // duplicate of batch 0 must change NOTHING — so n_versions is
+    // exactly 4 and the aggregate equals raw orders (a broken txn
+    // guard double-counts sum_cents and inflates n_versions).
+    "st26_stream_table_ingest" ->
+      """SELECT CAST(4 AS BIGINT) AS n_versions,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT CAST(o_orderkey AS BIGINT)) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents
+        |FROM orders""".stripMargin,
 
     // st22 runs m13's sample reassembly through the streaming engine
     // over the same store — the RESULT contract is identical, so its

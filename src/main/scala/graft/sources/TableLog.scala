@@ -312,25 +312,78 @@ object TableLog {
     * forward and adds the new ones (the only data IO is the NEW
     * rows — append never touches existing files; with
     * `checkpointInterval` > 1 the manifest write is also only
-    * delta-sized except at checkpoints).
+    * delta-sized except at checkpoints). `txnTag` stamps the
+    * manifest's action field (`append+txn=<appId>:<n>`) — the
+    * [[commitTxn]] idempotency marker.
     */
   def commit(df: DataFrame, root: String, layout: Column,
              numFiles: Int = 8, mode: String = "append",
-             checkpointInterval: Int = 1): Long = {
+             checkpointInterval: Int = 1,
+             txnTag: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = currentVersion(root)
     val v = parent + 1
+    val action = txnTag.fold(mode)(t => s"$mode+txn=$t")
     val added = writeDataFiles(df, root, v, layout, numFiles)
     if (mode == "overwrite" || parent < 0)
       // an overwrite IS a full snapshot — a delta encoding of it
       // would be remove-everything + add-everything, strictly worse
-      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, added))
+      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL, added))
     else if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
         readManifest(root, parent).files ++ added))
     else
-      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
         added, kind = "delta"))
+  }
+
+  /** Header-only read (first line) — what [[lastTxn]] scans; never
+    * resolves the file list, so it stays O(versions) cheap text IO.
+    */
+  private def readHeader(root: String, v: Long): Array[String] = {
+    val ck = checkpointPath(root, v)
+    val p = if (Files.exists(ck)) ck else manifestPath(root, v)
+    val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    try r.readLine().split("\t", -1) finally r.close()
+  }
+
+  /** Highest transaction id committed by `appId`, or -1 — Delta's
+    * per-application txn high-water mark, the exactly-once contract
+    * for streaming sinks: batch ids are monotone, so a re-delivered
+    * batch is exactly one with `txn <= lastTxn`. RETENTION CONTRACT:
+    * the scan covers live manifests (+ checkpoints), so vacuuming
+    * past the most recent txn-bearing version forgets the mark — a
+    * sink must keep retention at or behind its own checkpoint
+    * horizon (the same rule Delta documents for setTransaction).
+    */
+  def lastTxn(root: String, appId: String): Long = {
+    val head = currentVersion(root)
+    val prefix = s"+txn=$appId:"
+    (0L to head).filter(v => Files.exists(manifestPath(root, v)) ||
+        Files.exists(checkpointPath(root, v)))
+      .map(v => readHeader(root, v)(3))
+      .collect { case a if a.contains(prefix) =>
+        a.substring(a.indexOf(prefix) + prefix.length).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Transactional append — the exactly-once sink primitive for
+    * `foreachBatch` streaming ingest (st26): commit the batch as a
+    * new version stamped `appId:txn`, UNLESS a version with an
+    * equal-or-higher txn for this appId already exists, in which
+    * case the delivery is a duplicate (foreachBatch re-runs a batch
+    * with the SAME id on recovery) and the call is a content-exact
+    * no-op. Correct because Structured Streaming batch ids are
+    * monotonically increasing per query.
+    */
+  def commitTxn(df: DataFrame, root: String, layout: Column,
+                numFiles: Int, appId: String, txn: Long,
+                checkpointInterval: Int = 1): Long = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == ':'),
+      s"appId must be non-empty and ':'/tab/newline-free: $appId")
+    if (txn <= lastTxn(root, appId)) currentVersion(root)
+    else commit(df, root, layout, numFiles, "append", checkpointInterval,
+      txnTag = Some(s"$appId:$txn"))
   }
 
   // ---- read path -------------------------------------------------------

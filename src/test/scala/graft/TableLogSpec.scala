@@ -220,4 +220,27 @@ class TableLogSpec extends AnyFunSuite {
     // idempotent: a second vacuum at the same boundary changes nothing
     assert(TableLog.vacuum(root, keepFrom = 1L).isEmpty)
   }
+
+  test("commitTxn: duplicate and stale deliveries are content-exact no-ops, per app") {
+    val root = freshRoot("txn")
+    val v0 = TableLog.commitTxn(mkDf(0L until 40L), root, expr("k div 25"), 2,
+      appId = "sinkA", txn = 0L)
+    val v1 = TableLog.commitTxn(mkDf(40L until 60L), root, expr("k div 25"), 1,
+      appId = "sinkA", txn = 1L)
+    assert(v0 == 0L && v1 == 1L && TableLog.lastTxn(root, "sinkA") == 1L)
+    val before = rows(TableLog.read(spark, root))
+    // duplicate of txn 1 and a stale txn 0 (recovery re-deliveries):
+    // no new version, no content change — even with different payloads
+    assert(TableLog.commitTxn(mkDf(0L until 999L), root, expr("k div 25"), 2,
+      "sinkA", 1L) == 1L)
+    assert(TableLog.commitTxn(mkDf(0L until 999L), root, expr("k div 25"), 2,
+      "sinkA", 0L) == 1L)
+    assert(TableLog.currentVersion(root) == 1L)
+    assert(rows(TableLog.read(spark, root)) == before)
+    // a DIFFERENT app's txn ids are an independent sequence
+    assert(TableLog.lastTxn(root, "sinkB") == -1L)
+    assert(TableLog.commitTxn(mkDf(60L until 70L), root, expr("k div 25"), 1,
+      "sinkB", 0L) == 2L)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 70L)))
+  }
 }
