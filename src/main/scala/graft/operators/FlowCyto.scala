@@ -285,6 +285,60 @@ object FlowCyto {
         expr(s"lo + (valley_bin * (hi - lo + 1)) div $bins").as("threshold")): _*)
   }
 
+  /** F20 — ELLIPSE (Mahalanobis) gate per sample group: the standard
+    * 2-D flow-cytometry gate after rectangles/polygons (FlowJo/
+    * GatingML's ellipsoid gate) — an event is inside when its
+    * Mahalanobis distance² to the group's (mean, covariance) is ≤
+    * `t2` (t2 = 6 ≈ the χ²₂ 95% contour for a Gaussian population).
+    *
+    * EXACT integer arithmetic end to end (the f16/f19 DECIMAL(38,0)
+    * discipline): with per-group integer sums n, sx, sy, sxx, syy,
+    * sxy, the scaled central moments are mxx = n·sxx − sx², myy, mxy
+    * (= n²·covariance), D = mxx·myy − mxy² (≥ 0 by Cauchy–Schwarz)
+    * and, for an event, dx = n·x − sx, dy = n·y − sy (= n²·centered
+    * coords): d² ≤ t2 ⟺ myy·dx² − 2·mxy·dx·dy + mxx·dy² ≤ t2·D —
+    * a pure integer comparison, no division, no square root, so the
+    * oracle replays it bit-for-bit in HUGEINT. Degenerate groups
+    * (D = 0: fewer than 2 distinct points or exactly collinear
+    * channels) gate NOTHING inside, both engines alike. Callers keep
+    * channel magnitudes ≤ ~1e5 so the worst product (myy·dx²) stays
+    * ≲1e35, inside both DECIMAL(38,0) and int128.
+    *
+    * Scale shape: one keyed aggregate for the moments (map-side
+    * partials, group-sized result), then the gate pass re-reads the
+    * facts with the moments BROADCAST — the fact table never
+    * shuffles, the 100 TB cost is two linear scans (one with cache
+    * locality if the caller persists).
+    */
+  def ellipseGateStats(df: DataFrame, x: Column, y: Column,
+                       groupCols: Seq[String], t2: Int = 6): DataFrame = {
+    val d = df.select(groupCols.map(col) :+
+      x.cast("decimal(38,0)").as("__gx") :+ y.cast("decimal(38,0)").as("__gy"): _*)
+    val g = d.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__gx")).as("__sx"), sum(col("__gy")).as("__sy"),
+        sum(col("__gx") * col("__gx")).as("__sxx"),
+        sum(col("__gy") * col("__gy")).as("__syy"),
+        sum(col("__gx") * col("__gy")).as("__sxy"))
+      .withColumn("__mxx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__myy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__mxy", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dt", col("__mxx") * col("__myy") - col("__mxy") * col("__mxy"))
+    val dx = col("__n") * col("__gx") - col("__sx")
+    val dy = col("__n") * col("__gy") - col("__sy")
+    val qv = col("__myy") * dx * dx -
+      lit(2).cast("decimal(38,0)") * col("__mxy") * dx * dy +
+      col("__mxx") * dy * dy
+    val inside = col("__dt") > lit(0) &&
+      qv <= lit(t2).cast("decimal(38,0)") * col("__dt")
+    d.join(broadcast(g), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(inside, 1L).otherwise(0L)).as("n_in"))
+      .withColumn("share6",
+        expr("CAST((2000000 * n_in + n_events) div (2 * n_events) AS DOUBLE) / 1000000"))
+  }
+
   def robustStats(df: DataFrame, channel: Column, groupCols: Seq[String],
                   pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
     val cuts = df.groupBy(groupCols.map(col): _*)

@@ -247,6 +247,67 @@ object FlowCytoQueries {
     // it bit-for-bit; the single final division is reported half-up
     // at 6 dp in integer space. ONE keyed aggregation over the event
     // scan — the AutoSpill-lite matrix build.
+    // F21: per-sample distribution DRIFT vs the pooled reference —
+    // exact 1-Wasserstein / earth-mover distance between each
+    // sample's channel histogram and the pooled global one on a shared
+    // equal-width grid (the batch-effect / acquisition-drift QC a
+    // cytometry core runs before pooling samples; Orlova 2016's EMD
+    // recommendation). For 1-D histograms EMD = Σ_bins |ΔCDF|·width:
+    // computed EXACTLY over the common denominator n_s·N — per-bin
+    // diff c_s·N − c_g·n_s, partitioned running sum, Σ|cum| — so the
+    // oracle replays it in HUGEINT with no normalization floats; the
+    // single final division reports 6-dp half-up bin units. Shapes:
+    // two keyed aggregates (map-side partials), a groups×bins grid
+    // built by BROADCAST (histogram-sized, never fact-sized), and a
+    // PARTITIONED window — the fact table is scanned twice, never
+    // shuffled.
+    "f21_hist_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_quantity / 5) AS BIGINT)").as("bin"))
+      val per = li.groupBy("l_returnflag", "l_linestatus", "bin")
+        .agg(count(lit(1)).as("c"))
+      val glob = li.groupBy("bin").agg(count(lit(1)).as("cg"))
+      val ns = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("ns"))
+      val nTot = li.agg(count(lit(1)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "l_linestatus").orderBy("bin")
+      ns.crossJoin(broadcast(glob))
+        .join(per, Seq("l_returnflag", "l_linestatus", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("d",
+          col("c").cast("decimal(38,0)") * col("nn").cast("decimal(38,0)") -
+            col("cg").cast("decimal(38,0)") * col("ns").cast("decimal(38,0)"))
+        .withColumn("cum", sum(col("d")).over(w))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(max(col("ns")).cast("long").as("n_events"),
+          sum(abs(col("cum"))).as("sabs"),
+          max(col("nn")).cast("long").as("nn2"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_events"),
+          expr("CAST((2000000 * sabs + n_events * nn2) div (2 * n_events * nn2) AS DOUBLE) / 1000000")
+            .as("emd6"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F20: ELLIPSE (Mahalanobis) gate — the standard 2-D population
+    // gate above rectangles/polygons: inside ⟺ Mahalanobis d² ≤ 6
+    // (the χ²₂ ≈95% contour) against the sample's own (mean,
+    // covariance). The comparison runs as a pure integer inequality
+    // over n²-scaled central moments (see FlowCyto.ellipseGateStats)
+    // — no division, no sqrt — so the oracle replays it bit-for-bit
+    // in HUGEINT. Channels: price in DOLLARS (≤ ~1e5, keeping the
+    // worst product ≲1e35 inside DECIMAL(38,0)/int128) × quantity.
+    "f20_ellipse_gate" -> ((s, dir) => {
+      FlowCyto.ellipseGateStats(
+          t(s, dir, "lineitem"),
+          expr("CAST(round(l_extendedprice) AS DECIMAL(38,0))"),
+          expr("CAST(l_quantity AS DECIMAL(38,0))"),
+          Seq("l_returnflag", "l_linestatus"), t2 = 6)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "f16_spillover_fit" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .withColumn("x", expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))"))
@@ -687,6 +748,59 @@ object FlowCytoQueries {
 
     // f16: HUGEINT sums ≡ Spark DECIMAL(38,0) sums (both exact
     // integers); same half-up 6dp integer-space division.
+    // f21: the common-denominator EMD replayed in HUGEINT — grid,
+    // per-bin diff, running CDF sum and Σ|cum| are exact; only the
+    // final 6-dp half-up division touches DOUBLE.
+    "f21_hist_drift" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(floor(l_quantity / 5) AS BIGINT) AS bin FROM lineitem),
+        | per AS (SELECT rf, ls, bin, CAST(count(*) AS HUGEINT) AS c
+        |   FROM li GROUP BY 1, 2, 3),
+        | gbl AS (SELECT bin, CAST(count(*) AS HUGEINT) AS cg FROM li GROUP BY 1),
+        | nsx AS (SELECT rf, ls, CAST(count(*) AS HUGEINT) AS ns FROM li GROUP BY 1, 2),
+        | nnx AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM li),
+        | grid AS (SELECT nsx.rf, nsx.ls, nsx.ns, g.bin, g.cg,
+        |     coalesce(p.c, 0) AS c, nnx.nn
+        |   FROM nsx CROSS JOIN gbl g CROSS JOIN nnx
+        |   LEFT JOIN per p ON p.rf = nsx.rf AND p.ls = nsx.ls AND p.bin = g.bin),
+        | cum AS (SELECT rf, ls, ns, nn,
+        |    sum(c*nn - cg*ns) OVER (PARTITION BY rf, ls ORDER BY bin) AS cumv
+        |   FROM grid)
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(max(ns) AS BIGINT) AS n_events,
+        |  CAST((2000000 * sum(abs(cumv)) + max(ns) * max(nn))
+        |       // (2 * max(ns) * max(nn)) AS DOUBLE) / 1000000 AS emd6
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // f20: the integer Mahalanobis inequality replayed in HUGEINT —
+    // moments, D, and the per-event quadratic form are exact, so any
+    // drift in the moment algebra or the gate comparison is a value
+    // diff, not a tolerance.
+    "f20_ellipse_gate" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(round(l_extendedprice) AS HUGEINT) AS x,
+        |    CAST(l_quantity AS HUGEINT) AS y FROM lineitem),
+        | g AS (SELECT rf, ls, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM li GROUP BY 1, 2),
+        | m AS (SELECT rf, ls, n, sx, sy,
+        |    n*sxx - sx*sx AS mxx, n*syy - sy*sy AS myy,
+        |    n*sxy - sx*sy AS mxy FROM g),
+        | q AS (SELECT li.rf, li.ls,
+        |    CASE WHEN (mxx*myy - mxy*mxy) > 0 AND
+        |      myy*(n*x - sx)*(n*x - sx)
+        |        - 2*mxy*(n*x - sx)*(n*y - sy)
+        |        + mxx*(n*y - sy)*(n*y - sy) <= 6 * (mxx*myy - mxy*mxy)
+        |      THEN 1 ELSE 0 END AS ins
+        |  FROM li JOIN m USING (rf, ls))
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(ins) AS BIGINT) AS n_in,
+        |  CAST((2000000 * sum(ins) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1000000 AS share6
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "f16_spillover_fit" ->
       """WITH a AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
         |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)

@@ -50,7 +50,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // crawl bigram stream; bi/ctx attach as broadcast equi-joins.
     // d38 runs t34's scorer body (the shared lmHeldoutXent), so the
     // same 1-row V broadcast appears in its plan too.
-    "t34_heldout_ppl", "d38_ccnet_buckets")
+    "t34_heldout_ppl", "d38_ccnet_buckets",
+    // f21: groups×bins grid via broadcast of the histogram-sized
+    // bin list + the 1-row total — never fact-sized
+    "f21_hist_drift")
 
   // Global (unpartitioned) Window operators sort + stream the WHOLE
   // input through one task — fine iff the relation is provably bounded
