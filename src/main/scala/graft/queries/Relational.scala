@@ -779,6 +779,43 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R70/q68: Z-ORDER layout THROUGH the commit log + conjunctive
+    // multi-column zone pruning — why a 2-D range query wants Morton
+    // tiles, executed through the R67 store: orders carry two
+    // bounded bucket columns (price k$-bucket × key bucket, 0..255
+    // each), the commit's layout column is ZOrder.zkey(xb, yb) div
+    // 4096 — 16 files, each a Morton TILE whose per-file zones are
+    // tight in BOTH dimensions (a single-key layout is tight in one,
+    // 0..255-wide in the other) — and the read resolves a 2-D range
+    // via planFilesMulti's conjunctive zone intersect BEFORE any
+    // scan. Oracle recomputes the filtered aggregate from raw
+    // orders, so a zone that wrongly drops a file surfaces as a
+    // value diff; the file-count claims (multi-dim prune strictly
+    // beats both single dimensions) are pinned in TableLogSpec.
+    "q68_zorder_log" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q68_zlog")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .withColumn("xb", expr("least(cents div 100000, CAST(255 AS BIGINT))"))
+        .withColumn("yb", pmod(col("k"), lit(256L)))
+      // layout = Morton tile id: z interleaves 8 bits of each bucket
+      // (z < 65536), div 4096 → 16 contiguous z-range tiles (integer
+      // floor via double division is exact here: z < 2^53)
+      TableLog.commit(o, root,
+        (graft.operators.ZOrder.zkey(col("xb"), col("yb"), 8) / lit(4096))
+          .cast("long"),
+        numFiles = 16, mode = "overwrite")
+      TableLog.readRangeMulti(s, root,
+          Seq(("xb", 40L, 90L), ("yb", 64L, 191L)))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+    }),
+
     // R69/q67: DELTA manifests + checkpoint materialization — the
     // documented evolution of R67's full-snapshot log (Delta Lake's
     // _delta_log JSON + checkpoint.parquet shape): with
@@ -1889,6 +1926,22 @@ object Relational {
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q68: the 2-D range aggregate recomputed from raw orders — the
+    // Spark side produced it through the z-layout store with
+    // conjunctive zone pruning; a wrongly-dropped file is a value
+    // diff here (the file-count claims live in TableLogSpec).
+    "q68_zorder_log" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | b AS (SELECT k, cents,
+        |    least(cents // 100000, 255) AS xb,
+        |    ((k % 256) + 256) % 256 AS yb FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b WHERE xb BETWEEN 40 AND 90 AND yb BETWEEN 64 AND 191""".stripMargin,
 
     // q67: the two store snapshots recomputed from raw orders —
     // compaction is content-preserving by contract (the q65 lesson),

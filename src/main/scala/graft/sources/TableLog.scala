@@ -394,12 +394,28 @@ object TableLog {
     * (selected, total) so callers can assert the prune.
     */
   def planFiles(root: String, zoneCol: String, lo: Long, hi: Long,
-                asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+                asOf: Option[Long] = None): (Seq[FileEntry], Int) =
+    planFilesMulti(root, Seq((zoneCol, lo, hi)), asOf)
+
+  /** Conjunctive multi-column zone plan: a file survives only if
+    * EVERY predicate's [lo,hi] intersects its zone for that column —
+    * the reason a Z-ORDER layout (ZOrder.zkey as the commit's layout
+    * column) beats single-key clustering: Morton tiles keep BOTH
+    * dimensions' per-file zones tight, so a 2-D range predicate
+    * prunes multiplicatively where a single-key layout prunes on one
+    * dimension and reads everything on the other (q68 certifies the
+    * values; TableLogSpec pins the file counts).
+    */
+  def planFilesMulti(root: String, preds: Seq[(String, Long, Long)],
+                     asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+    require(preds.nonEmpty)
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
     val sel = m.files.filter { f =>
-      (f.zMin.get(zoneCol), f.zMax.get(zoneCol)) match {
-        case (Some(zlo), Some(zhi)) => zlo <= hi && zhi >= lo
-        case _ => false // all-NULL (or un-zoned) chunk: no row can match a range
+      preds.forall { case (c, lo, hi) =>
+        (f.zMin.get(c), f.zMax.get(c)) match {
+          case (Some(zlo), Some(zhi)) => zlo <= hi && zhi >= lo
+          case _ => false // all-NULL (or un-zoned) chunk: no row can match a range
+        }
       }
     }
     (sel, m.files.size)
@@ -423,15 +439,26 @@ object TableLog {
     * then the row-level predicate still applies inside the survivors.
     */
   def readRange(spark: SparkSession, root: String, zoneCol: String,
-                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
-    val (sel, _) = planFiles(root, zoneCol, lo, hi, asOf)
+                lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
+    readRangeMulti(spark, root, Seq((zoneCol, lo, hi)), asOf)
+
+  /** Conjunctive zone-pruned read: only files whose zones intersect
+    * EVERY range are scanned, then the row-level predicates still
+    * apply inside the survivors.
+    */
+  def readRangeMulti(spark: SparkSession, root: String,
+                     preds: Seq[(String, Long, Long)],
+                     asOf: Option[Long] = None): DataFrame = {
+    val (sel, _) = planFilesMulti(root, preds, asOf)
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
-    if (sel.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-        .filter(col(zoneCol).between(lo, hi))
-    else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
-      .filter(col(zoneCol).between(lo, hi))
+    val base =
+      if (sel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lo, hi))
+    }
   }
 
   // ---- maintenance commits --------------------------------------------

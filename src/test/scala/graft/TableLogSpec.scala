@@ -243,4 +243,36 @@ class TableLogSpec extends AnyFunSuite {
       "sinkB", 0L) == 2L)
     assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 70L)))
   }
+
+  test("z-order layout: conjunctive 2-D pruning beats both single dimensions") {
+    import graft.operators.ZOrder
+    val root = freshRoot("zorder")
+    // a 64×64 value grid: xb = k mod 64, yb = k div 64 — every (xb,yb)
+    // combination occurs exactly once
+    val df = (0L until 4096L).map(k => (k, k % 64, k / 64))
+      .toDF("k", "xb", "yb")
+    // Morton tiles: z interleaves 8 bits each (z < 16384 on 6-bit
+    // values), div 256 → 16 z-contiguous tiles
+    TableLog.commit(df, root,
+      (ZOrder.zkey(col("xb"), col("yb"), 8) / lit(256)).cast("long"),
+      numFiles = 16, mode = "overwrite")
+    val (multi, total) = TableLog.planFilesMulti(root,
+      Seq(("xb", 10L, 20L), ("yb", 10L, 20L)))
+    val (sx, _) = TableLog.planFiles(root, "xb", 10L, 20L)
+    val (sy, _) = TableLog.planFiles(root, "yb", 10L, 20L)
+    assert(total == 16)
+    // the tile query prunes MULTIPLICATIVELY: strictly fewer files
+    // than either single-dimension plan, which in turn prune strictly
+    assert(multi.size < sx.size && multi.size < sy.size,
+      s"multi=${multi.size} xb=${sx.size} yb=${sy.size}")
+    assert(sx.size < total && sy.size < total)
+    // correctness: the pruned read equals the brute-force filter
+    val got = TableLog.readRangeMulti(spark, root,
+        Seq(("xb", 10L, 20L), ("yb", 10L, 20L)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = (0L until 4096L)
+      .filter(k => (k % 64) >= 10 && (k % 64) <= 20 && (k / 64) >= 10 && (k / 64) <= 20)
+      .toSet
+    assert(got == want)
+  }
 }
