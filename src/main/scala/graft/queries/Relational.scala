@@ -779,6 +779,53 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R71/q69: commit-time CHECK constraints + quarantine routing —
+    // the declarative half of the ingest posture (q64/q66 quarantine
+    // malformed RECORDS; constraints quarantine well-formed rows
+    // that violate declared BUSINESS rules, Delta's ALTER TABLE ADD
+    // CONSTRAINT): orders are split on the declared rule (cents in
+    // (0, 2·10⁷] — high-value orders violate deterministically), the
+    // clean subset commits through commitChecked, the violating rows
+    // land in a quarantine relation, and a commit of the UNSPLIT
+    // batch is attempted and must be REJECTED with the store left
+    // bit-identical (zero data/manifest IO before validation). The
+    // emitted row certifies all of it value-for-value: rejected
+    // flag, version count still 1, clean/quarantine counts and the
+    // clean sum — a broken validator either commits the dirty batch
+    // (n_versions 2, sums off) or mis-splits.
+    "q69_constraints" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q69_checked")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+      val checks = Seq(
+        "cents_positive" -> "cents > 0",
+        "cents_bounded" -> "cents <= 20000000")
+      val ok = col("cents") > 0L && col("cents") <= 20000000L
+      val clean = o.filter(ok)
+      val quarantined = o.filter(!ok)
+      TableLog.commitChecked(clean, root, expr("k div 500"), 4,
+        "overwrite", checks)
+      // the dirty batch carries a sentinel violator (k=-1, cents=-5)
+      // so the rejection is certified on EVERY corpus instance, even
+      // one whose natural rows all satisfy the rule
+      val dirty = o.unionByName(
+        s.range(1).select(lit(-1L).as("k"), lit(-5L).as("cents")))
+      val rejected =
+        try { TableLog.commitChecked(dirty, root, expr("k div 500"), 4,
+          "append", checks); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_clean"), sum("cents").as("sum_clean"))
+        .select(lit(rejected).as("rejected"),
+          lit(TableLog.currentVersion(root) + 1).as("n_versions"),
+          col("n_clean"), col("sum_clean"),
+          lit(quarantined.count()).as("n_quarantined"))
+    }),
+
     // R70/q68: Z-ORDER layout THROUGH the commit log + conjunctive
     // multi-column zone pruning — why a 2-D range query wants Morton
     // tiles, executed through the R67 store: orders carry two
@@ -1926,6 +1973,23 @@ object Relational {
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q69: the declared rule replayed from orders; rejected and
+    // n_versions are the validator's contract (a dirty commit would
+    // make n_versions 2 and flip rejected to 0).
+    "q69_constraints" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT CAST(1 AS BIGINT) AS rejected,
+        |  CAST(1 AS BIGINT) AS n_versions,
+        |  CAST(sum(CASE WHEN cents > 0 AND cents <= 20000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN cents > 0 AND cents <= 20000000 THEN cents END)
+        |    AS BIGINT) AS sum_clean,
+        |  CAST(sum(CASE WHEN cents > 0 AND cents <= 20000000 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_quarantined
+        |FROM o""".stripMargin,
 
     // q68: the 2-D range aggregate recomputed from raw orders — the
     // Spark side produced it through the z-layout store with

@@ -337,6 +337,37 @@ object TableLog {
         added, kind = "delta"))
   }
 
+  /** Commit-time CHECK constraints (Delta's table-constraint shape):
+    * each (name, boolean SQL expression) must hold for every row of
+    * the incoming batch — SQL CHECK semantics, a row violates only
+    * when the expression is FALSE (NULL passes). All constraints are
+    * validated in ONE aggregate pass over the batch (map-side
+    * partial counts; Delta pays the same extra scan), and a
+    * violating batch is rejected BEFORE any data or manifest IO —
+    * the store is bit-identical after a rejected commit, which
+    * TableLogSpec pins. The error lists per-constraint violation
+    * counts so the ingest pipeline can route to quarantine (q69
+    * composes exactly that: constraint split → clean commit +
+    * quarantine table, the q64/q66 posture with declared rules).
+    */
+  def commitChecked(df: DataFrame, root: String, layout: Column,
+                    numFiles: Int = 8, mode: String = "append",
+                    checks: Seq[(String, String)] = Nil,
+                    checkpointInterval: Int = 1): Long = {
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (n, e) =>
+        sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(n) }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val bad = checks.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+        .filter(_._2 > 0L)
+      require(bad.isEmpty,
+        s"commit rejected, CHECK constraint violations: " +
+          bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
+    }
+    commit(df, root, layout, numFiles, mode, checkpointInterval)
+  }
+
   /** Header-only read (first line) — what [[lastTxn]] scans; never
     * resolves the file list, so it stays O(versions) cheap text IO.
     */

@@ -244,6 +244,30 @@ class TableLogSpec extends AnyFunSuite {
     assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 70L)))
   }
 
+  test("commitChecked: violations reject before ANY IO, NULL passes (SQL CHECK), counts named") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("checked")
+    val checks = Seq("pos" -> "cents > 0", "bounded" -> "cents <= 500")
+    assert(TableLog.commitChecked(mkDf(0L until 20L), root, expr("k div 25"), 2,
+      "overwrite", checks) == 0L)
+    // violating batch: k=60..99 → cents 601..991 breaks `bounded`
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.commitChecked(mkDf(0L until 100L), root, expr("k div 25"), 2,
+        "append", checks)
+    }
+    assert(ex.getMessage.contains("bounded=50"), ex.getMessage)
+    // rejected BEFORE any IO: version unchanged AND no v1 data dir
+    assert(TableLog.currentVersion(root) == 0L)
+    assert(!Files.exists(Paths.get(root, "files", "v00000001")))
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 20L)))
+    // SQL CHECK semantics: a NULL expression result is NOT a violation
+    val withNull = Seq((30L, Some(301L)), (31L, None))
+      .toDF("k", "cents").select(col("k"), col("cents").cast("long"))
+    assert(TableLog.commitChecked(withNull, root, expr("k div 25"), 1,
+      "append", checks) == 1L)
+    assert(TableLog.read(spark, root).count() == 22L)
+  }
+
   test("z-order layout: conjunctive 2-D pruning beats both single dimensions") {
     import graft.operators.ZOrder
     val root = freshRoot("zorder")
