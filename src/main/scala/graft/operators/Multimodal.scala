@@ -676,6 +676,71 @@ object Multimodal {
       "peak", "rms")
   }
 
+  /** Fixed-point 16-point DFT basis: `dftC(m) = round(10³·cos(mπ/8))`
+    * for m in [0,16) — the m15 cosine-table discipline applied to the
+    * audio tier. sin(mπ/8) = cos((m−4)π/8) indexes the SAME table at
+    * (m+12) mod 16, so one 16-literal table replays both parts in an
+    * external SQL oracle.
+    */
+  private[graft] val dftC: Array[Long] = Array(
+    1000L, 924L, 707L, 383L, 0L, -383L, -707L, -924L,
+    -1000L, -924L, -707L, -383L, 0L, 383L, 707L, 924L)
+
+  /** L113 — windowed SPECTRAL features over the real-codec decode:
+    * the dominant-frequency front end (pitch/tone tracking, whistle/
+    * DTMF detection, the spectral half of VAD) — each `win`=16-sample
+    * frame gets an integer 16-point DFT power spectrum over bins
+    * k = 1..8 (DC excluded; 8 = Nyquist), P(k) = re² + im² with
+    * re = Σ s_j·dftC[(k·j) mod 16], im = Σ s_j·dftC[(k·j+12) mod 16]
+    * — EXACT integer arithmetic end to end (|re| ≤ 16·2¹⁵·10³ ≈
+    * 5.3e8, P ≤ 5.5e17, ΣP ≤ 4.4e18, all inside Long), so the oracle
+    * replays sample formula → the 16-literal cosine table → powers →
+    * argmax bit-for-bit. Emits per frame the dominant bin (ties →
+    * lowest k), its power, and total spectral power. Same real-WAV
+    * decode + format contract as m07/m08; zero shuffle — 100 TB of
+    * audio spectral profiling is a map job.
+    */
+  def audioSpectralFeatures(ids: Dataset[java.lang.Long], n: Int = 512,
+                            stride: Int = 64): DataFrame = {
+    val win = 16
+    require(n >= win && stride >= 1)
+    import ids.sparkSession.implicits._
+    ids.flatMap { boxedId =>
+      val id: Long = boxedId
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(formulaWav(id, n)))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian || ais.getFrameLength != n)
+        throw new IllegalStateException(s"WAV roundtrip mangled id $id: $fmt")
+      val bytes = ais.readAllBytes()
+      val s = Array.tabulate(n)(i =>
+        ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong)
+      (0 to n - win by stride).zipWithIndex.map { case (start, winId) =>
+        var domBin = 0L
+        var domPower = -1L
+        var totPower = 0L
+        var k = 1
+        while (k <= 8) {
+          var re = 0L
+          var im = 0L
+          var j = 0
+          while (j < win) {
+            val m = (k * j) % 16
+            re += s(start + j) * dftC(m)
+            im += s(start + j) * dftC((m + 12) % 16)
+            j += 1
+          }
+          val p = re * re + im * im
+          totPower += p
+          if (p > domPower) { domPower = p; domBin = k.toLong }
+          k += 1
+        }
+        (id, winId.toLong, start.toLong, domBin, domPower, totPower)
+      }
+    }.toDF("doc_id", "win_id", "start_sample", "dom_bin", "dom_power", "tot_power")
+  }
+
   /** L93 — energy-threshold VAD segmentation over the real-codec
     * decode (the voice-activity front end ASR pipelines run before
     * transcription — WebRTC-VAD's energy mode in its integer form):

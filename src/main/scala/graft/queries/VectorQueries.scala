@@ -627,6 +627,25 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // L113/m16: windowed SPECTRAL features over the real-codec audio
+    // decode — the dominant-frequency front end (pitch/tone tracking,
+    // DTMF/whistle detection; the spectral half of VAD): per
+    // 16-sample frame, an integer 16-point DFT power spectrum over
+    // bins 1..8 using the 16-literal fixed-point cosine table (the
+    // m15 discipline on the audio tier; sin indexes the same table
+    // shifted 12), dominant bin by power with ties → lowest k. All
+    // quantities Long-exact, so the oracle replays sample formula →
+    // table → powers → argmax bit-for-bit. Zero-shuffle map job.
+    "m16_audio_spectral" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val ids = docs(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct().as[java.lang.Long]
+      Multimodal.audioSpectralFeatures(ids, n = 512, stride = 64)
+        .orderBy("doc_id", "win_id")
+    }),
+
     // L91: scene-cut detection — 6 formula frames per doc through
     // the real PNG codec, integer SAD detector (|Δ luma sum| > 3000),
     // per-doc cut count + first cut; oracle replays frame sums + lag.
@@ -1708,6 +1727,43 @@ object VectorQueries {
         |    AS BIGINT) AS seg_id,
         |  start_win, end_win, n_wins, energy_sum
         |FROM seg ORDER BY doc_id, seg_id""".stripMargin,
+
+    // m16: sample formula → the 16-literal cosine table (sin = the
+    // same table shifted 12) → re/im sums → powers → windowed argmax
+    // with ties to the lowest bin. All integer until the final casts.
+    "m16_audio_spectral" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | smp AS (SELECT doc_id,
+        |   (doc_id % 2147483648 + 2147483648) % 2147483648 AS sid,
+        |   unnest(range(0, 512)) AS i FROM ids),
+        | v AS (SELECT doc_id, i,
+        |   ((sid * 7 + i * 13) % 65536 + 65536) % 65536 - 32768 AS s FROM smp),
+        | w AS (SELECT doc_id, unnest(range(0, 8)) AS win_id FROM ids),
+        | kj AS (SELECT kk.i AS k, jj.i AS j,
+        |   ([1000,924,707,383,0,-383,-707,-924,-1000,-924,-707,-383,0,383,707,924])
+        |     [(kk.i * jj.i) % 16 + 1] AS c,
+        |   ([1000,924,707,383,0,-383,-707,-924,-1000,-924,-707,-383,0,383,707,924])
+        |     [(kk.i * jj.i + 12) % 16 + 1] AS sn
+        |   FROM (SELECT unnest(range(1, 9)) AS i) kk,
+        |        (SELECT unnest(range(0, 16)) AS i) jj),
+        | ri AS (SELECT w.doc_id, w.win_id, kj.k,
+        |     CAST(sum(v.s * kj.c) AS BIGINT) AS re,
+        |     CAST(sum(v.s * kj.sn) AS BIGINT) AS im
+        |   FROM w CROSS JOIN kj
+        |   JOIN v ON v.doc_id = w.doc_id AND v.i = w.win_id * 64 + kj.j
+        |   GROUP BY 1, 2, 3),
+        | p AS (SELECT doc_id, win_id, k, re * re + im * im AS pw FROM ri),
+        | r AS (SELECT doc_id, win_id, k, pw,
+        |     sum(pw) OVER (PARTITION BY doc_id, win_id) AS tot,
+        |     row_number() OVER (PARTITION BY doc_id, win_id
+        |                        ORDER BY pw DESC, k ASC) AS rn
+        |   FROM p)
+        |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+        |  CAST(win_id * 64 AS BIGINT) AS start_sample,
+        |  CAST(k AS BIGINT) AS dom_bin, CAST(pw AS BIGINT) AS dom_power,
+        |  CAST(tot AS BIGINT) AS tot_power
+        |FROM r WHERE rn = 1 ORDER BY doc_id, win_id""".stripMargin,
 
     "m08_audio_features" ->
       """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id

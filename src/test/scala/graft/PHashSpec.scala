@@ -49,6 +49,34 @@ class PHashSpec extends AnyFunSuite {
     assert(ham(Multimodal.pHashBands(a), Multimodal.pHashBands(b)) === 0)
   }
 
+  test("DFT table matches rounded trig; a sampled pure tone dominates its own bin") {
+    for (m <- 0 until 16) {
+      val exact = math.round(1000.0 * math.cos(m * math.Pi / 8))
+      assert(Multimodal.dftC(m) === exact, s"dftC($m)")
+    }
+    // sin(mπ/8) really is the table at (m+12) mod 16
+    for (m <- 0 until 16) {
+      val exact = math.round(1000.0 * math.sin(m * math.Pi / 8))
+      assert(Multimodal.dftC((m + 12) % 16) === exact, s"sin via shift, m=$m")
+    }
+    // a pure cosine at bin k0 (sampled from the same table) must be
+    // classified into bin k0 by the integer spectrum
+    for (k0 <- Seq(1, 2, 3, 5, 7)) {
+      val s = Array.tabulate(16)(j => 30 * Multimodal.dftC((k0 * j) % 16))
+      var best = 0; var bestP = -1L
+      for (k <- 1 to 8) {
+        var re = 0L; var im = 0L
+        for (j <- 0 until 16) {
+          re += s(j) * Multimodal.dftC((k * j) % 16)
+          im += s(j) * Multimodal.dftC((k * j + 12) % 16)
+        }
+        val p = re * re + im * im
+        if (p > bestP) { bestP = p; best = k }
+      }
+      assert(best === k0, s"pure tone at bin $k0 classified as $best")
+    }
+  }
+
   test("operator: banded pairs equal brute force at the threshold over the formula corpus") {
     import SharedSpark.spark
     import spark.implicits._
