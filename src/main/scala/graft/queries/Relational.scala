@@ -779,6 +779,45 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R72/q70: OPTIMIZE/RECLUSTER — online layout migration through
+    // the commit log (Databricks OPTIMIZE ZORDER BY): orders first
+    // land HASH-SCATTERED (a Knuth-multiplicative slot — every file's
+    // zones span the whole domain, so zone pruning keeps everything;
+    // the layout a query pattern outgrows), then one recluster
+    // commit rewrites the snapshot under q68's Morton-tile layout.
+    // The certification reads the SAME 2-D range from BOTH versions
+    // — the scattered parent (correct but prune-less) and the
+    // z-ordered child (correct and multiplicatively pruned) — and
+    // both must equal the oracle's raw recompute: recluster is
+    // content-preserving AND history stays readable (online,
+    // reversible). The file-count claim (scattered plan keeps ~all
+    // files, z plan strictly fewer) is pinned in TableLogSpec.
+    "q70_recluster" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q70_recluster")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .withColumn("xb", expr("least(cents div 100000, CAST(255 AS BIGINT))"))
+        .withColumn("yb", pmod(col("k"), lit(256L)))
+      TableLog.commit(o, root, pmod(col("k") * lit(2654435761L), lit(16L)),
+        numFiles = 16, mode = "overwrite")
+      TableLog.recluster(s, root,
+        (graft.operators.ZOrder.zkey(col("xb"), col("yb"), 8) / lit(4096))
+          .cast("long"), numFiles = 16)
+      Seq(("v0_scattered", 0L), ("v1_zordered", 1L)).map { case (nm, v) =>
+        TableLog.readRangeMulti(s, root,
+            Seq(("xb", 40L, 90L), ("yb", 64L, 191L)), asOf = Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum("cents").as("sum_cents"))
+          .select(lit(nm).as("step"), col("n_rows"), col("n_keys"),
+            col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // R71/q69: commit-time CHECK constraints + quarantine routing —
     // the declarative half of the ingest posture (q64/q66 quarantine
     // malformed RECORDS; constraints quarantine well-formed rows
@@ -1973,6 +2012,25 @@ object Relational {
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q70: both versions must produce the SAME filtered aggregate —
+    // the q68 recompute, emitted twice under the step labels.
+    "q70_recluster" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | b AS (SELECT k, cents,
+        |    least(cents // 100000, 255) AS xb,
+        |    ((k % 256) + 256) % 256 AS yb FROM o),
+        | f AS (SELECT * FROM b
+        |   WHERE xb BETWEEN 40 AND 90 AND yb BETWEEN 64 AND 191),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM f)
+        |SELECT 'v0_scattered' AS step, n_rows, n_keys, sum_cents FROM a
+        |UNION ALL
+        |SELECT 'v1_zordered', n_rows, n_keys, sum_cents FROM a
+        |ORDER BY step""".stripMargin,
 
     // q69: the declared rule replayed from orders; rejected and
     // n_versions are the validator's contract (a dirty commit would

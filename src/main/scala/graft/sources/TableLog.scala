@@ -543,6 +543,33 @@ object TableLog {
         added, kind = "delta", removes = small.map(_.path)))
   }
 
+  /** OPTIMIZE/RECLUSTER as a COMMIT (Databricks' OPTIMIZE ZORDER BY,
+    * Iceberg's rewrite_data_files with a new sort order): rewrite
+    * the WHOLE live snapshot under a NEW layout column — the
+    * migration path for a table that was ingested with a layout its
+    * query pattern outgrew (hash-scattered, or clustered on the
+    * wrong key). Content-preserving by construction (same rows, new
+    * file boundaries); history stays intact — the parent version
+    * still reads bit-identically until vacuumed, so the migration is
+    * online and reversible. In delta form the manifest is
+    * remove-all + add-all (both snapshot-sized — a recluster
+    * touches everything by definition; incremental variants are
+    * [[compact]], which only folds the small tail).
+    */
+  def recluster(spark: SparkSession, root: String, layout: Column,
+                numFiles: Int = 8, checkpointInterval: Int = 1): Long = {
+    val parent = currentVersion(root)
+    require(parent >= 0, s"nothing to recluster at $root")
+    val m = readManifest(root, parent)
+    val v = parent + 1
+    val added = writeDataFiles(read(spark, root), root, v, layout, numFiles)
+    if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, "recluster", m.schemaDdl, added))
+    else
+      writeManifest(root, Manifest(v, parent, "recluster", m.schemaDdl,
+        added, kind = "delta", removes = m.files.map(_.path)))
+  }
+
   /** CDC MERGE as a COMMIT — copy-on-write at FILE granularity (the
     * Delta/Iceberg MERGE shape): only files whose key zone could
     * contain a changed key are rewritten; everything else carries

@@ -268,6 +268,32 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() == 22L)
   }
 
+  test("recluster: content-preserving, history readable, prune-less layout becomes prunable") {
+    import graft.operators.ZOrder
+    val root = freshRoot("recluster")
+    val df = (0L until 4096L).map(k => (k, k % 64, k / 64))
+      .toDF("k", "xb", "yb")
+    // hash-scattered ingest layout: every file's xb/yb zones span the
+    // whole domain → zone pruning keeps everything
+    TableLog.commit(df, root, pmod(col("k") * lit(2654435761L), lit(16L)),
+      numFiles = 16, mode = "overwrite")
+    val (s0, t0) = TableLog.planFilesMulti(root,
+      Seq(("xb", 10L, 20L), ("yb", 10L, 20L)))
+    assert(t0 == 16 && s0.size == t0,
+      s"scattered layout should prune nothing, kept ${s0.size}/$t0")
+    TableLog.recluster(spark, root,
+      (ZOrder.zkey(col("xb"), col("yb"), 8) / lit(256)).cast("long"),
+      numFiles = 16)
+    val (s1, t1) = TableLog.planFilesMulti(root,
+      Seq(("xb", 10L, 20L), ("yb", 10L, 20L)))
+    assert(t1 == 16 && s1.size < s0.size,
+      s"recluster must make the 2-D prune real: ${s1.size}/${s0.size}")
+    // content-preserving + online: both versions read the same rows
+    def keys(v: Long) = TableLog.read(spark, root, Some(v))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(0L) == keys(1L) && keys(1L) == (0L until 4096L).toSet)
+  }
+
   test("z-order layout: conjunctive 2-D pruning beats both single dimensions") {
     import graft.operators.ZOrder
     val root = freshRoot("zorder")
