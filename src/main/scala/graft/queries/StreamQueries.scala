@@ -470,6 +470,69 @@ object StreamQueries {
         .orderBy("o_custkey")
     }),
 
+    // S25/st27: STREAMING distribution-drift monitor — f21's exact
+    // EMD as a windowed QC (the production data-quality tier above
+    // st11's per-point z-scores: a feed whose VALUE DISTRIBUTION
+    // shifts — new client version, fee change, unit bug — trips no
+    // per-row outlier rule but moves the per-hour histogram). The
+    // ENGINE does the stateful part: complete-mode (hour-window ×
+    // value-bin) counts through real MicroBatchExecution — state is
+    // windows×bins, bounded; the EMD fold vs the static full-corpus
+    // reference then runs batch-side on the hour×bin-sized sink
+    // (the st06 post-processing pattern), with f21's exact
+    // common-denominator integer arithmetic. Oracle replays windowed
+    // counts + reference + EMD from the batch events table.
+    "st27_stream_drift" -> ((s, dir) => {
+      val binExpr = "CAST(floor(coalesce(value, 0) / 50) AS BIGINT)"
+      val ref = events(s, dir).select(expr(binExpr).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cg"))
+      val refN = events(s, dir).agg(count(lit(1)).as("nn"))
+      val winCounts = StreamRun.onEvents(s, dir, OutputMode.Complete()) { e =>
+        e.groupBy(window(col("ts"), "1 hour").as("w"),
+            expr(binExpr).as("bin"))
+          .agg(count(lit(1)).as("c"))
+      }.select(col("w.start").as("hour_start"), col("bin"), col("c"))
+      val ns = winCounts.groupBy("hour_start").agg(sum("c").as("ns"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour_start").orderBy("bin")
+      ns.crossJoin(broadcast(ref))
+        .join(winCounts, Seq("hour_start", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(refN))
+        .withColumn("d",
+          col("c").cast("decimal(38,0)") * col("nn").cast("decimal(38,0)") -
+            col("cg").cast("decimal(38,0)") * col("ns").cast("decimal(38,0)"))
+        .withColumn("cum", sum(col("d")).over(w))
+        .groupBy("hour_start")
+        .agg(max(col("ns")).cast("long").as("n_events"),
+          sum(abs(col("cum"))).as("sabs"),
+          max(col("nn")).cast("long").as("nn2"))
+        .select(col("hour_start"), col("n_events"),
+          expr("CAST((2000000 * sabs + n_events * nn2) div (2 * n_events * nn2) AS DOUBLE) / 1000000")
+            .as("emd6"))
+        .orderBy("hour_start")
+    }),
+
+    // S26/st28: STREAMING windowed heavy hitters — t15's mergeable
+    // frequent-items sketch as per-window streaming STATE (the same
+    // move st10 makes for distinct counts): a complete-mode window
+    // aggregate carries one O(maxMapSize)-bounded sketch buffer per
+    // hour in the state store, merged across micro-batches by the
+    // engine; capacity 2^15 ≫ the event-type cardinality, so every
+    // count is exact and the plain GROUP-BY-rank oracle matches
+    // bit-for-bit — at real scale the identical plan degrades to
+    // ±n/maxMapSize bounds instead of a full-cardinality shuffle.
+    "st28_stream_heavy_hitters" -> ((s, dir) => {
+      StreamRun.onEvents(s, dir, OutputMode.Complete()) { e =>
+        e.groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(GraftFunctions.freq_items(col("event_type"), 1 << 15, 3).as("top"))
+      }
+        .select(col("w.start").as("hour_start"), posexplode(col("top")))
+        .select(col("hour_start"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.item").as("event_type"), col("col.est").as("n"))
+        .orderBy("hour_start", "rnk")
+    }),
+
     // S24/st26: exactly-once streaming APPEND ingest into the R67/R69
     // commit log — the Delta-sink shape: each micro-batch lands as a
     // transactional TableLog version stamped with its batch id
@@ -696,6 +759,44 @@ object StreamQueries {
     // — exactly q56's full-recompute oracle, reused verbatim (same
     // projection, same integer-cents measures).
     "st25_incr_mv" -> Relational.oracle("q56_incr_mv"),
+
+    // st27: windowed counts + static reference + f21's exact EMD,
+    // all replayed from the batch events table in HUGEINT.
+    "st27_stream_drift" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |    CAST(floor(coalesce(value, 0) / 50) AS BIGINT) AS bin FROM events),
+        | ref AS (SELECT bin, CAST(count(*) AS HUGEINT) AS cg FROM e GROUP BY 1),
+        | nnx AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM e),
+        | wc AS (SELECT hour_start, bin, CAST(count(*) AS HUGEINT) AS c
+        |   FROM e GROUP BY 1, 2),
+        | nsx AS (SELECT hour_start, CAST(sum(c) AS HUGEINT) AS ns
+        |   FROM wc GROUP BY 1),
+        | grid AS (SELECT nsx.hour_start, nsx.ns, r.bin, r.cg,
+        |     coalesce(w.c, 0) AS c, nnx.nn
+        |   FROM nsx CROSS JOIN ref r CROSS JOIN nnx
+        |   LEFT JOIN wc w ON w.hour_start = nsx.hour_start AND w.bin = r.bin),
+        | cum AS (SELECT hour_start, ns, nn,
+        |    sum(c*nn - cg*ns) OVER (PARTITION BY hour_start ORDER BY bin) AS cumv
+        |   FROM grid)
+        |SELECT hour_start, CAST(max(ns) AS BIGINT) AS n_events,
+        |  CAST((2000000 * sum(abs(cumv)) + max(ns) * max(nn))
+        |       // (2 * max(ns) * max(nn)) AS DOUBLE) / 1000000 AS emd6
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // st28: exact regime (capacity ≫ cardinality) — the plain
+    // windowed GROUP BY count with the sketch's (n DESC, item) total
+    // order, top 3 per hour.
+    "st28_stream_heavy_hitters" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hour_start, event_type
+        |  FROM events),
+        | a AS (SELECT hour_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        | r AS (SELECT hour_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY hour_start
+        |                            ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM a)
+        |SELECT hour_start, rnk, event_type, n
+        |FROM r WHERE rnk <= 3 ORDER BY hour_start, rnk""".stripMargin,
 
     // st26: 4 one-file batches → versions v0..v3, and the replayed
     // duplicate of batch 0 must change NOTHING — so n_versions is

@@ -410,6 +410,32 @@ class StreamRunSpec extends AnyFunSuite {
     assert(once.forall(_.getDouble(2) >= 0.52))
   }
 
+  test("frequent-items sketch carries streaming top-k state exactly") {
+    import graft.functions.GraftFunctions
+    val streamed = StreamRun.onEvents(spark, dir, OutputMode.Complete()) { e =>
+      e.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(GraftFunctions.freq_items(col("event_type"), 1 << 15, 3).as("top"))
+    }
+      .select(col("w.start").as("h"), posexplode(col("top")))
+      .select(col("h"), (col("pos") + 1).as("rnk"), col("col.item").as("et"),
+        col("col.est").as("n"))
+    // the sketch buffer must live in the streaming state store — the
+    // incremental path st28's oracle checks, not a batch rewrite
+    assert(StreamRun.lastPlan.contains("MicroBatchWrite") &&
+      StreamRun.lastPlan.contains("StateStoreSave"),
+      s"expected stateful sketch plan in:\n${StreamRun.lastPlan}")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("n").desc, col("et"))
+    val batch = Graft.table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("et"), col("n"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("h"), col("rnk"), col("et"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("foreachBatch incremental-MV: per-batch merges telescope to the batch refresh") {
     import graft.operators.IncrementalAgg
     import graft.sources.{TableLog, TidyIO}
