@@ -779,6 +779,70 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // R73/q71: DESCRIBE HISTORY — the audit surface every lakehouse
+    // exposes (Delta's DESCRIBE HISTORY / Iceberg's snapshots table):
+    // one row per LIVE version with action, resolved manifest kind,
+    // and EXACT row count. Driven over the q67 lifecycle (overwrite →
+    // delta append → delta compact → delta append → vacuum to v2):
+    // after vacuum only v2/v3 are live, v2 resolves through its
+    // materialized checkpoint (kind full), v3 stays a delta; row
+    // counts certify the manifests' footer-stat bookkeeping against
+    // the oracle's raw recompute. n_files is shown by the API but
+    // not emitted here — file counts depend on binning, not content.
+    "q71_table_history" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q71_history")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite", checkpointInterval = 10)
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 1L), root,
+        layout, 4, "append", checkpointInterval = 10)
+      TableLog.compact(s, root, "k", targetRows = 20000L,
+        smallRows = Long.MaxValue, checkpointInterval = 10)
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 2L), root,
+        layout, 4, "append", checkpointInterval = 10)
+      TableLog.vacuum(root, keepFrom = 2L)
+      TableLog.history(s, root)
+        .select(col("version"), col("action"), col("kind"), col("n_rows"))
+        .orderBy("version")
+    }),
+
+    // R74/q72: per-file BLOOM INDEX — equality skipping on a column
+    // the layout SCATTERED (Delta's bloom filter index; the skipping
+    // class zones can't provide: orders cluster by k, so every
+    // file's o_orderkey zone is tight but a CUSTKEY-clustered layout
+    // leaves k scattered — here we cluster by custkey and point-
+    // probe k, which is unique per row, so exactly ONE file truly
+    // contains it and the bloom prunes the rest minus false
+    // positives). Certifies BOTH probe outcomes value-for-value: the
+    // hit (max k — deterministic and instance-proof) returns its one
+    // row's sum, and the guaranteed miss (max k + 1) returns zero
+    // rows THROUGH the pruned read. File-count claims live in
+    // TableLogSpec.
+    "q72_bloom_skip" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q72_bloom")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+      TableLog.commitIndexed(o, root, expr("cust div 100"), numFiles = 16,
+        mode = "overwrite", bloomCols = Seq("k"))
+      // bounded driver lookup: the probe key (1 row)
+      val maxK = o.agg(max("k")).collect()(0).getLong(0)
+      val hit = TableLog.readPoint(s, root, "k", maxK)
+        .agg(count(lit(1)).as("n_hit"), sum("cents").as("hit_cents"))
+      val nMiss = TableLog.readPoint(s, root, "k", maxK + 1L).count()
+      hit.select(col("n_hit"), col("hit_cents"), lit(nMiss).as("n_miss"))
+    }),
+
     // R72/q70: OPTIMIZE/RECLUSTER — online layout migration through
     // the commit log (Databricks OPTIMIZE ZORDER BY): orders first
     // land HASH-SCATTERED (a Knuth-multiplicative slot — every file's
@@ -2012,6 +2076,33 @@ object Relational {
         |  CAST(sum(bad) AS BIGINT) AS n_bad,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q71: the post-vacuum history — v2 through its materialized
+    // checkpoint (full), v3 a surviving delta; exact row counts from
+    // the manifests' footer stats vs the raw recompute.
+    "q71_table_history" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | c AS (SELECT count(*) AS nall,
+        |    sum(CASE WHEN (k % 3 + 3) % 3 IN (0, 1) THEN 1 ELSE 0 END) AS nab
+        |  FROM o)
+        |SELECT CAST(2 AS BIGINT) AS version, 'compact' AS action,
+        |  'full' AS kind, CAST(nab AS BIGINT) AS n_rows FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'append', 'delta', CAST(nall AS BIGINT) FROM c
+        |ORDER BY version""".stripMargin,
+
+    // q72: the probe outcomes from raw orders — the unique max-key
+    // hit's row, and a structurally-guaranteed zero for the miss.
+    "q72_bloom_skip" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | mx AS (SELECT max(k) AS mk FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_hit,
+        |  CAST(sum(cents) AS BIGINT) AS hit_cents,
+        |  CAST(0 AS BIGINT) AS n_miss
+        |FROM o, mx WHERE o.k = mx.mk""".stripMargin,
 
     // q70: both versions must produce the SAME filtered aggregate —
     // the q68 recompute, emitted twice under the step labels.

@@ -65,7 +65,8 @@ object TableLog {
     * at least one non-NULL value in the file).
     */
   final case class FileEntry(path: String, rows: Long,
-                             zMin: Map[String, Long], zMax: Map[String, Long])
+                             zMin: Map[String, Long], zMax: Map[String, Long],
+                             blooms: Map[String, Array[Long]] = Map.empty)
 
   /** `kind` is how the version was WRITTEN: "full" manifests carry
     * the complete snapshot listing; "delta" manifests carry only
@@ -81,6 +82,27 @@ object TableLog {
                             kind: String = "full",
                             removes: Seq[String] = Nil) {
     def totalRows: Long = files.map(_.rows).sum
+  }
+
+  // ---- per-file bloom index (equality skipping) -------------------------
+  // Zones prune RANGE predicates on clustered columns; a per-file BLOOM
+  // prunes EQUALITY probes on columns the layout scattered (Delta's
+  // bloom filter index): k=4 double-hashed bits (Kirsch–Mitzenmacher
+  // over the portable fmix64) in an mBits bitset per (file, column).
+  // No false negatives by construction; false positives only cost a
+  // wasted file read. Size mBits to ~7·distinct-per-file for ~1% fpp.
+
+  private[graft] val bloomGold = 0x9E3779B97F4A7C15L
+
+  /** The 4 bit positions of `v` — h1/h2 are REDUCED before combining
+    * so the arithmetic never overflows under ANSI; the Column-side
+    * build in [[commitIndexed]] mirrors this expression exactly.
+    */
+  private[graft] def bloomPositions(v: Long, mBits: Int): Array[Int] = {
+    val f = org.apache.spark.sql.graftx.Fmix64
+    val p1 = java.lang.Math.floorMod(f.fmix(v), mBits.toLong).toInt
+    val p2 = (java.lang.Math.floorMod(f.fmix(v ^ bloomGold), (mBits - 3).toLong) + 1L).toInt
+    Array.tabulate(4)(i => ((p1.toLong + i.toLong * p2) % mBits).toInt)
   }
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
@@ -121,7 +143,13 @@ object TableLog {
   private def renderEntry(tag: String, f: FileEntry): String = {
     val zones = f.zMin.keys.toSeq.sorted
       .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
-    s"$tag\t${f.path}\t${f.rows}\t$zones\n"
+    if (f.blooms.isEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\n"
+    else {
+      val bl = f.blooms.keys.toSeq.sorted.map { c =>
+        s"$c=${f.blooms(c).map(w => f"$w%016x").mkString}"
+      }.mkString(";")
+      s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\n"
+    }
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -137,14 +165,23 @@ object TableLog {
   }
 
   private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
-    require(f.length == 4, s"malformed manifest line in $p: $ln")
+    require(f.length == 4 || f.length == 5, s"malformed manifest line in $p: $ln")
     val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
       val Array(c, mm) = z.split("=", 2)
       val Array(lo, hi) = mm.split(":", 2)
       (c, lo.toLong, hi.toLong)
     }
+    val blooms =
+      if (f.length < 5) Map.empty[String, Array[Long]]
+      else f(4).split(";").filter(_.nonEmpty).map { b =>
+        val Array(c, hx) = b.split("=", 2)
+        require(hx.length % 16 == 0, s"malformed bloom hex in $p: $ln")
+        c -> Array.tabulate(hx.length / 16)(i =>
+          java.lang.Long.parseUnsignedLong(hx.substring(16 * i, 16 * i + 16), 16))
+      }.toMap
     FileEntry(f(1), f(2).toLong,
-      zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap)
+      zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap,
+      blooms)
   }
 
   /** Read + RESOLVE version `version`: a checkpoint side-file or a
@@ -335,6 +372,110 @@ object TableLog {
     else
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
         added, kind = "delta"))
+  }
+
+  /** [[commit]] plus a per-file BLOOM INDEX over `bloomCols` (long-
+    * typed columns) — Delta's bloom filter index: zones can't skip an
+    * EQUALITY probe on a column the layout scattered (every file's
+    * range covers the value), but 4 hash bits per distinct value can.
+    * The bitsets are built from the just-written files with ONE
+    * column-pruned scan (explode to ≤4 positions per row, distinct) —
+    * the collected volume is bounded by files·min(4·distinct, mBits)
+    * positions, i.e. exactly the index being built, never row-sized.
+    * Size `bloomBits` to ~7× the expected distinct-per-file for ~1%
+    * false positives; a false positive costs one wasted file read,
+    * false negatives are impossible by construction.
+    */
+  def commitIndexed(df: DataFrame, root: String, layout: Column,
+                    numFiles: Int = 8, mode: String = "append",
+                    bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
+                    checkpointInterval: Int = 1): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    require(bloomBits >= 64 && bloomBits % 64 == 0, s"bad bloomBits $bloomBits")
+    val parent = currentVersion(root)
+    val v = parent + 1
+    val added = writeDataFiles(df, root, v, layout, numFiles)
+    val spark = df.sparkSession
+    val enriched =
+      if (bloomCols.isEmpty || added.isEmpty) added
+      else {
+        val src = spark.read.parquet(added.map(f => s"$root/${f.path}"): _*)
+        val mB = bloomBits
+        val perCol: Seq[(String, Map[String, Set[Int]])] = bloomCols.map { c =>
+          val cv = col(c).cast("long")
+          // mirror of bloomPositions: reduce h1/h2 BEFORE combining so
+          // the position arithmetic never overflows under ANSI
+          val h1 = pmod(graft.functions.GraftFunctions.fmix64(cv), lit(mB.toLong))
+          val h2 = pmod(graft.functions.GraftFunctions.fmix64(
+            cv.bitwiseXOR(lit(bloomGold))), lit((mB - 3).toLong)) + lit(1L)
+          val pos = (0 until 4).map(i =>
+            pmod(h1 + lit(i.toLong) * h2, lit(mB.toLong)).cast("int"))
+          val rows = src.filter(col(c).isNotNull)
+            .select(element_at(split(input_file_name(), "/"), -1).as("f"),
+              explode(array(pos: _*)).as("p"))
+            .distinct().collect()
+          c -> rows.groupBy(_.getString(0))
+            .map { case (f, rs) => f -> rs.map(_.getInt(1)).toSet }
+        }
+        added.map { fe =>
+          val name = fe.path.substring(fe.path.lastIndexOf('/') + 1)
+          val bl = perCol.flatMap { case (c, mp) =>
+            mp.get(name).map { s =>
+              val arr = new Array[Long](mB / 64)
+              s.foreach(p => arr(p / 64) |= 1L << (p % 64))
+              c -> arr
+            }
+          }.toMap
+          fe.copy(blooms = bl)
+        }
+      }
+    if (mode == "overwrite" || parent < 0)
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, enriched))
+    else if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+        readManifest(root, parent).files ++ enriched))
+    else
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
+        enriched, kind = "delta"))
+  }
+
+  /** Point-probe file plan: a file survives only if its zone covers
+    * the value AND (when bloom-indexed) all 4 bloom bits are set.
+    * Un-indexed files are conservatively kept — mixed old/new tables
+    * stay correct while the index backfills.
+    */
+  def planFilesPoint(root: String, colName: String, value: Long,
+                     asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val sel = m.files.filter { f =>
+      val zoneOk = (f.zMin.get(colName), f.zMax.get(colName)) match {
+        case (Some(lo), Some(hi)) => lo <= value && value <= hi
+        case _ => false // all-NULL chunk: no row can equal the value
+      }
+      val bloomOk = f.blooms.get(colName) match {
+        case Some(bits) =>
+          bloomPositions(value, bits.length * 64)
+            .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
+        case None => true
+      }
+      zoneOk && bloomOk
+    }
+    (sel, m.files.size)
+  }
+
+  /** Bloom+zone-pruned equality read: only may-contain files are
+    * scanned, then the row predicate applies inside the survivors.
+    */
+  def readPoint(spark: SparkSession, root: String, colName: String,
+                value: Long, asOf: Option[Long] = None): DataFrame = {
+    val (sel, _) = planFilesPoint(root, colName, value, asOf)
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val base =
+      if (sel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
+    base.filter(col(colName) === lit(value))
   }
 
   /** Commit-time CHECK constraints (Delta's table-constraint shape):
@@ -647,6 +788,28 @@ object TableLog {
       // delta form: only the zone-affected rewrite set is logged
       writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl,
         added, kind = "delta", removes = affectedPaths.toSeq.sorted))
+  }
+
+  /** DESCRIBE HISTORY — the audit surface every lakehouse exposes:
+    * one row per LIVE version with its action (including txn stamps),
+    * the manifest kind as RESOLVED (a vacuum-materialized checkpoint
+    * reports "full"), live file count and exact row count.
+    * Driver-side manifest reads only (version-count bounded text IO);
+    * vacuumed versions are absent by definition.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val head = currentVersion(root)
+    val rows = (0L to head)
+      .filter(v => Files.exists(manifestPath(root, v)) ||
+        Files.exists(checkpointPath(root, v)))
+      .map { v =>
+        val hdr = readHeader(root, v)
+        val kind = if (hdr.length == 6) hdr(4) else "full"
+        val m = readManifest(root, v)
+        (m.version, m.action, kind, m.files.size.toLong, m.totalRows)
+      }
+    rows.toDF("version", "action", "kind", "n_files", "n_rows")
   }
 
   // ---- retention -------------------------------------------------------

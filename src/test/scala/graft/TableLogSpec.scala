@@ -268,6 +268,45 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() == 22L)
   }
 
+  test("bloom index: equality probes prune scattered columns, never false-negative") {
+    val root = freshRoot("bloom")
+    // layout clusters k div 25 → a SECOND column v = k*2654435761 mod
+    // 4096 is scattered: every file's v zone spans ~the whole domain,
+    // so zones alone cannot skip an equality probe on v
+    val df = (0L until 1600L)
+      .map(k => (k, Math.floorMod(k * 2654435761L, 4096L)))
+      .toDF("k", "v")
+    TableLog.commitIndexed(df, root, expr("k div 100"), numFiles = 16,
+      mode = "overwrite", bloomCols = Seq("v"), bloomBits = 1 << 12)
+    // no false negatives: for a sample of present values, the owning
+    // file is always selected and the pruned read finds the row
+    for (k <- Seq(0L, 7L, 123L, 999L, 1599L)) {
+      val v = Math.floorMod(k * 2654435761L, 4096L)
+      val got = TableLog.readPoint(spark, root, "v", v)
+        .select("k").collect().map(_.getLong(0)).toSet
+      val want = (0L until 1600L)
+        .filter(x => Math.floorMod(x * 2654435761L, 4096L) == v).toSet
+      assert(got == want, s"point probe v=$v")
+    }
+    // real pruning: a present value keeps strictly fewer files than
+    // the zone-only plan (which keeps ~all — v is scattered)
+    val v0 = Math.floorMod(123L * 2654435761L, 4096L)
+    val (pSel, pTot) = TableLog.planFilesPoint(root, "v", v0)
+    val (zSel, _) = TableLog.planFiles(root, "v", v0, v0)
+    assert(pTot == 16 && zSel.size > 12,
+      s"scattered column should defeat zones, zone plan kept ${zSel.size}")
+    assert(pSel.size < zSel.size,
+      s"bloom must out-prune zones: ${pSel.size} vs ${zSel.size}")
+    // a value present nowhere prunes to (near) nothing and reads zero
+    // rows; 4099 is outside the mod-4096 domain entirely
+    val (mSel, _) = TableLog.planFilesPoint(root, "v", 4099L)
+    assert(mSel.isEmpty, s"out-of-zone miss should prune all, kept ${mSel.size}")
+    assert(TableLog.readPoint(spark, root, "v", 4099L).count() == 0L)
+    // blooms survive the manifest text roundtrip byte-exactly
+    val fe = TableLog.readManifest(root, 0L).files.head
+    assert(fe.blooms.contains("v") && fe.blooms("v").length == (1 << 12) / 64)
+  }
+
   test("recluster: content-preserving, history readable, prune-less layout becomes prunable") {
     import graft.operators.ZOrder
     val root = freshRoot("recluster")
