@@ -812,6 +812,51 @@ object Relational {
         .orderBy("version")
     }),
 
+    // R75/q73: SCHEMA EVOLUTION through the commit log — q57's
+    // certified column-accretion convention moved INSIDE the store
+    // (Delta's mergeSchema/ALTER TABLE ADD COLUMN shape): odd/null-
+    // key orders commit as v0 with (k, cents); the even-key batch
+    // arrives accreted with prio. The drifted append is attempted
+    // WITHOUT evolve and must reject loudly with the store left
+    // bit-identical (the q69 reject-before-IO posture — a silent
+    // accept here was round 11's missing-item 1: whichever file
+    // footer won the read decided whether prio existed). The same
+    // batch with evolve=true lands, the head read resolves the
+    // MANIFEST's accreted DDL and null-fills the pre-evolution
+    // files (schema-on-read from store metadata, never footer
+    // order), while AS-OF v0 keeps the old 2-column schema —
+    // emitted as n_v0_cols. Oracle replays q57's old-batch →
+    // 'missing' convention from raw orders. Scale shape: evolution
+    // is METADATA-ONLY (no rewrite of old files — they null-fill at
+    // scan time forever), exactly how Delta/Iceberg make ADD COLUMN
+    // O(1) on a 100 TB table.
+    "q73_schema_evolution" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q73_evolve")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority").cast("string").as("prio"))
+      val isNew = coalesce(pmod(col("k"), lit(2)) === 0, lit(false))
+      val accreted = o.filter(isNew).select("k", "cents", "prio")
+      TableLog.commit(o.filter(!isNew).select("k", "cents"), root,
+        expr("k div 500"), 8, "overwrite")
+      val rejected =
+        try { TableLog.commit(accreted, root, expr("k div 500"), 8, "append"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      TableLog.commit(accreted, root, expr("k div 500"), 8, "append",
+        evolve = true)
+      val nV0Cols = TableLog.read(s, root, Some(0L)).schema.size.toLong
+      TableLog.read(s, root)
+        .select(coalesce(col("prio"), lit("missing")).as("prio"), col("cents"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("rejected", lit(rejected))
+        .withColumn("n_v0_cols", lit(nV0Cols))
+        .orderBy("prio")
+    }),
+
     // R74/q72: per-file BLOOM INDEX — equality skipping on a column
     // the layout SCATTERED (Delta's bloom filter index; the skipping
     // class zones can't provide: orders cluster by k, so every
@@ -2091,6 +2136,22 @@ object Relational {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'append', 'delta', CAST(nall AS BIGINT) FROM c
         |ORDER BY version""".stripMargin,
+
+    // q73: q57's accretion convention replayed from raw orders —
+    // old-batch (odd/null key) rows read 'missing' through the
+    // store's null-filled scan; rejected/n_v0_cols are the gate's
+    // and the as-of read's contracts (a silent drifted append flips
+    // rejected to 0; a footer-won read breaks the group sums).
+    "q73_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey IS NOT NULL AND o_orderkey % 2 = 0
+        |         THEN coalesce(o_orderpriority, 'missing')
+        |         ELSE 'missing' END AS prio,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents,
+        | CAST(1 AS BIGINT) AS rejected,
+        | CAST(2 AS BIGINT) AS n_v0_cols
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q72: the probe outcomes from raw orders — the unique max-key
     // hit's row, and a structurally-guaranteed zero for the miss.

@@ -75,12 +75,17 @@ object TableLog {
     * commit is O(files) metadata IO per APPEND). [[readManifest]]
     * always returns the RESOLVED file list either way; `removes` is
     * populated only on a delta read (what the delta dropped), kept
-    * for spec introspection.
+    * for spec introspection. `txns` is the per-application
+    * transaction high-water map CARRIED FORWARD in every header
+    * (resolved at commit time from the parent's header plus this
+    * commit's own stamp), so [[lastTxn]] reads exactly ONE header —
+    * never a scan over history, and never forgotten by [[vacuum]].
     */
   final case class Manifest(version: Long, parent: Long, action: String,
                             schemaDdl: String, files: Seq[FileEntry],
                             kind: String = "full",
-                            removes: Seq[String] = Nil) {
+                            removes: Seq[String] = Nil,
+                            txns: Map[String, Long] = Map.empty) {
     def totalRows: Long = files.map(_.rows).sum
   }
 
@@ -131,14 +136,26 @@ object TableLog {
   }
 
   // ---- manifest text format -------------------------------------------
-  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<kind>\t<schemaDdl>
-  //          (a 5-field header with no <kind> is read as legacy "full")
+  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<kind>\t<schemaDdl>\t<txns>
+  //          <txns> = app:id[,app:id...] — the RESOLVED per-application
+  //          txn high-water map, carried forward commit-over-commit.
+  //          (a 5-field header is read as legacy "full" with no txns;
+  //          a 6-field header as kind-aware with no txns)
   // line 2+: full manifest:  f\t<relpath>\t<rows>\t<col>=<min>:<max>[;...]
   //          delta manifest: a\t<relpath>\t<rows>\t<zones>   added file
   //                          r\t<relpath>                    removed file
   // Tab-free fields by construction (schema DDL never contains tabs for
   // the supported types; paths are ours). Deterministic: files sorted
   // by path. A checkpoint side-file uses the full format verbatim.
+
+  private def renderTxns(t: Map[String, Long]): String =
+    t.keys.toSeq.sorted.map(a => s"$a:${t(a)}").mkString(",")
+
+  private def parseTxns(s: String): Map[String, Long] =
+    s.split(",").filter(_.nonEmpty).map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
 
   private def renderEntry(tag: String, f: FileEntry): String = {
     val zones = f.zMin.keys.toSeq.sorted
@@ -154,7 +171,7 @@ object TableLog {
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\n")
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\n")
     if (m.kind == "full")
       m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("f", f)))
     else {
@@ -197,16 +214,17 @@ object TableLog {
       s"table-log version $version does not exist at $root (vacuumed or never committed)")
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val h = lines.head.split("\t", -1)
-    require(h(0) == "graft-table-log" && (h.length == 5 || h.length == 6),
+    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 7,
       s"malformed manifest header at $p")
-    val (kind, ddl) = if (h.length == 6) (h(4), h(5)) else ("full", h(4))
+    val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
+    val txns = if (h.length == 7) parseTxns(h(6)) else Map.empty[String, Long]
     val entries = lines.tail.filter(_.nonEmpty).map(ln => (ln.split("\t", -1), ln))
     if (kind == "full") {
       val files = entries.map { case (f, ln) =>
         require(f(0) == "f", s"malformed manifest line in $p: $ln")
         parseEntry(f, p, ln)
       }
-      Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files)
+      Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files, txns = txns)
     } else {
       val removes = entries.collect { case (f, ln) =>
         require(f(0) == "r" || f(0) == "a", s"malformed manifest line in $p: $ln")
@@ -217,7 +235,7 @@ object TableLog {
       val removed = removes.toSet
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl,
         parentM.files.filterNot(f => removed(f.path)) ++ adds,
-        kind = "delta", removes = removes)
+        kind = "delta", removes = removes, txns = txns)
     }
   }
 
@@ -356,22 +374,69 @@ object TableLog {
   def commit(df: DataFrame, root: String, layout: Column,
              numFiles: Int = 8, mode: String = "append",
              checkpointInterval: Int = 1,
-             txnTag: Option[String] = None): Long = {
+             txnTag: Option[String] = None,
+             evolve: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = currentVersion(root)
     val v = parent + 1
+    if (mode == "append" && parent >= 0)
+      validateAppendSchema(root, parent, df.schema.toDDL, evolve)
     val action = txnTag.fold(mode)(t => s"$mode+txn=$t")
+    val txns = carriedTxns(root, parent) ++
+      txnTag.map { t =>
+        val i = t.lastIndexOf(':')
+        t.substring(0, i) -> t.substring(i + 1).toLong
+      }
     val added = writeDataFiles(df, root, v, layout, numFiles)
     if (mode == "overwrite" || parent < 0)
       // an overwrite IS a full snapshot — a delta encoding of it
       // would be remove-everything + add-everything, strictly worse
-      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL, added))
+      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL, added,
+        txns = txns))
     else if (fullDue(v, checkpointInterval))
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
-        readManifest(root, parent).files ++ added))
+        readManifest(root, parent).files ++ added, txns = txns))
     else
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
-        added, kind = "delta"))
+        added, kind = "delta", txns = txns))
+  }
+
+  /** Column (name, type) signature of a DDL string — the schema-drift
+    * comparison key: nullability is IGNORED (filters/aggregates flip
+    * it freely and parquet readers treat file schemas as nullable
+    * anyway), order is NOT (the manifest DDL is the read schema).
+    */
+  private def ddlFields(ddl: String): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.toSeq.map(f => (f.name, f.dataType))
+
+  /** The append-path schema gate (missing-item 1 of the round-11
+    * audit — previously a silent-wrong-answer path: an appended batch
+    * with a drifted schema was accepted and read back with whichever
+    * file footer won). Without `evolve` the batch must match the
+    * parent's column signature exactly; with `evolve` the parent's
+    * columns must all survive with identical types (ADD COLUMN only —
+    * the Delta `mergeSchema` shape; drops/retypes stay loud). Runs
+    * BEFORE any data or manifest IO, so a rejected append leaves the
+    * store bit-identical (the commitChecked discipline).
+    */
+  private def validateAppendSchema(root: String, parent: Long,
+                                   newDdl: String, evolve: Boolean): Unit = {
+    val parentDdl = headerMeta(root, parent)._2
+    val pf = ddlFields(parentDdl)
+    val nf = ddlFields(newDdl)
+    if (!evolve)
+      require(pf == nf,
+        s"schema drift on append: table has [$parentDdl], batch has [$newDdl]" +
+          " — pass evolve=true to add columns")
+    else {
+      val byName = nf.toMap
+      val bad = pf.filter { case (n, t) => !byName.get(n).contains(t) }
+      require(bad.isEmpty,
+        s"schema evolution may only ADD columns: parent columns " +
+          bad.map(_._1).mkString(", ") +
+          s" are missing or retyped in the batch ([$parentDdl] vs [$newDdl])")
+    }
   }
 
   /** [[commit]] plus a per-file BLOOM INDEX over `bloomCols` (long-
@@ -394,6 +459,9 @@ object TableLog {
     require(bloomBits >= 64 && bloomBits % 64 == 0, s"bad bloomBits $bloomBits")
     val parent = currentVersion(root)
     val v = parent + 1
+    if (mode == "append" && parent >= 0)
+      validateAppendSchema(root, parent, df.schema.toDDL, evolve = false)
+    val txns = carriedTxns(root, parent)
     val added = writeDataFiles(df, root, v, layout, numFiles)
     val spark = df.sparkSession
     val enriched =
@@ -430,13 +498,14 @@ object TableLog {
         }
       }
     if (mode == "overwrite" || parent < 0)
-      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, enriched))
+      writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL, enriched,
+        txns = txns))
     else if (fullDue(v, checkpointInterval))
       writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
-        readManifest(root, parent).files ++ enriched))
+        readManifest(root, parent).files ++ enriched, txns = txns))
     else
       writeManifest(root, Manifest(v, parent, mode, df.schema.toDDL,
-        enriched, kind = "delta"))
+        enriched, kind = "delta", txns = txns))
   }
 
   /** Point-probe file plan: a file survives only if its zone covers
@@ -470,12 +539,8 @@ object TableLog {
                 value: Long, asOf: Option[Long] = None): DataFrame = {
     val (sel, _) = planFilesPoint(root, colName, value, asOf)
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
-    val base =
-      if (sel.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
-    base.filter(col(colName) === lit(value))
+    readFiles(spark, root, m.schemaDdl, sel)
+      .filter(col(colName) === lit(value))
   }
 
   /** Commit-time CHECK constraints (Delta's table-constraint shape):
@@ -509,8 +574,8 @@ object TableLog {
     commit(df, root, layout, numFiles, mode, checkpointInterval)
   }
 
-  /** Header-only read (first line) — what [[lastTxn]] scans; never
-    * resolves the file list, so it stays O(versions) cheap text IO.
+  /** Header-only read (first line) — never resolves the file list,
+    * so it stays O(1) cheap text IO per call.
     */
   private def readHeader(root: String, v: Long): Array[String] = {
     val ck = checkpointPath(root, v)
@@ -519,24 +584,67 @@ object TableLog {
     try r.readLine().split("\t", -1) finally r.close()
   }
 
-  /** Highest transaction id committed by `appId`, or -1 — Delta's
-    * per-application txn high-water mark, the exactly-once contract
-    * for streaming sinks: batch ids are monotone, so a re-delivered
-    * batch is exactly one with `txn <= lastTxn`. RETENTION CONTRACT:
-    * the scan covers live manifests (+ checkpoints), so vacuuming
-    * past the most recent txn-bearing version forgets the mark — a
-    * sink must keep retention at or behind its own checkpoint
-    * horizon (the same rule Delta documents for setTransaction).
+  /** (kind, schemaDdl, txns) of version v's header, format-version
+    * tolerant — ONE line of text IO.
     */
-  def lastTxn(root: String, appId: String): Long = {
+  private def headerMeta(root: String, v: Long): (String, String, Map[String, Long]) = {
+    val h = readHeader(root, v)
+    val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
+    (kind, ddl, if (h.length == 7) parseTxns(h(6)) else Map.empty)
+  }
+
+  /** The txn high-water map a child of `parent` must carry forward:
+    * the parent header's resolved map (O(1) — one header line), or,
+    * for a legacy pre-map store, a one-time reconstruction from the
+    * live action stamps (the next commit persists it, upgrading the
+    * store in place).
+    */
+  private def carriedTxns(root: String, parent: Long): Map[String, Long] =
+    if (parent < 0) Map.empty
+    else {
+      val h = readHeader(root, parent)
+      if (h.length == 7) parseTxns(h(6)) else legacyTxnMap(root)
+    }
+
+  /** Pre-map reconstruction: max txn per app over the LIVE action
+    * stamps (`<mode>+txn=<app>:<n>`) — O(versions), paid at most
+    * once per legacy store.
+    */
+  private def legacyTxnMap(root: String): Map[String, Long] = {
     val head = currentVersion(root)
-    val prefix = s"+txn=$appId:"
     (0L to head).filter(v => Files.exists(manifestPath(root, v)) ||
         Files.exists(checkpointPath(root, v)))
       .map(v => readHeader(root, v)(3))
-      .collect { case a if a.contains(prefix) =>
-        a.substring(a.indexOf(prefix) + prefix.length).toLong }
-      .foldLeft(-1L)(math.max)
+      .collect { case a if a.contains("+txn=") =>
+        val kv = a.substring(a.indexOf("+txn=") + 5)
+        val i = kv.lastIndexOf(':')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Highest transaction id committed by `appId`, or -1 — Delta's
+    * per-application txn high-water mark, the exactly-once contract
+    * for streaming sinks: batch ids are monotone, so a re-delivered
+    * batch is exactly one with `txn <= lastTxn`. O(1): the resolved
+    * map rides EVERY manifest header (carried forward at commit), so
+    * this reads one line of the HEAD header — never a history scan,
+    * which for a commitTxn-per-micro-batch sink would be O(batches²)
+    * text IO over the stream's lifetime (the round-11 audit's
+    * wrong-shape edge). Because the map is carried forward, [[vacuum]]
+    * can never forget a mark — retention and the sink's checkpoint
+    * horizon are independent (stronger than Delta's documented
+    * setTransaction retention caveat, which this previously shared).
+    * Legacy pre-map stores fall back to the historical header scan.
+    */
+  def lastTxn(root: String, appId: String): Long = {
+    val head = currentVersion(root)
+    if (head < 0) -1L
+    else {
+      val h = readHeader(root, head)
+      if (h.length == 7) parseTxns(h(6)).getOrElse(appId, -1L)
+      else legacyTxnMap(root).getOrElse(appId, -1L)
+    }
   }
 
   /** Transactional append — the exactly-once sink primitive for
@@ -551,14 +659,34 @@ object TableLog {
   def commitTxn(df: DataFrame, root: String, layout: Column,
                 numFiles: Int, appId: String, txn: Long,
                 checkpointInterval: Int = 1): Long = {
-    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == ':'),
-      s"appId must be non-empty and ':'/tab/newline-free: $appId")
+    require(appId.nonEmpty &&
+        !appId.exists(c => c == '\t' || c == '\n' || c == ':' || c == ','),
+      s"appId must be non-empty and ':'/','/tab/newline-free: $appId")
     if (txn <= lastTxn(root, appId)) currentVersion(root)
     else commit(df, root, layout, numFiles, "append", checkpointInterval,
       txnTag = Some(s"$appId:$txn"))
   }
 
   // ---- read path -------------------------------------------------------
+
+  /** Scan `files` under the MANIFEST's schema — the store is
+    * schema-on-read from its own metadata, never from whichever file
+    * footer happens to win: after an `evolve=true` append the head
+    * DDL is the accreted superset and files written BEFORE the
+    * evolution null-fill the new columns (parquet name-matched
+    * resolution; the q57 convention moved inside the store). File
+    * sources force the supplied schema nullable, so pre-evolution
+    * files are always representable.
+    */
+  private def readFiles(spark: SparkSession, root: String,
+                        schemaDdl: String, files: Seq[FileEntry]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
 
   /** The file listing a range predicate `lo <= zoneCol <= hi` must
     * read, resolved PURELY from the manifest (zone intersect — no
@@ -600,10 +728,7 @@ object TableLog {
     */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    else spark.read.parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    readFiles(spark, root, m.schemaDdl, m.files)
   }
 
   /** Zone-pruned range read: only files whose [min,max] intersects
@@ -623,11 +748,7 @@ object TableLog {
                      asOf: Option[Long] = None): DataFrame = {
     val (sel, _) = planFilesMulti(root, preds, asOf)
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
-    val base =
-      if (sel.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      else spark.read.parquet(sel.map(f => s"$root/${f.path}"): _*)
+    val base = readFiles(spark, root, m.schemaDdl, sel)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).between(lo, hi))
     }
@@ -663,7 +784,9 @@ object TableLog {
     }.toMap
     val nBins = bins.map(_._2).distinct.size
     val srcPaths = small.map(f => s"$root/${f.path}")
-    val withBin = spark.read.parquet(srcPaths: _*)
+    val withBin = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      .parquet(srcPaths: _*)
       .withColumn("__bin", element_at(typedlit(binByName),
         element_at(split(input_file_name(), "/"), -1)))
     val rel = f"files/v$v%08d"
@@ -674,14 +797,16 @@ object TableLog {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .toSeq.sorted
     val added = footerStats(spark, root, names.map(n => s"$rel/$n"))
+    val txns = carriedTxns(root, parent)
     if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl, keep ++ added))
+      writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl,
+        keep ++ added, txns = txns))
     else
       // delta form: the folded small tail is the remove set, the bins
       // are the adds — the manifest write is tail-sized, not
       // table-sized
       writeManifest(root, Manifest(v, parent, "compact", m.schemaDdl,
-        added, kind = "delta", removes = small.map(_.path)))
+        added, kind = "delta", removes = small.map(_.path), txns = txns))
   }
 
   /** OPTIMIZE/RECLUSTER as a COMMIT (Databricks' OPTIMIZE ZORDER BY,
@@ -704,11 +829,13 @@ object TableLog {
     val m = readManifest(root, parent)
     val v = parent + 1
     val added = writeDataFiles(read(spark, root), root, v, layout, numFiles)
+    val txns = carriedTxns(root, parent)
     if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, "recluster", m.schemaDdl, added))
+      writeManifest(root, Manifest(v, parent, "recluster", m.schemaDdl, added,
+        txns = txns))
     else
       writeManifest(root, Manifest(v, parent, "recluster", m.schemaDdl,
-        added, kind = "delta", removes = m.files.map(_.path)))
+        added, kind = "delta", removes = m.files.map(_.path), txns = txns))
   }
 
   /** CDC MERGE as a COMMIT — copy-on-write at FILE granularity (the
@@ -774,20 +901,24 @@ object TableLog {
       }.collect().toSet ++ unzoned // un-zoned (all-NULL-key) files always rewrite
     val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
     val v = parent + 1
-    val affectedRows =
-      if (affectedPaths.isEmpty)
-        base.filter(lit(false))
-      else spark.read.parquet(affectedPaths.toSeq.sorted.map(p => s"$root/$p"): _*)
+    // manifest-schema-resolved scan of the rewrite set (not `base`,
+    // kept only for API continuity): post-evolution old files
+    // null-fill accreted columns here exactly as in read()
+    val affectedRows = readFiles(spark, root, m.schemaDdl,
+      m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path))
     val merged = graft.operators.ChangeLog.latestState(
         affectedRows, changes, keyCol, verCol, opCol, valCol, newValCol)
       .drop("action")
     val added = writeDataFiles(merged, root, v, layout, numFiles)
+    val txns = carriedTxns(root, parent)
     if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl, carried ++ added))
+      writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl,
+        carried ++ added, txns = txns))
     else
       // delta form: only the zone-affected rewrite set is logged
       writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl,
-        added, kind = "delta", removes = affectedPaths.toSeq.sorted))
+        added, kind = "delta", removes = affectedPaths.toSeq.sorted,
+        txns = txns))
   }
 
   /** DESCRIBE HISTORY — the audit surface every lakehouse exposes:
@@ -804,8 +935,7 @@ object TableLog {
       .filter(v => Files.exists(manifestPath(root, v)) ||
         Files.exists(checkpointPath(root, v)))
       .map { v =>
-        val hdr = readHeader(root, v)
-        val kind = if (hdr.length == 6) hdr(4) else "full"
+        val kind = headerMeta(root, v)._1
         val m = readManifest(root, v)
         (m.version, m.action, kind, m.files.size.toLong, m.totalRows)
       }
@@ -823,7 +953,15 @@ object TableLog {
   def vacuum(root: String, keepFrom: Long): Seq[String] = {
     val head = currentVersion(root)
     require(keepFrom <= head, s"keepFrom $keepFrom beyond head $head")
-    val versions = (0L to head).filter(v => Files.exists(manifestPath(root, v)))
+    // Enumerate by manifest OR checkpoint: a version may be
+    // checkpoint-only (materialized by an earlier vacuum) and must
+    // still be accounted — both for its shared-file references and so
+    // a later, higher-keepFrom vacuum can retire it (the round-11
+    // stale-checkpoint leak: dropping only manifests left a dead
+    // version 'readable' through its orphaned checkpoint, pointing at
+    // deleted data files).
+    val versions = (0L to head).filter(v =>
+      Files.exists(manifestPath(root, v)) || Files.exists(checkpointPath(root, v)))
     val (dead, live) = versions.partition(_ < keepFrom)
     // A surviving DELTA manifest replays through its parent chain,
     // which may dip below the retention line — materialize the
@@ -836,7 +974,7 @@ object TableLog {
       if (dead.nonEmpty && !Files.exists(checkpointPath(root, low))) {
         val resolved = readManifest(root, low)
         val ck = Manifest(resolved.version, resolved.parent, resolved.action,
-          resolved.schemaDdl, resolved.files)
+          resolved.schemaDdl, resolved.files, txns = resolved.txns)
         val tmp = logDir(root).resolve(
           s".tmpck_v${low}_${ProcessHandle.current().pid()}")
         Files.write(tmp, renderManifest(ck).getBytes(StandardCharsets.UTF_8))
@@ -848,7 +986,16 @@ object TableLog {
     val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
       .distinct.filterNot(liveFiles)
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
-    dead.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    // Retire BOTH log artifacts of a dead version: its manifest and
+    // any checkpoint side-file a previous vacuum materialized for it
+    // (the freshly written survivor checkpoint sits at `live.head` ≥
+    // keepFrom, never here). Afterwards an as-of read below the line
+    // fails with the loud retention error — never a dangling-parquet
+    // scan — and history()/enumeration can no longer resurrect it.
+    dead.foreach { v =>
+      Files.deleteIfExists(manifestPath(root, v))
+      Files.deleteIfExists(checkpointPath(root, v))
+    }
     deadFiles
   }
 }
