@@ -857,6 +857,48 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // R76/q74: CHANGE DATA FEED read — the consumption twin of the
+    // commit log's write path (Delta's table_changes / Iceberg's
+    // incremental read, the round-11 missing-item 2: everything
+    // streamed INTO the store, nothing read incrementally OUT of
+    // it): the feed replays each commit's file-level delta from the
+    // manifests alone — version 0's initial snapshot and the two
+    // appends surface as row-exact inserts, and a final snapshot
+    // RESET (overwrite back to subset A) surfaces as delete-all +
+    // insert-A, stamped with _commit_version/_change_type. The
+    // oracle reconstructs the whole feed from raw orders by set
+    // algebra, so a wrong delta diff, version stamp, or a feed that
+    // rescans the snapshot instead of the churned files shows up
+    // value-for-value. Scale shape: metadata-resolved file diffs +
+    // two scans over exactly the churned files — never O(snapshot);
+    // the downstream-pipeline primitive that makes incremental
+    // recrawl processing (d25) possible off the store itself.
+    "q74_change_feed" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q74_cdf")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite") // v0: initial snapshot
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 1L), root,
+        layout, 4, "append") // v1
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 2L), root,
+        layout, 4, "append") // v2
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite") // v3: snapshot reset → delete-all + insert-A
+      TableLog.readChangeFeed(s, root, 0L, 3L)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .orderBy("version", "change_type")
+    }),
+
     // R74/q72: per-file BLOOM INDEX — equality skipping on a column
     // the layout SCATTERED (Delta's bloom filter index; the skipping
     // class zones can't provide: orders cluster by k, so every
@@ -2152,6 +2194,30 @@ object Relational {
         | CAST(1 AS BIGINT) AS rejected,
         | CAST(2 AS BIGINT) AS n_v0_cols
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q74: the whole change feed reconstructed from raw orders by
+    // set algebra — initial snapshot + two appends as inserts, the
+    // snapshot reset as delete-everything + insert-A; a wrong file
+    // diff, version stamp, or snapshot-rescanning feed breaks the
+    // per-(version, type) sums.
+    "q74_change_feed" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, price, (k % 3 + 3) % 3 AS m FROM o),
+        | feed AS (
+        |   SELECT 0 AS version, 'insert' AS change_type, k, price
+        |   FROM seg WHERE m = 0
+        |   UNION ALL SELECT 1, 'insert', k, price FROM seg WHERE m = 1
+        |   UNION ALL SELECT 2, 'insert', k, price FROM seg WHERE m = 2
+        |   UNION ALL SELECT 3, 'delete', k, price FROM seg
+        |   UNION ALL SELECT 3, 'insert', k, price FROM seg WHERE m = 0)
+        |SELECT CAST(version AS BIGINT) AS version, change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM feed GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
 
     // q72: the probe outcomes from raw orders — the unique max-key
     // hit's row, and a structurally-guaranteed zero for the miss.

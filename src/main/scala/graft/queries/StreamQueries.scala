@@ -575,6 +575,44 @@ object StreamQueries {
           col("n_rows"), col("n_keys"), col("sum_cents"))
     }),
 
+    // S27/st29: streaming CHANGE-DATA-FEED read — the OTHER half of
+    // the lakehouse loop (st25/st26 stream INTO the commit log; this
+    // tails it back OUT, Delta's readChangeFeed stream): a custom
+    // streaming SOURCE whose offsets are commit versions replays
+    // each commit window's file-level delta (q74's feed) through
+    // REAL MicroBatchExecution into a complete-mode grouped state
+    // aggregate. The store is built first (initial snapshot + two
+    // appends), then the stream replays versions 0..head from
+    // startingVersion 0 — per-(version, type) sums certify the
+    // replay windows, the version stamps, and that the source's
+    // batches carry exactly the churned files' rows. Incremental
+    // multi-window getBatch slicing is pinned in StreamRunSpec
+    // (version-at-a-time == one-shot == batch feed).
+    "st29_stream_cdf" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("st29_cdf")
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 1L), root,
+        layout, 4, "append")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 2L), root,
+        layout, 4, "append")
+      val src = s.readStream.format("graft.sources.GraftLogCdfProvider")
+        .option("path", root).option("startingVersion", "0").load()
+      StreamRun.onSource(s, src, OutputMode.Complete()) { feed =>
+        feed.groupBy(col("_commit_version").as("version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").as("sum_cents"))
+      }.orderBy("version", "change_type")
+    }),
+
     // S8: streaming windowed DISTINCT count — the per-window unique-
     // users metric, through the REAL streaming engine. Streaming
     // aggregation can't run COUNT(DISTINCT) (unbounded per-group
@@ -809,6 +847,19 @@ object StreamQueries {
         | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
         |   AS BIGINT) AS sum_cents
         |FROM orders""".stripMargin,
+
+    // st29: the three commit windows replayed as inserts — the
+    // thirds' per-version sums from raw orders (a wrong replay
+    // window or version stamp mis-buckets them).
+    "st29_stream_cdf" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT CAST((k % 3 + 3) % 3 AS BIGINT) AS version,
+        |  'insert' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY 1, 2 ORDER BY version, change_type""".stripMargin,
 
     // st22 runs m13's sample reassembly through the streaming engine
     // over the same store — the RESULT contract is identical, so its

@@ -584,6 +584,11 @@ object TableLog {
     try r.readLine().split("\t", -1) finally r.close()
   }
 
+  /** Version v's schema DDL — one header line of text IO (what the
+    * CDF streaming source's schema resolution reads per start).
+    */
+  def schemaDdlOf(root: String, v: Long): String = headerMeta(root, v)._2
+
   /** (kind, schemaDdl, txns) of version v's header, format-version
     * tolerant — ONE line of text IO.
     */
@@ -752,6 +757,73 @@ object TableLog {
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).between(lo, hi))
     }
+  }
+
+  // ---- change data feed ------------------------------------------------
+
+  /** FILE-level diff of version `v` against its parent, resolved from
+    * the manifests alone (metadata-only — the d22 snapshot-delta shape
+    * the store's own log already encodes): (added entries, removed
+    * entries). Version 0 / overwrites diff against the parent snapshot
+    * like any other commit (an overwrite removes everything and
+    * re-adds its own listing); the parent must still be within
+    * retention — a vacuumed parent fails with the loud retention
+    * error, same contract as any as-of read.
+    */
+  def versionDelta(root: String, v: Long): (Seq[FileEntry], Seq[FileEntry]) = {
+    val m = readManifest(root, v)
+    if (m.parent < 0) (m.files, Nil)
+    else {
+      val p = readManifest(root, m.parent)
+      val pPaths = p.files.map(_.path).toSet
+      val mPaths = m.files.map(_.path).toSet
+      (m.files.filterNot(f => pPaths(f.path)),
+        p.files.filterNot(f => mPaths(f.path)))
+    }
+  }
+
+  /** Change-data-feed read over commit versions [fromV, toV], both
+    * inclusive (Delta's CDF / Iceberg's incremental read): every row
+    * of every ADDED file surfaces as `_change_type = 'insert'` and
+    * every row of every REMOVED file as `'delete'`, each stamped with
+    * its `_commit_version`. Granularity contract: file-level, exactly
+    * what the manifests encode — append-only ingest replays as pure
+    * row-exact inserts; a copy-on-write rewrite (compact/recluster/
+    * merge) surfaces as delete+reinsert of the rewritten files'
+    * rows (net-zero for untouched rows — consumers that want net
+    * changes fold on key, the d22 shape). Including version 0 (or an
+    * overwrite) replays the initial snapshot as inserts — Delta's
+    * `startingVersion` semantics.
+    *
+    * Rows are resolved under `toV`'s manifest schema (the accreted
+    * superset under the ADD-COLUMN-only evolution rule, so every
+    * older file still resolves; pre-evolution rows null-fill).
+    * Removed files' bytes are still on disk until [[vacuum]] — the
+    * feed window must sit within retention, enforced loudly by the
+    * manifest reads. Scale shape: two column-pruned scans (adds,
+    * removes) over exactly the churned files — never a snapshot
+    * scan — with the per-file version stamp a codegen'd O(1) literal-
+    * map lookup on the file name (the compact binning device).
+    */
+  def readChangeFeed(spark: SparkSession, root: String,
+                     fromV: Long, toV: Long): DataFrame = {
+    val head = currentVersion(root)
+    require(0L <= fromV && fromV <= toV && toV <= head,
+      s"bad change-feed window [$fromV,$toV] (head $head)")
+    val schemaDdl = readManifest(root, toV).schemaDdl
+    val deltas = (fromV to toV).map(v => v -> versionDelta(root, v))
+    def side(entries: Seq[(Long, FileEntry)], changeType: String): DataFrame = {
+      val verByName: Map[String, Long] = entries.map { case (v, f) =>
+        f.path.substring(f.path.lastIndexOf('/') + 1) -> v
+      }.toMap
+      readFiles(spark, root, schemaDdl, entries.map(_._2))
+        .withColumn("_change_type", lit(changeType))
+        .withColumn("_commit_version", element_at(typedlit(verByName),
+          element_at(split(input_file_name(), "/"), -1)))
+    }
+    val adds = deltas.flatMap { case (v, (a, _)) => a.map(v -> _) }
+    val removes = deltas.flatMap { case (v, (_, r)) => r.map(v -> _) }
+    side(adds, "insert").unionByName(side(removes, "delete"))
   }
 
   // ---- maintenance commits --------------------------------------------
