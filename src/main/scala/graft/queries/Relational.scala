@@ -899,6 +899,58 @@ object Relational {
         .orderBy("version", "change_type")
     }),
 
+    // R77/q75: MERGE-ON-READ deletion vectors — the sparse-delete
+    // shape copy-on-write can't afford (round-11 missing-item 3; a
+    // ~2%-density change batch under q65's CoW merge rewrites every
+    // zone-hit file): mergeMor keeps hit files byte-identical and
+    // rides their freshly deleted KEYS on the manifest as deletion
+    // vectors, writing only the new state (updates) as data files.
+    // Certified value-for-value three ways in one row: the head
+    // merge-on-read READ equals the q51 latest-wins recompute (dv
+    // suppression exact), the change feed surfaces the dv growth as
+    // row-exact deletes + the new files as inserts (old values and
+    // new values separately summed), and n_rewritten = 0 proves the
+    // physical claim THROUGH the oracle — a threshold bug that
+    // silently falls back to rewrite flips it via versionDelta's
+    // remove count. Scale: the merge writes one manifest + update-
+    // sized files for a sparse batch over any table size; readers
+    // pay a codegen'd array probe until compact/recluster
+    // materializes the vectors away (TableLogSpec pins that half).
+    "q75_dv_merge" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q75_dv")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o, root, layout, 16, "overwrite")
+      val r = pmod(col("k"), lit(97L))
+      val changes = o.filter(r.isin(0L, 1L))
+        .select(col("k"), lit(1L).as("ver"),
+          when(r === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L)).as("new_price"))
+      TableLog.mergeMor(s, root, changes, "k", layout, 4)
+      val feed = TableLog.readChangeFeed(s, root, 1L, 1L)
+      // 1-row bounded driver aggregates (the q72 probe pattern)
+      val d = feed.filter(col("_change_type") === "delete")
+        .agg(count(lit(1)), sum("price")).collect()(0)
+      val i = feed.filter(col("_change_type") === "insert")
+        .agg(count(lit(1)), sum("price")).collect()(0)
+      val nRewritten = TableLog.versionDelta(root, 1L)._2.size.toLong
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(d.getLong(0)).as("n_cdf_del"),
+          lit(d.getLong(1)).as("sum_cdf_del"),
+          lit(i.getLong(0)).as("n_cdf_ins"),
+          lit(i.getLong(1)).as("sum_cdf_ins"),
+          lit(nRewritten).as("n_rewritten"))
+    }),
+
     // R74/q72: per-file BLOOM INDEX — equality skipping on a column
     // the layout SCATTERED (Delta's bloom filter index; the skipping
     // class zones can't provide: orders cluster by k, so every
@@ -2218,6 +2270,26 @@ object Relational {
         |  CAST(sum(price) AS BIGINT) AS sum_price
         |FROM feed GROUP BY version, change_type
         |ORDER BY version, change_type""".stripMargin,
+
+    // q75: latest-wins state and the feed's delete/insert sums
+    // replayed from raw orders; n_rewritten's 0 is the merge-on-read
+    // physical contract (a rewrite fallback flips the remove count).
+    "q75_dv_merge" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | m AS (SELECT k, price, (k % 97 + 97) % 97 AS r FROM o),
+        | st AS (SELECT k, CASE WHEN r = 1 THEN price + 100 ELSE price END AS price
+        |   FROM m WHERE r <> 0)
+        |SELECT CAST((SELECT count(*) FROM st) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM st) AS BIGINT) AS n_keys,
+        |  CAST((SELECT sum(price) FROM st) AS BIGINT) AS sum_price,
+        |  CAST((SELECT count(*) FROM m WHERE r IN (0, 1)) AS BIGINT) AS n_cdf_del,
+        |  CAST((SELECT sum(price) FROM m WHERE r IN (0, 1)) AS BIGINT) AS sum_cdf_del,
+        |  CAST((SELECT count(*) FROM m WHERE r = 1) AS BIGINT) AS n_cdf_ins,
+        |  CAST((SELECT sum(price) + 100 * count(*) FROM m WHERE r = 1) AS BIGINT)
+        |    AS sum_cdf_ins,
+        |  CAST(0 AS BIGINT) AS n_rewritten""".stripMargin,
 
     // q72: the probe outcomes from raw orders — the unique max-key
     // hit's row, and a structurally-guaranteed zero for the miss.

@@ -60,13 +60,24 @@ import scala.jdk.CollectionConverters._
   */
 object TableLog {
 
-  /** One data file of one version: relative path, exact row count,
-    * and per-column zones (present only for long-typed columns with
-    * at least one non-NULL value in the file).
+  /** One data file of one version: relative path, exact PHYSICAL row
+    * count, and per-column zones (present only for long-typed columns
+    * with at least one non-NULL value in the file). `dv` is the
+    * file's DELETION VECTOR (merge-on-read): deleted KEY values per
+    * key column, riding the manifest like the bloom hex — the file's
+    * bytes are untouched, the reader suppresses those keys at scan
+    * time (Delta's deletion-vector shape, keyed by value rather than
+    * position because the store's merge contract is already
+    * primary-keyed). At most one dv column per file ([[mergeMor]]
+    * writes one); `liveRows` is exact because dv keys are only ever
+    * recorded for keys VERIFIED present in the file.
     */
   final case class FileEntry(path: String, rows: Long,
                              zMin: Map[String, Long], zMax: Map[String, Long],
-                             blooms: Map[String, Array[Long]] = Map.empty)
+                             blooms: Map[String, Array[Long]] = Map.empty,
+                             dv: Map[String, Array[Long]] = Map.empty) {
+    def liveRows: Long = rows - dv.valuesIterator.map(_.length.toLong).sum
+  }
 
   /** `kind` is how the version was WRITTEN: "full" manifests carry
     * the complete snapshot listing; "delta" manifests carry only
@@ -86,7 +97,11 @@ object TableLog {
                             kind: String = "full",
                             removes: Seq[String] = Nil,
                             txns: Map[String, Long] = Map.empty) {
-    def totalRows: Long = files.map(_.rows).sum
+    /** Exact LIVE row count — physical rows minus deletion-vector
+      * suppressions (identical to the physical sum on DV-free
+      * tables).
+      */
+    def totalRows: Long = files.map(_.liveRows).sum
   }
 
   // ---- per-file bloom index (equality skipping) -------------------------
@@ -157,16 +172,20 @@ object TableLog {
       kv.substring(0, i) -> kv.substring(i + 1).toLong
     }.toMap
 
+  // entry fields 5/6 (blooms / dv) are both optional; a dv with no
+  // bloom keeps an EMPTY field-5 placeholder so positions stay fixed
   private def renderEntry(tag: String, f: FileEntry): String = {
     val zones = f.zMin.keys.toSeq.sorted
       .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
-    if (f.blooms.isEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\n"
-    else {
-      val bl = f.blooms.keys.toSeq.sorted.map { c =>
-        s"$c=${f.blooms(c).map(w => f"$w%016x").mkString}"
-      }.mkString(";")
-      s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\n"
-    }
+    val bl = f.blooms.keys.toSeq.sorted.map { c =>
+      s"$c=${f.blooms(c).map(w => f"$w%016x").mkString}"
+    }.mkString(";")
+    val dv = f.dv.keys.toSeq.sorted.map { c =>
+      s"$c=${f.dv(c).map(k => f"$k%016x").mkString}"
+    }.mkString(";")
+    if (f.dv.nonEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\t$dv\n"
+    else if (f.blooms.nonEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\n"
+    else s"$tag\t${f.path}\t${f.rows}\t$zones\n"
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -181,8 +200,17 @@ object TableLog {
     sb.toString
   }
 
+  // shared hex-longs field codec (bloom bitset words / dv key values)
+  private def parseHexLongs(field: String, p: Path, ln: String): Map[String, Array[Long]] =
+    field.split(";").filter(_.nonEmpty).map { b =>
+      val Array(c, hx) = b.split("=", 2)
+      require(hx.length % 16 == 0, s"malformed hex field in $p: $ln")
+      c -> Array.tabulate(hx.length / 16)(i =>
+        java.lang.Long.parseUnsignedLong(hx.substring(16 * i, 16 * i + 16), 16))
+    }.toMap
+
   private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
-    require(f.length == 4 || f.length == 5, s"malformed manifest line in $p: $ln")
+    require(f.length >= 4 && f.length <= 6, s"malformed manifest line in $p: $ln")
     val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
       val Array(c, mm) = z.split("=", 2)
       val Array(lo, hi) = mm.split(":", 2)
@@ -190,15 +218,13 @@ object TableLog {
     }
     val blooms =
       if (f.length < 5) Map.empty[String, Array[Long]]
-      else f(4).split(";").filter(_.nonEmpty).map { b =>
-        val Array(c, hx) = b.split("=", 2)
-        require(hx.length % 16 == 0, s"malformed bloom hex in $p: $ln")
-        c -> Array.tabulate(hx.length / 16)(i =>
-          java.lang.Long.parseUnsignedLong(hx.substring(16 * i, 16 * i + 16), 16))
-      }.toMap
+      else parseHexLongs(f(4), p, ln)
+    val dv =
+      if (f.length < 6) Map.empty[String, Array[Long]]
+      else parseHexLongs(f(5), p, ln)
     FileEntry(f(1), f(2).toLong,
       zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap,
-      blooms)
+      blooms, dv)
   }
 
   /** Read + RESOLVE version `version`: a checkpoint side-file or a
@@ -690,7 +716,35 @@ object TableLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else
-      spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      applyDv(spark.read.schema(schema)
+        .parquet(files.map(f => s"$root/${f.path}"): _*), files)
+  }
+
+  /** Merge-on-read: suppress each file's deletion-vector keys inside
+    * the scan — one codegen'd filter per dv column (file name → key
+    * array via a literal map, `array_contains` probe; files without a
+    * dv pass untouched via the null-lookup coalesce). DVs are sparse
+    * by the [[mergeMor]] density threshold, so the per-row probe is a
+    * short in-register loop; at larger densities the threshold
+    * rewrites the file instead (and a roaring/bitmap side-file is the
+    * documented evolution, same contract). A NULL key is never
+    * suppressed — dv keys come from change batches, which are keyed.
+    */
+  private def applyDv(df: DataFrame, files: Seq[FileEntry]): DataFrame = {
+    val dvCols = files.flatMap(_.dv.keys).distinct.sorted
+    if (dvCols.isEmpty) df
+    else {
+      val fname = element_at(split(input_file_name(), "/"), -1)
+      dvCols.foldLeft(df) { (d, c) =>
+        val byName: Map[String, Array[Long]] = files
+          .filter(_.dv.contains(c))
+          .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.dv(c))
+          .toMap
+        d.filter(!coalesce(
+          array_contains(element_at(typedlit(byName), fname), col(c)),
+          lit(false)))
+      }
+    }
   }
 
   /** The file listing a range predicate `lo <= zoneCol <= hi` must
@@ -791,7 +845,9 @@ object TableLog {
     * row-exact inserts; a copy-on-write rewrite (compact/recluster/
     * merge) surfaces as delete+reinsert of the rewritten files'
     * rows (net-zero for untouched rows — consumers that want net
-    * changes fold on key, the d22 shape). Including version 0 (or an
+    * changes fold on key, the d22 shape); a [[mergeMor]] deletion-
+    * vector growth surfaces as exact ROW-level deletes of the
+    * freshly suppressed keys. Including version 0 (or an
     * overwrite) replays the initial snapshot as inserts — Delta's
     * `startingVersion` semantics.
     *
@@ -823,7 +879,44 @@ object TableLog {
     }
     val adds = deltas.flatMap { case (v, (a, _)) => a.map(v -> _) }
     val removes = deltas.flatMap { case (v, (_, r)) => r.map(v -> _) }
-    side(adds, "insert").unionByName(side(removes, "delete"))
+    // merge-on-read sparse deletes: a file whose DELETION VECTOR grew
+    // at version v keeps its path (no file-level churn) but its
+    // freshly suppressed keys are row-level deletes AT v — read the
+    // file under its PARENT dv state (prior suppressions already
+    // streamed at their own versions) and keep exactly the fresh
+    // keys. One scan per (version, dv column) with growth — for the
+    // streaming source that is the usual one merge commit per batch.
+    val dvDeletes: Seq[DataFrame] = (fromV to toV).flatMap { v =>
+      val mv = readManifest(root, v)
+      if (mv.parent < 0L) Nil
+      else {
+        val pByPath = readManifest(root, mv.parent).files.map(f => f.path -> f).toMap
+        val grown: Seq[(FileEntry, String, Array[Long])] = mv.files.flatMap { f =>
+          pByPath.get(f.path).toSeq.flatMap { pf =>
+            f.dv.toSeq.flatMap { case (c, keys) =>
+              val old = pf.dv.getOrElse(c, Array.empty[Long]).toSet
+              val fresh = keys.filterNot(old)
+              if (fresh.isEmpty) Nil else Seq((pf, c, fresh))
+            }
+          }
+        }
+        grown.map(_._2).distinct.sorted.map { c =>
+          val entries = grown.filter(_._2 == c)
+          val byName: Map[String, Array[Long]] = entries.map { case (pf, _, ks) =>
+            pf.path.substring(pf.path.lastIndexOf('/') + 1) -> ks
+          }.toMap
+          readFiles(spark, root, schemaDdl, entries.map(_._1))
+            .filter(coalesce(
+              array_contains(element_at(typedlit(byName),
+                element_at(split(input_file_name(), "/"), -1)), col(c)),
+              lit(false)))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }
+      }
+    }
+    (Seq(side(adds, "insert"), side(removes, "delete")) ++ dvDeletes)
+      .reduce(_.unionByName(_))
   }
 
   // ---- maintenance commits --------------------------------------------
@@ -841,12 +934,16 @@ object TableLog {
     val parent = currentVersion(root)
     require(parent >= 0, s"nothing to compact at $root")
     val m = readManifest(root, parent)
-    val small = m.files.filter(_.rows < smallRows)
+    // size by LIVE rows: a dv-carrying file below the threshold is
+    // folded — and rewriting through the dv-applied read MATERIALIZES
+    // its deletion vector away (the compact half of the merge-on-read
+    // contract; recluster materializes all of them via read())
+    val small = m.files.filter(_.liveRows < smallRows)
       .sortBy(f => (f.zMin.getOrElse(orderCol, Long.MaxValue), f.path))
-    val keep = m.files.filterNot(_.rows < smallRows)
+    val keep = m.files.filterNot(_.liveRows < smallRows)
     if (small.size < 2) return parent // nothing worth rewriting
     // q50 bin assignment: bin = floor(cumulative-rows-before / target)
-    val bins = small.zip(small.scanLeft(0L)(_ + _.rows))
+    val bins = small.zip(small.scanLeft(0L)(_ + _.liveRows))
       .map { case (f, before) => (f.path, before / targetRows) }
     val v = parent + 1
     // file-name -> bin as a literal map column: codegen'd O(1) lookup
@@ -856,9 +953,9 @@ object TableLog {
     }.toMap
     val nBins = bins.map(_._2).distinct.size
     val srcPaths = small.map(f => s"$root/${f.path}")
-    val withBin = spark.read
+    val withBin = applyDv(spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      .parquet(srcPaths: _*)
+      .parquet(srcPaths: _*), small)
       .withColumn("__bin", element_at(typedlit(binByName),
         element_at(split(input_file_name(), "/"), -1)))
     val rel = f"files/v$v%08d"
@@ -927,15 +1024,21 @@ object TableLog {
     * and this is effectively a binary search. The returned affected
     * set is file-path-sized.
     */
-  def merge(base: DataFrame, root: String, changes: DataFrame,
-            keyCol: String, layout: Column, numFiles: Int = 8,
-            verCol: String = "ver", opCol: String = "op",
-            valCol: String = "price", newValCol: String = "new_price",
-            checkpointInterval: Int = 1): Long = {
+  /** The stabbing probe shared by [[merge]] and [[mergeMor]]: which
+    * live files' key ZONES could contain any change key. Zone
+    * intervals come to the driver (manifest-sized, bounded by
+    * construction) and each DISTINCT change key probes them via a
+    * broadcast sorted array — one linear pass over the changes, no
+    * join. Intervals are scanned from the first candidate using a
+    * prefix-max of zHi over the zMin-sorted order (early-exit as soon
+    * as no earlier interval can still reach k), so with a
+    * range-clustered (near-disjoint) layout each probe is binary
+    * search + O(overlap depth), not O(files). Un-zoned (all-NULL-key)
+    * files are always affected.
+    */
+  private def affectedFileSet(m: Manifest, changes: DataFrame,
+                              keyCol: String): Set[String] = {
     val spark = changes.sparkSession
-    val parent = currentVersion(root)
-    require(parent >= 0, s"merge target $root has no committed version")
-    val m = readManifest(root, parent)
     val zoned = m.files
       .filter(f => f.zMin.contains(keyCol))
       .map(f => (f.zMin(keyCol), f.zMax(keyCol), f.path))
@@ -944,10 +1047,6 @@ object TableLog {
     val zlos = zoned.map(_._1).toArray
     val zhis = zoned.map(_._2).toArray
     val zpaths = zoned.map(_._3).toArray
-    // prefix max of zHi over the zMin-sorted intervals: the stabbing
-    // scan stops as soon as no earlier interval can still reach k,
-    // so with a range-clustered (near-disjoint) layout each probe is
-    // binary search + O(overlap depth), not O(files)
     val prefMaxHi = new Array[Long](zhis.length)
     var pi = 0
     while (pi < zhis.length) {
@@ -955,7 +1054,7 @@ object TableLog {
       pi += 1
     }
     import spark.implicits._
-    val affectedPaths: Set[String] = changes.select(col(keyCol).cast("long"))
+    changes.select(col(keyCol).cast("long"))
       .na.drop().distinct().as[Long]
       .mapPartitions { it =>
         val hit = scala.collection.mutable.Set[Int]()
@@ -970,7 +1069,19 @@ object TableLog {
           while (j >= 0 && prefMaxHi(j) >= k) { if (zhis(j) >= k) hit += j; j -= 1 }
         }
         hit.iterator.map(zpaths)
-      }.collect().toSet ++ unzoned // un-zoned (all-NULL-key) files always rewrite
+      }.collect().toSet ++ unzoned
+  }
+
+  def merge(base: DataFrame, root: String, changes: DataFrame,
+            keyCol: String, layout: Column, numFiles: Int = 8,
+            verCol: String = "ver", opCol: String = "op",
+            valCol: String = "price", newValCol: String = "new_price",
+            checkpointInterval: Int = 1): Long = {
+    val spark = changes.sparkSession
+    val parent = currentVersion(root)
+    require(parent >= 0, s"merge target $root has no committed version")
+    val m = readManifest(root, parent)
+    val affectedPaths = affectedFileSet(m, changes, keyCol)
     val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
     val v = parent + 1
     // manifest-schema-resolved scan of the rewrite set (not `base`,
@@ -991,6 +1102,103 @@ object TableLog {
       writeManifest(root, Manifest(v, parent, "merge", m.schemaDdl,
         added, kind = "delta", removes = affectedPaths.toSeq.sorted,
         txns = txns))
+  }
+
+  /** CDC MERGE as a COMMIT, MERGE-ON-READ (Delta's deletion-vector
+    * merge; [[merge]] is the copy-on-write twin): a SPARSE change
+    * batch should not rewrite whole files — per affected file, if the
+    * fraction of its live rows actually hit by change keys is at most
+    * `dvMaxFrac`, the file is kept byte-identical and its hit keys
+    * join the file's DELETION VECTOR in the manifest; only files
+    * above the threshold (or the density a future compact
+    * materializes) rewrite. New row STATE — upserts and inserts, the
+    * [[graft.operators.ChangeLog.latestState]] collapse over exactly
+    * the hit rows — always lands in new files; deletes are pure dv
+    * entries (or drop out of a rewrite). The table must be
+    * primary-keyed on `keyCol` (the existing merge contract): dv keys
+    * are recorded only for keys VERIFIED present in their file (one
+    * column-pruned probe scan of the affected files, collected volume
+    * bounded by the change-set size), which keeps `liveRows` and the
+    * change feed exact.
+    *
+    * IO shape at 100 TB: the probe scan + rewrite IO proportional to
+    * the DENSE-hit tail only — a 0.1%-density delete batch over a
+    * 10^4-file table writes one manifest and ~no data files, where
+    * copy-on-write rewrites every zone-hit file. Reads pay the
+    * [[applyDv]] probe until a compact/recluster materializes the
+    * DVs away. [[readChangeFeed]] surfaces dv GROWTH as row-level
+    * deletes — sparse deletes stream out exactly, not as file-level
+    * delete+reinsert.
+    */
+  def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
+               keyCol: String, layout: Column, numFiles: Int = 8,
+               verCol: String = "ver", opCol: String = "op",
+               valCol: String = "price", newValCol: String = "new_price",
+               dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1): Long = {
+    require(dvMaxFrac >= 0.0 && dvMaxFrac <= 1.0, s"bad dvMaxFrac $dvMaxFrac")
+    val parent = currentVersion(root)
+    require(parent >= 0, s"merge target $root has no committed version")
+    val m = readManifest(root, parent)
+    val affectedPaths = affectedFileSet(m, changes, keyCol)
+    val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
+    val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
+    val changeKeys = changes.select(col(keyCol).cast("long").as(keyCol))
+      .na.drop().distinct()
+    // which change keys are PRESENT in which affected file — the probe
+    // scan: column-pruned to (key, file), semi-restricted to change
+    // keys, collected volume ≤ the change-set size
+    val hitsByFile: Map[String, Array[Long]] =
+      readFiles(spark, root, m.schemaDdl, affected)
+        .select(col(keyCol).cast("long").as(keyCol),
+          element_at(split(input_file_name(), "/"), -1).as("__f"))
+        .join(changeKeys, Seq(keyCol))
+        .collect()
+        .groupBy(_.getString(1))
+        .map { case (f, rs) => f -> rs.map(_.getLong(0)).distinct.sorted }
+    def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val (dvFiles, rewriteFiles) = affected
+      .filter(f => hitsByFile.contains(baseName(f.path)))
+      .partition { f =>
+        val hits = hitsByFile(baseName(f.path)).length.toLong
+        f.liveRows > 0L && hits.toDouble / f.liveRows <= dvMaxFrac
+      }
+    // zone-hit files with NO present key carry forward untouched
+    val falsePos = affected.filter(f => !hitsByFile.contains(baseName(f.path)))
+    // final state for every key the changes touch: base = the hit
+    // rows (read merge-on-read, so prior DVs apply), collapsed by
+    // latest-wins; deletes drop, upserts/inserts land in new files
+    val hitRows = readFiles(spark, root, m.schemaDdl, dvFiles ++ rewriteFiles)
+      .join(changeKeys, Seq(keyCol), "left_semi")
+    // output keys are exactly the change keys (hit rows are
+    // semi-restricted to them and inserts come FROM them) minus
+    // deletes — no further restriction needed
+    val newState = graft.operators.ChangeLog.latestState(
+        hitRows, changes, keyCol, verCol, opCol, valCol, newValCol)
+      .drop("action")
+    // rewritten files keep their non-hit rows alongside the new state
+    val rewriteCarry = readFiles(spark, root, m.schemaDdl, rewriteFiles)
+      .join(changeKeys, Seq(keyCol), "left_anti")
+    val merged = newState.unionByName(rewriteCarry
+      .select(newState.columns.map(col): _*))
+    val v = parent + 1
+    val added = writeDataFiles(merged, root, v, layout, numFiles)
+    val dvUpdated = dvFiles.map { f =>
+      val prior = f.dv.getOrElse(keyCol, Array.empty[Long])
+      f.copy(dv = f.dv + (keyCol ->
+        (prior ++ hitsByFile(baseName(f.path))).distinct.sorted))
+    }
+    val txns = carriedTxns(root, parent)
+    if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, "merge-mor", m.schemaDdl,
+        untouched ++ falsePos ++ dvUpdated ++ added, txns = txns))
+    else
+      // delta form: a dv update is remove+re-add of the SAME path
+      // with the grown vector — resolution order (removes, then
+      // adds) makes that exact, and versionDelta's path diff still
+      // sees it as neither added nor removed
+      writeManifest(root, Manifest(v, parent, "merge-mor", m.schemaDdl,
+        dvUpdated ++ added, kind = "delta",
+        removes = (rewriteFiles ++ dvFiles).map(_.path).sorted, txns = txns))
   }
 
   /** DESCRIBE HISTORY — the audit surface every lakehouse exposes:

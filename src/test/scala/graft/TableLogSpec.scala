@@ -430,6 +430,61 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.currentVersion(root) == head && rows(TableLog.read(spark, root)) == before)
   }
 
+  test("merge-on-read: sparse changes ride as deletion vectors, equal CoW, compact materializes") {
+    val rootM = freshRoot("mor")
+    val rootC = freshRoot("morcow")
+    val base = mkDf(0L until 400L).withColumnRenamed("cents", "price")
+    // sparse: 3 deletes + 2 updates spread over the 4 files (≤ ~3%
+    // density each — far under the 10% threshold)
+    val changes = (Seq(5L, 105L, 205L).map(k => (k, 1L, "D", 0L)) ++
+      Seq(7L, 307L).map(k => (k, 1L, "U", k * 10 + 99)))
+      .toDF("k", "ver", "op", "new_price")
+    TableLog.commit(base, rootM, expr("k div 100"), 4, "overwrite")
+    TableLog.commit(base, rootC, expr("k div 100"), 4, "overwrite")
+    val vM = TableLog.mergeMor(spark, rootM, changes, "k", expr("k div 100"), 2)
+    val vC = TableLog.merge(base, rootC, changes, "k", expr("k div 100"), 2)
+    def kv(root: String) = TableLog.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dv read == rewrite read == direct latest-wins recompute
+    val expect = graft.operators.ChangeLog.latestState(base, changes).drop("action")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kv(rootM) == expect && kv(rootC) == expect)
+    // physically merge-on-read: NO base file rewritten, dv entries on
+    // exactly the hit files, liveRows bookkeeping exact
+    val mM = TableLog.readManifest(rootM, vM)
+    val (addsM, removesM) = TableLog.versionDelta(rootM, vM)
+    assert(removesM.isEmpty, s"MoR must not rewrite: $removesM")
+    assert(addsM.nonEmpty && addsM.forall(_.dv.isEmpty))
+    val dvd = mM.files.filter(_.dv.nonEmpty)
+    assert(dvd.flatMap(_.dv("k")).sorted.toSeq == Seq(5L, 7L, 105L, 205L, 307L))
+    assert(mM.totalRows == TableLog.read(spark, rootM).count())
+    // the CoW twin DID rewrite its hit files
+    assert(TableLog.versionDelta(rootC, vC)._2.nonEmpty)
+    // point reads honor the vector: a dv-deleted key vanishes
+    assert(TableLog.readPoint(spark, rootM, "k", 5L).count() == 0L)
+    assert(TableLog.readPoint(spark, rootM, "k", 7L)
+      .collect().map(_.getLong(1)).toSeq == Seq(169L))
+    // change feed: dv growth = row-exact deletes of the OLD values
+    val feed = TableLog.readChangeFeed(spark, rootM, vM, vM)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dels == Set((5L, 51L), (105L, 1051L), (205L, 2051L),
+      (7L, 71L), (307L, 3071L)))
+    // compact folds + MATERIALIZES: vectors disappear, content holds
+    val vK = TableLog.compact(spark, rootM, "k",
+      targetRows = 1000L, smallRows = Long.MaxValue)
+    val mK = TableLog.readManifest(rootM, vK)
+    assert(mK.files.forall(_.dv.isEmpty))
+    assert(kv(rootM) == expect)
+    // dvMaxFrac = 0 forces the rewrite path with identical content
+    val rootZ = freshRoot("morzero")
+    TableLog.commit(base, rootZ, expr("k div 100"), 4, "overwrite")
+    TableLog.mergeMor(spark, rootZ, changes, "k", expr("k div 100"), 2,
+      dvMaxFrac = 0.0)
+    assert(TableLog.versionDelta(rootZ, 1L)._2.nonEmpty)
+    assert(kv(rootZ) == expect)
+  }
+
   test("append schema gate: drift rejects before IO; evolve=true adds columns, old files null-fill") {
     import java.nio.file.{Files, Paths}
     val root = freshRoot("evolve")
