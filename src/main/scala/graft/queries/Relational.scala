@@ -951,6 +951,50 @@ object Relational {
           lit(nRewritten).as("n_rewritten"))
     }),
 
+    // R78/q76: the SQL SURFACE for the commit log — a DSv2
+    // TableProvider (`spark.read.format("graftlog")`, the Delta
+    // `format("delta")` shape; round-11 missing-item 4: the store
+    // was API-only) whose scan hands row IO back to the store's one
+    // DV-/evolution-aware read path through the official V1Scan
+    // shim, with WHERE clauses pushed down as FILE pruning (zone
+    // ranges + bloom equality; every filter still re-applied
+    // row-level, so a false-positive file costs IO never
+    // correctness). The query mounts the store twice — head and
+    // `versionAsOf` 0 — as temp views and runs plain spark.sql over
+    // them: a grouped range aggregate on the head plus a scalar
+    // subquery counting the SAME range at v0, so schema resolution,
+    // version pinning, pushdown, and the time-travel option are all
+    // certified through the SQL entry point against a raw-orders
+    // oracle. File-count prune assertions live in GraftLogDsvSpec
+    // (the parquet scan nests inside the relation, invisible to the
+    // outer plan). Scale: plan cost is one manifest read; the scan
+    // reads exactly the files the range could not exclude.
+    "q76_sql_store" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q76_dsv2")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority").cast("string").as("prio"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val even = pmod(col("k"), lit(2L)) === 0L
+      TableLog.commit(o.filter(even), root, layout, 8, "overwrite") // v0
+      TableLog.commit(o.filter(!even), root, layout, 8, "append") // v1 = head
+      s.read.format("graftlog").option("path", root).load()
+        .createOrReplaceTempView("graft_store")
+      s.read.format("graftlog").option("path", root)
+        .option("versionAsOf", "0").load()
+        .createOrReplaceTempView("graft_store_v0")
+      s.sql(
+        """SELECT prio, count(*) AS n, sum(cents) AS sum_cents,
+          |  (SELECT count(*) FROM graft_store_v0
+          |   WHERE k BETWEEN 500 AND 2500) AS n_v0_range
+          |FROM graft_store WHERE k BETWEEN 500 AND 2500
+          |GROUP BY prio ORDER BY prio""".stripMargin)
+    }),
+
     // R74/q72: per-file BLOOM INDEX — equality skipping on a column
     // the layout SCATTERED (Delta's bloom filter index; the skipping
     // class zones can't provide: orders cluster by k, so every
@@ -2290,6 +2334,22 @@ object Relational {
         |  CAST((SELECT sum(price) + 100 * count(*) FROM m WHERE r = 1) AS BIGINT)
         |    AS sum_cdf_ins,
         |  CAST(0 AS BIGINT) AS n_rewritten""".stripMargin,
+
+    // q76: the SQL-surface aggregate replayed from raw orders — the
+    // head is the full key set, v0 the even half; a version-pinning
+    // or pushdown-correctness bug in the connector breaks a sum.
+    "q76_sql_store" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST((SELECT count(*) FROM o
+        |        WHERE k % 2 = 0 AND k BETWEEN 500 AND 2500) AS BIGINT)
+        |    AS n_v0_range
+        |FROM o WHERE k BETWEEN 500 AND 2500
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     // q72: the probe outcomes from raw orders — the unique max-key
     // hit's row, and a structurally-guaranteed zero for the miss.

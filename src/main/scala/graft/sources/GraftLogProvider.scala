@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** R78/q76 — the SQL surface for the commit log: a DataSource V2
+  * `TableProvider` so the store mounts at the same entry point every
+  * other source uses (`spark.read.format("graftlog")`, registered
+  * short name via the DataSourceRegister service file; Delta's
+  * `format("delta")` shape). Round-11 missing-item 4: TableLog was
+  * API-only — `VERSION AS OF`, zone pruning and the bloom index
+  * existed as Scala calls; this exposes them to SQL.
+  *
+  * Architecture: the v2 connector handles CATALOG + PUSHDOWN, and the
+  * scan hands row IO back to the store's existing DV-aware manifest
+  * read through the official [[V1Scan]] migration shim (the public
+  * connector API Spark's own JDBC v2 source uses) — so there is
+  * exactly ONE read path ([[TableLog.readFiles]]): schema resolution
+  * from the manifest DDL (evolution-safe: pre-evolution files
+  * null-fill), deletion-vector suppression, and parquet vectorized
+  * scanning are all shared with the programmatic API, and the two can
+  * never drift.
+  *
+  * Pushdown contract — FILE-granularity skipping, never row
+  * filtering: `pushFilters` keeps the prunable subset visible as
+  * `pushedFilters` (the plan's `PushedFilters: [...]`) but returns
+  * EVERY filter as residual, so Spark re-applies them row-level above
+  * the scan — a false-positive file read costs IO, never correctness.
+  * A filter prunes when it constrains a LONG column the manifest
+  * zones (q61's skipping class): range predicates intersect the
+  * per-file [min,max] zone, equality and IN additionally probe the
+  * per-file bloom bitset when one rides the manifest (q72's class —
+  * no false negatives by construction), `IsNotNull` drops all-NULL
+  * chunks (absent zone on a long column means the file has no
+  * non-NULL value), and un-zoned files are kept conservatively.
+  * Column pruning flows through `pruneColumns` into the projection,
+  * so the parquet scan reads only the required columns.
+  *
+  * Options: `path` (table root, required), `versionAsOf` (snapshot
+  * version; default head — Delta's time-travel option name, so
+  * `SELECT … FROM` a temp view over an old version IS the SQL
+  * time-travel surface).
+  *
+  * Scale shape: planning cost is one manifest read (metadata-sized,
+  * delta-chain bounded); the executed scan reads exactly the files
+  * the predicates could not exclude. At 10^6 files the same plan
+  * holds — pruning is driver-side set arithmetic over the manifest,
+  * and the data path is Spark's own vectorized parquet reader.
+  */
+class GraftLogProvider extends TableProvider with DataSourceRegister {
+  import GraftLogProvider._
+
+  override def shortName(): String = "graftlog"
+
+  /** Schema always comes from the manifest (never user-supplied):
+    * the store is the source of truth, including through evolution.
+    */
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    StructType.fromDDL(TableLog.schemaDdlOf(root, versionOf(options, root)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val root = rootOf(opts)
+    new GraftLogTable(root, versionOf(opts, root), schema)
+  }
+}
+
+object GraftLogProvider {
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graftlog: 'path' option (the table root) is required")
+    p
+  }
+
+  /** Version is RESOLVED AT PLAN TIME (head if unspecified), so a
+    * concurrent commit after the DataFrame is built cannot shift the
+    * snapshot mid-query — the manifest is the isolation boundary.
+    */
+  private def versionOf(options: CaseInsensitiveStringMap, root: String): Long =
+    Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(TableLog.currentVersion(root))
+
+  /** Last (selected, total) file plan — spec introspection only (the
+    * planFilesMulti return-pair contract surfaced through the SQL
+    * path, where the pruned parquet scan is nested inside the
+    * relation and invisible to the outer plan).
+    */
+  @volatile private[graft] var lastScanPlan: (Int, Int) = (0, 0)
+}
+
+private[sources] final class GraftLogTable(root: String, version: Long,
+                                           tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlog.`$root` VERSION AS OF $version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(root, version, tableSchema)
+}
+
+private[sources] final class GraftLogScanBuilder(root: String, version: Long,
+                                                 tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def longCol(c: String): Boolean =
+    tableSchema.fields.exists(f => f.name == c && f.dataType == LongType)
+
+  /** Accept the file-prunable subset as "pushed" (plan visibility);
+    * return ALL filters so Spark keeps the row-level Filter above the
+    * scan — our pushdown SKIPS FILES, it never claims row exactness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftLogScan.prunable(f, longCol))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftLogScan(root, version, required, pushed)
+}
+
+private[sources] final class GraftLogScan(root: String, version: Long,
+                                          required: StructType,
+                                          pushed: Array[Filter])
+    extends V1Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftLogScan root=$root version=$version " +
+      s"pushed=[${pushed.mkString(", ")}]"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftLogRelation(context, root, version, required, pushed)
+      .asInstanceOf[T]
+}
+
+private[sources] object GraftLogScan {
+  /** Integral literal → Long; anything else is not zone-comparable
+    * (fractional comparisons against a long column are rewritten by
+    * Catalyst before pushdown, so integral is the only shape seen).
+    */
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte    => Some(b.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
+    case _                    => None
+  }
+
+  /** Can this filter exclude FILES from the manifest alone? */
+  def prunable(f: Filter, longCol: String => Boolean): Boolean = f match {
+    case EqualTo(c, v)            => longCol(c) && asLong(v).isDefined
+    case GreaterThan(c, v)        => longCol(c) && asLong(v).isDefined
+    case GreaterThanOrEqual(c, v) => longCol(c) && asLong(v).isDefined
+    case LessThan(c, v)           => longCol(c) && asLong(v).isDefined
+    case LessThanOrEqual(c, v)    => longCol(c) && asLong(v).isDefined
+    case In(c, vs) =>
+      longCol(c) && vs.nonEmpty && vs.forall(asLong(_).isDefined)
+    case IsNotNull(c)   => longCol(c)
+    case And(l, r)      => prunable(l, longCol) && prunable(r, longCol)
+    case _              => false
+  }
+
+  /** May file `e` contain a row satisfying `f`? Zone semantics match
+    * [[TableLog.planFilesMulti]] (absent zone on the filtered column
+    * = all-NULL chunk: no row can satisfy a comparison) and equality
+    * adds [[TableLog.planFilesPoint]]'s bloom probe.
+    */
+  def keeps(f: Filter, e: TableLog.FileEntry): Boolean = f match {
+    case EqualTo(c, v)            => mayContain(e, c, asLong(v).get)
+    case GreaterThan(c, v)        => e.zMax.get(c).exists(_ > asLong(v).get)
+    case GreaterThanOrEqual(c, v) => e.zMax.get(c).exists(_ >= asLong(v).get)
+    case LessThan(c, v)           => e.zMin.get(c).exists(_ < asLong(v).get)
+    case LessThanOrEqual(c, v)    => e.zMin.get(c).exists(_ <= asLong(v).get)
+    case In(c, vs)                => vs.exists(v => mayContain(e, c, asLong(v).get))
+    case IsNotNull(c)             => e.zMin.contains(c)
+    case And(l, r)                => keeps(l, e) && keeps(r, e)
+    case _                        => true
+  }
+
+  private def mayContain(e: TableLog.FileEntry, c: String, v: Long): Boolean = {
+    val zoneOk = (e.zMin.get(c), e.zMax.get(c)) match {
+      case (Some(lo), Some(hi)) => lo <= v && v <= hi
+      case _                    => false
+    }
+    zoneOk && (e.blooms.get(c) match {
+      case Some(bits) =>
+        TableLog.bloomPositions(v, bits.length * 64)
+          .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
+      case None => true
+    })
+  }
+}
+
+/** The executed scan: plan files from the manifest under the pushed
+  * filters, then delegate to the store's one true read path (manifest
+  * DDL + DV suppression + vectorized parquet) projected to the pruned
+  * columns. `buildScan` runs driver-side at execution planning; the
+  * returned RDD is the parquet scan itself — nothing is collected.
+  */
+private[sources] final class GraftLogRelation(ctx: SQLContext, root: String,
+                                              version: Long,
+                                              required: StructType,
+                                              pushed: Array[Filter])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val m = TableLog.readManifest(root, version)
+    val sel = m.files.filter(f => pushed.forall(p => GraftLogScan.keeps(p, f)))
+    GraftLogProvider.lastScanPlan = (sel.size, m.files.size)
+    val df = TableLog.readFiles(ctx.sparkSession, root, m.schemaDdl, sel)
+    val projected =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.toSeq.map(col): _*)
+    projected.rdd
+  }
+}

@@ -709,7 +709,7 @@ object TableLog {
     * sources force the supplied schema nullable, so pre-evolution
     * files are always representable.
     */
-  private def readFiles(spark: SparkSession, root: String,
+  private[sources] def readFiles(spark: SparkSession, root: String,
                         schemaDdl: String, files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     if (files.isEmpty)
