@@ -300,9 +300,21 @@ object FlowCyto {
     * a pure integer comparison, no division, no square root, so the
     * oracle replays it bit-for-bit in HUGEINT. Degenerate groups
     * (D = 0: fewer than 2 distinct points or exactly collinear
-    * channels) gate NOTHING inside, both engines alike. Callers keep
-    * channel magnitudes ≤ ~1e5 so the worst product (myy·dx²) stays
-    * ≲1e35, inside both DECIMAL(38,0) and int128.
+    * channels) gate NOTHING inside, both engines alike.
+    *
+    * HEADROOM CONTRACT (exact, per group): every term is CENTRAL —
+    * dx = n·(x − mean) and myy = n²·var(y) carry channel DEVIATION,
+    * never absolute magnitude — so with s = max per-group |channel −
+    * mean| (bounded by the group's spread max−min) the worst
+    * magnitude is |t2·D| ≤ 6·n⁴·s⁴, and DECIMAL(38,0) requires
+    * n·s ≲ 2·10⁹: a 1e5-spread channel tolerates ~2·10⁴ events per
+    * group, a 1e3 spread ~2·10⁶. Larger groups must pre-scale the
+    * channel (integer-divide before gating — the gate is
+    * scale-covariant up to the division's rounding) or sub-sample.
+    * The bound is ENFORCED: the same moment pass carries per-group
+    * min/max, and a group over the line fails with a named
+    * raise_error stating the contract — never a bare ANSI overflow
+    * deep in codegen, and never a silent wrap.
     *
     * Scale shape: one keyed aggregate for the moments (map-side
     * partials, group-sized result), then the gate pass re-reads the
@@ -319,7 +331,9 @@ object FlowCyto {
         sum(col("__gx")).as("__sx"), sum(col("__gy")).as("__sy"),
         sum(col("__gx") * col("__gx")).as("__sxx"),
         sum(col("__gy") * col("__gy")).as("__syy"),
-        sum(col("__gx") * col("__gy")).as("__sxy"))
+        sum(col("__gx") * col("__gy")).as("__sxy"),
+        (max(col("__gx")) - min(col("__gx"))).as("__spx"),
+        (max(col("__gy")) - min(col("__gy"))).as("__spy"))
       .withColumn("__mxx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__myy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
       .withColumn("__mxy", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
@@ -329,8 +343,17 @@ object FlowCyto {
     val qv = col("__myy") * dx * dx -
       lit(2).cast("decimal(38,0)") * col("__mxy") * dx * dy +
       col("__mxx") * dy * dy
-    val inside = col("__dt") > lit(0) &&
-      qv <= lit(t2).cast("decimal(38,0)") * col("__dt")
+    // headroom guard (see scaladoc): |t2·D| ≤ 6·n⁴·s⁴ fits
+    // DECIMAL(38,0) iff n·s ≲ 2e9, s ≤ max channel spread
+    val headroom = col("__n") * greatest(col("__spx"), col("__spy"))
+    val inside = when(headroom > lit(2000000000L).cast("decimal(38,0)"),
+      raise_error(concat(
+        lit("ellipseGateStats: DECIMAL(38,0) headroom exceeded " +
+          "(n * channel spread > 2e9; worst term is 6*n^4*s^4) — " +
+          "pre-scale the channel or sub-sample the group; n*spread="),
+        headroom.cast("string"))))
+      .otherwise(col("__dt") > lit(0) &&
+        qv <= lit(t2).cast("decimal(38,0)") * col("__dt"))
     d.join(broadcast(g), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"),

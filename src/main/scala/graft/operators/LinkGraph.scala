@@ -30,10 +30,17 @@ import org.apache.spark.sql.functions._
   * linear groupBy shuffle first (t40 does host→host accounting off
   * t32's URL grammar), so each of the `iters` rounds is an edge-sized
   * hash join + aggregate and the corpus is touched exactly once.
-  * Edges + out-degrees persist across rounds; ranks stay (node, long)
-  * slim. Below `localFinishEdges` the whole iteration runs in ONE
-  * task in memory (the CC/BPE local-finish pattern) — bit-equal to
-  * the distributed rounds because integer sums are order-independent.
+  * Edges + out-degrees persist across rounds and are RELEASED before
+  * return (the operator owns its cache — the bandedHammingPairs
+  * discipline: the result is localCheckpoint'd eagerly, so the
+  * unpersist can never trigger a recompute); ranks stay (node, long)
+  * slim and are localCheckpoint'd per round, so round i's plan never
+  * chains through rounds 1..i-1 (the lloydRounds flat-lineage
+  * lesson — without it a 50-round graph grows an analyzer-hostile
+  * iterative-join lineage). Below `localFinishEdges` the whole
+  * iteration runs in ONE task in memory (the CC/BPE local-finish
+  * pattern) — bit-equal to the distributed rounds because integer
+  * sums are order-independent.
   *
   * FIXED-POINT HEADROOM: total rank mass ≈ V·scale, so a hub's rank
   * is V·scale-bounded and `rank · wt` needs V·scale·max(wt) < 2^63 —
@@ -61,7 +68,7 @@ object LinkGraph {
     val base = (scale * 15L) / 100L
     if (localFinishEdges > 0 && ed.count() <= localFinishEdges) {
       import edges.sparkSession.implicits._
-      return ed.select(col("src"), col("dst"), col("wt"), col("deg"))
+      val local = ed.select(col("src"), col("dst"), col("wt"), col("deg"))
         .as[(String, String, Long, Long)].coalesce(1).mapPartitions { it =>
           val es = it.toArray
           val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -85,6 +92,11 @@ object LinkGraph {
           }
           rank.iterator
         }.toDF("w", "rank")
+        // eager: the single task runs the whole iteration NOW, so
+        // releasing the edge cache below cannot force a recompute
+        .localCheckpoint(true)
+      ed.unpersist(false)
+      return local
     }
     val nodes = ed.select(col("src").as("w"))
       .union(ed.select(col("dst").as("w"))).distinct().persist()
@@ -98,7 +110,14 @@ object LinkGraph {
         .select(col("w"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        // node-sized table: truncate lineage every round (the
+        // lloydRounds pattern) — round i must not chain through
+        // every prior round's join
+        .localCheckpoint(true)
     }
+    // the final round's checkpoint no longer references either cache
+    ed.unpersist(false)
+    nodes.unpersist(false)
     ranks
   }
 }

@@ -56,4 +56,51 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(row.getAs[Double]("trimmed_mean") > 0.0)
     }
   }
+
+  test("ellipse gate matches a brute-force double Mahalanobis check") {
+    // one group, a tilted cloud plus two far outliers — exact integer
+    // inequality must agree with the double-precision d² computation
+    val pts = (0 until 40).map(i => (i % 8).toLong * 10 + i / 8) // cloud
+      .zipWithIndex.map { case (x, i) => ("s1", x, x * 2 + (i % 5).toLong) } ++
+      Seq(("s1", 500L, -300L), ("s1", -400L, 900L))
+    val df = pts.toDF("sample", "x", "y")
+    val got = FlowCyto.ellipseGateStats(df, col("x"), col("y"),
+      Seq("sample"), t2 = 6).collect()(0)
+    // brute force in doubles
+    val xs = pts.map(_._2.toDouble); val ys = pts.map(_._3.toDouble)
+    val n = xs.size.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val vxx = xs.map(v => (v - mx) * (v - mx)).sum / n
+    val vyy = ys.map(v => (v - my) * (v - my)).sum / n
+    val vxy = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / n
+    val det = vxx * vyy - vxy * vxy
+    val nIn = xs.zip(ys).count { case (a, b) =>
+      val dx = a - mx; val dy = b - my
+      (vyy * dx * dx - 2 * vxy * dx * dy + vxx * dy * dy) / det <= 6.0
+    }
+    assert(got.getAs[Long]("n_events") == pts.size.toLong)
+    assert(got.getAs[Long]("n_in") == nIn.toLong)
+    assert(nIn < pts.size, "outliers must gate outside")
+  }
+
+  test("ellipse gate headroom guard: over-bound group fails loudly and named") {
+    // n * spread > 2e9 with only 4 events: spread 1e9 → named error,
+    // not a bare ANSI decimal overflow deep in codegen
+    val wild = Seq(("w", 0L, 0L), ("w", 1000000000L, 7L),
+      ("w", 3L, 999999999L), ("w", 5L, 5L)).toDF("sample", "x", "y")
+    val e = intercept[Exception] {
+      FlowCyto.ellipseGateStats(wild, col("x"), col("y"), Seq("sample"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("headroom exceeded")),
+      s"expected the named guard, got: ${msgs(e).mkString(" | ")}")
+    // just under the line with the same shape: gate runs fine
+    val tame = Seq(("t", 0L, 0L), ("t", 400000000L, 7L),
+      ("t", 3L, 399999999L), ("t", 5L, 5L)).toDF("sample", "x", "y")
+    val ok = FlowCyto.ellipseGateStats(tame, col("x"), col("y"), Seq("sample"))
+      .collect()(0)
+    assert(ok.getAs[Long]("n_events") == 4L)
+  }
 }
