@@ -17,10 +17,20 @@ import scala.jdk.CollectionConverters._
   * On-disk layout (all paths relative to the table root):
   *
   * {{{
-  *   <root>/files/v<k>/part-*.parquet   immutable data files, written
-  *                                      once by the commit that
-  *                                      created version k, NEVER
-  *                                      rewritten (copy-on-write)
+  *   <root>/files/v<k>_<attempt>/part-*.parquet
+  *                                      immutable data files, written
+  *                                      once by the commit ATTEMPT
+  *                                      that targeted version k,
+  *                                      NEVER rewritten (copy-on-
+  *                                      write). The attempt suffix
+  *                                      (pid + sequence) makes the
+  *                                      directory unique PER WRITER,
+  *                                      so two writers racing to the
+  *                                      same version can never
+  *                                      overwrite each other's bytes
+  *                                      before the claim decides;
+  *                                      identity is the manifest
+  *                                      listing, never the name
   *   <root>/_log/v<%08d k>.manifest     version k's manifest: the
   *                                      COMPLETE file listing of the
   *                                      snapshot (Delta-checkpoint
@@ -36,9 +46,12 @@ import scala.jdk.CollectionConverters._
   * rename would silently replace) — the link IS the commit point,
   * and two writers racing to the same version see exactly one winner
   * (optimistic concurrency; the loser gets
-  * FileAlreadyExistsException and must re-resolve + retry). Data
-  * files written by a failed/losing commit are unreferenced and
-  * reclaimed by [[vacuum]]. On an object store without an atomic
+  * FileAlreadyExistsException and must re-resolve + retry —
+  * [[commitWithRetry]] is that loop). The LOSER deletes its own
+  * attempt directory before surfacing the race (its files are
+  * referenced by nothing), and a loser that CRASHES before cleanup
+  * leaks only an unreferenced directory, which [[vacuum]]'s orphan
+  * sweep reclaims. On an object store without an atomic
   * create-if-absent this step becomes a conditional PUT / a commit
   * service — same contract, different primitive.
   *
@@ -278,8 +291,77 @@ object TableLog {
     val tmp = logDir(root).resolve(s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
     Files.write(tmp, renderManifest(m).getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifestPath(root, m.version), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // LOSER of the optimistic-concurrency race: this attempt's
+        // fresh data directories (the listed files whose directory
+        // targets the contested version — carried files live in
+        // older versions' dirs and stay untouched) are referenced by
+        // nothing. Reclaim them now rather than leaking until
+        // vacuum's orphan sweep, then surface the race to the caller
+        // (commitWithRetry re-resolves and retries).
+        m.files.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
+          .distinct
+          .filter(d => dirVersion(d).contains(m.version))
+          .foreach(d => TidyIO.deleteRecursively(Paths.get(root, d)))
+        throw e
+    }
     finally Files.deleteIfExists(tmp)
     m.version
+  }
+
+  /** Data-dir attempt sequence — with the writer's pid it makes every
+    * commit attempt's directory globally unique (see the layout doc).
+    */
+  private val attemptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** This attempt's data directory for target version `v` — unique
+    * per writer AND per try, so racing commits never share bytes.
+    */
+  private def attemptRel(v: Long): String =
+    f"files/v$v%08d" +
+      s"_p${ProcessHandle.current().pid()}_${attemptSeq.incrementAndGet()}"
+
+  /** The version a data directory targets — accepts the historical
+    * `files/v<k>` form and the attempt-unique `files/v<k>_p<pid>_<n>`.
+    */
+  private def dirVersion(dir: String): Option[Long] = {
+    val name = dir.substring(dir.lastIndexOf('/') + 1)
+    if (!name.startsWith("v")) None
+    else {
+      val digits = name.drop(1).takeWhile(_.isDigit)
+      if (digits.isEmpty) None else Some(digits.toLong)
+    }
+  }
+
+  /** Optimistic-concurrency retry loop (Delta's commitWithRetry /
+    * txn.commit contract): run `attempt` — any store write that
+    * re-resolves the head itself, e.g. `commit(df, root, …)` — and on
+    * losing the hard-link claim to a racing writer, run it again
+    * against the newly advanced head, up to `maxAttempts` total
+    * tries. Appends compose with any concurrent commit (the schema
+    * gate re-checks on every attempt); overwrite retries are
+    * last-writer-wins by definition. A merge retry re-reads its base
+    * through the fresh manifest, so it never merges against a stale
+    * snapshot. Exhaustion throws ConcurrentModificationException —
+    * at that contention level the caller needs a queue, not a loop.
+    */
+  def commitWithRetry(maxAttempts: Int = 5)(attempt: => Long): Long = {
+    require(maxAttempts >= 1, s"bad maxAttempts $maxAttempts")
+    var tries = 0
+    var out = -1L
+    var done = false
+    while (!done) {
+      try { out = attempt; done = true }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"lost the commit race $maxAttempts times: ${e.getMessage}")
+      }
+    }
+    out
   }
 
   // ---- footer stats ----------------------------------------------------
@@ -357,7 +439,7 @@ object TableLog {
   private def writeDataFiles(df: DataFrame, root: String, v: Long,
                              layout: Column, numFiles: Int): Seq[FileEntry] = {
     val spark = df.sparkSession
-    val rel = f"files/v$v%08d"
+    val rel = attemptRel(v)
     val dir = s"$root/$rel"
     val n = math.max(1, numFiles)
     val schema = df.schema
@@ -958,7 +1040,7 @@ object TableLog {
       .parquet(srcPaths: _*), small)
       .withColumn("__bin", element_at(typedlit(binByName),
         element_at(split(input_file_name(), "/"), -1)))
-    val rel = f"files/v$v%08d"
+    val rel = attemptRel(v)
     withBin.repartition(nBins, col("__bin")).drop("__bin")
       .write.mode("overwrite").parquet(s"$root/$rel")
     val names = Files.list(Paths.get(s"$root/$rel")).iterator().asScala
@@ -1276,6 +1358,24 @@ object TableLog {
       Files.deleteIfExists(manifestPath(root, v))
       Files.deleteIfExists(checkpointPath(root, v))
     }
+    // ORPHAN SWEEP: a data directory referenced by NO surviving
+    // manifest, targeting a version below the retention line, is the
+    // leftover of a losing/aborted commit that crashed before its
+    // self-cleanup (or the now-empty dir of a vacuumed version) —
+    // reclaim it. An IN-FLIGHT commit targets head+1 > head ≥
+    // keepFrom and is never touched; a dir the line can't judge
+    // (unparseable, or version ≥ keepFrom) is kept conservatively.
+    val liveDirs = liveFiles.map(p => p.substring(0, p.lastIndexOf('/')))
+    val filesRoot = Paths.get(root, "files")
+    if (Files.isDirectory(filesRoot))
+      Files.list(filesRoot).iterator().asScala.toSeq
+        .filter(Files.isDirectory(_))
+        .foreach { d =>
+          val relDir = s"files/${d.getFileName}"
+          if (!liveDirs.contains(relDir) &&
+              dirVersion(relDir).exists(_ < keepFrom))
+            TidyIO.deleteRecursively(d)
+        }
     deadFiles
   }
 }

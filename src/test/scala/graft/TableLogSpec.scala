@@ -246,6 +246,7 @@ class TableLogSpec extends AnyFunSuite {
 
   test("commitChecked: violations reject before ANY IO, NULL passes (SQL CHECK), counts named") {
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val root = freshRoot("checked")
     val checks = Seq("pos" -> "cents > 0", "bounded" -> "cents <= 500")
     assert(TableLog.commitChecked(mkDf(0L until 20L), root, expr("k div 25"), 2,
@@ -258,7 +259,9 @@ class TableLogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("bounded=50"), ex.getMessage)
     // rejected BEFORE any IO: version unchanged AND no v1 data dir
     assert(TableLog.currentVersion(root) == 0L)
-    assert(!Files.exists(Paths.get(root, "files", "v00000001")))
+    assert(!Files.list(Paths.get(root, "files")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("v00000001")),
+      "a rejected commit must write no v1 data directory")
     assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 20L)))
     // SQL CHECK semantics: a NULL expression result is NOT a violation
     val withNull = Seq((30L, Some(301L)), (31L, None))
@@ -523,4 +526,109 @@ class TableLogSpec extends AnyFunSuite {
       TableLog.commit(mkDf(60L until 70L), root, expr("k div 25"), 1, "append")
     }
   }
+
+  test("two-writer race end to end: loser self-cleans, commitWithRetry lands both") {
+    import java.nio.file.{Files, Paths}
+    import java.util.concurrent.TimeUnit
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot("race")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    // Writer A resolves head=0 and then BLOCKS inside its data write
+    // (the layout udf gates on a latch); writer B commits v1 in the
+    // gap; A is released, loses the v1 claim, and commitWithRetry
+    // re-resolves and lands it as v2 — a deterministic race on ONE
+    // version, not a probabilistic thread test.
+    RaceGate.started = new java.util.concurrent.CountDownLatch(1)
+    RaceGate.go = new java.util.concurrent.CountDownLatch(1)
+    val gated = udf { k: Long =>
+      RaceGate.started.countDown()
+      RaceGate.go.await(60, TimeUnit.SECONDS)
+      k / 25
+    }
+    var attempts = 0
+    @volatile var aVersion = -1L
+    val a = new Thread(() => {
+      aVersion = TableLog.commitWithRetry() {
+        attempts += 1
+        TableLog.commit(mkDf(100L until 120L).coalesce(1), root,
+          gated(col("k")), 2, "append")
+      }
+    })
+    a.start()
+    assert(RaceGate.started.await(60, TimeUnit.SECONDS), "A never started")
+    // B wins version 1 while A is mid-write
+    TableLog.commit(mkDf(200L until 230L), root, expr("k div 25"), 2, "append")
+    RaceGate.go.countDown()
+    a.join(120000)
+    assert(!a.isAlive, "writer A hung")
+    assert(attempts == 2, s"A must lose once then win, got $attempts attempts")
+    assert(aVersion == 2L && TableLog.currentVersion(root) == 2L)
+    // nothing lost, nothing duplicated
+    assert(rows(TableLog.read(spark, root)) ==
+      rows(mkDf((0L until 50L) ++ (100L until 120L) ++ (200L until 230L))))
+    // the losing attempt's data directory was self-cleaned: every
+    // on-disk dir is referenced by the head manifest
+    val referenced = TableLog.readManifest(root, 2L).files
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++
+      TableLog.readManifest(root, 1L).files
+        .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++
+      TableLog.readManifest(root, 0L).files
+        .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+    val onDisk = Files.list(Paths.get(root, "files")).iterator().asScala
+      .map(d => s"files/${d.getFileName}").toSet
+    assert(onDisk == referenced,
+      s"loser left junk: ${(onDisk -- referenced).mkString(", ")}")
+  }
+
+  test("commitWithRetry: retries only the claim race, exhaustion is loud") {
+    var tries = 0
+    assert(TableLog.commitWithRetry(5) {
+      tries += 1
+      if (tries < 3) throw new java.nio.file.FileAlreadyExistsException("v7")
+      7L
+    } == 7L)
+    assert(tries == 3)
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commitWithRetry(2) {
+        throw new java.nio.file.FileAlreadyExistsException("v9")
+      }
+    }
+    // any OTHER failure propagates immediately, never retried
+    var once = 0
+    intercept[IllegalArgumentException] {
+      TableLog.commitWithRetry(5) { once += 1; require(false, "boom"); 0L }
+    }
+    assert(once == 1)
+  }
+
+  test("vacuum orphan sweep: crashed-loser dirs below retention reclaimed, in-flight kept") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot("orphan")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    TableLog.commit(mkDf(50L until 80L), root, expr("k div 25"), 1, "append")
+    TableLog.commit(mkDf(80L until 90L), root, expr("k div 25"), 1, "append")
+    // simulate a loser that crashed BEFORE self-cleanup at v1, and an
+    // in-flight writer currently targeting a version at the line
+    val crashed = Paths.get(root, "files", "v00000001_p99999_7")
+    val inflight = Paths.get(root, "files", "v00000002_p99999_8")
+    Seq(crashed, inflight).foreach { d =>
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    }
+    TableLog.vacuum(root, 2L)
+    assert(!Files.exists(crashed), "orphan below the line must be swept")
+    assert(Files.exists(inflight), "dir at/above the line must survive")
+    // live data untouched — the v0/v1 dirs referenced by the head
+    // manifest survive the sweep even though their versions are dead
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 90L)))
+  }
+}
+
+/** Latches for the deterministic two-writer race (object statics so
+  * the gated-layout udf closure carries only a module reference).
+  */
+object RaceGate {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
 }
