@@ -995,6 +995,120 @@ object Relational {
           |GROUP BY prio ORDER BY prio""".stripMargin)
     }),
 
+    // R80/q77: RESTORE — Delta's `RESTORE TABLE … TO VERSION AS OF`
+    // through the commit log: a bad deploy appends two batches on
+    // top of the blessed snapshot, restore rolls the HEAD back as a
+    // NEW commit (pure metadata — the old version's immutable files
+    // are re-listed, zero data IO), and history keeps every version
+    // readable AS OF. Certified value-for-value four ways in one
+    // pass: the post-restore head read equals the blessed subset
+    // (plus the post-restore append — life goes on after a
+    // rollback), the change feed surfaces the restore as row-exact
+    // DELETES of exactly the rolled-back batches with zero inserts
+    // (v3's file list IS v0's, so the diff is pure removes — a
+    // restore that rewrote data would show up as inserts), the as-of
+    // read ABOVE the restore still sees the pre-restore world (time
+    // travel intact), and the history row count + restore-action
+    // count pin the audit surface. Scale: restore cost is one
+    // manifest read + one manifest write regardless of table size.
+    "q77_restore" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q77_restore")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val m = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(m === 0L), root, layout, 8, "overwrite") // v0
+      TableLog.commit(o.filter(m === 1L), root, layout, 4, "append") // v1
+      TableLog.commit(o.filter(m === 2L), root, layout, 4, "append") // v2
+      TableLog.restore(root, 0L) // v3: head == v0 again
+      TableLog.commit(o.filter(m === 1L), root, layout, 4, "append") // v4
+      val feed = TableLog.readChangeFeed(s, root, 3L, 3L)
+      // 1-row bounded driver aggregates (the q75 probe pattern)
+      val d = feed.filter(col("_change_type") === "delete")
+        .agg(count(lit(1)), sum("price")).collect()(0)
+      val nIns = feed.filter(col("_change_type") === "insert").count()
+      val nAsOfV2 = TableLog.read(s, root, Some(2L)).count()
+      val hist = TableLog.history(s, root)
+        .agg(count(lit(1)),
+          sum(when(col("action").startsWith("restore="), 1L).otherwise(0L)))
+        .collect()(0)
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(d.getLong(0)).as("n_cdf_del"),
+          lit(d.getLong(1)).as("sum_cdf_del"),
+          lit(nIns).as("n_cdf_ins"),
+          lit(nAsOfV2).as("n_asof_v2"),
+          lit(hist.getLong(0)).as("n_versions"),
+          lit(hist.getLong(1)).as("n_restores"))
+    }),
+
+    // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
+    // src`: a dev/staging copy of a production table for O(manifest)
+    // cost, zero bytes moved (the clone's v0 manifest references the
+    // source's files by absolute path), after which the two
+    // histories diverge freely. Certified value-for-value both
+    // directions plus the physical claim: the clone's head equals
+    // source-at-clone-time ∪ the clone's own append (shifted keys,
+    // so a leaked row is a value diff), the SOURCE's post-clone
+    // append is invisible to the clone AND counted on the source
+    // (isolation both ways), every clone-v0 manifest entry is
+    // foreign with zero local files (all_foreign/n_local_v0 — the
+    // zero-copy claim read from the manifest itself), and vacuuming
+    // the clone deletes NOTHING (its only dead version shares every
+    // file with the head, and foreign files are never the clone's to
+    // delete) while the source stays fully readable. Scale: cloning
+    // a 10^6-file table is one manifest read + one write; compact/
+    // recluster later materializes foreign → local (TableLogSpec
+    // pins that half).
+    "q78_shallow_clone" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val src = TidyIO.scratchDir("q78_src")
+      val dst = TidyIO.scratchDir("q78_dst")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val even = pmod(col("k"), lit(2L)) === 0L
+      TableLog.commit(o.filter(even), src, layout, 8, "overwrite") // src v0
+      TableLog.commit(o.filter(!even), src, layout, 8, "append") // src v1
+      TableLog.cloneShallow(src, dst) // dst v0 == src v1, zero copy
+      // clone diverges: shifted keys so any cross-leak is a value diff
+      TableLog.commit(
+        o.filter(pmod(col("k"), lit(7L)) === 0L)
+          .select((col("k") + lit(1000000000L)).as("k"),
+            (col("price") + lit(17L)).as("price")),
+        dst, layout, 4, "append") // dst v1
+      // source diverges AFTER the clone: must stay invisible to dst
+      TableLog.commit(
+        o.filter(pmod(col("k"), lit(11L)) === 0L)
+          .select((col("k") + lit(2000000000L)).as("k"),
+            (col("price") + lit(23L)).as("price")),
+        src, layout, 4, "append") // src v2
+      val v0Files = TableLog.readManifest(dst, 0L).files
+      val nLocalV0 = v0Files.count(!_.path.startsWith("/")).toLong
+      val allForeign = if (v0Files.nonEmpty && nLocalV0 == 0L) 1L else 0L
+      val nVacDeleted = TableLog.vacuum(dst, 1L).size.toLong
+      val nSrcRows = TableLog.read(s, src).count()
+      TableLog.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(nSrcRows).as("n_src_rows"),
+          lit(allForeign).as("all_foreign"),
+          lit(nLocalV0).as("n_local_v0"),
+          lit(nVacDeleted).as("n_vac_deleted"))
+    }),
+
     // R74/q72: per-file BLOOM INDEX — equality skipping on a column
     // the layout SCATTERED (Delta's bloom filter index; the skipping
     // class zones can't provide: orders cluster by k, so every
@@ -2350,6 +2464,55 @@ object Relational {
         |    AS n_v0_range
         |FROM o WHERE k BETWEEN 500 AND 2500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q77: the post-restore world replayed from raw orders — head =
+    // blessed subset + the post-restore append; the restore's feed
+    // is pure deletes of the rolled-back batches (a restore that
+    // rewrote or missed a file flips a sum); as-of v2 still sees
+    // everything; 5 versions, exactly 1 restore action.
+    "q77_restore" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, price, (k % 3 + 3) % 3 AS m FROM o)
+        |SELECT
+        |  CAST((SELECT count(*) FROM seg WHERE m IN (0, 1)) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM seg WHERE m IN (0, 1)) AS BIGINT)
+        |    AS n_keys,
+        |  CAST((SELECT sum(price) FROM seg WHERE m IN (0, 1)) AS BIGINT)
+        |    AS sum_price,
+        |  CAST((SELECT count(*) FROM seg WHERE m IN (1, 2)) AS BIGINT)
+        |    AS n_cdf_del,
+        |  CAST((SELECT sum(price) FROM seg WHERE m IN (1, 2)) AS BIGINT)
+        |    AS sum_cdf_del,
+        |  CAST(0 AS BIGINT) AS n_cdf_ins,
+        |  CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_asof_v2,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS n_restores""".stripMargin,
+
+    // q78: the diverged clone and source replayed from raw orders —
+    // clone head = everything ∪ its shifted append, source gains its
+    // own shifted append; all_foreign/n_local_v0/n_vac_deleted are
+    // the zero-copy and vacuum-safety contracts (a copying clone, a
+    // local data file at v0, or a vacuum that touched shared or
+    // foreign bytes flips them).
+    "q78_shallow_clone" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | d AS (SELECT k, price FROM o
+        |   UNION ALL
+        |   SELECT k + 1000000000, price + 17 FROM o WHERE (k % 7 + 7) % 7 = 0)
+        |SELECT
+        |  CAST((SELECT count(*) FROM d) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM d) AS BIGINT) AS n_keys,
+        |  CAST((SELECT sum(price) FROM d) AS BIGINT) AS sum_price,
+        |  CAST((SELECT count(*) FROM o) +
+        |       (SELECT count(*) FROM o WHERE (k % 11 + 11) % 11 = 0) AS BIGINT)
+        |    AS n_src_rows,
+        |  CAST(1 AS BIGINT) AS all_foreign,
+        |  CAST(0 AS BIGINT) AS n_local_v0,
+        |  CAST(0 AS BIGINT) AS n_vac_deleted""".stripMargin,
 
     // q72: the probe outcomes from raw orders — the unique max-key
     // hit's row, and a structurally-guaranteed zero for the miss.

@@ -791,6 +791,15 @@ object TableLog {
     * sources force the supplied schema nullable, so pre-evolution
     * files are always representable.
     */
+  /** Physical location of a manifest file entry: paths are RELATIVE
+    * to the table root except for FOREIGN references written by
+    * [[cloneShallow]], which are absolute (the Delta shallow-clone
+    * convention — the clone's manifest points into the source table's
+    * directory until a rewrite materializes local copies).
+    */
+  private def resolvePath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
   private[sources] def readFiles(spark: SparkSession, root: String,
                         schemaDdl: String, files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
@@ -799,7 +808,7 @@ object TableLog {
         schema)
     else
       applyDv(spark.read.schema(schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*), files)
+        .parquet(files.map(f => resolvePath(root, f.path)): _*), files)
   }
 
   /** Merge-on-read: suppress each file's deletion-vector keys inside
@@ -1034,7 +1043,7 @@ object TableLog {
       rel.substring(rel.lastIndexOf('/') + 1) -> b
     }.toMap
     val nBins = bins.map(_._2).distinct.size
-    val srcPaths = small.map(f => s"$root/${f.path}")
+    val srcPaths = small.map(f => resolvePath(root, f.path))
     val withBin = applyDv(spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .parquet(srcPaths: _*), small)
@@ -1304,6 +1313,63 @@ object TableLog {
     rows.toDF("version", "action", "kind", "n_files", "n_rows")
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF k`): a NEW
+    * commit whose snapshot is bit-identical to version `toV` — pure
+    * metadata, zero data IO (files are immutable, so re-listing the
+    * old version's entries at the new head re-activates them for
+    * free; zones, blooms and deletion vectors ride along unchanged).
+    * History stays intact: the rolled-back versions remain readable
+    * AS OF until vacuumed, [[history]] shows the restore as its own
+    * action, and [[readChangeFeed]] surfaces it as row-level
+    * deletes/inserts of exactly the head-vs-target diff (a botched
+    * restore is a feed value diff — q77 certifies). The schema
+    * follows `toV`: restoring below an evolution boundary brings the
+    * OLD schema back, exact because the manifest DDL is the read
+    * schema. The per-app txn high-water map carries FORWARD from the
+    * current head, never rolled back — exactly-once sink guards
+    * survive a restore (Delta keeps setTransaction versions across
+    * RESTORE for the same reason). A restore target below the vacuum
+    * line fails with the loud retention error before any write.
+    */
+  def restore(root: String, toV: Long): Long = {
+    val head = currentVersion(root)
+    require(head >= 0, s"no committed table at $root")
+    require(toV <= head, s"restore target $toV beyond head $head")
+    val target = readManifest(root, toV)
+    writeManifest(root, Manifest(head + 1, head, s"restore=$toV",
+      target.schemaDdl, target.files, txns = carriedTxns(root, head)))
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a
+    * new table at `dstRoot` whose v0 manifest references the source
+    * version's live data files by ABSOLUTE path — zero bytes copied,
+    * O(manifest) total work regardless of table size. Zones, blooms
+    * and deletion vectors ride the entries unchanged, so every read
+    * feature (pruning, time travel from v0 on, MoR suppression) works
+    * on the clone immediately; the clone's history then diverges
+    * freely — its own appends/merges write LOCAL files under
+    * `dstRoot`, and a compact/recluster MATERIALIZES foreign
+    * references into local files (shallow → deep over time, the
+    * Delta lifecycle). Safety on both sides of the shared-file
+    * caveat: [[vacuum]] on the CLONE never deletes foreign
+    * (absolute-path) files, and vacuum on the SOURCE may strand a
+    * clone still referencing vacuumed files — the clone's read then
+    * fails loudly at scan time (Delta documents the same caveat).
+    */
+  def cloneShallow(srcRoot: String, dstRoot: String,
+                   asOf: Option[Long] = None): Long = {
+    require(currentVersion(dstRoot) < 0,
+      s"clone target $dstRoot already has a committed table")
+    val sv = asOf.getOrElse(currentVersion(srcRoot))
+    require(sv >= 0, s"no committed table to clone at $srcRoot")
+    val m = readManifest(srcRoot, sv)
+    val absSrc = Paths.get(srcRoot).toAbsolutePath.normalize.toString
+    val files = m.files.map(f =>
+      if (f.path.startsWith("/")) f else f.copy(path = s"$absSrc/${f.path}"))
+    writeManifest(dstRoot, Manifest(0L, -1L, s"clone=$absSrc@$sv",
+      m.schemaDdl, files))
+  }
+
   // ---- retention -------------------------------------------------------
 
   /** Drop history: delete manifests below `keepFrom` and every data
@@ -1345,8 +1411,12 @@ object TableLog {
       }
     }
     val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
+    // FOREIGN (absolute-path) entries written by cloneShallow are
+    // never deleted here: this table does not own the source table's
+    // bytes — vacuuming a clone drops its local history only (the
+    // Delta shallow-clone contract).
     val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
-      .distinct.filterNot(liveFiles)
+      .distinct.filterNot(p => liveFiles(p) || p.startsWith("/"))
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     // Retire BOTH log artifacts of a dead version: its manifest and
     // any checkpoint side-file a previous vacuum materialized for it

@@ -623,6 +623,82 @@ class TableLogSpec extends AnyFunSuite {
     // manifest survive the sweep even though their versions are dead
     assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 90L)))
   }
+
+  test("restore: head rolls back bit-identically, history intact, txns carried, vacuum line loud") {
+    val root = freshRoot("restore")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    TableLog.commitTxn(mkDf(100L until 140L), root, expr("k div 25"),
+      numFiles = 2, appId = "app", txn = 0L)
+    TableLog.commit(mkDf(140L until 160L), root, expr("k div 25"), 1, "append")
+    val v3 = TableLog.restore(root, 0L)
+    assert(v3 == 3L && TableLog.currentVersion(root) == 3L)
+    // head == the restore target, entry-for-entry (pure metadata)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 100L)))
+    assert(TableLog.readManifest(root, 3L).files.map(_.path).sorted ==
+      TableLog.readManifest(root, 0L).files.map(_.path).sorted)
+    // rolled-back versions stay readable AS OF (history intact)
+    assert(rows(TableLog.read(spark, root, Some(2L))) == rows(mkDf(0L until 160L)))
+    // the txn high-water map carries FORWARD through the restore:
+    // a replay of batch 0 after the rollback is still a no-op
+    assert(TableLog.lastTxn(root, "app") == 0L)
+    val before = rows(TableLog.read(spark, root))
+    TableLog.commitTxn(mkDf(100L until 140L), root, expr("k div 25"),
+      numFiles = 2, appId = "app", txn = 0L)
+    assert(TableLog.currentVersion(root) == 3L &&
+      rows(TableLog.read(spark, root)) == before)
+    // the change feed sees the restore as pure deletes of the diff
+    val feed = TableLog.readChangeFeed(spark, root, 3L, 3L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 60L)
+    // restoring below the vacuum line is the loud retention error
+    TableLog.vacuum(root, 2L)
+    intercept[IllegalArgumentException] { TableLog.restore(root, 1L) }
+    // restore target beyond head is loud too
+    intercept[IllegalArgumentException] { TableLog.restore(root, 99L) }
+  }
+
+  test("shallow clone: zero-copy, diverges both ways, vacuum-safe, compact materializes") {
+    import java.nio.file.{Files, Paths}
+    val src = freshRoot("clone_src")
+    val dst = freshRoot("clone_dst")
+    TableLog.commit(mkDf(0L until 100L), src, expr("k div 25"), 4, "overwrite")
+    TableLog.commit(mkDf(100L until 160L), src, expr("k div 25"), 2, "append")
+    TableLog.cloneShallow(src, dst)
+    // v0 references are ALL foreign (absolute into src); no local bytes
+    val v0 = TableLog.readManifest(dst, 0L)
+    assert(v0.files.nonEmpty && v0.files.forall(_.path.startsWith("/")))
+    assert(!Files.isDirectory(Paths.get(dst, "files")),
+      "a shallow clone must not copy or write any data file")
+    assert(rows(TableLog.read(spark, dst)) == rows(mkDf(0L until 160L)))
+    // divergence: clone append invisible to src, src append invisible to clone
+    TableLog.commit(mkDf(1000L until 1050L), dst, expr("k div 25"), 2, "append")
+    TableLog.commit(mkDf(2000L until 2020L), src, expr("k div 25"), 1, "append")
+    assert(rows(TableLog.read(spark, dst)) ==
+      rows(mkDf(0L until 160L)) ++ rows(mkDf(1000L until 1050L)))
+    assert(rows(TableLog.read(spark, src)) ==
+      rows(mkDf(0L until 160L)) ++ rows(mkDf(2000L until 2020L)))
+    // vacuum on the clone never touches foreign bytes: drop the clone's
+    // v0 history — src must remain fully readable, clone head too
+    val deleted = TableLog.vacuum(dst, 1L)
+    assert(deleted.isEmpty, s"clone vacuum deleted: $deleted")
+    assert(rows(TableLog.read(spark, src)) ==
+      rows(mkDf(0L until 160L)) ++ rows(mkDf(2000L until 2020L)))
+    assert(rows(TableLog.read(spark, dst)) ==
+      rows(mkDf(0L until 160L)) ++ rows(mkDf(1000L until 1050L)))
+    // compact MATERIALIZES foreign references into local files
+    TableLog.compact(spark, dst, "k", targetRows = 1000000L,
+      smallRows = 1000000L)
+    val head = TableLog.readManifest(dst, TableLog.currentVersion(dst))
+    assert(head.files.forall(!_.path.startsWith("/")),
+      "compaction must localize every foreign reference it rewrites")
+    assert(rows(TableLog.read(spark, dst)) ==
+      rows(mkDf(0L until 160L)) ++ rows(mkDf(1000L until 1050L)))
+    // clone target must be empty; as-of clone pins the old version
+    intercept[IllegalArgumentException] { TableLog.cloneShallow(src, dst) }
+    val dst0 = freshRoot("clone_dst0")
+    TableLog.cloneShallow(src, dst0, asOf = Some(0L))
+    assert(rows(TableLog.read(spark, dst0)) == rows(mkDf(0L until 100L)))
+  }
 }
 
 /** Latches for the deterministic two-writer race (object statics so
