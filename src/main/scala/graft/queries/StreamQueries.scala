@@ -613,6 +613,73 @@ object StreamQueries {
       }.orderBy("version", "change_type")
     }),
 
+    // S28/st30: streaming CDC-APPLY sink — the upsert twin of st26's
+    // append-only ingest (Delta's foreachBatch-MERGE pattern, the
+    // production CDC topology: a change stream lands on a keyed
+    // table as MERGE-ON-READ commits, one per micro-batch). Each
+    // batch applies through mergeMor stamped with its batch id, so a
+    // RE-DELIVERED batch — replayed here after the run with the
+    // WHOLE change set as payload, the worst case — is a no-op via
+    // the txn high-water mark; deletes ride as deletion vectors and
+    // update state lands in new files, so hit files are never
+    // rewritten (n_rewritten, summed over every merge version
+    // THROUGH versionDelta, is the physical claim; n_dv the
+    // logical one). Change keys are disjoint across batches by
+    // construction (each key appears once), so the final state is
+    // the latest-wins oracle regardless of file→batch routing.
+    // Scale: per-batch cost is change-sized (probe + new-state
+    // files + one manifest), never table-sized — the st26 shape
+    // with row-level semantics.
+    "st30_stream_cdc_apply" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("price"))
+        .filter(col("k").isNotNull)
+      val root = TidyIO.scratchDir("st30_tbl")
+      val layout = expr("k div 500")
+      TableLog.commit(o, root, layout, 16, "overwrite") // v0: the base
+      // one change row per key (CDC contract: the table is primary-
+      // keyed; a duplicate-key source row would otherwise split
+      // across micro-batches and leave routing-dependent dv counts)
+      val changes = o.groupBy("k").agg(max("price").as("price"))
+        .withColumn("r", pmod(col("k"), lit(97L)))
+        .filter(col("r") <= 3L)
+        .select(col("k"), lit(1L).as("ver"),
+          when(col("r") === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L) * col("r")).as("new_price"))
+      val src = TidyIO.scratchDir("st30_src")
+      changes.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      def applyBatch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        if (!batch.isEmpty && id > TableLog.lastTxn(root, "st30"))
+          TableLog.mergeMor(s, root, batch, "k", layout, numFiles = 2,
+            dvMaxFrac = 1.0, txnTag = Some(s"st30:$id"))
+      StreamRun.runForeachBatch(s, stream)(applyBatch)
+      // failure-recovery path: batch 0 re-delivered after the run
+      // with the FULL change set — must be skipped by the guard
+      // (replay_noop: the head version is unchanged by the replay)
+      val headBefore = TableLog.currentVersion(root)
+      applyBatch(changes, 0L)
+      val head = TableLog.currentVersion(root)
+      val replayNoop = if (head == headBefore) 1L else 0L
+      val nRewritten = (1L to head)
+        .map(v => TableLog.versionDelta(root, v)._2.size.toLong).sum
+      val nDv = TableLog.readManifest(root, head).files
+        .flatMap(_.dv.valuesIterator.map(_.length.toLong)).sum
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(replayNoop).as("replay_noop"),
+          lit(nRewritten).as("n_rewritten"),
+          lit(nDv).as("n_dv"))
+    }),
+
     // S8: streaming windowed DISTINCT count — the per-window unique-
     // users metric, through the REAL streaming engine. Streaming
     // aggregation can't run COUNT(DISTINCT) (unbounded per-group
@@ -860,6 +927,31 @@ object StreamQueries {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM o GROUP BY 1, 2 ORDER BY version, change_type""".stripMargin,
+
+    // st30: the latest-wins state replayed from raw orders (q75's
+    // shape applied incrementally); replay_noop is the exactly-once
+    // contract (a broken guard re-merges the full change set and
+    // flips it), n_rewritten=0 the merge-on-read physical claim,
+    // n_dv the change-set-sized logical one.
+    "st30_stream_cdc_apply" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | m AS (SELECT k, price, (k % 97 + 97) % 97 AS r FROM o),
+        | upd AS (SELECT k, max(price) + 100 * max(r) AS price
+        |   FROM m WHERE r IN (1, 2, 3) GROUP BY k),
+        | st AS (
+        |   SELECT k, price FROM m WHERE r NOT IN (0, 1, 2, 3)
+        |   UNION ALL
+        |   SELECT m.k, u.price FROM m JOIN upd u ON m.k = u.k)
+        |SELECT
+        |  CAST((SELECT count(*) FROM st) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM st) AS BIGINT) AS n_keys,
+        |  CAST((SELECT sum(price) FROM st) AS BIGINT) AS sum_price,
+        |  CAST(1 AS BIGINT) AS replay_noop,
+        |  CAST(0 AS BIGINT) AS n_rewritten,
+        |  CAST((SELECT count(DISTINCT k) FROM m WHERE r <= 3) AS BIGINT)
+        |    AS n_dv""".stripMargin,
 
     // st22 runs m13's sample reassembly through the streaming engine
     // over the same store — the RESULT contract is identical, so its

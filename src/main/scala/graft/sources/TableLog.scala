@@ -1225,7 +1225,8 @@ object TableLog {
                keyCol: String, layout: Column, numFiles: Int = 8,
                verCol: String = "ver", opCol: String = "op",
                valCol: String = "price", newValCol: String = "new_price",
-               dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1): Long = {
+               dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1,
+               txnTag: Option[String] = None): Long = {
     require(dvMaxFrac >= 0.0 && dvMaxFrac <= 1.0, s"bad dvMaxFrac $dvMaxFrac")
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
@@ -1278,16 +1279,24 @@ object TableLog {
       f.copy(dv = f.dv + (keyCol ->
         (prior ++ hitsByFile(baseName(f.path))).distinct.sorted))
     }
-    val txns = carriedTxns(root, parent)
+    // txnTag mirrors [[commit]]'s: the action stamp + the carried
+    // high-water map make a streaming CDC-APPLY sink exactly-once
+    // (a re-delivered micro-batch checks lastTxn and skips — st30)
+    val action = txnTag.fold("merge-mor")(t => s"merge-mor+txn=$t")
+    val txns = carriedTxns(root, parent) ++
+      txnTag.map { t =>
+        val i = t.lastIndexOf(':')
+        t.substring(0, i) -> t.substring(i + 1).toLong
+      }
     if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, "merge-mor", m.schemaDdl,
+      writeManifest(root, Manifest(v, parent, action, m.schemaDdl,
         untouched ++ falsePos ++ dvUpdated ++ added, txns = txns))
     else
       // delta form: a dv update is remove+re-add of the SAME path
       // with the grown vector — resolution order (removes, then
       // adds) makes that exact, and versionDelta's path diff still
       // sees it as neither added nor removed
-      writeManifest(root, Manifest(v, parent, "merge-mor", m.schemaDdl,
+      writeManifest(root, Manifest(v, parent, action, m.schemaDdl,
         dvUpdated ++ added, kind = "delta",
         removes = (rewriteFiles ++ dvFiles).map(_.path).sorted, txns = txns))
   }

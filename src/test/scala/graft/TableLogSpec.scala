@@ -624,6 +624,27 @@ class TableLogSpec extends AnyFunSuite {
     assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 90L)))
   }
 
+  test("mergeMor txnTag: the high-water map carries the stamp; duplicate deliveries are detectable") {
+    val root = freshRoot("mortxn")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    val ch = Seq((7L, 1L, "U", 777L), (50L, 1L, "D", 0L))
+      .toDF("k", "ver", "op", "new_price")
+      .withColumnRenamed("new_price", "new_cents")
+    TableLog.mergeMor(spark, root, ch, "k", expr("k div 25"), 2,
+      valCol = "cents", newValCol = "new_cents",
+      txnTag = Some("cdc:3"))
+    // the stamp lands in the carried map (O(1) lastTxn) AND the action
+    assert(TableLog.lastTxn(root, "cdc") == 3L)
+    assert(TableLog.readManifest(root, 1L).action == "merge-mor+txn=cdc:3")
+    // a later commit carries it forward
+    TableLog.commit(mkDf(100L until 110L), root, expr("k div 25"), 1, "append")
+    assert(TableLog.lastTxn(root, "cdc") == 3L)
+    // the st30 sink guard: a re-delivered batch id ≤ the mark skips
+    assert(3L <= TableLog.lastTxn(root, "cdc"))
+    assert(rows(TableLog.read(spark, root)) ==
+      (rows(mkDf(0L until 110L)) - ((7L, 71L)) - ((50L, 501L))) + ((7L, 777L)))
+  }
+
   test("restore: head rolls back bit-identically, history intact, txns carried, vacuum line loud") {
     val root = freshRoot("restore")
     TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
