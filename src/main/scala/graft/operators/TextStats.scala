@@ -239,6 +239,87 @@ object TextStats {
         when(col("clabel") === col("label"), lit(1)).otherwise(lit(0)).as("hit"))
   }
 
+  /** L114 — DSIR importance resampling weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * the production domain-matching selector — score every RAW
+    * (crawl) document by how much more likely its hashed-unigram bag
+    * is under the TARGET (reference) distribution than under the raw
+    * distribution, then keep the top `keepFrac` by weight. Per
+    * bucket j with Laplace add-one: log p̂(j)/q̂(j) decomposes into a
+    * per-bucket term ln(t_j+1) − ln(r_j+1) plus a per-TOKEN constant
+    * ln(R+B) − ln(T+B); both are rounded to 6 dp and carried as
+    * DECIMAL(18,6) (the t17 discipline), so the per-doc weight —
+    * emitted as the exact integer micro-nat TOTAL `uw`, never a
+    * divided mean — is reproducible bit-for-bit in any engine.
+    * Selection is per SOURCE over the deterministic total order
+    * (uw DESC, doc_id): keep each source's top fracNum/fracDen —
+    * the paper's balanced per-domain variant (§4: proportional
+    * selection keeps one domain from swamping the budget), the d24
+    * gate pattern, and the only plan shape whose window partitions
+    * (the paper's global Gumbel resampling is not oracle-checkable;
+    * the deterministic per-source top-k is its zero-temperature,
+    * domain-balanced limit).
+    *
+    * Shape at 100 TB: the model is two bucket-count aggregates
+    * (≤ numBuckets rows each — BROADCAST); scoring is one narrow
+    * explode + one broadcast join + one per-doc fold over the raw
+    * side only; selection windows partition by source (a dominant
+    * source should switch to the Sampling.topFractionBySketch
+    * twin — same contract, KLL threshold, no per-source sort).
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, sourceCol: String, isTarget: Column,
+                  numBuckets: Int = 4096,
+                  fracNum: Int = 1, fracDen: Int = 4): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        Dedup.normText(col(textCol)).as("ntx"))
+      .distinct()
+    val tk = base.select(col("doc_id"), col("source"),
+        explode(filter(split(col("ntx"), " "), t => t =!= "")).as("tok"))
+      .withColumn("j", pmod(GraftFunctions.fmix64(
+        GraftFunctions.rolling_hash(col("tok"))), lit(numBuckets.toLong)))
+      .select("doc_id", "source", "j")
+    val tg = tk.filter(isTarget)
+    val rw = tk.filter(!isTarget)
+    val tc = tg.groupBy("j").agg(count(lit(1)).as("t_c"))
+    val rc = rw.groupBy("j").agg(count(lit(1)).as("r_c"))
+    // the per-bucket model: ≤ numBuckets rows, broadcast to the scorer
+    val grid = tc.join(rc, Seq("j"), "full_outer")
+      .select(col("j"),
+        round(log(coalesce(col("t_c"), lit(0L)).cast("double") + lit(1.0)) -
+              log(coalesce(col("r_c"), lit(0L)).cast("double") + lit(1.0)), 6)
+          .cast("decimal(18,6)").as("term"))
+    // 2 scalars (bounded 1-row agg): total target / raw token mass
+    val totRow = tk
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("tt"),
+        sum(when(isTarget, 0L).otherwise(1L)).as("rr"))
+      .collect()(0)
+    val (tt, rr) = (Option(totRow.get(0)).fold(0L)(_ => totRow.getLong(0)),
+      Option(totRow.get(1)).fold(0L)(_ => totRow.getLong(1)))
+    val cTerm = BigDecimal(math.log(rr.toDouble + numBuckets) -
+      math.log(tt.toDouble + numBuckets))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val scored = rw.join(broadcast(grid), Seq("j"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("term").as("s"))
+    val rawDocs = base.filter(!isTarget)
+      .select("doc_id", "source").distinct()
+    val weighted = rawDocs.join(scored, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        ((coalesce(col("s"), lit(BigDecimal(0)).cast("decimal(18,6)")) +
+          lit(cTerm.bigDecimal).cast("decimal(18,6)") *
+            coalesce(col("n_tok"), lit(0L))) * lit(1000000L))
+          .cast("long").as("uw"))
+    Sampling.topFractionByScore(weighted, "doc_id", "source", "uw",
+        fracNum, fracDen)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_tok"), col("uw"), col("n_group"))
+  }
+
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
     * — the "~4 chars per token" rule of thumb). All three count over

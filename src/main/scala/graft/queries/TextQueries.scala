@@ -524,6 +524,26 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // L114/d39: DSIR importance resampling (Xie et al. 2023 — the
+    // production domain-matching selector: "pick crawl documents
+    // that look like the reference corpus"): hashed-unigram bag
+    // likelihood ratio between the TARGET distribution (the
+    // reference split, doc_id ≡ 0 mod 7) and the RAW distribution
+    // (everything else), Laplace add-one, 6-dp DECIMAL terms (the
+    // t17 ln discipline) summed to an exact integer micro-nat
+    // weight, then the per-source top-1/4 by (uw DESC, doc_id) —
+    // the paper's balanced per-domain variant through d24's gate
+    // shape. The model is two ≤4096-row broadcast aggregates;
+    // scoring is explode + broadcast join + per-doc fold; a wrong
+    // hash, count, smoothing constant, or rank boundary is a value
+    // diff on uw/rk.
+    "d39_dsir_select" -> ((s, dir) => {
+      TextStats.dsirWeights(docs(s, dir), "doc_id", "text", "source",
+          pmod(col("doc_id"), lit(7L)) === 0L, numBuckets = 4096,
+          fracNum = 1, fracDen = 4)
+        .orderBy("source", "rk")
+    }),
+
     // L95/t35: boilerplate-line mining — the DISCOVERY dashboard that
     // justifies d28's line dedup (which lines are the nav/footer
     // templates, per source): normalized lines hashed with the
@@ -2546,6 +2566,50 @@ object TextQueries {
          |  FROM q)
          |SELECT source, rk, doc_id, quality, n_group FROM r
          |WHERE rk * 10 <= n_group * 3 + 9
+         |ORDER BY source, rk""".stripMargin,
+
+    // d39: the full DSIR replay — portable token hash mod 4096,
+    // Laplace per-bucket ln terms at 6 dp, the per-token constant
+    // from the two total masses, exact integer micro-nat weights,
+    // d24's rank/boundary formula per source.
+    "d39_dsir_select" ->
+      s"""WITH b0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |    ${PortableHashSql.norm("text")} AS ntx FROM documents),
+         | tk AS (SELECT doc_id, source,
+         |    CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT) AS j
+         |  FROM (SELECT doc_id, source,
+         |      unnest(list_filter(split(ntx, ' '), t -> t <> '')) AS tok
+         |    FROM b0)),
+         | tg AS (SELECT * FROM tk WHERE (doc_id % 7 + 7) % 7 = 0),
+         | rw AS (SELECT * FROM tk WHERE (doc_id % 7 + 7) % 7 <> 0),
+         | tc AS (SELECT j, count(*) AS t_c FROM tg GROUP BY j),
+         | rc AS (SELECT j, count(*) AS r_c FROM rw GROUP BY j),
+         | grid AS (SELECT coalesce(tc.j, rc.j) AS j,
+         |    CAST(round(ln(CAST(coalesce(t_c, 0) + 1 AS DOUBLE)) -
+         |               ln(CAST(coalesce(r_c, 0) + 1 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM tc FULL JOIN rc ON tc.j = rc.j),
+         | ct AS (SELECT CAST(round(
+         |      ln(CAST((SELECT count(*) FROM rw) + 4096 AS DOUBLE)) -
+         |      ln(CAST((SELECT count(*) FROM tg) + 4096 AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS c),
+         | sc AS (SELECT rw.doc_id, rw.source, count(*) AS n_tok,
+         |    sum(term) AS s
+         |  FROM rw JOIN grid USING (j) GROUP BY rw.doc_id, rw.source),
+         | wg AS (SELECT rd.doc_id, rd.source,
+         |    CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |    CAST((coalesce(sc.s, CAST(0 AS DECIMAL(18,6))) +
+         |          coalesce(sc.n_tok, 0) * ct.c) * 1000000 AS BIGINT) AS uw
+         |  FROM (SELECT DISTINCT doc_id, source FROM b0
+         |        WHERE (doc_id % 7 + 7) % 7 <> 0) rd
+         |  LEFT JOIN sc ON sc.doc_id = rd.doc_id AND sc.source = rd.source, ct),
+         | r AS (SELECT source, doc_id, n_tok, uw,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY uw DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+         |  FROM wg)
+         |SELECT source, rk, doc_id, n_tok, uw, n_group FROM r
+         |WHERE rk * 4 <= n_group + 3
          |ORDER BY source, rk""".stripMargin,
 
     // d20: same top-53-bit fmix64 order key (HUGEINT shift ≡ Spark's
