@@ -320,6 +320,45 @@ object TextStats {
         col("doc_id"), col("n_tok"), col("uw"), col("n_group"))
   }
 
+  /** L115 — exact per-group ROC-AUC of a score against a binary
+    * label (Mann–Whitney rank-sum with midrank tie handling): the
+    * classifier-calibration dashboard every filter pipeline needs —
+    * "does the cheap score actually predict the expensive gate?"
+    * AUC = (Σ_pos avgrank − n₊(n₊+1)/2) / (n₊·n₋), carried entirely
+    * in INTEGER space: doubled average ranks r2 = 2·rank + ties − 1
+    * make the numerator exact, and the 6-dp value is emitted as the
+    * half-up integer `auc_micro` (never a float division), so the
+    * statistic is engine-portable bit-for-bit. NULL when a group has
+    * no positives or no negatives (AUC undefined).
+    *
+    * Shape: two windows, both PARTITIONED by group (rank within
+    * group + tie counts within (group, score)), then one per-group
+    * fold — no global sort. Long arithmetic holds to ~10⁹ rows per
+    * group ((2n²)·10⁶ < 2⁶³); past that, lift the aggregate into
+    * DECIMAL(38,0).
+    */
+  def scoreAuc(df: org.apache.spark.sql.DataFrame, groupCol: String,
+               scoreCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, scoreCol)
+    df.withColumn("r2",
+        lit(2L) * rank().over(wr) + count(lit(1)).over(wt) - lit(1L))
+      .groupBy(groupCol)
+      .agg(sum(when(col(labelCol) === 1L, col("r2")).otherwise(lit(0L)))
+          .as("sum_r2_pos"),
+        sum(col(labelCol)).cast("long").as("n_pos"),
+        count(lit(1)).as("n_total"))
+      .select(col(groupCol),
+        col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") > 0L && col("n_total") > col("n_pos"),
+          expr("CAST(((sum_r2_pos - n_pos * (n_pos + 1)) * 2000000 " +
+            "+ 2 * n_pos * (n_total - n_pos)) " +
+            "div (4 * n_pos * (n_total - n_pos)) AS BIGINT)"))
+          .as("auc_micro"))
+  }
+
   /** L10 — token counting three ways: whitespace split, wordish regex
     * matches, and a BPE-ish subword estimate (⌈len/4⌉ pieces per word
     * — the "~4 chars per token" rule of thumb). All three count over

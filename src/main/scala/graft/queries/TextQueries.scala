@@ -524,6 +524,27 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // L115/t41: quality-scorer ROC-AUC — the calibration dashboard
+    // over the pipeline's own filters: does the cheap composite
+    // quality score (t02/d24's gate input) actually predict the
+    // expensive Gopher rule battery's keep decision (t27's gate)?
+    // Exact Mann–Whitney AUC per source with midrank ties, all in
+    // integer space (doubled average ranks; half-up micro units) —
+    // a float-free statistic both engines reproduce bit-for-bit.
+    // Score and label are computed on the SAME row in one narrow
+    // projection (no join — duplicate doc_ids cannot fan out), then
+    // two source-partitioned windows + one per-source fold.
+    "t41_quality_auc" -> ((s, dir) => {
+      val norm = Dedup.normText(col("text"))
+      val toks = Dedup.tokens(col("text"))
+      val q = TextStats.qualityColumns(norm, toks).toMap.apply("quality")
+      val keep = TextStats.gopherColumns(col("text")).toMap.apply("keep")
+      val scored = docs(s, dir).select(col("source"),
+        q.as("score"), keep.cast("long").as("label"))
+      TextStats.scoreAuc(scored, "source", "score", "label")
+        .orderBy("source")
+    }),
+
     // L114/d39: DSIR importance resampling (Xie et al. 2023 — the
     // production domain-matching selector: "pick crawl documents
     // that look like the reference corpus"): hashed-unigram bag
@@ -2567,6 +2588,60 @@ object TextQueries {
          |SELECT source, rk, doc_id, quality, n_group FROM r
          |WHERE rk * 10 <= n_group * 3 + 9
          |ORDER BY source, rk""".stripMargin,
+
+    // t41: one-pass replay — quality (d24's formula) and the Gopher
+    // keep product (t27's rules) from the SAME row, then midrank
+    // AUC in doubled-rank integer space, half-up micro units.
+    "t41_quality_auc" ->
+      s"""WITH raw AS (SELECT source, text, $normSql AS norm,
+         |    string_split($normSql, ' ') AS toks,
+         |    string_split(replace(text, chr(13), ''), chr(10)) AS lines
+         |  FROM documents),
+         | mid AS (SELECT source,
+         |    ${hup4Sql(
+               s"""least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |        ${safeDivSql(
+                    stopFilterSql("toks", TextStats.stopwords.flatMap(_._2)),
+                    "len(toks)")} * 0.3 +
+         |        ${safeDivSql(
+                    "length(regexp_replace(norm, '[^a-z]', '', 'g'))",
+                    "length(norm)")} * 0.3""")} AS score,
+         |    len(toks) AS n_words,
+         |    length(norm) - (len(toks) - 1) AS sum_len,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         |    len(lines) AS n_lines,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS ellipsis_lines,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+         |    len(list_filter(list_distinct(toks),
+         |      t -> t IN (${TextStats.gopherStopwords.map(w => s"'$w'").mkString(", ")}))) AS stop_hits
+         |  FROM raw),
+         | lab AS (SELECT source, score,
+         |    (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) *
+         |    (CASE WHEN 3*n_words <= sum_len AND sum_len <= 10*n_words THEN 1 ELSE 0 END) *
+         |    (CASE WHEN 10*symbols <= n_words THEN 1 ELSE 0 END) *
+         |    (CASE WHEN 10*bullet_lines <= 9*n_lines THEN 1 ELSE 0 END) *
+         |    (CASE WHEN 10*ellipsis_lines <= 3*n_lines THEN 1 ELSE 0 END) *
+         |    (CASE WHEN 5*alpha_words >= 4*n_words THEN 1 ELSE 0 END) *
+         |    (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS label
+         |  FROM mid),
+         | rk AS (SELECT source, label,
+         |    2 * rank() OVER (PARTITION BY source ORDER BY score)
+         |      + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+         |  FROM lab),
+         | ag AS (SELECT source,
+         |    CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sum_r2_pos,
+         |    CAST(sum(label) AS BIGINT) AS n_pos,
+         |    CAST(count(*) AS BIGINT) AS n_total
+         |  FROM rk GROUP BY source)
+         |SELECT source, n_pos, n_total - n_pos AS n_neg,
+         |  CASE WHEN n_pos > 0 AND n_total > n_pos THEN
+         |    CAST(((sum_r2_pos - n_pos * (n_pos + 1)) * 2000000
+         |      + 2 * n_pos * (n_total - n_pos))
+         |      // (4 * n_pos * (n_total - n_pos)) AS BIGINT)
+         |  END AS auc_micro
+         |FROM ag ORDER BY source""".stripMargin,
 
     // d39: the full DSIR replay — portable token hash mod 4096,
     // Laplace per-bucket ln terms at 6 dp, the per-token constant
