@@ -291,6 +291,81 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F22: per-sample Kolmogorov–Smirnov drift vs the pooled
+    // reference — the classic two-sample QC next to f21's EMD (flowAI
+    // flags acquisition drift with exactly this statistic): KS = sup
+    // |F_s − F_pool| over the value ECDFs. Computed EXACTLY in
+    // integer space: at every pooled jump point v, the numerator
+    // |cum_s·N − cum_pool·n_s| is a DECIMAL(38,0) integer (both ECDFs
+    // are step functions, so the sup is attained at a jump point and
+    // the grid of pooled values covers every jump of both), and the
+    // 6-dp statistic is the f21 half-up integer division — no floats
+    // anywhere, HUGEINT-replayable. Grid = samples × distinct
+    // values (histogram-sized, broadcast); one partitioned cumsum
+    // window; never event×event.
+    "f22_ks_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("v"))
+      val per = li.groupBy("l_returnflag", "l_linestatus", "v")
+        .agg(count(lit(1)).as("c"))
+      val glob = li.groupBy("v").agg(count(lit(1)).as("cg"))
+      val ns = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("ns"))
+      val nTot = li.agg(count(lit(1)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "l_linestatus").orderBy("v")
+      ns.crossJoin(broadcast(glob))
+        .join(per, Seq("l_returnflag", "l_linestatus", "v"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("cum_c", sum(col("c").cast("decimal(38,0)")).over(w))
+        .withColumn("cum_g", sum(col("cg").cast("decimal(38,0)")).over(w))
+        .withColumn("dnum", abs(col("cum_c") * col("nn").cast("decimal(38,0)") -
+          col("cum_g") * col("ns").cast("decimal(38,0)")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(max(col("ns")).cast("long").as("n_events"),
+          max(col("dnum")).as("dmax"),
+          max(col("nn")).cast("long").as("nn2"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_events"),
+          expr("CAST((2000000 * dmax + n_events * nn2) div (2 * n_events * nn2) AS DOUBLE) / 1000000")
+            .as("ks6"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F23: automatic SINGLET gate — FlowJo's FSC-A vs FSC-H doublet
+    // discrimination, auto-banded: a doublet carries ~2× the area at
+    // the same height, so the area/height RATIO separates singlets;
+    // the band is derived from the sample's OWN median ratio ±20%
+    // (the flowDensity auto-gating idiom — no hand-tuned constants).
+    // Channel mapping: l_extendedprice (area) / l_quantity (height).
+    // The median is rounded to 4 dp FIRST (the proven percentile ↔
+    // quantile_cont pairing), so the band edges are identical doubles
+    // in both engines and the gate comparison can't straddle an ulp.
+    // Per-sample medians broadcast back (groups-sized); the gate is a
+    // narrow projection; singlet_frac is the half-up integer form.
+    "f23_singlet_gate" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast("double") /
+            col("l_quantity").cast("double")).as("r"))
+      val med = e.groupBy("l_returnflag", "l_linestatus")
+        .agg(round(percentile(col("r"), lit(0.5)), 4).as("med_ratio"))
+      e.join(broadcast(med), Seq("l_returnflag", "l_linestatus"))
+        .withColumn("s",
+          when(col("r") >= lit(0.8) * col("med_ratio") &&
+            col("r") <= lit(1.2) * col("med_ratio"), 1L).otherwise(0L))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("s")).as("n_singlets"),
+          max(col("med_ratio")).as("med_ratio"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n_events"), col("n_singlets"), col("med_ratio"),
+          expr("CAST((20000 * n_singlets + n_events) div (2 * n_events) AS DOUBLE) / 10000")
+            .as("singlet_frac"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F20: ELLIPSE (Mahalanobis) gate — the standard 2-D population
     // gate above rectangles/polygons: inside ⟺ Mahalanobis d² ≤ 6
     // (the χ²₂ ≈95% contour) against the sample's own (mean,
@@ -771,6 +846,51 @@ object FlowCytoQueries {
         |  CAST((2000000 * sum(abs(cumv)) + max(ns) * max(nn))
         |       // (2 * max(ns) * max(nn)) AS DOUBLE) / 1000000 AS emd6
         |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // f22: the exact KS replay in HUGEINT — two cumsums per sample
+    // over the pooled value grid, the max |cum_s·N − cum_g·n_s|
+    // numerator, f21's half-up 6-dp division.
+    "f22_ks_drift" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(floor(l_quantity) AS BIGINT) AS v FROM lineitem),
+        | per AS (SELECT rf, ls, v, CAST(count(*) AS HUGEINT) AS c
+        |   FROM li GROUP BY 1, 2, 3),
+        | gbl AS (SELECT v, CAST(count(*) AS HUGEINT) AS cg FROM li GROUP BY 1),
+        | nsx AS (SELECT rf, ls, CAST(count(*) AS HUGEINT) AS ns FROM li GROUP BY 1, 2),
+        | nnx AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM li),
+        | grid AS (SELECT nsx.rf, nsx.ls, nsx.ns, g.v, g.cg,
+        |     coalesce(p.c, 0) AS c, nnx.nn
+        |   FROM nsx CROSS JOIN gbl g CROSS JOIN nnx
+        |   LEFT JOIN per p ON p.rf = nsx.rf AND p.ls = nsx.ls AND p.v = g.v),
+        | cum AS (SELECT rf, ls, ns, nn,
+        |    abs(sum(c) OVER w * nn - sum(cg) OVER w * ns) AS dnum
+        |   FROM grid WINDOW w AS (PARTITION BY rf, ls ORDER BY v))
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(max(ns) AS BIGINT) AS n_events,
+        |  CAST((2000000 * max(dnum) + max(ns) * max(nn))
+        |       // (2 * max(ns) * max(nn)) AS DOUBLE) / 1000000 AS ks6
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // f23: the auto singlet band replayed — the proven percentile ↔
+    // quantile_cont pairing rounded to 4 dp BEFORE the band edges,
+    // identical double comparisons, half-up fraction.
+    "f23_singlet_gate" ->
+      """WITH e AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS r
+        |  FROM lineitem WHERE l_quantity > 0),
+        | med AS (SELECT rf, ls, round(quantile_cont(r, 0.5), 4) AS med_ratio
+        |   FROM e GROUP BY 1, 2),
+        | g AS (SELECT e.rf, e.ls, med.med_ratio,
+        |    CASE WHEN e.r >= 0.8 * med.med_ratio
+        |          AND e.r <= 1.2 * med.med_ratio THEN 1 ELSE 0 END AS s
+        |   FROM e JOIN med ON e.rf = med.rf AND e.ls = med.ls)
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(s) AS BIGINT) AS n_singlets,
+        |  max(med_ratio) AS med_ratio,
+        |  CAST((20000 * sum(s) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000
+        |    AS singlet_frac
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // f20: the integer Mahalanobis inequality replayed in HUGEINT —
     // moments, D, and the per-event quadratic form are exact, so any
