@@ -904,6 +904,64 @@ object Ann {
         (floor(col("ip") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("ip"))
   }
 
+  /** L116 — per-DIMENSION scalar quantization + code-space retrieval
+    * (FAISS ScalarQuantizer QT_8bit, the trained tier above
+    * [[int8TopK]]'s zero-state per-vector scaling): train per-dim
+    * (vmin, vmax) over the corpus, encode every coordinate as
+    * q = clamp(⌊(x − vmin)/(vmax − vmin)·256⌋, 0, 255) — one byte per
+    * dim, 4× smaller than float32 — and serve top-k by INTEGER L2 in
+    * code space: Σ(q_c − q_q)², exact BIGINT arithmetic, so ranking
+    * is bit-deterministic and fully oracle-replayable (constant dims,
+    * vmax = vmin, encode to 0 on both sides). The trained model is
+    * dim-sized (one (vmin, vmax) pair per coordinate) and collected
+    * to the driver — the bounded-collect class (a quantizer IS a
+    * small model object, exactly like the PQ codebooks) — then
+    * re-broadcast as literal arrays into a narrow codegen encode.
+    *
+    * 100 TB shape: train = one narrow posexplode + dim-cardinality
+    * aggregate; encode = zero-shuffle map; serve = the s20 broadcast
+    * cross-score with integer arithmetic (at real scale the code
+    * table is the thing you SCAN — 16 GB/billion vectors instead of
+    * 64 — and the same IVF cell pruning composes in front).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    def dv(df: DataFrame) = df.select(col(idCol).cast("long").as("vid"),
+      transform(col(embCol), v => v.cast("double")).as("v"))
+    val c = dv(corpus)
+    // TRAIN: per-dim min/max — dim-cardinality aggregate, bounded
+    // driver collect (the model object)
+    val model = c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("vmin"), max("x").as("vmax"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val vminL = lit(model.map(_._2))
+    val vmaxL = lit(model.map(_._3))
+    // ENCODE: identical double op order both engines —
+    // ((x − vmin) / (vmax − vmin)) * 256, floored then clamped
+    def codes(v: Column): Column =
+      zip_with(v, sequence(lit(1), lit(model.length)), (x, i) => {
+        val lo = element_at(vminL, i)
+        val hi = element_at(vmaxL, i)
+        when(hi > lo,
+          least(greatest(floor((x - lo) / (hi - lo) * lit(256.0))
+            .cast("long"), lit(0L)), lit(255L)))
+          .otherwise(lit(0L))
+      })
+    val cc = c.select(col("vid").as("vec_id"), codes(col("v")).as("cq"))
+    val qq = dv(queries).select(col("vid").as("qid"), codes(col("v")).as("qa"))
+    val dist = aggregate(zip_with(col("cq"), col("qa"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+    cc.crossJoin(broadcast(qq))
+      .withColumn("dist", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+  }
+
   /** L85 — truncated-dimension retrieval + exact re-rank (the
     * Matryoshka / MRL serving shape, Kusupati et al. 2022: nested
     * representations make the FIRST dPrefix coordinates a usable

@@ -323,6 +323,22 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L116/s25: per-DIMENSION scalar quantization + code-space
+    // retrieval — FAISS ScalarQuantizer QT_8bit, the TRAINED tier
+    // above s05/s20's zero-state per-vector scaling: per-dim
+    // (vmin, vmax) learned from the corpus (a dim-sized model, the
+    // PQ-codebook class), every coordinate encoded to one byte, and
+    // top-k served by INTEGER L2 over the codes — exact BIGINT
+    // arithmetic end to end, so the ranking replays bit-for-bit
+    // (constant dims encode to 0 on both sides; clamped floor
+    // boundaries are identical doubles).
+    "s25_sq8_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.sq8TopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
     // L89: FILTERED vector search — top-k under a metadata predicate
     // (label ≡ 1 mod 4) served from the s03 index built on the FULL
     // corpus: candidates prune to probed cells, the predicate cuts
@@ -1521,6 +1537,29 @@ object VectorQueries {
          |        FROM ad)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
          |  floor(ip * 10000.0 + 0.5) / 10000.0 AS ip
+         |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s25: the trained quantizer replayed — per-dim min/max over the
+    // corpus, the same clamped-floor encode, integer L2 ranking.
+    "s25_sq8_topk" ->
+      s"""WITH e AS ($embSql),
+         | dims AS (SELECT i, min(de[i]) AS vmin, max(de[i]) AS vmax
+         |   FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         | enc AS (SELECT e.vec_id, d.i,
+         |    CASE WHEN d.vmax > d.vmin THEN
+         |      least(greatest(CAST(floor((de[d.i] - d.vmin) /
+         |        (d.vmax - d.vmin) * 256.0) AS BIGINT), 0), 255)
+         |    ELSE 0 END AS q
+         |   FROM e CROSS JOIN dims d),
+         | qe AS (SELECT vec_id AS qid, i, q FROM enc WHERE vec_id < 5),
+         | ds AS (SELECT qe.qid, c.vec_id,
+         |    sum((c.q - qe.q) * (c.q - qe.q)) AS dist
+         |   FROM enc c JOIN qe ON c.i = qe.i GROUP BY qe.qid, c.vec_id),
+         | rk AS (SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+         |   FROM ds)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+         |  CAST(dist AS BIGINT) AS dist
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "s05_quantize" ->
