@@ -995,6 +995,44 @@ object Relational {
           |GROUP BY prio ORDER BY prio""".stripMargin)
     }),
 
+    // R82/q79: the change feed through the SQL surface — Delta's
+    // `table_changes(...)` shape on the R78 provider: `changeFeed=
+    // true` mounts q74's row-level feed as a relation with
+    // `startingVersion`/`endingVersion` window options, and plain
+    // spark.sql consumes it — HERE with a row-level predicate
+    // (k even) applied ABOVE the feed scan, certifying that filters
+    // compose with the CDF relation (no file pruning claimed: the
+    // feed's file set is already exactly the churn). Same store
+    // drama as q74 (snapshot → two appends → overwrite reset); the
+    // oracle replays the even-key half of the feed by set algebra.
+    "q79_sql_changes" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q79_sqlcdf")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite") // v0
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 1L), root,
+        layout, 4, "append") // v1
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 2L), root,
+        layout, 4, "append") // v2
+      TableLog.commit(o.filter(pmod(col("k"), lit(3L)) === 0L), root,
+        layout, 8, "overwrite") // v3: reset
+      s.read.format("graftlog").option("path", root)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0").option("endingVersion", "3")
+        .load().createOrReplaceTempView("graft_changes")
+      s.sql(
+        """SELECT _commit_version AS version, _change_type AS change_type,
+          |  count(*) AS n_rows, sum(price) AS sum_price
+          |FROM graft_changes WHERE k % 2 = 0
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // R80/q77: RESTORE — Delta's `RESTORE TABLE … TO VERSION AS OF`
     // through the commit log: a bad deploy appends two batches on
     // top of the blessed snapshot, restore rolls the HEAD back as a
@@ -2464,6 +2502,26 @@ object Relational {
         |    AS n_v0_range
         |FROM o WHERE k BETWEEN 500 AND 2500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q79: q74's feed algebra restricted to even keys — the
+    // SQL-surface CDF with a row-level filter composed on top.
+    "q79_sql_changes" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 2 = 0),
+        | seg AS (SELECT k, price, (k % 3 + 3) % 3 AS m FROM o),
+        | feed AS (
+        |   SELECT 0 AS version, 'insert' AS change_type, k, price
+        |   FROM seg WHERE m = 0
+        |   UNION ALL SELECT 1, 'insert', k, price FROM seg WHERE m = 1
+        |   UNION ALL SELECT 2, 'insert', k, price FROM seg WHERE m = 2
+        |   UNION ALL SELECT 3, 'delete', k, price FROM seg
+        |   UNION ALL SELECT 3, 'insert', k, price FROM seg WHERE m = 0)
+        |SELECT CAST(version AS BIGINT) AS version, change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM feed GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
 
     // q77: the post-restore world replayed from raw orders — head =
     // blessed subset + the post-restore append; the restore's feed

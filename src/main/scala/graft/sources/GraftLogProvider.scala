@@ -48,7 +48,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Options: `path` (table root, required), `versionAsOf` (snapshot
   * version; default head — Delta's time-travel option name, so
   * `SELECT … FROM` a temp view over an old version IS the SQL
-  * time-travel surface).
+  * time-travel surface). `changeFeed=true` switches the relation to
+  * the CHANGE-DATA-FEED read (Delta's `table_changes` SQL surface
+  * over [[TableLog.readChangeFeed]]): rows are the commit window's
+  * inserts/deletes stamped `_change_type`/`_commit_version`, the
+  * window set by `startingVersion` (default 0) / `endingVersion`
+  * (default head), both resolved at plan time; column pruning still
+  * applies, file pruning doesn't (the feed's file set IS the churn —
+  * already minimal by construction).
   *
   * Scale shape: planning cost is one manifest read (metadata-sized,
   * delta-chain bounded); the executed scan reads exactly the files
@@ -68,14 +75,24 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = rootOf(options)
-    StructType.fromDDL(TableLog.schemaDdlOf(root, versionOf(options, root)))
+    if (isCdf(options)) {
+      val (_, toV) = cdfWindow(options, root)
+      StructType.fromDDL(TableLog.schemaDdlOf(root, toV))
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", LongType)
+    } else
+      StructType.fromDDL(TableLog.schemaDdlOf(root, versionOf(options, root)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val root = rootOf(opts)
-    new GraftLogTable(root, versionOf(opts, root), schema)
+    if (isCdf(opts)) {
+      val (fromV, toV) = cdfWindow(opts, root)
+      new GraftLogCdfTable(root, fromV, toV, schema)
+    } else
+      new GraftLogTable(root, versionOf(opts, root), schema)
   }
 }
 
@@ -94,6 +111,18 @@ object GraftLogProvider {
   private def versionOf(options: CaseInsensitiveStringMap, root: String): Long =
     Option(options.get("versionAsOf")).map(_.toLong)
       .getOrElse(TableLog.currentVersion(root))
+
+  private def isCdf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changeFeed", false)
+
+  /** CDF window, plan-time resolved (same isolation rule as
+    * [[versionOf]]); bounds validated by readChangeFeed at scan.
+    */
+  private def cdfWindow(options: CaseInsensitiveStringMap,
+                        root: String): (Long, Long) = (
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+    Option(options.get("endingVersion")).map(_.toLong)
+      .getOrElse(TableLog.currentVersion(root)))
 
   /** Last (selected, total) file plan — spec introspection only (the
     * planFilesMulti return-pair contract surfaced through the SQL
@@ -233,6 +262,62 @@ private[sources] final class GraftLogRelation(ctx: SQLContext, root: String,
     val sel = m.files.filter(f => pushed.forall(p => GraftLogScan.keeps(p, f)))
     GraftLogProvider.lastScanPlan = (sel.size, m.files.size)
     val df = TableLog.readFiles(ctx.sparkSession, root, m.schemaDdl, sel)
+    val projected =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.toSeq.map(col): _*)
+    projected.rdd
+  }
+}
+
+/** CDF mode (`changeFeed=true`): the commit window's row-level
+  * inserts/deletes through [[TableLog.readChangeFeed]] — Delta's
+  * `table_changes` as a relation. Column pruning flows through; file
+  * pruning is meaningless here (the feed scans exactly the churned
+  * files by construction), so filters stay row-level above the scan.
+  */
+private[sources] final class GraftLogCdfTable(root: String, fromV: Long,
+                                              toV: Long, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graftlog.`$root` CHANGES FROM $fromV TO $toV"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogCdfScanBuilder(root, fromV, toV, tableSchema)
+}
+
+private[sources] final class GraftLogCdfScanBuilder(root: String, fromV: Long,
+                                                    toV: Long,
+                                                    tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftLogCdfScan(root, fromV, toV, required)
+}
+
+private[sources] final class GraftLogCdfScan(root: String, fromV: Long,
+                                             toV: Long, required: StructType)
+    extends V1Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftLogCdfScan root=$root window=[$fromV,$toV]"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftLogCdfRelation(context, root, fromV, toV, required)
+      .asInstanceOf[T]
+}
+
+private[sources] final class GraftLogCdfRelation(ctx: SQLContext, root: String,
+                                                 fromV: Long, toV: Long,
+                                                 required: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val df = TableLog.readChangeFeed(ctx.sparkSession, root, fromV, toV)
     val projected =
       if (required.isEmpty) df.select()
       else df.select(required.fieldNames.toSeq.map(col): _*)

@@ -118,4 +118,36 @@ class GraftLogDsvSpec extends AnyFunSuite {
     // count(*) with full column pruning still works (empty projection)
     assert(sqlRead(root).count() == head.count())
   }
+
+  test("changeFeed=true mounts the CDF window; equals the batch feed; options validated") {
+    val root = freshRoot("cdf")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    TableLog.commit(mkDf(100L until 160L), root, expr("k div 25"), 2, "append")
+    TableLog.commit(mkDf(0L until 40L), root, expr("k div 25"), 2, "overwrite")
+    def cdf(from: Long, to: Long) =
+      spark.read.format("graftlog").option("path", root)
+        .option("changeFeed", "true")
+        .option("startingVersion", from.toString)
+        .option("endingVersion", to.toString).load()
+    val viaSql = cdf(0L, 2L)
+      .select("k", "cents", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val viaApi = TableLog.readChangeFeed(spark, root, 0L, 2L)
+      .select("k", "cents", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // schema carries the CDF stamps; defaults cover the whole history
+    assert(cdf(0L, 2L).schema.fieldNames.toSeq ==
+      Seq("k", "cents", "_change_type", "_commit_version"))
+    val defaults = spark.read.format("graftlog").option("path", root)
+      .option("changeFeed", "true").load()
+    assert(defaults.count() == cdf(0L, 2L).count())
+    // column pruning composes; row-level filters apply above the feed
+    assert(cdf(2L, 2L).filter(col("_change_type") === "insert")
+      .select("k").distinct().count() == 40L)
+    // a window beyond head is loud (readChangeFeed's contract)
+    intercept[Exception] { cdf(0L, 9L).count() }
+  }
 }

@@ -53,7 +53,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "t34_heldout_ppl", "d38_ccnet_buckets",
     // f21: groups×bins grid via broadcast of the histogram-sized
     // bin list + the 1-row total — never fact-sized
-    "f21_hist_drift")
+    "f21_hist_drift",
+    // f22: f21's exact grid shape (samples × distinct-value list +
+    // the 1-row total, both broadcast)
+    "f22_ks_drift",
+    // s25: the s20 shape — tiny encoded query side broadcast against
+    // the corpus code table; the dim-sized quantizer rides as
+    // literal arrays, not a join at all
+    "s25_sq8_topk")
 
   // Global (unpartitioned) Window operators sort + stream the WHOLE
   // input through one task — fine iff the relation is provably bounded
