@@ -320,6 +320,100 @@ object TextStats {
         col("doc_id"), col("n_tok"), col("uw"), col("n_group"))
   }
 
+  /** L117 — the PERSISTED half of [[dsirWeights]] (the d29/s15
+    * store pattern applied to data selection — the 100 TB recrawl
+    * shape: the reference/raw distributions are trained ONCE over
+    * the standing corpus and every new crawl batch scores against
+    * the frozen model, never rescanning the corpus):
+    *   - `<prefix>_dsir_grid`: (j, t_c, r_c) — raw bucket counts
+    *     (counts ARE the model; terms derive at apply time, so the
+    *     store stays smoothing-agnostic), ≤ numBuckets rows;
+    *   - `<prefix>_dsir_totals`: (tt, rr, b) — one row, the token
+    *     masses + bucket count the Laplace constant needs.
+    */
+  def writeDsirModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, isTarget: Column,
+                     numBuckets: Int, tablePrefix: String,
+                     path: Option[String] = None): Unit = {
+    import graft.functions.GraftFunctions
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.normText(col(textCol)).as("ntx"))
+      .distinct()
+    val tk = base.select(col("doc_id"),
+        explode(filter(split(col("ntx"), " "), t => t =!= "")).as("tok"))
+      .withColumn("j", pmod(GraftFunctions.fmix64(
+        GraftFunctions.rolling_hash(col("tok"))), lit(numBuckets.toLong)))
+      .select("doc_id", "j")
+    val tc = tk.filter(isTarget).groupBy("j").agg(count(lit(1)).as("t_c"))
+    val rc = tk.filter(!isTarget).groupBy("j").agg(count(lit(1)).as("r_c"))
+    val grid = tc.join(rc, Seq("j"), "full_outer")
+      .select(col("j"), coalesce(col("t_c"), lit(0L)).as("t_c"),
+        coalesce(col("r_c"), lit(0L)).as("r_c"))
+    graft.sources.TidyIO.writeBucketedCols(grid,
+      s"${tablePrefix}_dsir_grid", Seq("j"), 1,
+      path = path.map(p => s"$p/grid"))
+    val totals = grid.agg(sum("t_c").as("tt"), sum("r_c").as("rr"))
+      .select(coalesce(col("tt"), lit(0L)).as("tt"),
+        coalesce(col("rr"), lit(0L)).as("rr"),
+        lit(numBuckets.toLong).as("b"))
+    graft.sources.TidyIO.writeBucketedCols(totals,
+      s"${tablePrefix}_dsir_totals", Seq("b"), 1,
+      path = path.map(p => s"$p/totals"))
+  }
+
+  /** Score a NEW batch against a [[writeDsirModel]] store: the model
+    * is READ, never retrained — the plan contains the grid scan
+    * (broadcast, ≤ numBuckets rows), the batch explode, and a
+    * per-doc fold; the training corpus is never touched. Terms are
+    * derived from the stored counts exactly as [[dsirWeights]]
+    * derives them, with one difference the incremental setting
+    * forces: a batch token whose bucket the training corpus never
+    * populated LEFT-joins to a 0 term (Laplace gives ln 1 − ln 1 on
+    * both sides) but still counts toward n_tok — the per-token
+    * constant applies to every token, seen or not. `kept` = uw > 0:
+    * the doc looks more like the reference than like raw crawl — the
+    * threshold-free selection the log-ratio's sign defines.
+    */
+  def dsirScoreStored(batch: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      tablePrefix: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.GraftFunctions
+    val spark = batch.sparkSession
+    val totRow = spark.table(s"${tablePrefix}_dsir_totals").collect()(0)
+    val (tt, rr, b) = (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val cTerm = BigDecimal(math.log(rr.toDouble + b) - math.log(tt.toDouble + b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val grid = spark.table(s"${tablePrefix}_dsir_grid")
+      .select(col("j"),
+        round(log(col("t_c").cast("double") + lit(1.0)) -
+              log(col("r_c").cast("double") + lit(1.0)), 6)
+          .cast("decimal(18,6)").as("term"))
+    val base = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        Dedup.normText(col(textCol)).as("ntx"))
+      .distinct()
+    val tk = base.select(col("doc_id"),
+        explode(filter(split(col("ntx"), " "), t => t =!= "")).as("tok"))
+      .withColumn("j", pmod(GraftFunctions.fmix64(
+        GraftFunctions.rolling_hash(col("tok"))), lit(b)))
+      .select("doc_id", "j")
+    val scored = tk.join(broadcast(grid), Seq("j"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("term"),
+          lit(BigDecimal(0)).cast("decimal(18,6)"))).as("s"))
+    base.select("doc_id").distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        ((coalesce(col("s"), lit(BigDecimal(0)).cast("decimal(18,6)")) +
+          lit(cTerm.bigDecimal).cast("decimal(18,6)") *
+            coalesce(col("n_tok"), lit(0L))) * lit(1000000L))
+          .cast("long").as("uw"))
+      .withColumn("kept", when(col("uw") > 0L, 1L).otherwise(0L))
+  }
+
   /** L115 — exact per-group ROC-AUC of a score against a binary
     * label (Mann–Whitney rank-sum with midrank tie handling): the
     * classifier-calibration dashboard every filter pipeline needs —

@@ -524,6 +524,32 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // L117/d40: INCREMENTAL DSIR — d39's selector in the d27/s15
+    // recrawl shape (the 100 TB production form: the reference/raw
+    // distributions train ONCE over the standing corpus and persist
+    // as a model store; every new crawl batch scores against the
+    // frozen model with ZERO corpus rescans — the batch explode +
+    // one broadcast grid join is the whole plan). Train split =
+    // doc_id ≢ 2 mod 3 (target = ≡ 0 mod 7 within it); the "new
+    // crawl" batch is the held-out third. Unseen buckets LEFT-join
+    // to a 0 term but still count toward the per-token constant —
+    // the Laplace semantics the incremental setting forces. kept =
+    // uw > 0 (more reference-like than raw) — the threshold-free
+    // sign selection. Oracle retrains the grid from the train split
+    // and rescores the batch by the same algebra.
+    "d40_dsir_incremental" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val third = pmod(col("doc_id").cast("long"), lit(3L))
+      val storePath = graft.sources.TidyIO.scratchDir("g_dsir")
+      val prefix = storePath.stripPrefix("/tmp/")
+      TextStats.writeDsirModel(d0.filter(third =!= 2L), "doc_id", "text",
+        pmod(col("doc_id"), lit(7L)) === 0L, 4096, prefix,
+        path = Some(storePath))
+      TextStats.dsirScoreStored(d0.filter(third === 2L), "doc_id", "text",
+          prefix)
+        .orderBy("doc_id")
+    }),
+
     // L115/t41: quality-scorer ROC-AUC — the calibration dashboard
     // over the pipeline's own filters: does the cheap composite
     // quality score (t02/d24's gate input) actually predict the
@@ -2588,6 +2614,52 @@ object TextQueries {
          |SELECT source, rk, doc_id, quality, n_group FROM r
          |WHERE rk * 10 <= n_group * 3 + 9
          |ORDER BY source, rk""".stripMargin,
+
+    // d40: the frozen model retrained from the train split, the
+    // held-out batch rescored — unseen buckets contribute 0 terms
+    // but full per-token constants (LEFT join), kept = sign(uw).
+    "d40_dsir_incremental" ->
+      s"""WITH b0 AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         |    ${PortableHashSql.norm("text")} AS ntx FROM documents
+         |  WHERE (CAST(doc_id AS BIGINT) % 3 + 3) % 3 <> 2),
+         | tk AS (SELECT doc_id,
+         |    CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT) AS j
+         |  FROM (SELECT doc_id,
+         |      unnest(list_filter(split(ntx, ' '), t -> t <> '')) AS tok
+         |    FROM b0)),
+         | tg AS (SELECT * FROM tk WHERE (doc_id % 7 + 7) % 7 = 0),
+         | rw AS (SELECT * FROM tk WHERE (doc_id % 7 + 7) % 7 <> 0),
+         | tc AS (SELECT j, count(*) AS t_c FROM tg GROUP BY j),
+         | rc AS (SELECT j, count(*) AS r_c FROM rw GROUP BY j),
+         | grid AS (SELECT coalesce(tc.j, rc.j) AS j,
+         |    CAST(round(ln(CAST(coalesce(t_c, 0) + 1 AS DOUBLE)) -
+         |               ln(CAST(coalesce(r_c, 0) + 1 AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM tc FULL JOIN rc ON tc.j = rc.j),
+         | ct AS (SELECT CAST(round(
+         |      ln(CAST((SELECT count(*) FROM rw) + 4096 AS DOUBLE)) -
+         |      ln(CAST((SELECT count(*) FROM tg) + 4096 AS DOUBLE)), 6)
+         |    AS DECIMAL(18,6)) AS c),
+         | nb AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+         |    ${PortableHashSql.norm("text")} AS ntx FROM documents
+         |  WHERE (CAST(doc_id AS BIGINT) % 3 + 3) % 3 = 2),
+         | ntk AS (SELECT doc_id,
+         |    CAST(${PortableHashSql.tokenHash("tok")} % 4096 AS BIGINT) AS j
+         |  FROM (SELECT doc_id,
+         |      unnest(list_filter(split(ntx, ' '), t -> t <> '')) AS tok
+         |    FROM nb)),
+         | sc AS (SELECT ntk.doc_id, count(*) AS n_tok,
+         |    sum(coalesce(grid.term, CAST(0 AS DECIMAL(18,6)))) AS s
+         |  FROM ntk LEFT JOIN grid ON ntk.j = grid.j GROUP BY ntk.doc_id),
+         | wg AS (SELECT nd.doc_id,
+         |    CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |    CAST((coalesce(sc.s, CAST(0 AS DECIMAL(18,6))) +
+         |          coalesce(sc.n_tok, 0) * ct.c) * 1000000 AS BIGINT) AS uw
+         |  FROM (SELECT DISTINCT doc_id FROM nb) nd
+         |  LEFT JOIN sc ON sc.doc_id = nd.doc_id, ct)
+         |SELECT doc_id, n_tok, uw,
+         |  CASE WHEN uw > 0 THEN 1 ELSE 0 END AS kept
+         |FROM wg ORDER BY doc_id""".stripMargin,
 
     // t41: one-pass replay — quality (d24's formula) and the Gopher
     // keep product (t27's rules) from the SAME row, then midrank
