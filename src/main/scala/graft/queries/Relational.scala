@@ -995,6 +995,36 @@ object Relational {
           |GROUP BY prio ORDER BY prio""".stripMargin)
     }),
 
+    // R83/q80: ANALYZE — column statistics as a versioned store
+    // artifact (Iceberg's puffin NDV-sketch files / Delta's ANALYZE
+    // extended stats): one column-pruned pass over the snapshot
+    // writes per-(file, column) row/null counts, min/max, and a
+    // theta NDV sketch under _stats/v<k>; the stats READ then costs
+    // zero data IO — tableStats union-merges the file sketches per
+    // column (the q37 rollup move; exact below the 2^16 capacity,
+    // mergeable above it — the reason the STORED form is a sketch
+    // and not a number: any future file grouping re-aggregates).
+    // The oracle recomputes every statistic exactly from raw orders,
+    // so a wrong sketch merge, a lost file, or an estimate that left
+    // exact mode is a value diff. TableLogSpec pins the
+    // artifact-only consumption (no data files in the stats plan).
+    "q80_analyze" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q80_stats")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("cust"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val even = pmod(col("k"), lit(2L)) === 0L
+      TableLog.commit(o.filter(even), root, layout, 8, "overwrite")
+      TableLog.commit(o.filter(!even), root, layout, 8, "append")
+      TableLog.analyze(s, root, Seq("k", "cust", "cents"), lgK = 16)
+      TableLog.tableStats(s, root).orderBy("col_name")
+    }),
+
     // R82/q79: the change feed through the SQL surface — Delta's
     // `table_changes(...)` shape on the R78 provider: `changeFeed=
     // true` mounts q74's row-level feed as a relation with
@@ -2502,6 +2532,34 @@ object Relational {
         |    AS n_v0_range
         |FROM o WHERE k BETWEEN 500 AND 2500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q80: every statistic recomputed exactly from raw orders — the
+    // theta NDVs are in exact mode (per-file cardinalities ≪ 2^16),
+    // so count(DISTINCT) is the oracle, not a tolerance.
+    "q80_analyze" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT col_name,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(zmin AS BIGINT) AS zmin, CAST(zmax AS BIGINT) AS zmax,
+        |  CAST(ndv AS BIGINT) AS ndv
+        |FROM (
+        |  SELECT 'cents' AS col_name, count(*) AS n_rows,
+        |    sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    min(cents) AS zmin, max(cents) AS zmax,
+        |    count(DISTINCT cents) AS ndv FROM o
+        |  UNION ALL
+        |  SELECT 'cust', count(*),
+        |    sum(CASE WHEN cust IS NULL THEN 1 ELSE 0 END),
+        |    min(cust), max(cust), count(DISTINCT cust) FROM o
+        |  UNION ALL
+        |  SELECT 'k', count(*),
+        |    sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END),
+        |    min(k), max(k), count(DISTINCT k) FROM o)
+        |ORDER BY col_name""".stripMargin,
 
     // q79: q74's feed algebra restricted to even keys — the
     // SQL-surface CDF with a row-level filter composed on top.

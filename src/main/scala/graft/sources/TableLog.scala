@@ -1379,6 +1379,77 @@ object TableLog {
       m.schemaDdl, files))
   }
 
+  /** R83 — ANALYZE: per-file COLUMN STATISTICS as a versioned store
+    * artifact (Iceberg's puffin stats files / Delta's ANALYZE →
+    * extended stats: the thing a cost-based planner and a "how many
+    * distinct users in this 100 TB table" dashboard read WITHOUT
+    * scanning data). One column-pruned pass over version `asOf`
+    * computes, per (file, column): exact row/null counts, long
+    * min/max, and a THETA NDV SKETCH (exact below its 2^lgK nominal
+    * capacity, mergeable above it — the q37 rollup class), written
+    * as parquet under `_stats/v<version>/`. Consumption is
+    * [[tableStats]]: artifact-only reads, file sketches union-merged
+    * per column — table-level NDV with zero data IO, re-aggregable
+    * under any future file grouping because sketches are the stored
+    * form (the reason it's a sketch and not a number).
+    *
+    * 100 TB shape: the analyze pass is one scan reading exactly
+    * `cols` (map-side partial aggregates; sketch state is KB per
+    * (task, file, column)); the artifact is files×columns rows —
+    * metadata-sized; every later stats read costs only that.
+    */
+  def analyze(spark: SparkSession, root: String, cols: Seq[String],
+              lgK: Int = 16, asOf: Option[Long] = None): String = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val v = asOf.getOrElse(currentVersion(root))
+    require(v >= 0, s"no committed table at $root")
+    val m = readManifest(root, v)
+    val df = readFiles(spark, root, m.schemaDdl, m.files)
+      .withColumn("__f", element_at(split(input_file_name(), "/"), -1))
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c).cast("long")).as(s"${c}__min"),
+        max(col(c).cast("long")).as(s"${c}__max"),
+        graft.functions.GraftFunctions
+          .theta_sketch(col(c).cast("long"), lgK).as(s"${c}__sk"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.groupBy(col("__f").as("file"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val stacked = wide.select(col("file"), col("n_rows"),
+      explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__min").as("zmin"),
+        col(s"${c}__max").as("zmax"),
+        col(s"${c}__sk").as("ndv_sketch"))): _*)).as("s"))
+      .select(col("file"), col("n_rows"), col("s.col_name").as("col_name"),
+        col("s.n_nulls").as("n_nulls"), col("s.zmin").as("zmin"),
+        col("s.zmax").as("zmax"), col("s.ndv_sketch").as("ndv_sketch"))
+    val out = f"$root/_stats/v$v%08d"
+    stacked.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Table-level statistics from an [[analyze]] artifact — ARTIFACT
+    * reads only, never a data scan: per column, exact row/null
+    * totals, min/max, and the union-merged theta NDV estimate
+    * (exact while every file sketch stayed below capacity).
+    */
+  def tableStats(spark: SparkSession, root: String,
+                 asOf: Option[Long] = None, lgK: Int = 16): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(root))
+    val art = spark.read.parquet(f"$root/_stats/v$v%08d")
+    art.groupBy("col_name")
+      .agg(sum("n_rows").as("n_rows"),
+        sum("n_nulls").as("n_nulls"),
+        min("zmin").as("zmin"),
+        max("zmax").as("zmax"),
+        graft.functions.GraftFunctions
+          .theta_estimate(graft.functions.GraftFunctions
+            .theta_union_agg(col("ndv_sketch"), lgK)).cast("long").as("ndv"))
+  }
+
   // ---- retention -------------------------------------------------------
 
   /** Drop history: delete manifests below `keepFrom` and every data

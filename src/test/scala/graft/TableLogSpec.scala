@@ -645,6 +645,37 @@ class TableLogSpec extends AnyFunSuite {
       (rows(mkDf(0L until 110L)) - ((7L, 71L)) - ((50L, 501L))) + ((7L, 777L)))
   }
 
+  test("analyze: stats artifact is exact and versioned; tableStats never touches data files") {
+    val root = freshRoot("analyze")
+    TableLog.commit(mkDf(0L until 500L), root, expr("k div 100"), 5, "overwrite")
+    TableLog.analyze(spark, root, Seq("k", "cents"), lgK = 16)
+    val st = TableLog.tableStats(spark, root)
+    // artifact-only consumption: the stats plan reads _stats, no data
+    val inputs = st.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten
+    assert(inputs.nonEmpty && inputs.forall(_.contains("/_stats/")),
+      s"stats read must be artifact-only, got: ${inputs.take(3).mkString(",")}")
+    val rows = st.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // exact: 500 unique keys, cents = k*10+1 (unique), zero nulls
+    assert(rows.map(_._1).toSeq == Seq("cents", "k"))
+    assert(rows.forall(r => r._2 == 500L && r._3 == 0L && r._6 == 500L))
+    assert(rows.find(_._1 == "k").get._4 == 0L)
+    assert(rows.find(_._1 == "k").get._5 == 499L)
+    // versioned: a new commit + analyze lands a NEW artifact; the old
+    // version's stats stay readable AS OF
+    TableLog.commit(mkDf(500L until 600L), root, expr("k div 100"), 1, "append")
+    TableLog.analyze(spark, root, Seq("k"))
+    assert(TableLog.tableStats(spark, root)
+      .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
+    assert(TableLog.tableStats(spark, root, asOf = Some(0L))
+      .filter(col("col_name") === "k").collect()(0).getLong(5) == 500L)
+  }
+
   test("restore: head rolls back bit-identically, history intact, txns carried, vacuum line loud") {
     val root = freshRoot("restore")
     TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
