@@ -323,6 +323,40 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // L118/s26: per-label embedding CENTROID DRIFT between two
+    // corpus snapshots — the embedding-space monitoring tier next to
+    // s24's diversity dashboard (a recrawl, a new encoder version,
+    // or a domain shift moves class centroids long before top-k
+    // recall visibly degrades): both snapshots' per-(label, dim)
+    // means computed in s04's EXACT integer micro units (quantized
+    // sums are order-independent BIGINTs — no float-fold anywhere),
+    // drift = Σ_dims (μA − μB)² in micro² — pure BIGINT end to end,
+    // so the statistic replays bit-for-bit. Shape: two
+    // label×dim-sized aggregates + one equi-join on (label, dim) +
+    // a per-label fold — snapshot scans are the only corpus-sized
+    // work, exactly two narrow passes.
+    "s26_centroid_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def half(r: Long) = Ann.labelCentroids(
+          e.filter(pmod(col("vec_id"), lit(2L)) === r), "embedding", "label")
+        .select(col("label"), col("dim"),
+          col("centroid_micro").as(s"m$r"))
+      val counts = e.groupBy("label")
+        .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0L, 1L).otherwise(0L))
+            .as("n_a"),
+          sum(when(pmod(col("vec_id"), lit(2L)) === 1L, 1L).otherwise(0L))
+            .as("n_b"))
+      half(0L).join(half(1L), Seq("label", "dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          sum((col("m0") - col("m1")) * (col("m0") - col("m1")))
+            .as("drift_sq_micro"))
+        .join(counts, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"), col("n_dims"),
+          col("drift_sq_micro"))
+        .orderBy("label")
+    }),
+
     // L116/s25: per-DIMENSION scalar quantization + code-space
     // retrieval — FAISS ScalarQuantizer QT_8bit, the TRAINED tier
     // above s05/s20's zero-state per-vector scaling: per-dim
@@ -1538,6 +1572,33 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
          |  floor(ip * 10000.0 + 0.5) / 10000.0 AS ip
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s26: both halves' micro means replayed with s04's floor-div
+    // formula, the squared diff summed per label — BIGINT throughout.
+    "s26_centroid_drift" ->
+      s"""WITH e AS ($embSql),
+         | x AS (SELECT vec_id, label, di.i AS dim,
+         |         CAST(floor(de[di.i] * 1000000.0 + 0.5) AS BIGINT) AS qv
+         |       FROM e, (SELECT unnest(range(1, 65)) AS i) di),
+         | h AS (SELECT label, dim, (vec_id % 2 + 2) % 2 AS hf,
+         |         CAST(sum(qv) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+         |       FROM x GROUP BY 1, 2, 3),
+         | m AS (SELECT label, dim, hf,
+         |         (sq - (((sq % n) + n) % n)) // n AS mu FROM h),
+         | j AS (SELECT a.label, a.dim, a.mu AS m0, b.mu AS m1
+         |       FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+         |        AND a.hf = 0 AND b.hf = 1),
+         | d AS (SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+         |         CAST(sum((m0 - m1) * (m0 - m1)) AS BIGINT) AS drift_sq_micro
+         |       FROM j GROUP BY label),
+         | c AS (SELECT label,
+         |         CAST(sum(CASE WHEN (vec_id % 2 + 2) % 2 = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN (vec_id % 2 + 2) % 2 = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_b
+         |       FROM e GROUP BY label)
+         |SELECT d.label, n_a, n_b, n_dims, drift_sq_micro
+         |FROM d JOIN c ON d.label = c.label ORDER BY d.label""".stripMargin,
 
     // s25: the trained quantizer replayed — per-dim min/max over the
     // corpus, the same clamped-floor encode, integer L2 ranking.
