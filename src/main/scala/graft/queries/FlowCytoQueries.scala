@@ -366,6 +366,50 @@ object FlowCytoQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // F24: STAIN INDEX — the panel-design / instrument-QC KPI
+    // (Maecker & Trotter 2006): how separable is the stained
+    // population from the unstained one, per sample — SI =
+    // (MFI_pos − MFI_neg) / (2·rSD_neg), with medians as the MFIs
+    // and the MAD-derived robust SD (1.4826·MAD, f12's estimator).
+    // Populations are auto-split at the sample's own quantity median
+    // (the f23 auto-banding idiom — no hand thresholds): pos = above
+    // the median, neg = at/below. All medians run at full precision
+    // through the proven percentile ↔ quantile_cont pairing (the f12
+    // contract), rounded to 4 dp only at the output; the division is
+    // identical doubles in both engines. Two groups-sized broadcast
+    // joins + one aggregate — never event×event.
+    "f24_stain_index" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val mq = e.groupBy(keys.map(col): _*)
+        .agg(percentile(col("qty"), lit(0.5)).as("__mq"))
+      val tg = e.join(broadcast(mq), keys)
+        .withColumn("pos", col("qty") > col("__mq"))
+      val mn = tg.filter(!col("pos")).groupBy(keys.map(col): _*)
+        .agg(percentile(col("price"), lit(0.5)).as("__mn"))
+      tg.join(broadcast(mn), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"),
+          percentile(when(col("pos"), col("price")), lit(0.5)).as("__mp"),
+          percentile(when(!col("pos"), col("price")), lit(0.5)).as("__mnn"),
+          percentile(when(!col("pos"), abs(col("price") - col("__mn"))),
+            lit(0.5)).as("__mad"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n_pos"), col("n_neg"),
+          round(col("__mp"), 4).as("med_pos"),
+          round(col("__mnn"), 4).as("med_neg"),
+          round(col("__mad") * lit(1.4826), 4).as("rsd_neg"),
+          when(col("__mad") * lit(1.4826) * lit(2.0) > 0.0,
+            round((col("__mp") - col("__mnn")) /
+              (lit(2.0) * col("__mad") * lit(1.4826)), 4))
+            .as("stain_index"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // F20: ELLIPSE (Mahalanobis) gate — the standard 2-D population
     // gate above rectangles/polygons: inside ⟺ Mahalanobis d² ≤ 6
     // (the χ²₂ ≈95% contour) against the sample's own (mean,
@@ -846,6 +890,35 @@ object FlowCytoQueries {
         |  CAST((2000000 * sum(abs(cumv)) + max(ns) * max(nn))
         |       // (2 * max(ns) * max(nn)) AS DOUBLE) / 1000000 AS emd6
         |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // f24: the split, both medians, the MAD and the SI division
+    // replayed with identical double op order (f12's
+    // percentile ↔ quantile_cont contract, round-4 at output only).
+    "f24_stain_index" ->
+      """WITH e AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(l_quantity AS DOUBLE) AS qty,
+        |    CAST(l_extendedprice AS DOUBLE) AS price FROM lineitem),
+        | mq AS (SELECT rf, ls, quantile_cont(qty, 0.5) AS mqv
+        |   FROM e GROUP BY 1, 2),
+        | tg AS (SELECT e.rf, e.ls, e.price, e.qty > mq.mqv AS pos
+        |   FROM e JOIN mq ON e.rf = mq.rf AND e.ls = mq.ls),
+        | mn AS (SELECT rf, ls, quantile_cont(price, 0.5) AS mnv
+        |   FROM tg WHERE NOT pos GROUP BY 1, 2),
+        | ag AS (SELECT tg.rf, tg.ls,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    quantile_cont(CASE WHEN pos THEN price END, 0.5) AS mp,
+        |    quantile_cont(CASE WHEN NOT pos THEN price END, 0.5) AS mnn,
+        |    quantile_cont(CASE WHEN NOT pos THEN abs(price - mn.mnv) END, 0.5)
+        |      AS madn
+        |   FROM tg JOIN mn ON tg.rf = mn.rf AND tg.ls = mn.ls
+        |   GROUP BY 1, 2)
+        |SELECT rf AS l_returnflag, ls AS l_linestatus, n_pos, n_neg,
+        |  round(mp, 4) AS med_pos, round(mnn, 4) AS med_neg,
+        |  round(madn * 1.4826, 4) AS rsd_neg,
+        |  CASE WHEN madn * 1.4826 * 2.0 > 0.0 THEN
+        |    round((mp - mnn) / (2.0 * madn * 1.4826), 4) END AS stain_index
+        |FROM ag ORDER BY 1, 2""".stripMargin,
 
     // f22: the exact KS replay in HUGEINT — two cumsums per sample
     // over the pooled value grid, the max |cum_s·N − cum_g·n_s|
