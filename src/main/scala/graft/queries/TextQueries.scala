@@ -524,6 +524,49 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // L119/t42: Zipf rank-frequency exponent per language — the
+    // corpus-health statistic (natural language sits near s ≈ 1;
+    // template/boilerplate-heavy or synthetic corpora bend the
+    // curve): least-squares slope of ln(freq) on ln(rank) over each
+    // language's top-100 unigrams, reported as the POSITIVE exponent
+    // s = −slope (nonnegative by Chebyshev's sum inequality: y is
+    // non-increasing in rank by construction). Exactness: ln values
+    // quantize to the 10⁻⁶ grid immediately (floor(ln·10⁶ + ½) on
+    // integer arguments — engine-identical), so every regression sum
+    // is a BIGINT and the final division is f21's half-up
+    // DECIMAL(38,0)/HUGEINT pattern; ranks are the deterministic
+    // (count DESC, token) order. Shape: one (lang, token) count
+    // aggregate, a lang-partitioned top-100 window, then a
+    // 100-rows-per-lang fold — the window input is vocabulary-sized,
+    // never corpus-sized.
+    "t42_zipf_slope" -> ((s, dir) => {
+      val tk = docs(s, dir).select(coalesce(col("lang"), lit("?")).as("lang"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      tk.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("lang"),
+          floor(log(col("rk").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("xi"),
+          floor(log(col("cnt").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("yi"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_ranks"),
+          sum("xi").as("sx"), sum("yi").as("sy"),
+          sum(col("xi") * col("yi")).as("sxy"),
+          sum(col("xi") * col("xi")).as("sxx"))
+        .select(col("lang"), col("n_ranks"),
+          expr("""CASE WHEN n_ranks * sxx - sx * sx > 0 THEN
+            CAST((2000000 * CAST(sx * sy - n_ranks * sxy AS DECIMAL(38,0))
+                  + CAST(n_ranks * sxx - sx * sx AS DECIMAL(38,0)))
+              div (2 * CAST(n_ranks * sxx - sx * sx AS DECIMAL(38,0)))
+              AS BIGINT) END""").as("zipf_micro"))
+        .orderBy("lang")
+    }),
+
     // L117/d40: INCREMENTAL DSIR — d39's selector in the d27/s15
     // recrawl shape (the 100 TB production form: the reference/raw
     // distributions train ONCE over the standing corpus and persist
@@ -2614,6 +2657,32 @@ object TextQueries {
          |SELECT source, rk, doc_id, quality, n_group FROM r
          |WHERE rk * 10 <= n_group * 3 + 9
          |ORDER BY source, rk""".stripMargin,
+
+    // t42: the same rank order, the same 10⁻⁶ ln grid, the same
+    // integer regression sums, f21's half-up HUGEINT division.
+    "t42_zipf_slope" ->
+      s"""WITH tk AS (SELECT lang, tok, count(*) AS cnt
+         |  FROM (SELECT coalesce(lang, '?') AS lang,
+         |      unnest(list_filter(string_split($normSql, ' '), t -> t <> '')) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         | rx AS (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, tok) AS rk FROM tk),
+         | q AS (SELECT lang,
+         |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xi,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yi
+         |   FROM rx WHERE rk <= 100),
+         | ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+         |    CAST(sum(xi) AS HUGEINT) AS sx, CAST(sum(yi) AS HUGEINT) AS sy,
+         |    CAST(sum(xi * yi) AS HUGEINT) AS sxy,
+         |    CAST(sum(xi * xi) AS HUGEINT) AS sxx
+         |   FROM q GROUP BY lang)
+         |SELECT lang, n_ranks,
+         |  CASE WHEN n_ranks * sxx - sx * sx > 0 THEN
+         |    CAST((2000000 * (sx * sy - n_ranks * sxy)
+         |          + (n_ranks * sxx - sx * sx))
+         |      // (2 * (n_ranks * sxx - sx * sx)) AS BIGINT) END AS zipf_micro
+         |FROM ag ORDER BY lang""".stripMargin,
 
     // d40: the frozen model retrained from the train split, the
     // held-out batch rescored — unseen buckets contribute 0 terms
