@@ -90,6 +90,13 @@ object GraftFunctions {
     */
   def zorder2(x: Column, y: Column): Column = GraftExpressions.zorder2(x, y)
 
+  /** Hilbert-curve index on the 2^bits grid — the better-locality
+    * 2-D clustering key (consecutive indexes are always grid-adjacent
+    * where Morton teleports at power-of-two boundaries).
+    */
+  def hilbert2(x: Column, y: Column, bits: Int = 16): Column =
+    GraftExpressions.hilbert2(x, y, bits)
+
   /** KLL sketch quantiles aggregate: mergeable approximate quantiles,
     * a few KB per group at any n (the 100 TB alternative to exact
     * `percentile`). ~1.65% rank error at k=200.

@@ -995,6 +995,45 @@ object Relational {
           |GROUP BY prio ORDER BY prio""".stripMargin)
     }),
 
+    // R84/q81: HILBERT-curve layout through the commit log — the
+    // better-locality alternative to q68's Morton tiles (Hilbert
+    // 1891; the curve consecutive-index property: each step moves
+    // one cell in exactly ONE axis, so the curve never teleports
+    // across the grid the way Morton does at power-of-two
+    // boundaries — equal key ranges cover tighter 2-D tiles, the
+    // reason Databricks added liquid/Hilbert clustering over
+    // ZORDER). Same drama as q68: orders bucketed to a 256×256
+    // (price, key) grid, committed through the store with layout =
+    // Hilbert tile id (16 contiguous curve segments), then a 2-D
+    // range read through conjunctive zone pruning; the oracle
+    // recomputes the range aggregate from raw orders — layout can
+    // never change CONTENT, so a curve bug surfaces as a value diff
+    // through wrongly-pruned files. Curve properties (bijectivity,
+    // unit-step adjacency — exhaustive) and the codegen'd SQL
+    // surface are pinned in ZOrderSpec.
+    "q81_hilbert_log" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q81_hlog")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .withColumn("xb", expr("least(cents div 100000, CAST(255 AS BIGINT))"))
+        .withColumn("yb", pmod(col("k"), lit(256L)))
+      // layout = Hilbert tile id: d < 65536 on the 8-bit grid,
+      // div 4096 → 16 contiguous curve segments
+      TableLog.commit(o, root,
+        (graft.operators.ZOrder.hkey(col("xb"), col("yb"), 8) / lit(4096))
+          .cast("long"),
+        numFiles = 16, mode = "overwrite")
+      TableLog.readRangeMulti(s, root,
+          Seq(("xb", 30L, 70L), ("yb", 32L, 159L)))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+    }),
+
     // R83/q80: ANALYZE — column statistics as a versioned store
     // artifact (Iceberg's puffin NDV-sketch files / Delta's ANALYZE
     // extended stats): one column-pruned pass over the snapshot
@@ -2532,6 +2571,21 @@ object Relational {
         |    AS n_v0_range
         |FROM o WHERE k BETWEEN 500 AND 2500
         |GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q81: the 2-D range aggregate recomputed from raw orders (the
+    // q68 convention — layout is content-neutral, so a curve or
+    // pruning bug is a value diff; tile claims live in ZOrderSpec).
+    "q81_hilbert_log" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | b AS (SELECT k, cents,
+        |    least(cents // 100000, 255) AS xb,
+        |    ((k % 256) + 256) % 256 AS yb FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b WHERE xb BETWEEN 30 AND 70 AND yb BETWEEN 32 AND 159""".stripMargin,
 
     // q80: every statistic recomputed exactly from raw orders — the
     // theta NDVs are in exact mode (per-file cardinalities ≪ 2^16),

@@ -62,6 +62,57 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert2: bijective on the full grid; consecutive indexes are grid-adjacent") {
+    import org.apache.spark.sql.graftx.Hilbert2
+    val bits = 6
+    val n = 1 << bits // 64×64 grid, exhaustive
+    // bijection: every cell gets a distinct index in [0, n²)
+    val cellOf = new Array[(Int, Int)](n * n)
+    var dups = 0
+    for (x <- 0 until n; y <- 0 until n) {
+      val d = Hilbert2.index(x.toLong, y.toLong, bits).toInt
+      assert(d >= 0 && d < n * n, s"index out of range: ($x,$y) -> $d")
+      if (cellOf(d) != null) dups += 1
+      cellOf(d) = (x, y)
+    }
+    assert(dups == 0, s"$dups duplicate indexes — not a bijection")
+    // the DEFINING property Morton lacks: step d → d+1 moves exactly
+    // one cell in exactly one axis — the curve never jumps
+    for (d <- 1 until n * n) {
+      val (x0, y0) = cellOf(d - 1)
+      val (x1, y1) = cellOf(d)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"curve jump at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // Morton DOES jump on the same grid (the property is non-vacuous)
+    var mortonJumps = 0
+    val mCell = new Array[(Int, Int)](n * n)
+    for (x <- 0 until n; y <- 0 until n)
+      mCell(org.apache.spark.sql.graftx.Zorder2
+        .interleave(x.toLong, y.toLong).toInt) = (x, y)
+    for (d <- 1 until n * n) {
+      val (x0, y0) = mCell(d - 1); val (x1, y1) = mCell(d)
+      if (math.abs(x1 - x0) + math.abs(y1 - y0) != 1) mortonJumps += 1
+    }
+    assert(mortonJumps > 0)
+  }
+
+  test("hilbert2: Column + SQL surfaces agree with the kernel; hkey masks") {
+    import org.apache.spark.sql.graftx.Hilbert2
+    Graft.registerFunctions(spark)
+    val viaSql = spark.sql("SELECT hilbert2(3L, 5L, 8) AS h").as[Long].head()
+    assert(viaSql == Hilbert2.index(3L, 5L, 8))
+    val viaCol = Seq((12345L, 54321L)).toDF("x", "y")
+      .select(GraftFunctions.hilbert2(col("x"), col("y"), 16).as("h"))
+      .as[Long].head()
+    assert(viaCol == Hilbert2.index(12345L, 54321L, 16))
+    // hkey masks to the grid exactly like zkey
+    val masked = Seq((0x1F003L, 0x2F005L)).toDF("x", "y")
+      .select(ZOrder.hkey(col("x"), col("y"), bits = 12).as("h"))
+      .as[Long].head()
+    assert(masked == Hilbert2.index(0x1F003L & 0xFFF, 0x2F005L & 0xFFF, 12))
+  }
+
   test("weighted sample priorities follow the Sequential Poisson formula") {
     val docs = Graft.table(spark, sfDir, "documents").select("doc_id", "n_chars")
     val got = Sampling.weightedSample(docs, "doc_id", "n_chars", m = 50).collect()
