@@ -1507,6 +1507,13 @@ object TableLog {
     dead.foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
       Files.deleteIfExists(checkpointPath(root, v))
+      // retire the version's ANALYZE artifact too (the round-11
+      // stale-checkpoint lesson applied to every side-file class:
+      // a leftover _stats/v<k> would let tableStats "succeed" below
+      // the retention line and leak forever, since vacuum enumerates
+      // by manifest/checkpoint only)
+      val stats = Paths.get(f"$root/_stats/v$v%08d")
+      if (Files.isDirectory(stats)) TidyIO.deleteRecursively(stats)
     }
     // ORPHAN SWEEP: a data directory referenced by NO surviving
     // manifest, targeting a version below the retention line, is the

@@ -674,6 +674,17 @@ class TableLogSpec extends AnyFunSuite {
       .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
     assert(TableLog.tableStats(spark, root, asOf = Some(0L))
       .filter(col("col_name") === "k").collect()(0).getLong(5) == 500L)
+    // vacuum retires dead versions' stats artifacts with them — a
+    // leftover would let stats reads "succeed" below the retention
+    // line (the round-11 stale-checkpoint class)
+    TableLog.vacuum(root, 1L)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/_stats/v00000000")),
+      "vacuum must retire the dead version's stats artifact")
+    intercept[Exception] { TableLog.tableStats(spark, root, asOf = Some(0L)).collect() }
+    // the live version's artifact survives
+    assert(TableLog.tableStats(spark, root)
+      .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
   }
 
   test("restore: head rolls back bit-identically, history intact, txns carried, vacuum line loud") {
