@@ -61,7 +61,23 @@ class GraftLogCdfProvider extends StreamSourceProvider {
 class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long)
     extends Source {
 
-  override val schema: StructType = GraftLogCdfSource.cdfSchema(root)
+  /** The table DDL captured ONCE at stream start — the schema every
+    * micro-batch is bound under (positionally, via the StreamBridge).
+    * [[getBatch]] requires each window's head DDL to still equal it:
+    * after a mid-stream `evolve=true` commit the feed's column order
+    * shifts (the accreted column lands BEFORE the CDF stamps), so
+    * binding the new window under the stale schema would read the
+    * accreted column as `_change_type` — garbage, not an error. Delta
+    * fails an evolved streaming read loudly and asks for a restart;
+    * so do we.
+    */
+  private val createdDdl: String = {
+    val head = TableLog.currentVersion(root)
+    require(head >= 0L, s"graftlog-cdf source needs a committed table at $root")
+    TableLog.schemaDdlOf(root, head)
+  }
+
+  override val schema: StructType = GraftLogCdfSource.cdfSchemaFromDdl(createdDdl)
 
   /** The table head IS the offset — commit versions are the stream's
     * clock. No head yet (empty store) → no offset, engine waits.
@@ -81,8 +97,21 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long)
     val fromV = start.map(ver(_) + 1L).getOrElse(startV)
     val toV = ver(end)
     if (fromV > toV) StreamBridge.emptyStreaming(ctx, schema)
-    else StreamBridge.asStreaming(ctx,
-      TableLog.readChangeFeed(ctx.sparkSession, root, fromV, toV), schema)
+    else {
+      // schema-drift guard: the window resolves under toV's manifest
+      // DDL, and the micro-batch binds POSITIONALLY under the schema
+      // captured at stream start — they must agree or the stamps
+      // mis-bind. Loud restart error, never garbage.
+      val ddlAtEnd = TableLog.schemaDdlOf(root, toV)
+      if (ddlAtEnd != createdDdl)
+        throw new IllegalStateException(
+          s"graftlog-cdf: table schema changed within the stream " +
+            s"(started under [$createdDdl], version $toV has " +
+            s"[$ddlAtEnd]) — restart the streaming query to pick up " +
+            "the new schema")
+      StreamBridge.asStreaming(ctx,
+        TableLog.readChangeFeed(ctx.sparkSession, root, fromV, toV), schema)
+    }
   }
 
   override def stop(): Unit = ()
@@ -99,7 +128,15 @@ object GraftLogCdfSource {
   def cdfSchema(root: String): StructType = {
     val head = TableLog.currentVersion(root)
     require(head >= 0L, s"graftlog-cdf source needs a committed table at $root")
-    val base = StructType.fromDDL(TableLog.schemaDdlOf(root, head))
+    cdfSchemaFromDdl(TableLog.schemaDdlOf(root, head))
+  }
+
+  /** The feed schema for a given table DDL — split out so the source
+    * derives its schema from the ONE DDL string it captured at
+    * creation (no second head read to race a concurrent commit).
+    */
+  def cdfSchemaFromDdl(ddl: String): StructType = {
+    val base = StructType.fromDDL(ddl)
     StructType(base.fields.map(_.copy(nullable = true)) ++ Seq(
       StructField("_change_type", StringType, nullable = true),
       StructField("_commit_version", LongType, nullable = true)))

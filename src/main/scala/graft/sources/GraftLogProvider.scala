@@ -73,15 +73,49 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
     */
   override def supportsExternalMetadata(): Boolean = false
 
+  /** SINGLE head resolution per load: Spark instantiates a fresh
+    * provider per `DataFrameReader.load` and calls `inferSchema` then
+    * `getTable` on it with the same options — previously each call
+    * resolved the head independently, so a commit landing in between
+    * bound h1's schema to h2's data (a TOCTOU crack in the "resolved
+    * at plan time" isolation promise, visible after a schema-evolving
+    * concurrent commit). The first resolution is cached keyed by the
+    * option map; `getTable` reuses it, so schema and scan always pin
+    * the SAME version/window.
+    */
+  @volatile private var pinned: Option[(String, (Long, Long))] = None
+
+  private def optionsKey(o: CaseInsensitiveStringMap): String =
+    Seq("path", "versionasof", "timestampasof", "changefeed",
+        "startingversion", "endingversion")
+      .map(k => s"$k=${Option(o.get(k)).getOrElse("")}").mkString(";")
+
+  /** Resolve (and pin) the version — or CDF window — these options
+    * address. For the non-CDF relation the pair is (version, version).
+    */
+  private def resolve(options: CaseInsensitiveStringMap): (Long, Long) = {
+    val key = optionsKey(options)
+    pinned match {
+      case Some((k, w)) if k == key => w
+      case _ =>
+        val root = rootOf(options)
+        val w =
+          if (isCdf(options)) cdfWindow(options, root)
+          else { val v = versionOf(options, root); (v, v) }
+        pinned = Some((key, w))
+        w
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = rootOf(options)
     if (isCdf(options)) {
-      val (_, toV) = cdfWindow(options, root)
+      val (_, toV) = resolve(options)
       StructType.fromDDL(TableLog.schemaDdlOf(root, toV))
         .add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", LongType)
     } else
-      StructType.fromDDL(TableLog.schemaDdlOf(root, versionOf(options, root)))
+      StructType.fromDDL(TableLog.schemaDdlOf(root, resolve(options)._2))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -89,10 +123,10 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val root = rootOf(opts)
     if (isCdf(opts)) {
-      val (fromV, toV) = cdfWindow(opts, root)
+      val (fromV, toV) = resolve(opts)
       new GraftLogCdfTable(root, fromV, toV, schema)
     } else
-      new GraftLogTable(root, versionOf(opts, root), schema)
+      new GraftLogTable(root, resolve(opts)._2, schema)
   }
 }
 

@@ -485,16 +485,22 @@ object TableLog {
              txnTag: Option[String] = None,
              evolve: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val tag = txnTag.map(parseTxnTag)
+    // idempotency guard INSIDE the primitive (the commitTxn contract,
+    // enforced here too so a direct txnTag call can never double-apply
+    // a re-delivered batch or regress the high-water mark): a txn at
+    // or below the app's mark is a duplicate delivery — no-op BEFORE
+    // any data or manifest IO.
+    if (tag.exists { case (app, n) => n <= lastTxn(root, app) })
+      return currentVersion(root)
     val parent = currentVersion(root)
     val v = parent + 1
     if (mode == "append" && parent >= 0)
       validateAppendSchema(root, parent, df.schema.toDDL, evolve)
     val action = txnTag.fold(mode)(t => s"$mode+txn=$t")
-    val txns = carriedTxns(root, parent) ++
-      txnTag.map { t =>
-        val i = t.lastIndexOf(':')
-        t.substring(0, i) -> t.substring(i + 1).toLong
-      }
+    val carried = carriedTxns(root, parent)
+    val txns = carried ++ tag.map { case (app, n) =>
+      app -> math.max(n, carried.getOrElse(app, -1L)) }
     val added = writeDataFiles(df, root, v, layout, numFiles)
     if (mode == "overwrite" || parent < 0)
       // an overwrite IS a full snapshot — a delta encoding of it
@@ -775,9 +781,25 @@ object TableLog {
     require(appId.nonEmpty &&
         !appId.exists(c => c == '\t' || c == '\n' || c == ':' || c == ','),
       s"appId must be non-empty and ':'/','/tab/newline-free: $appId")
-    if (txn <= lastTxn(root, appId)) currentVersion(root)
-    else commit(df, root, layout, numFiles, "append", checkpointInterval,
+    // the duplicate-delivery no-op now lives inside commit's txnTag
+    // path itself (shared with mergeMor), so this is a plain delegate
+    commit(df, root, layout, numFiles, "append", checkpointInterval,
       txnTag = Some(s"$appId:$txn"))
+  }
+
+  /** Parse + validate an `<appId>:<txn>` tag — every txnTag entry
+    * point shares this, so a tag without a separator (previously a
+    * StringIndexOutOfBoundsException) or with a delimiter-polluted
+    * appId fails loudly before any IO.
+    */
+  private def parseTxnTag(t: String): (String, Long) = {
+    val i = t.lastIndexOf(':')
+    require(i > 0 && i < t.length - 1,
+      s"malformed txnTag '$t' — expected <appId>:<txn>")
+    val app = t.substring(0, i)
+    require(!app.exists(c => c == '\t' || c == '\n' || c == ':' || c == ','),
+      s"appId must be ':'/','/tab/newline-free: $app")
+    (app, t.substring(i + 1).toLong)
   }
 
   // ---- read path -------------------------------------------------------
@@ -959,14 +981,34 @@ object TableLog {
       s"bad change-feed window [$fromV,$toV] (head $head)")
     val schemaDdl = readManifest(root, toV).schemaDdl
     val deltas = (fromV to toV).map(v => v -> versionDelta(root, v))
-    def side(entries: Seq[(Long, FileEntry)], changeType: String): DataFrame = {
-      val verByName: Map[String, Long] = entries.map { case (v, f) =>
-        f.path.substring(f.path.lastIndexOf('/') + 1) -> v
-      }.toMap
-      readFiles(spark, root, schemaDdl, entries.map(_._2))
-        .withColumn("_change_type", lit(changeType))
-        .withColumn("_commit_version", element_at(typedlit(verByName),
-          element_at(split(input_file_name(), "/"), -1)))
+    def side(entries: Seq[(Long, FileEntry)], changeType: String): Seq[DataFrame] = {
+      if (entries.isEmpty) return Nil
+      val names = entries.map { case (_, f) =>
+        f.path.substring(f.path.lastIndexOf('/') + 1) }
+      if (names.distinct.size == names.size) {
+        // fast path (every file appears ONCE on this side of the
+        // window — all windows without a restore cycle): one scan,
+        // version stamped by a codegen'd O(1) literal-map lookup on
+        // the file name
+        val verByName: Map[String, Long] = names.zip(entries.map(_._1)).toMap
+        Seq(readFiles(spark, root, schemaDdl, entries.map(_._2))
+          .withColumn("_change_type", lit(changeType))
+          .withColumn("_commit_version", element_at(typedlit(verByName),
+            element_at(split(input_file_name(), "/"), -1))))
+      } else
+        // [[restore]] re-activates old PATHS, so one file can sit on
+        // the same side at TWO versions of the window (v0 adds F, v1
+        // overwrite removes F, v2 restore(0) re-adds F): a single
+        // name-keyed map would collapse both to one version AND pass
+        // the duplicate path twice to one scan. One frame per version
+        // (the dvDeletes structure) keeps every (version, file) pair
+        // exact; cost is one scan per churned version, which is what
+        // the window replays anyway.
+        entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, es) =>
+          readFiles(spark, root, schemaDdl, es.map(_._2))
+            .withColumn("_change_type", lit(changeType))
+            .withColumn("_commit_version", lit(v))
+        }
     }
     val adds = deltas.flatMap { case (v, (a, _)) => a.map(v -> _) }
     val removes = deltas.flatMap { case (v, (_, r)) => r.map(v -> _) }
@@ -1006,8 +1048,15 @@ object TableLog {
         }
       }
     }
-    (Seq(side(adds, "insert"), side(removes, "delete")) ++ dvDeletes)
-      .reduce(_.unionByName(_))
+    val frames = side(adds, "insert") ++ side(removes, "delete") ++ dvDeletes
+    if (frames.isEmpty)
+      // a window of pure-metadata commits (e.g. a restore back to the
+      // current state) churns nothing: an empty, correctly-typed feed
+      readFiles(spark, root, schemaDdl, Nil)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(fromV))
+        .limit(0)
+    else frames.reduce(_.unionByName(_))
   }
 
   // ---- maintenance commits --------------------------------------------
@@ -1228,6 +1277,14 @@ object TableLog {
                dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1,
                txnTag: Option[String] = None): Long = {
     require(dvMaxFrac >= 0.0 && dvMaxFrac <= 1.0, s"bad dvMaxFrac $dvMaxFrac")
+    val tag = txnTag.map(parseTxnTag)
+    // same idempotency guard as [[commit]]'s txnTag path: a
+    // re-delivered CDC batch (txn at or below the app's high-water
+    // mark) is a no-op BEFORE any probe scan or IO — the st30 sink's
+    // exactly-once contract holds even for a caller without its own
+    // check-then-act.
+    if (tag.exists { case (app, n) => n <= lastTxn(root, app) })
+      return currentVersion(root)
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
@@ -1280,14 +1337,12 @@ object TableLog {
         (prior ++ hitsByFile(baseName(f.path))).distinct.sorted))
     }
     // txnTag mirrors [[commit]]'s: the action stamp + the carried
-    // high-water map make a streaming CDC-APPLY sink exactly-once
-    // (a re-delivered micro-batch checks lastTxn and skips — st30)
+    // high-water map (guarded + max-merged above) make a streaming
+    // CDC-APPLY sink exactly-once (st30)
     val action = txnTag.fold("merge-mor")(t => s"merge-mor+txn=$t")
-    val txns = carriedTxns(root, parent) ++
-      txnTag.map { t =>
-        val i = t.lastIndexOf(':')
-        t.substring(0, i) -> t.substring(i + 1).toLong
-      }
+    val carried = carriedTxns(root, parent)
+    val txns = carried ++ tag.map { case (app, n) =>
+      app -> math.max(n, carried.getOrElse(app, -1L)) }
     if (fullDue(v, checkpointInterval))
       writeManifest(root, Manifest(v, parent, action, m.schemaDdl,
         untouched ++ falsePos ++ dvUpdated ++ added, txns = txns))

@@ -150,4 +150,39 @@ class GraftLogDsvSpec extends AnyFunSuite {
     // a window beyond head is loud (readChangeFeed's contract)
     intercept[Exception] { cdf(0L, 9L).count() }
   }
+
+  test("plan-time pin: a commit between schema inference and table construction is invisible") {
+    // the round-12 TOCTOU edge: inferSchema and getTable each resolved
+    // the head independently, so a commit landing in between bound
+    // h1's schema to h2's data. The provider now resolves ONCE per
+    // load; replay the race at the connector API level.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = freshRoot("pin")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    val props = new java.util.HashMap[String, String](); props.put("path", root)
+    val opts = new CaseInsensitiveStringMap(props)
+    val p = new GraftLogProvider()
+    val schema = p.inferSchema(opts)
+    // concurrent writer lands a schema-EVOLVING commit in the gap
+    TableLog.commit(mkDf(50L until 60L).withColumn("extra", lit(1L)),
+      root, expr("k div 25"), 1, "append", evolve = true)
+    val table = p.getTable(schema, Array.empty, props)
+    // the table must still pin the PRE-commit head: old schema, old data
+    assert(table.name().endsWith("VERSION AS OF 0"),
+      s"expected the pinned v0, got ${table.name()}")
+    assert(schema.fieldNames.toSeq == Seq("k", "cents"))
+    // same rule for the CDF window's default endingVersion
+    val cprops = new java.util.HashMap[String, String]()
+    cprops.put("path", root); cprops.put("changeFeed", "true")
+    val copts = new CaseInsensitiveStringMap(cprops)
+    val p2 = new GraftLogProvider()
+    val cschema = p2.inferSchema(copts)
+    TableLog.commit(mkDf(60L until 70L).withColumn("extra", lit(1L)),
+      root, expr("k div 25"), 1, "append", evolve = true)
+    val ctable = p2.getTable(cschema, Array.empty, cprops)
+    assert(ctable.name().endsWith("CHANGES FROM 0 TO 1"),
+      s"expected the pinned [0,1] window, got ${ctable.name()}")
+    // a fresh load AFTER the commits sees the new head normally
+    assert(sqlRead(root).schema.fieldNames.contains("extra"))
+  }
 }

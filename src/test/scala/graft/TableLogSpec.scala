@@ -720,6 +720,84 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.restore(root, 99L) }
   }
 
+  test("change feed through restore cycles: a re-added path keeps per-version stamps exact") {
+    // restore re-activates old PATHS, so the same file can sit on the
+    // adds side of one window at TWO versions (and on the removes side
+    // likewise) — a single name-keyed version map collapses them (the
+    // round-12 advice defect): v0's inserts would mis-stamp as v2's
+    // and the duplicate path would feed one scan twice.
+    val root = freshRoot("cdfrestore")
+    val a = mkDf(0L until 40L)
+    val b = mkDf(40L until 60L)
+    TableLog.commit(a, root, expr("k div 25"), 2, "overwrite") // v0: +A
+    TableLog.commit(b, root, expr("k div 25"), 2, "overwrite") // v1: -A +B
+    TableLog.restore(root, 0L) // v2: -B, +A's PATHS again (adds dup)
+    TableLog.restore(root, 1L) // v3: -A again (removes dup), +B's paths
+    val feed = TableLog.readChangeFeed(spark, root, 0L, 3L)
+      .groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val sumA = (0L until 40L).map(_ * 10 + 1).sum
+    val sumB = (40L until 60L).map(_ * 10 + 1).sum
+    assert(feed == Map(
+      (0L, "insert") -> ((40L, sumA)),
+      (1L, "delete") -> ((40L, sumA)), (1L, "insert") -> ((20L, sumB)),
+      (2L, "delete") -> ((20L, sumB)), (2L, "insert") -> ((40L, sumA)),
+      (3L, "delete") -> ((40L, sumA)), (3L, "insert") -> ((20L, sumB))))
+    // a restore back to the CURRENT state churns nothing: empty,
+    // correctly-typed feed window (the all-metadata-commit edge)
+    TableLog.restore(root, 3L) // v4: bit-identical to head
+    val empty = TableLog.readChangeFeed(spark, root, 4L, 4L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+  }
+
+  test("txnTag guard inside the primitives: stale deliveries no-op, malformed tags loud") {
+    // round-12 advice: mergeMor(txnTag=...) stamped unconditionally —
+    // a direct call with a stale batch id double-applied the changes
+    // AND regressed the high-water mark. Now commit and mergeMor both
+    // carry commitTxn's guard internally.
+    val root = freshRoot("tagguard")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    val ch = Seq((7L, 1L, "U", 777L)).toDF("k", "ver", "op", "new_cents")
+    val v1 = TableLog.mergeMor(spark, root, ch, "k", expr("k div 25"), 2,
+      valCol = "cents", newValCol = "new_cents", txnTag = Some("cdc:5"))
+    assert(v1 == 1L && TableLog.lastTxn(root, "cdc") == 5L)
+    val before = rows(TableLog.read(spark, root))
+    // stale mergeMor delivery: equal id and lower id are both no-ops
+    // BEFORE any IO — head unchanged, content unchanged, mark intact
+    val ch2 = Seq((8L, 2L, "U", 888L)).toDF("k", "ver", "op", "new_cents")
+    assert(TableLog.mergeMor(spark, root, ch2, "k", expr("k div 25"), 2,
+      valCol = "cents", newValCol = "new_cents", txnTag = Some("cdc:5")) == 1L)
+    assert(TableLog.mergeMor(spark, root, ch2, "k", expr("k div 25"), 2,
+      valCol = "cents", newValCol = "new_cents", txnTag = Some("cdc:3")) == 1L)
+    assert(TableLog.currentVersion(root) == 1L &&
+      rows(TableLog.read(spark, root)) == before &&
+      TableLog.lastTxn(root, "cdc") == 5L)
+    // same guard on commit's own txnTag path
+    assert(TableLog.commit(mkDf(200L until 210L), root, expr("k div 25"),
+      1, "append", txnTag = Some("cdc:5")) == 1L)
+    assert(rows(TableLog.read(spark, root)) == before)
+    // a FRESH id still lands
+    assert(TableLog.mergeMor(spark, root, ch2, "k", expr("k div 25"), 2,
+      valCol = "cents", newValCol = "new_cents", txnTag = Some("cdc:6")) == 2L)
+    assert(TableLog.lastTxn(root, "cdc") == 6L)
+    // malformed tags fail loudly before any IO (previously a
+    // StringIndexOutOfBoundsException deep in the stamp)
+    intercept[IllegalArgumentException] {
+      TableLog.mergeMor(spark, root, ch2, "k", expr("k div 25"), 2,
+        valCol = "cents", newValCol = "new_cents", txnTag = Some("nocolon"))
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.commit(mkDf(0L until 1L), root, expr("k"), 1, "append",
+        txnTag = Some(":5"))
+    }
+    assert(TableLog.currentVersion(root) == 2L)
+  }
+
   test("shallow clone: zero-copy, diverges both ways, vacuum-safe, compact materializes") {
     import java.nio.file.{Files, Paths}
     val src = freshRoot("clone_src")
