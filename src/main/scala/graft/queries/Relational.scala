@@ -1156,6 +1156,68 @@ object Relational {
           lit(hist.getLong(1)).as("n_restores"))
     }),
 
+    // R85/q82: TIMESTAMP AS OF + AGE-based retention — the way users
+    // actually address a lakehouse (Delta's `timestampAsOf` /
+    // `VACUUM … RETAIN n HOURS`; round-12 missing-item 1: every
+    // time-travel/CDF/vacuum surface was VERSION-addressed only).
+    // Three commits land with explicit, deterministic clock stamps
+    // (1000/2000/3000 ms — the injected-clock discipline; production
+    // writers omit commitTs and get the wall clock, clamped
+    // non-decreasing against the parent). Certified in one row: the
+    // TIMESTAMP-AS-OF 2500 read equals the v1 snapshot recomputed
+    // from raw orders (between-commits resolves DOWN to what was
+    // current), the exact-stamp boundary (2000 → v1) and the
+    // after-head boundary (→ head) pin Delta's resolution rule
+    // through the SQL surface's `timestampAsOf` option as well, and
+    // vacuumOlderThan(2500) retires exactly the pre-boundary history
+    // (v0 dies — its as-of read now fails loudly; the boundary
+    // version v1 survives BY CONSTRUCTION because a cutoff-instant
+    // read resolves to it). before-first is a loud error, pinned in
+    // TableLogSpec. Scale: resolution is one header line per live
+    // version — never a manifest resolve, never data IO.
+    "q82_timestamp_travel" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q82_tsasof")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val m = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(m === 0L), root, layout, 8, "overwrite",
+        commitTs = Some(1000L)) // v0 @ t=1000
+      TableLog.commit(o.filter(m === 1L), root, layout, 4, "append",
+        commitTs = Some(2000L)) // v1 @ t=2000
+      TableLog.commit(o.filter(m === 2L), root, layout, 4, "append",
+        commitTs = Some(3000L)) // v2 @ t=3000
+      val vMid = TableLog.versionAtTimestamp(root, 2500L) // between → v1
+      val vExact = TableLog.versionAtTimestamp(root, 2000L) // exact → v1
+      val vLate = TableLog.versionAtTimestamp(root, 999999L) // beyond → head
+      // the SQL surface resolves the same instant to the same snapshot
+      val nSql = s.read.format("graftlog").option("path", root)
+        .option("timestampAsOf", "2500").load().count()
+      // age-based retention: drop history strictly older than the
+      // cutoff instant — v0's MANIFEST dies (its files survive,
+      // shared with the live v1 snapshot — append carries them
+      // forward), the boundary v1 stays readable
+      TableLog.vacuumOlderThan(root, 2500L)
+      val nLive = TableLog.history(s, root).count()
+      val v0Gone =
+        try { TableLog.read(s, root, Some(0L)).count(); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      TableLog.readAsOfTimestamp(s, root, 2500L)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(nSql).as("n_sql_rows"),
+          lit(vMid).as("v_mid"), lit(vExact).as("v_exact"),
+          lit(vLate).as("v_head"),
+          lit(nLive).as("n_live_versions"),
+          lit(v0Gone).as("v0_gone"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -2659,6 +2721,28 @@ object Relational {
         |  CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_asof_v2,
         |  CAST(5 AS BIGINT) AS n_versions,
         |  CAST(1 AS BIGINT) AS n_restores""".stripMargin,
+
+    // q82: the v1 snapshot (commits at t=1000/2000/3000; instant 2500
+    // resolves DOWN to v1 = segments 0∪1) recomputed from raw orders;
+    // the boundary versions and vacuum outcomes are the resolution
+    // contracts (a wrong boundary rule, a vacuum that took the
+    // boundary version, or a resolution that drifted after retention
+    // flips one of the constants or a sum).
+    "q82_timestamp_travel" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, price FROM o WHERE (k % 3 + 3) % 3 IN (0, 1))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(count(*) AS BIGINT) AS n_sql_rows,
+        |  CAST(1 AS BIGINT) AS v_mid,
+        |  CAST(1 AS BIGINT) AS v_exact,
+        |  CAST(2 AS BIGINT) AS v_head,
+        |  CAST(2 AS BIGINT) AS n_live_versions,
+        |  CAST(1 AS BIGINT) AS v0_gone
+        |FROM seg""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

@@ -141,10 +141,18 @@ object GraftLogProvider {
   /** Version is RESOLVED AT PLAN TIME (head if unspecified), so a
     * concurrent commit after the DataFrame is built cannot shift the
     * snapshot mid-query — the manifest is the isolation boundary.
+    * `timestampAsOf` (epoch millis) resolves through the commit
+    * timestamps (Delta's option name; latest version at or below the
+    * instant) — mutually exclusive with `versionAsOf`, Delta's rule.
     */
-  private def versionOf(options: CaseInsensitiveStringMap, root: String): Long =
-    Option(options.get("versionAsOf")).map(_.toLong)
-      .getOrElse(TableLog.currentVersion(root))
+  private def versionOf(options: CaseInsensitiveStringMap, root: String): Long = {
+    val byV = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTs = Option(options.get("timestampAsOf"))
+      .map(t => TableLog.versionAtTimestamp(root, t.toLong))
+    require(byV.isEmpty || byTs.isEmpty,
+      "graftlog: versionAsOf and timestampAsOf are mutually exclusive")
+    byV.orElse(byTs).getOrElse(TableLog.currentVersion(root))
+  }
 
   private def isCdf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("changeFeed", false)

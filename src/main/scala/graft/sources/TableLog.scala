@@ -109,7 +109,8 @@ object TableLog {
                             schemaDdl: String, files: Seq[FileEntry],
                             kind: String = "full",
                             removes: Seq[String] = Nil,
-                            txns: Map[String, Long] = Map.empty) {
+                            txns: Map[String, Long] = Map.empty,
+                            ts: Long = -1L) {
     /** Exact LIVE row count — physical rows minus deletion-vector
       * suppressions (identical to the physical sum on DV-free
       * tables).
@@ -164,11 +165,15 @@ object TableLog {
   }
 
   // ---- manifest text format -------------------------------------------
-  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<kind>\t<schemaDdl>\t<txns>
+  // line 1:  graft-table-log\t<version>\t<parent>\t<action>\t<kind>\t<schemaDdl>\t<txns>\t<ts>
   //          <txns> = app:id[,app:id...] — the RESOLVED per-application
   //          txn high-water map, carried forward commit-over-commit.
+  //          <ts> = commit wall-clock in epoch millis, stamped
+  //          NON-DECREASING version-over-version (Delta's in-memory
+  //          timestamp adjustment, applied at write) so
+  //          TIMESTAMP-AS-OF resolution is a monotone boundary search.
   //          (a 5-field header is read as legacy "full" with no txns;
-  //          a 6-field header as kind-aware with no txns)
+  //          6 = kind-aware, no txns; 7 = txns, no ts — ts reads -1)
   // line 2+: full manifest:  f\t<relpath>\t<rows>\t<col>=<min>:<max>[;...]
   //          delta manifest: a\t<relpath>\t<rows>\t<zones>   added file
   //                          r\t<relpath>                    removed file
@@ -203,7 +208,7 @@ object TableLog {
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\n")
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\t${m.ts}\n")
     if (m.kind == "full")
       m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("f", f)))
     else {
@@ -253,17 +258,18 @@ object TableLog {
       s"table-log version $version does not exist at $root (vacuumed or never committed)")
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val h = lines.head.split("\t", -1)
-    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 7,
+    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 8,
       s"malformed manifest header at $p")
     val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
-    val txns = if (h.length == 7) parseTxns(h(6)) else Map.empty[String, Long]
+    val txns = if (h.length >= 7) parseTxns(h(6)) else Map.empty[String, Long]
+    val ts = if (h.length >= 8) h(7).toLong else -1L
     val entries = lines.tail.filter(_.nonEmpty).map(ln => (ln.split("\t", -1), ln))
     if (kind == "full") {
       val files = entries.map { case (f, ln) =>
         require(f(0) == "f", s"malformed manifest line in $p: $ln")
         parseEntry(f, p, ln)
       }
-      Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files, txns = txns)
+      Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files, txns = txns, ts = ts)
     } else {
       val removes = entries.collect { case (f, ln) =>
         require(f(0) == "r" || f(0) == "a", s"malformed manifest line in $p: $ln")
@@ -274,7 +280,7 @@ object TableLog {
       val removed = removes.toSet
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl,
         parentM.files.filterNot(f => removed(f.path)) ++ adds,
-        kind = "delta", removes = removes, txns = txns)
+        kind = "delta", removes = removes, txns = txns, ts = ts)
     }
   }
 
@@ -288,8 +294,18 @@ object TableLog {
     */
   private[graft] def writeManifest(root: String, m: Manifest): Long = {
     Files.createDirectories(logDir(root))
+    // commit-timestamp stamp: a manifest arriving without one (ts < 0,
+    // every writer that didn't inject an explicit clock) takes the
+    // wall clock, and EITHER kind is clamped non-decreasing against
+    // the parent's stamp (Delta's monotone timestamp adjustment,
+    // applied once at write instead of on every read) — so
+    // TIMESTAMP-AS-OF resolution is a clean boundary search even
+    // under clock skew between writers.
+    val stamped = m.copy(ts =
+      math.max(if (m.ts >= 0L) m.ts else System.currentTimeMillis(),
+        headerTsOf(root, m.parent)))
     val tmp = logDir(root).resolve(s".tmp_v${m.version}_${ProcessHandle.current().pid()}")
-    Files.write(tmp, renderManifest(m).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, renderManifest(stamped).getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifestPath(root, m.version), tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -483,7 +499,8 @@ object TableLog {
              numFiles: Int = 8, mode: String = "append",
              checkpointInterval: Int = 1,
              txnTag: Option[String] = None,
-             evolve: Boolean = false): Long = {
+             evolve: Boolean = false,
+             commitTs: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val tag = txnTag.map(parseTxnTag)
     // idempotency guard INSIDE the primitive (the commitTxn contract,
@@ -501,18 +518,19 @@ object TableLog {
     val carried = carriedTxns(root, parent)
     val txns = carried ++ tag.map { case (app, n) =>
       app -> math.max(n, carried.getOrElse(app, -1L)) }
+    val ts = commitTs.getOrElse(-1L)
     val added = writeDataFiles(df, root, v, layout, numFiles)
     if (mode == "overwrite" || parent < 0)
       // an overwrite IS a full snapshot — a delta encoding of it
       // would be remove-everything + add-everything, strictly worse
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL, added,
-        txns = txns))
+        txns = txns, ts = ts))
     else if (fullDue(v, checkpointInterval))
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
-        readManifest(root, parent).files ++ added, txns = txns))
+        readManifest(root, parent).files ++ added, txns = txns, ts = ts))
     else
       writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
-        added, kind = "delta", txns = txns))
+        added, kind = "delta", txns = txns, ts = ts))
   }
 
   /** Column (name, type) signature of a DDL string — the schema-drift
@@ -703,13 +721,81 @@ object TableLog {
     */
   def schemaDdlOf(root: String, v: Long): String = headerMeta(root, v)._2
 
+  /** Version v's commit wall-clock (epoch millis) from its header —
+    * ONE line of text IO — or -1 for a version written before
+    * timestamps existed, or for v < 0 / a missing version (so the
+    * [[writeManifest]] clamp and enumeration filters compose without
+    * existence pre-checks).
+    */
+  def headerTsOf(root: String, v: Long): Long =
+    if (v < 0 || (!Files.exists(manifestPath(root, v)) &&
+        !Files.exists(checkpointPath(root, v)))) -1L
+    else {
+      val h = readHeader(root, v)
+      if (h.length >= 8) h(7).toLong else -1L
+    }
+
+  /** TIMESTAMP-AS-OF resolution (Delta's `timestampAsOf`): the LATEST
+    * live version whose commit timestamp is at or below `ts` — the
+    * snapshot that was current at that instant. Timestamps are
+    * non-decreasing by the write-time clamp, so this is a boundary
+    * search over one header line per live version (version-count
+    * bounded text IO, like [[history]]). A `ts` at or beyond the last
+    * commit resolves to the head; a `ts` before the earliest
+    * available version fails loudly (nothing was current then —
+    * either it predates the table or retention dropped it), naming
+    * the earliest boundary, Delta's documented behavior.
+    */
+  def versionAtTimestamp(root: String, ts: Long): Long = {
+    val head = currentVersion(root)
+    require(head >= 0, s"no committed table at $root")
+    val stamped = (0L to head)
+      .filter(v => Files.exists(manifestPath(root, v)) ||
+        Files.exists(checkpointPath(root, v)))
+      .map(v => v -> headerTsOf(root, v))
+      .filter(_._2 >= 0L)
+    require(stamped.nonEmpty,
+      s"table at $root has no timestamped commits (pre-timestamp store)")
+    val at = stamped.filter(_._2 <= ts)
+    require(at.nonEmpty,
+      s"timestamp $ts is before the earliest available version " +
+        s"(v${stamped.head._1} at ${stamped.head._2}) — it predates " +
+        "the table or retention dropped it")
+    at.map(_._1).max
+  }
+
+  /** Snapshot read AS OF a wall-clock instant — [[read]] pinned to
+    * [[versionAtTimestamp]]'s resolution.
+    */
+  def readAsOfTimestamp(spark: SparkSession, root: String, ts: Long): DataFrame =
+    read(spark, root, Some(versionAtTimestamp(root, ts)))
+
+  /** AGE-based retention (Delta's `VACUUM … RETAIN n HOURS` shape):
+    * drop every version strictly older than the one current at
+    * `cutoffTs` — that boundary version itself survives (it IS the
+    * snapshot a TIMESTAMP-AS-OF read at the cutoff resolves to), and
+    * a cutoff before the first commit keeps everything. Delegates to
+    * [[vacuum]] for the actual file/manifest retirement.
+    */
+  def vacuumOlderThan(root: String, cutoffTs: Long): Seq[String] = {
+    val head = currentVersion(root)
+    require(head >= 0, s"no committed table at $root")
+    val boundary = (0L to head)
+      .filter(v => Files.exists(manifestPath(root, v)) ||
+        Files.exists(checkpointPath(root, v)))
+      .map(v => v -> headerTsOf(root, v))
+      .filter { case (_, t) => t >= 0L && t <= cutoffTs }
+      .map(_._1)
+    if (boundary.isEmpty) Nil else vacuum(root, boundary.max)
+  }
+
   /** (kind, schemaDdl, txns) of version v's header, format-version
     * tolerant — ONE line of text IO.
     */
   private def headerMeta(root: String, v: Long): (String, String, Map[String, Long]) = {
     val h = readHeader(root, v)
     val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
-    (kind, ddl, if (h.length == 7) parseTxns(h(6)) else Map.empty)
+    (kind, ddl, if (h.length >= 7) parseTxns(h(6)) else Map.empty)
   }
 
   /** The txn high-water map a child of `parent` must carry forward:
@@ -722,7 +808,7 @@ object TableLog {
     if (parent < 0) Map.empty
     else {
       val h = readHeader(root, parent)
-      if (h.length == 7) parseTxns(h(6)) else legacyTxnMap(root)
+      if (h.length >= 7) parseTxns(h(6)) else legacyTxnMap(root)
     }
 
   /** Pre-map reconstruction: max txn per app over the LIVE action
@@ -761,7 +847,7 @@ object TableLog {
     if (head < 0) -1L
     else {
       val h = readHeader(root, head)
-      if (h.length == 7) parseTxns(h(6)).getOrElse(appId, -1L)
+      if (h.length >= 7) parseTxns(h(6)).getOrElse(appId, -1L)
       else legacyTxnMap(root).getOrElse(appId, -1L)
     }
   }
@@ -1372,9 +1458,9 @@ object TableLog {
       .map { v =>
         val kind = headerMeta(root, v)._1
         val m = readManifest(root, v)
-        (m.version, m.action, kind, m.files.size.toLong, m.totalRows)
+        (m.version, m.action, kind, m.files.size.toLong, m.totalRows, m.ts)
       }
-    rows.toDF("version", "action", "kind", "n_files", "n_rows")
+    rows.toDF("version", "action", "kind", "n_files", "n_rows", "ts_millis")
   }
 
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF k`): a NEW
@@ -1395,13 +1481,14 @@ object TableLog {
     * RESTORE for the same reason). A restore target below the vacuum
     * line fails with the loud retention error before any write.
     */
-  def restore(root: String, toV: Long): Long = {
+  def restore(root: String, toV: Long, commitTs: Option[Long] = None): Long = {
     val head = currentVersion(root)
     require(head >= 0, s"no committed table at $root")
     require(toV <= head, s"restore target $toV beyond head $head")
     val target = readManifest(root, toV)
     writeManifest(root, Manifest(head + 1, head, s"restore=$toV",
-      target.schemaDdl, target.files, txns = carriedTxns(root, head)))
+      target.schemaDdl, target.files, txns = carriedTxns(root, head),
+      ts = commitTs.getOrElse(-1L)))
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): a
@@ -1459,8 +1546,12 @@ object TableLog {
     val v = asOf.getOrElse(currentVersion(root))
     require(v >= 0, s"no committed table at $root")
     val m = readManifest(root, v)
+    // stats are keyed by the FULL file path, not the basename: a
+    // shallow clone can mix foreign (absolute) and local part files,
+    // and a basename key would conflate two such entries into one
+    // stats row (round-12 advice).
     val df = readFiles(spark, root, m.schemaDdl, m.files)
-      .withColumn("__f", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__f", input_file_name())
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c).cast("long")).as(s"${c}__min"),
@@ -1482,19 +1573,38 @@ object TableLog {
         col("s.n_nulls").as("n_nulls"), col("s.zmin").as("zmin"),
         col("s.zmax").as("zmax"), col("s.ndv_sketch").as("ndv_sketch"))
     val out = f"$root/_stats/v$v%08d"
-    stacked.write.mode("overwrite").parquet(out)
+    // the artifact records the lgK it was built with: a consumer that
+    // re-accepted lgK as a parameter could silently degrade the union
+    // to the smaller nominal on a mismatch (round-12 advice) —
+    // tableStats reads it back from here instead.
+    stacked.withColumn("lg_k", lit(lgK)).write.mode("overwrite").parquet(out)
     out
   }
 
   /** Table-level statistics from an [[analyze]] artifact — ARTIFACT
     * reads only, never a data scan: per column, exact row/null
     * totals, min/max, and the union-merged theta NDV estimate
-    * (exact while every file sketch stayed below capacity).
+    * (exact while every file sketch stayed below capacity). The union
+    * nominal comes from the artifact's own `lg_k` column — never a
+    * caller parameter, which a mismatch would silently degrade to the
+    * smaller nominal; `lgK` is only the fallback for artifacts
+    * written before the column existed.
     */
   def tableStats(spark: SparkSession, root: String,
                  asOf: Option[Long] = None, lgK: Int = 16): DataFrame = {
     val v = asOf.getOrElse(currentVersion(root))
     val art = spark.read.parquet(f"$root/_stats/v$v%08d")
+    val k =
+      if (!art.columns.contains("lg_k")) lgK
+      else {
+        // 1-row bounded collect; one artifact is written by ONE
+        // analyze call, so the recorded lgK is necessarily uniform
+        val r = art.agg(min("lg_k"), max("lg_k")).collect()(0)
+        require(r.getInt(0) == r.getInt(1),
+          s"corrupt stats artifact at $root/_stats/v$v: mixed lg_k " +
+            s"${r.getInt(0)}/${r.getInt(1)}")
+        r.getInt(0)
+      }
     art.groupBy("col_name")
       .agg(sum("n_rows").as("n_rows"),
         sum("n_nulls").as("n_nulls"),
@@ -1502,7 +1612,7 @@ object TableLog {
         max("zmax").as("zmax"),
         graft.functions.GraftFunctions
           .theta_estimate(graft.functions.GraftFunctions
-            .theta_union_agg(col("ndv_sketch"), lgK)).cast("long").as("ndv"))
+            .theta_union_agg(col("ndv_sketch"), k)).cast("long").as("ndv"))
   }
 
   // ---- retention -------------------------------------------------------
@@ -1536,8 +1646,12 @@ object TableLog {
     live.headOption.foreach { low =>
       if (dead.nonEmpty && !Files.exists(checkpointPath(root, low))) {
         val resolved = readManifest(root, low)
+        // ts carries into the checkpoint verbatim: materialization is
+        // metadata motion, never a new commit instant — the version
+        // must stay TIMESTAMP-AS-OF addressable at its original stamp
         val ck = Manifest(resolved.version, resolved.parent, resolved.action,
-          resolved.schemaDdl, resolved.files, txns = resolved.txns)
+          resolved.schemaDdl, resolved.files, txns = resolved.txns,
+          ts = resolved.ts)
         val tmp = logDir(root).resolve(
           s".tmpck_v${low}_${ProcessHandle.current().pid()}")
         Files.write(tmp, renderManifest(ck).getBytes(StandardCharsets.UTF_8))

@@ -420,7 +420,8 @@ class TableLogSpec extends AnyFunSuite {
     val hdr = Files.readAllLines(
         Paths.get(root, "_log", f"v$head%08d.manifest"), StandardCharsets.UTF_8)
       .get(0).split("\t", -1)
-    assert(hdr.length == 7 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
+    assert(hdr.length == 8 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
+    assert(hdr(7).toLong > 0L, "header must carry the commit timestamp")
     // vacuum past every txn-bearing version: the mark SURVIVES (it
     // rides the surviving headers), so a recovering sink still
     // dedups — stronger than the pre-map retention caveat
@@ -666,6 +667,19 @@ class TableLogSpec extends AnyFunSuite {
     assert(rows.forall(r => r._2 == 500L && r._3 == 0L && r._6 == 500L))
     assert(rows.find(_._1 == "k").get._4 == 0L)
     assert(rows.find(_._1 == "k").get._5 == 499L)
+    // the artifact records its OWN lgK and full file paths: a
+    // mismatched caller parameter can no longer degrade the union
+    // (the stored nominal wins), and clone-mixed basename collisions
+    // can't conflate stats rows
+    val art = spark.read.parquet(s"$root/_stats/v00000000")
+    assert(art.columns.contains("lg_k") &&
+      art.select("lg_k").distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    assert(art.select("file").collect().forall(_.getString(0).contains("/")),
+      "stats must key by the full file path, not the basename")
+    val mismatched = TableLog.tableStats(spark, root, lgK = 4)
+      .filter(col("col_name") === "k").collect()(0).getLong(5)
+    assert(mismatched == 500L,
+      s"stored lg_k must win over a mismatched parameter, got $mismatched")
     // versioned: a new commit + analyze lands a NEW artifact; the old
     // version's stats stay readable AS OF
     TableLog.commit(mkDf(500L until 600L), root, expr("k div 100"), 1, "append")
@@ -796,6 +810,56 @@ class TableLogSpec extends AnyFunSuite {
         txnTag = Some(":5"))
     }
     assert(TableLog.currentVersion(root) == 2L)
+  }
+
+  test("timestamp travel: boundary semantics, monotone clamp, checkpoint-preserving, age vacuum") {
+    val root = freshRoot("tsasof")
+    TableLog.commit(mkDf(0L until 40L), root, expr("k div 25"), 2, "overwrite",
+      commitTs = Some(1000L))
+    TableLog.commit(mkDf(40L until 60L), root, expr("k div 25"), 1, "append",
+      checkpointInterval = 10, commitTs = Some(2000L)) // delta manifest
+    // a writer whose clock lags the parent is clamped NON-DECREASING
+    // (Delta's monotone adjustment): the stamp can never go backwards
+    TableLog.commit(mkDf(60L until 70L), root, expr("k div 25"), 1, "append",
+      checkpointInterval = 10, commitTs = Some(500L)) // delta manifest
+    assert(TableLog.headerTsOf(root, 2L) == 2000L)
+    // boundary semantics: exact stamp → that version; between → the
+    // version current at the instant; at/after the last stamp → head
+    assert(TableLog.versionAtTimestamp(root, 1000L) == 0L)
+    assert(TableLog.versionAtTimestamp(root, 1999L) == 0L)
+    assert(TableLog.versionAtTimestamp(root, 2000L) == 2L) // clamp ties → max
+    assert(TableLog.versionAtTimestamp(root, 999999L) == 2L)
+    // before-first is loud, naming the earliest boundary
+    val e = intercept[IllegalArgumentException] {
+      TableLog.versionAtTimestamp(root, 999L) }
+    assert(e.getMessage.contains("before the earliest"))
+    // the read surface resolves through the same rule
+    assert(rows(TableLog.readAsOfTimestamp(spark, root, 1500L)) ==
+      rows(mkDf(0L until 40L)))
+    // history surfaces the stamps
+    val hist = TableLog.history(spark, root)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 1000L, 1L -> 2000L, 2L -> 2000L))
+    // untimestamped writers get the wall clock, still non-decreasing
+    TableLog.commit(mkDf(70L until 80L), root, expr("k div 25"), 1, "append",
+      checkpointInterval = 10)
+    assert(TableLog.headerTsOf(root, 3L) >= 2000L)
+    // age-based retention: cutoff inside history retires everything
+    // strictly below the boundary version; the boundary survives and
+    // stays timestamp-addressable THROUGH its materialized checkpoint
+    TableLog.vacuumOlderThan(root, 1500L) // boundary = v0: no-op line
+    assert(TableLog.history(spark, root).count() == 4L)
+    TableLog.vacuumOlderThan(root, 2000L) // boundary = v2: v0, v1 die
+    assert(TableLog.history(spark, root)
+      .select("version").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(TableLog.versionAtTimestamp(root, 2500L) == 2L)
+    assert(rows(TableLog.readAsOfTimestamp(spark, root, 2500L)) ==
+      rows(mkDf(0L until 70L)))
+    intercept[IllegalArgumentException] {
+      TableLog.versionAtTimestamp(root, 1000L) } // dropped by retention
+    // a cutoff before every stamp keeps everything (no boundary)
+    assert(TableLog.vacuumOlderThan(root, 1L).isEmpty)
   }
 
   test("shallow clone: zero-copy, diverges both ways, vacuum-safe, compact materializes") {
