@@ -1218,6 +1218,53 @@ object Relational {
           lit(v0Gone).as("v0_gone"))
     }),
 
+    // R86/q83: STRING zone maps — zones existed only for integral
+    // columns (round-12 missing-item 2), so a WHERE on the columns a
+    // TEXT corpus actually filters by (source, lang, priority, url
+    // domain — all strings) scanned every file. footerStats now keeps
+    // a truncated (16-byte, codepoint-safe) bytewise min/max per
+    // string column, Delta's truncated-stats shape, with the
+    // truncation-safe comparison rule: a truncated max is a PREFIX of
+    // the true max, so only a probe whose own prefix sorts above it
+    // can exclude. Drama: orders clustered by priority's first byte →
+    // per-file prio zones are tight; a string RANGE read through the
+    // API and a string EQUALITY through the DSv2 SQL surface both
+    // prune files (pruned=1 is the planFilesStr claim; exact file
+    // counts live in TableLogSpec/GraftLogDsvSpec) and both equal the
+    // raw-orders recompute — bytewise order is what Spark's
+    // UTF8String AND DuckDB's collation-free VARCHAR use, so the
+    // oracle is exact. Scale: same manifest-only set arithmetic as
+    // long zones; the manifest grows ≤16 bytes × string columns per
+    // file.
+    "q83_string_zones" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q83_strz")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"),
+          col("o_orderpriority").cast("string").as("prio"))
+        .filter(col("k").isNotNull && col("prio").isNotNull)
+      // numFiles=5: the five priority first bytes ('1'..'5' = 49..53)
+      // are distinct mod 5, so every slot fills — one priority per
+      // file, tight single-value string zones, no phantom empty files
+      TableLog.commit(o, root, ascii(substring(col("prio"), 1, 1)),
+        5, "overwrite")
+      val (sel, total) = TableLog.planFilesStr(root,
+        Seq(("prio", "2-HIGH", "3-MEDIUM")))
+      val pruned = if (sel.size < total) 1L else 0L
+      val range = TableLog.readRangeStr(s, root,
+          Seq(("prio", "2-HIGH", "3-MEDIUM")))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc")).collect()(0)
+      s.read.format("graftlog").option("path", root).load()
+        .createOrReplaceTempView("graft_strz")
+      s.sql("""SELECT count(*) AS n_eq, sum(cents) AS sum_eq
+              |FROM graft_strz WHERE prio = '1-URGENT'""".stripMargin)
+        .select(lit(range.getLong(0)).as("n_range"),
+          lit(range.getLong(1)).as("sum_range"),
+          col("n_eq"), col("sum_eq"), lit(pruned).as("pruned"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -2743,6 +2790,30 @@ object Relational {
         |  CAST(2 AS BIGINT) AS n_live_versions,
         |  CAST(1 AS BIGINT) AS v0_gone
         |FROM seg""".stripMargin,
+
+    // q83: both string-predicate aggregates recomputed from raw
+    // orders under bytewise VARCHAR comparison; pruned=1 is the
+    // zone-skipping claim (a string-zone compare bug that wrongly
+    // excludes a file breaks a sum, one that never excludes flips
+    // pruned).
+    "q83_string_zones" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS prio
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o
+        |        WHERE prio >= '2-HIGH' AND prio <= '3-MEDIUM') AS BIGINT)
+        |    AS n_range,
+        |  CAST((SELECT sum(cents) FROM o
+        |        WHERE prio >= '2-HIGH' AND prio <= '3-MEDIUM') AS BIGINT)
+        |    AS sum_range,
+        |  CAST((SELECT count(*) FROM o WHERE prio = '1-URGENT') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE prio = '1-URGENT') AS BIGINT)
+        |    AS sum_eq,
+        |  CAST(1 AS BIGINT) AS pruned""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

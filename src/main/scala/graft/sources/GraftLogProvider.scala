@@ -193,15 +193,15 @@ private[sources] final class GraftLogScanBuilder(root: String, version: Long,
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
-  private def longCol(c: String): Boolean =
-    tableSchema.fields.exists(f => f.name == c && f.dataType == LongType)
+  private def colType(c: String): Option[org.apache.spark.sql.types.DataType] =
+    tableSchema.fields.find(_.name == c).map(_.dataType)
 
   /** Accept the file-prunable subset as "pushed" (plan visibility);
     * return ALL filters so Spark keeps the row-level Filter above the
     * scan — our pushdown SKIPS FILES, it never claims row exactness.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => GraftLogScan.prunable(f, longCol))
+    pushed = filters.filter(f => GraftLogScan.prunable(f, colType))
     filters
   }
 
@@ -228,6 +228,8 @@ private[sources] final class GraftLogScan(root: String, version: Long,
 }
 
 private[sources] object GraftLogScan {
+  import org.apache.spark.sql.types.{DataType, StringType}
+
   /** Integral literal → Long; anything else is not zone-comparable
     * (fractional comparisons against a long column are rewritten by
     * Catalyst before pushdown, so integral is the only shape seen).
@@ -240,26 +242,49 @@ private[sources] object GraftLogScan {
     case _                    => None
   }
 
-  /** Can this filter exclude FILES from the manifest alone? */
-  def prunable(f: Filter, longCol: String => Boolean): Boolean = f match {
-    case EqualTo(c, v)            => longCol(c) && asLong(v).isDefined
-    case GreaterThan(c, v)        => longCol(c) && asLong(v).isDefined
-    case GreaterThanOrEqual(c, v) => longCol(c) && asLong(v).isDefined
-    case LessThan(c, v)           => longCol(c) && asLong(v).isDefined
-    case LessThanOrEqual(c, v)    => longCol(c) && asLong(v).isDefined
-    case In(c, vs) =>
-      longCol(c) && vs.nonEmpty && vs.forall(asLong(_).isDefined)
-    case IsNotNull(c)   => longCol(c)
-    case And(l, r)      => prunable(l, longCol) && prunable(r, longCol)
-    case _              => false
+  /** Can this filter exclude FILES from the manifest alone? LONG
+    * columns prune through the integral zones (+ blooms); STRING
+    * columns through the truncated string zones (q83's class —
+    * source/lang/domain predicates over a text corpus). IsNotNull
+    * prunes only on longs: an absent integral zone proves all-NULL,
+    * an absent STRING zone doesn't (parquet's binary-stats size cap).
+    */
+  def prunable(f: Filter, colType: String => Option[DataType]): Boolean = {
+    def longCol(c: String) = colType(c).contains(LongType)
+    def strCol(c: String) = colType(c).contains(StringType)
+    def cmpable(c: String, v: Any) =
+      (longCol(c) && asLong(v).isDefined) ||
+        (strCol(c) && v.isInstanceOf[String])
+    f match {
+      case EqualTo(c, v)            => cmpable(c, v)
+      case GreaterThan(c, v)        => cmpable(c, v)
+      case GreaterThanOrEqual(c, v) => cmpable(c, v)
+      case LessThan(c, v)           => cmpable(c, v)
+      case LessThanOrEqual(c, v)    => cmpable(c, v)
+      case In(c, vs)                => vs.nonEmpty && vs.forall(cmpable(c, _))
+      case IsNotNull(c)             => longCol(c)
+      case And(l, r) => prunable(l, colType) && prunable(r, colType)
+      case _         => false
+    }
   }
 
-  /** May file `e` contain a row satisfying `f`? Zone semantics match
-    * [[TableLog.planFilesMulti]] (absent zone on the filtered column
-    * = all-NULL chunk: no row can satisfy a comparison) and equality
-    * adds [[TableLog.planFilesPoint]]'s bloom probe.
+  /** May file `e` contain a row satisfying `f`? Long-zone semantics
+    * match [[TableLog.planFilesMulti]] (absent integral zone on the
+    * filtered column = all-NULL chunk) with equality adding
+    * [[TableLog.planFilesPoint]]'s bloom probe; string semantics are
+    * [[TableLog.strZoneKeeps]]'s truncation-safe compare (the stored
+    * min is a hard lower bound; a truncated max only excludes when
+    * the probe's own prefix sorts above it; absent keeps).
     */
   def keeps(f: Filter, e: TableLog.FileEntry): Boolean = f match {
+    case EqualTo(c, v: String)            => TableLog.strZoneKeeps(e, c, v, v)
+    case GreaterThan(c, v: String)        => strAbove(e, c, v, strict = true)
+    case GreaterThanOrEqual(c, v: String) => strAbove(e, c, v, strict = false)
+    case LessThan(c, v: String)           => strBelow(e, c, v, strict = true)
+    case LessThanOrEqual(c, v: String)    => strBelow(e, c, v, strict = false)
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      vs.exists(v => TableLog.strZoneKeeps(e, c, v.asInstanceOf[String],
+        v.asInstanceOf[String]))
     case EqualTo(c, v)            => mayContain(e, c, asLong(v).get)
     case GreaterThan(c, v)        => e.zMax.get(c).exists(_ > asLong(v).get)
     case GreaterThanOrEqual(c, v) => e.zMax.get(c).exists(_ >= asLong(v).get)
@@ -270,6 +295,31 @@ private[sources] object GraftLogScan {
     case And(l, r)                => keeps(l, e) && keeps(r, e)
     case _                        => true
   }
+
+  /** May `e` hold a row of `c` ABOVE `v`? True max ≥ stored max; when
+    * the stored max is truncated it is a strict prefix of the true
+    * max (so the true max sorts above it), and only a probe whose own
+    * prefix sorts above the stored prefix is provably beyond it.
+    */
+  private def strAbove(e: TableLog.FileEntry, c: String, v: String,
+                       strict: Boolean): Boolean =
+    (e.sMax.get(c), e.sMaxTrunc(c)) match {
+      case (Some(zhi), true)  => TableLog.cmpUtf8(TableLog.utf8Prefix(v)._1, zhi) <= 0
+      case (Some(zhi), false) =>
+        if (strict) TableLog.cmpUtf8(zhi, v) > 0 else TableLog.cmpUtf8(zhi, v) >= 0
+      case _ => true // un-zoned string column: keep (stats size cap)
+    }
+
+  /** May `e` hold a row of `c` BELOW `v`? The stored min is ≤ the
+    * true min regardless of truncation, so min ≥ v excludes exactly.
+    */
+  private def strBelow(e: TableLog.FileEntry, c: String, v: String,
+                       strict: Boolean): Boolean =
+    e.sMin.get(c) match {
+      case Some(zlo) =>
+        if (strict) TableLog.cmpUtf8(zlo, v) < 0 else TableLog.cmpUtf8(zlo, v) <= 0
+      case None => true // un-zoned string column: keep
+    }
 
   private def mayContain(e: TableLog.FileEntry, c: String, v: Long): Boolean = {
     val zoneOk = (e.zMin.get(c), e.zMax.get(c)) match {

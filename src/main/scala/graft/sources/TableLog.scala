@@ -88,9 +88,68 @@ object TableLog {
   final case class FileEntry(path: String, rows: Long,
                              zMin: Map[String, Long], zMax: Map[String, Long],
                              blooms: Map[String, Array[Long]] = Map.empty,
-                             dv: Map[String, Array[Long]] = Map.empty) {
+                             dv: Map[String, Array[Long]] = Map.empty,
+                             sMin: Map[String, String] = Map.empty,
+                             sMax: Map[String, String] = Map.empty,
+                             sMaxTrunc: Set[String] = Set.empty) {
     def liveRows: Long = rows - dv.valuesIterator.map(_.length.toLong).sum
   }
+
+  /** Byte budget for STRING zone values in the manifest (Delta keeps
+    * 32-char truncated stats; 16 UTF-8 bytes is plenty to separate the
+    * source/lang/domain columns a text corpus filters by, and keeps a
+    * 10^6-line manifest from bloating on long URLs). Truncation cuts
+    * on a codepoint boundary so the stored value stays valid UTF-8.
+    */
+  private[graft] val strZoneBytes = 16
+
+  /** `s`'s longest prefix whose UTF-8 encoding fits `maxBytes`, plus
+    * whether anything was cut. A truncated MIN is still a valid lower
+    * bound (a prefix never exceeds the string it prefixes, bytewise);
+    * a truncated MAX is only a prefix of the true max, so readers must
+    * apply the truncation-aware comparison ([[strZoneKeeps]]).
+    */
+  private[graft] def utf8Prefix(s: String, maxBytes: Int = strZoneBytes): (String, Boolean) = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    if (b.length <= maxBytes) (s, false)
+    else {
+      var i = maxBytes
+      while (i > 0 && (b(i) & 0xC0) == 0x80) i -= 1 // codepoint boundary
+      (new String(b, 0, i, StandardCharsets.UTF_8), true)
+    }
+  }
+
+  /** Unsigned bytewise UTF-8 comparison — the order parquet binary
+    * stats, Spark's UTF8String, and DuckDB's collation-free VARCHAR
+    * all use; java.lang.String.compareTo (UTF-16 code units) disagrees
+    * for supplementary codepoints, so never use it here.
+    */
+  private[graft] def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** May file `e` contain a string of column `c` inside [lo, hi]?
+    * The truncation-safe zone intersect: the stored min is a valid
+    * lower bound even when truncated (exclude only when `hi` sorts
+    * below it); the stored max is exact unless flagged truncated, in
+    * which case only `lo`'s own prefix sorting ABOVE it can exclude
+    * (prefix-equal is uncertain → keep). An absent string zone KEEPS
+    * the file — see the inline note on why string absence can't prune.
+    */
+  private[graft] def strZoneKeeps(e: FileEntry, c: String,
+                                  lo: String, hi: String): Boolean =
+    (e.sMin.get(c), e.sMax.get(c)) match {
+      case (Some(zlo), Some(zhi)) =>
+        cmpUtf8(hi, zlo) >= 0 && {
+          if (e.sMaxTrunc(c)) cmpUtf8(utf8Prefix(lo)._1, zhi) <= 0
+          else cmpUtf8(lo, zhi) <= 0
+        }
+      // ABSENT keeps conservatively — unlike the integral invariant,
+      // absence does NOT prove all-NULL: parquet drops binary stats
+      // above its 4 KB size cap, so a file of long strings is simply
+      // un-zoned (doc_text-class columns).
+      case _ => true
+    }
 
   /** `kind` is how the version was WRITTEN: "full" manifests carry
     * the complete snapshot listing; "delta" manifests carry only
@@ -190,8 +249,19 @@ object TableLog {
       kv.substring(0, i) -> kv.substring(i + 1).toLong
     }.toMap
 
-  // entry fields 5/6 (blooms / dv) are both optional; a dv with no
-  // bloom keeps an EMPTY field-5 placeholder so positions stay fixed
+  // entry fields 5/6/7 (blooms / dv / string zones) are all optional;
+  // a later field keeps EMPTY placeholders for earlier ones so
+  // positions stay fixed, and trailing empties are trimmed
+  private def hexBytes(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map(b => f"${b & 0xff}%02x").mkString
+
+  private def unhexBytes(h: String): String = {
+    require(h.length % 2 == 0, s"malformed hex string zone: $h")
+    new String(Array.tabulate(h.length / 2)(i =>
+      Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte),
+      StandardCharsets.UTF_8)
+  }
+
   private def renderEntry(tag: String, f: FileEntry): String = {
     val zones = f.zMin.keys.toSeq.sorted
       .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
@@ -201,9 +271,16 @@ object TableLog {
     val dv = f.dv.keys.toSeq.sorted.map { c =>
       s"$c=${f.dv(c).map(k => f"$k%016x").mkString}"
     }.mkString(";")
-    if (f.dv.nonEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\t$dv\n"
-    else if (f.blooms.nonEmpty) s"$tag\t${f.path}\t${f.rows}\t$zones\t$bl\n"
-    else s"$tag\t${f.path}\t${f.rows}\t$zones\n"
+    // string zones hex-encode the UTF-8 bytes (tab/';'/':'/'='-proof
+    // for arbitrary column values); the trailing flag marks a
+    // truncated max — the reader's comparison rule depends on it
+    val sz = f.sMin.keys.toSeq.sorted.map { c =>
+      s"$c=${hexBytes(f.sMin(c))}:${hexBytes(f.sMax(c))}:" +
+        (if (f.sMaxTrunc(c)) "1" else "0")
+    }.mkString(";")
+    val fields = Seq(zones, bl, dv, sz)
+    val kept = fields.take(math.max(1, fields.lastIndexWhere(_.nonEmpty) + 1))
+    s"$tag\t${f.path}\t${f.rows}\t" + kept.mkString("\t") + "\n"
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -228,7 +305,7 @@ object TableLog {
     }.toMap
 
   private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
-    require(f.length >= 4 && f.length <= 6, s"malformed manifest line in $p: $ln")
+    require(f.length >= 4 && f.length <= 7, s"malformed manifest line in $p: $ln")
     val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
       val Array(c, mm) = z.split("=", 2)
       val Array(lo, hi) = mm.split(":", 2)
@@ -240,9 +317,20 @@ object TableLog {
     val dv =
       if (f.length < 6) Map.empty[String, Array[Long]]
       else parseHexLongs(f(5), p, ln)
+    val szones =
+      if (f.length < 7) Array.empty[(String, String, String, Boolean)]
+      else f(6).split(";").filter(_.nonEmpty).map { z =>
+        val Array(c, body) = z.split("=", 2)
+        val parts = body.split(":", 3)
+        require(parts.length == 3, s"malformed string zone in $p: $ln")
+        (c, unhexBytes(parts(0)), unhexBytes(parts(1)), parts(2) == "1")
+      }
     FileEntry(f(1), f(2).toLong,
       zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap,
-      blooms, dv)
+      blooms, dv,
+      szones.map(z => z._1 -> z._2).toMap,
+      szones.map(z => z._1 -> z._3).toMap,
+      szones.collect { case (c, _, _, true) => c }.toSet)
   }
 
   /** Read + RESOLVE version `version`: a checkpoint side-file or a
@@ -401,29 +489,60 @@ object TableLog {
         var rows = 0L
         val mins = scala.collection.mutable.Map[String, Long]()
         val maxs = scala.collection.mutable.Map[String, Long]()
+        val sMins = scala.collection.mutable.Map[String, Array[Byte]]()
+        val sMaxs = scala.collection.mutable.Map[String, Array[Byte]]()
         footer.getBlocks.asScala.foreach { blk =>
           rows += blk.getRowCount
           blk.getColumns.asScala.foreach { cc =>
             val st = cc.getStatistics
             if (st != null && st.hasNonNullValue) {
-              val (loOpt, hiOpt) = (st.genericGetMin, st.genericGetMax) match {
+              val isString = cc.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+                  .StringLogicalTypeAnnotation]
+              (st.genericGetMin, st.genericGetMax) match {
                 case (lo: java.lang.Long, hi: java.lang.Long) =>
-                  (Some(lo.longValue), Some(hi.longValue))
-                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                  (Some(lo.longValue), Some(hi.longValue))
-                case _ => (None, None) // non-integral column: not zoned
-              }
-              (loOpt, hiOpt) match {
-                case (Some(lo), Some(hi)) =>
                   val c = cc.getPath.toDotString
-                  mins.update(c, math.min(lo, mins.getOrElse(c, Long.MaxValue)))
-                  maxs.update(c, math.max(hi, maxs.getOrElse(c, Long.MinValue)))
-                case _ => ()
+                  mins.update(c, math.min(lo.longValue,
+                    mins.getOrElse(c, Long.MaxValue)))
+                  maxs.update(c, math.max(hi.longValue,
+                    maxs.getOrElse(c, Long.MinValue)))
+                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                  val c = cc.getPath.toDotString
+                  mins.update(c, math.min(lo.longValue,
+                    mins.getOrElse(c, Long.MaxValue)))
+                  maxs.update(c, math.max(hi.longValue,
+                    maxs.getOrElse(c, Long.MinValue)))
+                // STRING-logical binary: zone bytewise min/max (the
+                // order parquet stats use). Raw binary blobs stay
+                // un-zoned — their bytes aren't valid UTF-8.
+                case (lo: org.apache.parquet.io.api.Binary,
+                      hi: org.apache.parquet.io.api.Binary) if isString =>
+                  val c = cc.getPath.toDotString
+                  val lb = lo.getBytes; val hb = hi.getBytes
+                  if (!sMins.contains(c) ||
+                      java.util.Arrays.compareUnsigned(lb, sMins(c)) < 0)
+                    sMins.update(c, lb)
+                  if (!sMaxs.contains(c) ||
+                      java.util.Arrays.compareUnsigned(hb, sMaxs(c)) > 0)
+                    sMaxs.update(c, hb)
+                case _ => () // other types: not zoned
               }
             }
           }
         }
-        FileEntry(rel, rows, mins.toMap, maxs.toMap)
+        // truncate string zones ONCE over the file-level min/max; a
+        // truncated max flips the flag the reader's comparison needs
+        val sTrip = sMins.keys.toSeq.sorted.map { c =>
+          val (mn, _) = utf8Prefix(
+            new String(sMins(c), StandardCharsets.UTF_8))
+          val (mx, cut) = utf8Prefix(
+            new String(sMaxs(c), StandardCharsets.UTF_8))
+          (c, mn, mx, cut)
+        }
+        FileEntry(rel, rows, mins.toMap, maxs.toMap,
+          sMin = sTrip.map(t => t._1 -> t._2).toMap,
+          sMax = sTrip.map(t => t._1 -> t._3).toMap,
+          sMaxTrunc = sTrip.collect { case (c, _, _, true) => c }.toSet)
       } finally r.close()
     }.collect().toSeq
   }
@@ -977,6 +1096,39 @@ object TableLog {
       }
     }
     (sel, m.files.size)
+  }
+
+  /** STRING zone plan: the files a range predicate `lo <= col <= hi`
+    * (bytewise UTF-8 order — Spark's and DuckDB's string comparison)
+    * must read, resolved purely from the manifest's truncated string
+    * zones via [[strZoneKeeps]]. The columns a text corpus actually
+    * filters by (source, lang, url domain) are strings — without this
+    * every such WHERE scanned the whole table (round-12 missing-item
+    * 2). Same conservative contract as the long zones: a kept file
+    * may still contain no match (row predicate re-applies), an
+    * excluded file provably contains none.
+    */
+  def planFilesStr(root: String, preds: Seq[(String, String, String)],
+                   asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+    require(preds.nonEmpty)
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val sel = m.files.filter(f =>
+      preds.forall { case (c, lo, hi) => strZoneKeeps(f, c, lo, hi) })
+    (sel, m.files.size)
+  }
+
+  /** String-zone-pruned range read: only may-contain files are
+    * scanned, then the row predicates apply inside the survivors.
+    */
+  def readRangeStr(spark: SparkSession, root: String,
+                   preds: Seq[(String, String, String)],
+                   asOf: Option[Long] = None): DataFrame = {
+    val (sel, _) = planFilesStr(root, preds, asOf)
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val base = readFiles(spark, root, m.schemaDdl, sel)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
   }
 
   /** Snapshot read, optionally AS OF an older version (the q63

@@ -151,6 +151,46 @@ class GraftLogDsvSpec extends AnyFunSuite {
     intercept[Exception] { cdf(0L, 9L).count() }
   }
 
+  test("string WHERE prunes files through SQL: equality, range, IN; values stay exact") {
+    import graft.sources.GraftLogProvider
+    val root = freshRoot("strpush")
+    // first bytes d/a/b/c are distinct mod 4: every slot fills, one
+    // source per file, tight single-value string zones
+    val docs = (0L until 400L).map { i =>
+      val src = Seq("docs", "arxiv", "blog", "crawl")((i % 4).toInt)
+      (i, src, i * 10 + 1)
+    }.toDF("k", "source", "cents")
+    TableLog.commit(docs, root, ascii(substring(col("source"), 1, 1)), 4,
+      "overwrite")
+    def run(where: org.apache.spark.sql.Column): (Long, (Int, Int)) = {
+      val df = spark.read.format("graftlog").option("path", root).load()
+        .filter(where)
+      val n = df.count()
+      (n, GraftLogProvider.lastScanPlan)
+    }
+    // equality: one source lives in one file
+    val (nEq, (selEq, totEq)) = run(col("source") === "blog")
+    assert(nEq == 100L && totEq == 4 && selEq == 1, s"$nEq $selEq/$totEq")
+    // range: arxiv sorts below, docs above — both provably out
+    val (nR, (selR, totR)) =
+      run(col("source") >= "blog" && col("source") <= "crawl")
+    assert(nR == 200L && totR == 4 && selR == 2, s"$nR $selR/$totR")
+    // IN: two single-value files
+    val (nIn, (selIn, totIn)) = run(col("source").isin("arxiv", "docs"))
+    assert(nIn == 200L && totIn == 4 && selIn == 2, s"$nIn $selIn/$totIn")
+    // strict bound: > 'crawl' keeps only the docs file (exact on an
+    // un-truncated max)
+    val (nGt, (selGt, _)) = run(col("source") > "crawl")
+    assert(nGt == 100L && selGt == 1, s"$nGt $selGt")
+    // pushed filters are visible in the plan (file-prune evidence)
+    val planned = spark.read.format("graftlog").option("path", root).load()
+      .filter(col("source") === "docs")
+    assert(planned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("PushedFilters"), "string filters must surface as pushed")
+    assert(planned.count() == 100L)
+  }
+
   test("plan-time pin: a commit between schema inference and table construction is invisible") {
     // the round-12 TOCTOU edge: inferSchema and getTable each resolved
     // the head independently, so a commit landing in between bound

@@ -862,6 +862,66 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.vacuumOlderThan(root, 1L).isEmpty)
   }
 
+  test("string zones: range/equality pruning, truncation-safe boundaries, scan-level evidence") {
+    import graft.sources.TableLog.{cmpUtf8, strZoneKeeps, utf8Prefix}
+    val root = freshRoot("strz")
+    // 4 sources clustered one-per-file (first bytes d/a/b/c are
+    // distinct mod 4, so every slot fills — no phantom empty files):
+    // per-file string zones are tight single values (the text-corpus
+    // layout: cluster by source)
+    val docs = (0L until 400L).map { i =>
+      val src = Seq("docs", "arxiv", "blog", "crawl")((i % 4).toInt)
+      (i, src, i * 10 + 1)
+    }.toDF("k", "source", "cents")
+    TableLog.commit(docs, root, ascii(substring(col("source"), 1, 1)), 4,
+      "overwrite")
+    // ["blog","crawl"] keeps exactly 2 of 4 — arxiv sorts below the
+    // range, docs above it
+    val (sel, total) = TableLog.planFilesStr(root, Seq(("source", "blog", "crawl")))
+    assert(total == 4 && sel.size == 2, s"expected 2/4 files, got ${sel.size}/$total")
+    // the pruned read equals the full-table filter, value-for-value
+    val pruned = TableLog.readRangeStr(spark, root, Seq(("source", "blog", "crawl")))
+    assert(pruned.count() == 200L)
+    assert(pruned.agg(sum("cents")).collect()(0).getLong(0) ==
+      docs.filter(col("source").isin("blog", "crawl"))
+        .agg(sum("cents")).collect()(0).getLong(0))
+    // the executed scan touches ONLY the surviving files
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq }).flatten
+      .forall(p => sel.exists(e => p.endsWith(e.path.split('/').last))),
+      "scan must read only zone-surviving files")
+    // truncation semantics (the 16-byte boundary): utf8Prefix cuts on
+    // codepoint boundaries and flags the cut
+    assert(utf8Prefix("a" * 16) == ("a" * 16, false))
+    assert(utf8Prefix("a" * 17) == ("a" * 16, true))
+    val euro = "12345678901234€" // 14 + 3 bytes: cut backs off the codepoint
+    assert(utf8Prefix(euro) == ("12345678901234", true))
+    assert(cmpUtf8("€", "z") > 0, "bytewise order, not UTF-16 order")
+    // a truncated MAX can only exclude when the probe's own prefix
+    // sorts above it: prefix-equal probes are uncertain and KEPT
+    val e = TableLog.FileEntry("f", 1L, Map.empty, Map.empty,
+      sMin = Map("s" -> "aaa"), sMax = Map("s" -> ("z" * 16)),
+      sMaxTrunc = Set("s"))
+    assert(strZoneKeeps(e, "s", "z" * 20, "z" * 25),
+      "prefix-equal probe must keep on a truncated max")
+    assert(!strZoneKeeps(e, "s", "z" * 15 + "~~", "~" * 20),
+      "probe whose prefix sorts above a truncated max must exclude")
+    assert(!strZoneKeeps(e, "s", "a", "aa"),
+      "range entirely below the stored min must exclude")
+    // an UN-truncated max excludes exactly
+    val e2 = e.copy(sMaxTrunc = Set.empty)
+    assert(!strZoneKeeps(e2, "s", "z" * 16 + "0", "zzzzzzzzzzzzzzzzzz"))
+    // absent string zone keeps conservatively (parquet's binary-stats
+    // size cap means absence ≠ all-NULL, unlike integral zones)
+    assert(strZoneKeeps(e, "other", "a", "b"))
+    // round-trip: string zones survive the manifest text format
+    val m = TableLog.readManifest(root, 0L)
+    assert(m.files.forall(f => f.sMin.contains("source") &&
+      f.sMax.contains("source") && !f.sMaxTrunc("source")))
+  }
+
   test("shallow clone: zero-copy, diverges both ways, vacuum-safe, compact materializes") {
     import java.nio.file.{Files, Paths}
     val src = freshRoot("clone_src")
