@@ -1265,6 +1265,56 @@ object Relational {
           col("n_eq"), col("sum_eq"), lit(pruned).as("pruned"))
     }),
 
+    // R87/q84: the SQL WRITE surface — `df.write.format("graftlog")`
+    // with SaveMode.Append/Overwrite (round-12 missing-item 3: reads
+    // mounted via SQL since q76 but every mutation was
+    // Scala-API-only). The connector routes through the official V1
+    // write shim into TableLog.commit — ONE write path, so the schema
+    // gate, footer-stat zoning and the hard-link claim all apply to
+    // SQL writes. Certified in one row: v0 lands via the API (even
+    // keys), v1 via SQL append (odd keys — the as-of v1 aggregate
+    // equals the full key set), a DRIFTED SQL append rejects loudly
+    // with the store bit-identical (head_after_reject pins that no
+    // version landed), and a SQL overwrite resets the snapshot to the
+    // mod-3 subset as v2 (the head aggregate). Oracle recomputes all
+    // of it from raw orders. Scale: identical to the API path by
+    // construction — the SQL surface adds zero IO.
+    "q84_sql_write" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q84_sqlw")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+      val even = pmod(col("k"), lit(2L)) === 0L
+      TableLog.commit(o.filter(even), root, expr("k div 500"), 8, "overwrite")
+      o.filter(!even).write.format("graftlog").option("path", root)
+        .option("layout", "k div 500").option("numFiles", "4")
+        .mode("append").save() // v1 via SQL
+      val v1 = TableLog.read(s, root, Some(1L))
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val rejected =
+        try {
+          o.filter(!even).withColumnRenamed("cents", "price")
+            .write.format("graftlog").option("path", root)
+            .mode("append").save(); 0L
+        } catch { case _: Exception => 1L }
+      val headAfterReject = TableLog.currentVersion(root)
+      o.filter(pmod(col("k"), lit(3L)) === 0L).write.format("graftlog")
+        .option("path", root).option("layout", "k div 500")
+        .mode("overwrite").save() // v2 via SQL: snapshot reset
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+        .select(col("n_rows"), col("n_keys"), col("sum_cents"),
+          lit(v1.getLong(0)).as("n_v1"), lit(v1.getLong(1)).as("sum_v1"),
+          lit(rejected).as("rejected"),
+          lit(headAfterReject).as("head_after_reject"),
+          lit(TableLog.currentVersion(root)).as("head_version"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -2814,6 +2864,27 @@ object Relational {
         |  CAST((SELECT sum(cents) FROM o WHERE prio = '1-URGENT') AS BIGINT)
         |    AS sum_eq,
         |  CAST(1 AS BIGINT) AS pruned""".stripMargin,
+
+    // q84: the SQL-written versions replayed from raw orders — v1 is
+    // the full key set (API even half + SQL odd half), the head the
+    // mod-3 overwrite subset; rejected/head_after_reject pin the
+    // drift gate through the SQL path (a silent accept flips both).
+    "q84_sql_write" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE (k % 3 + 3) % 3 = 0) AS BIGINT)
+        |    AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM o WHERE (k % 3 + 3) % 3 = 0)
+        |    AS BIGINT) AS n_keys,
+        |  CAST((SELECT sum(cents) FROM o WHERE (k % 3 + 3) % 3 = 0) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_v1,
+        |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS sum_v1,
+        |  CAST(1 AS BIGINT) AS rejected,
+        |  CAST(1 AS BIGINT) AS head_after_reject,
+        |  CAST(2 AS BIGINT) AS head_version""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

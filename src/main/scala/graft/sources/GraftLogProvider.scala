@@ -3,11 +3,12 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -126,7 +127,9 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
       val (fromV, toV) = resolve(opts)
       new GraftLogCdfTable(root, fromV, toV, schema)
     } else
-      new GraftLogTable(root, resolve(opts)._2, schema)
+      new GraftLogTable(root, resolve(opts)._2, schema,
+        timeTraveled = opts.containsKey("versionAsOf") ||
+          opts.containsKey("timestampAsOf"))
   }
 }
 
@@ -175,14 +178,68 @@ object GraftLogProvider {
 }
 
 private[sources] final class GraftLogTable(root: String, version: Long,
-                                           tableSchema: StructType)
-    extends Table with SupportsRead {
+                                           tableSchema: StructType,
+                                           timeTraveled: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog.`$root` VERSION AS OF $version"
   override def schema(): StructType = tableSchema
+  // BATCH_WRITE gates the planner's dispatch; V1_BATCH_WRITE routes
+  // the physical write to the InsertableRelation shim (Spark's own
+  // V1 fallback writers declare both)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(root, version, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // writes always target the HEAD (commit re-resolves it); a
+    // relation pinned by versionAsOf/timestampAsOf is a snapshot
+    // view — writing "to" it would silently retarget the head, so
+    // reject loudly (Delta's rule for time-traveled writes)
+    require(!timeTraveled,
+      s"graftlog: cannot write to a time-traveled relation (${name()})")
+    new GraftLogWriteBuilder(root, info)
+  }
+}
+
+/** The write half of the SQL surface (round-12 missing-item 3: every
+  * mutation was Scala-API-only): `df.write.format("graftlog")` with
+  * SaveMode.Append/Overwrite, delegating row IO AND the commit
+  * protocol to [[TableLog.commit]] through the official V1 write shim
+  * (the InsertableRelation fallback Spark's own JDBC v2 source uses) —
+  * ONE write path, so the schema gate, attempt-unique data dirs,
+  * footer-stat zoning and the hard-link claim all apply to SQL writes
+  * too. Analyzer-side, AppendData.byName has already resolved the
+  * incoming frame to the table schema (name-matched, ANSI-cast,
+  * missing/extra columns rejected loudly) before insert() runs; the
+  * store's own gate re-checks underneath as defense in depth.
+  *
+  * Write options: `layout` (SQL expression clustering rows into
+  * files — e.g. `"k div 500"`; defaults to the first long column,
+  * else constant), `numFiles` (default 8).
+  */
+private[sources] final class GraftLogWriteBuilder(root: String,
+                                                  info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+          val opts = info.options
+          val layout = Option(opts.get("layout")).map(expr).getOrElse {
+            data.schema.fields.find(_.dataType == LongType)
+              .map(f => col(f.name))
+              .getOrElse(org.apache.spark.sql.functions.lit(0L))
+          }
+          val numFiles = Option(opts.get("numFiles")).map(_.toInt).getOrElse(8)
+          TableLog.commit(data, root, layout, numFiles,
+            if (overwrite || overwriteFlag) "overwrite" else "append")
+        }
+      }
+  }
 }
 
 private[sources] final class GraftLogScanBuilder(root: String, version: Long,

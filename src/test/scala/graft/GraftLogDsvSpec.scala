@@ -191,6 +191,47 @@ class GraftLogDsvSpec extends AnyFunSuite {
     assert(planned.count() == 100L)
   }
 
+  test("SQL write surface: append/overwrite land as commits, drift and time-travel writes loud") {
+    val root = freshRoot("sqlwrite")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    // SaveMode.Append through the connector → a new version via the
+    // ONE commit path (schema gate, zones, claim protocol included)
+    mkDf(50L until 80L).write.format("graftlog").option("path", root)
+      .option("layout", "k div 25").option("numFiles", "2")
+      .mode("append").save()
+    assert(TableLog.currentVersion(root) == 1L)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 80L)))
+    // the SQL-written version carries zones (footer stats ran)
+    assert(TableLog.readManifest(root, 1L).files.exists(_.zMin.contains("k")))
+    // by-name resolution: reordered columns still land correctly
+    mkDf(80L until 90L).select(col("cents"), col("k"))
+      .write.format("graftlog").option("path", root)
+      .option("layout", "k div 25").mode("append").save()
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 90L)))
+    // schema drift rejects LOUDLY through the SQL path, store intact
+    val before = rows(TableLog.read(spark, root))
+    intercept[Exception] {
+      mkDf(90L until 95L).withColumnRenamed("cents", "price")
+        .write.format("graftlog").option("path", root)
+        .mode("append").save()
+    }
+    assert(TableLog.currentVersion(root) == 2L &&
+      rows(TableLog.read(spark, root)) == before)
+    // SaveMode.Overwrite resets the snapshot as a new version;
+    // history stays readable AS OF
+    mkDf(1000L until 1020L).write.format("graftlog").option("path", root)
+      .option("layout", "k div 25").mode("overwrite").save()
+    assert(TableLog.currentVersion(root) == 3L)
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(1000L until 1020L)))
+    assert(rows(TableLog.read(spark, root, Some(2L))) == before)
+    // writing to a time-traveled relation is loud (Delta's rule)
+    intercept[Exception] {
+      mkDf(0L until 5L).write.format("graftlog").option("path", root)
+        .option("versionAsOf", "1").mode("append").save()
+    }
+    assert(TableLog.currentVersion(root) == 3L)
+  }
+
   test("plan-time pin: a commit between schema inference and table construction is invisible") {
     // the round-12 TOCTOU edge: inferSchema and getTable each resolved
     // the head independently, so a commit landing in between bound
