@@ -438,19 +438,53 @@ object TableLog {
     }
   }
 
+  /** Is a claim-loss retry of `action` semantically safe? The
+    * conflict taxonomy (Delta ships the same classification as its
+    * ConcurrentAppend/ConcurrentDelete exception family):
+    *
+    *   - `append` ∥ anything: SAFE — a retried append recomputes
+    *     against the new head and composes with any concurrent commit
+    *     (the schema gate re-checks on every attempt).
+    *   - `merge`/`merge-mor` ∥ `merge`: SAFE, latest-wins by
+    *     DOCUMENTED contract — a merge retry re-reads its base
+    *     through the fresh manifest, so overlapping keys serialize in
+    *     claim order and the loser's changes apply ON TOP of the
+    *     winner's (exactly the CDC latest-wins rule the store's merge
+    *     semantics already promise; two merges can never silently
+    *     drop a change).
+    *   - `compact`/`recluster`: SAFE — content-preserving by
+    *     construction, a retry just re-plans over the new head.
+    *   - `overwrite`/`restore` ∥ anything: REJECTED — the retried
+    *     snapshot-replacement would silently DISCARD whatever the
+    *     concurrent writer committed (its rows vanish from the head
+    *     with no error anywhere). Delta raises the same class of
+    *     conflict; the caller must re-resolve and re-run
+    *     deliberately.
+    *
+    * The action string is the caller's declared intent (the manifest
+    * action vocabulary); txn stamps (`+txn=…`) and restore targets
+    * (`restore=k`) are stripped before classification.
+    */
+  private[graft] def retrySafe(action: String): Boolean =
+    action.takeWhile(c => c != '+' && c != '=') match {
+      case "overwrite" | "restore" => false
+      case _                       => true
+    }
+
   /** Optimistic-concurrency retry loop (Delta's commitWithRetry /
     * txn.commit contract): run `attempt` — any store write that
     * re-resolves the head itself, e.g. `commit(df, root, …)` — and on
     * losing the hard-link claim to a racing writer, run it again
     * against the newly advanced head, up to `maxAttempts` total
-    * tries. Appends compose with any concurrent commit (the schema
-    * gate re-checks on every attempt); overwrite retries are
-    * last-writer-wins by definition. A merge retry re-reads its base
-    * through the fresh manifest, so it never merges against a stale
-    * snapshot. Exhaustion throws ConcurrentModificationException —
-    * at that contention level the caller needs a queue, not a loop.
+    * tries. `action` declares the attempt's intent for the conflict
+    * taxonomy ([[retrySafe]]): rebase-safe actions retry; a losing
+    * OVERWRITE/RESTORE throws immediately, naming the winning commit,
+    * because its retry would silently discard the concurrent write.
+    * Exhaustion throws ConcurrentModificationException — at that
+    * contention level the caller needs a queue, not a loop.
     */
-  def commitWithRetry(maxAttempts: Int = 5)(attempt: => Long): Long = {
+  def commitWithRetry(maxAttempts: Int = 5, action: String = "append")
+                     (attempt: => Long): Long = {
     require(maxAttempts >= 1, s"bad maxAttempts $maxAttempts")
     var tries = 0
     var out = -1L
@@ -459,6 +493,12 @@ object TableLog {
       try { out = attempt; done = true }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
+          if (!retrySafe(action))
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent write conflict: this $action lost the claim " +
+                s"to a concurrent ${winnerActionOf(e)} commit — retrying " +
+                "a snapshot replacement would silently discard it; " +
+                "re-resolve the head and re-run deliberately")
           tries += 1
           if (tries >= maxAttempts)
             throw new java.util.ConcurrentModificationException(
@@ -467,6 +507,19 @@ object TableLog {
     }
     out
   }
+
+  /** Action of the commit that WON the contested version — read from
+    * the manifest path the claim failure names, best-effort ("?" when
+    * unreadable): diagnostic detail for the conflict error only.
+    */
+  private def winnerActionOf(e: java.nio.file.FileAlreadyExistsException): String =
+    try {
+      val p = Paths.get(Option(e.getFile).getOrElse(e.getMessage))
+      if (Files.exists(p)) {
+        val r = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+        try r.readLine().split("\t", -1)(3) finally r.close()
+      } else "?"
+    } catch { case _: Exception => "?" }
 
   // ---- footer stats ----------------------------------------------------
 

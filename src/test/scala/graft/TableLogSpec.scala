@@ -602,6 +602,73 @@ class TableLogSpec extends AnyFunSuite {
     assert(once == 1)
   }
 
+  test("conflict taxonomy: overwrite/restore losses reject, merge||merge serializes latest-wins") {
+    import java.util.concurrent.TimeUnit
+    // classification table: rebase-safe actions retry, snapshot
+    // replacements never do (their retry would silently discard the
+    // concurrent commit)
+    assert(Seq("append", "append+txn=app:3", "merge", "merge-mor+txn=cdc:1",
+      "compact", "recluster").forall(TableLog.retrySafe))
+    assert(Seq("overwrite", "overwrite+txn=app:3", "restore=3")
+      .forall(a => !TableLog.retrySafe(a)))
+    // a losing OVERWRITE fails immediately (one attempt, no retry),
+    // naming the winning commit's action
+    val root = freshRoot("conflict")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    var tries = 0
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TableLog.commitWithRetry(maxAttempts = 5, action = "overwrite") {
+        tries += 1
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"$root/_log/v00000000.manifest")
+      }
+    }
+    assert(tries == 1, s"overwrite must never retry, got $tries attempts")
+    assert(e.getMessage.contains("concurrent write conflict") &&
+      e.getMessage.contains("this overwrite") &&
+      e.getMessage.contains("concurrent overwrite commit"), e.getMessage)
+    // merge ∥ merge on the SAME key: deterministic latch race — A
+    // resolves head, blocks mid-write; B's merge wins the version; A
+    // retries, re-reads its base through the FRESH manifest and lands
+    // on top → claim-order latest-wins, neither change silently lost
+    val base = mkDf(0L until 100L).withColumnRenamed("cents", "price")
+    val mroot = freshRoot("mergerace")
+    TableLog.commit(base, mroot, expr("k div 25"), 4, "overwrite")
+    def change(v: Long, price: Long) =
+      Seq((7L, v, "U", price)).toDF("k", "ver", "op", "new_price")
+    RaceGate.started = new java.util.concurrent.CountDownLatch(1)
+    RaceGate.go = new java.util.concurrent.CountDownLatch(1)
+    val gated = udf { k: Long =>
+      RaceGate.started.countDown()
+      RaceGate.go.await(60, TimeUnit.SECONDS)
+      k / 25
+    }
+    var attempts = 0
+    @volatile var aVersion = -1L
+    val a = new Thread(() => {
+      aVersion = TableLog.commitWithRetry(action = "merge") {
+        attempts += 1
+        TableLog.merge(spark.emptyDataFrame, mroot, change(1L, 701L), "k",
+          if (attempts == 1) gated(col("k")) else expr("k div 25"), 2)
+      }
+    })
+    a.start()
+    assert(RaceGate.started.await(60, TimeUnit.SECONDS), "A never started")
+    // B's merge to the same key wins the contested version
+    TableLog.merge(null, mroot, change(1L, 777L), "k", expr("k div 25"), 2)
+    RaceGate.go.countDown()
+    a.join(120000)
+    assert(!a.isAlive, "merging writer hung")
+    assert(attempts == 2 && aVersion == 2L)
+    // claim order IS the serialization order: A re-read the post-B
+    // state, so A's value stands and every other row survives intact
+    val got = TableLog.read(spark, mroot)
+      .select(col("k").cast("long"), col("price").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 100L).map(k =>
+      (k, if (k == 7L) 701L else k * 10 + 1)).toSet)
+  }
+
   test("vacuum orphan sweep: crashed-loser dirs below retention reclaimed, in-flight kept") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
