@@ -1315,6 +1315,43 @@ object Relational {
           lit(TableLog.currentVersion(root)).as("head_version"))
     }),
 
+    // R88/q85: the first STATISTICS CONSUMER — q80's ANALYZE
+    // artifacts existed but nothing read them for planning (round-12
+    // missing-item 6): readWithJoinHint broadcasts a store-resident
+    // dimension when its ANALYZED row count sits under the threshold,
+    // flipping the orders⋈customer-dim join from shuffle-both-sides
+    // to a broadcast hash join WITHOUT the caller hard-coding which
+    // side is small — the decision follows the data, re-made per
+    // version as the table grows. The query certifies the hinted
+    // path value-for-value against a plain SQL join oracle (a hint
+    // can change the PLAN, never a value); the plan-flip assertion
+    // (BroadcastHashJoin with the hint, SortMergeJoin without, under
+    // autoBroadcastJoinThreshold=-1) lives in TableLogSpec. 100 TB:
+    // this is the decision that removes the largest single shuffle
+    // from a fact-dim join; the stats read is one artifact scan,
+    // zero data IO.
+    "q85_stats_join" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q85_cbo")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("cust"),
+          col("c_mktsegment").cast("string").as("segment"))
+        .filter(col("cust").isNotNull)
+      TableLog.commit(c, root, expr("cust div 500"), 4, "overwrite")
+      TableLog.analyze(s, root, Seq("cust"))
+      val dim = TableLog.readWithJoinHint(s, root,
+        maxBroadcastRows = 10000000L)
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("cust"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("cust").isNotNull)
+      o.join(dim, Seq("cust"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .orderBy("segment")
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -2885,6 +2922,19 @@ object Relational {
         |  CAST(1 AS BIGINT) AS rejected,
         |  CAST(1 AS BIGINT) AS head_after_reject,
         |  CAST(2 AS BIGINT) AS head_version""".stripMargin,
+
+    // q85: the plain fact⋈dim aggregate straight off the raw parquet —
+    // a hint may change the plan, never a value, so any drift through
+    // the store+stats+broadcast path breaks a sum.
+    "q85_stats_join" ->
+      """SELECT c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer
+        |  ON CAST(o_custkey AS BIGINT) = CAST(c_custkey AS BIGINT)
+        |WHERE o_custkey IS NOT NULL AND c_custkey IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

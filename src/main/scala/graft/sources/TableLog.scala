@@ -1820,6 +1820,46 @@ object TableLog {
             .theta_union_agg(col("ndv_sketch"), k)).cast("long").as("ndv"))
   }
 
+  /** Exact row count of version `asOf` from its ANALYZE artifact —
+    * None when the version was never analyzed. Artifact-only IO (the
+    * stats rows are per (file, column); distinct files' n_rows sum to
+    * the table count), one bounded 1-row collect.
+    */
+  def statsRowCount(spark: SparkSession, root: String,
+                    asOf: Option[Long] = None): Option[Long] = {
+    val v = asOf.getOrElse(currentVersion(root))
+    if (!Files.isDirectory(Paths.get(f"$root/_stats/v$v%08d"))) None
+    else {
+      val r = spark.read.parquet(f"$root/_stats/v$v%08d")
+        .select("file", "n_rows").distinct()
+        .agg(sum("n_rows")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** The first CONSUMER of the [[analyze]] statistics — the
+    * cost-based join hint the sketch-stored artifact form was built
+    * for: a snapshot read that BROADCASTS itself when the analyzed
+    * row count is at or below `maxBroadcastRows`, flipping a
+    * shuffle-both-sides SortMergeJoin into a BroadcastHashJoin
+    * without the caller hard-coding which dimension is small (the
+    * decision follows the DATA, re-made per version as the table
+    * grows). No artifact → no hint, plain read: statistics are
+    * advisory, never a correctness input. At 100 TB this is the
+    * decision that removes the largest single shuffle from a
+    * fact-dim join; the stats read costs one artifact scan, zero
+    * data IO.
+    */
+  def readWithJoinHint(spark: SparkSession, root: String,
+                       maxBroadcastRows: Long = 1000000L,
+                       asOf: Option[Long] = None): DataFrame = {
+    val df = read(spark, root, asOf)
+    statsRowCount(spark, root, asOf) match {
+      case Some(n) if n <= maxBroadcastRows => broadcast(df)
+      case _ => df
+    }
+  }
+
   // ---- retention -------------------------------------------------------
 
   /** Drop history: delete manifests below `keepFrom` and every data

@@ -768,6 +768,41 @@ class TableLogSpec extends AnyFunSuite {
       .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
   }
 
+  test("stats-driven join hint: ANALYZE flips SMJ to broadcast, values invariant, advisory-only") {
+    val root = freshRoot("cbo")
+    val dim = (0L until 500L).map(k => (k, s"seg_${k % 5}")).toDF("k", "segment")
+    TableLog.commit(dim, root, expr("k div 100"), 4, "overwrite")
+    val fact = mkDf(0L until 2000L).withColumn("k", pmod(col("k"), lit(500L)))
+    def planOf(d: org.apache.spark.sql.DataFrame) = {
+      val j = fact.join(d, Seq("k")).groupBy("segment").agg(sum("cents").as("sc"))
+      (j, j.queryExecution.executedPlan.toString)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // UN-analyzed: no artifact → no hint → shuffle join (advisory:
+      // stats can never be a correctness input)
+      assert(TableLog.statsRowCount(spark, root).isEmpty)
+      val (jPlain, pPlain) = planOf(TableLog.readWithJoinHint(spark, root))
+      assert(pPlain.contains("SortMergeJoin") &&
+        !pPlain.contains("BroadcastHashJoin"), pPlain)
+      // analyzed: the artifact's row count drives the broadcast
+      TableLog.analyze(spark, root, Seq("k"))
+      assert(TableLog.statsRowCount(spark, root).contains(500L))
+      val (jHint, pHint) = planOf(TableLog.readWithJoinHint(spark, root))
+      assert(pHint.contains("BroadcastHashJoin"), pHint)
+      // a threshold BELOW the analyzed count keeps the shuffle join —
+      // the decision follows the data, not the call site
+      val (_, pBig) = planOf(TableLog.readWithJoinHint(spark, root,
+        maxBroadcastRows = 100L))
+      assert(!pBig.contains("BroadcastHashJoin"), pBig)
+      // the hint changed the PLAN, never the values
+      val a = jPlain.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val b = jHint.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(a == b && a.size == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("restore: head rolls back bit-identically, history intact, txns carried, vacuum line loud") {
     val root = freshRoot("restore")
     TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
