@@ -736,6 +736,50 @@ object StreamQueries {
         .orderBy("cust")
     }),
 
+    // S30/st32: PACED, TIMESTAMP-ADDRESSED streaming CDF — the two
+    // admission knobs a production CDF consumer sets (Delta's
+    // startingTimestamp + maxFilesPerTrigger): the stream begins at
+    // the EARLIEST version committed at or after the instant (a
+    // commit before the stream's start was already batch-readable),
+    // and each micro-batch replays at most maxVersionsPerBatch
+    // commits — the source implements SupportsTriggerAvailableNow
+    // itself so the cap holds under AvailableNow (the engine's
+    // generic wrapper would freeze the first capped window and stop
+    // the run early; StreamRunSpec pins one-version-per-batch with
+    // real batch counts). Store commits land at injected clock stamps
+    // 1000/2000/3000; startingTimestamp=1500 admits v1 and v2 only —
+    // the complete-mode per-version aggregate is batch-slicing
+    // invariant, so the oracle (set algebra over segments 1 and 2)
+    // certifies BOTH the timestamp boundary and that pacing loses or
+    // duplicates nothing. 100 TB: a consumer starting on a year-old
+    // table drains the backlog as bounded batches its sink can absorb
+    // transactionally, instead of one giant catch-up batch.
+    "st32_cdf_paced" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("st32_cdf")
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val m = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(m === 0L), root, layout, 8, "overwrite",
+        commitTs = Some(1000L))
+      TableLog.commit(o.filter(m === 1L), root, layout, 4, "append",
+        commitTs = Some(2000L))
+      TableLog.commit(o.filter(m === 2L), root, layout, 4, "append",
+        commitTs = Some(3000L))
+      val src = s.readStream.format("graft.sources.GraftLogCdfProvider")
+        .option("path", root)
+        .option("startingTimestamp", "1500")
+        .option("maxVersionsPerBatch", "1").load()
+      StreamRun.onSource(s, src, OutputMode.Complete()) { feed =>
+        feed.groupBy(col("_commit_version").as("version"))
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      }.orderBy("version")
+    }),
+
     // S8: streaming windowed DISTINCT count — the per-window unique-
     // users metric, through the REAL streaming engine. Streaming
     // aggregation can't run COUNT(DISTINCT) (unbounded per-group
@@ -935,6 +979,25 @@ object StreamQueries {
         |SELECT cust, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM s GROUP BY cust ORDER BY cust""".stripMargin,
+
+    // st32: the timestamp-admitted window (versions 1 and 2 — the
+    // commits at or after instant 1500) replayed from raw orders; a
+    // wrong starting boundary admits v0's rows, a pacing bug that
+    // drops or duplicates a batch breaks a version's sum.
+    "st32_cdf_paced" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, cents, (k % 3 + 3) % 3 AS m FROM o)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM seg WHERE m = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM seg WHERE m = 2
+        |ORDER BY version""".stripMargin,
 
     // st27: windowed counts + static reference + f21's exact EMD,
     // all replayed from the batch events table in HUGEINT.

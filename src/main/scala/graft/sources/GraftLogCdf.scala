@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftx.StreamBridge
@@ -53,13 +54,74 @@ class GraftLogCdfProvider extends StreamSourceProvider {
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val p = norm(parameters)
-    new GraftLogCdfSource(ctx, p("path"),
-      p.getOrElse("startingversion", "0").toLong)
+    val root = p("path")
+    require(!(p.contains("startingversion") && p.contains("startingtimestamp")),
+      "graftlog-cdf: startingVersion and startingTimestamp are mutually exclusive")
+    // startingTimestamp (epoch millis, Delta's option): the stream
+    // begins at the EARLIEST version committed at or after the
+    // instant — a commit before the stream's start was already part
+    // of some snapshot the consumer could have batch-read; a
+    // timestamp beyond the last commit starts at head+1 (wait for
+    // future commits).
+    val startV = p.get("startingtimestamp").map { t =>
+      GraftLogCdfSource.firstVersionAtOrAfter(root, t.toLong)
+    }.getOrElse(p.getOrElse("startingversion", "0").toLong)
+    new GraftLogCdfSource(ctx, root, startV,
+      p.get("maxversionsperbatch").map(_.toLong))
   }
 }
 
-class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long)
-    extends Source {
+class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long,
+                        maxVersionsPerBatch: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerBatch.forall(_ >= 1L),
+    s"graftlog-cdf: maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
+
+  /** Head captured by [[prepareForTriggerAvailableNow]] — the bound an
+    * AvailableNow run drains to (commits landing mid-run wait for the
+    * next run). Long.MaxValue until prepared: continuous triggers pace
+    * toward the LIVE head.
+    */
+  @volatile private var availableNowTarget: Long = Long.MaxValue
+
+  /** Implementing the trait ourselves (instead of letting the engine
+    * wrap the source in AvailableNowSourceWrapper) is what makes the
+    * PER-BATCH VERSION CAP work under Trigger.AvailableNow: the
+    * wrapper freezes ONE offset at prepare time, so a capped getOffset
+    * would freeze the first window and the run would stop
+    * maxVersionsPerBatch versions in. With the admission-control path
+    * the engine hands [[latestOffset]] the last committed offset every
+    * trigger, and the run drains to the prepared head in bounded
+    * steps — Delta's maxFilesPerTrigger-under-AvailableNow semantics
+    * at commit granularity.
+    */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = TableLog.currentVersion(root)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Paced offset for the admission-control engine path: at most
+    * `maxVersionsPerBatch` commit versions beyond the engine's last
+    * committed offset (`start` — WAL-recovered, so pacing is
+    * restart-exact), never beyond the live head or the AvailableNow
+    * target. Returning the base itself signals no-new-data.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = math.min(TableLog.currentVersion(root), availableNowTarget)
+    if (head < 0L) null
+    else {
+      val base = Option(start).map(_.json.trim.toLong).getOrElse(startV - 1L)
+      val capped = maxVersionsPerBatch
+        .map(m => math.min(head, base + m)).getOrElse(head)
+      if (capped < 0L) null else LongOffset(math.max(base, capped))
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = TableLog.currentVersion(root)
+    if (head < 0L) null else LongOffset(head)
+  }
 
   /** The table DDL captured ONCE at stream start — the schema every
     * micro-batch is bound under (positionally, via the StreamBridge).
@@ -79,12 +141,32 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long)
 
   override val schema: StructType = GraftLogCdfSource.cdfSchemaFromDdl(createdDdl)
 
+  /** Last batch window's end — advanced by [[getBatch]]; the base the
+    * per-batch version cap paces from. Instance state only (a
+    * restarted source re-learns it from the first recovered batch):
+    * the cap is a RATE LIMIT, not a correctness input — replay
+    * correctness rides the offset WAL alone.
+    */
+  @volatile private var lastBatchEnd: Long = startV - 1L
+
   /** The table head IS the offset — commit versions are the stream's
     * clock. No head yet (empty store) → no offset, engine waits.
+    * With `maxVersionsPerBatch` the reported offset is capped at
+    * `lastBatchEnd + max` (Delta's maxFilesPerTrigger shape at
+    * version granularity): a backlog of thousands of commits — a
+    * consumer starting from version 0 on a year-old table — replays
+    * as bounded micro-batches instead of one giant catch-up batch
+    * whose state update the sink must absorb in one transaction.
     */
   override def getOffset: Option[Offset] = {
     val head = TableLog.currentVersion(root)
-    if (head < 0L) None else Some(LongOffset(head))
+    if (head < 0L) None
+    else {
+      val capped = maxVersionsPerBatch
+        .map(m => math.min(head, math.max(lastBatchEnd, startV - 1L) + m))
+        .getOrElse(head)
+      if (capped < 0L) None else Some(LongOffset(capped))
+    }
   }
 
   // recovery hands back a SerializedOffset whose json is the number
@@ -96,6 +178,7 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver(_) + 1L).getOrElse(startV)
     val toV = ver(end)
+    lastBatchEnd = math.max(lastBatchEnd, toV)
     if (fromV > toV) StreamBridge.emptyStreaming(ctx, schema)
     else {
       // schema-drift guard: the window resolves under toV's manifest
@@ -129,6 +212,21 @@ object GraftLogCdfSource {
     val head = TableLog.currentVersion(root)
     require(head >= 0L, s"graftlog-cdf source needs a committed table at $root")
     cdfSchemaFromDdl(TableLog.schemaDdlOf(root, head))
+  }
+
+  /** EARLIEST live version committed at or after `ts` — the
+    * `startingTimestamp` resolution (the mirror of
+    * [[TableLog.versionAtTimestamp]]'s latest-at-or-below); head+1
+    * when every live commit predates the instant (the stream then
+    * waits for future commits). One header line per live version.
+    */
+  def firstVersionAtOrAfter(root: String, ts: Long): Long = {
+    val head = TableLog.currentVersion(root)
+    require(head >= 0L, s"graftlog-cdf source needs a committed table at $root")
+    (0L to head)
+      .map(v => v -> TableLog.headerTsOf(root, v))
+      .collectFirst { case (v, t) if t >= 0L && t >= ts => v }
+      .getOrElse(head + 1L)
   }
 
   /** The feed schema for a given table DDL — split out so the source

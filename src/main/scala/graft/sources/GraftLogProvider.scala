@@ -88,7 +88,8 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
 
   private def optionsKey(o: CaseInsensitiveStringMap): String =
     Seq("path", "versionasof", "timestampasof", "changefeed",
-        "startingversion", "endingversion")
+        "startingversion", "endingversion",
+        "startingtimestamp", "endingtimestamp")
       .map(k => s"$k=${Option(o.get(k)).getOrElse("")}").mkString(";")
 
   /** Resolve (and pin) the version — or CDF window — these options
@@ -162,12 +163,30 @@ object GraftLogProvider {
 
   /** CDF window, plan-time resolved (same isolation rule as
     * [[versionOf]]); bounds validated by readChangeFeed at scan.
+    * Timestamp forms (epoch millis, Delta's CDF option names):
+    * `startingTimestamp` → the EARLIEST version committed at or after
+    * the instant; `endingTimestamp` → the LATEST at or below it —
+    * together they bracket exactly the commits inside [t1, t2].
+    * Each is mutually exclusive with its version twin.
     */
   private def cdfWindow(options: CaseInsensitiveStringMap,
-                        root: String): (Long, Long) = (
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-    Option(options.get("endingVersion")).map(_.toLong)
-      .getOrElse(TableLog.currentVersion(root)))
+                        root: String): (Long, Long) = {
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "graftlog: startingVersion and startingTimestamp are mutually exclusive")
+    require(!(options.containsKey("endingVersion") &&
+        options.containsKey("endingTimestamp")),
+      "graftlog: endingVersion and endingTimestamp are mutually exclusive")
+    val from = Option(options.get("startingVersion")).map(_.toLong)
+      .orElse(Option(options.get("startingTimestamp"))
+        .map(t => GraftLogCdfSource.firstVersionAtOrAfter(root, t.toLong)))
+      .getOrElse(0L)
+    val to = Option(options.get("endingVersion")).map(_.toLong)
+      .orElse(Option(options.get("endingTimestamp"))
+        .map(t => TableLog.versionAtTimestamp(root, t.toLong)))
+      .getOrElse(TableLog.currentVersion(root))
+    (from, to)
+  }
 
   /** Last (selected, total) file plan — spec introspection only (the
     * planFilesMulti return-pair contract surfaced through the SQL

@@ -232,6 +232,38 @@ class GraftLogDsvSpec extends AnyFunSuite {
     assert(TableLog.currentVersion(root) == 3L)
   }
 
+  test("CDF timestamp windows: starting/endingTimestamp bracket exactly the in-range commits") {
+    val root = freshRoot("cdfts")
+    TableLog.commit(mkDf(0L until 30L), root, expr("k div 25"), 2, "overwrite",
+      commitTs = Some(1000L))
+    TableLog.commit(mkDf(30L until 50L), root, expr("k div 25"), 1, "append",
+      commitTs = Some(2000L))
+    TableLog.commit(mkDf(50L until 90L), root, expr("k div 25"), 1, "append",
+      commitTs = Some(3000L))
+    def cdfTs(opts: (String, String)*) = {
+      val r = spark.read.format("graftlog").option("path", root)
+        .option("changeFeed", "true")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // [1500, 2500] brackets exactly the t=2000 commit (v1)
+    val mid = cdfTs("startingTimestamp" -> "1500",
+      "endingTimestamp" -> "2500")
+    assert(mid.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(mid.count() == 20L)
+    // open-ended start: everything at or after t=2000
+    val tail = cdfTs("startingTimestamp" -> "2000")
+    assert(tail.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // timestamp and version forms of the same bound are exclusive
+    intercept[Exception] {
+      cdfTs("startingTimestamp" -> "1500", "startingVersion" -> "1").count()
+    }
+    intercept[Exception] {
+      cdfTs("endingTimestamp" -> "2500", "endingVersion" -> "1").count()
+    }
+  }
+
   test("plan-time pin: a commit between schema inference and table construction is invisible") {
     // the round-12 TOCTOU edge: inferSchema and getTable each resolved
     // the head independently, so a commit landing in between bound

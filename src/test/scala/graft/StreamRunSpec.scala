@@ -343,6 +343,56 @@ class StreamRunSpec extends AnyFunSuite {
     assert(src2.getBatch(None, LongOffset(1L)).isStreaming)
   }
 
+  test("graftlog CDF pacing + startingTimestamp: bounded batches under AvailableNow, exact boundaries") {
+    import graft.sources.{GraftLogCdfProvider, GraftLogCdfSource, TableLog}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdfpaced").toString
+    def mk(ks: Range) = ks.map(k => (k.toLong, k.toLong * 2 + 1)).toDF("k", "cents")
+    TableLog.commit(mk(0 until 30), root, expr("k div 20"), 2, "overwrite",
+      commitTs = Some(1000L))
+    TableLog.commit(mk(30 until 50), root, expr("k div 20"), 1, "append",
+      commitTs = Some(2000L))
+    TableLog.commit(mk(50 until 90), root, expr("k div 20"), 1, "append",
+      commitTs = Some(3000L))
+    // startingTimestamp boundaries: at-a-stamp → that version; between
+    // → the NEXT commit (earlier ones were already batch-readable);
+    // beyond the last → head+1 (wait for future commits)
+    assert(GraftLogCdfSource.firstVersionAtOrAfter(root, 1000L) == 0L)
+    assert(GraftLogCdfSource.firstVersionAtOrAfter(root, 1500L) == 1L)
+    assert(GraftLogCdfSource.firstVersionAtOrAfter(root, 3000L) == 2L)
+    assert(GraftLogCdfSource.firstVersionAtOrAfter(root, 3001L) == 3L)
+    // admission control paces from the ENGINE's committed offset (the
+    // start param — restart-exact), capped at the live head
+    val src = new GraftLogCdfProvider().createSource(spark.sqlContext,
+      "", None, "graftlog-cdf",
+      Map("path" -> root, "maxVersionsPerBatch" -> "1"))
+      .asInstanceOf[GraftLogCdfSource]
+    assert(src.latestOffset(null, null) == LongOffset(0L))
+    assert(src.latestOffset(LongOffset(0L), null) == LongOffset(1L))
+    assert(src.latestOffset(LongOffset(1L), null) == LongOffset(2L))
+    assert(src.latestOffset(LongOffset(2L), null) == LongOffset(2L),
+      "at the head, the base itself signals no-new-data")
+    // end-to-end: the ENGINE must deliver one version per micro-batch
+    // under AvailableNow (the generic wrapper would freeze the first
+    // capped window — implementing SupportsTriggerAvailableNow is what
+    // makes this work), and the union of batches is the exact feed
+    val seen = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val paced = spark.readStream.format("graft.sources.GraftLogCdfProvider")
+      .option("path", root).option("maxVersionsPerBatch", "1").load()
+    val nBatches = StreamRun.runForeachBatch(spark, paced) { (batch, _) =>
+      if (!batch.isEmpty)
+        seen.synchronized {
+          seen += batch.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSet
+        }
+    }
+    assert(seen.forall(_.size == 1),
+      s"each batch must carry exactly ONE commit version, got $seen")
+    assert(seen.flatten.toSet == Set(0L, 1L, 2L) && nBatches >= 3L,
+      s"pacing must drain the whole backlog in bounded steps: $seen / $nBatches")
+  }
+
   test("full-outer interval join equals batch on the closed region and runs FullOuter state") {
     // st21's contract: inside the closed region — rows carrying a
     // click cut on tc (matched pairs are append-exact, st13's rule),
