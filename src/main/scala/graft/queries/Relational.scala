@@ -1352,6 +1352,62 @@ object Relational {
         .orderBy("segment")
     }),
 
+    // R89/q86: TYPE-WIDENING schema evolution (Delta's type-widening
+    // table feature — the OTHER evolution users hit after ADD COLUMN:
+    // an id column ingested as INT overflows its range, or a late
+    // producer still emits the narrow type): `evolve=true` now admits
+    // widening-compatible retypes in EITHER direction along the
+    // parquet-reader-safe lattice (TINYINT<SMALLINT<INT<BIGINT,
+    // FLOAT→DOUBLE) — a WIDER batch accretes the manifest DDL to the
+    // wider type and old narrow files upcast at scan time (the
+    // vectorized reader resolves an int32 file under a BIGINT read
+    // schema — metadata-only migration, zero rewrite), a NARROWER
+    // batch lands as-is under the table's wide DDL, and an
+    // incompatible retype (string) stays loud. Drama: v0 ingests INT
+    // keys/cents, v1 arrives BIGINT + an accreted prio (widen + add
+    // in one commit), v2 is a narrow INT straggler with prio; the
+    // final grouped read must equal the raw recompute over ALL
+    // segments with v0's rows bucketed 'missing' — a widening bug is
+    // a lost segment or a broken sum; k_type pins the accreted DDL,
+    // rejected the loud incompatible path. Scale: widening is O(1)
+    // metadata on a 100 TB table, exactly Delta's shape.
+    "q86_type_widening" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q86_widen")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"),
+          col("o_orderpriority").cast("string").as("prio"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val m = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(m === 0L)
+        .select(col("k").cast("int").as("k"),
+          col("cents").cast("int").as("cents")),
+        root, layout, 8, "overwrite") // v0: narrow INT schema
+      TableLog.commit(o.filter(m === 1L).select("k", "cents", "prio"),
+        root, layout, 4, "append", evolve = true) // v1: widen + accrete
+      TableLog.commit(o.filter(m === 2L)
+        .select(col("k").cast("int").as("k"),
+          col("cents").cast("int").as("cents"), col("prio")),
+        root, layout, 4, "append", evolve = true) // v2: narrow straggler
+      val rejected =
+        try {
+          TableLog.commit(o.limit(5)
+            .select(col("k").cast("string").as("k"), col("cents"),
+              col("prio")),
+            root, layout, 1, "append", evolve = true); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val head = TableLog.read(s, root)
+      val kType = head.schema("k").dataType.sql
+      head.groupBy(coalesce(col("prio"), lit("missing")).as("prio"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("rejected", lit(rejected))
+        .withColumn("k_type", lit(kType))
+        .orderBy("prio")
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -2935,6 +2991,23 @@ object Relational {
         |  ON CAST(o_custkey AS BIGINT) = CAST(c_custkey AS BIGINT)
         |WHERE o_custkey IS NOT NULL AND c_custkey IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q86: all three segments recomputed from raw orders with v0's
+    // rows bucketed 'missing' (they predate the prio accretion); a
+    // widening bug loses a segment or breaks a sum, a DDL regression
+    // flips k_type, a silent incompatible retype flips rejected.
+    "q86_type_widening" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT CASE WHEN (k % 3 + 3) % 3 = 0 THEN 'missing' ELSE prio END
+        |    AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS rejected,
+        |  'BIGINT' AS k_type
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

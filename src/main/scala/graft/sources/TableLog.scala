@@ -684,8 +684,13 @@ object TableLog {
       return currentVersion(root)
     val parent = currentVersion(root)
     val v = parent + 1
-    if (mode == "append" && parent >= 0)
-      validateAppendSchema(root, parent, df.schema.toDDL, evolve)
+    // the stored DDL is the RESOLVED read schema: per shared column
+    // the wider of (parent, batch) under evolution — never the raw
+    // batch DDL, which a narrower-typed late producer would regress
+    val ddl =
+      if (mode == "append" && parent >= 0)
+        validateAppendSchema(root, parent, df.schema.toDDL, evolve)
+      else df.schema.toDDL
     val action = txnTag.fold(mode)(t => s"$mode+txn=$t")
     val carried = carriedTxns(root, parent)
     val txns = carried ++ tag.map { case (app, n) =>
@@ -695,13 +700,13 @@ object TableLog {
     if (mode == "overwrite" || parent < 0)
       // an overwrite IS a full snapshot — a delta encoding of it
       // would be remove-everything + add-everything, strictly worse
-      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL, added,
+      writeManifest(root, Manifest(v, parent, action, ddl, added,
         txns = txns, ts = ts))
     else if (fullDue(v, checkpointInterval))
-      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
+      writeManifest(root, Manifest(v, parent, action, ddl,
         readManifest(root, parent).files ++ added, txns = txns, ts = ts))
     else
-      writeManifest(root, Manifest(v, parent, action, df.schema.toDDL,
+      writeManifest(root, Manifest(v, parent, action, ddl,
         added, kind = "delta", txns = txns, ts = ts))
   }
 
@@ -714,32 +719,72 @@ object TableLog {
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
       .fields.toSeq.map(f => (f.name, f.dataType))
 
+  /** Does the parquet-reader-safe widening lattice admit reading a
+    * `from`-typed file under a `to`-typed schema? The integral chain
+    * TINYINT < SMALLINT < INT < BIGINT plus FLOAT → DOUBLE — exactly
+    * the upcasts Spark's vectorized parquet reader performs when the
+    * supplied schema is wider than the file's (Delta's type-widening
+    * feature set, minus the lossy cross-kind promotions).
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    from == to ||
+      (rank.contains(from) && rank.contains(to) && rank(from) < rank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
   /** The append-path schema gate (missing-item 1 of the round-11
     * audit — previously a silent-wrong-answer path: an appended batch
     * with a drifted schema was accepted and read back with whichever
     * file footer won). Without `evolve` the batch must match the
-    * parent's column signature exactly; with `evolve` the parent's
-    * columns must all survive with identical types (ADD COLUMN only —
-    * the Delta `mergeSchema` shape; drops/retypes stay loud). Runs
+    * parent's column signature exactly. With `evolve`, every parent
+    * column must survive under a WIDENING-compatible type in either
+    * direction (ADD COLUMN plus Delta's type widening; drops and
+    * incompatible retypes stay loud): a batch WIDER than the table
+    * accretes the manifest DDL to the wider type (old files upcast at
+    * scan time — the parquet reader resolves a narrower file under a
+    * wider schema, verified by the widening lattice above), and a
+    * batch NARROWER than the table lands as-is under the table's
+    * wider DDL (its new files upcast at read like the old ones).
+    * Returns the RESOLVED manifest DDL — per shared column the wider
+    * of (parent, batch), batch order, accreted columns included —
+    * which the commit must store instead of the raw batch DDL. Runs
     * BEFORE any data or manifest IO, so a rejected append leaves the
     * store bit-identical (the commitChecked discipline).
     */
   private def validateAppendSchema(root: String, parent: Long,
-                                   newDdl: String, evolve: Boolean): Unit = {
+                                   newDdl: String, evolve: Boolean): String = {
     val parentDdl = headerMeta(root, parent)._2
     val pf = ddlFields(parentDdl)
     val nf = ddlFields(newDdl)
-    if (!evolve)
+    if (!evolve) {
       require(pf == nf,
         s"schema drift on append: table has [$parentDdl], batch has [$newDdl]" +
           " — pass evolve=true to add columns")
-    else {
+      newDdl
+    } else {
       val byName = nf.toMap
-      val bad = pf.filter { case (n, t) => !byName.get(n).contains(t) }
+      val bad = pf.filter { case (n, pt) =>
+        byName.get(n) match {
+          case Some(bt) => !(widens(pt, bt) || widens(bt, pt))
+          case None     => true
+        }
+      }
       require(bad.isEmpty,
-        s"schema evolution may only ADD columns: parent columns " +
-          bad.map(_._1).mkString(", ") +
-          s" are missing or retyped in the batch ([$parentDdl] vs [$newDdl])")
+        s"schema evolution may only ADD columns or WIDEN types: parent " +
+          s"columns ${bad.map(_._1).mkString(", ")} are missing or " +
+          s"incompatibly retyped in the batch ([$parentDdl] vs [$newDdl])")
+      val pByName = pf.toMap
+      org.apache.spark.sql.types.StructType(nf.map { case (n, bt) =>
+        val t = pByName.get(n) match {
+          case Some(pt) if widens(bt, pt) => pt // batch narrower: keep wide
+          case _                          => bt // equal, wider, or accreted
+        }
+        org.apache.spark.sql.types.StructField(n, t)
+      }).toDDL
     }
   }
 

@@ -964,6 +964,57 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.vacuumOlderThan(root, 1L).isEmpty)
   }
 
+  test("type widening: wider batch accretes DDL, narrow files upcast, incompatible retypes loud") {
+    val root = freshRoot("widen")
+    // v0: narrow INT schema
+    TableLog.commit(mkDf(0L until 50L)
+      .select(col("k").cast("int").as("k"), col("cents").cast("int").as("cents")),
+      root, expr("k div 25"), 2, "overwrite")
+    assert(TableLog.schemaDdlOf(root, 0L).contains("k INT"))
+    // a BIGINT batch under evolve widens the manifest DDL; v0's int32
+    // files upcast at scan time (zero rewrite — metadata-only)
+    TableLog.commit(mkDf(50L until 80L), root, expr("k div 25"), 1,
+      "append", evolve = true)
+    val head = TableLog.read(spark, root)
+    assert(head.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(rows(head) == rows(mkDf(0L until 80L)))
+    // v0 stays readable AS OF under its ORIGINAL narrow schema
+    assert(TableLog.read(spark, root, Some(0L))
+      .schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    // a NARROW straggler batch lands as-is under the wide DDL
+    TableLog.commit(mkDf(80L until 90L)
+      .select(col("k").cast("int").as("k"), col("cents").cast("int").as("cents")),
+      root, expr("k div 25"), 1, "append", evolve = true)
+    assert(TableLog.schemaDdlOf(root, 2L).contains("k BIGINT"))
+    assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 90L)))
+    // zone pruning stays exact across mixed-width files (footer stats
+    // zone int32 and int64 identically as longs)
+    val (sel, total) = TableLog.planFiles(root, "k", 0L, 24L)
+    assert(sel.nonEmpty && sel.size < total)
+    assert(rows(TableLog.readRange(spark, root, "k", 0L, 24L)) ==
+      rows(mkDf(0L until 25L)))
+    // WITHOUT evolve, a widened batch is still drift — loud
+    intercept[IllegalArgumentException] {
+      TableLog.commit(mkDf(90L until 95L)
+        .select(col("k").cast("int").as("k"), col("cents")),
+        root, expr("k div 25"), 1, "append")
+    }
+    // incompatible retype (string) rejects even under evolve
+    intercept[IllegalArgumentException] {
+      TableLog.commit(mkDf(90L until 95L)
+        .select(col("k").cast("string").as("k"), col("cents")),
+        root, expr("k div 25"), 1, "append", evolve = true)
+    }
+    // float → double rides the same lattice
+    val froot = freshRoot("widenf")
+    TableLog.commit(Seq((1L, 1.5f)).toDF("k", "v"), froot, col("k"), 1, "overwrite")
+    TableLog.commit(Seq((2L, 2.5d)).toDF("k", "v"), froot, col("k"), 1,
+      "append", evolve = true)
+    assert(TableLog.read(spark, froot).schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(TableLog.read(spark, froot).agg(sum("v")).collect()(0).getDouble(0) == 4.0)
+  }
+
   test("string zones: range/equality pruning, truncation-safe boundaries, scan-level evidence") {
     import graft.sources.TableLog.{cmpUtf8, strZoneKeeps, utf8Prefix}
     val root = freshRoot("strz")
