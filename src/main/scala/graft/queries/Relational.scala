@@ -1408,6 +1408,52 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // R90/q87: ZONE-BOUNDED compaction (Delta's `OPTIMIZE … WHERE` /
+    // partition-scoped rewrite_data_files): on a 100 TB table the
+    // maintenance loop compacts the HOT INGEST RANGE — today's
+    // partition — not the whole small tail; `compact(range=…)` folds
+    // only files whose key zone intersects the bound, leaving
+    // out-of-range files byte-untouched. Drama: four single-file
+    // commits land on disjoint 500-wide key ranges (kk = k mod 2000,
+    // clustered so each commit IS one zone-tight file); a compaction
+    // bounded to [0,999] must fold EXACTLY the two in-range files
+    // into one (n_removed/n_added pin the physical claim through
+    // versionDelta — a sweep that ignored the bound folds all four)
+    // while the grouped content aggregate stays equal to the raw
+    // recompute (compaction may move bytes, never values). Scale:
+    // the bounded sweep reads/writes only the hot range's tail —
+    // maintenance cost tracks ingest rate, not table size.
+    "q87_bounded_compact" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q87_optwhere")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .withColumn("kk", pmod(col("k"), lit(2000L)))
+      val layout = expr("kk div 500")
+      val seg = col("kk") / lit(500)
+      TableLog.commit(o.filter(seg.cast("int") === 0), root, layout, 1,
+        "overwrite") // v0: kk ∈ [0,500)
+      TableLog.commit(o.filter(seg.cast("int") === 1), root, layout, 1,
+        "append") // v1: [500,1000)
+      TableLog.commit(o.filter(seg.cast("int") === 2), root, layout, 1,
+        "append") // v2: [1000,1500)
+      TableLog.commit(o.filter(seg.cast("int") === 3), root, layout, 1,
+        "append") // v3: [1500,2000)
+      val cv = TableLog.compact(s, root, "kk",
+        targetRows = Long.MaxValue / 2, smallRows = Long.MaxValue / 2,
+        range = Some((0L, 999L)))
+      val (added, removed) = TableLog.versionDelta(root, cv)
+      TableLog.read(s, root)
+        .groupBy((col("kk") / lit(500)).cast("long").as("segment"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .withColumn("n_removed", lit(removed.size.toLong))
+        .withColumn("n_added", lit(added.size.toLong))
+        .orderBy("segment")
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3008,6 +3054,23 @@ object Relational {
         |  CAST(1 AS BIGINT) AS rejected,
         |  'BIGINT' AS k_type
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q87: the per-segment aggregate recomputed from raw orders;
+    // n_removed=2/n_added=1 are the bounded-sweep physical claim — a
+    // sweep ignoring the bound removes 4, one that rewrote nothing
+    // removes 0, and any content drift breaks a segment sum.
+    "q87_bounded_compact" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | b AS (SELECT ((k % 2000 + 2000) % 2000) // 500 AS segment, cents
+        |   FROM o)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS n_removed,
+        |  CAST(1 AS BIGINT) AS n_added
+        |FROM b GROUP BY segment ORDER BY segment""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

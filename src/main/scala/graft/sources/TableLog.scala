@@ -1403,20 +1403,35 @@ object TableLog {
     * layout — and each multi-file bin is rewritten as one file;
     * right-sized files carry forward untouched. Content-preserving
     * by construction; only the small tail is read or written.
+    * `range` bounds the sweep to files whose `orderCol` zone
+    * INTERSECTS [lo, hi] (Delta's `OPTIMIZE … WHERE`): on a 100 TB
+    * table only the hot ingest range — today's partition — gets
+    * maintained, instead of re-binning the whole small tail every
+    * cycle; out-of-range and un-zoned files are never touched.
     */
   def compact(spark: SparkSession, root: String, orderCol: String,
               targetRows: Long, smallRows: Long,
-              checkpointInterval: Int = 1): Long = {
+              checkpointInterval: Int = 1,
+              range: Option[(Long, Long)] = None): Long = {
     val parent = currentVersion(root)
     require(parent >= 0, s"nothing to compact at $root")
     val m = readManifest(root, parent)
+    val inScope: FileEntry => Boolean = range match {
+      case Some((lo, hi)) => f =>
+        (f.zMin.get(orderCol), f.zMax.get(orderCol)) match {
+          case (Some(zlo), Some(zhi)) => zlo <= hi && zhi >= lo
+          case _ => false // un-zoned: out of a bounded sweep's scope
+        }
+      case None => _ => true
+    }
     // size by LIVE rows: a dv-carrying file below the threshold is
     // folded — and rewriting through the dv-applied read MATERIALIZES
     // its deletion vector away (the compact half of the merge-on-read
     // contract; recluster materializes all of them via read())
-    val small = m.files.filter(_.liveRows < smallRows)
+    def folds(f: FileEntry): Boolean = inScope(f) && f.liveRows < smallRows
+    val small = m.files.filter(folds)
       .sortBy(f => (f.zMin.getOrElse(orderCol, Long.MaxValue), f.path))
-    val keep = m.files.filterNot(_.liveRows < smallRows)
+    val keep = m.files.filterNot(folds)
     if (small.size < 2) return parent // nothing worth rewriting
     // q50 bin assignment: bin = floor(cumulative-rows-before / target)
     val bins = small.zip(small.scanLeft(0L)(_ + _.liveRows))
