@@ -672,6 +672,98 @@ object TextStats {
   /** PII scrub patterns — conservative syntax shared by Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
     */
+  /** L120 — MOJIBAKE detection + repair (ftfy's highest-frequency fix
+    * class: UTF-8 bytes mis-decoded as cp1252/Latin-1, so "é" renders
+    * "Ã©" and "’" renders "â€™" — the canonical double-encoding
+    * corruption a web crawl is full of). The table maps each common
+    * accented/punctuation codepoint to its cp1252 mojibake digraph,
+    * restricted to digraphs whose every byte is PRINTABLE cp1252
+    * (space- and control-free), so an exact `replace` chain — not a
+    * regex — detects and repairs them deterministically on both the
+    * Spark and DuckDB sides. Repair applies longest-bad-first;
+    * entries never substring one another so the fold is
+    * order-independent (kept sorted anyway for the principle).
+    * Narrow per-row projection, zero shuffle.
+    */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "’" -> "â€™", // ’  ← â€™
+    "“" -> "â€œ", // “  ← â€œ
+    "é" -> "Ã©", // é ← Ã©
+    "è" -> "Ã¨", // è ← Ã¨
+    "ä" -> "Ã¤", // ä ← Ã¤
+    "ö" -> "Ã¶", // ö ← Ã¶
+    "ü" -> "Ã¼", // ü ← Ã¼
+    "ñ" -> "Ã±", // ñ ← Ã±
+    "ç" -> "Ã§", // ç ← Ã§
+    "á" -> "Ã¡", // á ← Ã¡
+    "ó" -> "Ã³", // ó ← Ã³
+    "ú" -> "Ãº", // ú ← Ãº
+    "ï" -> "Ã¯") // ï ← Ã¯
+
+  private def mojiSorted: Seq[(String, String)] =
+    mojibakePairs.sortBy { case (_, bad) => (-bad.length, bad) }
+
+  /** Number of mojibake digraphs present (the detector — route a doc
+    * to the repair pass when > 0).
+    */
+  def mojibakeCount(text: Column): Column =
+    mojiSorted.map { case (_, bad) =>
+      ((length(text) - length(replace(text, lit(bad), lit("")))) /
+        lit(bad.length)).cast("long")
+    }.reduce(_ + _)
+
+  /** The repaired text: every digraph folded back to its codepoint. */
+  def mojibakeRepair(text: Column): Column =
+    mojiSorted.foldLeft(text) { case (c, (good, bad)) =>
+      replace(c, lit(bad), lit(good)) }
+
+  /** The CORRUPTION direction (good → mojibake) — what a
+    * double-encode does; used by tests/queries to synthesize
+    * deterministic corrupt inputs whose repair round-trips.
+    */
+  def mojibakeCorrupt(text: Column): Column =
+    mojiSorted.foldLeft(text) { case (c, (good, bad)) =>
+      replace(c, lit(good), lit(bad)) }
+
+  /** DuckDB replay of the same chains — shared source of truth, the
+    * t39 convention (the oracle replays the grammar AND the repair).
+    */
+  def mojibakeCorruptSql(inner: String): String =
+    mojiSorted.foldLeft(inner) { case (e, (good, bad)) =>
+      s"replace($e, '$good', '$bad')" }
+  def mojibakeRepairSql(inner: String): String =
+    mojiSorted.foldLeft(inner) { case (e, (good, bad)) =>
+      s"replace($e, '$bad', '$good')" }
+  def mojibakeCountSql(inner: String): String =
+    mojiSorted.map { case (_, bad) =>
+      s"((length($inner) - length(replace($inner, '$bad', ''))) // ${bad.length})"
+    }.mkString("(", " + ", ")")
+
+  /** L121 — FIM (fill-in-middle) transform (Bavarian et al. 2022 —
+    * the standard code-corpus augmentation: train the model to infill
+    * by moving the middle span to the end): deterministic PSM
+    * re-assembly `<fim_prefix>P<fim_suffix>S<fim_middle>M` with split
+    * points at ⌊n/3⌋ and ⌊2n/3⌋ codepoints — content-preserving by
+    * construction (every codepoint lands exactly once), so counts and
+    * the reassembled text are oracle-exact. Narrow per-row substring
+    * projection, zero shuffle; a production pipeline randomizes the
+    * split per sample — the split RULE is the pluggable part, the
+    * plumbing is this.
+    */
+  def fimColumns(text: Column): Seq[(String, Column)] = {
+    val n = length(text)
+    val p1 = floor(n / lit(3)).cast("int")
+    val p2 = floor(n * lit(2) / lit(3)).cast("int")
+    Seq(
+      "fim_text" -> concat(
+        lit("<fim_prefix>"), text.substr(lit(1), p1),
+        lit("<fim_suffix>"), text.substr(p2 + lit(1), n - p2),
+        lit("<fim_middle>"), text.substr(p1 + lit(1), p2 - p1)),
+      "n_prefix" -> p1.cast("long"),
+      "n_middle" -> (p2 - p1).cast("long"),
+      "n_suffix" -> (n - p2).cast("long"))
+  }
+
   val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val digitRunPat = "[0-9]+"

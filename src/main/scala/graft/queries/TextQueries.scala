@@ -715,6 +715,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L120/t43: MOJIBAKE detection + repair — ftfy's
+    // highest-frequency fix class (UTF-8 bytes mis-decoded as cp1252:
+    // "é" renders "Ã©", "’" renders "â€™" — the double-encoding
+    // corruption every web crawl carries): each doc's text gets a
+    // deterministic accented suffix, is CORRUPTED through the forward
+    // map (the textual simulation of the double-encode), then
+    // detected and repaired through the inverse chain — the full
+    // repaired text is a compared column, so the repair must
+    // round-trip byte-exactly back to the pre-corruption text (any
+    // naturally-occurring digraphs in the raw corpus repair
+    // identically on both sides). The chains are exact `replace`
+    // folds over ONE shared pair table (Spark and the oracle render
+    // from the same Scala source — the t39 can't-drift convention),
+    // not regexes. Narrow per-row projection, zero shuffle — folds
+    // into the ingest scan at 100 TB.
+    "t43_mojibake" -> ((s, dir) => {
+      val good = concat(coalesce(col("text"), lit("")),
+        lit(" café “naïve” entrée’s piñata"))
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextStats.mojibakeCorrupt(good).as("moji"))
+        .select(col("doc_id"),
+          TextStats.mojibakeCount(col("moji")).as("n_bad"),
+          TextStats.mojibakeRepair(col("moji")).as("repaired"))
+        .orderBy("doc_id")
+    }),
+
+    // L121/t44: FIM (fill-in-middle) transform — Bavarian et al.
+    // 2022's code-corpus augmentation: move the middle third to the
+    // end under sentinel tokens (<fim_prefix>P<fim_suffix>S
+    // <fim_middle>M) so the model learns to infill. Deterministic
+    // ⌊n/3⌋/⌊2n/3⌋ codepoint split points; content-preserving by
+    // construction (every codepoint lands exactly once), so the
+    // reassembled text and the three span lengths are oracle-exact
+    // via the same substr arithmetic in DuckDB. Narrow per-row
+    // substring projection, zero shuffle.
+    "t44_fim" -> ((s, dir) => {
+      val cols = TextStats.fimColumns(col("tx"))
+      docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col("text"), lit("")).as("tx"))
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     // L100/t37: per-stream PII-density profile — the compliance
     // dashboard over t19's redaction counts ("which event streams
     // leak identifiers, and how much"): the sequential email→IP→
@@ -3101,6 +3146,39 @@ object TextQueries {
          |  list_reduce(list_prepend(tx, ps), (acc, p) -> replace(acc,
          |    string_split(p, chr(1))[1], string_split(p, chr(1))[2])) AS ptext
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // t43: the corruption AND the repair replayed from the SAME pair
+    // table the Spark side folds (rendered into SQL from one Scala
+    // source — neither chain can drift); the repaired text is a full
+    // compared column, so the round-trip must be byte-exact.
+    "t43_mojibake" -> {
+      val good = "(coalesce(text, '') || ' café “naïve” entrée’s piñata')"
+      val moji = TextStats.mojibakeCorruptSql(good)
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    $moji AS moji
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(${TextStats.mojibakeCountSql("moji")} AS BIGINT) AS n_bad,
+         |  ${TextStats.mojibakeRepairSql("moji")} AS repaired
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // t44: the PSM reassembly replayed with the same floor-division
+    // split arithmetic and 1-based substr — content preservation
+    // makes every span and the full text exact.
+    "t44_fim" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    coalesce(text, '') AS tx FROM documents),
+        | s AS (SELECT doc_id, tx, length(tx) AS n,
+        |    length(tx) // 3 AS p1, (length(tx) * 2) // 3 AS p2 FROM d)
+        |SELECT doc_id,
+        |  '<fim_prefix>' || substr(tx, 1, p1) ||
+        |  '<fim_suffix>' || substr(tx, p2 + 1, n - p2) ||
+        |  '<fim_middle>' || substr(tx, p1 + 1, p2 - p1) AS fim_text,
+        |  CAST(p1 AS BIGINT) AS n_prefix,
+        |  CAST(p2 - p1 AS BIGINT) AS n_middle,
+        |  CAST(n - p2 AS BIGINT) AS n_suffix
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "t19_redact" ->
       s"""WITH r1 AS (SELECT event_id, props,
