@@ -650,4 +650,58 @@ object CorpusOps {
         (expr("(CAST(inter AS DECIMAL(38,0)) * 20000 + u) div " +
             "(CAST(u AS DECIMAL(38,0)) * 2)").cast("double")
           / lit(10000.0)).as("jaccard"))
+
+  /** L122 — SFT CHAT-TEMPLATE rendering with LOSS-MASK offsets (the
+    * formatting step every supervised-fine-tuning corpus goes
+    * through: interleaved turns are flattened into ONE training
+    * string under a template — `<|role|>content<|end|>` here, the
+    * shape of ChatML/Llama templates — and the trainer needs the
+    * CHARACTER span of each assistant turn's content, because loss is
+    * computed only there; prompt/user tokens are masked out). Per
+    * conversation (`userCol`), turns order by (`tsCol`, `idCol`)
+    * null-safely, cap at `maxTurns`, alternate user/assistant roles;
+    * offsets come from a running sum of rendered-piece lengths over
+    * the SAME window (one shuffle on the conversation key, rows
+    * emitted per turn — the downstream shard writer reassembles with
+    * concat_ws, which is why content preservation is exact). Mask
+    * arithmetic: the span starts after the role header and ends
+    * before the end sentinel — [mask_start, mask_end) indexes into
+    * the concatenated conversation string. At 100 TB this is one
+    * window per conversation — linear, partition-friendly, no
+    * collect anywhere.
+    */
+  def chatRender(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, typeCol: String, valCol: String,
+                 maxTurns: Int = 6): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(coalesce(unix_micros(col(tsCol)), lit(Long.MinValue)),
+        col(idCol))
+    val turns = events
+      .filter(col(userCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("turn", row_number().over(w))
+      .filter(col("turn") <= maxTurns)
+      .withColumn("role",
+        when(pmod(col("turn"), lit(2)) === 1, "user").otherwise("assistant"))
+      .withColumn("content",
+        concat(coalesce(col(typeCol), lit("?")), lit(":"),
+          floor(coalesce(col(valCol), lit(0.0))).cast("long")))
+      .withColumn("piece",
+        concat(lit("<|"), col("role"), lit("|>"), col("content"),
+          lit("<|end|>")))
+    val w2 = Window.partitionBy(userCol)
+      .orderBy(coalesce(unix_micros(col(tsCol)), lit(Long.MinValue)),
+        col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("start_off",
+        coalesce(sum(length(col("piece")).cast("long")).over(w2), lit(0L)))
+      .select(col(userCol).cast("long").as("user_id"),
+        col("turn").cast("long").as("turn"), col("role"), col("piece"),
+        col("start_off"),
+        (col("start_off") + length(col("role")).cast("long") + lit(4L))
+          .as("mask_start"),
+        (col("start_off") + length(col("piece")).cast("long") - lit(7L))
+          .as("mask_end"),
+        when(col("role") === "assistant", 1L).otherwise(0L).as("masked"))
+  }
 }

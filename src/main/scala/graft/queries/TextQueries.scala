@@ -760,6 +760,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L122/t45: SFT CHAT-TEMPLATE rendering + LOSS-MASK offsets — the
+    // formatting step every supervised-fine-tuning corpus goes
+    // through: a conversation's turns flatten into ONE training
+    // string under a template (`<|role|>content<|end|>`, the
+    // ChatML/Llama shape) and the trainer needs the character span of
+    // each ASSISTANT turn's content because loss is computed only
+    // there. Events stand in as turns (user_id = conversation, ts +
+    // event_id = the null-safe turn order, roles alternate); offsets
+    // are a running sum of rendered-piece lengths over the same
+    // window. Oracle replays the template, the alternation, and the
+    // cumsum offset arithmetic — an off-by-one in a mask boundary is
+    // a value diff on every assistant turn. One window per
+    // conversation key: linear, no collect, 100 TB-partitionable.
+    "t45_chat_masks" -> ((s, dir) => {
+      import graft.operators.CorpusOps
+      CorpusOps.chatRender(Graft.table(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "value", maxTurns = 6)
+        .orderBy("user_id", "turn")
+    }),
+
     // L100/t37: per-stream PII-density profile — the compliance
     // dashboard over t19's redaction counts ("which event streams
     // leak identifiers, and how much"): the sequential email→IP→
@@ -3146,6 +3166,39 @@ object TextQueries {
          |  list_reduce(list_prepend(tx, ps), (acc, p) -> replace(acc,
          |    string_split(p, chr(1))[1], string_split(p, chr(1))[2])) AS ptext
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // t45: template, alternation and cumsum offsets replayed with the
+    // same null-safe (epoch, event_id) turn order.
+    "t45_chat_masks" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    CAST(event_id AS BIGINT) AS event_id,
+        |    coalesce(epoch_us(ts), -9223372036854775808) AS tu,
+        |    coalesce(event_type, '?') AS et,
+        |    CAST(floor(coalesce(value, 0)) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        | t AS (SELECT user_id, event_id, tu, et, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id)
+        |      AS turn
+        |  FROM e),
+        | p AS (SELECT user_id, turn, tu, event_id,
+        |    CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |    et || ':' || CAST(v AS VARCHAR) AS content
+        |  FROM t WHERE turn <= 6),
+        | r AS (SELECT user_id, turn, role, tu, event_id,
+        |    '<|' || role || '|>' || content || '<|end|>' AS piece FROM p),
+        | o AS (SELECT user_id, turn, role, piece,
+        |    coalesce(sum(length(piece)) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM r)
+        |SELECT user_id, CAST(turn AS BIGINT) AS turn, role, piece,
+        |  CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(start_off + length(role) + 4 AS BIGINT) AS mask_start,
+        |  CAST(start_off + length(piece) - 7 AS BIGINT) AS mask_end,
+        |  CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS masked
+        |FROM o ORDER BY user_id, turn""".stripMargin,
 
     // t43: the corruption AND the repair replayed from the SAME pair
     // table the Spark side folds (rendered into SQL from one Scala
