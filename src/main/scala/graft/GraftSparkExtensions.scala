@@ -19,6 +19,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => PolygonGateBBoxRule)
+    ext.injectOptimizerRule(_ => V1ScanStatsJoinRule)
   }
 }
 

@@ -70,4 +70,33 @@ object ChangeLog {
                   newValCol: String = "new_price"): DataFrame =
     latestState(base, changelog.filter(col(verCol) <= k),
       keyCol, verCol, opCol, valCol, newValCol)
+
+  /** Delta CDF's four-way change typing over the store's raw feed:
+    * [[graft.sources.TableLog.readChangeFeed]] emits file-level
+    * inserts/deletes (plus row-exact DV deletes), so an UPDATE — a
+    * merge suppressing a key's old row and writing its new state —
+    * surfaces as a delete AND an insert of the same key at the same
+    * version. Delta's `table_changes` reports that pair as
+    * `update_preimage`/`update_postimage`; this reclassifies exactly
+    * those pairs (key present on BOTH sides of one version) and
+    * leaves pure inserts/deletes untouched. One grouped aggregate +
+    * broadcast-or-shuffle join on (version, key) — linear in the
+    * feed, which is itself churn-sized, never table-sized. A key the
+    * feed sees N>1 times on one side (a multi-row key) reclassifies
+    * every row — the store's merge contract is primary-keyed, so
+    * that arises only from caller-side key reuse.
+    */
+  def updateImages(feed: DataFrame, keyCol: String): DataFrame = {
+    val sides = feed.groupBy(col("_commit_version"), col(keyCol))
+      .agg(
+        max(when(col("_change_type") === "insert", 1).otherwise(0)).as("__hi"),
+        max(when(col("_change_type") === "delete", 1).otherwise(0)).as("__hd"))
+    feed.join(sides, Seq("_commit_version", keyCol))
+      .withColumn("_change_type",
+        when(col("__hi") === 1 && col("__hd") === 1,
+          when(col("_change_type") === "insert", "update_postimage")
+            .otherwise("update_preimage"))
+          .otherwise(col("_change_type")))
+      .drop("__hi", "__hd")
+  }
 }

@@ -101,6 +101,40 @@ object Sampling {
       .drop("keep_rate")
   }
 
+  /** L123 — TEMPERATURE-scaled source mixing (the mT5/UniMax
+    * α-sampling rule: sample stratum i with probability ∝ n_i^α,
+    * α = 1/T — upweights small sources relative to proportional
+    * sampling without letting one giant crawl dominate; Raffel et
+    * al. 2020 §3.4.2, Chung et al. 2023). α is FIXED at 0.5 (T = 2,
+    * the common default) because sqrt is the one power IEEE
+    * guarantees correctly rounded — so the keep-rate doubles are
+    * bit-identical on any engine when the op ORDER matches, which
+    * the oracle replays exactly (including the left-fold summation
+    * order of the normalizer, in sorted-stratum order).
+    *
+    * Per stratum: w_i = √n_i, W = Σw_i (sorted left fold), keep rate
+    * r_i = min(1, targetN·w_i / (W·n_i)); a row keeps when its
+    * portable id-hash bucket clears r_i — the d14 filter, so the
+    * kept set replays on any engine and survives repartitioning.
+    * Stratum counts come to the driver (stratum-count bounded — the
+    * d14 broadcast class); scoring is a codegen'd literal when-chain,
+    * zero extra shuffle beyond the count aggregate.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        targetN: Long, denom: Int = 10000): DataFrame = {
+    val st = coalesce(col(stratumCol).cast("string"), lit("?"))
+    val counts = df.select(st.as("__s")).groupBy("__s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val ws = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
+    val wsum = ws.foldLeft(0.0) { case (a, (_, _, w)) => a + w }
+    val rateCol = ws.foldLeft(lit(0.0)) { case (acc, (s, n, w)) =>
+      val r = math.min(1.0, (targetN.toDouble * w) / (wsum * n.toDouble))
+      when(st === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), denom).cast("double") <
+      rateCol * lit(denom.toDouble))
+  }
+
   /** L56 — per-group cap (the CCNet/Gopher per-domain cap): keep at
     * most `k` rows per group, chosen by PORTABLE hash order — a
     * deterministic uniform-without-replacement k-subset per group

@@ -1454,6 +1454,47 @@ object Relational {
         .orderBy("segment")
     }),
 
+    // R91/q88: CDF UPDATE IMAGES — Delta's four-way `table_changes`
+    // typing (insert / delete / update_preimage / update_postimage):
+    // the raw feed is file-/row-level, so a MERGE's update surfaces
+    // as delete+insert of the same key at one version;
+    // ChangeLog.updateImages reclassifies exactly those pairs, which
+    // is what a downstream CDC consumer needs to distinguish "row
+    // changed" (apply new state) from "row left" (retract) without
+    // re-deriving it per pipeline. Drama: one merge-on-read commit
+    // carrying pure deletes (keys ≡ 0 mod 97) AND updates (≡ 1,
+    // price+100); the typed feed must show the deletes untouched,
+    // every updated key EXACTLY once per image side, preimages at the
+    // OLD price and postimages at the new one — the oracle recomputes
+    // all three groups from raw orders, so a mis-paired key, a
+    // leaked pure-delete into the update class, or an image carrying
+    // the wrong side's price is a value diff. Scale: one grouped agg
+    // + join on (version, key) over the churn-sized feed.
+    "q88_cdf_updates" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q88_updimg")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      TableLog.commit(o, root, layout, 16, "overwrite")
+      val r = pmod(col("k"), lit(97L))
+      val changes = o.filter(r.isin(0L, 1L))
+        .select(col("k"), lit(1L).as("ver"),
+          when(r === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L)).as("new_price"))
+      TableLog.mergeMor(s, root, changes, "k", layout, 4, dvMaxFrac = 1.0)
+      graft.operators.ChangeLog
+        .updateImages(TableLog.readChangeFeed(s, root, 1L, 1L), "k")
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .orderBy("change_type")
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3071,6 +3112,30 @@ object Relational {
         |  CAST(2 AS BIGINT) AS n_removed,
         |  CAST(1 AS BIGINT) AS n_added
         |FROM b GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // q88: the three change classes recomputed from raw orders —
+    // deletes at the old price, preimages old, postimages new.
+    "q88_cdf_updates" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | m AS (SELECT k, price, (k % 97 + 97) % 97 AS r FROM o)
+        |SELECT 'delete' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM m WHERE r = 0
+        |UNION ALL
+        |SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT k) AS BIGINT),
+        |  CAST(sum(price) + 100 * count(*) AS BIGINT)
+        |FROM m WHERE r = 1
+        |UNION ALL
+        |SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT k) AS BIGINT),
+        |  CAST(sum(price) AS BIGINT)
+        |FROM m WHERE r = 1
+        |ORDER BY change_type""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

@@ -814,6 +814,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L123/d41: TEMPERATURE-scaled source mixing — the mT5/UniMax
+    // α-sampling rule (keep stratum i ∝ n_i^α, α = 1/T = 0.5):
+    // proportional sampling lets one giant crawl dominate and uniform
+    // sampling over-trains tiny sources; √n is the standard middle.
+    // α is fixed at 0.5 because sqrt is the one power IEEE guarantees
+    // correctly rounded, so the keep-rate doubles replay bit-exactly
+    // in DuckDB when the op order (and the normalizer's left-fold
+    // summation order, sorted by stratum) matches — which the oracle
+    // does. The kept set itself rides the d14 portable id-hash
+    // filter: deterministic across engines, reruns, repartitions.
+    "d41_temperature_mix" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.temperatureSample(docs(s, dir), "doc_id", "source",
+          targetN = 300L)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // L37: PER-GROUP heavy hitters — one frequent-items sketch per
     // language in a single keyed aggregation (mergeable O(maxMapSize)
     // state per group, map-side partials; the per-group analogue of
@@ -3269,6 +3287,30 @@ object TextQueries {
 
     // d14: the keep decision replayed exactly — same (w·targetN)/n
     // double arithmetic, same fmix64 bucket as t06/t08.
+    // d41: the √n temperature rates replayed with IDENTICAL double
+    // arithmetic — sqrt is correctly rounded, the normalizer sums in
+    // the same sorted-stratum left-fold order (list_reduce over an
+    // ordered list), and the keep filter is the shared portable-hash
+    // bucket rule; any drift in a rate's last ulp flips a boundary
+    // doc and breaks the row set.
+    "d41_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(source, '?') AS s, source, lang
+         |   FROM documents),
+         | n AS (SELECT s, count(*) AS ns FROM d GROUP BY s),
+         | w AS (SELECT s, ns, sqrt(CAST(ns AS DOUBLE)) AS wi FROM n),
+         | tot AS (SELECT list_reduce(list(wi ORDER BY s), (a, b) -> a + b)
+         |    AS wsum FROM w),
+         | r AS (SELECT s, least(1.0, (300.0 * wi) / (wsum * CAST(ns AS DOUBLE)))
+         |    AS keep_rate FROM w, tot),
+         | h AS (SELECT doc_id, s, source, lang,
+         |    ${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("doc_id")))} AS hs
+         |  FROM d),
+         | b AS (SELECT doc_id, s, source, lang,
+         |    ((hs % 10000) + 10000) % 10000 AS bucket FROM h)
+         |SELECT doc_id, source, lang FROM b JOIN r USING (s)
+         |WHERE CAST(bucket AS DOUBLE) < keep_rate * 10000.0
+         |ORDER BY doc_id""".stripMargin,
+
     "d14_mixture" ->
       s"""WITH n AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
          | r AS (SELECT lang, least(1.0,

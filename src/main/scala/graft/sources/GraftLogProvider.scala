@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
@@ -292,7 +292,7 @@ private[sources] final class GraftLogScanBuilder(root: String, version: Long,
 private[sources] final class GraftLogScan(root: String, version: Long,
                                           required: StructType,
                                           pushed: Array[Filter])
-    extends V1Scan {
+    extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftLogScan root=$root version=$version " +
@@ -301,6 +301,33 @@ private[sources] final class GraftLogScan(root: String, version: Long,
       context: SQLContext): T =
     new GraftLogRelation(context, root, version, required, pushed)
       .asInstanceOf[T]
+
+  /** PLANNER-native statistics (Delta reports the same pair): exact
+    * live row count and on-disk bytes of the files the pushed filters
+    * could not exclude — so Catalyst's join planning sees the
+    * POST-PRUNE size of a graftlog relation and auto-broadcasts a
+    * filtered dimension under the ordinary threshold, no hint needed
+    * (the q85 hint remains the artifact-driven form for API reads).
+    * Spark's V1ScanWrapper does NOT forward this trait, so the values
+    * reach the planner through [[org.apache.spark.sql.graftx
+    * .V1ScanStatsJoinRule]], which unwraps the shim at each join.
+    * Resolved lazily ONCE per scan (the rule's batch runs to fixed
+    * point) from the manifest — metadata-sized IO, never a data scan.
+    */
+  private lazy val reported: Statistics = {
+    val m = TableLog.readManifest(root, version)
+    val sel = m.files.filter(f => pushed.forall(p => GraftLogScan.keeps(p, f)))
+    val rows = sel.map(_.liveRows).sum
+    val bytes = TableLog.dataBytes(root, sel)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def estimateStatistics(): Statistics = reported
 }
 
 private[sources] object GraftLogScan {

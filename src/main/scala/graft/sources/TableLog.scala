@@ -1122,8 +1122,21 @@ object TableLog {
     * convention — the clone's manifest points into the source table's
     * directory until a rewrite materializes local copies).
     */
-  private def resolvePath(root: String, p: String): String =
+  private[sources] def resolvePath(root: String, p: String): String =
     if (p.startsWith("/")) p else s"$root/$p"
+
+  /** On-disk bytes of `files` — driver-side stat calls bounded by the
+    * (already pruned) selection; the DSv2 statistics surface reads
+    * this. At 10^6-file scale the manifest should carry byte sizes
+    * alongside row counts (the Delta-log evolution, same contract);
+    * a missing file (vacuumed foreign reference) counts 0 here and
+    * fails loudly at scan time instead.
+    */
+  private[sources] def dataBytes(root: String, files: Seq[FileEntry]): Long =
+    files.map { f =>
+      val p = Paths.get(resolvePath(root, f.path))
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
 
   private[sources] def readFiles(spark: SparkSession, root: String,
                         schemaDdl: String, files: Seq[FileEntry]): DataFrame = {

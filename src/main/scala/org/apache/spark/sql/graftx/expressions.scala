@@ -1681,6 +1681,10 @@ object GraftExpressions {
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ PolygonGateBBoxRule
     }
+    if (!cs.experimental.extraOptimizations.contains(V1ScanStatsJoinRule)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ V1ScanStatsJoinRule
+    }
     val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

@@ -264,6 +264,48 @@ class GraftLogDsvSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 statistics: post-prune rows/bytes reach the planner, filtered dim auto-broadcasts") {
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val root = freshRoot("stats")
+    TableLog.commit(mkDf(0L until 800L), root, expr("k div 100"), 8, "overwrite")
+    // the scan reports exact rows + real on-disk bytes (post-prune);
+    // Spark's V1ScanWrapper hides the trait, so read them the way the
+    // join rule does — through the wrapper
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      df.queryExecution.optimizedPlan.collectLeaves().collectFirst {
+        case r: DataSourceV2ScanRelation =>
+          val s = r.scan.asInstanceOf[V1ScanWrapper]
+            .v1Scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+          (s.numRows().getAsLong, s.sizeInBytes().getAsLong)
+      }.get
+    val (fullRows, fullBytes) = scanStats(sqlRead(root))
+    assert(fullRows == 800L && fullBytes > 0L && fullBytes < (10L << 20),
+      s"$fullRows/$fullBytes")
+    // a pruning WHERE shrinks the REPORTED stats to the survivors
+    val pruned = sqlRead(root).filter(col("k") < 100L)
+    val (prRows, prBytes) = scanStats(pruned)
+    assert(prRows == 100L && prBytes < fullBytes, s"$prRows/$prBytes")
+    // the planner USES them: with a threshold only the pruned relation
+    // fits under, the join broadcasts WITHOUT any hint — the fact side
+    // (parquet, far above the threshold) cannot be the build side
+    val factPath = freshRoot("stats_fact")
+    mkDf(0L until 50000L).withColumn("k", pmod(col("k"), lit(800L)))
+      .write.mode("overwrite").parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    try {
+      val dim = pruned.select(col("k"), col("cents").as("dim_cents"))
+      val j = fact.join(dim, Seq("k")).groupBy().sum("cents")
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        j.queryExecution.executedPlan.toString.take(2000))
+      // and the values are right (stats change plans, never results)
+      assert(j.collect()(0).getLong(0) ==
+        (0L until 50000L).filter(_ % 800L < 100L).map(_ * 10 + 1).sum)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan-time pin: a commit between schema inference and table construction is invisible") {
     // the round-12 TOCTOU edge: inferSchema and getTable each resolved
     // the head independently, so a commit landing in between bound
