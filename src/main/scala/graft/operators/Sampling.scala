@@ -135,6 +135,47 @@ object Sampling {
       rateCol * lit(denom.toDouble))
   }
 
+  /** L124 — EPOCH-RECIPE upsampling (the "data recipe" materializer
+    * behind every LLM mixture table: give each source a token budget
+    * share, convert it to EPOCHS over that source — replicate whole
+    * copies, hash-sample the fractional remainder, cap at a maximum
+    * epoch count because repeating a tiny source 100× hurts more than
+    * its share is worth; the LLaMA/Gopher-style recipe column
+    * "epochs"). Budget = ONE corpus worth of units redistributed
+    * EQUALLY across strata, so small sources upsample and giant ones
+    * downsample — the redistribution is the point; epochs are kept in
+    * exact integer MICRO-epochs (e6 = min(maxEpochs6, B·10⁶ div
+    * (K·T_i))) so the whole recipe is BIGINT arithmetic any engine
+    * replays bit-for-bit. A doc materializes ⌊e6/10⁶⌋ full copies
+    * plus one more when its portable hash bucket clears e6 mod 10⁶ —
+    * deterministic fractional epochs, the d10/d14 filter. Output rows
+    * carry `copy` (0-based) and `epochs6`; a stratum with zero total
+    * units has no defined epoch count and contributes nothing.
+    * Shape: stratum-sized aggregates broadcast to a per-row explode —
+    * the only data-sized work is writing the copies you asked for.
+    */
+  def epochUpsample(df: DataFrame, idCol: String, stratumCol: String,
+                    unitCol: String, maxEpochs6: Long = 4000000L,
+                    denom: Int = 1000000): DataFrame = {
+    val st = coalesce(col(stratumCol).cast("string"), lit("?"))
+    val d = df.withColumn("__s", st)
+    val t = d.groupBy("__s").agg(
+      sum(coalesce(col(unitCol).cast("long"), lit(0L))).as("__tok"))
+    val tot = t.agg(sum("__tok").as("__B"), count(lit(1)).as("__K"))
+    val r = t.crossJoin(broadcast(tot))
+      .withColumn("__e6",
+        least(lit(maxEpochs6), expr("(__B * 1000000) div (__K * __tok)")))
+      .select("__s", "__e6")
+    d.join(broadcast(r), Seq("__s"))
+      .withColumn("__copy",
+        explode(sequence(lit(0L), expr("__e6 div 1000000"))))
+      .filter(col("__copy") < expr("__e6 div 1000000") ||
+        hashBucket(col(idCol), denom).cast("long") < expr("__e6 % 1000000"))
+      .withColumn("epochs6", col("__e6"))
+      .withColumn("copy", col("__copy"))
+      .drop("__s", "__e6", "__copy")
+  }
+
   /** L56 — per-group cap (the CCNet/Gopher per-domain cap): keep at
     * most `k` rows per group, chosen by PORTABLE hash order — a
     * deterministic uniform-without-replacement k-subset per group

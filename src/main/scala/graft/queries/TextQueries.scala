@@ -832,6 +832,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // L124/d42: EPOCH-RECIPE upsampling — the data-recipe
+    // materializer behind every LLM mixture table (LLaMA/Gopher-style
+    // "epochs" column): one corpus worth of units redistributed
+    // EQUALLY across sources converts to per-source epoch counts
+    // (whole copies replicated, fractional remainder hash-sampled,
+    // capped at 4 epochs), so small sources upsample and the giant
+    // one downsamples. Exact integer micro-epoch arithmetic + the
+    // portable hash filter make the MATERIALIZED corpus — row counts
+    // AND unit sums per source — replay bit-for-bit in the oracle; a
+    // wrong cap, a drifting fractional boundary, or a lost copy is a
+    // value diff.
+    "d42_epoch_recipe" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochUpsample(docs(s, dir), "doc_id", "source", "n_chars")
+        .groupBy(coalesce(col("source"), lit("?")).as("source"))
+        .agg(max("epochs6").as("epochs6"),
+          count(lit(1)).as("n_materialized"),
+          sum(coalesce(col("n_chars").cast("long"), lit(0L)))
+            .as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // L37: PER-GROUP heavy hitters — one frequent-items sketch per
     // language in a single keyed aggregation (mergeable O(maxMapSize)
     // state per group, map-side partials; the per-group analogue of
@@ -3287,6 +3309,32 @@ object TextQueries {
 
     // d14: the keep decision replayed exactly — same (w·targetN)/n
     // double arithmetic, same fmix64 bucket as t06/t08.
+    // d42: the whole recipe — equal-share budget, micro-epoch clamp,
+    // whole copies, hash-filtered fractional epoch — replayed in
+    // BIGINT arithmetic; per-source materialized counts and unit sums
+    // are exact.
+    "d42_epoch_recipe" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(source, '?') AS s,
+         |    CAST(coalesce(n_chars, 0) AS BIGINT) AS nc FROM documents),
+         | t AS (SELECT s, count(*) AS nd, sum(nc) AS tok FROM d GROUP BY s),
+         | g AS (SELECT sum(tok) AS b, count(*) AS kk FROM t),
+         | r AS (SELECT s, nd, tok,
+         |    least(4000000, (b * 1000000) // (kk * tok)) AS e6
+         |  FROM t, g WHERE tok > 0),
+         | h AS (SELECT d.s, d.doc_id, d.nc, r.e6, r.nd, r.tok,
+         |    ((${PortableHashSql.toSigned(PortableHashSql.fmix(PortableHashSql.toUnsigned("d.doc_id")))} % 1000000)
+         |      + 1000000) % 1000000 AS bk
+         |  FROM d JOIN r USING (s)),
+         | f AS (SELECT s, e6,
+         |    sum(CASE WHEN bk < e6 % 1000000 THEN 1 ELSE 0 END) AS part_n,
+         |    sum(CASE WHEN bk < e6 % 1000000 THEN nc ELSE 0 END) AS part_nc,
+         |    max(nd) AS nd, max(tok) AS tok
+         |  FROM h GROUP BY s, e6)
+         |SELECT s AS source, CAST(e6 AS BIGINT) AS epochs6,
+         |  CAST(nd * (e6 // 1000000) + part_n AS BIGINT) AS n_materialized,
+         |  CAST(tok * (e6 // 1000000) + part_nc AS BIGINT) AS sum_chars
+         |FROM f ORDER BY source""".stripMargin,
+
     // d41: the √n temperature rates replayed with IDENTICAL double
     // arithmetic — sqrt is correctly rounded, the normalizer sums in
     // the same sorted-stratum left-fold order (list_reduce over an
