@@ -1495,6 +1495,48 @@ object Relational {
         .orderBy("change_type")
     }),
 
+    // R93/q89: STRING bloom index — equality skipping on a
+    // high-cardinality TEXT key (the "find this URL / doc id in
+    // 100 TB" lookup): R86's truncated string zones separate RANGES,
+    // but a point probe on a key the layout scattered (here 'u'||k
+    // under a k-div layout — lexicographic order ≠ numeric order, so
+    // every file's string zone is wide) still reads every
+    // zone-overlapping file; commitIndexed(bloomStrCols=…) hashes
+    // each value through the portable rolling hash into the SAME
+    // 4-bit double-hashed bloom pipeline long columns use (one
+    // manifest format, one probe, no false negatives by
+    // construction). Certified: the unique max-key probe through the
+    // API AND the SQL surface both return the one true row
+    // (bloom+zone pruning can never lose it), and an in-zone miss
+    // returns structurally zero rows; file-prune counts live in
+    // TableLogSpec (binning-dependent). Scale: probe cost is a
+    // manifest pass + the (few) bloom-positive files.
+    "q89_string_bloom" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q89_strbloom")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .withColumn("sk", concat(lit("u"), col("k")))
+      TableLog.commitIndexed(o, root, expr("k div 500"), 16, "overwrite",
+        bloomStrCols = Seq("sk"))
+      val probe = "u" + o.agg(max("k")).collect()(0).getLong(0)
+      val hit = TableLog.readPointStr(s, root, "sk", probe)
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      // an in-zone miss ('u33a' sorts between real keys): zero rows
+      // through the pruned read, structurally
+      val nMiss = TableLog.readPointStr(s, root, "sk", "u33a").count()
+      val nSql = s.read.format("graftlog").option("path", root).load()
+        .filter(col("sk") === probe).count()
+      s.range(1).select(
+        lit(hit.getLong(0)).as("n_hit"),
+        lit(hit.getLong(1)).as("hit_cents"),
+        lit(nSql).as("n_sql"),
+        lit(nMiss).as("n_miss"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3136,6 +3178,19 @@ object Relational {
         |  CAST(sum(price) AS BIGINT)
         |FROM m WHERE r = 1
         |ORDER BY change_type""".stripMargin,
+
+    // q89: the unique max-key hit's row from raw orders, twice (API +
+    // SQL paths), and a structural zero for the in-zone miss.
+    "q89_string_bloom" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | mx AS (SELECT max(k) AS mk FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_hit,
+        |  CAST(sum(cents) AS BIGINT) AS hit_cents,
+        |  CAST(count(*) AS BIGINT) AS n_sql,
+        |  CAST(0 AS BIGINT) AS n_miss
+        |FROM o, mx WHERE o.k = mx.mk""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

@@ -380,14 +380,13 @@ private[sources] object GraftLogScan {
     * the probe's own prefix sorts above it; absent keeps).
     */
   def keeps(f: Filter, e: TableLog.FileEntry): Boolean = f match {
-    case EqualTo(c, v: String)            => TableLog.strZoneKeeps(e, c, v, v)
+    case EqualTo(c, v: String)            => strMayContain(e, c, v)
     case GreaterThan(c, v: String)        => strAbove(e, c, v, strict = true)
     case GreaterThanOrEqual(c, v: String) => strAbove(e, c, v, strict = false)
     case LessThan(c, v: String)           => strBelow(e, c, v, strict = true)
     case LessThanOrEqual(c, v: String)    => strBelow(e, c, v, strict = false)
     case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      vs.exists(v => TableLog.strZoneKeeps(e, c, v.asInstanceOf[String],
-        v.asInstanceOf[String]))
+      vs.exists(v => strMayContain(e, c, v.asInstanceOf[String]))
     case EqualTo(c, v)            => mayContain(e, c, asLong(v).get)
     case GreaterThan(c, v)        => e.zMax.get(c).exists(_ > asLong(v).get)
     case GreaterThanOrEqual(c, v) => e.zMax.get(c).exists(_ >= asLong(v).get)
@@ -423,6 +422,18 @@ private[sources] object GraftLogScan {
         if (strict) TableLog.cmpUtf8(zlo, v) < 0 else TableLog.cmpUtf8(zlo, v) <= 0
       case None => true // un-zoned string column: keep
     }
+
+  /** String equality probe: truncation-safe zone check plus the
+    * string bloom (rolling-hashed value) when one rides the manifest
+    * — [[TableLog.planFilesPointStr]]'s rule, shared.
+    */
+  private def strMayContain(e: TableLog.FileEntry, c: String, v: String): Boolean =
+    TableLog.strZoneKeeps(e, c, v, v) && (e.blooms.get(c) match {
+      case Some(bits) =>
+        TableLog.bloomPositions(TableLog.strBloomKey(v), bits.length * 64)
+          .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
+      case None => true
+    })
 
   private def mayContain(e: TableLog.FileEntry, c: String, v: Long): Boolean = {
     val zoneOk = (e.zMin.get(c), e.zMax.get(c)) match {

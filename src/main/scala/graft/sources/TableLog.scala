@@ -803,7 +803,8 @@ object TableLog {
   def commitIndexed(df: DataFrame, root: String, layout: Column,
                     numFiles: Int = 8, mode: String = "append",
                     bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
-                    checkpointInterval: Int = 1): Long = {
+                    checkpointInterval: Int = 1,
+                    bloomStrCols: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     require(bloomBits >= 64 && bloomBits % 64 == 0, s"bad bloomBits $bloomBits")
     val parent = currentVersion(root)
@@ -814,12 +815,22 @@ object TableLog {
     val added = writeDataFiles(df, root, v, layout, numFiles)
     val spark = df.sparkSession
     val enriched =
-      if (bloomCols.isEmpty || added.isEmpty) added
+      if ((bloomCols.isEmpty && bloomStrCols.isEmpty) || added.isEmpty) added
       else {
         val src = spark.read.parquet(added.map(f => s"$root/${f.path}"): _*)
         val mB = bloomBits
-        val perCol: Seq[(String, Map[String, Set[Int]])] = bloomCols.map { c =>
-          val cv = col(c).cast("long")
+        // STRING columns bloom through the portable rolling hash (the
+        // value's UTF-8 bytes → one long), then ride the SAME
+        // double-hashed position pipeline as long columns — so the
+        // manifest format, probe, and false-negative-free contract
+        // are shared; only the value→long step differs (q89's class:
+        // point lookups on high-cardinality text keys — URLs, doc
+        // ids — that zones can't separate).
+        val hashed: Seq[(String, Column)] =
+          bloomCols.map(c => c -> col(c).cast("long")) ++
+            bloomStrCols.map(c =>
+              c -> graft.functions.GraftFunctions.rolling_hash(col(c)))
+        val perCol: Seq[(String, Map[String, Set[Int]])] = hashed.map { case (c, cv) =>
           // mirror of bloomPositions: reduce h1/h2 BEFORE combining so
           // the position arithmetic never overflows under ANSI
           val h1 = pmod(graft.functions.GraftFunctions.fmix64(cv), lit(mB.toLong))
@@ -887,6 +898,45 @@ object TableLog {
   def readPoint(spark: SparkSession, root: String, colName: String,
                 value: Long, asOf: Option[Long] = None): DataFrame = {
     val (sel, _) = planFilesPoint(root, colName, value, asOf)
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    readFiles(spark, root, m.schemaDdl, sel)
+      .filter(col(colName) === lit(value))
+  }
+
+  /** The probe long a STRING bloom stores and checks: the portable
+    * rolling hash of the value's UTF-8 bytes — [[bloomPositions]]
+    * mixes it further, so the Column-side build (fmix64 ∘
+    * rolling_hash) and this probe agree bit-for-bit.
+    */
+  private[sources] def strBloomKey(value: String): Long =
+    org.apache.spark.sql.graftx.RollingHash.hash(
+      value.getBytes(StandardCharsets.UTF_8))
+
+  /** STRING point-probe file plan: truncation-safe zone check plus —
+    * when a string bloom rides the manifest — the 4-bit probe over
+    * the rolling-hashed value. Un-indexed files keep conservatively;
+    * no false negatives by construction (q89's class: "find this URL
+    * in 100 TB" without scanning a file per zone overlap).
+    */
+  def planFilesPointStr(root: String, colName: String, value: String,
+                        asOf: Option[Long] = None): (Seq[FileEntry], Int) = {
+    val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
+    val key = strBloomKey(value)
+    val sel = m.files.filter { f =>
+      strZoneKeeps(f, colName, value, value) && (f.blooms.get(colName) match {
+        case Some(bits) =>
+          bloomPositions(key, bits.length * 64)
+            .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
+        case None => true
+      })
+    }
+    (sel, m.files.size)
+  }
+
+  /** String-bloom-pruned equality read — the [[readPoint]] twin. */
+  def readPointStr(spark: SparkSession, root: String, colName: String,
+                   value: String, asOf: Option[Long] = None): DataFrame = {
+    val (sel, _) = planFilesPointStr(root, colName, value, asOf)
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
     readFiles(spark, root, m.schemaDdl, sel)
       .filter(col(colName) === lit(value))

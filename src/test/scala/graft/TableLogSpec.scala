@@ -1015,6 +1015,45 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, froot).agg(sum("v")).collect()(0).getDouble(0) == 4.0)
   }
 
+  test("string bloom index: point probes prune scattered text keys, never false-negative") {
+    val root = freshRoot("strbloom")
+    // keys 'u0'..'u799' under a k-div layout: lexicographic ≠ numeric
+    // order, so every file's STRING zone is wide — zones alone barely
+    // prune a point probe; the bloom must
+    val docs = (0L until 800L).map(k => (k, s"u$k", k * 10 + 1))
+      .toDF("k", "sk", "cents")
+    TableLog.commitIndexed(docs, root, expr("k div 100"), 8, "overwrite",
+      bloomStrCols = Seq("sk"))
+    val m = TableLog.readManifest(root, 0L)
+    assert(m.files.forall(_.blooms.contains("sk")))
+    // NEVER false-negative: every real key's plan keeps its file and
+    // the pruned read returns exactly its row
+    (0L until 800L by 97L).foreach { k =>
+      val got = TableLog.readPointStr(spark, root, "sk", s"u$k")
+        .select("k", "cents").collect()
+      assert(got.toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((k, k * 10 + 1)), s"lost key u$k")
+    }
+    // an in-zone miss prunes STRICTLY below the zone-only plan (the
+    // bloom's contribution) and reads nothing
+    val (zoneOnly, total) = TableLog.planFilesStr(root,
+      Seq(("sk", "u33a", "u33a")))
+    val (bloomed, _) = TableLog.planFilesPointStr(root, "sk", "u33a")
+    assert(total == 8 && bloomed.size < zoneOnly.size,
+      s"bloom must out-prune zones: ${bloomed.size} !< ${zoneOnly.size}")
+    assert(TableLog.readPointStr(spark, root, "sk", "u33a").count() == 0L)
+    // the SQL surface probes the same bloom: plan-level file counts
+    spark.read.format("graftlog").option("path", root).load()
+      .filter(col("sk") === "u33a").count()
+    val (selSql, totSql) = graft.sources.GraftLogProvider.lastScanPlan
+    assert(totSql == 8 && selSql == bloomed.size,
+      s"SQL probe must match the API plan: $selSql vs ${bloomed.size}")
+    // bitsets survive the manifest text format byte-exactly
+    val reread = TableLog.readManifest(root, 0L)
+    assert(reread.files.map(f => f.blooms("sk").toSeq) ==
+      m.files.map(f => f.blooms("sk").toSeq))
+  }
+
   test("string zones: range/equality pruning, truncation-safe boundaries, scan-level evidence") {
     import graft.sources.TableLog.{cmpUtf8, strZoneKeeps, utf8Prefix}
     val root = freshRoot("strz")
