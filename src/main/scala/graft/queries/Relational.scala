@@ -1061,7 +1061,10 @@ object Relational {
       TableLog.commit(o.filter(even), root, layout, 8, "overwrite")
       TableLog.commit(o.filter(!even), root, layout, 8, "append")
       TableLog.analyze(s, root, Seq("k", "cust", "cents"), lgK = 16)
-      TableLog.tableStats(s, root).orderBy("col_name")
+      // numeric surface only — the string lanes are q90's query
+      TableLog.tableStats(s, root)
+        .select("col_name", "n_rows", "n_nulls", "zmin", "zmax", "ndv")
+        .orderBy("col_name")
     }),
 
     // R82/q79: the change feed through the SQL surface — Delta's
@@ -1535,6 +1538,35 @@ object Relational {
         lit(hit.getLong(1)).as("hit_cents"),
         lit(nSql).as("n_sql"),
         lit(nMiss).as("n_miss"))
+    }),
+
+    // R94/q90: ANALYZE over STRING columns (ANALYZE previously
+    // assumed long-castable columns — `analyze(…, "source")` silently
+    // produced all-NULL stats for exactly the text columns a corpus
+    // profiles by; the type-dispatched lanes fix that): string
+    // columns take bytewise min/max in zmin_str/zmax_str and sketch
+    // NDV over the portable rolling hash (exact below capacity —
+    // distinct strings hash to distinct longs modulo a negligible
+    // 2⁻⁶⁴-scale collision, so count(DISTINCT) is still the oracle),
+    // numeric columns keep the long lanes, each NULLing the other
+    // kind's. One column-pruned pass; tableStats merges the string
+    // lanes bytewise. Certified over orders' (k BIGINT, prio STRING):
+    // every lane against exact raw recomputation — a lane mix-up, a
+    // hash-NDV drift, or a collation-dependent min/max is a value
+    // diff.
+    "q90_analyze_strings" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q90_strstats")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderpriority").cast("string").as("prio"))
+        .filter(col("k").isNotNull)
+      TableLog.commit(o, root, expr("k div 500"), 8, "overwrite")
+      TableLog.analyze(s, root, Seq("k", "prio"))
+      TableLog.tableStats(s, root)
+        .select("col_name", "n_rows", "n_nulls", "zmin", "zmax",
+          "zmin_str", "zmax_str", "ndv")
+        .orderBy("col_name")
     }),
 
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
@@ -3191,6 +3223,29 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_sql,
         |  CAST(0 AS BIGINT) AS n_miss
         |FROM o, mx WHERE o.k = mx.mk""".stripMargin,
+
+    // q90: both columns' stat lanes recomputed exactly from raw
+    // orders — string min/max under collation-free VARCHAR order,
+    // NDVs via count(DISTINCT) (sketches in exact mode).
+    "q90_analyze_strings" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderpriority AS prio
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT 'k' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(min(k) AS BIGINT) AS zmin, CAST(max(k) AS BIGINT) AS zmax,
+        |  CAST(NULL AS VARCHAR) AS zmin_str, CAST(NULL AS VARCHAR) AS zmax_str,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS ndv
+        |FROM o
+        |UNION ALL
+        |SELECT 'prio', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(prio), max(prio),
+        |  CAST(count(DISTINCT prio) AS BIGINT)
+        |FROM o
+        |ORDER BY col_name""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

@@ -1880,10 +1880,35 @@ object TableLog {
     // stats row (round-12 advice).
     val df = readFiles(spark, root, m.schemaDdl, m.files)
       .withColumn("__f", input_file_name())
+    // type-dispatched lanes (round-13: ANALYZE previously assumed
+    // long-castable columns, so `analyze(…, "source")` silently
+    // produced all-NULL stats for the text columns a corpus actually
+    // profiles by): STRING columns take bytewise min/max in the
+    // zmin_str/zmax_str lanes and sketch NDV over the portable
+    // rolling hash; everything else keeps the long lanes. Each
+    // column fills its own lanes and NULLs the other kind's.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    def isStr(c: String) = schema.fields
+      .exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+    val nullLong = lit(null).cast("long")
+    val nullStr = lit(null).cast("string")
     val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+      if (isStr(c)) base ++ Seq(
+        min(nullLong).as(s"${c}__min"),
+        max(nullLong).as(s"${c}__max"),
+        min(col(c)).as(s"${c}__smin"),
+        max(col(c)).as(s"${c}__smax"),
+        graft.functions.GraftFunctions.theta_sketch(
+          graft.functions.GraftFunctions.rolling_hash(col(c)), lgK)
+          .as(s"${c}__sk"))
+      else base ++ Seq(
         min(col(c).cast("long")).as(s"${c}__min"),
         max(col(c).cast("long")).as(s"${c}__max"),
+        min(nullStr).as(s"${c}__smin"),
+        max(nullStr).as(s"${c}__smax"),
         graft.functions.GraftFunctions
           .theta_sketch(col(c).cast("long"), lgK).as(s"${c}__sk"))
     }
@@ -1896,10 +1921,14 @@ object TableLog {
         col(s"${c}__nulls").as("n_nulls"),
         col(s"${c}__min").as("zmin"),
         col(s"${c}__max").as("zmax"),
+        col(s"${c}__smin").as("zmin_str"),
+        col(s"${c}__smax").as("zmax_str"),
         col(s"${c}__sk").as("ndv_sketch"))): _*)).as("s"))
       .select(col("file"), col("n_rows"), col("s.col_name").as("col_name"),
         col("s.n_nulls").as("n_nulls"), col("s.zmin").as("zmin"),
-        col("s.zmax").as("zmax"), col("s.ndv_sketch").as("ndv_sketch"))
+        col("s.zmax").as("zmax"), col("s.zmin_str").as("zmin_str"),
+        col("s.zmax_str").as("zmax_str"),
+        col("s.ndv_sketch").as("ndv_sketch"))
     val out = f"$root/_stats/v$v%08d"
     // the artifact records the lgK it was built with: a consumer that
     // re-accepted lgK as a parameter could silently degrade the union
@@ -1933,11 +1962,19 @@ object TableLog {
             s"${r.getInt(0)}/${r.getInt(1)}")
         r.getInt(0)
       }
+    // string lanes merge bytewise (the zone order); pre-round-13
+    // artifacts lack them and read back NULL
+    val (smin, smax) =
+      if (art.columns.contains("zmin_str"))
+        (min("zmin_str"), max("zmax_str"))
+      else (min(lit(null).cast("string")), max(lit(null).cast("string")))
     art.groupBy("col_name")
       .agg(sum("n_rows").as("n_rows"),
         sum("n_nulls").as("n_nulls"),
         min("zmin").as("zmin"),
         max("zmax").as("zmax"),
+        smin.as("zmin_str"),
+        smax.as("zmax_str"),
         graft.functions.GraftFunctions
           .theta_estimate(graft.functions.GraftFunctions
             .theta_union_agg(col("ndv_sketch"), k)).cast("long").as("ndv"))
@@ -1991,9 +2028,36 @@ object TableLog {
     * Returns the deleted data-file paths. AS-OF reads below
     * `keepFrom` fail loudly afterwards — the retention contract.
     */
-  def vacuum(root: String, keepFrom: Long): Seq[String] = {
+  /** The retention decision, shared by [[vacuum]] and its dry run:
+    * (dead versions, live versions, live file paths, deletable data
+    * files). Enumerates by manifest OR checkpoint (the round-11
+    * stale-checkpoint lesson); files shared with survivors and
+    * FOREIGN (absolute, clone-referenced) files are never deletable.
+    */
+  private def retentionPlan(root: String, keepFrom: Long)
+      : (Seq[Long], Seq[Long], Set[String], Seq[String]) = {
     val head = currentVersion(root)
     require(keepFrom <= head, s"keepFrom $keepFrom beyond head $head")
+    val versions = (0L to head).filter(v =>
+      Files.exists(manifestPath(root, v)) || Files.exists(checkpointPath(root, v)))
+    val (dead, live) = versions.partition(_ < keepFrom)
+    val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
+    val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
+      .distinct.filterNot(p => liveFiles(p) || p.startsWith("/"))
+    (dead, live, liveFiles, deadFiles)
+  }
+
+  /** DRY-RUN retention (Delta's `VACUUM … DRY RUN`): exactly the data
+    * files [[vacuum]](keepFrom) would delete — same enumeration and
+    * shared-file/foreign-file exclusions — with ZERO mutation: no
+    * checkpoint materialization, no manifest or stats retirement, no
+    * orphan sweep. The operational pre-check before an irreversible
+    * retention drop.
+    */
+  def vacuumDryRun(root: String, keepFrom: Long): Seq[String] =
+    retentionPlan(root, keepFrom)._4
+
+  def vacuum(root: String, keepFrom: Long): Seq[String] = {
     // Enumerate by manifest OR checkpoint: a version may be
     // checkpoint-only (materialized by an earlier vacuum) and must
     // still be accounted — both for its shared-file references and so
@@ -2001,9 +2065,7 @@ object TableLog {
     // stale-checkpoint leak: dropping only manifests left a dead
     // version 'readable' through its orphaned checkpoint, pointing at
     // deleted data files).
-    val versions = (0L to head).filter(v =>
-      Files.exists(manifestPath(root, v)) || Files.exists(checkpointPath(root, v)))
-    val (dead, live) = versions.partition(_ < keepFrom)
+    val (dead, live, liveFiles, deadFiles) = retentionPlan(root, keepFrom)
     // A surviving DELTA manifest replays through its parent chain,
     // which may dip below the retention line — materialize the
     // LOWEST surviving version as a checkpoint FIRST (its resolved
@@ -2027,13 +2089,10 @@ object TableLog {
         finally Files.deleteIfExists(tmp)
       }
     }
-    val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
     // FOREIGN (absolute-path) entries written by cloneShallow are
-    // never deleted here: this table does not own the source table's
-    // bytes — vacuuming a clone drops its local history only (the
-    // Delta shallow-clone contract).
-    val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
-      .distinct.filterNot(p => liveFiles(p) || p.startsWith("/"))
+    // never deleted (excluded by the plan): this table does not own
+    // the source table's bytes — vacuuming a clone drops its local
+    // history only (the Delta shallow-clone contract).
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     // Retire BOTH log artifacts of a dead version: its manifest and
     // any checkpoint side-file a previous vacuum materialized for it

@@ -727,8 +727,9 @@ class TableLogSpec extends AnyFunSuite {
     }.flatten
     assert(inputs.nonEmpty && inputs.forall(_.contains("/_stats/")),
       s"stats read must be artifact-only, got: ${inputs.take(3).mkString(",")}")
-    val rows = st.collect().map(r => (r.getString(0), r.getLong(1),
-      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val rows = st.select("col_name", "n_rows", "n_nulls", "zmin", "zmax", "ndv")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
     // exact: 500 unique keys, cents = k*10+1 (unique), zero nulls
     assert(rows.map(_._1).toSeq == Seq("cents", "k"))
     assert(rows.forall(r => r._2 == 500L && r._3 == 0L && r._6 == 500L))
@@ -744,17 +745,17 @@ class TableLogSpec extends AnyFunSuite {
     assert(art.select("file").collect().forall(_.getString(0).contains("/")),
       "stats must key by the full file path, not the basename")
     val mismatched = TableLog.tableStats(spark, root, lgK = 4)
-      .filter(col("col_name") === "k").collect()(0).getLong(5)
+      .filter(col("col_name") === "k").select("ndv").collect()(0).getLong(0)
     assert(mismatched == 500L,
       s"stored lg_k must win over a mismatched parameter, got $mismatched")
     // versioned: a new commit + analyze lands a NEW artifact; the old
     // version's stats stay readable AS OF
     TableLog.commit(mkDf(500L until 600L), root, expr("k div 100"), 1, "append")
     TableLog.analyze(spark, root, Seq("k"))
-    assert(TableLog.tableStats(spark, root)
-      .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
-    assert(TableLog.tableStats(spark, root, asOf = Some(0L))
-      .filter(col("col_name") === "k").collect()(0).getLong(5) == 500L)
+    def ndvOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("col_name") === "k").select("ndv").collect()(0).getLong(0)
+    assert(ndvOf(TableLog.tableStats(spark, root)) == 600L)
+    assert(ndvOf(TableLog.tableStats(spark, root, asOf = Some(0L))) == 500L)
     // vacuum retires dead versions' stats artifacts with them — a
     // leftover would let stats reads "succeed" below the retention
     // line (the round-11 stale-checkpoint class)
@@ -764,8 +765,7 @@ class TableLogSpec extends AnyFunSuite {
       "vacuum must retire the dead version's stats artifact")
     intercept[Exception] { TableLog.tableStats(spark, root, asOf = Some(0L)).collect() }
     // the live version's artifact survives
-    assert(TableLog.tableStats(spark, root)
-      .filter(col("col_name") === "k").collect()(0).getLong(5) == 600L)
+    assert(ndvOf(TableLog.tableStats(spark, root)) == 600L)
   }
 
   test("stats-driven join hint: ANALYZE flips SMJ to broadcast, values invariant, advisory-only") {
@@ -1013,6 +1013,25 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, froot).schema("v").dataType ==
       org.apache.spark.sql.types.DoubleType)
     assert(TableLog.read(spark, froot).agg(sum("v")).collect()(0).getDouble(0) == 4.0)
+  }
+
+  test("vacuum dry run: exact deletable list, zero mutation") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("dryrun")
+    TableLog.commit(mkDf(0L until 100L), root, expr("k div 25"), 4, "overwrite")
+    TableLog.commit(mkDf(100L until 150L), root, expr("k div 25"), 2,
+      "overwrite") // v1: v0's files become dead-only
+    val before = Files.walk(Paths.get(root)).count()
+    val dry = TableLog.vacuumDryRun(root, 1L)
+    assert(dry.nonEmpty, "v0's exclusive files must be reported deletable")
+    // ZERO mutation: nothing on disk moved, v0 still readable
+    assert(Files.walk(Paths.get(root)).count() == before)
+    assert(rows(TableLog.read(spark, root, Some(0L))) == rows(mkDf(0L until 100L)))
+    // the real vacuum deletes EXACTLY the dry list
+    val real = TableLog.vacuum(root, 1L)
+    assert(real.sorted == dry.sorted,
+      s"dry run must predict the real deletion: $dry vs $real")
+    intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(0L)) }
   }
 
   test("string bloom index: point probes prune scattered text keys, never false-negative") {
