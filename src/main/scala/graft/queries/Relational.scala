@@ -1522,10 +1522,14 @@ object Relational {
           expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
             .as("cents"))
         .filter(col("k").isNotNull)
-        .withColumn("sk", concat(lit("u"), col("k")))
+        // 50k-distinct key space: every file's bitset stays well
+        // under saturation at ANY SF — the ~7·distinct-per-file
+        // sizing rule the bloom docs prescribe, honored by the
+        // query's own instance
+        .withColumn("sk", concat(lit("u"), pmod(col("k"), lit(50000L))))
       TableLog.commitIndexed(o, root, expr("k div 500"), 16, "overwrite",
         bloomStrCols = Seq("sk"))
-      val probe = "u" + o.agg(max("k")).collect()(0).getLong(0)
+      val probe = "u" + (o.agg(max("k")).collect()(0).getLong(0) % 50000L)
       val hit = TableLog.readPointStr(s, root, "sk", probe)
         .agg(count(lit(1)), sum("cents")).collect()(0)
       // an in-zone miss ('u33a' sorts between real keys): zero rows
@@ -3211,18 +3215,18 @@ object Relational {
         |FROM m WHERE r = 1
         |ORDER BY change_type""".stripMargin,
 
-    // q89: the unique max-key hit's row from raw orders, twice (API +
+    // q89: the probed key-class rows from raw orders, twice (API +
     // SQL paths), and a structural zero for the in-zone miss.
     "q89_string_bloom" ->
       """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
         |  FROM orders WHERE o_orderkey IS NOT NULL),
-        | mx AS (SELECT max(k) AS mk FROM o)
+        | mx AS (SELECT max(k) % 50000 AS mk FROM o)
         |SELECT CAST(count(*) AS BIGINT) AS n_hit,
         |  CAST(sum(cents) AS BIGINT) AS hit_cents,
         |  CAST(count(*) AS BIGINT) AS n_sql,
         |  CAST(0 AS BIGINT) AS n_miss
-        |FROM o, mx WHERE o.k = mx.mk""".stripMargin,
+        |FROM o, mx WHERE (o.k % 50000 + 50000) % 50000 = mx.mk""".stripMargin,
 
     // q90: both columns' stat lanes recomputed exactly from raw
     // orders — string min/max under collation-free VARCHAR order,
