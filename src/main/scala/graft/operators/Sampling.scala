@@ -161,10 +161,15 @@ object Sampling {
     val d = df.withColumn("__s", st)
     val t = d.groupBy("__s").agg(
       sum(coalesce(col(unitCol).cast("long"), lit(0L))).as("__tok"))
-    val tot = t.agg(sum("__tok").as("__B"), count(lit(1)).as("__K"))
-    val r = t.crossJoin(broadcast(tot))
+    // budget and stratum count are ONE row — collect them (bounded by
+    // construction) rather than cross-joining a 1-row frame into the
+    // plan (a BroadcastNestedLoopJoin the plan audit rightly flags)
+    val totRow = t.agg(sum("__tok"), count(lit(1))).collect()(0)
+    val num = totRow.getLong(0) * 1000000L
+    val kk = totRow.getLong(1)
+    val r = t
       .withColumn("__e6",
-        least(lit(maxEpochs6), expr("(__B * 1000000) div (__K * __tok)")))
+        least(lit(maxEpochs6), expr(s"${num}L div (${kk}L * __tok)")))
       .select("__s", "__e6")
     d.join(broadcast(r), Seq("__s"))
       .withColumn("__copy",
