@@ -1573,6 +1573,66 @@ object Relational {
         .orderBy("col_name")
     }),
 
+    // R95/q91: INCREMENTAL SHALLOW SYNC — the replication/DR
+    // primitive (Delta's incremental clone sync): a replica table
+    // follows an upstream one for O(manifest) per commit, zero bytes
+    // moved, by replaying each unseen upstream version as one
+    // foreign-referencing replica commit — so the replica mirrors the
+    // upstream's whole HISTORY (time travel, CDF, zones/blooms work
+    // immediately) and each replica commit PRESERVES the upstream
+    // commit's timestamp, keeping TIMESTAMP-AS-OF answers aligned
+    // across the pair. Exactly-once via the txn high-water map (the
+    // upstream version number IS the txn), so re-sync is a no-op and
+    // an upstream that advanced syncs exactly the delta. Certified in
+    // one row: the replica head equals the upstream's post-reset
+    // state, as-of v1 equals the pre-reset prefix, re-sync is a
+    // version-count no-op, the second sync adds EXACTLY the one new
+    // upstream version, the replica resolves the upstream's
+    // mid-history instant to the same version, and every synced entry
+    // is foreign (the zero-copy claim read from the manifest).
+    "q91_shallow_sync" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val src = TidyIO.scratchDir("q91_src")
+      val dst = TidyIO.scratchDir("q91_dst")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val m = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(m === 0L), src, layout, 8, "overwrite",
+        commitTs = Some(1000L))
+      TableLog.commit(o.filter(m === 1L), src, layout, 4, "append",
+        commitTs = Some(2000L))
+      TableLog.commit(o.filter(m === 2L), src, layout, 4, "append",
+        commitTs = Some(3000L))
+      TableLog.syncShallow(src, dst)
+      val nAfterFirst = TableLog.currentVersion(dst) + 1
+      val headBefore = TableLog.currentVersion(dst)
+      TableLog.syncShallow(src, dst) // fully synced: must be a no-op
+      val noop = if (TableLog.currentVersion(dst) == headBefore) 1L else 0L
+      val nV1 = TableLog.read(s, dst, Some(1L)).count()
+      TableLog.commit(o.filter(m === 0L), src, layout, 8, "overwrite",
+        commitTs = Some(4000L)) // upstream reset
+      TableLog.syncShallow(src, dst) // syncs exactly the delta
+      val nAfterSecond = TableLog.currentVersion(dst) + 1
+      val vAt = TableLog.versionAtTimestamp(dst, 2500L)
+      val allForeign = if (TableLog.readManifest(dst,
+          TableLog.currentVersion(dst)).files.forall(_.path.startsWith("/")))
+        1L else 0L
+      TableLog.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+        .select(col("n_rows"), col("n_keys"), col("sum_cents"),
+          lit(nV1).as("n_v1"), lit(noop).as("resync_noop"),
+          lit(nAfterFirst).as("n_after_first"),
+          lit(nAfterSecond).as("n_after_second"),
+          lit(vAt).as("v_at_2500"),
+          lit(allForeign).as("all_foreign"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3250,6 +3310,29 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q91: the replica's post-reset head and pre-reset prefix
+    // replayed from raw orders; the structural constants are the
+    // replication contracts (a double-applied version flips the
+    // no-op or a count, a timestamp drift flips v_at_2500, a copying
+    // sync flips all_foreign).
+    "q91_shallow_sync" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, cents, (k % 3 + 3) % 3 AS m FROM o)
+        |SELECT
+        |  CAST((SELECT count(*) FROM seg WHERE m = 0) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM seg WHERE m = 0) AS BIGINT)
+        |    AS n_keys,
+        |  CAST((SELECT sum(cents) FROM seg WHERE m = 0) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST((SELECT count(*) FROM seg WHERE m IN (0, 1)) AS BIGINT) AS n_v1,
+        |  CAST(1 AS BIGINT) AS resync_noop,
+        |  CAST(3 AS BIGINT) AS n_after_first,
+        |  CAST(4 AS BIGINT) AS n_after_second,
+        |  CAST(1 AS BIGINT) AS v_at_2500,
+        |  CAST(1 AS BIGINT) AS all_foreign""".stripMargin,
 
     // q78: the diverged clone and source replayed from raw orders —
     // clone head = everything ∪ its shifted append, source gains its

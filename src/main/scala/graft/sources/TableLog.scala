@@ -1849,6 +1849,56 @@ object TableLog {
       m.schemaDdl, files))
   }
 
+  /** INCREMENTAL SHALLOW SYNC (Delta's incremental CLONE sync — the
+    * replication/DR primitive: keep a replica table following an
+    * upstream one for O(manifest) cost per commit, zero bytes moved):
+    * replay every upstream version the replica has not seen as ONE
+    * replica commit whose manifest references the upstream version's
+    * live files by ABSOLUTE path (the [[cloneShallow]] convention,
+    * applied version-by-version instead of once) — so the replica
+    * mirrors the upstream's whole HISTORY, not just its head:
+    * time-travel, CDF windows, zones/blooms/DVs all work on the
+    * replica immediately, and each replica commit preserves the
+    * upstream commit's TIMESTAMP (modulo the monotone clamp), keeping
+    * TIMESTAMP-AS-OF answers aligned across the pair. Idempotent and
+    * exactly-once: the upstream version number rides the replica's
+    * txn high-water map under `appId`, so a re-run syncs only what is
+    * new and a fully-synced call is a no-op. Same shared-file caveat
+    * as clone: vacuuming the UPSTREAM can strand the replica (loud at
+    * scan time); vacuuming the replica never touches foreign bytes.
+    * A replica is a READ follower by contract — local commits would
+    * interleave with sync commits and is the caller's responsibility
+    * to avoid (Delta documents the same for cloned replicas).
+    */
+  def syncShallow(srcRoot: String, dstRoot: String,
+                  appId: String = "graft-sync"): Long = {
+    require(appId.nonEmpty &&
+        !appId.exists(c => c == '\t' || c == '\n' || c == ':' || c == ','),
+      s"appId must be non-empty and ':'/','/tab/newline-free: $appId")
+    val srcHead = currentVersion(srcRoot)
+    require(srcHead >= 0, s"no committed table to sync from at $srcRoot")
+    val absSrc = Paths.get(srcRoot).toAbsolutePath.normalize.toString
+    val last = lastTxn(dstRoot, appId)
+    var out = currentVersion(dstRoot)
+    (math.max(last + 1, 0L) to srcHead).foreach { v =>
+      // a vacuumed upstream prefix simply starts the replica at the
+      // first version still within upstream retention
+      if (Files.exists(manifestPath(srcRoot, v)) ||
+          Files.exists(checkpointPath(srcRoot, v))) {
+        val m = readManifest(srcRoot, v)
+        val files = m.files.map(f =>
+          if (f.path.startsWith("/")) f else f.copy(path = s"$absSrc/${f.path}"))
+        val parent = currentVersion(dstRoot)
+        val carried = carriedTxns(dstRoot, parent)
+        out = writeManifest(dstRoot, Manifest(parent + 1, parent,
+          s"sync=$absSrc@$v+txn=$appId:$v", m.schemaDdl, files,
+          txns = carried + (appId -> math.max(v, carried.getOrElse(appId, -1L))),
+          ts = m.ts))
+      }
+    }
+    out
+  }
+
   /** R83 — ANALYZE: per-file COLUMN STATISTICS as a versioned store
     * artifact (Iceberg's puffin stats files / Delta's ANALYZE →
     * extended stats: the thing a cost-based planner and a "how many

@@ -1015,6 +1015,46 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, froot).agg(sum("v")).collect()(0).getDouble(0) == 4.0)
   }
 
+  test("shallow sync: replica mirrors history exactly-once, vacuum-safe, vacuumed-prefix start") {
+    val src = freshRoot("sync_src")
+    val dst = freshRoot("sync_dst")
+    TableLog.commit(mkDf(0L until 50L), src, expr("k div 25"), 2, "overwrite",
+      commitTs = Some(1000L))
+    TableLog.commit(mkDf(50L until 80L), src, expr("k div 25"), 1, "append",
+      commitTs = Some(2000L))
+    TableLog.syncShallow(src, dst)
+    // version-for-version content equality, all entries foreign
+    assert(TableLog.currentVersion(dst) == 1L)
+    (0L to 1L).foreach { v =>
+      assert(rows(TableLog.read(spark, dst, Some(v))) ==
+        rows(TableLog.read(spark, src, Some(v))), s"replica v$v drifted")
+      assert(TableLog.readManifest(dst, v).files.forall(_.path.startsWith("/")))
+    }
+    // upstream timestamps carry over (TIMESTAMP AS OF aligns)
+    assert(TableLog.headerTsOf(dst, 0L) == 1000L &&
+      TableLog.headerTsOf(dst, 1L) == 2000L)
+    // replica vacuum never touches upstream bytes
+    assert(TableLog.vacuum(dst, 1L).isEmpty)
+    assert(rows(TableLog.read(spark, src, Some(0L))) == rows(mkDf(0L until 50L)))
+    // exactly-once: a fully-synced re-run is a no-op; an advanced
+    // upstream syncs exactly the delta
+    assert(TableLog.syncShallow(src, dst) == 1L)
+    TableLog.commit(mkDf(80L until 90L), src, expr("k div 25"), 1, "append")
+    assert(TableLog.syncShallow(src, dst) == 2L)
+    assert(rows(TableLog.read(spark, dst)) == rows(mkDf(0L until 90L)))
+    // a replica started AFTER upstream retention dropped the prefix
+    // begins at the first still-live upstream version
+    val src2 = freshRoot("sync_src2")
+    val dst2 = freshRoot("sync_dst2")
+    TableLog.commit(mkDf(0L until 20L), src2, expr("k div 25"), 1, "overwrite")
+    TableLog.commit(mkDf(100L until 120L), src2, expr("k div 25"), 1,
+      "overwrite") // v1: v0's files now dead-only
+    TableLog.vacuum(src2, 1L)
+    TableLog.syncShallow(src2, dst2)
+    assert(TableLog.currentVersion(dst2) == 0L)
+    assert(rows(TableLog.read(spark, dst2)) == rows(mkDf(100L until 120L)))
+  }
+
   test("vacuum dry run: exact deletable list, zero mutation") {
     import java.nio.file.{Files, Paths}
     val root = freshRoot("dryrun")
