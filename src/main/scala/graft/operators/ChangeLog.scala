@@ -87,16 +87,22 @@ object ChangeLog {
     * that arises only from caller-side key reuse.
     */
   def updateImages(feed: DataFrame, keyCol: String): DataFrame = {
-    val sides = feed.groupBy(col("_commit_version"), col(keyCol))
+    val sides = feed.groupBy(col("_commit_version").as("__v"),
+        col(keyCol).as("__k"))
       .agg(
         max(when(col("_change_type") === "insert", 1).otherwise(0)).as("__hi"),
         max(when(col("_change_type") === "delete", 1).otherwise(0)).as("__hd"))
-    feed.join(sides, Seq("_commit_version", keyCol))
+    // null-SAFE join: groupBy keeps a null key as its own group, but
+    // an equality join would drop every null-key feed row on the
+    // floor — they must pass through (classified by their own group's
+    // sides like any other key), never vanish from the feed
+    feed.join(sides, col("_commit_version") <=> col("__v") &&
+        col(keyCol) <=> col("__k"))
       .withColumn("_change_type",
         when(col("__hi") === 1 && col("__hd") === 1,
           when(col("_change_type") === "insert", "update_postimage")
             .otherwise("update_preimage"))
           .otherwise(col("_change_type")))
-      .drop("__hi", "__hd")
+      .drop("__v", "__k", "__hi", "__hd")
   }
 }

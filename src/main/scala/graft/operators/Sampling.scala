@@ -165,9 +165,18 @@ object Sampling {
     // construction) rather than cross-joining a 1-row frame into the
     // plan (a BroadcastNestedLoopJoin the plan audit rightly flags)
     val totRow = t.agg(sum("__tok"), count(lit(1))).collect()(0)
+    // empty input: sum(...) is NULL and there is no recipe — return
+    // the (empty) shape rather than NPE on getLong
+    if (totRow.isNullAt(0) || totRow.getLong(1) == 0L)
+      return d.drop("__s").withColumn("epochs6", lit(0L))
+        .withColumn("copy", lit(0L)).limit(0)
     val num = totRow.getLong(0) * 1000000L
     val kk = totRow.getLong(1)
-    val r = t
+    // a stratum with zero total units has no defined epoch count and
+    // contributes nothing (the oracle's WHERE tok > 0) — and under
+    // ANSI mode an unguarded `div 0` would abort the whole query; kk
+    // still counts EVERY stratum (the budget is split across all)
+    val r = t.filter(col("__tok") > 0L)
       .withColumn("__e6",
         least(lit(maxEpochs6), expr(s"${num}L div (${kk}L * __tok)")))
       .select("__s", "__e6")

@@ -43,11 +43,30 @@ class GraftLogCdfProvider extends StreamSourceProvider {
   private def norm(params: Map[String, String]): Map[String, String] =
     params.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 
+  /** Head DDL resolved ONCE per (provider, path) — `sourceSchema` and
+    * `createSource` are two engine calls on the same provider
+    * instance, and resolving the head in each is a TOCTOU: an
+    * `evolve=true` commit landing between them leaves the ANALYZED
+    * schema and the source's runtime schema diverged (the drift guard
+    * protects batches vs the source's DDL, not vs the schema the
+    * query was analyzed under). Same class as the DSv2 single-
+    * resolution rule in [[GraftLogProvider]].
+    */
+  private val resolvedDdl =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ddlFor(root: String): String =
+    resolvedDdl.computeIfAbsent(root, r => {
+      val head = TableLog.currentVersion(r)
+      require(head >= 0L, s"graftlog-cdf source needs a committed table at $r")
+      TableLog.schemaDdlOf(r, head)
+    })
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val p = norm(parameters)
-    ("graftlog-cdf", GraftLogCdfSource.cdfSchema(p("path")))
+    ("graftlog-cdf", GraftLogCdfSource.cdfSchemaFromDdl(ddlFor(p("path"))))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -67,12 +86,13 @@ class GraftLogCdfProvider extends StreamSourceProvider {
       GraftLogCdfSource.firstVersionAtOrAfter(root, t.toLong)
     }.getOrElse(p.getOrElse("startingversion", "0").toLong)
     new GraftLogCdfSource(ctx, root, startV,
-      p.get("maxversionsperbatch").map(_.toLong))
+      p.get("maxversionsperbatch").map(_.toLong), Some(ddlFor(root)))
   }
 }
 
 class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long,
-                        maxVersionsPerBatch: Option[Long] = None)
+                        maxVersionsPerBatch: Option[Long] = None,
+                        boundDdl: Option[String] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerBatch.forall(_ >= 1L),
@@ -133,7 +153,7 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long,
     * fails an evolved streaming read loudly and asks for a restart;
     * so do we.
     */
-  private val createdDdl: String = {
+  private val createdDdl: String = boundDdl.getOrElse {
     val head = TableLog.currentVersion(root)
     require(head >= 0L, s"graftlog-cdf source needs a committed table at $root")
     TableLog.schemaDdlOf(root, head)

@@ -406,7 +406,7 @@ private[sources] object GraftLogScan {
   private def strAbove(e: TableLog.FileEntry, c: String, v: String,
                        strict: Boolean): Boolean =
     (e.sMax.get(c), e.sMaxTrunc(c)) match {
-      case (Some(zhi), true)  => TableLog.cmpUtf8(TableLog.utf8Prefix(v)._1, zhi) <= 0
+      case (Some(zhi), true)  => TableLog.truncMaxKeeps(v, zhi)
       case (Some(zhi), false) =>
         if (strict) TableLog.cmpUtf8(zhi, v) > 0 else TableLog.cmpUtf8(zhi, v) >= 0
       case _ => true // un-zoned string column: keep (stats size cap)
@@ -428,11 +428,15 @@ private[sources] object GraftLogScan {
     * — [[TableLog.planFilesPointStr]]'s rule, shared.
     */
   private def strMayContain(e: TableLog.FileEntry, c: String, v: String): Boolean =
+    // probe only manifest-TAGGED string blooms — a bloom built via the
+    // long path over numeric-looking strings holds differently-keyed
+    // bits; probing it with the rolling-hash key would silently return
+    // empty results (TableLog.planFilesPointStr's rule, shared)
     TableLog.strZoneKeeps(e, c, v, v) && (e.blooms.get(c) match {
-      case Some(bits) =>
+      case Some(bits) if e.strBlooms(c) =>
         TableLog.bloomPositions(TableLog.strBloomKey(v), bits.length * 64)
           .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
-      case None => true
+      case _ => true
     })
 
   private def mayContain(e: TableLog.FileEntry, c: String, v: Long): Boolean = {
@@ -441,10 +445,10 @@ private[sources] object GraftLogScan {
       case _                    => false
     }
     zoneOk && (e.blooms.get(c) match {
-      case Some(bits) =>
+      case Some(bits) if !e.strBlooms(c) =>
         TableLog.bloomPositions(v, bits.length * 64)
           .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
-      case None => true
+      case _ => true
     })
   }
 }

@@ -91,7 +91,8 @@ object TableLog {
                              dv: Map[String, Array[Long]] = Map.empty,
                              sMin: Map[String, String] = Map.empty,
                              sMax: Map[String, String] = Map.empty,
-                             sMaxTrunc: Set[String] = Set.empty) {
+                             sMaxTrunc: Set[String] = Set.empty,
+                             strBlooms: Set[String] = Set.empty) {
     def liveRows: Long = rows - dv.valuesIterator.map(_.length.toLong).sum
   }
 
@@ -128,6 +129,24 @@ object TableLog {
     java.util.Arrays.compareUnsigned(
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
 
+  /** May a file whose stored string max is the TRUNCATED prefix `zhi`
+    * hold a row ≥ `lo`? The true max extends `zhi` by unknown bytes,
+    * so the only provable exclusion is `lo`'s own first `len(zhi)`
+    * UTF-8 BYTES sorting strictly above `zhi` — a probe whose prefix
+    * EQUALS `zhi` may still sit at or below the true max (prefix
+    * extension) and must keep. Truncating `lo` to the STORED prefix's
+    * byte length (not the 16-byte cap) matters when the writer backed
+    * off below 16 at a codepoint boundary: comparing a 15-byte probe
+    * against a 14-byte stored prefix at full length would wrongly
+    * exclude prefix-extending probes within [min, trueMax].
+    */
+  private[graft] def truncMaxKeeps(lo: String, zhi: String): Boolean = {
+    val lb = lo.getBytes(StandardCharsets.UTF_8)
+    val zb = zhi.getBytes(StandardCharsets.UTF_8)
+    val lp = if (lb.length <= zb.length) lb else java.util.Arrays.copyOf(lb, zb.length)
+    java.util.Arrays.compareUnsigned(lp, zb) <= 0
+  }
+
   /** May file `e` contain a string of column `c` inside [lo, hi]?
     * The truncation-safe zone intersect: the stored min is a valid
     * lower bound even when truncated (exclude only when `hi` sorts
@@ -141,7 +160,7 @@ object TableLog {
     (e.sMin.get(c), e.sMax.get(c)) match {
       case (Some(zlo), Some(zhi)) =>
         cmpUtf8(hi, zlo) >= 0 && {
-          if (e.sMaxTrunc(c)) cmpUtf8(utf8Prefix(lo)._1, zhi) <= 0
+          if (e.sMaxTrunc(c)) truncMaxKeeps(lo, zhi)
           else cmpUtf8(lo, zhi) <= 0
         }
       // ABSENT keeps conservatively — unlike the integral invariant,
@@ -265,8 +284,14 @@ object TableLog {
   private def renderEntry(tag: String, f: FileEntry): String = {
     val zones = f.zMin.keys.toSeq.sorted
       .map(c => s"$c=${f.zMin(c)}:${f.zMax(c)}").mkString(";")
+    // a string-hashed bloom carries the "s:" scheme tag — the probe
+    // key (rolling hash of UTF-8 bytes vs cast-to-long) is NOT
+    // recoverable from the bits, and probing with the wrong scheme
+    // silently false-negatives; untagged blooms stay long-keyed
+    // (backward compatible: "s" is not a hex digit)
     val bl = f.blooms.keys.toSeq.sorted.map { c =>
-      s"$c=${f.blooms(c).map(w => f"$w%016x").mkString}"
+      val tag = if (f.strBlooms(c)) "s:" else ""
+      s"$c=$tag${f.blooms(c).map(w => f"$w%016x").mkString}"
     }.mkString(";")
     val dv = f.dv.keys.toSeq.sorted.map { c =>
       s"$c=${f.dv(c).map(k => f"$k%016x").mkString}"
@@ -295,14 +320,22 @@ object TableLog {
     sb.toString
   }
 
-  // shared hex-longs field codec (bloom bitset words / dv key values)
+  // shared hex-longs field codec (bloom bitset words / dv key values);
+  // bloom payloads may carry the "s:" string-scheme tag (second slot)
   private def parseHexLongs(field: String, p: Path, ln: String): Map[String, Array[Long]] =
     field.split(";").filter(_.nonEmpty).map { b =>
-      val Array(c, hx) = b.split("=", 2)
+      val Array(c, raw) = b.split("=", 2)
+      val hx = if (raw.startsWith("s:")) raw.substring(2) else raw
       require(hx.length % 16 == 0, s"malformed hex field in $p: $ln")
       c -> Array.tabulate(hx.length / 16)(i =>
         java.lang.Long.parseUnsignedLong(hx.substring(16 * i, 16 * i + 16), 16))
     }.toMap
+
+  private def parseStrTags(field: String): Set[String] =
+    field.split(";").filter(_.nonEmpty).flatMap { b =>
+      val Array(c, raw) = b.split("=", 2)
+      if (raw.startsWith("s:")) Some(c) else None
+    }.toSet
 
   private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
     require(f.length >= 4 && f.length <= 7, s"malformed manifest line in $p: $ln")
@@ -330,7 +363,8 @@ object TableLog {
       blooms, dv,
       szones.map(z => z._1 -> z._2).toMap,
       szones.map(z => z._1 -> z._3).toMap,
-      szones.collect { case (c, _, _, true) => c }.toSet)
+      szones.collect { case (c, _, _, true) => c }.toSet,
+      if (f.length < 5) Set.empty else parseStrTags(f(4)))
   }
 
   /** Read + RESOLVE version `version`: a checkpoint side-file or a
@@ -777,14 +811,30 @@ object TableLog {
         s"schema evolution may only ADD columns or WIDEN types: parent " +
           s"columns ${bad.map(_._1).mkString(", ")} are missing or " +
           s"incompatibly retyped in the batch ([$parentDdl] vs [$newDdl])")
-      val pByName = pf.toMap
-      org.apache.spark.sql.types.StructType(nf.map { case (n, bt) =>
-        val t = pByName.get(n) match {
-          case Some(pt) if widens(bt, pt) => pt // batch narrower: keep wide
-          case _                          => bt // equal, wider, or accreted
-        }
-        org.apache.spark.sql.types.StructField(n, t)
-      }).toDDL
+      // carry the FULL StructField (nullability, comment metadata)
+      // into the resolved DDL — a bare StructField(n, t) would
+      // silently strip NOT NULL markers and comments from the stored
+      // manifest DDL on every evolve=true append. Nullability merges
+      // as the union (a nullable batch really may add NULLs to a
+      // previously NOT NULL column); an accreted column is nullable
+      // regardless of the batch's marker because every pre-existing
+      // file resolves it as NULL.
+      val pByName = org.apache.spark.sql.types.StructType.fromDDL(parentDdl)
+        .fields.map(f => f.name -> f).toMap
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(newDdl).fields.toSeq
+          .map { bf =>
+            pByName.get(bf.name) match {
+              case Some(pfld) if widens(bf.dataType, pfld.dataType) =>
+                // batch narrower: the parent field survives (wide type)
+                pfld.copy(nullable = pfld.nullable || bf.nullable)
+              case Some(pfld) =>
+                // equal or wider: batch type under the parent's markers
+                pfld.copy(dataType = bf.dataType,
+                  nullable = pfld.nullable || bf.nullable)
+              case None => bf.copy(nullable = true) // accreted
+            }
+          }).toDDL
     }
   }
 
@@ -854,7 +904,8 @@ object TableLog {
               c -> arr
             }
           }.toMap
-          fe.copy(blooms = bl)
+          fe.copy(blooms = bl,
+            strBlooms = bloomStrCols.toSet.intersect(bl.keySet))
         }
       }
     if (mode == "overwrite" || parent < 0)
@@ -881,11 +932,14 @@ object TableLog {
         case (Some(lo), Some(hi)) => lo <= value && value <= hi
         case _ => false // all-NULL chunk: no row can equal the value
       }
+      // probe only LONG-keyed blooms: a string-hashed bitset holds
+      // different bits for the same logical value, so probing it with
+      // a long key would silently false-negative — keep instead
       val bloomOk = f.blooms.get(colName) match {
-        case Some(bits) =>
+        case Some(bits) if !f.strBlooms(colName) =>
           bloomPositions(value, bits.length * 64)
             .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
-        case None => true
+        case _ => true
       }
       zoneOk && bloomOk
     }
@@ -923,11 +977,16 @@ object TableLog {
     val m = readManifest(root, asOf.getOrElse(currentVersion(root)))
     val key = strBloomKey(value)
     val sel = m.files.filter { f =>
+      // probe only blooms the manifest TAGS as string-hashed: a
+      // pre-existing bloom built via the long path (cast('long') over
+      // numeric-looking strings) holds differently-keyed bits, and
+      // probing it with the rolling-hash key would return
+      // guaranteed-empty results with no error — keep conservatively
       strZoneKeeps(f, colName, value, value) && (f.blooms.get(colName) match {
-        case Some(bits) =>
+        case Some(bits) if f.strBlooms(colName) =>
           bloomPositions(key, bits.length * 64)
             .forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
-        case None => true
+        case _ => true
       })
     }
     (sel, m.files.size)

@@ -81,4 +81,28 @@ class ChangeLogSpec extends AnyFunSuite {
       (1L, Some(10.0), "base"), (2L, None, "updated"),
       (3L, None, "base"), (9L, None, "inserted")))
   }
+
+  test("updateImages: null-key feed rows pass through instead of vanishing") {
+    // version 1 updates key 1 (delete+insert pair), pure-inserts key 2,
+    // and carries TWO null-key rows (an insert and a delete) — an
+    // equality join on the key would drop both on the floor; they must
+    // survive, and because the null group has both sides at v1 they
+    // reclassify as an update pair like any other key
+    val feed = Seq(
+      (Some(1L), 1L, "delete", 10.0), (Some(1L), 1L, "insert", 11.0),
+      (Some(2L), 1L, "insert", 20.0),
+      (None: Option[Long], 1L, "insert", 90.0),
+      (None: Option[Long], 2L, "delete", 91.0))
+      .toDF("k", "_commit_version", "_change_type", "price")
+    val out = ChangeLog.updateImages(feed, "k")
+    assert(out.count() == 5L, "no feed row may vanish")
+    val got = out.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1L, "update_preimage"), (1L, 1L, "update_postimage"),
+      (2L, 1L, "insert"),
+      (-1L, 1L, "insert"),   // null key, only insert at v1 → unchanged
+      (-1L, 2L, "delete")))  // null key, only delete at v2 → unchanged
+  }
 }

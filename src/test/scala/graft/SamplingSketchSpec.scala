@@ -96,4 +96,35 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Window"), s"sketch path must not plan a Window:\n$plan")
   }
+
+  test("epochUpsample: zero-unit strata contribute nothing (no ANSI div-by-zero); empty input is empty") {
+    // stratum 'z' is all null/zero units — the documented contract is
+    // "contributes nothing", and under ANSI mode an unguarded
+    // num div (kk * 0) aborts the whole query
+    // stratum a is tiny (epoch cap kicks in → ≥4 full copies, so its
+    // presence in the output is deterministic), b is the bulk, z is
+    // the all-null/zero poison pill
+    val df = Seq(
+      (1L, "a", Some(50L)), (2L, "a", Some(50L)),
+      (5L, "b", Some(10000L)),
+      (3L, "z", None: Option[Long]), (4L, "z", Some(0L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.epochUpsample(df, "doc_id", "source", "n_chars")
+      .cache()
+    val srcs = out.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(!srcs.contains("z"), s"zero-unit stratum must contribute nothing: $srcs")
+    assert(srcs.contains("a"), s"capped stratum must materialize: $srcs")
+    // the zero-unit stratum still COUNTS toward the budget split (the
+    // oracle's kk = count over ALL strata): B=10100, K=3 → stratum a
+    // gets e6 = 10100e6 div (3*100) = 33,666,666 → capped at 4e6 →
+    // exactly 4 full copies of each of its 2 docs
+    assert(out.filter(col("source") === "a").count() == 8L)
+    assert(out.filter(col("source") === "a").select("epochs6").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(4000000L))
+    // empty input: no NPE on the null sum — an empty frame of the
+    // same shape comes back
+    val empty = Sampling.epochUpsample(df.limit(0), "doc_id", "source", "n_chars")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == out.columns.toSeq)
+  }
 }

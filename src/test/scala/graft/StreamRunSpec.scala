@@ -343,6 +343,36 @@ class StreamRunSpec extends AnyFunSuite {
     assert(src2.getBatch(None, LongOffset(1L)).isStreaming)
   }
 
+  test("graftlog CDF provider resolves the DDL once: a commit between sourceSchema and createSource cannot diverge them") {
+    // the DSv1 TOCTOU twin of the DSv2 single-resolution rule: the
+    // engine calls sourceSchema (analysis) then createSource (runtime)
+    // on the SAME provider instance; an evolve=true commit landing
+    // between the two must not leave the analyzed schema and the
+    // source's runtime schema diverged — both derive from the ONE DDL
+    // the provider resolved first.
+    import graft.sources.{GraftLogCdfProvider, GraftLogCdfSource, TableLog}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdftoctou").toString
+    def mk(ks: Range) = ks.map(k => (k.toLong, k.toLong * 2 + 1)).toDF("k", "cents")
+    TableLog.commit(mk(0 until 40), root, expr("k div 20"), 2, "overwrite")
+    val prov = new GraftLogCdfProvider()
+    val (_, analyzed) = prov.sourceSchema(spark.sqlContext, None,
+      "graftlog-cdf", Map("path" -> root))
+    // the race: an evolution lands between the two provider calls
+    TableLog.commit(mk(40 until 50).withColumn("extra", lit(9L)),
+      root, expr("k div 20"), 1, "append", evolve = true)
+    val src = prov.createSource(spark.sqlContext, "", None,
+      "graftlog-cdf", Map("path" -> root)).asInstanceOf[GraftLogCdfSource]
+    assert(src.schema == analyzed,
+      s"runtime schema must equal the analyzed schema: ${src.schema} vs $analyzed")
+    // and the drift guard still fires for the window that crossed the
+    // evolution (consistent-loud, never mis-bound columns)
+    intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(0L)), LongOffset(1L))
+    }
+  }
+
   test("graftlog CDF pacing + startingTimestamp: bounded batches under AvailableNow, exact boundaries") {
     import graft.sources.{GraftLogCdfProvider, GraftLogCdfSource, TableLog}
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset

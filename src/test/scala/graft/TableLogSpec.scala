@@ -964,6 +964,43 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.vacuumOlderThan(root, 1L).isEmpty)
   }
 
+  test("evolve carries NOT NULL markers and comments into the resolved DDL; accreted columns are nullable") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot("evnull")
+    // product encoders mark primitive columns non-nullable, and a
+    // comment rides the metadata — both must survive an evolve append
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "cents")
+      .withMetadata("k", new MetadataBuilder().putString("comment", "pk").build())
+    assert(!base.schema("k").nullable)
+    TableLog.commit(base, root, expr("k div 2"), 1, "overwrite")
+    assert(TableLog.schemaDdlOf(root, 0L).contains("NOT NULL"))
+    // evolve=true append accreting a column: pre-fix the resolved DDL
+    // was rebuilt from bare StructField(n, t) — NOT NULL and the
+    // comment silently vanished from the stored manifest DDL
+    val batch = Seq((3L, 30L, 7L)).toDF("k", "cents", "extra")
+      .withMetadata("k", new MetadataBuilder().putString("comment", "pk").build())
+    TableLog.commit(batch, root, expr("k div 2"), 1, "append", evolve = true)
+    val ddl = TableLog.schemaDdlOf(root, 1L)
+    val st = StructType.fromDDL(ddl)
+    assert(!st("k").nullable, s"evolve dropped NOT NULL: $ddl")
+    assert(st("k").metadata.contains("comment") &&
+      st("k").metadata.getString("comment") == "pk",
+      s"evolve dropped the comment: $ddl")
+    // the accreted column is nullable regardless of the batch's own
+    // marker — every pre-existing file resolves it as NULL
+    assert(st("extra").nullable, s"accreted column must be nullable: $ddl")
+    // and the widened-type case keeps markers too (INT → BIGINT)
+    val root2 = freshRoot("evnull2")
+    val narrow = Seq((1, 10L)).toDF("k", "cents")
+    assert(!narrow.schema("k").nullable)
+    TableLog.commit(narrow, root2, lit(0), 1, "overwrite")
+    TableLog.commit(Seq((2L, 20L)).toDF("k", "cents"), root2, lit(0), 1,
+      "append", evolve = true)
+    val st2 = StructType.fromDDL(TableLog.schemaDdlOf(root2, 1L))
+    assert(st2("k").dataType == LongType && !st2("k").nullable,
+      s"widen must keep NOT NULL: ${st2.toDDL}")
+  }
+
   test("type widening: wider batch accretes DDL, narrow files upcast, incompatible retypes loud") {
     val root = freshRoot("widen")
     // v0: narrow INT schema
@@ -1074,6 +1111,41 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(0L)) }
   }
 
+  test("bloom scheme tags: a long-built bloom is never probed with the string key (and vice versa)") {
+    // numeric-LOOKING strings indexed via the LONG bloom path
+    // (cast('long')): the bitset's bits are keyed by the cast value,
+    // not the rolling hash — a string probe against it would silently
+    // false-negative. The manifest must tag schemes so the string
+    // probe keeps conservatively instead.
+    val root = freshRoot("bloomscheme")
+    val docs = (0L until 400L).map(k => (k, s"$k", k * 10 + 1))
+      .toDF("k", "sk", "cents")
+    TableLog.commitIndexed(docs, root, expr("k div 100"), 4, "overwrite",
+      bloomCols = Seq("sk"))
+    val m = TableLog.readManifest(root, 0L)
+    assert(m.files.forall(f => f.blooms.contains("sk") && !f.strBlooms("sk")),
+      "long-built blooms must stay untagged")
+    // every string point probe still finds its row (pre-fix: the
+    // mis-keyed probe returned guaranteed-empty with no error)
+    (0L until 400L by 37L).foreach { k =>
+      val got = TableLog.readPointStr(spark, root, "sk", s"$k")
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(k), s"string probe over a long bloom lost key $k")
+    }
+    // the SQL surface shares the rule: pushed string equality keeps
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.format("graftlog").option("path", root).load()
+      .filter(col("sk") === "137").count() == 1L)
+    // and the mirror: a STRING-built bloom is tagged, survives the
+    // manifest roundtrip, and the LONG probe path refuses to probe it
+    val root2 = freshRoot("bloomscheme2")
+    TableLog.commitIndexed(docs, root2, expr("k div 100"), 4, "overwrite",
+      bloomStrCols = Seq("sk"))
+    val m2 = TableLog.readManifest(root2, 0L)
+    assert(m2.files.forall(_.strBlooms("sk")),
+      "string-built blooms must carry the s: tag through the manifest")
+  }
+
   test("string bloom index: point probes prune scattered text keys, never false-negative") {
     val root = freshRoot("strbloom")
     // keys 'u0'..'u799' under a k-div layout: lexicographic ≠ numeric
@@ -1161,6 +1233,30 @@ class TableLogSpec extends AnyFunSuite {
       "probe whose prefix sorts above a truncated max must exclude")
     assert(!strZoneKeeps(e, "s", "a", "aa"),
       "range entirely below the stored min must exclude")
+    // codepoint-boundary backoff: the stored prefix can be SHORTER
+    // than 16 bytes ('12345678901234€xyz' stores the 14-byte
+    // '12345678901234'); a probe extending that 14-byte prefix
+    // ('12345678901234Z', 15 bytes ≤ the cap) is within [min, trueMax]
+    // and MUST keep — comparing at the probe's full length would
+    // wrongly exclude it
+    val eShort = e.copy(sMax = Map("s" -> "12345678901234"),
+      sMin = Map("s" -> "0"))
+    assert(strZoneKeeps(eShort, "s", "12345678901234Z", "~"),
+      "probe extending a short truncated prefix must keep")
+    assert(!strZoneKeeps(eShort, "s", "12345678901235", "~"),
+      "probe whose 14-byte prefix sorts above must still exclude")
+    // end-to-end on the store: a file whose true max truncates below
+    // 16 bytes must still serve a range read anchored inside the cut
+    val rootT = freshRoot("strz_trunc")
+    val tdocs = Seq((1L, "12345678901234€xyz", 11L),
+                    (2L, "12345678901234Z", 21L)).toDF("k", "source", "cents")
+    TableLog.commit(tdocs, rootT, lit(0), 1, "overwrite")
+    val mt = TableLog.readManifest(rootT, 0L)
+    assert(mt.files.head.sMaxTrunc("source") &&
+      mt.files.head.sMax("source") == "12345678901234")
+    assert(TableLog.readRangeStr(spark, rootT,
+      Seq(("source", "12345678901234Z", "~"))).count() == 2L,
+      "range read anchored above the stored prefix must not lose rows")
     // an UN-truncated max excludes exactly
     val e2 = e.copy(sMaxTrunc = Set.empty)
     assert(!strZoneKeeps(e2, "s", "z" * 16 + "0", "zzzzzzzzzzzzzzzzzz"))
