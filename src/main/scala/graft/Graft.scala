@@ -21,6 +21,10 @@ object Graft {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // analyzer-side rules (the SQL DML lowering) can only ride the
+      // extensions hook — registerFunctions can retrofit optimizer
+      // rules onto a built session, analyzer rules it cannot
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,6 +20,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => PolygonGateBBoxRule)
     ext.injectOptimizerRule(_ => V1ScanStatsJoinRule)
+    // SQL DML (MERGE INTO / UPDATE / DELETE) over graftlog relations:
+    // lowered at the end of analysis onto TableLog's one merge-on-read
+    // write path. Analyzer rules cannot be added to a built session,
+    // so Graft.session sets spark.sql.extensions to this class.
+    ext.injectPostHocResolutionRule(_ => GraftDmlRule)
   }
 }
 

@@ -1633,6 +1633,66 @@ object Relational {
           lit(allForeign).as("all_foreign"))
     }),
 
+    // R96/q92: SQL DML — MERGE INTO / UPDATE / DELETE on the graftlog
+    // relation (the round-13 top-next: reads and INSERT mounted via
+    // SQL since R78/R87, but every mutation beyond insert was
+    // Scala-API-only; Delta's headline mutation surface is this
+    // trio). GraftDmlRule lowers the analyzed statements onto
+    // TableLog.applyDml — the SAME merge-on-read carrier mergeMor
+    // uses (ONE write path, SQL and API can never drift): sparse hits
+    // ride deletion vectors, dense files rewrite, inserts only
+    // append. The statement sequence certifies all three statements
+    // AND per-statement head re-resolution (statements 2 and 3 run
+    // against the same un-remounted view and must see their
+    // predecessors' results): MERGE with delete+update+insert clauses
+    // (r=0 delete, r=1 price+100, provably-new negative keys insert
+    // at 2×price), then UPDATE price+7 on r=3, then DELETE r=4. The
+    // oracle replays the whole recipe from raw orders; the physical
+    // claims ride as literals — the MERGE commit rewrote ZERO files
+    // (2/97 ≈ 2% density per file, under the 10% DV threshold) and
+    // the head sits at exactly 3 (one commit per statement). Scale:
+    // each statement's work is churn-sized (probe scan + DV manifest
+    // entries + insert-file writes), never a table rewrite.
+    "q92_sql_merge" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q92_dml")
+      // the DML contract is a PRIMARY-KEYED table — collapse duplicate
+      // orderkeys (the fuzz row-duplicate instances) to max(price)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(max("price").as("price"))
+      TableLog.commit(o, root, expr("k div 500"), 16, "overwrite")
+      s.read.format("graftlog").option("path", root).load()
+        .createOrReplaceTempView("q92_t")
+      val r = pmod(col("k"), lit(97L))
+      o.filter(r.isin(0L, 1L))
+        .select(col("k"), when(r === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L)).as("new_price"))
+        .unionByName(o.filter(r === 2L)
+          .select((-col("k")).as("k"), lit("I").as("op"),
+            (col("price") * 2L).as("new_price")))
+        .createOrReplaceTempView("q92_s")
+      s.sql(
+        """MERGE INTO q92_t t USING q92_s s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET price = s.new_price
+          |WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.new_price)
+          |""".stripMargin)
+      val nRewritten = TableLog.versionDelta(root, 1L)._2.size.toLong
+      s.sql("UPDATE q92_t SET price = price + 7 WHERE k % 97 = 3")
+      s.sql("DELETE FROM q92_t WHERE k % 97 = 4")
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(nRewritten).as("n_rewritten"),
+          lit(TableLog.currentVersion(root)).as("head_version"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3310,6 +3370,33 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q92: the three-statement SQL DML recipe replayed from raw
+    // orders — MERGE (drop r=0, price+100 on r=1, insert -k at
+    // 2×price for r=2), UPDATE (+7 on r=3), DELETE (r=4); inserted
+    // negative keys never collide with the positive residue
+    // predicates in either engine (both use sign-of-dividend %).
+    // n_rewritten=0 is the MERGE no-rewrite physical claim (sparse
+    // hits ride DVs); head_version=3 pins one commit per statement.
+    "q92_sql_merge" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | m AS (SELECT k, price, k % 97 AS r FROM o),
+        | survivors AS (
+        |   SELECT k, CASE WHEN r = 1 THEN price + 100
+        |                  WHEN r = 3 THEN price + 7
+        |                  ELSE price END AS price
+        |   FROM m WHERE r NOT IN (0, 4)
+        |   UNION ALL
+        |   SELECT -k AS k, price * 2 AS price FROM m WHERE r = 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(0 AS BIGINT) AS n_rewritten,
+        |  CAST(3 AS BIGINT) AS head_version
+        |FROM survivors""".stripMargin,
 
     // q91: the replica's post-reset head and pre-reset prefix
     // replayed from raw orders; the structural constants are the

@@ -188,6 +188,41 @@ object GraftLogProvider {
     (from, to)
   }
 
+  /** DML-rule introspection hook ([[org.apache.spark.sql.graftx
+    * .GraftDmlRule]]): recognize a graftlog DSv2 table under a
+    * MERGE/UPDATE/DELETE target and surface (root, version,
+    * timeTraveled) — the pieces the lowered command needs. The CDF
+    * relation deliberately does NOT match (a change feed is not a
+    * writable target).
+    */
+  object TableInfo {
+    def unapply(t: AnyRef): Option[(String, Long, Boolean)] = t match {
+      case g: GraftLogTable => Some((g.root, g.snapVersion, g.timeTraveled))
+      case _                => None
+    }
+  }
+
+  /** A HEAD-pinned twin of a mounted graftlog table, for DML
+    * re-resolution: a temp view pins the snapshot current at load, but
+    * a mutation statement must act on the table's CURRENT state (the
+    * per-statement resolution Delta's catalog tables get for free) —
+    * otherwise the second of two consecutive DMLs would compute its
+    * change set against the pre-first-statement snapshot and silently
+    * resurrect rows. Loud when the head schema drifted from the
+    * mounted relation's (the analyzed plan's attributes would
+    * mis-bind): remount the view after an evolution.
+    */
+  def headTable(root: String,
+                mounted: StructType): org.apache.spark.sql.connector.catalog.Table = {
+    val head = TableLog.currentVersion(root)
+    val headSchema = StructType.fromDDL(TableLog.schemaDdlOf(root, head))
+    require(headSchema.fields.map(f => (f.name, f.dataType)).sameElements(
+        mounted.fields.map(f => (f.name, f.dataType))),
+      s"graftlog DML: table schema changed since the relation was mounted " +
+        s"([${mounted.toDDL}] vs head [${headSchema.toDDL}]) — remount the view")
+    new GraftLogTable(root, head, mounted)
+  }
+
   /** Last (selected, total) file plan — spec introspection only (the
     * planFilesMulti return-pair contract surfaced through the SQL
     * path, where the pruned parquet scan is nested inside the
@@ -196,11 +231,12 @@ object GraftLogProvider {
   @volatile private[graft] var lastScanPlan: (Int, Int) = (0, 0)
 }
 
-private[sources] final class GraftLogTable(root: String, version: Long,
+private[sources] final class GraftLogTable(val root: String,
+                                           val snapVersion: Long,
                                            tableSchema: StructType,
-                                           timeTraveled: Boolean = false)
+                                           val timeTraveled: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graftlog.`$root` VERSION AS OF $version"
+  override def name(): String = s"graftlog.`$root` VERSION AS OF $snapVersion"
   override def schema(): StructType = tableSchema
   // BATCH_WRITE gates the planner's dispatch; V1_BATCH_WRITE routes
   // the physical write to the InsertableRelation shim (Spark's own
@@ -210,7 +246,7 @@ private[sources] final class GraftLogTable(root: String, version: Long,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(root, version, tableSchema)
+    new GraftLogScanBuilder(root, snapVersion, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // writes always target the HEAD (commit re-resolves it); a
     // relation pinned by versionAsOf/timestampAsOf is a snapshot

@@ -85,6 +85,17 @@ object TableLog {
     * writes one); `liveRows` is exact because dv keys are only ever
     * recorded for keys VERIFIED present in the file.
     */
+  /** `dvRef` is the SIDE-FILE form of a deletion vector (the scale
+    * path: a manifest line must stay bounded no matter how many keys
+    * a CDC batch deletes): per key column, the path of a parquet
+    * side-file holding (f: file basename, k: suppressed key) rows
+    * plus this file's key count in it. A (file, column) vector is
+    * EITHER inline (`dv`) or referenced (`dvRef`), never both —
+    * [[morApply]] promotes inline→ref when the combined vector
+    * crosses `dvInlineMax` and never demotes. Side-files live in
+    * attempt-unique `files/v…_dv` dirs so the vacuum orphan sweep and
+    * retention liveness treat them like data files.
+    */
   final case class FileEntry(path: String, rows: Long,
                              zMin: Map[String, Long], zMax: Map[String, Long],
                              blooms: Map[String, Array[Long]] = Map.empty,
@@ -92,8 +103,10 @@ object TableLog {
                              sMin: Map[String, String] = Map.empty,
                              sMax: Map[String, String] = Map.empty,
                              sMaxTrunc: Set[String] = Set.empty,
-                             strBlooms: Set[String] = Set.empty) {
-    def liveRows: Long = rows - dv.valuesIterator.map(_.length.toLong).sum
+                             strBlooms: Set[String] = Set.empty,
+                             dvRef: Map[String, (String, Long)] = Map.empty) {
+    def liveRows: Long = rows - dv.valuesIterator.map(_.length.toLong).sum -
+      dvRef.valuesIterator.map(_._2).sum
   }
 
   /** Byte budget for STRING zone values in the manifest (Delta keeps
@@ -303,7 +316,14 @@ object TableLog {
       s"$c=${hexBytes(f.sMin(c))}:${hexBytes(f.sMax(c))}:" +
         (if (f.sMaxTrunc(c)) "1" else "0")
     }.mkString(";")
-    val fields = Seq(zones, bl, dv, sz)
+    // side-file DV references (field 8): col=count:hexpath — the path
+    // hex-encodes so clone-absolutized paths can never collide with
+    // the separators
+    val dvr = f.dvRef.keys.toSeq.sorted.map { c =>
+      val (p, n) = f.dvRef(c)
+      s"$c=$n:${hexBytes(p)}"
+    }.mkString(";")
+    val fields = Seq(zones, bl, dv, sz, dvr)
     val kept = fields.take(math.max(1, fields.lastIndexWhere(_.nonEmpty) + 1))
     s"$tag\t${f.path}\t${f.rows}\t" + kept.mkString("\t") + "\n"
   }
@@ -338,7 +358,7 @@ object TableLog {
     }.toSet
 
   private def parseEntry(f: Array[String], p: Path, ln: String): FileEntry = {
-    require(f.length >= 4 && f.length <= 7, s"malformed manifest line in $p: $ln")
+    require(f.length >= 4 && f.length <= 8, s"malformed manifest line in $p: $ln")
     val zones = f(3).split(";").filter(_.nonEmpty).map { z =>
       val Array(c, mm) = z.split("=", 2)
       val Array(lo, hi) = mm.split(":", 2)
@@ -358,13 +378,22 @@ object TableLog {
         require(parts.length == 3, s"malformed string zone in $p: $ln")
         (c, unhexBytes(parts(0)), unhexBytes(parts(1)), parts(2) == "1")
       }
+    val dvr =
+      if (f.length < 8) Map.empty[String, (String, Long)]
+      else f(7).split(";").filter(_.nonEmpty).map { z =>
+        val Array(c, body) = z.split("=", 2)
+        val i = body.indexOf(':')
+        require(i > 0, s"malformed dvref in $p: $ln")
+        c -> (unhexBytes(body.substring(i + 1)), body.substring(0, i).toLong)
+      }.toMap
     FileEntry(f(1), f(2).toLong,
       zones.map(z => z._1 -> z._2).toMap, zones.map(z => z._1 -> z._3).toMap,
       blooms, dv,
       szones.map(z => z._1 -> z._2).toMap,
       szones.map(z => z._1 -> z._3).toMap,
       szones.collect { case (c, _, _, true) => c }.toSet,
-      if (f.length < 5) Set.empty else parseStrTags(f(4)))
+      if (f.length < 5) Set.empty else parseStrTags(f(4)),
+      dvr)
   }
 
   /** Read + RESOLVE version `version`: a checkpoint side-file or a
@@ -678,6 +707,20 @@ object TableLog {
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .toSeq.sorted
     footerStats(spark, root, names.map(n => s"$rel/$n"))
+  }
+
+  /** Write a (f: file basename, k: suppressed key) frame as a DV
+    * side-file directory — DISTRIBUTED (the frame is the probe join;
+    * nothing passes through the driver), attempt-unique under
+    * `files/` so the orphan sweep and retention liveness treat it
+    * like data. The manifest references the DIRECTORY (parquet-dir
+    * read on the probe side), so the write keeps whatever
+    * parallelism the probe had.
+    */
+  private def writeDvSideFile(hits: DataFrame, root: String, v: Long): String = {
+    val rel = attemptRel(v) + "_dv"
+    hits.write.mode("overwrite").parquet(s"$root/$rel")
+    rel
   }
 
   // ---- public write path ----------------------------------------------
@@ -1234,6 +1277,17 @@ object TableLog {
   private[sources] def resolvePath(root: String, p: String): String =
     if (p.startsWith("/")) p else s"$root/$p"
 
+  /** Foreign-reference form of an entry (clone/sync): the data path
+    * AND every DV side-file reference absolutize together — a clone
+    * whose dvRef stayed relative would resolve it under the CLONE's
+    * root and silently read zero suppressions.
+    */
+  private def absolutize(f: FileEntry, absSrc: String): FileEntry = {
+    val p = if (f.path.startsWith("/")) f else f.copy(path = s"$absSrc/${f.path}")
+    p.copy(dvRef = p.dvRef.map { case (c, (path, n)) =>
+      c -> (if (path.startsWith("/")) (path, n) else (s"$absSrc/$path", n)) })
+  }
+
   /** On-disk bytes of `files` — driver-side stat calls bounded by the
     * (already pruned) selection; the DSv2 statistics surface reads
     * this. At 10^6-file scale the manifest should carry byte sizes
@@ -1247,15 +1301,31 @@ object TableLog {
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
 
+  /** The one read path. `fileCol` — when a caller needs the source
+    * file per row (version stamping, probe scans, ANALYZE keys) — is
+    * materialized from input_file_name() BEFORE deletion-vector
+    * suppression: the side-file DV branch is an anti JOIN, after
+    * which input_file_name() is invalid (multi-source). The column
+    * carries the FULL path; basename consumers split it themselves.
+    */
   private[sources] def readFiles(spark: SparkSession, root: String,
-                        schemaDdl: String, files: Seq[FileEntry]): DataFrame = {
+                        schemaDdl: String, files: Seq[FileEntry],
+                        fileCol: Option[String] = None): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    else
-      applyDv(spark.read.schema(schema)
-        .parquet(files.map(f => resolvePath(root, f.path)): _*), files)
+    if (files.isEmpty) {
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      fileCol.fold(base)(n => base.withColumn(n, lit("")))
+    } else {
+      val base = spark.read.schema(schema)
+        .parquet(files.map(f => resolvePath(root, f.path)): _*)
+        .withColumn("__graft_file", input_file_name())
+      val sup = applyDv(root, base, files)
+      fileCol match {
+        case Some(n) => sup.withColumnRenamed("__graft_file", n)
+        case None    => sup.drop("__graft_file")
+      }
+    }
   }
 
   /** Merge-on-read: suppress each file's deletion-vector keys inside
@@ -1268,12 +1338,16 @@ object TableLog {
     * documented evolution, same contract). A NULL key is never
     * suppressed — dv keys come from change batches, which are keyed.
     */
-  private def applyDv(df: DataFrame, files: Seq[FileEntry]): DataFrame = {
+  /** Requires `df` to carry a `__graft_file` column (the full source
+    * path, materialized pre-join — see [[readFiles]]).
+    */
+  private def applyDv(root: String, df: DataFrame,
+                      files: Seq[FileEntry]): DataFrame = {
     val dvCols = files.flatMap(_.dv.keys).distinct.sorted
-    if (dvCols.isEmpty) df
-    else {
-      val fname = element_at(split(input_file_name(), "/"), -1)
-      dvCols.foldLeft(df) { (d, c) =>
+    val fname = element_at(split(col("__graft_file"), "/"), -1)
+    val inlined =
+      if (dvCols.isEmpty) df
+      else dvCols.foldLeft(df) { (d, c) =>
         val byName: Map[String, Array[Long]] = files
           .filter(_.dv.contains(c))
           .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.dv(c))
@@ -1281,6 +1355,30 @@ object TableLog {
         d.filter(!coalesce(
           array_contains(element_at(typedlit(byName), fname), col(c)),
           lit(false)))
+      }
+    // side-file vectors suppress via an ANTI JOIN against the
+    // referenced parquet (f, k) frames — the probe cost is a hash
+    // lookup per row, independent of vector size, and the side frame
+    // broadcasts while the manifest-recorded counts stay under the
+    // usual threshold. input_file_name() materializes as a column
+    // BEFORE the join: evaluated inside the join condition it would
+    // be empty on the post-shuffle side.
+    val refCols = files.flatMap(_.dvRef.keys).distinct.sorted
+    if (refCols.isEmpty) inlined
+    else {
+      val spark = df.sparkSession
+      refCols.foldLeft(inlined) { (d, c) =>
+        val refs = files.flatMap(f => f.dvRef.get(c).map { case (p, _) =>
+          (p, f.path.substring(f.path.lastIndexOf('/') + 1)) })
+        val side = refs.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fs) =>
+          spark.read.parquet(resolvePath(root, p))
+            .filter(col("f").isin(fs.map(_._2): _*))
+            .select(col("f").as("__dv_f"), col("k").as("__dv_k"))
+        }.reduce(_ unionByName _)
+        val total = files.flatMap(_.dvRef.get(c)).map(_._2).sum
+        val s2 = if (total <= 4000000L) broadcast(side) else side
+        d.join(s2, fname === col("__dv_f") &&
+          col(c) === col("__dv_k"), "left_anti")
       }
     }
   }
@@ -1449,10 +1547,12 @@ object TableLog {
         // version stamped by a codegen'd O(1) literal-map lookup on
         // the file name
         val verByName: Map[String, Long] = names.zip(entries.map(_._1)).toMap
-        Seq(readFiles(spark, root, schemaDdl, entries.map(_._2))
+        Seq(readFiles(spark, root, schemaDdl, entries.map(_._2),
+            fileCol = Some("__gf"))
           .withColumn("_change_type", lit(changeType))
           .withColumn("_commit_version", element_at(typedlit(verByName),
-            element_at(split(input_file_name(), "/"), -1))))
+            element_at(split(col("__gf"), "/"), -1)))
+          .drop("__gf"))
       } else
         // [[restore]] re-activates old PATHS, so one file can sit on
         // the same side at TWO versions of the window (v0 adds F, v1
@@ -1491,19 +1591,62 @@ object TableLog {
             }
           }
         }
-        grown.map(_._2).distinct.sorted.map { c =>
+        val inlineFrames = grown.map(_._2).distinct.sorted.map { c =>
           val entries = grown.filter(_._2 == c)
           val byName: Map[String, Array[Long]] = entries.map { case (pf, _, ks) =>
             pf.path.substring(pf.path.lastIndexOf('/') + 1) -> ks
           }.toMap
-          readFiles(spark, root, schemaDdl, entries.map(_._1))
+          readFiles(spark, root, schemaDdl, entries.map(_._1),
+              fileCol = Some("__gf"))
             .filter(coalesce(
               array_contains(element_at(typedlit(byName),
-                element_at(split(input_file_name(), "/"), -1)), col(c)),
+                element_at(split(col("__gf"), "/"), -1)), col(c)),
               lit(false)))
+            .drop("__gf")
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
         }
+        // SIDE-FILE vector growth (a new or re-written dvRef path):
+        // fresh keys = the new side-file's rows for this file minus
+        // the parent's state (old side-file rows and/or old inline
+        // keys) — a fully DISTRIBUTED diff, so a 10⁸-key merge
+        // streams its deletes without a driver-side key set. The
+        // parent entries read under the PARENT dv state, so fresh
+        // keys are exactly the still-visible rows to emit.
+        val refGrown: Seq[(FileEntry, String, DataFrame)] = mv.files.flatMap { f =>
+          pByPath.get(f.path).toSeq.flatMap { pf =>
+            f.dvRef.toSeq.flatMap { case (c, (path, _)) =>
+              if (pf.dvRef.get(c).exists(_._1 == path)) Nil // unchanged ref
+              else {
+                val base = f.path.substring(f.path.lastIndexOf('/') + 1)
+                var fresh = spark.read.parquet(resolvePath(root, path))
+                  .filter(col("f") === base).select("f", "k")
+                pf.dvRef.get(c).foreach { case (op, _) =>
+                  fresh = fresh.exceptAll(
+                    spark.read.parquet(resolvePath(root, op))
+                      .filter(col("f") === base).select("f", "k")) }
+                val oldInline = pf.dv.getOrElse(c, Array.empty[Long])
+                if (oldInline.nonEmpty)
+                  fresh = fresh.filter(!col("k").isin(oldInline: _*))
+                Seq((pf, c, fresh))
+              }
+            }
+          }
+        }
+        val refFrames = refGrown.map(_._2).distinct.sorted.map { c =>
+          val entries = refGrown.filter(_._2 == c)
+          val freshAll = entries.map(_._3).reduce(_ unionByName _)
+            .select(col("f").as("__dv_f"), col("k").as("__dv_k"))
+          readFiles(spark, root, schemaDdl, entries.map(_._1),
+              fileCol = Some("__gf"))
+            .join(freshAll,
+              element_at(split(col("__gf"), "/"), -1) === col("__dv_f") &&
+                col(c) === col("__dv_k"), "left_semi")
+            .drop("__gf")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+        }
+        inlineFrames ++ refFrames
       }
     }
     val frames = side(adds, "insert") ++ side(removes, "delete") ++ dvDeletes
@@ -1566,11 +1709,16 @@ object TableLog {
     }.toMap
     val nBins = bins.map(_._2).distinct.size
     val srcPaths = small.map(f => resolvePath(root, f.path))
-    val withBin = applyDv(spark.read
+    // __bin and the DV file column materialize BEFORE applyDv: the
+    // side-file DV branch may anti-join, after which
+    // input_file_name() is no longer valid
+    val withBin = applyDv(root, spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      .parquet(srcPaths: _*), small)
+      .parquet(srcPaths: _*)
+      .withColumn("__graft_file", input_file_name())
       .withColumn("__bin", element_at(typedlit(binByName),
-        element_at(split(input_file_name(), "/"), -1)))
+        element_at(split(col("__graft_file"), "/"), -1))), small)
+      .drop("__graft_file")
     val rel = attemptRel(v)
     withBin.repartition(nBins, col("__bin")).drop("__bin")
       .write.mode("overwrite").parquet(s"$root/$rel")
@@ -1748,8 +1896,50 @@ object TableLog {
                verCol: String = "ver", opCol: String = "op",
                valCol: String = "price", newValCol: String = "new_price",
                dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1,
-               txnTag: Option[String] = None): Long = {
+               txnTag: Option[String] = None,
+               dvInlineMax: Int = 4096): Long =
+    morApply(spark, root, changes,
+      hitRows => graft.operators.ChangeLog.latestState(
+        hitRows, changes, keyCol, verCol, opCol, valCol, newValCol)
+        .drop("action"),
+      keyCol, layout, numFiles, dvMaxFrac, checkpointInterval, txnTag,
+      "merge-mor", dvInlineMax)
+
+  /** The SQL-DML entry onto the merge-on-read carrier (R96: MERGE
+    * INTO / UPDATE / DELETE lowered by [[org.apache.spark.sql.graftx
+    * .GraftDmlRule]]): `suppressKeys` (ONE column named `keyCol`) are
+    * the keys whose CURRENT rows the statement retires — updated and
+    * deleted keys — and `upserts` (table schema) are the rows the
+    * statement lands — post-update images and inserts. Same physical
+    * contract as [[mergeMor]]: sparse hits ride deletion vectors,
+    * dense files rewrite, inserts only ever write new files; ONE
+    * write path, so SQL DML and the programmatic API can never
+    * drift.
+    */
+  def applyDml(spark: SparkSession, root: String, suppressKeys: DataFrame,
+               upserts: DataFrame, keyCol: String, layout: Column,
+               numFiles: Int = 8, dvMaxFrac: Double = 0.10,
+               checkpointInterval: Int = 1,
+               action: String = "sql-dml",
+               dvInlineMax: Int = 4096): Long =
+    morApply(spark, root, suppressKeys, _ => upserts, keyCol, layout,
+      numFiles, dvMaxFrac, checkpointInterval, None, action, dvInlineMax)
+
+  /** Shared merge-on-read core: `keySource` provides the change-key
+    * set (any frame carrying `keyCol`), `newStateOf(hitRows)` the
+    * post-change rows to land in new files. Everything physical —
+    * probe scan, DV-vs-rewrite partition, carry logic, manifest
+    * delta — lives here exactly once.
+    */
+  private def morApply(spark: SparkSession, root: String,
+                       keySource: DataFrame,
+                       newStateOf: DataFrame => DataFrame,
+                       keyCol: String, layout: Column, numFiles: Int,
+                       dvMaxFrac: Double, checkpointInterval: Int,
+                       txnTag: Option[String], actionBase: String,
+                       dvInlineMax: Int = 4096): Long = {
     require(dvMaxFrac >= 0.0 && dvMaxFrac <= 1.0, s"bad dvMaxFrac $dvMaxFrac")
+    require(dvInlineMax >= 0, s"bad dvInlineMax $dvInlineMax")
     val tag = txnTag.map(parseTxnTag)
     // same idempotency guard as [[commit]]'s txnTag path: a
     // re-delivered CDC batch (txn at or below the app's high-water
@@ -1761,31 +1951,36 @@ object TableLog {
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
-    val affectedPaths = affectedFileSet(m, changes, keyCol)
+    val affectedPaths = affectedFileSet(m, keySource, keyCol)
     val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
     val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
-    val changeKeys = changes.select(col(keyCol).cast("long").as(keyCol))
+    val changeKeys = keySource.select(col(keyCol).cast("long").as(keyCol))
       .na.drop().distinct()
     // which change keys are PRESENT in which affected file — the probe
     // scan: column-pruned to (key, file), semi-restricted to change
-    // keys, collected volume ≤ the change-set size
-    val hitsByFile: Map[String, Array[Long]] =
-      readFiles(spark, root, m.schemaDdl, affected)
-        .select(col(keyCol).cast("long").as(keyCol),
-          element_at(split(input_file_name(), "/"), -1).as("__f"))
-        .join(changeKeys, Seq(keyCol))
-        .collect()
-        .groupBy(_.getString(1))
-        .map { case (f, rs) => f -> rs.map(_.getLong(0)).distinct.sorted }
+    // keys, DISTRIBUTED end to end. Only per-file COUNTS (bounded by
+    // the affected-file count, never the key count) and the
+    // inline-bound vectors ever reach the driver — a 10⁸-key CDC
+    // day-batch builds its deletion vectors as a side-file parquet
+    // without materializing keys driver-side.
+    val probe = readFiles(spark, root, m.schemaDdl, affected,
+        fileCol = Some("__fp"))
+      .select(col(keyCol).cast("long").as(keyCol),
+        element_at(split(col("__fp"), "/"), -1).as("__f"))
+      .join(changeKeys, Seq(keyCol))
+      .distinct()
+      .localCheckpoint() // probed once; reused for counts + inline + side-file
+    val hitCounts: Map[String, Long] = probe.groupBy("__f").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val (dvFiles, rewriteFiles) = affected
-      .filter(f => hitsByFile.contains(baseName(f.path)))
+      .filter(f => hitCounts.contains(baseName(f.path)))
       .partition { f =>
-        val hits = hitsByFile(baseName(f.path)).length.toLong
+        val hits = hitCounts(baseName(f.path))
         f.liveRows > 0L && hits.toDouble / f.liveRows <= dvMaxFrac
       }
     // zone-hit files with NO present key carry forward untouched
-    val falsePos = affected.filter(f => !hitsByFile.contains(baseName(f.path)))
+    val falsePos = affected.filter(f => !hitCounts.contains(baseName(f.path)))
     // final state for every key the changes touch: base = the hit
     // rows (read merge-on-read, so prior DVs apply), collapsed by
     // latest-wins; deletes drop, upserts/inserts land in new files
@@ -1794,9 +1989,7 @@ object TableLog {
     // output keys are exactly the change keys (hit rows are
     // semi-restricted to them and inserts come FROM them) minus
     // deletes — no further restriction needed
-    val newState = graft.operators.ChangeLog.latestState(
-        hitRows, changes, keyCol, verCol, opCol, valCol, newValCol)
-      .drop("action")
+    val newState = newStateOf(hitRows)
     // rewritten files keep their non-hit rows alongside the new state
     val rewriteCarry = readFiles(spark, root, m.schemaDdl, rewriteFiles)
       .join(changeKeys, Seq(keyCol), "left_anti")
@@ -1804,15 +1997,63 @@ object TableLog {
       .select(newState.columns.map(col): _*))
     val v = parent + 1
     val added = writeDataFiles(merged, root, v, layout, numFiles)
-    val dvUpdated = dvFiles.map { f =>
+    // DV carrier decision per file: a combined vector (prior inline +
+    // prior side-file + fresh hits — disjoint by construction, the
+    // probe reads merge-on-read so already-suppressed keys never
+    // re-probe) at or under `dvInlineMax` stays INLINE in the
+    // manifest line; above it, the vector moves to a parquet
+    // SIDE-FILE written distributed from the probe frame — the
+    // manifest then carries only (path, count), so its line size is
+    // independent of the deleted-key count. Promotion is one-way:
+    // ref vectors only grow.
+    val dvSized = dvFiles.map { f =>
+      val prior = f.dv.getOrElse(keyCol, Array.empty[Long]).length.toLong +
+        f.dvRef.get(keyCol).map(_._2).getOrElse(0L)
+      (f, prior + hitCounts(baseName(f.path)))
+    }
+    val (inlineF, refF) = dvSized.partition(_._2 <= dvInlineMax.toLong)
+    val freshInline: Map[String, Array[Long]] =
+      if (inlineF.isEmpty) Map.empty
+      else probe
+        .filter(col("__f").isin(inlineF.map(p => baseName(p._1.path)): _*))
+        .collect() // bounded by inlineF.size × dvInlineMax
+        .groupBy(_.getString(1))
+        .map { case (f, rs) => f -> rs.map(_.getLong(0)) }
+    val inlineUpdated = inlineF.map { case (f, _) =>
       val prior = f.dv.getOrElse(keyCol, Array.empty[Long])
       f.copy(dv = f.dv + (keyCol ->
-        (prior ++ hitsByFile(baseName(f.path))).distinct.sorted))
+        (prior ++ freshInline.getOrElse(baseName(f.path), Array.empty[Long]))
+          .distinct.sorted))
     }
+    val refUpdated: Seq[FileEntry] =
+      if (refF.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val names = refF.map(p => baseName(p._1.path))
+        val fresh = probe.filter(col("__f").isin(names: _*))
+          .select(col("__f").as("f"), col(keyCol).as("k"))
+        val priorInline = refF.flatMap { case (f, _) =>
+          f.dv.getOrElse(keyCol, Array.empty[Long])
+            .map(k => (baseName(f.path), k)) }
+        val priorRefDfs = refF.flatMap { case (f, _) =>
+          f.dvRef.get(keyCol).map { case (p, _) => (p, baseName(f.path)) } }
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fs) =>
+            spark.read.parquet(resolvePath(root, p))
+              .filter(col("f").isin(fs.map(_._2): _*)).select("f", "k")
+          }
+        val combined = (Seq(fresh, priorInline.toDF("f", "k")) ++ priorRefDfs)
+          .reduce(_ unionByName _)
+        val rel = writeDvSideFile(combined, root, v)
+        refF.map { case (f, n) =>
+          f.copy(dv = f.dv - keyCol,
+            dvRef = f.dvRef + (keyCol -> (rel, n)))
+        }
+      }
+    val dvUpdated = inlineUpdated ++ refUpdated
     // txnTag mirrors [[commit]]'s: the action stamp + the carried
     // high-water map (guarded + max-merged above) make a streaming
     // CDC-APPLY sink exactly-once (st30)
-    val action = txnTag.fold("merge-mor")(t => s"merge-mor+txn=$t")
+    val action = txnTag.fold(actionBase)(t => s"$actionBase+txn=$t")
     val carried = carriedTxns(root, parent)
     val txns = carried ++ tag.map { case (app, n) =>
       app -> math.max(n, carried.getOrElse(app, -1L)) }
@@ -1902,8 +2143,7 @@ object TableLog {
     require(sv >= 0, s"no committed table to clone at $srcRoot")
     val m = readManifest(srcRoot, sv)
     val absSrc = Paths.get(srcRoot).toAbsolutePath.normalize.toString
-    val files = m.files.map(f =>
-      if (f.path.startsWith("/")) f else f.copy(path = s"$absSrc/${f.path}"))
+    val files = m.files.map(absolutize(_, absSrc))
     writeManifest(dstRoot, Manifest(0L, -1L, s"clone=$absSrc@$sv",
       m.schemaDdl, files))
   }
@@ -1945,8 +2185,7 @@ object TableLog {
       if (Files.exists(manifestPath(srcRoot, v)) ||
           Files.exists(checkpointPath(srcRoot, v))) {
         val m = readManifest(srcRoot, v)
-        val files = m.files.map(f =>
-          if (f.path.startsWith("/")) f else f.copy(path = s"$absSrc/${f.path}"))
+        val files = m.files.map(absolutize(_, absSrc))
         val parent = currentVersion(dstRoot)
         val carried = carriedTxns(dstRoot, parent)
         out = writeManifest(dstRoot, Manifest(parent + 1, parent,
@@ -1987,8 +2226,8 @@ object TableLog {
     // shallow clone can mix foreign (absolute) and local part files,
     // and a basename key would conflate two such entries into one
     // stats row (round-12 advice).
-    val df = readFiles(spark, root, m.schemaDdl, m.files)
-      .withColumn("__f", input_file_name())
+    val df = readFiles(spark, root, m.schemaDdl, m.files,
+      fileCol = Some("__f"))
     // type-dispatched lanes (round-13: ANALYZE previously assumed
     // long-castable columns, so `analyze(…, "source")` silently
     // produced all-NULL stats for the text columns a corpus actually
@@ -2150,8 +2389,14 @@ object TableLog {
     val versions = (0L to head).filter(v =>
       Files.exists(manifestPath(root, v)) || Files.exists(checkpointPath(root, v)))
     val (dead, live) = versions.partition(_ < keepFrom)
-    val liveFiles = live.flatMap(v => readManifest(root, v).files.map(_.path)).toSet
-    val deadFiles = dead.flatMap(v => readManifest(root, v).files.map(_.path))
+    // DV side-file dirs are first-class artifacts: referenced → live,
+    // referenced only by dead versions → deletable (dir-aware below)
+    def artifacts(f: FileEntry): Seq[String] =
+      f.path +: f.dvRef.valuesIterator.map(_._1).toSeq
+    val liveFiles = live.flatMap(v =>
+      readManifest(root, v).files.flatMap(artifacts)).toSet
+    val deadFiles = dead.flatMap(v =>
+      readManifest(root, v).files.flatMap(artifacts))
       .distinct.filterNot(p => liveFiles(p) || p.startsWith("/"))
     (dead, live, liveFiles, deadFiles)
   }
@@ -2202,7 +2447,11 @@ object TableLog {
     // never deleted (excluded by the plan): this table does not own
     // the source table's bytes — vacuuming a clone drops its local
     // history only (the Delta shallow-clone contract).
-    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    deadFiles.foreach { p =>
+      val path = Paths.get(root, p)
+      if (Files.isDirectory(path)) TidyIO.deleteRecursively(path) // DV side dir
+      else Files.deleteIfExists(path)
+    }
     // Retire BOTH log artifacts of a dead version: its manifest and
     // any checkpoint side-file a previous vacuum materialized for it
     // (the freshly written survivor checkpoint sits at `live.head` ≥
@@ -2227,7 +2476,10 @@ object TableLog {
     // reclaim it. An IN-FLIGHT commit targets head+1 > head ≥
     // keepFrom and is never touched; a dir the line can't judge
     // (unparseable, or version ≥ keepFrom) is kept conservatively.
-    val liveDirs = liveFiles.map(p => p.substring(0, p.lastIndexOf('/')))
+    // a DV side-file reference IS a directory path (no trailing part
+    // file), so liveness checks both the mapped parent and the raw ref
+    val liveDirs = liveFiles.map(p => p.substring(0, p.lastIndexOf('/'))) ++
+      liveFiles
     val filesRoot = Paths.get(root, "files")
     if (Files.isDirectory(filesRoot))
       Files.list(filesRoot).iterator().asScala.toSeq

