@@ -1693,6 +1693,57 @@ object Relational {
           lit(TableLog.currentVersion(root)).as("head_version"))
     }),
 
+    // R97/q93: COLUMN MAPPING — RENAME/DROP COLUMN as metadata-only
+    // commits (Delta's columnMapping=name mode; round-13 missing-item
+    // 3: evolution admitted ADD + type-widen only, and users rename
+    // columns). The manifest DDL names columns LOGICALLY while files,
+    // zones, blooms and DVs keep the stable PHYSICAL name fixed at
+    // creation, so a rename moves ZERO bytes on a 100 TB table, old
+    // files keep resolving, probes translate logical→physical, and
+    // AS-OF reads below the boundary surface the OLD names. The query
+    // drives rename → append-under-the-new-name → drop and certifies
+    // the head under the new names, the v0 snapshot under the old,
+    // the zone-prune claim through the renamed column, and the loud
+    // drift gate for an append still using the old name.
+    "q93_column_mapping" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q93_cmap")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"),
+          coalesce(col("o_orderpriority").cast("string"), lit("?")).as("prio"))
+        .filter(col("k").isNotNull)
+      TableLog.commit(o, root, expr("k div 500"), 8, "overwrite")
+      TableLog.renameColumn(root, "cents", "price")
+      // drift gate: the OLD logical name must reject loudly
+      val rejected =
+        try { TableLog.commit(o.limit(1), root, expr("k div 500"), 1,
+          "append"); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      TableLog.commit(
+        o.filter(pmod(col("k"), lit(5L)) === 0L)
+          .select((col("k") + lit(1000000000L)).as("k"),
+            (col("cents") + lit(17L)).as("price"), col("prio")),
+        root, expr("k div 500"), 4, "append")
+      TableLog.dropColumn(root, "prio")
+      // zone probes translate through the mapping: a range on the
+      // RENAMED column still prunes files zoned under the old name
+      val (sel, total) = TableLog.planFilesMulti(root,
+        Seq(("k", 1L, 400L)))
+      val v0 = TableLog.read(s, root, Some(0L))
+        .agg(sum("cents")).collect()(0)
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(v0.getLong(0)).as("sum_cents_v0"),
+          lit(if (sel.size < total) 1L else 0L).as("pruned"),
+          lit(rejected).as("rejected"),
+          lit(TableLog.currentVersion(root)).as("head_version"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3370,6 +3421,25 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q93: rename/append/drop replayed from raw orders — head sums
+    // under the NEW name include the shifted append; the v0 snapshot
+    // sums under the OLD name; pruned/rejected/head_version are the
+    // metadata-only, drift-gate and one-commit-per-step claims.
+    "q93_column_mapping" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | d AS (SELECT k, cents AS price FROM o
+        |   UNION ALL
+        |   SELECT k + 1000000000, cents + 17 FROM o WHERE k % 5 = 0)
+        |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(DISTINCT k) FROM d) AS BIGINT) AS n_keys,
+        |  CAST((SELECT sum(price) FROM d) AS BIGINT) AS sum_price,
+        |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS sum_cents_v0,
+        |  CAST(1 AS BIGINT) AS pruned,
+        |  CAST(1 AS BIGINT) AS rejected,
+        |  CAST(3 AS BIGINT) AS head_version""".stripMargin,
 
     // q92: the three-statement SQL DML recipe replayed from raw
     // orders — MERGE (drop r=0, price+100 on r=1, insert -k at

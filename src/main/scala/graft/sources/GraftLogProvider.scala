@@ -64,10 +64,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * holds — pruning is driver-side set arithmetic over the manifest,
   * and the data path is Spark's own vectorized parquet reader.
   */
-class GraftLogProvider extends TableProvider with DataSourceRegister {
+class GraftLogProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   import GraftLogProvider._
 
   override def shortName(): String = "graftlog"
+
+  /** S31/st33 — the NATIVE streaming sink: `writeStream
+    * .format("graftlog")` with no user code (st26/st30 hand-wired
+    * foreachBatch + commitTxn; Delta ships a real Sink for the same
+    * reason). Spark's DataStreamWriter routes a StreamSinkProvider to
+    * the DSv1 sink path even when the class is also a TableProvider,
+    * so batch reads/writes keep the V2 surface. Exactly-once: each
+    * micro-batch commits with txnTag `appId:batchId` — the SAME
+    * high-water guard st26 certifies — where appId defaults to the
+    * query's checkpointLocation (sanitized), so a recovered query
+    * replaying its last batch no-ops. Append mode appends; Complete
+    * mode overwrites the snapshot per trigger (the MV shape). Write
+    * options mirror the batch writer: `layout`, `numFiles`,
+    * `checkpointInterval`, `appId`.
+    */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val p = parameters.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val root = p.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlog sink: 'path' option (the table root) is required"))
+    import org.apache.spark.sql.streaming.OutputMode._
+    require(outputMode == Append() || outputMode == Complete(),
+      s"graftlog sink supports Append and Complete output modes, got $outputMode")
+    val appId = p.get("appid")
+      .orElse(p.get("checkpointlocation"))
+      .getOrElse(root)
+      .map(c => if (c == ':' || c == ',' || c == '\t' || c == '\n') '_' else c)
+    new GraftLogSink(ctx, root, p.get("layout"),
+      p.get("numfiles").map(_.toInt).getOrElse(8), appId,
+      p.get("checkpointinterval").map(_.toInt).getOrElse(1),
+      overwriteEachBatch = outputMode == Complete())
+  }
 
   /** Schema always comes from the manifest (never user-supplied):
     * the store is the source of truth, including through evolution.
@@ -116,8 +154,15 @@ class GraftLogProvider extends TableProvider with DataSourceRegister {
       StructType.fromDDL(TableLog.schemaDdlOf(root, toV))
         .add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", LongType)
-    } else
-      StructType.fromDDL(TableLog.schemaDdlOf(root, resolve(options)._2))
+    } else {
+      val v = resolve(options)._2
+      // a WRITE target may not exist yet: DataStreamWriter (and the
+      // batch writer) resolve the table BEFORE dispatching to the
+      // sink/write path, so an empty store must yield an empty schema
+      // here — reads of it stay loud at newScanBuilder
+      if (v < 0L) new StructType()
+      else StructType.fromDDL(TableLog.schemaDdlOf(root, v))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -245,8 +290,11 @@ private[sources] final class GraftLogTable(val root: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(snapVersion >= 0L,
+      s"graftlog: no committed table at $root — nothing to read")
     new GraftLogScanBuilder(root, snapVersion, tableSchema)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // writes always target the HEAD (commit re-resolves it); a
     // relation pinned by versionAsOf/timestampAsOf is a snapshot
@@ -352,14 +400,59 @@ private[sources] final class GraftLogScan(root: String, version: Long,
     */
   private lazy val reported: Statistics = {
     val m = TableLog.readManifest(root, version)
-    val sel = m.files.filter(f => pushed.forall(p => GraftLogScan.keeps(p, f)))
+    val sel = m.files.filter(f => pushed.forall(p =>
+      GraftLogScan.keeps(GraftLogScan.translate(p, m), f)))
     val rows = sel.map(_.liveRows).sum
     val bytes = TableLog.dataBytes(root, sel)
+    // COLUMN statistics from the ANALYZE artifact when one exists for
+    // this version (the NDV→CBO bridge): Catalyst's cost-based join
+    // planning reads distinctCount/min/max/nullCount through
+    // DataSourceV2ScanRelation.computeStats once the
+    // stats-forwarding wrapper swap (rules.scala) makes this trait
+    // visible past the V1 shim. Advisory by construction: no
+    // artifact → the pair-only form, never an error.
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                                org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      try {
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(f"$root/_stats/v$version%08d"))) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          TableLog.tableStats(spark, root, Some(version)).collect().foreach { r =>
+            val name = r.getString(0)
+            val nulls = r.getLong(2)
+            val mn = if (r.isNullAt(3)) None else Some(r.getLong(3))
+            val mx = if (r.isNullAt(4)) None else Some(r.getLong(4))
+            val ndv = r.getLong(7)
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+                override def min(): java.util.Optional[Object] =
+                  mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
+          }
+        }
+      } catch { case _: Throwable => () } // stats stay advisory
+      out
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, bytes))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
@@ -368,6 +461,25 @@ private[sources] final class GraftLogScan(root: String, version: Long,
 
 private[sources] object GraftLogScan {
   import org.apache.spark.sql.types.{DataType, StringType}
+
+  /** Rewrite a pushed filter's column names logical→physical (column
+    * mapping): zones/blooms are keyed by the PHYSICAL name. Only the
+    * shapes [[keeps]] understands need rewriting — anything else is
+    * conservatively kept anyway.
+    */
+  def translate(f: Filter, m: TableLog.Manifest): Filter =
+    if (m.colMap.isEmpty) f
+    else f match {
+      case EqualTo(c, v)            => EqualTo(m.physicalOf(c), v)
+      case GreaterThan(c, v)        => GreaterThan(m.physicalOf(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(m.physicalOf(c), v)
+      case LessThan(c, v)           => LessThan(m.physicalOf(c), v)
+      case LessThanOrEqual(c, v)    => LessThanOrEqual(m.physicalOf(c), v)
+      case In(c, vs)                => In(m.physicalOf(c), vs)
+      case IsNotNull(c)             => IsNotNull(m.physicalOf(c))
+      case And(l, r)                => And(translate(l, m), translate(r, m))
+      case other                    => other
+    }
 
   /** Integral literal → Long; anything else is not zone-comparable
     * (fractional comparisons against a long column are rewritten by
@@ -505,9 +617,10 @@ private[sources] final class GraftLogRelation(ctx: SQLContext, root: String,
 
   override def buildScan(): RDD[Row] = {
     val m = TableLog.readManifest(root, version)
-    val sel = m.files.filter(f => pushed.forall(p => GraftLogScan.keeps(p, f)))
+    val sel = m.files.filter(f => pushed.forall(p =>
+      GraftLogScan.keeps(GraftLogScan.translate(p, m), f)))
     GraftLogProvider.lastScanPlan = (sel.size, m.files.size)
-    val df = TableLog.readFiles(ctx.sparkSession, root, m.schemaDdl, sel)
+    val df = TableLog.readFiles(ctx.sparkSession, root, m, sel)
     val projected =
       if (required.isEmpty) df.select()
       else df.select(required.fieldNames.toSeq.map(col): _*)

@@ -46,6 +46,12 @@ object StreamRun {
     */
   @volatile var lastPlan: String = ""
 
+  /** Sink description of the most recent [[runToSink]] query — spec
+    * evidence that the ENGINE drove the named sink (not a foreachBatch
+    * shim).
+    */
+  @volatile var lastSinkDescription: String = ""
+
   /** Streamed read of `<dir>/<table>.parquet`: explicit schema from a
     * metadata-only batch read (file streams don't infer); the events
     * table's TIMESTAMP(NANOS) arrives as long and is truncated to
@@ -167,6 +173,53 @@ object StreamRun {
     * Same checkpoint/trigger/plan-capture/cleanup contract as
     * [[onSource]]; returns the number of micro-batches executed.
     */
+  /** Drive `src` into a format SINK (st33's native graftlog sink)
+    * through the real engine under Trigger.AvailableNow — the
+    * no-user-code twin of [[runForeachBatch]]. Returns the sink's
+    * appId default input (the checkpoint location used), so callers
+    * can replay a batch against the same identity.
+    */
+  def runToSink(s: SparkSession, src: DataFrame, fmt: String,
+                options: Map[String, String],
+                mode: OutputMode = OutputMode.Append()): Option[String] = {
+    val name = "graft_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val ckptBase = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-ckpt") else None
+    }
+    val ckptDir = ckptBase.map(b => s"$b/$name")
+    val q = try {
+      val w = src.writeStream.queryName(name).format(fmt)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      options.foreach { case (k, v) => w.option(k, v) }
+      ckptDir.foreach(d => w.option("checkpointLocation", d))
+      w.start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.awaitTermination()
+    finally ckptDir.foreach { d =>
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      lastPlan = buf.toString
+    } catch { case _: Throwable => lastPlan = "" }
+    lastSinkDescription =
+      Option(q.lastProgress).map(_.sink.description).getOrElse("")
+    ckptDir
+  }
+
   def runForeachBatch(s: SparkSession, src: DataFrame)
                      (fn: (DataFrame, Long) => Unit): Long = {
     val name = "graft_feb_" +

@@ -28,6 +28,18 @@ object StreamBridge {
       .internalCreateDataFrame(
         df.queryExecution.toRdd, schema, isStreaming = true)
 
+  /** The REVERSE bridge, for DSv1 `Sink.addBatch`: re-plan the
+    * engine-handed streaming micro-batch as a plain batch DataFrame
+    * (Spark's own ForeachBatchSink does exactly this) so ordinary
+    * writers — TableLog.commit — can consume it. The RDD is the
+    * incremental execution's `toRdd`: the micro-batch's rows, planned
+    * once.
+    */
+  def asBatch(ctx: SQLContext, df: DataFrame): DataFrame =
+    ctx.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
+
   /** An empty streaming micro-batch under `schema`. */
   def emptyStreaming(ctx: SQLContext, schema: StructType): DataFrame = {
     val classic = ctx.asInstanceOf[org.apache.spark.sql.classic.SQLContext]

@@ -1685,6 +1685,10 @@ object GraftExpressions {
       cs.experimental.extraOptimizations =
         cs.experimental.extraOptimizations :+ V1ScanStatsJoinRule
     }
+    if (!cs.experimental.extraOptimizations.contains(V1ScanStatsForwardRule)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ V1ScanStatsForwardRule
+    }
     val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

@@ -61,6 +61,50 @@ object PolygonGateBBoxRule extends Rule[LogicalPlan] {
   * threshold is ≤ 0 (the user turned auto-broadcast off). Statistics
   * stay advisory: a hint can change the plan, never a value.
   */
+/** The NDV→CBO bridge: Spark's `V1ScanWrapper` (the shim every
+  * V1Scan acquires during pushdown) does not implement
+  * `SupportsReportStatistics`, so a graftlog scan's exact rows/bytes
+  * AND its ANALYZE-artifact column statistics (distinctCount /
+  * min / max / nullCount) never reach
+  * `DataSourceV2ScanRelation.computeStats`. This rule swaps the shim
+  * for a subclass that forwards the trait — after which Catalyst's
+  * OWN machinery consumes the store's statistics: plan-level
+  * `stats.attributeStats` carry the NDVs (CBO estimates) and
+  * JoinSelection's build-side/broadcast choice sees real sizeInBytes
+  * without the hint detour. Runs in the user-provided optimizer
+  * batch — the earliest point AFTER V2ScanRelationPushDown creates
+  * the wrapper (the Pre-CBO batch precedes pushdown); plan stats are
+  * computed lazily on the final optimized plan, so every consumer
+  * from physical planning onward sees the forwarded numbers.
+  * Idempotent (the subclass is itself the trait).
+  */
+object V1ScanStatsForwardRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+  import org.apache.spark.sql.connector.read.SupportsReportStatistics
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2ScanRelation => r.scan match {
+      case w: V1ScanWrapper if !w.isInstanceOf[SupportsReportStatistics] &&
+          w.v1Scan.isInstanceOf[SupportsReportStatistics] =>
+        r.copy(scan = new StatsForwardingV1ScanWrapper(w))
+      case _ => r
+    }
+  }
+}
+
+/** [[org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper]]
+  * plus the statistics trait, delegating to the wrapped V1 scan.
+  */
+final class StatsForwardingV1ScanWrapper(
+    w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper)
+  extends org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(
+    w.v1Scan, w.handledFilters, w.pushedDownOperators)
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+}
+
 object V1ScanStatsJoinRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, HintInfo, Project, BROADCAST}
   import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}

@@ -306,6 +306,39 @@ class GraftLogDsvSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("NDV→CBO bridge: ANALYZE column statistics reach plan-level attributeStats") {
+    val root = freshRoot("cbo")
+    TableLog.commit(mkDf(0L until 1000L)
+      .withColumn("cat", pmod(col("k"), lit(7L))), root,
+      expr("k div 250"), 4, "overwrite")
+    def attrStats(df: org.apache.spark.sql.DataFrame) = {
+      // force CBO's stats visitor (plan-level config read)
+      val prev = spark.conf.get("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try df.queryExecution.optimizedPlan.stats.attributeStats
+      finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    }
+    // UN-analyzed: the scan reports rows/bytes but no column stats
+    val before = attrStats(sqlRead(root))
+    assert(before.isEmpty || before.forall(_._2.distinctCount.isEmpty),
+      s"no artifact → no NDVs, got $before")
+    // ANALYZE, then the SAME SQL read carries distinctCount/min/max —
+    // the pre-CBO wrapper swap + columnStats forwarding end to end
+    TableLog.analyze(spark, root, Seq("k", "cat"))
+    val after = attrStats(sqlRead(root))
+    val kStat = after.find(_._1.name == "k").map(_._2)
+    val catStat = after.find(_._1.name == "cat").map(_._2)
+    assert(kStat.exists(_.distinctCount.exists(_.toLong == 1000L)),
+      s"k NDV must reach the plan: $after")
+    assert(catStat.exists(_.distinctCount.exists(_.toLong == 7L)),
+      s"cat NDV must reach the plan: $after")
+    assert(kStat.exists(s => s.min.contains(0L) && s.max.contains(999L)),
+      s"k min/max must reach the plan: $kStat")
+    // values stay values: the analyzed relation still reads exactly
+    assert(sqlRead(root).agg(sum("cents")).head.getLong(0) ==
+      (0L until 1000L).map(_ * 10 + 1).sum)
+  }
+
   test("plan-time pin: a commit between schema inference and table construction is invisible") {
     // the round-12 TOCTOU edge: inferSchema and getTable each resolved
     // the head independently, so a commit landing in between bound

@@ -639,4 +639,54 @@ class StreamRunSpec extends AnyFunSuite {
     val v0 = TableLog.read(spark, root, Some(0L))
     assert(v0.agg(sum("cnt")).head.getLong(0) < streamedState.agg(sum("cnt")).head.getLong(0))
   }
+
+  test("native graftlog sink: engine-driven commits, replay no-op, Complete-mode MV, loud schema gate") {
+    import graft.sources.TableLog
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("sinksrc").toString
+    val rows = (0L until 120L).map(k => (k, k * 2 + 1)).toDF("k", "cents")
+    rows.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // APPEND: one commit per micro-batch through the REAL engine
+    val root = java.nio.file.Files.createTempDirectory("sinktbl").toString + "/t"
+    StreamRun.runToSink(spark, stream, "graftlog", Map(
+      "path" -> root, "layout" -> "k div 50", "appId" -> "sinkspec"))
+    assert(StreamRun.lastSinkDescription.contains("GraftLogSink"),
+      s"engine must drive the named sink: ${StreamRun.lastSinkDescription}")
+    assert(TableLog.currentVersion(root) == 2L, "3 files → 3 commits")
+    assert(TableLog.read(spark, root).agg(sum("cents")).head.getLong(0) ==
+      (0L until 120L).map(_ * 2 + 1).sum)
+    // recovery replay of batch 0 under the same appId: no-op
+    val before = TableLog.currentVersion(root)
+    TableLog.commit(rows, root, expr("k div 50"), 2, "append",
+      txnTag = Some("sinkspec:0"))
+    assert(TableLog.currentVersion(root) == before, "replayed batch must no-op")
+    // COMPLETE mode: each trigger OVERWRITES the snapshot — the
+    // streaming-MV shape; the head equals the full-data aggregate
+    val root2 = java.nio.file.Files.createTempDirectory("sinktbl2").toString + "/t"
+    val agg = stream.groupBy(expr("k div 40").as("g"))
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+    StreamRun.runToSink(spark, agg, "graftlog",
+      Map("path" -> root2, "layout" -> "g", "appId" -> "sinkmv"),
+      OutputMode.Complete())
+    val got = TableLog.read(spark, root2).orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = rows.groupBy(expr("k div 40").as("g"))
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"Complete-mode head must equal the batch aggregate")
+    // schema gate: streaming a DRIFTED schema into an existing table
+    // fails the query loudly (the store's append gate, engine-wired)
+    val drifted = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withColumnRenamed("cents", "price")
+    val e = intercept[Exception] {
+      StreamRun.runToSink(spark, drifted, "graftlog",
+        Map("path" -> root, "appId" -> "sinkdrift"))
+    }
+    assert(e.getMessage != null)
+  }
 }
