@@ -25,6 +25,7 @@ object Graft {
       // extensions hook — registerFunctions can retrofit optimizer
       // rules onto a built session, analyzer rules it cannot
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

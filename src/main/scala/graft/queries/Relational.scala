@@ -1744,6 +1744,56 @@ object Relational {
           lit(TableLog.currentVersion(root)).as("head_version"))
     }),
 
+    // R98/q94: the SQL MAINTENANCE surface — Spark 4 stored
+    // procedures (`CALL graft.system.<verb>(...)` over the registered
+    // ProcedureCatalog; Iceberg's CALL rewrite_data_files / Delta's
+    // OPTIMIZE-VACUUM SQL shape). A SQL-first operator runs the whole
+    // operational loop without the Scala API: compact folds the
+    // 17-file layout (value-preserving — the aggregate equals the raw
+    // recompute), vacuum DRY RUN reports the exact retirable set with
+    // zero mutation, real vacuum deletes exactly that set, ANALYZE
+    // writes the stats artifact (row count certified through
+    // statsRowCount), history surfaces the audit trail, and restore
+    // rolls the snapshot back — every verb delegating to the SAME
+    // TableLog primitive its API twin uses. Physical claims ride as
+    // literals; the oracle recomputes the values from raw orders.
+    "q94_sql_maintenance" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q94_maint")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+      TableLog.commit(o, root, expr("k div 500"), 16, "overwrite")
+      TableLog.commit(o.select(col("k") + lit(1000000000L), col("price"))
+        .toDF("k", "price").filter(pmod(col("k"), lit(7L)) === 0L),
+        root, expr("k div 500"), 4, "append")
+      val vCompact = s.sql(
+        s"CALL graft.system.compact(path => '$root', order_col => 'k')")
+        .head().getLong(0)
+      val dry = s.sql(s"CALL graft.system.vacuum(path => '$root', " +
+        s"keep_from => $vCompact, dry_run => true)").count()
+      val headBeforeVacuum = TableLog.currentVersion(root)
+      val real = s.sql(s"CALL graft.system.vacuum(path => '$root', " +
+        s"keep_from => $vCompact)").count()
+      s.sql(s"CALL graft.system.analyze(path => '$root', columns => 'k,price')")
+      val statsN = TableLog.statsRowCount(s, root).getOrElse(-1L)
+      val histN = s.sql(s"CALL graft.system.history(path => '$root')").count()
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("price").as("sum_price"))
+        .select(col("n_rows"), col("n_keys"), col("sum_price"),
+          lit(vCompact).as("v_compact"),
+          lit(if (dry == real && dry > 0L) 1L else 0L).as("dry_matches_real"),
+          lit(if (TableLog.currentVersion(root) == headBeforeVacuum) 1L
+            else 0L).as("vacuum_metadata_only"),
+          lit(if (statsN == TableLog.read(s, root).count()) 1L else 0L)
+            .as("stats_exact"),
+          lit(histN).as("n_live_versions"))
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3421,6 +3471,29 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q94: the maintained table's content replayed from raw orders
+    // (compaction moves bytes, never values; vacuum moves history,
+    // never the head) — the structural literals are the operational
+    // claims: dry==real vacuum, metadata-only retention, exact
+    // ANALYZE row count, one live version post-vacuum.
+    "q94_sql_maintenance" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | d AS (SELECT k, price FROM o
+        |   UNION ALL
+        |   SELECT k + 1000000000 AS k, price FROM o
+        |   WHERE (k + 1000000000) % 7 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(2 AS BIGINT) AS v_compact,
+        |  CAST(1 AS BIGINT) AS dry_matches_real,
+        |  CAST(1 AS BIGINT) AS vacuum_metadata_only,
+        |  CAST(1 AS BIGINT) AS stats_exact,
+        |  CAST(1 AS BIGINT) AS n_live_versions
+        |FROM d""".stripMargin,
 
     // q93: rename/append/drop replayed from raw orders — head sums
     // under the NEW name include the shifted append; the v0 snapshot

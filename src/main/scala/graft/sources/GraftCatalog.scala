@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** R98 — the SQL MAINTENANCE surface: Spark 4's stored-procedure API
+  * (SPARK-44167, the `CALL` statement over a [[ProcedureCatalog]])
+  * exposing the store's operational commands the way Iceberg's
+  * `CALL catalog.system.rewrite_data_files(...)` and Delta's
+  * `OPTIMIZE`/`VACUUM` SQL do — the other half of the SQL story next
+  * to R96's DML: a SQL-first operator can now run compaction,
+  * retention, statistics, restore, schema changes and replication
+  * without touching the Scala API. Register once:
+  * `spark.sql.catalog.graft = graft.sources.GraftCatalog`, then
+  * `CALL graft.system.compact(path => '/t', order_col => 'k', ...)`.
+  *
+  * Every procedure delegates to the SAME TableLog primitive its
+  * programmatic twin uses (one write path, the R87/R96 rule), runs
+  * driver-side exactly like the API call would, and returns its
+  * outcome as rows (version numbers, deleted files, history) through
+  * a [[LocalScan]]. Scale: procedures move metadata or delegate to
+  * operations whose scale story is documented on the primitive —
+  * nothing here adds driver state.
+  */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+  import GraftCatalog._
+
+  private var catalogName: String = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"graft catalog: unknown procedure ${ident.name()} " +
+          s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+}
+
+private[sources] object GraftCatalog {
+
+  private def p(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def pOpt(n: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  /** One-row (or N-row) in-memory result. */
+  private final class RowsScan(schema: StructType,
+                               data: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = schema
+    override def description(): String = "graft-procedure-result"
+  }
+
+  private def result(schema: StructType,
+                     rows: Seq[InternalRow]): java.util.Iterator[Scan] =
+    Collections.singletonList(
+      new RowsScan(schema, rows.toArray): Scan).iterator()
+
+  private val versionSchema = StructType(Seq(StructField("version", LongType)))
+  private def versionResult(v: Long): java.util.Iterator[Scan] =
+    result(versionSchema, Seq(InternalRow(v)))
+
+  /** A procedure defined by (name, parameters, body). Bound form =
+    * unbound form: parameters are static (no overloading).
+    */
+  private final class Proc(procName: String, params: Seq[ProcedureParameter],
+                           outSchema: StructType,
+                           body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // mutates / reads live state
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      result(outSchema, body(input))
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> new Proc("compact",
+      Seq(p("path", StringType), p("order_col", StringType),
+        pOpt("target_rows", LongType, "1000000"),
+        pOpt("small_rows", LongType, "9223372036854775807")),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.compact(spark, in.getString(0),
+        in.getString(1), in.getLong(2), in.getLong(3))))),
+
+    "recluster" -> new Proc("recluster",
+      Seq(p("path", StringType), p("layout", StringType),
+        pOpt("num_files", IntegerType, "8")),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.recluster(spark, in.getString(0),
+        expr(in.getString(1)), in.getInt(2))))),
+
+    "vacuum" -> new Proc("vacuum",
+      Seq(p("path", StringType), p("keep_from", LongType),
+        pOpt("dry_run", BooleanType, "false")),
+      StructType(Seq(StructField("deleted", StringType))),
+      in => {
+        val deleted =
+          if (in.getBoolean(2)) TableLog.vacuumDryRun(in.getString(0), in.getLong(1))
+          else TableLog.vacuum(in.getString(0), in.getLong(1))
+        deleted.sorted.map(d => InternalRow(utf8(d)))
+      }),
+
+    "analyze" -> new Proc("analyze",
+      Seq(p("path", StringType), p("columns", StringType)),
+      StructType(Seq(StructField("artifact", StringType))),
+      in => Seq(InternalRow(utf8(TableLog.analyze(spark, in.getString(0),
+        in.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))))),
+
+    "restore" -> new Proc("restore",
+      Seq(p("path", StringType), p("version", LongType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.restore(in.getString(0), in.getLong(1))))),
+
+    "history" -> new Proc("history",
+      Seq(p("path", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("action", StringType), StructField("kind", StringType),
+        StructField("n_files", LongType), StructField("n_rows", LongType),
+        StructField("ts_millis", LongType))),
+      in => TableLog.history(spark, in.getString(0)).collect().toSeq
+        .map(r => InternalRow(r.getLong(0), utf8(r.getString(1)),
+          utf8(r.getString(2)), r.getLong(3), r.getLong(4), r.getLong(5)))),
+
+    "rename_column" -> new Proc("rename_column",
+      Seq(p("path", StringType), p("from", StringType), p("to", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.renameColumn(in.getString(0),
+        in.getString(1), in.getString(2))))),
+
+    "drop_column" -> new Proc("drop_column",
+      Seq(p("path", StringType), p("column", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.dropColumn(in.getString(0),
+        in.getString(1))))),
+
+    "clone" -> new Proc("clone",
+      Seq(p("source", StringType), p("target", StringType)),
+      versionSchema,
+      in => { TableLog.cloneShallow(in.getString(0), in.getString(1))
+        Seq(InternalRow(0L)) }),
+
+    "sync" -> new Proc("sync",
+      Seq(p("source", StringType), p("target", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.syncShallow(in.getString(0),
+        in.getString(1))))))
+}
