@@ -854,6 +854,73 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // L126 — DETERMINISTIC DATALOADER ORDER (the reproducibility
+    // primitive under every training run: "epoch e, shard s, position
+    // p" must resolve to the same document on every rerun, any
+    // engine, any cluster size — a cluster-local shuffle or RNG makes
+    // runs unrepeatable and elasticity-hostile). Per epoch, each doc
+    // takes a PORTABLE order key fmix64(fmix64(epoch+1) ⊕ doc_id),
+    // shards by pmod(key, 8) (uniform, no global sort — the scale
+    // shape: a 100 TB corpus shards by hash, positions rank within
+    // shard), and ranks within its shard by (key, doc_id). The
+    // output is the per-(epoch, shard) composition with an
+    // ORDER-SENSITIVE checksum — sum(rank·(key mod 10⁶)) — so any
+    // drift in the permutation (not just membership) is a value
+    // diff. Two epochs certify that the seed changes the order.
+    // Shape: one narrow codegen scan + a window PARTITIONED by
+    // (epoch, shard) — each partition is corpus/8, rank is a linear
+    // in-partition pass; nothing global.
+    "d43_epoch_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fx = graft.functions.GraftFunctions
+      val epochs = Seq(0L, 1L).map { e =>
+        docs(s, dir).filter(col("doc_id").isNotNull)
+          .select(lit(e).as("epoch"), col("doc_id"),
+            fx.fmix64(fx.fmix64(lit(e + 1L)).bitwiseXOR(col("doc_id")))
+              .as("hkey"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("epoch", "shard")
+        .orderBy(col("hkey"), col("doc_id"))
+      epochs
+        .withColumn("shard", pmod(col("hkey"), lit(8L)))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("rank") * pmod(col("hkey"), lit(1000000L)))
+            .as("order_checksum"))
+        .orderBy("epoch", "shard")
+    }),
+
+    // L127 — PREFERENCE-PAIR construction (RLHF/DPO data prep: per
+    // prompt group, pair the best-scored candidate with the worst as
+    // (chosen, rejected) — the reduction every preference-tuning
+    // pipeline runs over scored generations). Groups are
+    // (source, lang); the score is the deterministic length signal
+    // (n_chars) with doc_id as the total tiebreak, so the argmax /
+    // argmin are engine-exact; singleton groups drop (no pair), and
+    // chosen == rejected never emits. ONE aggregation via
+    // max_by/min_by over the (score, id) struct — map-side combined,
+    // no window, no self-join; at corpus scale this is a single
+    // linear shuffle on the group key.
+    "t46_pref_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(coalesce(col("source"), lit("?")).as("src"),
+          coalesce(col("lang"), lit("?")).as("lng"),
+          col("doc_id"),
+          coalesce(col("n_chars").cast("long"), lit(0L)).as("score"))
+      d.groupBy("src", "lng")
+        .agg(count(lit(1)).as("n_cands"),
+          max(struct(col("score"), col("doc_id"))).as("best"),
+          min(struct(col("score"), col("doc_id"))).as("worst"))
+        .filter(col("n_cands") >= 2L)
+        .select(col("src"), col("lng"),
+          col("best.doc_id").as("chosen_id"),
+          col("worst.doc_id").as("rejected_id"),
+          (col("best.score") - col("worst.score")).as("margin"),
+          col("n_cands"))
+        .orderBy("src", "lng")
+    }),
+
     // L37: PER-GROUP heavy hitters — one frequent-items sketch per
     // language in a single keyed aggregation (mergeable O(maxMapSize)
     // state per group, map-side partials; the per-group analogue of
@@ -1849,7 +1916,48 @@ object TextQueries {
     ("d37_index_purge" ->
       incrementalLshOracleSql(distinctBase = false, purgeMod = Some((17, 3))))
 
+  /** d43's per-epoch seed constants, precomputed in Scala (the oracle
+    * replays fmix64(seed ⊕ doc_id) with the seed already mixed).
+    */
+  private def epochOrderSelect(e: Long): String = {
+    val seed = org.apache.spark.sql.graftx.Fmix64.fmix(e + 1L)
+    val hs = PortableHashSql.toSigned(PortableHashSql.fmix(
+      PortableHashSql.toUnsigned(s"xor(doc_id, CAST($seed AS BIGINT))")))
+    s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id, $hs AS hs
+       | FROM documents WHERE doc_id IS NOT NULL""".stripMargin
+  }
+
   private lazy val oracleBase: Map[String, String] = Map(
+    "d43_epoch_order" ->
+      s"""WITH e AS (${epochOrderSelect(0L)} UNION ALL ${epochOrderSelect(1L)}),
+         | r AS (SELECT epoch, ((hs % 8) + 8) % 8 AS shard,
+         |    ((hs % 1000000) + 1000000) % 1000000 AS hmod,
+         |    row_number() OVER (PARTITION BY epoch, ((hs % 8) + 8) % 8
+         |      ORDER BY hs, doc_id) AS rank
+         |  FROM e)
+         |SELECT epoch, CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rank * hmod) AS BIGINT) AS order_checksum
+         |FROM r GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    // t46: argmax/argmin replayed as (score, id)-struct extremes —
+    // the same total order Spark's max(struct) uses.
+    "t46_pref_pairs" ->
+      s"""WITH d AS (SELECT coalesce(source, '?') AS src,
+         |    coalesce(lang, '?') AS lng, doc_id,
+         |    CAST(coalesce(n_chars, 0) AS BIGINT) AS score
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         | g AS (SELECT src, lng, count(*) AS n_cands,
+         |    max({'score': score, 'doc_id': doc_id}) AS best,
+         |    min({'score': score, 'doc_id': doc_id}) AS worst
+         |  FROM d GROUP BY src, lng)
+         |SELECT src, lng,
+         |  CAST(best.doc_id AS BIGINT) AS chosen_id,
+         |  CAST(worst.doc_id AS BIGINT) AS rejected_id,
+         |  CAST(best.score - worst.score AS BIGINT) AS margin,
+         |  CAST(n_cands AS BIGINT) AS n_cands
+         |FROM g WHERE n_cands >= 2 ORDER BY src, lng""".stripMargin,
+
     "d01_dedup_exact" ->
       s"""SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
          | count(*) AS n_copies
