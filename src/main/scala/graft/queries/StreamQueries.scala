@@ -617,6 +617,51 @@ object StreamQueries {
           lit(noop).as("replay_noop"))
     }),
 
+    // S32/st34: the FULL LAKEHOUSE PIPE — table-to-table streaming
+    // replication composed ENTIRELY from the two native connectors:
+    // `readStream.format(graftlog-cdf)` tails the upstream commit
+    // log, a stateless transform keeps the insert images and drops
+    // the CDF stamps, and `writeStream.format("graftlog")` lands each
+    // micro-batch as one exactly-once commit on the downstream table
+    // (appId:batchId) — Delta's "stream one table into another"
+    // composition, zero user code in the loop (st29 certified the
+    // source half, st33 the sink half; this is the closed loop a
+    // replication/downstream-materialization pipeline actually
+    // deploys). The downstream content must equal the upstream
+    // exactly; the version count pins commit granularity. Scale: per
+    // trigger the pipe moves one commit window's churn through one
+    // batch-sized write — upstream size never appears.
+    "st34_table_pipe" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val src = TidyIO.scratchDir("st34_src")
+      val dst = TidyIO.scratchDir("st34_dst")
+      val o = Graft.table(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("cents"))
+        .filter(col("k").isNotNull)
+      val layout = expr("k div 500")
+      val r = pmod(col("k"), lit(3L))
+      TableLog.commit(o.filter(r === 0L), src, layout, 8, "overwrite")
+      TableLog.commit(o.filter(r === 1L), src, layout, 4, "append")
+      TableLog.commit(o.filter(r === 2L), src, layout, 4, "append")
+      val feed = s.readStream.format("graft.sources.GraftLogCdfProvider")
+        .option("path", src).option("startingVersion", "0")
+        .option("maxVersionsPerBatch", "1").load()
+        .filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      StreamRun.runToSink(s, feed, "graftlog", Map(
+        "path" -> dst, "layout" -> "k div 500", "numFiles" -> "4",
+        "appId" -> "st34"))
+      TableLog.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+        .select(
+          lit(TableLog.currentVersion(dst) + 1).as("n_downstream_versions"),
+          col("n_rows"), col("n_keys"), col("sum_cents"))
+    }),
+
     // S27/st29: streaming CHANGE-DATA-FEED read — the OTHER half of
     // the lakehouse loop (st25/st26 stream INTO the commit log; this
     // tails it back OUT, Delta's readChangeFeed stream): a custom
@@ -1083,6 +1128,18 @@ object StreamQueries {
     // duplicate of batch 0 must change NOTHING — so n_versions is
     // exactly 4 and the aggregate equals raw orders (a broken txn
     // guard double-counts sum_cents and inflates n_versions).
+    // st34: the pipe is content-preserving — the downstream table
+    // equals raw orders exactly; one downstream commit per upstream
+    // version (maxVersionsPerBatch=1 paces the source, the sink
+    // commits per batch).
+    "st34_table_pipe" ->
+      """SELECT CAST(3 AS BIGINT) AS n_downstream_versions,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT CAST(o_orderkey AS BIGINT)) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey IS NOT NULL""".stripMargin,
+
     // st33: the sink commits one version per micro-batch (4 source
     // files × maxFilesPerTrigger=1) and the replayed batch must no-op
     "st33_stream_sink" ->
