@@ -1794,6 +1794,41 @@ object Relational {
           lit(histN).as("n_live_versions"))
     }),
 
+    // R99/q95: NAMED TABLES — the TableCatalog half of the graft
+    // catalog (R98 added procedures): `CREATE TABLE graft.db.t`,
+    // INSERT/SELECT/the R96 DML trio and ALTER TABLE
+    // ADD/RENAME/DROP COLUMN all resolve through catalog identifiers
+    // onto the SAME GraftLogTable the path-based reader builds — the
+    // DML rule matches the table class, not the resolution route, so
+    // catalog tables inherit every store behavior (schema gate,
+    // zones, column mapping, statistics) with zero extra code. The
+    // query drives the full lifecycle SQL-only: CREATE → INSERT from
+    // raw orders → DELETE a residue class → ALTER ADD (null-fills) →
+    // ALTER RENAME (metadata-only) → final aggregate under the new
+    // names, against a raw-orders oracle replay.
+    "q95_catalog_tables" -> ((s, dir) => {
+      val ns = "q95db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_q95")
+      s.sql(s"CREATE TABLE graft.$ns.orders_q95 (k BIGINT, price BIGINT)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(max("price").as("price")) // PK-safe on fuzz dups
+        .createOrReplaceTempView("q95_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_q95 SELECT k, price FROM q95_src")
+      s.sql(s"DELETE FROM graft.$ns.orders_q95 WHERE k % 11 = 0")
+      s.sql(s"ALTER TABLE graft.$ns.orders_q95 ADD COLUMN note STRING")
+      s.sql(s"ALTER TABLE graft.$ns.orders_q95 RENAME COLUMN price TO cents")
+      s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |  CAST(count(note) AS BIGINT) AS n_notes
+           |FROM graft.$ns.orders_q95""".stripMargin)
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3471,6 +3506,21 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q95: the catalog-table lifecycle replayed from raw orders —
+    // PK-collapse, the % 11 delete, the added column all-NULL
+    // (n_notes = 0), sums under the renamed column.
+    "q95_catalog_tables" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | d AS (SELECT k, price FROM o WHERE k % 11 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS n_notes
+        |FROM d""".stripMargin,
 
     // q94: the maintained table's content replayed from raw orders
     // (compaction moves bytes, never values; vacuum moves history,

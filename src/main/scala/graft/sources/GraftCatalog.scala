@@ -31,13 +31,127 @@ import org.apache.spark.unsafe.types.UTF8String
   * operations whose scale story is documented on the primitive —
   * nothing here adds driver state.
   */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.TableCatalog {
   import GraftCatalog._
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+  import org.apache.spark.sql.connector.catalog.{Table, TableChange}
+  import org.apache.spark.sql.connector.expressions.Transform
+  import java.nio.file.{Files, Paths}
 
   private var catalogName: String = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  private var warehouse: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+  }
   override def name(): String = catalogName
+
+  /** NAMED tables (R99): identifiers map onto warehouse paths
+    * (`graft.db.t` → `<warehouse>/db/t`), loadTable returns the SAME
+    * GraftLogTable the path-based reader builds — so catalog reads,
+    * INSERT, the R96 DML trio and the R88/R92 statistics surfaces all
+    * work on `graft.db.t` with zero extra code (the DML rule matches
+    * the table class, not the resolution route). CREATE TABLE writes
+    * an empty v0 under the declared schema; ALTER TABLE
+    * ADD/RENAME/DROP COLUMN delegate to the metadata-only store
+    * primitives (column mapping included); DROP/RENAME TABLE move
+    * directories. Partitioned CREATE is rejected loudly — layout is a
+    * write option in this store, not a table property.
+    */
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def requireExists(ident: Identifier): String = {
+    val p = tablePath(ident)
+    if (TableLog.currentVersion(p) < 0) throw new NoSuchTableException(ident)
+    p
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(d)) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Identifier]
+      Files.list(d).forEach { c =>
+        if (Files.isDirectory(c) &&
+            TableLog.currentVersion(c.toString) >= 0)
+          out += Identifier.of(namespace, c.getFileName.toString)
+      }
+      out.toArray
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = requireExists(ident)
+    val head = TableLog.currentVersion(p)
+    new GraftLogTable(p, head,
+      StructType.fromDDL(TableLog.schemaDdlOf(p, head)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: partitioned CREATE TABLE is not supported — " +
+        "cluster rows with the 'layout' WRITE option instead")
+    val p = tablePath(ident)
+    if (TableLog.currentVersion(p) >= 0)
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(Paths.get(p))
+    TableLog.createEmpty(p, schema.toDDL)
+    loadTable(ident)
+  }
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    // CatalogV2Util is private[sql]; rebuild the struct by hand (the
+    // v2 Column carries name/dataType/nullable/comment)
+    val st = StructType(columns.toSeq.map { c =>
+      val f = StructField(c.name(), c.dataType(), c.nullable())
+      Option(c.comment()).fold(f)(f.withComment)
+    })
+    createTable(ident, st, partitions, properties)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = requireExists(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "graft catalog: nested column changes are not supported")
+        TableLog.renameColumn(p, rc.fieldNames()(0), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "graft catalog: nested column changes are not supported")
+        TableLog.dropColumn(p, dc.fieldNames()(0))
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          "graft catalog: nested column changes are not supported")
+        TableLog.addColumn(p, ac.fieldNames()(0), ac.dataType().sql)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (TableLog.currentVersion(p) < 0) false
+    else { TidyIO.deleteRecursively(Paths.get(p)); true }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = requireExists(from)
+    val dst = tablePath(to)
+    if (TableLog.currentVersion(dst) >= 0)
+      throw new TableAlreadyExistsException(to)
+    Files.createDirectories(Paths.get(dst).getParent)
+    Files.move(Paths.get(src), Paths.get(dst))
+  }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     procedures.keys.toArray.sorted

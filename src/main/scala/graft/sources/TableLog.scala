@@ -2378,6 +2378,48 @@ object TableLog {
       colMap = target.colMap, droppedPhys = target.droppedPhys))
   }
 
+  /** CREATE TABLE without data (the catalog's DDL-first path): v0 is
+    * an empty snapshot under `ddl` — appends then pass the ordinary
+    * schema gate, reads of v0 return zero rows under the declared
+    * schema. Loud if the root already holds a committed table.
+    */
+  def createEmpty(root: String, ddl: String,
+                  commitTs: Option[Long] = None): Long = {
+    require(currentVersion(root) < 0,
+      s"create: $root already has a committed table")
+    // validate the DDL parses before any IO
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    writeManifest(root, Manifest(0L, -1L, "create", ddl, Nil,
+      ts = commitTs.getOrElse(-1L)))
+  }
+
+  /** ADD COLUMN as a METADATA-ONLY commit (the ALTER TABLE path —
+    * evolve=true appends accrete on write; this accretes on DDL
+    * alone): existing files null-fill the new column at read, new
+    * batches must carry it. Nullable by construction (every existing
+    * row reads NULL); name collisions with live or dropped PHYSICAL
+    * names map to a fresh physical column like evolve accretion.
+    */
+  def addColumn(root: String, name: String, dataType: String,
+                commitTs: Option[Long] = None): Long = {
+    val head = currentVersion(root)
+    require(head >= 0, s"no committed table at $root")
+    val m = readManifest(root, head)
+    val st = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(!st.fieldNames.contains(name),
+      s"add: column '$name' already exists in [${m.schemaDdl}]")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(dataType)
+    val newDdl = st.add(name, dt, nullable = true).toDDL
+    val usedPhys = st.fieldNames.map(m.physicalOf).toSet ++ m.droppedPhys
+    val cmap =
+      if (usedPhys.contains(name)) m.colMap + (name -> s"${name}__v${head + 1}")
+      else m.colMap
+    writeManifest(root, Manifest(head + 1, head, s"add-column=$name",
+      newDdl, Nil, kind = "delta", txns = carriedTxns(root, head),
+      ts = commitTs.getOrElse(-1L), colMap = cmap,
+      droppedPhys = m.droppedPhys))
+  }
+
   /** R97 — RENAME COLUMN (Delta's columnMapping=name mode): a
     * METADATA-ONLY commit — zero data IO on a 100 TB table — that
     * relabels the column logically while every data file, zone,

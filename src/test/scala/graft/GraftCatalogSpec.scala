@@ -72,6 +72,47 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(v == 3L && TableLog.read(spark, root).columns.toSeq == Seq("k", "cents"))
   }
 
+  test("named tables: CREATE/INSERT/SELECT/DML/ALTER/RENAME/DROP through the catalog") {
+    val ns = s"db${ProcessHandle.current().pid()}"
+    spark.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_t")
+    // DDL-first create: empty v0 under the declared schema
+    spark.sql(s"CREATE TABLE graft.$ns.orders_t (k BIGINT, cents BIGINT)")
+    assert(spark.sql(s"SELECT * FROM graft.$ns.orders_t").count() == 0L)
+    // INSERT through the catalog hits the one write path (schema gate)
+    spark.sql(s"INSERT INTO graft.$ns.orders_t " +
+      "SELECT id AS k, id * 2 + 1 AS cents FROM range(100)")
+    assert(spark.sql(s"SELECT sum(cents) FROM graft.$ns.orders_t")
+      .head().getLong(0) == (0L until 100L).map(_ * 2 + 1).sum)
+    // the R96 DML trio works on catalog identifiers (the rule matches
+    // the table class, not the resolution route)
+    spark.sql(s"DELETE FROM graft.$ns.orders_t WHERE k < 10")
+    spark.sql(s"UPDATE graft.$ns.orders_t SET cents = cents + 1000 WHERE k = 50")
+    Seq((999L, 1L)).toDF("k", "cents").createOrReplaceTempView("cat_src")
+    spark.sql(s"""MERGE INTO graft.$ns.orders_t t USING cat_src s ON t.k = s.k
+      |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin)
+    val got = spark.sql(s"SELECT k, cents FROM graft.$ns.orders_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 91 && !got.contains(0L) && got(50L) == 1101L &&
+      got(999L) == 1L)
+    // ALTER TABLE: add (metadata-only, null-fills), rename, drop
+    spark.sql(s"ALTER TABLE graft.$ns.orders_t ADD COLUMN note STRING")
+    assert(spark.sql(s"SELECT note FROM graft.$ns.orders_t WHERE k = 50")
+      .head().isNullAt(0))
+    spark.sql(s"ALTER TABLE graft.$ns.orders_t RENAME COLUMN cents TO price")
+    assert(spark.sql(s"SELECT price FROM graft.$ns.orders_t WHERE k = 50")
+      .head().getLong(0) == 1101L)
+    spark.sql(s"ALTER TABLE graft.$ns.orders_t DROP COLUMN note")
+    assert(spark.table(s"graft.$ns.orders_t").columns.toSeq == Seq("k", "price"))
+    // RENAME + SHOW + DROP
+    spark.sql(s"ALTER TABLE graft.$ns.orders_t RENAME TO $ns.orders_r")
+    assert(spark.sql(s"SHOW TABLES IN graft.$ns").collect()
+      .map(_.getString(1)).toSet == Set("orders_r"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.orders_r")
+      .head().getLong(0) == 91L)
+    spark.sql(s"DROP TABLE graft.$ns.orders_r")
+    intercept[Exception] { spark.table(s"graft.$ns.orders_r").count() }
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")
