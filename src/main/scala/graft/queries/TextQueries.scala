@@ -921,6 +921,38 @@ object TextQueries {
         .orderBy("src", "lng")
     }),
 
+    // L128 — CONTEXT-LENGTH FIT audit (the report behind every
+    // max_len decision: at a candidate context length, how much of
+    // each source fits whole, how many documents truncate, and what
+    // fraction of the token mass the cut loses — the number that
+    // says whether 2k/4k/8k is worth the quadratic attention cost
+    // for THIS corpus). Tokens are t03's whitespace rule; per source
+    // × candidate length: docs, over-length docs, token mass, kept
+    // mass sum(min(tokens, L)), and the integer loss in basis points
+    // ((total−kept)·10⁴ div total — exact BIGINT arithmetic, engine-
+    // replayable). ONE narrow scan exploded over the 3-length
+    // candidate grid (a 3× row multiplier on doc COUNTS, not text),
+    // then a keyed aggregate — linear at any corpus size.
+    "t47_context_fit" -> ((s, dir) => {
+      val lens = Seq(64L, 256L, 1024L)
+      val d = docs(s, dir).filter(col("doc_id").isNotNull)
+        .select(coalesce(col("source"), lit("?")).as("src"),
+          size(Dedup.tokens(col("text"))).cast("long").as("toks"))
+      d.select(col("src"), col("toks"),
+          explode(array(lens.map(lit): _*)).as("max_len"))
+        .groupBy("src", "max_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("toks") > col("max_len"), 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(col("toks")).as("tokens_total"),
+          sum(least(col("toks"), col("max_len"))).as("tokens_kept"))
+        .withColumn("loss_bp",
+          when(col("tokens_total") > 0L,
+            expr("((tokens_total - tokens_kept) * 10000) div tokens_total"))
+            .otherwise(lit(0L)))
+        .orderBy("src", "max_len")
+    }),
+
     // L37: PER-GROUP heavy hitters — one frequent-items sketch per
     // language in a single keyed aggregation (mergeable O(maxMapSize)
     // state per group, map-side partials; the per-group analogue of
@@ -1957,6 +1989,25 @@ object TextQueries {
          |  CAST(best.score - worst.score AS BIGINT) AS margin,
          |  CAST(n_cands AS BIGINT) AS n_cands
          |FROM g WHERE n_cands >= 2 ORDER BY src, lng""".stripMargin,
+
+    // t47: the fit audit replayed with t03's whitespace token rule;
+    // loss in basis points is exact integer arithmetic.
+    "t47_context_fit" ->
+      s"""WITH d AS (SELECT coalesce(source, '?') AS src,
+         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS toks
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         | g AS (SELECT src, toks, CAST(l AS BIGINT) AS max_len
+         |   FROM d, (VALUES (64), (256), (1024)) AS ls(l))
+         |SELECT src, max_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN toks > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |  CAST(sum(least(toks, max_len)) AS BIGINT) AS tokens_kept,
+         |  CAST(CASE WHEN sum(toks) > 0
+         |    THEN ((sum(toks) - sum(least(toks, max_len))) * 10000) // sum(toks)
+         |    ELSE 0 END AS BIGINT) AS loss_bp
+         |FROM g GROUP BY src, max_len ORDER BY src, max_len""".stripMargin,
 
     "d01_dedup_exact" ->
       s"""SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
