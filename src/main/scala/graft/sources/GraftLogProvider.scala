@@ -78,9 +78,11 @@ class GraftLogProvider extends TableProvider with DataSourceRegister
     * so batch reads/writes keep the V2 surface. Exactly-once: each
     * micro-batch commits with txnTag `appId:batchId` — the SAME
     * high-water guard st26 certifies — where appId defaults to the
-    * query's checkpointLocation (sanitized), so a recovered query
-    * replaying its last batch no-ops. Append mode appends; Complete
-    * mode overwrites the snapshot per trigger (the MV shape). Write
+    * streaming query's PERSISTENT id (checkpoint-scoped, Delta's
+    * rule), so a recovered query replaying its last batch no-ops
+    * while a deliberately fresh checkpoint reprocesses. Append mode
+    * appends; Complete mode overwrites the snapshot per trigger (the
+    * MV shape). Write
     * options mirror the batch writer: `layout`, `numFiles`,
     * `checkpointInterval`, `appId`.
     */
@@ -97,12 +99,13 @@ class GraftLogProvider extends TableProvider with DataSourceRegister
     import org.apache.spark.sql.streaming.OutputMode._
     require(outputMode == Append() || outputMode == Complete(),
       s"graftlog sink supports Append and Complete output modes, got $outputMode")
-    val appId = p.get("appid")
-      .orElse(p.get("checkpointlocation"))
-      .getOrElse(root)
-      .map(c => if (c == ':' || c == ',' || c == '\t' || c == '\n') '_' else c)
+    // txn identity defaults to the streaming QUERY id (resolved by
+    // the sink at addBatch time — it lives in the checkpoint, so a
+    // deleted checkpoint mints a fresh id and reprocessing lands;
+    // a checkpoint-PATH default survives checkpoint deletion and the
+    // high-water guard would silently drop every replayed batch)
     new GraftLogSink(ctx, root, p.get("layout"),
-      p.get("numfiles").map(_.toInt).getOrElse(8), appId,
+      p.get("numfiles").map(_.toInt).getOrElse(8), p.get("appid"),
       p.get("checkpointinterval").map(_.toInt).getOrElse(1),
       overwriteEachBatch = outputMode == Complete())
   }

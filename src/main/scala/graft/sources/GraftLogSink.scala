@@ -16,21 +16,50 @@ import org.apache.spark.sql.types.LongType
   * streaming-planned frame; the [[StreamBridge.asBatch]] re-plan (the
   * ForeachBatchSink pattern) makes it consumable by a batch writer.
   *
+  * Txn IDENTITY: when no explicit `appId` option is set, the default
+  * is the streaming QUERY's persistent id (Delta's rule — the id
+  * lives inside the checkpoint, read here from the engine's
+  * `sql.streaming.queryId` local property at addBatch time). A
+  * checkpoint-path or table-root default would be stable across
+  * checkpoint DELETION: restarting with a fresh checkpoint replays
+  * batchIds from 0, and the high-water guard would silently no-op
+  * every batch — data loss with no error. A fresh checkpoint mints a
+  * fresh query id, so reprocessing lands; and two queries writing the
+  * same root never collide on identity.
+  *
   * Scale shape: per trigger, work is batch-sized (the files the batch
-  * writes + one manifest line set); an empty batch commits nothing.
-  * Complete mode overwrites the snapshot per trigger — the streaming
-  * materialized-view shape — under the same replay guard.
+  * writes + one manifest line set); an empty APPEND batch commits
+  * nothing. Complete mode overwrites the snapshot per trigger — the
+  * streaming materialized-view shape — INCLUDING an empty result (a
+  * materialized view whose state legitimately became empty must stop
+  * serving the previous snapshot).
   */
 private[sources] final class GraftLogSink(ctx: SQLContext, root: String,
                                           layoutSql: Option[String],
-                                          numFiles: Int, appId: String,
+                                          numFiles: Int,
+                                          explicitAppId: Option[String],
                                           checkpointInterval: Int,
                                           overwriteEachBatch: Boolean)
     extends Sink {
 
+  /** Resolved once per query RUN (the id is stable for the query's
+    * lifetime): explicit option > the engine's persistent query id >
+    * the table root (non-streaming addBatch callers, e.g. a spec
+    * driving the sink directly).
+    */
+  private lazy val appId: String = explicitAppId
+    .orElse(Option(ctx.sparkSession.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY)))
+    .getOrElse(root)
+    .map(c => if (c == ':' || c == ',' || c == '\t' || c == '\n') '_' else c)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = StreamBridge.asBatch(ctx, data)
-    if (batch.isEmpty) return // nothing to commit; the guard keeps replay-exactness
+    // empty APPEND batches commit nothing (the txn guard keeps replay
+    // exactness either way); an empty COMPLETE batch is a real state —
+    // the overwrite below must land it
+    if (batch.isEmpty && !overwriteEachBatch) return
     val layout = layoutSql.map(expr).getOrElse {
       batch.schema.fields.find(_.dataType == LongType)
         .map(f => col(f.name)).getOrElse(lit(0L))

@@ -630,7 +630,14 @@ object TableLog {
       // nothing. Reclaim them now rather than leaking until
       // vacuum's orphan sweep, then surface the race to the caller
       // (commitWithRetry re-resolves and retries).
-      m.files.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
+      // DV SIDE-FILE dirs written by this attempt (writeDvSideFile
+      // runs BEFORE the claim) are as unreferenced as the data dirs —
+      // reclaim both, keyed the same way (dir targets the contested
+      // version); carried refs live in older versions' dirs and pass
+      // the filter untouched.
+      (m.files.map(f => f.path.substring(0, f.path.lastIndexOf('/'))) ++
+        m.files.flatMap(_.dvRef.valuesIterator.map(_._1))
+          .map(p => p.substring(0, p.lastIndexOf('/'))))
         .distinct
         .filter(d => dirVersion(d).contains(m.version))
         .foreach(d => TidyIO.deleteRecursively(Paths.get(root, d)))
@@ -1779,6 +1786,15 @@ object TableLog {
     require(0L <= fromV && fromV <= toV && toV <= head,
       s"bad change-feed window [$fromV,$toV] (head $head)")
     val mTo = readManifest(root, toV)
+    // dv vectors are keyed by the PHYSICAL column name, but readFiles
+    // relabels the frame to LOGICAL names — on a renamed-key table the
+    // physical name no longer exists in the frame (AnalysisException),
+    // and in a CROSSED rename (old physical == another logical) a
+    // physical-name probe would silently filter the wrong column. Map
+    // every dv key back through the inverse of the colMap.
+    val logicalOf: Map[String, String] = mTo.colMap.map(_.swap)
+    def logCol(physical: String): Column =
+      col(logicalOf.getOrElse(physical, physical))
     val deltas = (fromV to toV).map(v => v -> versionDelta(root, v))
     def side(entries: Seq[(Long, FileEntry)], changeType: String): Seq[DataFrame] = {
       if (entries.isEmpty) return Nil
@@ -1843,7 +1859,7 @@ object TableLog {
               fileCol = Some("__gf"))
             .filter(coalesce(
               array_contains(element_at(typedlit(byName),
-                element_at(split(col("__gf"), "/"), -1)), col(c)),
+                element_at(split(col("__gf"), "/"), -1)), logCol(c)),
               lit(false)))
             .drop("__gf")
             .withColumn("_change_type", lit("delete"))
@@ -1884,7 +1900,7 @@ object TableLog {
               fileCol = Some("__gf"))
             .join(freshAll,
               element_at(split(col("__gf"), "/"), -1) === col("__dv_f") &&
-                col(c) === col("__dv_k"), "left_semi")
+                logCol(c) === col("__dv_k"), "left_semi")
             .drop("__gf")
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))

@@ -167,6 +167,49 @@ private[graftx] object GraftDml {
     }
   }
 
+  /** Does any assignment of these actions target the primary-key
+    * column? (UpdateAction only — inserts have their own guards.)
+    */
+  def reassignsKey(actions: Seq[MergeAction], keyCol: String): Boolean =
+    actions.exists {
+      case u: UpdateAction =>
+        u.assignments.exists(a => topName(a.key).exists(_.equalsIgnoreCase(keyCol)))
+      case _ => false
+    }
+
+  def assignsKey(assignments: Seq[Assignment], keyCol: String): Boolean =
+    assignments.exists(a => topName(a.key).exists(_.equalsIgnoreCase(keyCol)))
+
+  /** Key-REASSIGNMENT guard (the twin of the MERGE insert guards): an
+    * assignment that targets the primary-key column moves rows to new
+    * keys, and unguarded it could silently violate the primary-key
+    * invariant every deletion vector and merge relies on — two rows
+    * updated to ONE key, or an updated key landing on a key that
+    * still exists in the table (not itself retired by this
+    * statement). Both checks are churn-sized: a grouped count over
+    * the statement's own output and one semi join of the new keys
+    * against the pinned snapshot minus the retired keys.
+    */
+  def guardKeyReassignment(spark: SparkSession, keyCol: String,
+                           newState: org.apache.spark.sql.DataFrame,
+                           suppress: org.apache.spark.sql.DataFrame,
+                           table: org.apache.spark.sql.DataFrame,
+                           what: String): Unit = {
+    val dup = newState.groupBy(keyCol).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty, s"graftlog $what: key reassignment maps multiple " +
+      s"rows to primary key ${dup.headOption.map(_.get(0)).getOrElse("")} — " +
+      "the table is primary-keyed")
+    val survivors = table.select(col(keyCol))
+      .join(suppress.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val clash = newState.select(col(keyCol))
+      .join(survivors, Seq(keyCol), "left_semi").limit(1).collect()
+    require(clash.isEmpty, s"graftlog $what: key reassignment targets " +
+      s"primary key ${clash.headOption.map(_.get(0)).getOrElse("")} which " +
+      "already exists in the table (and is not retired by this statement) " +
+      "— the table is primary-keyed")
+  }
+
   /** First-satisfied-action-wins row filter for action `i` of a merge
     * group: this action's own condition holds AND no earlier action's
     * condition did (NULL = not satisfied — hence the Coalesce; a bare
@@ -236,6 +279,9 @@ case class GraftUpdateCommand(ctx: GraftDmlTarget, target: LogicalPlan,
     val suppress = df(spark, Distinct(Project(Seq(key), matched)))
     val newState = df(spark,
       Project(aligned(tgt.output, assignments, insertNulls = false), matched))
+    if (assignsKey(assignments, ctx.keyCol))
+      guardKeyReassignment(spark, ctx.keyCol, newState, suppress,
+        df(spark, tgt), "UPDATE")
     graft.sources.TableLog.applyDml(spark, ctx.root, suppress, newState,
       ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
       action = "update")
@@ -367,6 +413,13 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
         ++ insertDf.toSeq)
       .reduceOption(_ union _)
       .getOrElse(df(spark, LocalRelation(tgt.output)))
+    // MERGE UPDATE clauses that SET the key column get the same
+    // key-reassignment guard UPDATE does (the insert guards above
+    // don't see update outputs); runs over the full upsert set so an
+    // updated key colliding with an inserted key is caught too
+    if (reassignsKey(ma ++ nmbsa, ctx.keyCol))
+      guardKeyReassignment(spark, ctx.keyCol, upserts, suppress,
+        df(spark, tgt), "MERGE")
     graft.sources.TableLog.applyDml(spark, ctx.root, suppress, upserts,
       ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
       action = "merge")

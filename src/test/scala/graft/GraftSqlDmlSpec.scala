@@ -140,6 +140,56 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(TableLog.currentVersion(root) == 0L)
   }
 
+  test("key-reassignment guards: duplicate targets and collisions with surviving keys are loud") {
+    val root = freshTable(20, 2)
+    mount(root, "t_keyre")
+    // moving k=1 onto the SURVIVING key 2 would silently break the
+    // primary-key invariant the DVs rely on → loud
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE t_keyre SET k = 2 WHERE k = 1") }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // two matched rows mapped to ONE post-assignment key → loud
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE t_keyre SET k = 500 WHERE k <= 1") }
+    assert(e2.getMessage.contains("multiple"), e2.getMessage)
+    // a swap WITHIN the statement is legal: retired keys don't count
+    // as survivors, and the fresh targets are distinct
+    spark.sql("UPDATE t_keyre SET k = k + 300 WHERE k >= 18")
+    val got = state(root)
+    assert(got.contains(318L) && got.contains(319L) && !got.contains(18L))
+    // MERGE UPDATE clauses that SET the key get the same guard
+    Seq((5L, 6L)).toDF("k", "newk").createOrReplaceTempView("s_keyre")
+    val e3 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_keyre t USING s_keyre s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.newk""".stripMargin) }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    // only the legal statement committed
+    assert(TableLog.currentVersion(root) == 1L)
+  }
+
+  test("CDF after a key-column RENAME: dv deletes surface under the LOGICAL name") {
+    val root = freshTable()
+    TableLog.renameColumn(root, "k", "id") // v1: metadata-only
+    mount(root, "t_cdfren")
+    spark.sql("DELETE FROM t_cdfren WHERE id = 3 OR id = 77") // v2: sparse → DV
+    // the dv vector is keyed by the PHYSICAL name ("k"); the feed's
+    // frame carries LOGICAL names — the probe must map back, never
+    // fail resolution or probe a wrong column
+    val feed = TableLog.readChangeFeed(spark, root, 2L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(feed == Seq(3L, 77L), s"renamed-key CDF deletes: $feed")
+    // CROSSED rename: cents→k (the old physical key name!) — a
+    // physical-name probe would now silently hit the wrong column
+    TableLog.renameColumn(root, "cents", "k") // v3
+    mount(root, "t_cdfren")
+    spark.sql("DELETE FROM t_cdfren WHERE id = 9") // v4
+    val feed2 = TableLog.readChangeFeed(spark, root, 4L, 4L)
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(feed2 == Seq(9L), s"crossed-rename CDF deletes: $feed2")
+  }
+
   test("DML rejects a time-traveled target; CDF relations never match the rule") {
     val root = freshTable()
     spark.read.format("graftlog").option("path", root)

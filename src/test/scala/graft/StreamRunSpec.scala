@@ -689,4 +689,40 @@ class StreamRunSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("sink txn identity is the QUERY id: a fresh checkpoint reprocesses; an empty Complete batch overwrites") {
+    import graft.sources.TableLog
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("sinkidsrc").toString
+    val rows = (0L until 40L).map(k => (k, k + 7)).toDF("k", "cents")
+    rows.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val root = java.nio.file.Files.createTempDirectory("sinkidtbl").toString + "/t"
+    // NO explicit appId: identity must come from the streaming query's
+    // persistent id. runToSink uses a FRESH checkpoint per call, so the
+    // second run is the deleted-checkpoint reprocess scenario — under a
+    // checkpoint-path/root-derived identity its batchIds restart at 0
+    // and the high-water guard would silently no-op every batch.
+    StreamRun.runToSink(spark, stream, "graftlog",
+      Map("path" -> root, "layout" -> "k div 20"))
+    val n1 = TableLog.read(spark, root).count()
+    assert(n1 == 40L)
+    StreamRun.runToSink(spark, stream, "graftlog",
+      Map("path" -> root, "layout" -> "k div 20"))
+    assert(TableLog.read(spark, root).count() == 2 * n1,
+      "a deliberately fresh checkpoint must REPROCESS, never silently no-op")
+    // Complete mode: an empty batch is a real state — the MV must stop
+    // serving the previous snapshot (only Append short-circuits empty)
+    val root2 = java.nio.file.Files.createTempDirectory("sinkidtbl2").toString + "/t"
+    val sink = new graft.sources.GraftLogProvider().createSink(spark.sqlContext,
+      Map("path" -> root2, "layout" -> "k"),
+      Nil, OutputMode.Complete())
+    sink.addBatch(0L, rows.limit(5))
+    assert(TableLog.read(spark, root2).count() == 5L)
+    sink.addBatch(1L, rows.limit(0))
+    assert(TableLog.read(spark, root2).count() == 0L,
+      "an empty Complete-mode batch must overwrite to the empty snapshot")
+  }
 }

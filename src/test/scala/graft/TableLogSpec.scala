@@ -153,6 +153,33 @@ class TableLogSpec extends AnyFunSuite {
     assert(names.forall(!_.startsWith(".tmp")), s"temp junk left: $names")
   }
 
+  test("loser cleanup reclaims DV SIDE-FILE dirs targeting the contested version") {
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("dvloser")
+    TableLog.commit(mkDf(0L until 10L), root, expr("k"), 1, "overwrite")
+    TableLog.writeManifest(root, TableLog.Manifest(1L, 0L, "append",
+      "k BIGINT,cents BIGINT", Nil)) // winner claims v1
+    // the loser's attempt wrote a DV side-file BEFORE the claim (the
+    // merge-mor order); its data dir AND its dv dir target v1
+    val dataDir = "files/v00000001_p99_7"
+    val dvDir = "files/v00000001_p99_7_dv"
+    Files.createDirectories(Paths.get(root, dataDir))
+    Files.createDirectories(Paths.get(root, dvDir))
+    Files.write(Paths.get(root, dataDir, "part-0.parquet"), Array[Byte](1))
+    Files.write(Paths.get(root, dvDir, "part-0.parquet"), Array[Byte](1))
+    val loser = TableLog.Manifest(1L, 0L, "merge-mor",
+      "k BIGINT,cents BIGINT",
+      Seq(TableLog.FileEntry(s"$dataDir/part-0.parquet", 5L, Map.empty,
+        Map.empty, dvRef = Map("k" -> (s"$dvDir/part-0.parquet", 2L)))))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      TableLog.writeManifest(root, loser) }
+    assert(!Files.exists(Paths.get(root, dataDir)),
+      "loser's data dir must be reclaimed")
+    assert(!Files.exists(Paths.get(root, dvDir)),
+      "loser's DV side-file dir must be reclaimed (it is as unreferenced " +
+        "as the data dir, and the orphan sweep keeps >= keepFrom dirs)")
+  }
+
   test("parquet checkpoints: large manifests round-trip binary with identical resolution") {
     import java.nio.file.{Files, Paths}
     val root = freshRoot("pqck")
