@@ -329,4 +329,44 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(scoreCol).cast("double") >= col("score_thr"))
   }
+
+  /** Shard count for a deterministic dataloader order: ceil(corpus /
+    * targetShardRows), floored at 1 — shards SCALE with the corpus so
+    * per-shard sort volume stays ≈ targetShardRows at any size (a
+    * fixed count would sort corpus/k rows in one task at 100 TB).
+    * Integer arithmetic, replayable by any engine.
+    */
+  def epochShardCount(corpusRows: Long, targetShardRows: Long): Long = {
+    require(targetShardRows >= 1L, s"bad targetShardRows $targetShardRows")
+    math.max(1L, (corpusRows + targetShardRows - 1L) / targetShardRows)
+  }
+
+  /** DETERMINISTIC DATALOADER ORDER (d43): per epoch, every row takes
+    * the portable order key fmix64(fmix64(epoch+1) XOR id), lands in
+    * shard pmod(key, shards), and ranks within its shard by
+    * (key, id) — so "epoch e, shard s, position p" resolves to the
+    * same document on every rerun, any engine, any cluster size.
+    * Output: (epoch, idCol, hkey, shard, rank). `shards` is the
+    * caller's corpus-scaled count ([[epochShardCount]]); the window
+    * partitions by (epoch, shard), so the largest in-task sort is one
+    * shard — bounded by the target shard size, never by the corpus.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Seq[Long],
+                 shards: Long): DataFrame = {
+    require(shards >= 1L, s"bad shard count $shards")
+    require(epochs.nonEmpty, "need at least one epoch")
+    import org.apache.spark.sql.expressions.Window
+    val fx = graft.functions.GraftFunctions
+    val keyed = epochs.map { e =>
+      df.filter(col(idCol).isNotNull)
+        .select(lit(e).as("epoch"), col(idCol),
+          fx.fmix64(fx.fmix64(lit(e + 1L)).bitwiseXOR(col(idCol)))
+            .as("hkey"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("hkey"), col(idCol))
+    keyed
+      .withColumn("shard", pmod(col("hkey"), lit(shards)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

@@ -1829,6 +1829,64 @@ object Relational {
            |FROM graft.$ns.orders_q95""".stripMargin)
     }),
 
+    // R100/q96: SQL TIME TRAVEL by table NAME — Spark's native
+    // `SELECT … FROM graft.db.t VERSION AS OF k` / `TIMESTAMP AS OF
+    // ts` syntax resolving through the catalog's
+    // loadTable(ident, version|timestamp) overloads (the round-14
+    // top-next: the catalog landed but version-addressed reads were
+    // path-option-only — a catalog user hits this the day after
+    // CREATE TABLE). The query certifies: head vs VERSION AS OF 1
+    // (the even-key prefix), TIMESTAMP AS OF at v1's commit instant
+    // resolving to the same snapshot (latest-at-or-below), at-head
+    // instants resolving to head, the loud missing-version error at
+    // RESOLUTION time, and the write rejection on a time-traveled
+    // relation. Scale: resolution is two header lines of text IO;
+    // the snapshot read is the ordinary manifest-pruned scan.
+    "q96_catalog_travel" -> ((s, dir) => {
+      import graft.sources.TableLog
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val ns = "q96db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_q96")
+      s.sql(s"CREATE TABLE graft.$ns.orders_q96 (k BIGINT, price BIGINT)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(max("price").as("price")) // PK-safe on fuzz dups
+        .createOrReplaceTempView("q96_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_q96 " +
+        "SELECT k, price FROM q96_src WHERE k % 2 = 0") // v1
+      Thread.sleep(2L) // commit stamps are millis; keep v1 < v2 strict
+      s.sql(s"INSERT INTO graft.$ns.orders_q96 " +
+        "SELECT k, price FROM q96_src WHERE k % 2 <> 0") // v2
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val root = cat.tableLocation(Identifier.of(Array(ns), "orders_q96"))
+      val ts1 = TableLog.headerTsOf(root, 1L)
+      val rejected =
+        try { s.sql(s"SELECT * FROM graft.$ns.orders_q96 VERSION AS OF 99")
+          .collect(); 0L }
+        catch { case e: Exception
+            if e.getMessage.contains("does not exist") => 1L }
+      s.sql(
+        s"""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM graft.$ns.orders_q96)
+           |    AS n_head,
+           |  (SELECT CAST(sum(price) AS BIGINT) FROM graft.$ns.orders_q96)
+           |    AS sum_head,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |     FROM graft.$ns.orders_q96 VERSION AS OF 1) AS n_v1,
+           |  (SELECT CAST(sum(price) AS BIGINT)
+           |     FROM graft.$ns.orders_q96 VERSION AS OF 1) AS sum_v1,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM graft.$ns.orders_q96
+           |     TIMESTAMP AS OF timestamp_millis(${ts1}L)) AS n_at_ts1,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM graft.$ns.orders_q96
+           |     TIMESTAMP AS OF timestamp_millis(${ts1 + 86400000L}L))
+           |    AS n_at_late_ts,
+           |  CAST($rejected AS BIGINT) AS missing_version_loud""".stripMargin)
+    }),
+
     // R81/q78: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE
     // src`: a dev/staging copy of a production table for O(manifest)
     // cost, zero bytes moved (the clone's v0 manifest references the
@@ -3506,6 +3564,26 @@ object Relational {
         |  CAST(count(DISTINCT prio) AS BIGINT)
         |FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // q96: name-addressed time travel replayed from raw orders —
+    // head = all PK-collapsed keys, v1 = the even-key prefix, the
+    // timestamp reads resolve to v1/head (structural equality with
+    // the version reads); missing_version_loud pins the resolution-
+    // time error.
+    "q96_catalog_travel" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | v1 AS (SELECT k, price FROM o WHERE k % 2 = 0)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_head,
+        |  CAST((SELECT sum(price) FROM o) AS BIGINT) AS sum_head,
+        |  CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_v1,
+        |  CAST((SELECT sum(price) FROM v1) AS BIGINT) AS sum_v1,
+        |  CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_at_ts1,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_at_late_ts,
+        |  CAST(1 AS BIGINT) AS missing_version_loud""".stripMargin,
 
     // q95: the catalog-table lifecycle replayed from raw orders —
     // PK-collapse, the % 11 delete, the added column all-NULL

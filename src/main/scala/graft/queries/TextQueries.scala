@@ -860,30 +860,25 @@ object TextQueries {
     // engine, any cluster size — a cluster-local shuffle or RNG makes
     // runs unrepeatable and elasticity-hostile). Per epoch, each doc
     // takes a PORTABLE order key fmix64(fmix64(epoch+1) ⊕ doc_id),
-    // shards by pmod(key, 8) (uniform, no global sort — the scale
-    // shape: a 100 TB corpus shards by hash, positions rank within
-    // shard), and ranks within its shard by (key, doc_id). The
-    // output is the per-(epoch, shard) composition with an
-    // ORDER-SENSITIVE checksum — sum(rank·(key mod 10⁶)) — so any
-    // drift in the permutation (not just membership) is a value
-    // diff. Two epochs certify that the seed changes the order.
-    // Shape: one narrow codegen scan + a window PARTITIONED by
-    // (epoch, shard) — each partition is corpus/8, rank is a linear
-    // in-partition pass; nothing global.
+    // shards by pmod(key, shards) where the shard count SCALES with
+    // the corpus — ceil(corpus / targetShardRows), the
+    // Sampling.epochShardCount rule, so per-shard sort volume stays
+    // ≈ the target at ANY corpus size (a fixed count would sort
+    // corpus/k rows in one task at 100 TB; the oracle replays the
+    // same integer arithmetic) — and ranks within its shard by
+    // (key, doc_id). The output is the per-(epoch, shard)
+    // composition with an ORDER-SENSITIVE checksum —
+    // sum(rank·(key mod 10⁶)) — so any drift in the permutation (not
+    // just membership) is a value diff. Two epochs certify that the
+    // seed changes the order. Shape: one footer-cheap count, one
+    // narrow codegen scan + a window PARTITIONED by (epoch, shard) —
+    // each partition ≈ targetShardRows, rank is a linear in-partition
+    // pass; nothing global.
     "d43_epoch_order" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val fx = graft.functions.GraftFunctions
-      val epochs = Seq(0L, 1L).map { e =>
-        docs(s, dir).filter(col("doc_id").isNotNull)
-          .select(lit(e).as("epoch"), col("doc_id"),
-            fx.fmix64(fx.fmix64(lit(e + 1L)).bitwiseXOR(col("doc_id")))
-              .as("hkey"))
-      }.reduce(_ unionByName _)
-      val w = Window.partitionBy("epoch", "shard")
-        .orderBy(col("hkey"), col("doc_id"))
-      epochs
-        .withColumn("shard", pmod(col("hkey"), lit(8L)))
-        .withColumn("rank", row_number().over(w).cast("long"))
+      import graft.operators.Sampling
+      val base = docs(s, dir).filter(col("doc_id").isNotNull)
+      val shards = Sampling.epochShardCount(base.count(), d43TargetShardRows)
+      Sampling.epochOrder(base, "doc_id", Seq(0L, 1L), shards)
         .groupBy("epoch", "shard")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("rank") * pmod(col("hkey"), lit(1000000L)))
@@ -1940,6 +1935,16 @@ object TextQueries {
   // with d27's exact parameters — the RESULT contract is identical
   // (the index is d27's corpus side written once, the probe its join),
   // so its oracle is d27's verbatim.
+  /** d43's target rows per dataloader shard: the shard count is
+    * ceil(corpus / this) — small enough that the test corpora
+    * exercise several shards, and the SAME integer rule the oracle
+    * replays (at production scale the caller passes a real target,
+    * e.g. 10^6 rows; Sampling.epochShardCount is the shared rule).
+    * Declared ABOVE `oracle`: the eager val forces the lazy
+    * oracleBase at object init, which interpolates this constant.
+    */
+  private final val d43TargetShardRows = 200L
+
   val oracle: Map[String, String] = oracleBase +
     ("d29_lsh_index_probe" -> oracleBase("d27_incremental_lsh")) +
     ("d33_clone_topk" -> cloneTopkOracleSql) +
@@ -1962,15 +1967,20 @@ object TextQueries {
   private lazy val oracleBase: Map[String, String] = Map(
     "d43_epoch_order" ->
       s"""WITH e AS (${epochOrderSelect(0L)} UNION ALL ${epochOrderSelect(1L)}),
-         | r AS (SELECT epoch, ((hs % 8) + 8) % 8 AS shard,
-         |    ((hs % 1000000) + 1000000) % 1000000 AS hmod,
-         |    row_number() OVER (PARTITION BY epoch, ((hs % 8) + 8) % 8
+         | ns AS (SELECT GREATEST(1, (count(*) + ${d43TargetShardRows - 1L})
+         |      // $d43TargetShardRows) AS sc
+         |   FROM documents WHERE doc_id IS NOT NULL),
+         | r AS (SELECT epoch, ((hs % sc) + sc) % sc AS shard,
+         |    ((hs % 1000000) + 1000000) % 1000000 AS hmod, hs, doc_id
+         |  FROM e, ns),
+         | rk AS (SELECT epoch, shard, hmod,
+         |    row_number() OVER (PARTITION BY epoch, shard
          |      ORDER BY hs, doc_id) AS rank
-         |  FROM e)
+         |  FROM r)
          |SELECT epoch, CAST(shard AS BIGINT) AS shard,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(rank * hmod) AS BIGINT) AS order_checksum
-         |FROM r GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+         |FROM rk GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
 
     // t46: argmax/argmin replayed as (score, id)-struct extremes —
     // the same total order Spark's max(struct) uses.

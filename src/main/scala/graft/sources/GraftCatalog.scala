@@ -90,6 +90,50 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
       StructType.fromDDL(TableLog.schemaDdlOf(p, head)))
   }
 
+  /** SQL time travel by table NAME (Delta's headline syntax): `SELECT
+    * … FROM graft.db.t VERSION AS OF 3` resolves through this
+    * overload — Spark's analyzer rewrites the temporal clause into
+    * `loadTable(ident, version)`. Same snapshot semantics as the
+    * path-based `versionAsOf` option (the DSv2 relation pins the
+    * version at load; the manifest is the isolation boundary), and the
+    * returned table is marked time-traveled so DML/writes against it
+    * reject loudly. Missing or vacuumed versions fail here, at
+    * resolution, naming the head — not deep inside the scan.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = requireExists(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF expects a numeric version, got '$version'")
+    }
+    val head = TableLog.currentVersion(p)
+    require(TableLog.versionExists(p, v),
+      s"graft catalog: version $v of ${ident.toString} does not exist " +
+        s"(head is $head; older versions may have been vacuumed)")
+    new GraftLogTable(p, v,
+      StructType.fromDDL(TableLog.schemaDdlOf(p, v)), timeTraveled = true)
+  }
+
+  /** `TIMESTAMP AS OF …` by table name: Spark hands the evaluated
+    * instant in MICROSECONDS since the epoch; resolution is the same
+    * latest-at-or-below boundary search the path option uses
+    * ([[TableLog.versionAtTimestamp]] — loud before the first commit
+    * or past retention).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = requireExists(ident)
+    val v = TableLog.versionAtTimestamp(p,
+      Math.floorDiv(timestampMicros, 1000L))
+    new GraftLogTable(p, v,
+      StructType.fromDDL(TableLog.schemaDdlOf(p, v)), timeTraveled = true)
+  }
+
+  /** The on-disk table root an identifier maps to — the bridge for
+    * callers that mix the catalog surface with path-based store
+    * primitives (history, headerTsOf, spec introspection).
+    */
+  def tableLocation(ident: Identifier): String = tablePath(ident)
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

@@ -1330,6 +1330,13 @@ object TableLog {
     */
   def schemaDdlOf(root: String, v: Long): String = headerMeta(root, v)._2
 
+  /** Is version v still RESOLVABLE (manifest or vacuum checkpoint
+    * present)? The existence probe catalog time travel answers its
+    * loud missing-version error with — two stat calls, no IO.
+    */
+  def versionExists(root: String, v: Long): Boolean =
+    v >= 0 && (Files.exists(manifestPath(root, v)) || checkpointExists(root, v))
+
   /** Version v's commit wall-clock (epoch millis) from its header —
     * ONE line of text IO — or -1 for a version written before
     * timestamps existed, or for v < 0 / a missing version (so the

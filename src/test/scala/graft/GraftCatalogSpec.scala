@@ -113,6 +113,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.table(s"graft.$ns.orders_r").count() }
   }
 
+  test("catalog time travel: VERSION/TIMESTAMP AS OF by name, loud missing version, option exclusivity") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.ttdb.t_tt")
+    spark.sql("CREATE TABLE graft.ttdb.t_tt (k BIGINT, cents BIGINT)") // v0
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "cents")
+      .createOrReplaceTempView("tt_src1")
+    spark.sql("INSERT INTO graft.ttdb.t_tt SELECT * FROM tt_src1") // v1
+    Seq((3L, 30L)).toDF("k", "cents").createOrReplaceTempView("tt_src2")
+    spark.sql("INSERT INTO graft.ttdb.t_tt SELECT * FROM tt_src2") // v2
+    def n(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(n("SELECT count(*) FROM graft.ttdb.t_tt") == 3L)
+    assert(n("SELECT count(*) FROM graft.ttdb.t_tt VERSION AS OF 1") == 2L)
+    assert(n("SELECT count(*) FROM graft.ttdb.t_tt VERSION AS OF 0") == 0L)
+    // TIMESTAMP AS OF: the instant of v1's commit resolves to v1
+    // (latest at or below), an instant past head to the head
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(Identifier.of(Array("ttdb"), "t_tt"))
+    val ts1 = TableLog.headerTsOf(root, 1L)
+    assert(n("SELECT count(*) FROM graft.ttdb.t_tt " +
+      s"TIMESTAMP AS OF timestamp_millis(${ts1}L)") == 2L)
+    assert(n("SELECT count(*) FROM graft.ttdb.t_tt " +
+      s"TIMESTAMP AS OF timestamp_millis(${ts1 + 3600000L}L)") == 3L)
+    // a missing (or vacuumed) version fails AT RESOLUTION, naming head
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ttdb.t_tt VERSION AS OF 99").collect() }
+    assert(e.getMessage.contains("does not exist") &&
+      e.getMessage.contains("head is 2"), e.getMessage)
+    // a non-numeric version is loud too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ttdb.t_tt VERSION AS OF 'abc'").collect() }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+    // the path-option twin stays mutually exclusive (the SQL grammar
+    // admits only one temporal clause; the options path must reject)
+    val e3 = intercept[Exception] {
+      spark.read.format("graftlog").option("path", root)
+        .option("versionAsOf", "1").option("timestampAsOf", ts1.toString)
+        .load().collect() }
+    assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+    // time travel pins a SNAPSHOT: writes to it reject (Delta's rule)
+    val e4 = intercept[Exception] {
+      Seq((9L, 9L)).toDF("k", "cents").write.format("graftlog")
+        .option("path", root).option("versionAsOf", "1")
+        .mode("append").save() }
+    assert(e4.getMessage != null)
+    spark.sql("DROP TABLE graft.ttdb.t_tt")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")

@@ -127,4 +127,35 @@ class SamplingSketchSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
     assert(empty.columns.toSeq == out.columns.toSeq)
   }
+
+  test("epochOrder: corpus-scaled shards bound per-shard sort volume; order is deterministic and seed-keyed") {
+    val n = 5000L
+    val target = 250L
+    val df = (0L until n).toDF("doc_id")
+    val shards = Sampling.epochShardCount(n, target)
+    assert(shards == 20L, s"ceil(5000/250): $shards")
+    assert(Sampling.epochShardCount(1L, 1000000L) == 1L)
+    assert(Sampling.epochShardCount(1000001L, 1000000L) == 2L)
+    val out = Sampling.epochOrder(df, "doc_id", Seq(0L, 1L), shards).cache()
+    // per-shard sort volume is bounded by the TARGET shard size (the
+    // window's in-task sort): fmix64 is uniform, so no shard exceeds
+    // the mean by more than a small hash-imbalance factor
+    val perShard = out.groupBy("epoch", "shard").count()
+      .agg(max("count"), countDistinct("shard")).head()
+    assert(perShard.getLong(0) <= 2L * target,
+      s"largest shard ${perShard.getLong(0)} vs target $target — the " +
+        "sort volume must track the target, never the corpus")
+    assert(perShard.getLong(1) == shards)
+    // every row ranks exactly once per epoch; ranks are 1..shardSize
+    assert(out.count() == 2L * n)
+    assert(out.filter(col("rank") < 1L).isEmpty)
+    // deterministic: an independent recompute is identical
+    val again = Sampling.epochOrder(df, "doc_id", Seq(0L, 1L), shards)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // the epoch seed changes the permutation (not just the shards)
+    val e0 = out.filter(col("epoch") === 0L).select("doc_id", "shard", "rank")
+    val e1 = out.filter(col("epoch") === 1L).select("doc_id", "shard", "rank")
+    assert(e0.exceptAll(e1).count() > 0L, "epochs must not share an order")
+    out.unpersist()
+  }
 }
