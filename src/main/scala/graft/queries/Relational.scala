@@ -1693,6 +1693,67 @@ object Relational {
           lit(TableLog.currentVersion(root)).as("head_version"))
     }),
 
+    // R101/q97: MERGE GENERALITY — composite primary keys + arbitrary
+    // ON predicates (the round-14 top-next after the catalog: Delta
+    // accepts any ON shape and any key; the R96 trio required a
+    // single long key pinned by an ON equality). The table keys on
+    // the TUPLE (ck, ok) via the multi-column primaryKey option and
+    // rides the exact COPY-ON-WRITE carrier (tuple identity can't sit
+    // in a single-column deletion vector; hashed-tuple DVs are the
+    // documented evolution sharing this write path); the MERGE's ON
+    // carries a RANGE conjunct (t.price < THR), so matched-but-
+    // over-threshold rows take no action and the insert path keeps
+    // its key-existence probe on. Physical claims ride as literals:
+    // the CoW rewrite touched a strict subset of the files (the
+    // change hull prunes on the ok zone — hits concentrate in the
+    // low-ok quarter) and the statement was ONE commit. The oracle
+    // replays the clause semantics tuple-for-tuple from raw orders.
+    "q97_merge_general" -> ((s, dir) => {
+      import graft.sources.{TableLog, TidyIO}
+      val root = TidyIO.scratchDir("q97_dml")
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("ck"),
+          col("o_orderkey").cast("long").as("ok"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("ck").isNotNull && col("ok").isNotNull)
+        .groupBy("ck", "ok").agg(max("price").as("price"))
+      TableLog.commit(o, root, expr("ok div 500"), 16, "overwrite")
+      s.read.format("graftlog").option("path", root)
+        .option("primaryKey", "ck,ok").load()
+        .createOrReplaceTempView("q97_t")
+      val thr = 20000000L
+      val maxOk = o.agg(max("ok")).head().getLong(0)
+      val lim = maxOk / 4 // concentrate hits in the low-ok quarter
+      val r = pmod(col("ok"), lit(101L))
+      o.filter(r.isin(0L, 1L) && col("ok") <= lim)
+        .select(col("ck"), col("ok"),
+          when(r === 0L, "D").otherwise("U").as("op"),
+          (col("price") + lit(100L)).as("new_price"))
+        .unionByName(o.filter(r === 2L && col("ok") <= lim)
+          .select(col("ck"), (-col("ok")).as("ok"), lit("I").as("op"),
+            (col("price") * 2L).as("new_price")))
+        .createOrReplaceTempView("q97_s")
+      s.sql(
+        s"""MERGE INTO q97_t t USING q97_s s
+           |ON t.ck = s.ck AND t.ok = s.ok AND t.price < $thr
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET price = s.new_price
+           |WHEN NOT MATCHED AND s.op = 'I' THEN
+           |  INSERT (ck, ok, price) VALUES (s.ck, s.ok, s.new_price)
+           |""".stripMargin)
+      val nRewritten = TableLog.versionDelta(root, 1L)._2.size.toLong
+      val nTotal = TableLog.readManifest(root, 0L).files.size.toLong
+      TableLog.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("price").as("sum_price"),
+          sum("ok").as("sum_ok"))
+        .select(col("n_rows"), col("sum_price"), col("sum_ok"),
+          lit(if (nRewritten > 0L && nRewritten < nTotal) 1L else 0L)
+            .as("cow_pruned"),
+          lit(TableLog.currentVersion(root)).as("head_version"))
+    }),
+
     // R97/q93: COLUMN MAPPING — RENAME/DROP COLUMN as metadata-only
     // commits (Delta's columnMapping=name mode; round-13 missing-item
     // 3: evolution admitted ADD + type-widen only, and users rename
@@ -3641,6 +3702,35 @@ object Relational {
         |  CAST(1 AS BIGINT) AS pruned,
         |  CAST(1 AS BIGINT) AS rejected,
         |  CAST(3 AS BIGINT) AS head_version""".stripMargin,
+
+    // q97: the composite-key MERGE replayed tuple-for-tuple — the
+    // range conjunct gates the matched actions (over-threshold rows
+    // survive untouched; their source rows fall through the op='I'
+    // insert condition), inserts land at (ck, -ok); cow_pruned and
+    // head_version are the physical one-commit/subset-rewrite claims.
+    "q97_merge_general" ->
+      """WITH o0 AS (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |    CAST(o_orderkey AS BIGINT) AS ok,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+        | o AS (SELECT ck, ok, max(price) AS price FROM o0 GROUP BY ck, ok),
+        | mx AS (SELECT max(ok) // 4 AS lim FROM o),
+        | m AS (SELECT ck, ok, price, ((ok % 101) + 101) % 101 AS r, lim
+        |   FROM o, mx),
+        | surv AS (
+        |   SELECT ck, ok,
+        |     CASE WHEN r = 1 AND ok <= lim AND price < 20000000
+        |          THEN price + 100 ELSE price END AS price
+        |   FROM m WHERE NOT (r = 0 AND ok <= lim AND price < 20000000)
+        |   UNION ALL
+        |   SELECT ck, -ok AS ok, price * 2 AS price
+        |   FROM m WHERE r = 2 AND ok <= lim)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(sum(ok) AS BIGINT) AS sum_ok,
+        |  CAST(1 AS BIGINT) AS cow_pruned,
+        |  CAST(1 AS BIGINT) AS head_version
+        |FROM surv""".stripMargin,
 
     // q92: the three-statement SQL DML recipe replayed from raw
     // orders — MERGE (drop r=0, price+100 on r=1, insert -k at

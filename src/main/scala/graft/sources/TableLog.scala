@@ -1600,6 +1600,14 @@ object TableLog {
                       files: Seq[FileEntry]): DataFrame = {
     val dvCols = files.flatMap(_.dv.keys).distinct.sorted
     val fname = element_at(split(col("__graft_file"), "/"), -1)
+    // a STRING key's dv vector stores the portable rolling hash of
+    // the key (the carrier stays a long array); the scan-side probe
+    // computes the same hash via the codegen'd expression — the write
+    // side's collision guard (morApply) makes the probe exact
+    def dvProbe(c: String): Column =
+      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.graftx.GraftExpressions.rolling_hash(col(c))
+      else col(c)
     val inlined =
       if (dvCols.isEmpty) df
       else dvCols.foldLeft(df) { (d, c) =>
@@ -1608,7 +1616,7 @@ object TableLog {
           .map(f => f.path.substring(f.path.lastIndexOf('/') + 1) -> f.dv(c))
           .toMap
         d.filter(!coalesce(
-          array_contains(element_at(typedlit(byName), fname), col(c)),
+          array_contains(element_at(typedlit(byName), fname), dvProbe(c)),
           lit(false)))
       }
     // side-file vectors suppress via an ANTI JOIN against the
@@ -1633,7 +1641,7 @@ object TableLog {
         val total = files.flatMap(_.dvRef.get(c)).map(_._2).sum
         val s2 = if (total <= 4000000L) broadcast(side) else side
         d.join(s2, fname === col("__dv_f") &&
-          col(c) === col("__dv_k"), "left_anti")
+          dvProbe(c) === col("__dv_k"), "left_anti")
       }
     }
   }
@@ -1800,8 +1808,17 @@ object TableLog {
     // physical-name probe would silently filter the wrong column. Map
     // every dv key back through the inverse of the colMap.
     val logicalOf: Map[String, String] = mTo.colMap.map(_.swap)
-    def logCol(physical: String): Column =
-      col(logicalOf.getOrElse(physical, physical))
+    val toSchema = org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
+    // …and a STRING key's dv vector holds rolling hashes, so the
+    // row-side probe hashes the (logical) column the same way the
+    // scan suppression does.
+    def logCol(physical: String): Column = {
+      val lc = logicalOf.getOrElse(physical, physical)
+      if (toSchema.fields.find(_.name == lc)
+          .exists(_.dataType == org.apache.spark.sql.types.StringType))
+        org.apache.spark.sql.graftx.GraftExpressions.rolling_hash(col(lc))
+      else col(lc)
+    }
     val deltas = (fromV to toV).map(v => v -> versionDelta(root, v))
     def side(entries: Seq[(Long, FileEntry)], changeType: String): Seq[DataFrame] = {
       if (entries.isEmpty) return Nil
@@ -2105,6 +2122,25 @@ object TableLog {
       }.collect().toSet ++ unzoned
   }
 
+  /** String-key twin of [[affectedFileSet]]: prunes the affected set
+    * by the change keys' HULL [min, max] against the truncation-safe
+    * string zones — conservative (a kept file may hold no change key;
+    * the probe re-checks exactly), one 2-value aggregate instead of
+    * the per-key binary search the long zones afford. Un-zoned files
+    * keep (parquet's binary-stats size cap means absence proves
+    * nothing for strings).
+    */
+  private def affectedFileSetStr(m: Manifest, changes: DataFrame,
+                                 keyCol: String): Set[String] = {
+    val zc = m.physicalOf(keyCol)
+    val hull = changes.select(col(keyCol).cast("string").as(keyCol))
+      .na.drop().agg(min(keyCol), max(keyCol)).head()
+    if (hull.isNullAt(0)) Set.empty
+    else m.files.filter(f =>
+      strZoneKeeps(f, zc, hull.getString(0), hull.getString(1)))
+      .map(_.path).toSet
+  }
+
   def merge(base: DataFrame, root: String, changes: DataFrame,
             keyCol: String, layout: Column, numFiles: Int = 8,
             verCol: String = "ver", opCol: String = "op",
@@ -2199,6 +2235,97 @@ object TableLog {
     morApply(spark, root, suppressKeys, _ => upserts, keyCol, layout,
       numFiles, dvMaxFrac, checkpointInterval, None, action, dvInlineMax)
 
+  /** COMPOSITE-key DML carrier (R101 — the key shapes [[applyDml]]'s
+    * single-column merge-on-read path can't address): suppression is
+    * COPY-ON-WRITE of exactly the hit files — the deletion-vector
+    * manifest line is keyed by one column, so a multi-column key
+    * retires old images by rewriting the files that hold them
+    * (Delta's shape with deletion vectors disabled; tuple-hash dv
+    * vectors are the documented evolution, sharing this write path).
+    *
+    * Physical shape at 100 TB: `suppressKeys` (the statement's
+    * matched key TUPLES, one column per key part) prunes the probe to
+    * files whose zones intersect the change hull on every LONG/STRING
+    * key component, the probe is one distributed column-pruned
+    * semi-join collecting only HIT FILE NAMES (bounded by the file
+    * count, never the key count), and the rewrite reads/writes only
+    * hit files — untouched files carry by reference. Inserts land in
+    * new files either way; never a whole-table rewrite unless every
+    * file holds a hit.
+    */
+  def applyDmlCow(spark: SparkSession, root: String,
+                  suppressKeys: DataFrame, upserts: DataFrame,
+                  keyCols: Seq[String], layout: Column,
+                  numFiles: Int = 8, checkpointInterval: Int = 1,
+                  action: String = "sql-dml"): Long = {
+    require(keyCols.size >= 2,
+      s"applyDmlCow is the composite-key carrier; single-column keys " +
+        s"take applyDml's merge-on-read path (got $keyCols)")
+    val parent = currentVersion(root)
+    require(parent >= 0, s"merge target $root has no committed version")
+    val m = readManifest(root, parent)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val matched = suppressKeys.select(keyCols.map(col): _*).na.drop().distinct()
+    // conjunctive hull prune: a file survives only if EVERY key
+    // component's change hull intersects its zone (long: exact zone
+    // intersect; string: the truncation-safe compare; other types —
+    // un-zoned — keep)
+    val hullRow = matched.agg(
+      keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+        max(col(c)).as(s"hi_$c"))).head,
+      keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+        max(col(c)).as(s"hi_$c"))).tail: _*).head()
+    val anyKeys = !hullRow.isNullAt(0)
+    val affected =
+      if (!anyKeys) Nil
+      else m.files.filter { f =>
+        keyCols.zipWithIndex.forall { case (c, i) =>
+          val zc = m.physicalOf(c)
+          schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.LongType) =>
+              (f.zMin.get(zc), f.zMax.get(zc)) match {
+                case (Some(zlo), Some(zhi)) =>
+                  zlo <= hullRow.getLong(2 * i + 1) && zhi >= hullRow.getLong(2 * i)
+                case _ => false // all-NULL chunk: keys are non-null
+              }
+            case Some(org.apache.spark.sql.types.StringType) =>
+              strZoneKeeps(f, zc, hullRow.getString(2 * i),
+                hullRow.getString(2 * i + 1))
+            case _ => true
+          }
+        }
+      }
+    // one distributed probe: which affected files actually HOLD a
+    // matched tuple — only file NAMES come back
+    val hitNames: Set[String] =
+      if (affected.isEmpty) Set.empty
+      else readFiles(spark, root, m, affected, fileCol = Some("__fp"))
+        .join(matched, keyCols, "left_semi")
+        .select(element_at(split(col("__fp"), "/"), -1).as("__f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val rewriteFiles = affected.filter(f => hitNames(baseName(f.path)))
+    val carried = m.files.filterNot(f =>
+      rewriteFiles.exists(_.path == f.path))
+    // rewritten files keep their non-hit rows alongside the new state
+    val carry = readFiles(spark, root, m, rewriteFiles)
+      .join(matched, keyCols, "left_anti")
+    val merged = upserts.unionByName(carry.select(upserts.columns.map(col): _*))
+    val v = parent + 1
+    val (physMerged, physLayout) = toPhysical(merged, layout, m.colMap)
+    val added = writeDataFiles(physMerged, root, v, physLayout, numFiles)
+    val txns = carriedTxns(root, parent)
+    if (fullDue(v, checkpointInterval))
+      writeManifest(root, Manifest(v, parent, action, m.schemaDdl,
+        carried ++ added, txns = txns,
+        colMap = m.colMap, droppedPhys = m.droppedPhys))
+    else
+      writeManifest(root, Manifest(v, parent, action, m.schemaDdl,
+        added, kind = "delta",
+        removes = rewriteFiles.map(_.path).sorted, txns = txns,
+        colMap = m.colMap, droppedPhys = m.droppedPhys))
+  }
+
   /** Shared merge-on-read core: `keySource` provides the change-key
     * set (any frame carrying `keyCol`), `newStateOf(hitRows)` the
     * post-change rows to land in new files. Everything physical —
@@ -2225,10 +2352,29 @@ object TableLog {
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
-    val affectedPaths = affectedFileSet(m, keySource, keyCol)
+    // STRING primary keys (R101): the deletion-vector carrier stays a
+    // long array — the key's portable rolling hash (the same hash the
+    // string blooms store), computed by the codegen'd expression on
+    // the scan side. The probe below still joins on the FULL string
+    // key (exact); only the recorded vector is hashed, and the
+    // collision guard under the dv decision falls back to a rewrite
+    // on the ~2^-32 event that two distinct keys in the affected
+    // files share a hash (suppression would otherwise eat a live
+    // row and liveRows would drift).
+    val isStrKey = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    def dvHash(c: Column): Column =
+      if (isStrKey) org.apache.spark.sql.graftx.GraftExpressions.rolling_hash(c)
+      else c.cast("long")
+    val affectedPaths =
+      if (isStrKey) affectedFileSetStr(m, keySource, keyCol)
+      else affectedFileSet(m, keySource, keyCol)
     val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
     val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
-    val changeKeys = keySource.select(col(keyCol).cast("long").as(keyCol))
+    val changeKeys = keySource
+      .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long")).as(keyCol))
       .na.drop().distinct()
     // which change keys are PRESENT in which affected file — the probe
     // scan: column-pruned to (key, file), semi-restricted to change
@@ -2239,7 +2385,8 @@ object TableLog {
     // without materializing keys driver-side.
     val probe = readFiles(spark, root, m, affected,
         fileCol = Some("__fp"))
-      .select(col(keyCol).cast("long").as(keyCol),
+      .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long"))
+          .as(keyCol),
         element_at(split(col("__fp"), "/"), -1).as("__f"))
       .join(changeKeys, Seq(keyCol))
       .distinct()
@@ -2247,11 +2394,24 @@ object TableLog {
     val hitCounts: Map[String, Long] = probe.groupBy("__f").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    // string-key collision guard: the dv path is safe only when key →
+    // hash is a bijection over the affected files' rows (a deleted
+    // hash must never match a LIVE row, and distinct deleted keys
+    // must stay distinct in hash space so liveRows is exact). One
+    // column-pruned distributed aggregate; on the ~2^-32 failure the
+    // hit files rewrite instead (exact either way).
+    val dvSafe = !isStrKey || hitCounts.isEmpty || dvMaxFrac <= 0.0 || {
+      val g = readFiles(spark, root, m, affected)
+        .select(col(keyCol)).na.drop()
+        .agg(countDistinct(col(keyCol)),
+          countDistinct(dvHash(col(keyCol)))).head()
+      g.getLong(0) == g.getLong(1)
+    }
     val (dvFiles, rewriteFiles) = affected
       .filter(f => hitCounts.contains(baseName(f.path)))
       .partition { f =>
         val hits = hitCounts(baseName(f.path))
-        f.liveRows > 0L && hits.toDouble / f.liveRows <= dvMaxFrac
+        dvSafe && f.liveRows > 0L && hits.toDouble / f.liveRows <= dvMaxFrac
       }
     // zone-hit files with NO present key carry forward untouched
     val falsePos = affected.filter(f => !hitCounts.contains(baseName(f.path)))
@@ -2293,6 +2453,7 @@ object TableLog {
       if (inlineF.isEmpty) Map.empty
       else probe
         .filter(col("__f").isin(inlineF.map(p => baseName(p._1.path)): _*))
+        .select(dvHash(col(keyCol)).as("__kh"), col("__f"))
         .collect() // bounded by inlineF.size × dvInlineMax
         .groupBy(_.getString(1))
         .map { case (f, rs) => f -> rs.map(_.getLong(0)) }
@@ -2308,7 +2469,7 @@ object TableLog {
         import spark.implicits._
         val names = refF.map(p => baseName(p._1.path))
         val fresh = probe.filter(col("__f").isin(names: _*))
-          .select(col("__f").as("f"), col(keyCol).as("k"))
+          .select(col("__f").as("f"), dvHash(col(keyCol)).as("k"))
         val priorInline = refF.flatMap { case (f, _) =>
           f.dv.getOrElse(physKey, Array.empty[Long])
             .map(k => (baseName(f.path), k)) }

@@ -13,19 +13,24 @@
  * Lives under org.apache.spark.sql.* for the classic Dataset.ofRows
  * bridge (private[sql]) — same as ../graftx/bridge.scala.
  *
- * Contract (documented on the q92 surface): the table is
- * PRIMARY-KEYED on its key column — the relation's `primaryKey`
- * option, defaulting to the first long-typed column (the same
- * default the write layout uses). DELETE/UPDATE suppress the old
- * images of every row the predicate hits and land post-update rows
- * in new files; MERGE requires the ON condition to carry an equality
- * on the key (so NOT-MATCHED inserts provably introduce new keys)
- * and applies Delta's clause semantics: first-satisfied-action-wins
- * within each group, a cardinality error when several source rows
- * act on one target row, and a duplicate-key guard on the insert
- * set. Physical shape at 100 TB: the statement's matched/changed set
- * is churn-sized; sparse hits ride deletion vectors, dense files
- * rewrite, inserts only append — never a whole-table rewrite.
+ * Contract (documented on the q92/q97 surfaces): the table is
+ * PRIMARY-KEYED — the relation's `primaryKey` option (a single
+ * column or a comma-separated COMPOSITE key; components BIGINT or
+ * STRING), defaulting to the first long-typed column. DELETE/UPDATE
+ * suppress the old images of every row the predicate hits and land
+ * post-update rows in new files; MERGE accepts ARBITRARY ON
+ * predicates (Delta's contract — matched keys derive from the join
+ * probe) and applies Delta's clause semantics:
+ * first-satisfied-action-wins within each group, a cardinality error
+ * when several source rows act on one target row, and duplicate-key
+ * guards on the insert set — inserts additionally probe the snapshot
+ * for key existence whenever the ON condition is anything weaker
+ * than the full key equality. Physical shape at 100 TB: the
+ * statement's matched/changed set is churn-sized; sparse hits on a
+ * single-column key ride deletion vectors (string keys as portable
+ * rolling hashes), dense files and composite-key hits rewrite
+ * exactly the hit files, inserts only append — never a whole-table
+ * rewrite.
  */
 package org.apache.spark.sql.graftx
 
@@ -41,13 +46,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Scalars the lowered command needs from the relation (extracted at
   * rule time so commands hold no connector objects): table root, the
-  * primary-key column, and the write knobs the relation's options can
-  * override (`layout`, `numFiles`, `dvMaxFrac` — defaults mirror the
-  * SQL INSERT surface).
+  * primary-key column LIST (single long/string column rides the
+  * merge-on-read deletion-vector carrier — string keys as portable
+  * rolling hashes; composite keys ride the exact copy-on-write
+  * carrier), and the write knobs the relation's options can override
+  * (`layout`, `numFiles`, `dvMaxFrac` — defaults mirror the SQL
+  * INSERT surface).
   */
-case class GraftDmlTarget(root: String, keyCol: String,
+case class GraftDmlTarget(root: String, keyCols: Seq[String],
                           layoutSql: Option[String], numFiles: Int,
-                          dvMaxFrac: Double)
+                          dvMaxFrac: Double) {
+  def keyDesc: String = keyCols.mkString(", ")
+}
 
 object GraftDmlRule extends Rule[LogicalPlan] {
 
@@ -72,16 +82,32 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       require(!timeTraveled,
         s"graftlog: cannot $what a time-traveled relation (${r.table.name()})")
       val o = r.options
-      val keyCol = Option(o.get("primaryKey"))
-        .orElse(r.schema.fields.find(_.dataType == LongType).map(_.name))
+      // `primaryKey` may be a comma-separated COMPOSITE key; default
+      // stays the first long-typed column. Components must be BIGINT
+      // or STRING — the shapes the carriers (dv hash / CoW zones)
+      // address exactly.
+      val keyCols: Seq[String] = Option(o.get("primaryKey"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .orElse(r.schema.fields.find(_.dataType == LongType)
+          .map(f => Seq(f.name)))
         .getOrElse(throw new IllegalArgumentException(
           s"graftlog $what needs a primary key: no long-typed column in " +
             s"${r.schema.toDDL} and no primaryKey option"))
-      require(r.schema.fields.exists(_.name == keyCol),
-        s"graftlog $what: primaryKey column '$keyCol' not in ${r.schema.toDDL}")
+      require(keyCols.nonEmpty, s"graftlog $what: empty primaryKey option")
+      require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+        s"graftlog $what: duplicate primaryKey components in $keyCols")
+      keyCols.foreach { k =>
+        val f = r.schema.fields.find(_.name.equalsIgnoreCase(k))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftlog $what: primaryKey column '$k' not in ${r.schema.toDDL}"))
+        require(f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.StringType,
+          s"graftlog $what: primaryKey component '$k' must be BIGINT or " +
+            s"STRING, got ${f.dataType.sql}")
+      }
       GraftDmlTarget(graft.sources.GraftLogProvider.TableInfo
           .unapply(r.table).get._1,
-        keyCol, Option(o.get("layout")),
+        keyCols, Option(o.get("layout")),
         Option(o.get("numFiles")).map(_.toInt).getOrElse(8),
         Option(o.get("dvMaxFrac")).map(_.toDouble).getOrElse(0.10))
     }
@@ -136,8 +162,39 @@ private[graftx] object GraftDml {
       throw new IllegalArgumentException(
         s"graftlog DML: key column '$keyCol' not in ${target.output.map(_.name)}"))
 
-  def layoutCol(ctx: GraftDmlTarget): org.apache.spark.sql.Column =
-    ctx.layoutSql.map(expr).getOrElse(col(ctx.keyCol))
+  def keyAttrs(target: LogicalPlan, keyCols: Seq[String]): Seq[Attribute] =
+    keyCols.map(keyAttr(target, _))
+
+  /** Default layout when the relation sets none: the first LONG key
+    * component; a string-only key clusters by its portable rolling
+    * hash (ANSI would throw casting a non-numeric string to long in
+    * the slot arithmetic).
+    */
+  def layoutCol(ctx: GraftDmlTarget, target: LogicalPlan): org.apache.spark.sql.Column =
+    ctx.layoutSql.map(expr).getOrElse {
+      keyAttrs(target, ctx.keyCols).find(_.dataType == LongType) match {
+        case Some(a) => col(a.name)
+        case None => GraftExpressions.rolling_hash(col(ctx.keyCols.head))
+      }
+    }
+
+  /** ONE suppress/upsert write: single-column keys ride the
+    * merge-on-read deletion-vector carrier (TableLog.applyDml —
+    * string keys hash through the portable rolling hash the string
+    * blooms already use); composite keys ride the exact copy-on-write
+    * carrier (TableLog.applyDmlCow). Same statement semantics either
+    * way.
+    */
+  def route(spark: SparkSession, ctx: GraftDmlTarget, target: LogicalPlan,
+            suppress: org.apache.spark.sql.DataFrame,
+            upserts: org.apache.spark.sql.DataFrame, action: String): Unit =
+    if (ctx.keyCols.size == 1)
+      graft.sources.TableLog.applyDml(spark, ctx.root, suppress, upserts,
+        ctx.keyCols.head, layoutCol(ctx, target), ctx.numFiles,
+        ctx.dvMaxFrac, action = action)
+    else
+      graft.sources.TableLog.applyDmlCow(spark, ctx.root, suppress, upserts,
+        ctx.keyCols, layoutCol(ctx, target), ctx.numFiles, action = action)
 
   private def castTo(e: Expression, dt: DataType): Expression =
     if (e.dataType == dt) e else Cast(e, dt)
@@ -170,15 +227,15 @@ private[graftx] object GraftDml {
   /** Does any assignment of these actions target the primary-key
     * column? (UpdateAction only — inserts have their own guards.)
     */
-  def reassignsKey(actions: Seq[MergeAction], keyCol: String): Boolean =
+  def reassignsKey(actions: Seq[MergeAction], keyCols: Seq[String]): Boolean =
     actions.exists {
-      case u: UpdateAction =>
-        u.assignments.exists(a => topName(a.key).exists(_.equalsIgnoreCase(keyCol)))
+      case u: UpdateAction => assignsKey(u.assignments, keyCols)
       case _ => false
     }
 
-  def assignsKey(assignments: Seq[Assignment], keyCol: String): Boolean =
-    assignments.exists(a => topName(a.key).exists(_.equalsIgnoreCase(keyCol)))
+  def assignsKey(assignments: Seq[Assignment], keyCols: Seq[String]): Boolean =
+    assignments.exists(a => topName(a.key)
+      .exists(n => keyCols.exists(_.equalsIgnoreCase(n))))
 
   /** Key-REASSIGNMENT guard (the twin of the MERGE insert guards): an
     * assignment that targets the primary-key column moves rows to new
@@ -190,22 +247,22 @@ private[graftx] object GraftDml {
     * the statement's own output and one semi join of the new keys
     * against the pinned snapshot minus the retired keys.
     */
-  def guardKeyReassignment(spark: SparkSession, keyCol: String,
+  def guardKeyReassignment(spark: SparkSession, keyCols: Seq[String],
                            newState: org.apache.spark.sql.DataFrame,
                            suppress: org.apache.spark.sql.DataFrame,
                            table: org.apache.spark.sql.DataFrame,
                            what: String): Unit = {
-    val dup = newState.groupBy(keyCol).count()
+    val dup = newState.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty, s"graftlog $what: key reassignment maps multiple " +
-      s"rows to primary key ${dup.headOption.map(_.get(0)).getOrElse("")} — " +
-      "the table is primary-keyed")
-    val survivors = table.select(col(keyCol))
-      .join(suppress.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val clash = newState.select(col(keyCol))
-      .join(survivors, Seq(keyCol), "left_semi").limit(1).collect()
+      s"rows to primary key ${dup.headOption.map(_.toSeq.init).getOrElse("")}" +
+      " — the table is primary-keyed")
+    val survivors = table.select(keyCols.map(col): _*)
+      .join(suppress.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val clash = newState.select(keyCols.map(col): _*)
+      .join(survivors, keyCols, "left_semi").limit(1).collect()
     require(clash.isEmpty, s"graftlog $what: key reassignment targets " +
-      s"primary key ${clash.headOption.map(_.get(0)).getOrElse("")} which " +
+      s"primary key ${clash.headOption.map(_.toSeq).getOrElse("")} which " +
       "already exists in the table (and is not retired by this statement) " +
       "— the table is primary-keyed")
   }
@@ -253,12 +310,10 @@ case class GraftDeleteCommand(ctx: GraftDmlTarget, target: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
     val tgt = fresh(target, ctx.root)
-    val key = keyAttr(tgt, ctx.keyCol)
-    val suppress = df(spark, Distinct(Project(Seq(key), Filter(cond, tgt))))
+    val keys = keyAttrs(tgt, ctx.keyCols)
+    val suppress = df(spark, Distinct(Project(keys, Filter(cond, tgt))))
     val empty = df(spark, LocalRelation(tgt.output))
-    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, empty,
-      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
-      action = "delete")
+    route(spark, ctx, tgt, suppress, empty, "delete")
     Seq.empty
   }
 }
@@ -274,17 +329,15 @@ case class GraftUpdateCommand(ctx: GraftDmlTarget, target: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
     val tgt = fresh(target, ctx.root)
-    val key = keyAttr(tgt, ctx.keyCol)
+    val keys = keyAttrs(tgt, ctx.keyCols)
     val matched = Filter(cond.getOrElse(Literal.TrueLiteral), tgt)
-    val suppress = df(spark, Distinct(Project(Seq(key), matched)))
+    val suppress = df(spark, Distinct(Project(keys, matched)))
     val newState = df(spark,
       Project(aligned(tgt.output, assignments, insertNulls = false), matched))
-    if (assignsKey(assignments, ctx.keyCol))
-      guardKeyReassignment(spark, ctx.keyCol, newState, suppress,
+    if (assignsKey(assignments, ctx.keyCols))
+      guardKeyReassignment(spark, ctx.keyCols, newState, suppress,
         df(spark, tgt), "UPDATE")
-    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, newState,
-      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
-      action = "update")
+    route(spark, ctx, tgt, suppress, newState, "update")
     Seq.empty
   }
 }
@@ -313,26 +366,26 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
     val tgt = fresh(target, ctx.root)
-    val key = keyAttr(tgt, ctx.keyCol)
-    // the ON condition must pin the primary key to a source-side
-    // expression: it is what makes NOT MATCHED inserts provably new
-    // keys (the store's merge contract is primary-keyed)
+    val keys = keyAttrs(tgt, ctx.keyCols)
+    // ON predicates are ARBITRARY (Delta's contract): matched keys
+    // derive from the inner-join probe either way. What the shape of
+    // the ON condition decides is only how much INSERT checking is
+    // needed — when every key component is pinned by an equality
+    // against a source-side expression AND nothing else rides the
+    // condition, a NOT MATCHED row is provably a new key and the
+    // existence probe is skipped; any weaker condition (range
+    // conjuncts, partial pins, non-equality) keeps inserts guarded by
+    // a churn-sized semi join against the snapshot.
     val sourceSet = AttributeSet(source.output)
-    val keyEq = conjuncts(cond).exists {
-      case EqualTo(l: AttributeReference, r) =>
-        (l.exprId == key.exprId && r.references.subsetOf(sourceSet)) ||
-          (r match {
-            case ra: AttributeReference => ra.exprId == key.exprId &&
-              l.references.subsetOf(sourceSet)
-            case _ => false
-          })
-      case EqualTo(l, r: AttributeReference) =>
-        r.exprId == key.exprId && l.references.subsetOf(sourceSet)
+    val cj = conjuncts(cond)
+    def pinsKey(k: Attribute): Boolean = cj.exists {
+      case EqualTo(l: AttributeReference, r) if l.exprId == k.exprId =>
+        r.references.subsetOf(sourceSet)
+      case EqualTo(l, r: AttributeReference) if r.exprId == k.exprId =>
+        l.references.subsetOf(sourceSet)
       case _ => false
     }
-    require(keyEq, "graftlog MERGE: the ON condition must contain an " +
-      s"equality on the table's primary key column '${ctx.keyCol}' " +
-      "against a source-side expression")
+    val fullyPinned = keys.forall(pinsKey) && cj.size == keys.size
 
     val ma = matchedActions.map(expand(_, tgt.output, source))
     val nma = notMatchedActions.map(expand(_, tgt.output, source))
@@ -347,10 +400,10 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
         val f = Filter(actFilter(actions, i), base)
         a match {
           case u: UpdateAction =>
-            (Project(Seq(key), f),
+            (Project(keys, f),
               Some(Project(aligned(tgt.output, u.assignments,
                 insertNulls = false), f)))
-          case _: DeleteAction => (Project(Seq(key), f), None)
+          case _: DeleteAction => (Project(keys, f), None)
           case other => throw new IllegalArgumentException(
             s"graftlog MERGE: unsupported $what action ${other.getClass.getSimpleName}")
         }
@@ -372,57 +425,60 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
       ps.map(p => df(spark, p)).reduceOption(_ union _)
 
     // cardinality guard: a target key acted on by >1 matched source
-    // row is ambiguous (which update wins?) — Delta errors; so do we
+    // row is ambiguous (which update wins?) — Delta errors; so do we.
+    // Runs on the key TUPLE, so it holds under composite keys and
+    // arbitrary ON predicates alike.
     unionDf(matchedParts.map(_._1)).foreach { mk =>
-      val dup = mk.groupBy(ctx.keyCol).count()
+      val dup = mk.groupBy(ctx.keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty, "graftlog MERGE: multiple source rows matched " +
-        s"target key ${dup.headOption.map(_.get(0)).getOrElse("")} — " +
+        s"target key ${dup.headOption.map(_.toSeq.init).getOrElse("")} — " +
         "the same target row cannot be updated or deleted twice")
     }
     val insertDf = unionDf(inserts)
     // duplicate-key guards: the insert set must not carry one key
-    // twice, and — when the ON condition has conjuncts BEYOND the key
-    // equality — an insert key may already exist in the table (the
-    // row matched on key but failed the extra conjunct). Either would
-    // break the primary-key contract every DV and merge relies on.
-    // Both checks are churn-sized; the existence probe joins the
-    // insert keys (broadcast-small) against the pinned snapshot and
-    // runs only when the extra conjuncts make it possible.
+    // twice, and — unless the ON condition is EXACTLY the full key
+    // equality (every component pinned, nothing else) — an insert key
+    // may already exist in the table (the row matched on key but
+    // failed a range conjunct, or never joined under a non-equality
+    // condition). Either would break the primary-key contract every
+    // DV and merge relies on. Both checks are churn-sized; the
+    // existence probe is one semi join of the insert keys against the
+    // pinned snapshot.
     insertDf.foreach { ins =>
-      val dup = ins.groupBy(ctx.keyCol).count()
+      val dup = ins.groupBy(ctx.keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty, "graftlog MERGE: the insert set carries " +
-        s"duplicate primary key ${dup.headOption.map(_.get(0)).getOrElse("")}")
-      if (conjuncts(cond).size > 1) {
-        val existing = df(spark, tgt).select(col(key.name).as(ctx.keyCol))
-          .join(ins.select(ctx.keyCol), Seq(ctx.keyCol), "left_semi")
+        s"duplicate primary key ${dup.headOption.map(_.toSeq.init).getOrElse("")}")
+      if (!fullyPinned) {
+        val existing = df(spark, tgt)
+          .select(keys.map(k => col(k.name)): _*)
+          .toDF(ctx.keyCols: _*)
+          .join(ins.select(ctx.keyCols.map(col): _*), ctx.keyCols, "left_semi")
           .limit(1).collect()
         require(existing.isEmpty, "graftlog MERGE: NOT MATCHED insert of " +
-          s"key ${existing.headOption.map(_.get(0)).getOrElse("")} which " +
-          "already exists in the table (matched on key but not on the " +
-          "ON condition's extra conjuncts) — the table is primary-keyed")
+          s"key ${existing.headOption.map(_.toSeq).getOrElse("")} which " +
+          "already exists in the table (unmatched by the ON condition, " +
+          "but present by key) — the table is primary-keyed")
       }
     }
 
     val allSuppress = (matchedParts ++ nmbsParts).map(_._1)
     val suppress = unionDf(allSuppress)
       .map(_.distinct())
-      .getOrElse(df(spark, LocalRelation(Seq(key))))
+      .getOrElse(df(spark, LocalRelation(keys)))
     val upserts = ((matchedParts ++ nmbsParts).flatMap(_._2.map(df(spark, _)))
         ++ insertDf.toSeq)
       .reduceOption(_ union _)
       .getOrElse(df(spark, LocalRelation(tgt.output)))
-    // MERGE UPDATE clauses that SET the key column get the same
+    // MERGE UPDATE clauses that SET a key column get the same
     // key-reassignment guard UPDATE does (the insert guards above
     // don't see update outputs); runs over the full upsert set so an
     // updated key colliding with an inserted key is caught too
-    if (reassignsKey(ma ++ nmbsa, ctx.keyCol))
-      guardKeyReassignment(spark, ctx.keyCol, upserts, suppress,
+    if (reassignsKey(ma ++ nmbsa, ctx.keyCols))
+      guardKeyReassignment(spark, ctx.keyCols, upserts, suppress,
         df(spark, tgt), "MERGE")
-    graft.sources.TableLog.applyDml(spark, ctx.root, suppress, upserts,
-      ctx.keyCol, layoutCol(ctx), ctx.numFiles, ctx.dvMaxFrac,
-      action = "merge")
+    route(spark, ctx, tgt, suppress, upserts, "merge")
     Seq.empty
   }
 }

@@ -107,7 +107,7 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(got.size == 19, s"18 survivors + update + insert: ${got.size}")
   }
 
-  test("MERGE guards: cardinality violation, duplicate insert keys, missing key equality") {
+  test("MERGE guards: cardinality violation, duplicate insert keys, insert-existence probes") {
     val root = freshTable(20, 2)
     mount(root, "t_guard")
     // two source rows match target key 1 → ambiguous update
@@ -124,11 +124,6 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       """MERGE INTO t_guard t USING s_insdup s ON t.k = s.k
         |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin) }
     assert(e2.getMessage.contains("duplicate primary key"), e2.getMessage)
-    // ON without a key equality is rejected loudly
-    val e3 = intercept[Exception] { spark.sql(
-      """MERGE INTO t_guard t USING s_dup s ON t.cents = s.cents
-        |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin) }
-    assert(e3.getMessage.contains("primary key"), e3.getMessage)
     // extra ON conjunct + insert of an EXISTING key breaks the PK
     // contract → loud, not a silent duplicate
     Seq((1L, -1L)).toDF("k", "cents").createOrReplaceTempView("s_exist")
@@ -136,8 +131,116 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       """MERGE INTO t_guard t USING s_exist s ON t.k = s.k AND t.cents > 100
         |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin) }
     assert(e4.getMessage.contains("already exists"), e4.getMessage)
+    // a NON-EQUALITY ON condition inserting an existing key is just
+    // as loud (the general path keeps the existence probe on)
+    val e5 = intercept[Exception] { spark.sql(
+      """MERGE INTO t_guard t USING s_exist s ON t.cents < s.cents
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""".stripMargin) }
+    assert(e5.getMessage.contains("already exists"), e5.getMessage)
     // nothing committed by any failed statement
     assert(TableLog.currentVersion(root) == 0L)
+  }
+
+  test("MERGE with an arbitrary ON predicate: no key equality required, matched keys derive from the join") {
+    val root = freshTable(20, 2)
+    mount(root, "t_free")
+    // a pure range ON: every target row with cents above the source
+    // row's threshold matches — key 19 (cents 39) is the only one
+    // above 37; update it
+    Seq((37L, 7777L)).toDF("thr", "new_cents").createOrReplaceTempView("s_free")
+    spark.sql(
+      """MERGE INTO t_free t USING s_free s ON t.cents > s.thr
+        |WHEN MATCHED THEN UPDATE SET cents = s.new_cents""".stripMargin)
+    val got = state(root)
+    assert(got(19L) == 7777L && got(18L) == 37L && got.size == 20)
+    // cardinality guard still holds under the general path: two
+    // source rows both matching target key 19 is ambiguous
+    Seq((37L, 1L), (38L, 2L)).toDF("thr", "new_cents")
+      .createOrReplaceTempView("s_free2")
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO t_free t USING s_free2 s ON t.cents > s.thr
+        |WHEN MATCHED THEN UPDATE SET cents = s.new_cents""".stripMargin) }
+    assert(e.getMessage.contains("multiple source rows matched"), e.getMessage)
+  }
+
+  test("composite primary key: MERGE/UPDATE/DELETE ride the exact copy-on-write carrier") {
+    val root = java.nio.file.Files.createTempDirectory("sqldmlc").toString
+    // key = (g, k): g in 0..3, k in 0..24 — 100 unique tuples
+    val df = (0L until 100L).map(i => (i / 25L, i % 25L, i * 3 + 1))
+      .toDF("g", "k", "cents")
+    TableLog.commit(df, root, expr("g"), 4, "overwrite")
+    spark.read.format("graftlog").option("path", root)
+      .option("primaryKey", "g, k").load()
+      .createOrReplaceTempView("t_comp")
+    // MERGE keyed on the tuple, with a RANGE conjunct on the ON
+    Seq((1L, 3L, 900L), (1L, 4L, 901L), (9L, 9L, 999L))
+      .toDF("g", "k", "new_cents").createOrReplaceTempView("s_comp")
+    spark.sql(
+      """MERGE INTO t_comp t USING s_comp s
+        |ON t.g = s.g AND t.k = s.k AND t.cents < 200
+        |WHEN MATCHED THEN UPDATE SET cents = s.new_cents
+        |WHEN NOT MATCHED THEN INSERT (g, k, cents) VALUES (s.g, s.k, s.new_cents)
+        |""".stripMargin)
+    val got = TableLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,3): cents 28*3+1=85 < 200 → updated; (1,4): 88 < 200 → updated
+    assert(got((1L, 3L)) == 900L && got((1L, 4L)) == 901L)
+    assert(got((9L, 9L)) == 999L, "unmatched tuple must insert")
+    assert(got.size == 101 && got((0L, 3L)) == 10L,
+      "same k under another g must be untouched (tuple identity)")
+    // UPDATE and DELETE by tuple predicate
+    spark.sql("UPDATE t_comp SET cents = 0 WHERE g = 2 AND k = 10")
+    spark.sql("DELETE FROM t_comp WHERE g = 3 AND k >= 20")
+    val got2 = TableLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2((2L, 10L)) == 0L && got2.size == 96 &&
+      !got2.contains((3L, 22L)))
+    // the CoW physical claim: the merge rewrote ONLY the hit file
+    // (g=1's file) — 3 untouched files carried by reference
+    val (added1, removed1) = TableLog.versionDelta(root, 1L)
+    assert(removed1.size == 1, s"only g=1's file rewrites: $removed1")
+    // a matched-on-range insert of an existing tuple is loud
+    Seq((0L, 0L, 1L)).toDF("g", "k", "new_cents")
+      .createOrReplaceTempView("s_compdup")
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO t_comp t USING s_compdup s
+        |ON t.g = s.g AND t.k = s.k AND t.cents > 1000000
+        |WHEN NOT MATCHED THEN INSERT (g, k, cents) VALUES (s.g, s.k, s.new_cents)
+        |""".stripMargin) }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("STRING primary key: DML rides the merge-on-read carrier with rolling-hash deletion vectors") {
+    val root = java.nio.file.Files.createTempDirectory("sqldmls").toString
+    val df = (0L until 100L).map(i => (f"doc_$i%03d", i * 2 + 1))
+      .toDF("doc", "cents")
+    TableLog.commit(df, root, expr("cents div 50"), 4, "overwrite")
+    spark.read.format("graftlog").option("path", root)
+      .option("primaryKey", "doc").load()
+      .createOrReplaceTempView("t_str")
+    spark.sql("DELETE FROM t_str WHERE doc IN ('doc_003', 'doc_099')")
+    val got = TableLog.read(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 98 && !got.contains("doc_003") &&
+      got("doc_005") == 11L)
+    // the sparse delete rode a DELETION VECTOR (no rewrite), and the
+    // vector holds the keys' portable rolling hashes
+    val (added, removed) = TableLog.versionDelta(root, 1L)
+    assert(removed.isEmpty && (added.isEmpty || added.forall(_.rows == 0L)),
+      s"sparse string-key DELETE must be DV-only: +$added -$removed")
+    val dvs = TableLog.readManifest(root, 1L).files.flatMap(_.dv.get("doc"))
+    assert(dvs.flatten.toSet == Set("doc_003", "doc_099")
+      .map(s => org.apache.spark.sql.graftx.RollingHash.hash(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+      s"dv must hold the portable rolling hashes: ${dvs.map(_.toSeq)}")
+    // UPDATE through the same carrier; CDF surfaces the dv delete rows
+    spark.sql("UPDATE t_str SET cents = cents + 1000 WHERE doc = 'doc_010'")
+    assert(TableLog.read(spark, root).filter(col("doc") === "doc_010")
+      .head().getLong(1) == 1021L)
+    val feed = TableLog.readChangeFeed(spark, root, 1L, 1L)
+      .filter(col("_change_type") === "delete")
+      .select("doc").collect().map(_.getString(0)).sorted.toSeq
+    assert(feed == Seq("doc_003", "doc_099"), s"string-key CDF: $feed")
   }
 
   test("key-reassignment guards: duplicate targets and collisions with surviving keys are loud") {
