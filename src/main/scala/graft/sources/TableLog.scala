@@ -2207,13 +2207,27 @@ object TableLog {
                valCol: String = "price", newValCol: String = "new_price",
                dvMaxFrac: Double = 0.10, checkpointInterval: Int = 1,
                txnTag: Option[String] = None,
-               dvInlineMax: Int = 4096): Long =
+               dvInlineMax: Int = 4096,
+               dvInlineBudget: Long = dvInlineBudgetDefault): Long =
     morApply(spark, root, changes,
       hitRows => graft.operators.ChangeLog.latestState(
         hitRows, changes, keyCol, verCol, opCol, valCol, newValCol)
         .drop("action"),
       keyCol, layout, numFiles, dvMaxFrac, checkpointInterval, txnTag,
-      "merge-mor", dvInlineMax)
+      "merge-mor", dvInlineMax, dvInlineBudget)
+
+  /** GLOBAL inline-DV budget per key column (total keys across ALL
+    * manifest lines): dvInlineMax bounds one FILE's vector, but a
+    * long history of small sparse merges across 10^5 files would
+    * still put ~10^8 longs into every scan plan as a driver-side
+    * literal map (and collect that much at build). Past this budget,
+    * a commit's touched files promote to side-file refs even when
+    * individually small — the manifest and the scan-plan literal stay
+    * bounded by budget + the side-file anti-join, and a later
+    * compact/recluster materializes vectors away entirely. 2^18 longs
+    * ≈ 2 MB of plan literals — comfortably driver-safe.
+    */
+  val dvInlineBudgetDefault: Long = 1L << 18
 
   /** The SQL-DML entry onto the merge-on-read carrier (R96: MERGE
     * INTO / UPDATE / DELETE lowered by [[org.apache.spark.sql.graftx
@@ -2231,9 +2245,11 @@ object TableLog {
                numFiles: Int = 8, dvMaxFrac: Double = 0.10,
                checkpointInterval: Int = 1,
                action: String = "sql-dml",
-               dvInlineMax: Int = 4096): Long =
+               dvInlineMax: Int = 4096,
+               dvInlineBudget: Long = dvInlineBudgetDefault): Long =
     morApply(spark, root, suppressKeys, _ => upserts, keyCol, layout,
-      numFiles, dvMaxFrac, checkpointInterval, None, action, dvInlineMax)
+      numFiles, dvMaxFrac, checkpointInterval, None, action, dvInlineMax,
+      dvInlineBudget)
 
   /** COMPOSITE-key DML carrier (R101 — the key shapes [[applyDml]]'s
     * single-column merge-on-read path can't address): suppression is
@@ -2338,9 +2354,11 @@ object TableLog {
                        keyCol: String, layout: Column, numFiles: Int,
                        dvMaxFrac: Double, checkpointInterval: Int,
                        txnTag: Option[String], actionBase: String,
-                       dvInlineMax: Int = 4096): Long = {
+                       dvInlineMax: Int = 4096,
+                       dvInlineBudget: Long = dvInlineBudgetDefault): Long = {
     require(dvMaxFrac >= 0.0 && dvMaxFrac <= 1.0, s"bad dvMaxFrac $dvMaxFrac")
     require(dvInlineMax >= 0, s"bad dvInlineMax $dvInlineMax")
+    require(dvInlineBudget >= 0L, s"bad dvInlineBudget $dvInlineBudget")
     val tag = txnTag.map(parseTxnTag)
     // same idempotency guard as [[commit]]'s txnTag path: a
     // re-delivered CDC batch (txn at or below the app's high-water
@@ -2447,8 +2465,27 @@ object TableLog {
         f.dvRef.get(pk).map(_._2).getOrElse(0L)
       (f, prior + hitCounts(baseName(f.path)))
     }
-    val (inlineF, refF) = dvSized.partition(_._2 <= dvInlineMax.toLong)
     val physKey = m.physicalOf(keyCol)
+    // one-way promotion: a file that already carries a side-file ref
+    // NEVER comes back inline (a small follow-up merge would
+    // otherwise leave BOTH carriers on one line) — previously implied
+    // arithmetically (ref ⇒ prior > dvInlineMax), now explicit
+    // because the global budget below promotes small vectors too
+    val (inlinePerFile, refF0) = dvSized.partition { case (f, sz) =>
+      sz <= dvInlineMax.toLong && !f.dvRef.contains(physKey) }
+    // GLOBAL inline budget: the inline mass this commit would leave
+    // across the WHOLE manifest (carried files' vectors + this
+    // commit's inline-eligible combined vectors) must stay under
+    // dvInlineBudget — otherwise the touched files promote to
+    // side-file refs even though each is under the per-file bound,
+    // keeping the scan-plan literal map and the build-time collect
+    // bounded no matter how many small sparse merges accumulate.
+    val carriedInlineMass = (untouched ++ falsePos)
+      .map(_.dv.getOrElse(physKey, Array.empty[Long]).length.toLong).sum
+    val thisInlineMass = inlinePerFile.map(_._2).sum
+    val overBudget = carriedInlineMass + thisInlineMass > dvInlineBudget
+    val (inlineF, refF) =
+      if (overBudget) (Nil, refF0 ++ inlinePerFile) else (inlinePerFile, refF0)
     val freshInline: Map[String, Array[Long]] =
       if (inlineF.isEmpty) Map.empty
       else probe

@@ -180,6 +180,47 @@ class TableLogSpec extends AnyFunSuite {
         "as the data dir, and the orphan sweep keeps >= keepFrom dirs)")
   }
 
+  test("global inline-DV budget: many small sparse merges keep the manifest's inline mass bounded") {
+    val root = freshRoot("dvbudget")
+    val n = 2000L
+    TableLog.commit(mkDf(0L until n), root, expr("k div 100"), 20, "overwrite")
+    def inlineMass(v: Long): Long = TableLog.readManifest(root, v).files
+      .map(_.dv.valuesIterator.map(_.length.toLong).sum).sum
+    val budget = 60L
+    // 8 sparse delete batches, each SPREAD one-key-per-file (the
+    // accumulating shape: per-file ratios stay ~1% so the per-file dv
+    // decision never rewrites, yet the corpus-wide inline mass would
+    // reach 160 without the global budget)
+    import spark.implicits._
+    (0 until 8).foreach { i =>
+      val keys = (0 until 20).map(f => (f * 100 + i).toLong)
+      TableLog.mergeMor(spark, root,
+        keys.map(k => (k, 1L, "D", 0L)).toDF("k", "ver", "op", "new_cents"),
+        "k", expr("k div 100"), 2, valCol = "cents", newValCol = "new_cents",
+        dvInlineBudget = budget)
+    }
+    val head = TableLog.currentVersion(root)
+    // the invariant: EVERY version's inline mass respects the budget
+    (1L to head).foreach { v =>
+      assert(inlineMass(v) <= budget,
+        s"v$v inline mass ${inlineMass(v)} > budget $budget") }
+    // past the budget, vectors rode side-files — and promotion is
+    // ONE-WAY: no manifest line ever carries both forms of one column
+    val headM = TableLog.readManifest(root, head)
+    assert(headM.files.exists(_.dvRef.nonEmpty),
+      "over-budget merges must promote to side-file refs")
+    assert(headM.files.forall(f => (f.dv.keySet intersect f.dvRef.keySet).isEmpty),
+      "a (file, column) vector is EITHER inline or referenced, never both")
+    val deleted = (0 until 8).flatMap(i =>
+      (0 until 20).map(f => (f * 100 + i).toLong)).toSet
+    val got = TableLog.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until n).toSet -- deleted,
+      s"reads must stay exact under promotion: ${got.size} rows")
+    // liveRows stays exact through both carriers
+    assert(headM.totalRows == n - deleted.size)
+  }
+
   test("parquet checkpoints: large manifests round-trip binary with identical resolution") {
     import java.nio.file.{Files, Paths}
     val root = freshRoot("pqck")
