@@ -598,6 +598,48 @@ object TableLog {
     }
   }
 
+  /** HADOOP-FS claim — the production implementation for a
+    * multi-node deployment where the table root is not one POSIX
+    * namespace: write a writer-unique temp sibling through the
+    * [[org.apache.hadoop.fs.FileContext]] API, then rename WITHOUT
+    * overwrite — FileContext's default rename option FAILS with
+    * FileAlreadyExistsException when the destination exists (the
+    * contract Delta's HDFSLogStore builds on; the plain
+    * FileSystem.rename would silently REPLACE on a local mount,
+    * which is exactly the hazard the commit point cannot tolerate).
+    * Atomicity is the filesystem's rename contract: real on HDFS
+    * (NameNode-serialized) and on POSIX-backed mounts; an S3-class
+    * object store without atomic fail-if-exists rename needs a
+    * conditional-put store instead (`If-None-Match: *`, or a
+    * coordination table) — same trait, different primitive.
+    *
+    * Selection: [[setCommitStore]]`(new HadoopCommitStore(conf))` at
+    * session start — the protocol above it (retry taxonomy, loser
+    * cleanup, attempt-unique dirs) is store-agnostic and untouched.
+    */
+  final class HadoopCommitStore(conf: org.apache.hadoop.conf.Configuration)
+      extends CommitStore {
+    override def claim(target: Path, content: Array[Byte]): Boolean = {
+      val dst = new org.apache.hadoop.fs.Path(target.toUri)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+        s".tmp_${dst.getName}_${ProcessHandle.current().pid()}" +
+          s"_${attemptSeq.incrementAndGet()}")
+      val out = fc.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(content) finally out.close()
+      try { fc.rename(tmp, dst); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          false
+      } finally {
+        try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   @volatile private var commitStore: CommitStore = PosixCommitStore
 
   /** Swap the commit-claim implementation (tests inject a

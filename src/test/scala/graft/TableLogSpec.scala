@@ -294,6 +294,39 @@ class TableLogSpec extends AnyFunSuite {
     } finally TableLog.setCommitStore(prev)
   }
 
+  test("Hadoop FileContext commit store: the race protocol holds end to end through the second production store") {
+    import java.nio.file.{Files, Paths}
+    val prev = TableLog.setCommitStore(new TableLog.HadoopCommitStore(
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val root = freshRoot("hstore")
+      TableLog.commit(mkDf(0L until 20L), root, expr("k div 5"), 2, "overwrite")
+      TableLog.commit(mkDf(20L until 40L), root, expr("k div 5"), 1, "append")
+      assert(rows(TableLog.read(spark, root)) == rows(mkDf(0L until 40L)))
+      // the commit-point race: the winner's rename lands, the loser's
+      // rename-without-overwrite fails, self-cleans and surfaces the
+      // SAME retryable race error the POSIX hard-link claim raises
+      TableLog.writeManifest(root, TableLog.Manifest(2L, 1L, "append",
+        "k BIGINT,cents BIGINT", TableLog.readManifest(root, 1L).files))
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        TableLog.writeManifest(root, TableLog.Manifest(2L, 1L, "append",
+          "k BIGINT,cents BIGINT,extra BIGINT", Nil))
+      }
+      assert(TableLog.readManifest(root, 2L).schemaDdl == "k BIGINT,cents BIGINT",
+        "the winner's manifest must survive the loser's attempt intact")
+      val left = Files.list(Paths.get(root, "_log")).iterator()
+      val names = new scala.collection.mutable.ArrayBuffer[String]()
+      while (left.hasNext) names += left.next().getFileName.toString
+      assert(names.forall(!_.startsWith(".tmp")), s"temp junk left: $names")
+      // commitWithRetry re-resolves and lands the rebase-safe retry
+      val v = TableLog.commitWithRetry(action = "append") {
+        TableLog.commit(mkDf(40L until 50L), root, expr("k div 5"), 1, "append")
+      }
+      assert(v == 3L &&
+        rows(TableLog.read(spark, root)) == rows(mkDf(0L until 50L)))
+    } finally TableLog.setCommitStore(prev)
+  }
+
   test("delta manifests: delta-sized on disk, replay equals a full-manifest twin") {
     import java.nio.file.{Files, Paths}
     val rootD = freshRoot("delta")
