@@ -1754,6 +1754,77 @@ object Relational {
           lit(TableLog.currentVersion(root)).as("head_version"))
     }),
 
+    // R102/q98: DECLARED CHECK constraints — Delta's `ALTER TABLE …
+    // ADD CONSTRAINT c CHECK (…)`, declared ONCE through Spark 4's
+    // constraint TableChange (the catalog advertises
+    // SUPPORT_TABLE_CONSTRAINT) or the CALL twin, persisted in the
+    // manifest header, carried forward by every commit, and enforced
+    // on EVERY write path (commitChecked's R71 shape was per-call
+    // arguments — the round-14 missing-item 4). The query certifies:
+    // declaration validates existing rows, a violating MERGE and a
+    // violating streaming-sink batch both reject LOUDLY naming the
+    // constraint and count, clean DML and sink batches land
+    // unaffected, and the declaration survives the whole sequence.
+    // Scale: enforcement is ONE aggregate pass over each batch's new
+    // rows (never the table), carriage is one header field.
+    "q98_declared_constraints" -> ((s, dir) => {
+      import graft.sources.TableLog
+      import org.apache.spark.sql.connector.catalog.Identifier
+      val ns = "q98db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_q98")
+      s.sql(s"CREATE TABLE graft.$ns.orders_q98 (k BIGINT, price BIGINT)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull && col("price").isNotNull &&
+          col("price") > 0L)
+        .groupBy("k").agg(max("price").as("price"))
+        .createOrReplaceTempView("q98_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_q98 SELECT k, price FROM q98_src")
+      s.sql(s"ALTER TABLE graft.$ns.orders_q98 " +
+        "ADD CONSTRAINT c_pos CHECK (price > 0)")
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val root = cat.tableLocation(Identifier.of(Array(ns), "orders_q98"))
+      // violating MERGE: rejected loudly, NAMING the constraint+count
+      s.sql("SELECT k FROM q98_src WHERE k % 17 = 0")
+        .createOrReplaceTempView("q98_bad")
+      val mergeRejected =
+        try { s.sql(
+          s"""MERGE INTO graft.$ns.orders_q98 t USING q98_bad s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET price = -1""".stripMargin); 0L }
+        catch { case e: Exception if e.getMessage.contains("c_pos=") => 1L }
+      // violating SINK batch: the engine sink's addBatch runs the
+      // same gate (commit underneath) — rejected before any IO
+      val sink = new graft.sources.GraftLogProvider().createSink(
+        s.sqlContext, Map("path" -> root, "layout" -> "k div 500",
+          "appid" -> "q98sink"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val sinkRejected =
+        try { sink.addBatch(0L,
+          s.sql("SELECT k + 3000000000 AS k, CAST(-5 AS BIGINT) AS price " +
+            "FROM q98_src LIMIT 3"))
+          0L }
+        catch { case e: Exception if e.getMessage.contains("c_pos=") => 1L }
+      val headAfterRejects = TableLog.currentVersion(root)
+      // clean paths land unaffected: a DML update and a sink batch
+      s.sql(s"UPDATE graft.$ns.orders_q98 SET price = price + 7 " +
+        "WHERE k % 13 = 0")
+      sink.addBatch(1L, s.sql(
+        "SELECT k + 2000000000 AS k, CAST(999 AS BIGINT) AS price " +
+          "FROM q98_src WHERE k % 7 = 0"))
+      s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(price) AS BIGINT) AS sum_price,
+           |  CAST($mergeRejected AS BIGINT) AS merge_rejected,
+           |  CAST($sinkRejected AS BIGINT) AS sink_rejected,
+           |  CAST(${if (headAfterRejects == 2L) 1L else 0L} AS BIGINT)
+           |    AS rejects_committed_nothing,
+           |  CAST(${TableLog.tableChecks(root).size} AS BIGINT) AS n_checks
+           |FROM graft.$ns.orders_q98""".stripMargin)
+    }),
+
     // R97/q93: COLUMN MAPPING — RENAME/DROP COLUMN as metadata-only
     // commits (Delta's columnMapping=name mode; round-13 missing-item
     // 3: evolution admitted ADD + type-widen only, and users rename
@@ -3702,6 +3773,32 @@ object Relational {
         |  CAST(1 AS BIGINT) AS pruned,
         |  CAST(1 AS BIGINT) AS rejected,
         |  CAST(3 AS BIGINT) AS head_version""".stripMargin,
+
+    // q98: the constraint lifecycle replayed from raw orders — head =
+    // PK-collapsed rows (+7 on the k%13 class from the clean DML) ∪
+    // the clean sink batch (k%7 class at price 999, shifted keys);
+    // the rejected merge and sink batch contribute NOTHING; the
+    // structural literals pin the loud-rejection and carriage claims.
+    "q98_declared_constraints" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |    AND CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) > 0),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | fin AS (
+        |   SELECT k, CASE WHEN k % 13 = 0 THEN price + 7 ELSE price END AS price
+        |   FROM o
+        |   UNION ALL
+        |   SELECT k + 2000000000 AS k, CAST(999 AS BIGINT) AS price
+        |   FROM o WHERE k % 7 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(1 AS BIGINT) AS merge_rejected,
+        |  CAST(1 AS BIGINT) AS sink_rejected,
+        |  CAST(1 AS BIGINT) AS rejects_committed_nothing,
+        |  CAST(1 AS BIGINT) AS n_checks
+        |FROM fin""".stripMargin,
 
     // q97: the composite-key MERGE replayed tuple-for-tuple — the
     // range conjunct gates the matched actions (over-threshold rows

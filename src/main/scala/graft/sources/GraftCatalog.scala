@@ -48,6 +48,14 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
   }
   override def name(): String = catalogName
 
+  /** Spark gates `ALTER TABLE … ADD CONSTRAINT` on this capability
+    * (the R102 surface — alterTable receives the Check TableChange).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** NAMED tables (R99): identifiers map onto warehouse paths
     * (`graft.db.t` → `<warehouse>/db/t`), loadTable returns the SAME
     * GraftLogTable the path-based reader builds — so catalog reads,
@@ -176,6 +184,21 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
         require(ac.fieldNames().length == 1,
           "graft catalog: nested column changes are not supported")
         TableLog.addColumn(p, ac.fieldNames()(0), ac.dataType().sql)
+      // R102: `ALTER TABLE graft.db.t ADD CONSTRAINT c CHECK (…)` —
+      // Spark 4's constraint TableChanges land on the store's
+      // declared-constraint surface: validated against existing rows,
+      // persisted in the manifest header, enforced on every write
+      case addc: TableChange.AddConstraint =>
+        addc.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            TableLog.addConstraint(SparkSession.active, p,
+              chk.name(), chk.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported, got " +
+              other.getClass.getSimpleName)
+        }
+      case dropc: TableChange.DropConstraint =>
+        TableLog.dropConstraint(p, dropc.name())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -310,6 +333,19 @@ private[sources] object GraftCatalog {
       Seq(p("path", StringType), p("column", StringType)),
       versionSchema,
       in => Seq(InternalRow(TableLog.dropColumn(in.getString(0),
+        in.getString(1))))),
+
+    "add_constraint" -> new Proc("add_constraint",
+      Seq(p("path", StringType), p("name", StringType),
+        p("check_expr", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.addConstraint(spark, in.getString(0),
+        in.getString(1), in.getString(2))))),
+
+    "drop_constraint" -> new Proc("drop_constraint",
+      Seq(p("path", StringType), p("name", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.dropConstraint(in.getString(0),
         in.getString(1))))),
 
     "clone" -> new Proc("clone",

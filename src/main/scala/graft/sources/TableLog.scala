@@ -196,6 +196,16 @@ object TableLog {
     * commit's own stamp), so [[lastTxn]] reads exactly ONE header —
     * never a scan over history, and never forgotten by [[vacuum]].
     */
+  /** `checks` — DECLARED CHECK constraints (R102: Delta's `ALTER
+    * TABLE … ADD CONSTRAINT` shape): name → SQL predicate over the
+    * LOGICAL schema, persisted in every header and carried forward at
+    * commit like the txn map, so declaration happens ONCE and every
+    * write path — commit/SQL INSERT, DML, the streaming sink, CDC
+    * merge — enforces it (SQL semantics: a row violates only when the
+    * predicate is FALSE; NULL passes). A rename of a referenced
+    * column leaves the predicate unresolvable, which fails the next
+    * write LOUDLY (never silently un-enforced).
+    */
   final case class Manifest(version: Long, parent: Long, action: String,
                             schemaDdl: String, files: Seq[FileEntry],
                             kind: String = "full",
@@ -203,7 +213,8 @@ object TableLog {
                             txns: Map[String, Long] = Map.empty,
                             ts: Long = -1L,
                             colMap: Map[String, String] = Map.empty,
-                            droppedPhys: Set[String] = Set.empty) {
+                            droppedPhys: Set[String] = Set.empty,
+                            checks: Map[String, String] = Map.empty) {
     /** COLUMN MAPPING (R97 — Delta's columnMapping=name mode): the
       * manifest DDL names columns LOGICALLY; data files, zones,
       * blooms and deletion vectors are keyed by the column's stable
@@ -444,9 +455,19 @@ object TableLog {
     (es.filter(_._1.nonEmpty).toMap, es.collect { case ("", ph) => ph }.toSet)
   }
 
+  private def renderChecks(checks: Map[String, String]): String =
+    checks.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${hexBytes(n)}:${hexBytes(e)}" }.mkString(",")
+
+  private def parseChecks(field: String): Map[String, String] =
+    field.split(",").filter(_.nonEmpty).map { e =>
+      val Array(n, ex) = e.split(":", 2)
+      unhexBytes(n) -> unhexBytes(ex)
+    }.toMap
+
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\t${m.ts}\t${renderColMap(m)}\n")
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\t${m.ts}\t${renderColMap(m)}\t${renderChecks(m.checks)}\n")
     if (m.kind == "full")
       m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("f", f)))
     else {
@@ -530,7 +551,7 @@ object TableLog {
       if (p == ckP) readCheckpointParquetLines(p)
       else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val h = lines.head.split("\t", -1)
-    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 9,
+    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 10,
       s"malformed manifest header at $p")
     val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
     val txns = if (h.length >= 7) parseTxns(h(6)) else Map.empty[String, Long]
@@ -538,6 +559,8 @@ object TableLog {
     val (cmap, dropped) =
       if (h.length >= 9) parseColMap(h(8))
       else (Map.empty[String, String], Set.empty[String])
+    val cks = if (h.length >= 10) parseChecks(h(9))
+      else Map.empty[String, String]
     val entries = lines.tail.filter(_.nonEmpty).map(ln => (ln.split("\t", -1), ln))
     if (kind == "full") {
       val files = entries.map { case (f, ln) =>
@@ -545,7 +568,7 @@ object TableLog {
         parseEntry(f, p, ln)
       }
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files, txns = txns,
-        ts = ts, colMap = cmap, droppedPhys = dropped)
+        ts = ts, colMap = cmap, droppedPhys = dropped, checks = cks)
     } else {
       val removes = entries.collect { case (f, ln) =>
         require(f(0) == "r" || f(0) == "a", s"malformed manifest line in $p: $ln")
@@ -557,7 +580,7 @@ object TableLog {
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl,
         parentM.files.filterNot(f => removed(f.path)) ++ adds,
         kind = "delta", removes = removes, txns = txns, ts = ts,
-        colMap = cmap, droppedPhys = dropped)
+        colMap = cmap, droppedPhys = dropped, checks = cks)
     }
   }
 
@@ -661,7 +684,15 @@ object TableLog {
     // under clock skew between writers.
     val stamped = m.copy(ts =
       math.max(if (m.ts >= 0L) m.ts else System.currentTimeMillis(),
-        headerTsOf(root, m.parent)))
+        headerTsOf(root, m.parent)),
+      // declared CHECK constraints carry forward like the txn map:
+      // explicit non-empty wins (clone/sync propagate the source's),
+      // a "constraint" action's map is authoritative even when empty
+      // (DROP CONSTRAINT to none), everything else inherits the
+      // parent's — declaration is once, carriage is every commit
+      checks =
+        if (m.checks.nonEmpty || m.action.startsWith("constraint")) m.checks
+        else carriedChecks(root, m.parent))
     val claimed = commitStore.claim(manifestPath(root, m.version),
       renderManifest(stamped).getBytes(StandardCharsets.UTF_8))
     if (!claimed) {
@@ -1013,6 +1044,9 @@ object TableLog {
       if (mode == "append" && parent >= 0)
         validateAppendSchema(root, parent, df.schema.toDDL, evolve)
       else df.schema.toDDL
+    // DECLARED constraints gate every commit — an overwrite keeps the
+    // table's declarations (it replaces rows, not the contract)
+    enforceDeclared(root, parent, df, s"$mode commit")
     val action = txnTag.fold(mode)(t => s"$mode+txn=$t")
     val carried = carriedTxns(root, parent)
     val txns = carried ++ tag.map { case (app, n) =>
@@ -1343,17 +1377,7 @@ object TableLog {
                     numFiles: Int = 8, mode: String = "append",
                     checks: Seq[(String, String)] = Nil,
                     checkpointInterval: Int = 1): Long = {
-    if (checks.nonEmpty) {
-      val aggs = checks.map { case (n, e) =>
-        sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(n) }
-      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val bad = checks.map(_._1).zipWithIndex
-        .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
-        .filter(_._2 > 0L)
-      require(bad.isEmpty,
-        s"commit rejected, CHECK constraint violations: " +
-          bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
-    }
+    enforceChecks(df, checks, "commit")
     commit(df, root, layout, numFiles, mode, checkpointInterval)
   }
 
@@ -1454,6 +1478,95 @@ object TableLog {
     val h = readHeader(root, v)
     val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
     (kind, ddl, if (h.length >= 7) parseTxns(h(6)) else Map.empty)
+  }
+
+  /** The declared CHECK constraints a child of `parent` inherits —
+    * one header line of text IO, like [[carriedTxns]].
+    */
+  private def carriedChecks(root: String, parent: Long): Map[String, String] =
+    if (parent < 0) Map.empty
+    else {
+      val h = readHeader(root, parent)
+      if (h.length >= 10) parseChecks(h(9)) else Map.empty
+    }
+
+  /** The table's declared CHECK constraints at version `v` (default
+    * head) — name → SQL predicate, one header line of text IO.
+    */
+  def tableChecks(root: String, v: Long = -1L): Map[String, String] = {
+    val at = if (v >= 0L) v else currentVersion(root)
+    if (at < 0L) Map.empty
+    else {
+      val h = readHeader(root, at)
+      if (h.length >= 10) parseChecks(h(9)) else Map.empty
+    }
+  }
+
+  /** One-pass constraint validator (shared by [[commitChecked]]'s
+    * per-call checks and the declared-constraint enforcement): counts
+    * violations per named predicate — SQL CHECK semantics, a row
+    * violates only when the predicate is FALSE (NULL passes) — and
+    * rejects loudly naming every violated constraint and its count.
+    */
+  private def enforceChecks(df: DataFrame, checks: Seq[(String, String)],
+                            what: String): Unit = {
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (n, e) =>
+      sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = checks.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0L)
+    require(bad.isEmpty,
+      s"$what rejected, CHECK constraint violations: " +
+        bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
+  }
+
+  /** Rows that must satisfy the table's DECLARED constraints before
+    * they land — called by every write path with the batch-sized new
+    * state (one aggregate pass; carried rows were validated when THEY
+    * landed).
+    */
+  private def enforceDeclared(root: String, parent: Long, df: DataFrame,
+                              what: String): Unit = {
+    val cks = carriedChecks(root, parent)
+    if (cks.nonEmpty) enforceChecks(df, cks.toSeq.sortBy(_._1), what)
+  }
+
+  /** Declare a CHECK constraint (Delta's `ALTER TABLE … ADD
+    * CONSTRAINT name CHECK (expr)`): validates the predicate against
+    * EVERY existing row first (one column-pruned aggregate scan —
+    * Delta does the same), then commits a metadata-only version
+    * persisting it in the header. Every subsequent write on any path
+    * enforces it.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    checkExpr: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"bad constraint name '$name'")
+    val parent = currentVersion(root)
+    require(parent >= 0, s"no committed table at $root")
+    val m = readManifest(root, parent)
+    require(!m.checks.contains(name),
+      s"constraint '$name' already declared: ${m.checks(name)}")
+    enforceChecks(read(spark, root), Seq(name -> checkExpr),
+      s"ADD CONSTRAINT $name")
+    writeManifest(root, Manifest(parent + 1, parent, "constraint-add",
+      m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
+      checks = m.checks + (name -> checkExpr)))
+  }
+
+  /** Retire a declared constraint — metadata-only commit. */
+  def dropConstraint(root: String, name: String): Long = {
+    val parent = currentVersion(root)
+    require(parent >= 0, s"no committed table at $root")
+    val m = readManifest(root, parent)
+    require(m.checks.contains(name),
+      s"constraint '$name' is not declared " +
+        s"(have: ${m.checks.keys.toSeq.sorted.mkString(", ")})")
+    writeManifest(root, Manifest(parent + 1, parent, "constraint-drop",
+      m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
+      checks = m.checks - name))
   }
 
   /** The txn high-water map a child of `parent` must carry forward:
@@ -2203,6 +2316,7 @@ object TableLog {
     val merged = graft.operators.ChangeLog.latestState(
         affectedRows, changes, keyCol, verCol, opCol, valCol, newValCol)
       .drop("action")
+    enforceDeclared(root, parent, merged, "merge")
     val (physMerged, physLayout) = toPhysical(merged, layout, m.colMap)
     val added = writeDataFiles(physMerged, root, v, physLayout, numFiles)
     val txns = carriedTxns(root, parent)
@@ -2365,6 +2479,7 @@ object TableLog {
     val rewriteFiles = affected.filter(f => hitNames(baseName(f.path)))
     val carried = m.files.filterNot(f =>
       rewriteFiles.exists(_.path == f.path))
+    enforceDeclared(root, parent, upserts, action)
     // rewritten files keep their non-hit rows alongside the new state
     val carry = readFiles(spark, root, m, rewriteFiles)
       .join(matched, keyCols, "left_anti")
@@ -2484,6 +2599,9 @@ object TableLog {
     // semi-restricted to them and inserts come FROM them) minus
     // deletes — no further restriction needed
     val newState = newStateOf(hitRows)
+    // DECLARED constraints gate the statement's new rows (carried and
+    // rewrite-carried rows were validated when they landed)
+    enforceDeclared(root, parent, newState, actionBase)
     // rewritten files keep their non-hit rows alongside the new state
     val rewriteCarry = readFiles(spark, root, m, rewriteFiles)
       .join(changeKeys, Seq(keyCol), "left_anti")
@@ -2769,7 +2887,8 @@ object TableLog {
     val absSrc = Paths.get(srcRoot).toAbsolutePath.normalize.toString
     val files = m.files.map(absolutize(_, absSrc))
     writeManifest(dstRoot, Manifest(0L, -1L, s"clone=$absSrc@$sv",
-      m.schemaDdl, files, colMap = m.colMap, droppedPhys = m.droppedPhys))
+      m.schemaDdl, files, colMap = m.colMap, droppedPhys = m.droppedPhys,
+      checks = m.checks)) // declared constraints travel with the clone
   }
 
   /** INCREMENTAL SHALLOW SYNC (Delta's incremental CLONE sync — the
@@ -2847,12 +2966,14 @@ object TableLog {
               removes = removes.map(pp => if (pp.startsWith("/")) pp
                 else s"$absSrc/$pp").sorted,
               txns = txns, ts = m.ts,
-              colMap = m.colMap, droppedPhys = m.droppedPhys))
+              colMap = m.colMap, droppedPhys = m.droppedPhys,
+              checks = m.checks))
           } else
             writeManifest(dstRoot, Manifest(parent + 1, parent, action,
               m.schemaDdl, m.files.map(absolutize(_, absSrc)),
               txns = txns, ts = m.ts,
-              colMap = m.colMap, droppedPhys = m.droppedPhys))
+              colMap = m.colMap, droppedPhys = m.droppedPhys,
+              checks = m.checks))
         prevSynced = v
       }
     }
@@ -3098,7 +3219,7 @@ object TableLog {
         writeCheckpoint(root, Manifest(resolved.version, resolved.parent,
           resolved.action, resolved.schemaDdl, resolved.files,
           txns = resolved.txns, ts = resolved.ts, colMap = resolved.colMap,
-          droppedPhys = resolved.droppedPhys))
+          droppedPhys = resolved.droppedPhys, checks = resolved.checks))
       }
     }
     // FOREIGN (absolute-path) entries written by cloneShallow are

@@ -161,6 +161,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ttdb.t_tt")
   }
 
+  test("declared constraints through SQL: ALTER TABLE ADD/DROP CONSTRAINT + CALL procedures") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.ckdb.t_ck")
+    spark.sql("CREATE TABLE graft.ckdb.t_ck (k BIGINT, cents BIGINT)")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "cents")
+      .createOrReplaceTempView("ck_src")
+    spark.sql("INSERT INTO graft.ckdb.t_ck SELECT * FROM ck_src")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(Identifier.of(Array("ckdb"), "t_ck"))
+    // Spark 4 ALTER TABLE … ADD CONSTRAINT … CHECK → catalog alterTable
+    spark.sql("ALTER TABLE graft.ckdb.t_ck ADD CONSTRAINT c_pos CHECK (cents > 0)")
+    assert(TableLog.tableChecks(root).keySet == Set("c_pos"))
+    Seq((3L, -1L)).toDF("k", "cents").createOrReplaceTempView("ck_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ckdb.t_ck SELECT * FROM ck_bad") }
+    assert(e.getMessage.contains("c_pos=1"), e.getMessage)
+    spark.sql("ALTER TABLE graft.ckdb.t_ck DROP CONSTRAINT c_pos")
+    assert(TableLog.tableChecks(root).isEmpty)
+    spark.sql("INSERT INTO graft.ckdb.t_ck SELECT * FROM ck_bad") // now fine
+    // the procedure twins work path-addressed
+    spark.sql(s"CALL graft.system.add_constraint(path => '$root', " +
+      "name => 'c_k', check_expr => 'k < 100')")
+    assert(TableLog.tableChecks(root).keySet == Set("c_k"))
+    spark.sql(s"CALL graft.system.drop_constraint(path => '$root', name => 'c_k')")
+    assert(TableLog.tableChecks(root).isEmpty)
+    spark.sql("DROP TABLE graft.ckdb.t_ck")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")

@@ -327,6 +327,72 @@ class TableLogSpec extends AnyFunSuite {
     } finally TableLog.setCommitStore(prev)
   }
 
+  test("declared CHECK constraints: enforced on every write path, carried through checkpoint/clone/restore") {
+    val root = freshRoot("checks")
+    TableLog.commit(mkDf(0L until 50L), root, expr("k div 25"), 2, "overwrite")
+    // declaration validates EXISTING rows first: a predicate the
+    // current table violates is rejected with the named count
+    val e0 = intercept[IllegalArgumentException] {
+      TableLog.addConstraint(spark, root, "c_low", "k < 10") }
+    assert(e0.getMessage.contains("c_low"), e0.getMessage)
+    assert(TableLog.tableChecks(root).isEmpty, "failed declaration commits nothing")
+    TableLog.addConstraint(spark, root, "c_pos", "cents > 0") // v1
+    TableLog.addConstraint(spark, root, "c_k", "k < 1000000") // v2
+    assert(TableLog.tableChecks(root).keySet == Set("c_pos", "c_k"))
+    // every write path rejects a violating batch LOUDLY, naming it:
+    // 1. plain commit / SQL INSERT path
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.commit(Seq((900L, -5L)).toDF("k", "cents"), root,
+        expr("k div 25"), 1, "append") }
+    assert(e1.getMessage.contains("c_pos=1"), e1.getMessage)
+    // 2. the DML merge-on-read carrier
+    spark.read.format("graftlog").option("path", root).load()
+      .createOrReplaceTempView("t_checks")
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE t_checks SET cents = -1 WHERE k = 3") }
+    assert(e2.getMessage.contains("c_pos=1"), e2.getMessage)
+    // 3. the CDC mergeMor carrier
+    val e3 = intercept[IllegalArgumentException] {
+      TableLog.mergeMor(spark, root,
+        Seq((5L, 9L, "U", -7L)).toDF("k", "ver", "op", "new_cents"),
+        "k", expr("k div 25"), 1, valCol = "cents", newValCol = "new_cents") }
+    assert(e3.getMessage.contains("c_pos=1"), e3.getMessage)
+    // 4. the streaming sink (engine txn path = commit underneath)
+    val e4 = intercept[IllegalArgumentException] {
+      TableLog.commit(Seq((901L, -2L)).toDF("k", "cents"), root,
+        expr("k div 25"), 1, "append", txnTag = Some("ckspec:0")) }
+    assert(e4.getMessage.contains("c_pos=1"), e4.getMessage)
+    // nothing landed, and CLEAN writes are unaffected
+    assert(TableLog.currentVersion(root) == 2L)
+    TableLog.commit(Seq((902L, 7L)).toDF("k", "cents"), root,
+      expr("k div 25"), 1, "append") // v3
+    spark.sql("UPDATE t_checks SET cents = cents + 1 WHERE k = 3") // v4
+    assert(TableLog.read(spark, root).count() == 51L)
+    // carriage through CLONE: the clone enforces from its first write
+    val dst = freshRoot("checksclone")
+    TableLog.cloneShallow(root, dst)
+    assert(TableLog.tableChecks(dst) == TableLog.tableChecks(root))
+    intercept[IllegalArgumentException] {
+      TableLog.commit(Seq((903L, -1L)).toDF("k", "cents"), dst,
+        expr("k div 25"), 1, "append") }
+    // carriage through RESTORE (metadata commit inherits the head's)
+    TableLog.restore(root, 3L) // v5
+    assert(TableLog.tableChecks(root).keySet == Set("c_pos", "c_k"))
+    // carriage through a vacuum CHECKPOINT: drop v0-v4, header survives
+    TableLog.vacuum(root, 5L)
+    assert(TableLog.tableChecks(root, 5L).keySet == Set("c_pos", "c_k"))
+    // DROP CONSTRAINT ends enforcement — and ONLY for that name
+    TableLog.dropConstraint(root, "c_pos") // v6
+    TableLog.commit(Seq((904L, -3L)).toDF("k", "cents"), root,
+      expr("k div 25"), 1, "append") // now fine
+    val e5 = intercept[IllegalArgumentException] {
+      TableLog.commit(Seq((2000000L, 1L)).toDF("k", "cents"), root,
+        expr("k div 25"), 1, "append") }
+    assert(e5.getMessage.contains("c_k=1"), e5.getMessage)
+    intercept[IllegalArgumentException] {
+      TableLog.dropConstraint(root, "nope") }
+  }
+
   test("delta manifests: delta-sized on disk, replay equals a full-manifest twin") {
     import java.nio.file.{Files, Paths}
     val rootD = freshRoot("delta")
@@ -594,9 +660,9 @@ class TableLogSpec extends AnyFunSuite {
     val hdr = Files.readAllLines(
         Paths.get(root, "_log", f"v$head%08d.manifest"), StandardCharsets.UTF_8)
       .get(0).split("\t", -1)
-    // 9 fields since R97 (the trailing column-mapping field, empty on
-    // unmapped tables)
-    assert(hdr.length == 9 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
+    // 10 fields since R102 (trailing column-mapping + declared-check
+    // fields, both empty on unmapped/unconstrained tables)
+    assert(hdr.length == 10 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
     assert(hdr(7).toLong > 0L, "header must carry the commit timestamp")
     // vacuum past every txn-bearing version: the mark SURVIVES (it
     // rides the surviving headers), so a recovering sink still
