@@ -32,6 +32,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // write path. Analyzer rules cannot be added to a built session,
     // so Graft.session sets spark.sql.extensions to this class.
     ext.injectPostHocResolutionRule(_ => GraftDmlRule)
+    // table-NAME streaming: `readStream.table("graft.db.t")` (plain
+    // or readChangeFeed=true) resolves onto the graftlog DSv1 source
+    // with the reader options passed through
+    ext.injectResolutionRule(GraftStreamTableRule.apply)
+    // Delta's table_changes(table, from[, to]) CDF TVF by name/path
+    ext.injectTableFunction((TableChangesFunction.identifier,
+      TableChangesFunction.info, TableChangesFunction.build))
   }
 }
 

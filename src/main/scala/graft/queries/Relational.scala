@@ -1825,6 +1825,95 @@ object Relational {
            |FROM graft.$ns.orders_q98""".stripMargin)
     }),
 
+    // R104/q99: DML SCHEMA EVOLUTION — `MERGE WITH SCHEMA EVOLUTION`
+    // (Delta's autoMerge/evolve-on-MERGE; round-14 missing-item 6:
+    // evolve=true existed only on commit/append): the table
+    // advertises AUTOMATIC_SCHEMA_EVOLUTION, so Spark 4's
+    // ResolveMergeIntoSchemaEvolution accretes the source's new
+    // columns through TableCatalog.alterTable (the R75 metadata-only
+    // addColumn commit) and re-resolves the target widened — the
+    // star clauses then carry the new column, matched rows take the
+    // source's value, untouched rows null-fill through the ordinary
+    // evolution read path, and AS OF below the boundary keeps the
+    // old schema. Without the clause the star covers the TARGET
+    // schema only (Spark's own expansion — no silent accretion).
+    // Scale: the widen is one delta manifest; the merge itself is
+    // churn-sized on the same one write path as q92/q97.
+    "q99_dml_evolve" -> ((s, dir) => {
+      val ns = "q99db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_evo")
+      s.sql(s"CREATE TABLE graft.$ns.orders_evo (k BIGINT, price BIGINT)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(max("price").as("price"))
+        .createOrReplaceTempView("q99_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_evo SELECT k, price FROM q99_src")
+      s.sql(
+        """SELECT k, price + 5 AS price, k % 7 AS disc FROM q99_src
+          |WHERE k % 11 = 0
+          |UNION ALL
+          |SELECT k + 4000000000 AS k, price, k % 5 AS disc FROM q99_src
+          |WHERE k % 13 = 0""".stripMargin)
+        .createOrReplaceTempView("q99_chg")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$ns.orders_evo t
+           |USING q99_chg s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val nColsV1 = s.sql(
+        s"SELECT * FROM graft.$ns.orders_evo VERSION AS OF 1").schema.size.toLong
+      val nColsHead = s.table(s"graft.$ns.orders_evo").schema.size.toLong
+      s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |  CAST(sum(price) AS BIGINT) AS sum_price,
+           |  CAST(sum(disc) AS BIGINT) AS sum_disc,
+           |  CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_disc,
+           |  CAST($nColsV1 AS BIGINT) AS n_cols_asof,
+           |  CAST($nColsHead AS BIGINT) AS n_cols_head
+           |FROM graft.$ns.orders_evo""".stripMargin)
+    }),
+
+    // R103/q100: the table_changes TVF — Delta's SQL change-feed
+    // surface by table NAME (`SELECT … FROM table_changes('graft.db
+    // .t', a, b)`), registered session-wide via injectTableFunction
+    // and resolving through the graft catalog onto the ONE batch CDF
+    // read path (q74's set-algebra semantics, now name-addressed; the
+    // round-14 missing-item 2 SQL half). The table is built entirely
+    // through SQL — CREATE, three INSERT slices, one INSERT OVERWRITE
+    // reset — and the window [1, 4] must replay: three insert
+    // versions, then the reset as delete-all + re-insert of slice 0.
+    // Scale: the TVF is resolved at analysis into the same
+    // manifest-planned feed scan — only churned files are read.
+    "q100_table_changes" -> ((s, dir) => {
+      val ns = "q100db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_cdf")
+      s.sql(s"CREATE TABLE graft.$ns.orders_cdf (k BIGINT, price BIGINT)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .createOrReplaceTempView("q100_src")
+      (0 to 2).foreach(i => s.sql(
+        s"INSERT INTO graft.$ns.orders_cdf SELECT k, price FROM q100_src " +
+          s"WHERE (k % 3 + 3) % 3 = $i"))
+      s.sql(s"INSERT OVERWRITE graft.$ns.orders_cdf " +
+        "SELECT k, price FROM q100_src WHERE (k % 3 + 3) % 3 = 0")
+      s.sql(
+        s"""SELECT CAST(_commit_version AS BIGINT) AS version,
+           |  _change_type AS change_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |  CAST(sum(price) AS BIGINT) AS sum_price
+           |FROM table_changes('graft.$ns.orders_cdf', 1, 4)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // R97/q93: COLUMN MAPPING — RENAME/DROP COLUMN as metadata-only
     // commits (Delta's columnMapping=name mode; round-13 missing-item
     // 3: evolution admitted ADD + type-widen only, and users rename
@@ -3799,6 +3888,54 @@ object Relational {
         |  CAST(1 AS BIGINT) AS rejects_committed_nothing,
         |  CAST(1 AS BIGINT) AS n_checks
         |FROM fin""".stripMargin,
+
+    // q99: the evolution merge replayed — matched k%11 rows take
+    // price+5 and disc=k%7, inserted shifted keys carry disc=k%5,
+    // every untouched row null-fills disc; the literal column counts
+    // pin the widen-at-head / old-schema-below-AS-OF claims.
+    "q99_dml_evolve" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | fin AS (
+        |   SELECT k, price, CAST(NULL AS BIGINT) AS disc FROM o
+        |   WHERE k % 11 <> 0
+        |   UNION ALL
+        |   SELECT k, price + 5, k % 7 FROM o WHERE k % 11 = 0
+        |   UNION ALL
+        |   SELECT k + 4000000000, price, k % 5 FROM o WHERE k % 13 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(sum(disc) AS BIGINT) AS sum_disc,
+        |  CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_disc,
+        |  CAST(2 AS BIGINT) AS n_cols_asof,
+        |  CAST(3 AS BIGINT) AS n_cols_head
+        |FROM fin""".stripMargin,
+
+    // q100: q74's feed algebra shifted by the create-empty v0 —
+    // inserts at versions 1..3, the INSERT OVERWRITE reset at 4 as
+    // delete-everything + re-insert of the m=0 slice.
+    "q100_table_changes" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | seg AS (SELECT k, price, (k % 3 + 3) % 3 AS m FROM o),
+        | feed AS (
+        |   SELECT 1 AS version, 'insert' AS change_type, k, price
+        |   FROM seg WHERE m = 0
+        |   UNION ALL SELECT 2, 'insert', k, price FROM seg WHERE m = 1
+        |   UNION ALL SELECT 3, 'insert', k, price FROM seg WHERE m = 2
+        |   UNION ALL SELECT 4, 'delete', k, price FROM seg
+        |   UNION ALL SELECT 4, 'insert', k, price FROM seg WHERE m = 0)
+        |SELECT CAST(version AS BIGINT) AS version, change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price
+        |FROM feed GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
 
     // q97: the composite-key MERGE replayed tuple-for-tuple — the
     // range conjunct gates the matched actions (over-threshold rows

@@ -662,6 +662,53 @@ object StreamQueries {
           col("n_rows"), col("n_keys"), col("sum_cents"))
     }),
 
+    // S33/st35: the NAMED-TABLE pipe — st34's table-to-table
+    // replication driven purely by CATALOG NAME, zero paths in user
+    // code (round-14 missing-item 2; Delta's `readStream.table("src")
+    // → writeStream.toTable("dst")` headline): the PLAIN table stream
+    // (insert replay — GraftStreamTableRule resolves the name onto
+    // the graftlog DSv1 source with reader options passed through, so
+    // maxVersionsPerBatch paces per-version) feeds the native sink
+    // through Spark's V1 streaming fallback (V2TableWithV1Fallback →
+    // GraftLogSink with exactly-once appId:batchId identity). The
+    // downstream table must equal the upstream exactly; the version
+    // count pins one commit per non-empty upstream version (the
+    // create-empty v0 window streams nothing and commits nothing).
+    // Scale: identical to st34 — per trigger the pipe moves one
+    // commit's churn; name resolution adds one catalog lookup.
+    "st35_named_pipe" -> ((s, dir) => {
+      import graft.sources.TableLog
+      import org.apache.spark.sql.connector.catalog.Identifier
+      s.sql("DROP TABLE IF EXISTS graft.st35db.src")
+      s.sql("DROP TABLE IF EXISTS graft.st35db.dst")
+      s.sql("CREATE TABLE graft.st35db.src (k BIGINT, cents BIGINT)")
+      s.sql("CREATE TABLE graft.st35db.dst (k BIGINT, cents BIGINT)")
+      Graft.table(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("cents"))
+        .filter(col("k").isNotNull)
+        .createOrReplaceTempView("st35_src")
+      (0 to 2).foreach(i => s.sql(
+        s"INSERT INTO graft.st35db.src SELECT k, cents FROM st35_src " +
+          s"WHERE (k % 3 + 3) % 3 = $i"))
+      val feed = s.readStream
+        .option("startingVersion", "0").option("maxVersionsPerBatch", "1")
+        .table("graft.st35db.src")
+      StreamRun.runToTable(s, feed, "graft.st35db.dst",
+        Map("layout" -> "k div 500", "numFiles" -> "4", "appId" -> "st35"))
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val dst = cat.tableLocation(Identifier.of(Array("st35db"), "dst"))
+      s.table("graft.st35db.dst")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum("cents").as("sum_cents"))
+        .select(
+          lit(TableLog.currentVersion(dst) + 1).as("n_downstream_versions"),
+          col("n_rows"), col("n_keys"), col("sum_cents"))
+    }),
+
     // S27/st29: streaming CHANGE-DATA-FEED read — the OTHER half of
     // the lakehouse loop (st25/st26 stream INTO the commit log; this
     // tails it back OUT, Delta's readChangeFeed stream): a custom
@@ -1134,6 +1181,18 @@ object StreamQueries {
     // commits per batch).
     "st34_table_pipe" ->
       """SELECT CAST(3 AS BIGINT) AS n_downstream_versions,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT CAST(o_orderkey AS BIGINT)) AS BIGINT) AS n_keys,
+        | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |   AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey IS NOT NULL""".stripMargin,
+
+    // st35: the name-addressed pipe is content-preserving — the
+    // downstream catalog table equals raw orders; versions = the
+    // create-empty v0 plus one commit per non-empty upstream insert
+    // (the paced v0 window streams nothing, so head lands at 3)
+    "st35_named_pipe" ->
+      """SELECT CAST(4 AS BIGINT) AS n_downstream_versions,
         | CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(DISTINCT CAST(o_orderkey AS BIGINT)) AS BIGINT) AS n_keys,
         | CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))

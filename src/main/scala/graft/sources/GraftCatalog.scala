@@ -91,11 +91,21 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     }
   }
 
+  /** The table's 3-part identity, threaded into the V1 streaming
+    * fallback so the engine's micro-batch re-resolution of the sink
+    * table lands back on THIS catalog (a bare db.t would resolve
+    * against the session catalog and fail).
+    */
+  private def v1Ident(ident: Identifier) =
+    org.apache.spark.sql.catalyst.TableIdentifier(ident.name(),
+      Some(ident.namespace().mkString(".")), Some(catalogName))
+
   override def loadTable(ident: Identifier): Table = {
     val p = requireExists(ident)
     val head = TableLog.currentVersion(p)
     new GraftLogTable(p, head,
-      StructType.fromDDL(TableLog.schemaDdlOf(p, head)))
+      StructType.fromDDL(TableLog.schemaDdlOf(p, head)),
+      catalogIdent = Some(v1Ident(ident)))
   }
 
   /** SQL time travel by table NAME (Delta's headline syntax): `SELECT

@@ -206,7 +206,7 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long,
       // captured at stream start — they must agree or the stamps
       // mis-bind. Loud restart error, never garbage.
       val ddlAtEnd = TableLog.schemaDdlOf(root, toV)
-      if (ddlAtEnd != createdDdl)
+      if (!GraftLogCdfSource.sameShape(ddlAtEnd, createdDdl))
         throw new IllegalStateException(
           s"graftlog-cdf: table schema changed within the stream " +
             s"(started under [$createdDdl], version $toV has " +
@@ -221,6 +221,19 @@ class GraftLogCdfSource(ctx: SQLContext, root: String, startV: Long,
 }
 
 object GraftLogCdfSource {
+
+  /** Same (name, type) shape? The streaming drift guard must ignore
+    * nullability and comment drift: the append gate ACCRETES NOT NULL
+    * markers into the DDL without changing how rows bind positionally
+    * (a table CREATEd nullable then INSERTed into carries both forms
+    * across its history). A name or type change is a real restart
+    * error.
+    */
+  private[sources] def sameShape(ddlA: String, ddlB: String): Boolean = {
+    def shape(d: String) = StructType.fromDDL(d)
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    shape(ddlA) == shape(ddlB)
+  }
 
   /** The feed's schema: the HEAD manifest's DDL (nullable — files
     * written before an evolution null-fill) plus the two CDF stamps.

@@ -65,10 +65,77 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and the data path is Spark's own vectorized parquet reader.
   */
 class GraftLogProvider extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   import GraftLogProvider._
 
   override def shortName(): String = "graftlog"
+
+  /** S33/st35 — streaming READS under the ONE format name (Delta's
+    * shape: `readStream.format("delta")` serves both modes): plain =
+    * the insert-replay table stream ([[GraftLogStreamSource]] —
+    * initial snapshot then appended rows, loud on change commits);
+    * `readChangeFeed=true` = the CDF stream ([[GraftLogCdfSource]]
+    * with the `_change_type`/`_commit_version` stamps). This is also
+    * the provider the table-NAME streaming surface lands on:
+    * `readStream.table("graft.db.t")` resolves here through
+    * GraftStreamTableRule with the reader options passed through.
+    * Head DDL is resolved ONCE per (provider, path+mode) — the same
+    * TOCTOU single-resolution rule as the batch side's [[pinned]].
+    */
+  private val resolvedStreamDdl =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamDdlFor(root: String): String =
+    resolvedStreamDdl.computeIfAbsent(root, r => {
+      val head = TableLog.currentVersion(r)
+      require(head >= 0L, s"graftlog stream source needs a committed table at $r")
+      TableLog.schemaDdlOf(r, head)
+    })
+
+  private def normStream(params: Map[String, String]): Map[String, String] =
+    params.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private def isCdfStream(p: Map[String, String]): Boolean =
+    p.get("readchangefeed").exists(_.equalsIgnoreCase("true"))
+
+  override def sourceSchema(ctx: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val p = normStream(parameters)
+    val root = p.getOrElse("path", throw new IllegalArgumentException(
+      "graftlog stream: 'path' option (the table root) is required"))
+    val ddl = streamDdlFor(root)
+    if (isCdfStream(p)) ("graftlog-cdf", GraftLogCdfSource.cdfSchemaFromDdl(ddl))
+    else ("graftlog", StructType.fromDDL(ddl))
+  }
+
+  override def createSource(ctx: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val p = normStream(parameters)
+    val root = p("path")
+    require(!(p.contains("startingversion") && p.contains("startingtimestamp")),
+      "graftlog stream: startingVersion and startingTimestamp are mutually exclusive")
+    val maxV = p.get("maxversionsperbatch").map(_.toLong)
+    if (isCdfStream(p)) {
+      val startV = p.get("startingtimestamp").map { t =>
+        GraftLogCdfSource.firstVersionAtOrAfter(root, t.toLong)
+      }.getOrElse(p.getOrElse("startingversion", "0").toLong)
+      new GraftLogCdfSource(ctx, root, startV, maxV,
+        Some(streamDdlFor(root)))
+    } else {
+      val startV = p.get("startingtimestamp").map { t =>
+        GraftLogCdfSource.firstVersionAtOrAfter(root, t.toLong)
+      }.orElse(p.get("startingversion").map(_.toLong))
+      new GraftLogStreamSource(ctx, root, startV,
+        skipChangeCommits =
+          p.get("skipchangecommits").exists(_.equalsIgnoreCase("true")),
+        maxVersionsPerBatch = maxV, boundDdl = Some(streamDdlFor(root)))
+    }
+  }
 
   /** S31/st33 — the NATIVE streaming sink: `writeStream
     * .format("graftlog")` with no user code (st26/st30 hand-wired
@@ -282,17 +349,55 @@ object GraftLogProvider {
 private[sources] final class GraftLogTable(val root: String,
                                            val snapVersion: Long,
                                            tableSchema: StructType,
-                                           val timeTraveled: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+                                           val timeTraveled: Boolean = false,
+                                           catalogIdent: Option[
+                                             org.apache.spark.sql.catalyst.TableIdentifier] = None)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.graftx.V1FallbackTable {
   override def name(): String = s"graftlog.`$root` VERSION AS OF $snapVersion"
+
+  /** The STREAMING-write bridge (Delta implements the same trait for
+    * the same reason): `writeStream.format("graftlog")
+    * .toTable("graft.db.t")` finds no STREAMING_WRITE capability here
+    * and falls back to this CatalogTable, whose provider + location
+    * route the query through the ONE DSv1 sink ([[GraftLogSink]] —
+    * exactly-once appId:batchId commits, declared-constraint
+    * enforcement, the whole store write contract). Batch reads and
+    * writes keep the V2 surface (the fallback is consulted only by
+    * the streaming planner).
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = catalogIdent.getOrElse {
+        // catalog-loaded tables carry their real 3-part identity (the
+        // engine re-resolves it inside the micro-batch plan); a
+        // path-mounted table synthesizes one from the path — display
+        // only, since toTable is unreachable without a catalog
+        val parts = root.split('/').filter(_.nonEmpty)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts.last,
+          Some(if (parts.length >= 2) parts(parts.length - 2) else "graft"))
+      },
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri),
+        properties = Map("path" -> root)),
+      schema = tableSchema,
+      provider = Some("graftlog"))
+  }
   override def schema(): StructType = tableSchema
   // BATCH_WRITE gates the planner's dispatch; V1_BATCH_WRITE routes
   // the physical write to the InsertableRelation shim (Spark's own
   // V1 fallback writers declare both)
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark 4's `MERGE WITH
+  // SCHEMA EVOLUTION` resolution (the analyzer accretes the source's
+  // new columns via TableCatalog.alterTable → the R75 metadata-only
+  // addColumn commit, then re-resolves this relation widened)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(snapVersion >= 0L,
       s"graftlog: no committed table at $root — nothing to read")

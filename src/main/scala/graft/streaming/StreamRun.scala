@@ -220,6 +220,45 @@ object StreamRun {
     ckptDir
   }
 
+  /** Drive `src` into a CATALOG TABLE by name through the real engine
+    * (`writeStream.format("graftlog").toTable(name)` — the fmt is
+    * required because Spark's V1-fallback sink path insists the
+    * writer's format match the table's provider, Delta's documented
+    * shape too). Same checkpoint/trigger contract as [[runToSink]].
+    */
+  def runToTable(s: SparkSession, src: DataFrame, table: String,
+                 options: Map[String, String] = Map.empty,
+                 mode: OutputMode = OutputMode.Append()): Unit = {
+    val name = "graft_tbl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val ckptBase = sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-ckpt") else None
+    }
+    val ckptDir = ckptBase.map(b => s"$b/$name")
+    val q = try {
+      val w = src.writeStream.queryName(name).format("graftlog")
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      options.foreach { case (k, v) => w.option(k, v) }
+      ckptDir.foreach(d => w.option("checkpointLocation", d))
+      w.toTable(table)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.awaitTermination()
+    finally ckptDir.foreach { d =>
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def runForeachBatch(s: SparkSession, src: DataFrame)
                      (fn: (DataFrame, Long) => Unit): Long = {
     val name = "graft_feb_" +

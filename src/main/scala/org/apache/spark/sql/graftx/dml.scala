@@ -119,14 +119,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, cond) if u.resolved =>
       targetOf(target, "UPDATE").map(ctx =>
         GraftUpdateCommand(ctx, target, assignments, cond)).getOrElse(u)
-    case m @ MergeIntoTable(target, source, cond, ma, nma, nmbsa, evo)
+    case m @ MergeIntoTable(target, source, cond, ma, nma, nmbsa, _)
         if m.resolved =>
-      targetOf(target, "MERGE INTO").map { ctx =>
-        require(!evo,
-          "graftlog MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-            "evolve the table with an evolve=true append first")
-        GraftMergeCommand(ctx, target, source, cond, ma, nma, nmbsa)
-      }.getOrElse(m)
+      // `WITH SCHEMA EVOLUTION` needs no handling HERE: Spark 4's
+      // ResolveMergeIntoSchemaEvolution has already accreted the
+      // source's new columns through TableCatalog.alterTable (→ the
+      // R75 metadata-only addColumn commit) and re-resolved the
+      // target relation under the widened schema — so by this rule
+      // the stars expand over the new columns and old rows null-fill
+      // through the ordinary evolution read path. Path-mounted views
+      // carry no catalog, so evolution cannot resolve there and the
+      // star guard below stays loud.
+      targetOf(target, "MERGE INTO").map(ctx =>
+        GraftMergeCommand(ctx, target, source, cond, ma, nma, nmbsa))
+        .getOrElse(m)
   }
 }
 
@@ -292,13 +298,25 @@ private[graftx] object GraftDml {
   }
 
   private def starAssignments(attrs: Seq[Attribute],
-                              source: LogicalPlan): Seq[Assignment] =
+                              source: LogicalPlan): Seq[Assignment] = {
+    // Delta's no-evolution rule: a star clause whose source carries
+    // columns the target lacks is an error, never a silent drop —
+    // the user either wants evolution (q99's path: `MERGE WITH
+    // SCHEMA EVOLUTION` on a catalog table widens the target BEFORE
+    // this expansion, making `extra` empty) or a projection.
+    val extra = source.output
+      .filterNot(s => attrs.exists(_.name.equalsIgnoreCase(s.name)))
+    require(extra.isEmpty,
+      s"graftlog MERGE *: source columns [${extra.map(_.name).mkString(", ")}] " +
+        "are not in the target schema — use MERGE WITH SCHEMA EVOLUTION " +
+        "on a catalog table to accrete them, or project the source")
     attrs.map { at =>
       val s = source.output.find(_.name.equalsIgnoreCase(at.name)).getOrElse(
         throw new IllegalArgumentException(
           s"graftlog MERGE *: source has no column '${at.name}'"))
       Assignment(at, s)
     }
+  }
 }
 
 /** `DELETE FROM t WHERE cond` → suppress the keys of every matching

@@ -107,6 +107,49 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(got.size == 19, s"18 survivors + update + insert: ${got.size}")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: accretes source columns on a catalog table; no-evolve star rejects") {
+    spark.sql("DROP TABLE IF EXISTS graft.dmlevo.t_evo")
+    spark.sql("CREATE TABLE graft.dmlevo.t_evo (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graft.dmlevo.t_evo SELECT * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L) AS v(k, cents)")
+    Seq((2L, 200L, 7L), (9L, 900L, 8L)).toDF("k", "cents", "disc")
+      .createOrReplaceTempView("s_evo")
+    // WITHOUT the clause: Spark's own star expansion is the contract —
+    // the star covers the TARGET schema only, extra source columns do
+    // NOT accrete (the schema stays 2 columns; `disc` is dropped)
+    spark.sql(
+      """MERGE INTO graft.dmlevo.t_evo t USING s_evo s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.dmlevo.t_evo").schema.size == 2,
+      "no-evolve star must not accrete source columns")
+    // WITH the clause: Spark's analyzer accretes `disc` through the
+    // catalog (metadata-only commit), the merge lands under the
+    // widened schema, old rows null-fill
+    Seq((3L, 333L, 5L), (11L, 1100L, 6L)).toDF("k", "cents", "disc")
+      .createOrReplaceTempView("s_evo2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.dmlevo.t_evo t
+        |USING s_evo2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.table("graft.dmlevo.t_evo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (10L, None), 2L -> (200L, None), 3L -> (333L, Some(5L)),
+      9L -> (900L, None), 11L -> (1100L, Some(6L))), got.toString)
+    // AS OF below the evolution keeps the OLD 2-column schema
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("dmlevo"), "t_evo"))
+    assert(spark.sql(
+      "SELECT * FROM graft.dmlevo.t_evo VERSION AS OF 2").schema.size == 2)
+    assert(TableLog.read(spark, root).schema.size == 3)
+    spark.sql("DROP TABLE graft.dmlevo.t_evo")
+  }
+
   test("MERGE guards: cardinality violation, duplicate insert keys, insert-existence probes") {
     val root = freshTable(20, 2)
     mount(root, "t_guard")
