@@ -36,6 +36,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // or readChangeFeed=true) resolves onto the graftlog DSv1 source
     // with the reader options passed through
     ext.injectResolutionRule(GraftStreamTableRule.apply)
+    // (reader-OPTION time travel — `spark.read.option("versionAsOf",
+    // k).table("graft.db.t")` — needs NO rule: Spark 4 parses the
+    // options into a TimeTravelSpec that resolves through the
+    // catalog's loadTable(ident, version/timestamp) overloads;
+    // GraftCatalogSpec pins it)
     // Delta's table_changes(table, from[, to]) CDF TVF by name/path
     ext.injectTableFunction((TableChangesFunction.identifier,
       TableChangesFunction.info, TableChangesFunction.build))

@@ -335,6 +335,32 @@ object VectorQueries {
     // label×dim-sized aggregates + one equi-join on (label, dim) +
     // a per-label fold — snapshot scans are the only corpus-sized
     // work, exactly two narrow passes.
+    // L129/s27: ANN RECALL AUDIT — the index-quality dashboard a
+    // production vector store runs next to its serving index (Faiss's
+    // recall@k benchmark as a pipeline operator): the EXACT
+    // brute-force top-k (s01's arm) joined against the SERVED IVF
+    // top-k (s03's arm) per query → hits and recall@10. A recall
+    // regression after a re-train/re-shard lands here before it lands
+    // in retrieval quality. Scale: the exact arm is the audit's cost
+    // (corpus × query-sample — run it on a SAMPLE of queries, the
+    // served arm stays corpus·nProbe/nCells); the join is
+    // query×k-sized, negligible.
+    "s27_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("vec_id"))
+      val served = Ann.ivfTopKExact(e, q, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 10, nProbe = 4, iters = 2)
+        .select(col("qid"), col("vec_id"), lit(1L).as("h"))
+      exact.join(served, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("h"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"),
+          round(col("hits") / lit(10.0), 4).as("recall"))
+        .orderBy("qid")
+    }),
+
     "s26_centroid_drift" -> ((s, dir) => {
       val e = emb(s, dir)
       def half(r: Long) = Ann.labelCentroids(
@@ -1572,6 +1598,48 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
          |  floor(ip * 10000.0 + 0.5) / 10000.0 AS ip
          |FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // s27: both arms replayed — s01's exact chain (NULLS LAST
+    // tie-break) and s03's coarse-chain IVF probe — folded into a
+    // per-query hit count over the exact top-10.
+    "s27_ann_recall" ->
+      s"""WITH e AS ($embSql),
+         | $coarseChainSql,
+         | xq AS (SELECT vec_id AS qid, de AS qe, n2 AS qn2 FROM e
+         |        WHERE vec_id < 5),
+         | xsc AS (SELECT qid, vec_id,
+         |    CASE WHEN qn2 = 0 OR n2 = 0 THEN NULL
+         |         ELSE list_cosine_similarity(qe, de) END AS c
+         |  FROM xq CROSS JOIN e),
+         | xr AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY c DESC NULLS LAST, vec_id) AS rnk
+         |  FROM xsc),
+         | xt AS (SELECT qid, vec_id FROM xr WHERE rnk <= 10),
+         | q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < 5),
+         | pc AS (SELECT q.qid, q.qe, sd1.cell,
+         |          ${cosSql("q.qe", "sd1.se", 64)} AS cd
+         |        FROM q, sd1),
+         | pr AS (SELECT qid, qe, cell,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY cd DESC, cell) AS rn
+         |        FROM pc),
+         | pb AS (SELECT qid, qe, cell FROM pr WHERE rn <= 4),
+         | cand AS (SELECT pb.qid, e2.vec_id,
+         |            ${cosSql("pb.qe", "e2.de", 64)} AS c
+         |          FROM pb JOIN a2 USING (cell)
+         |          JOIN e e2 ON e2.vec_id = a2.vec_id),
+         | rk AS (SELECT qid, vec_id,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY c DESC, vec_id) AS rnk
+         |        FROM cand),
+         | sv AS (SELECT qid, vec_id FROM rk WHERE rnk <= 10)
+         |SELECT x.qid AS qid,
+         |  CAST(count(s.vec_id) AS BIGINT) AS hits,
+         |  round(count(s.vec_id) / 10.0, 4) AS recall
+         |FROM xt x LEFT JOIN sv s
+         |  ON x.qid = s.qid AND x.vec_id = s.vec_id
+         |GROUP BY x.qid ORDER BY qid""".stripMargin,
 
     // s26: both halves' micro means replayed with s04's floor-div
     // formula, the squared diff summed per label — BIGINT throughout.

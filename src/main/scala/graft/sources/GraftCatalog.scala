@@ -241,7 +241,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
           s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
 }
 
-private[sources] object GraftCatalog {
+object GraftCatalog {
 
   private def p(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -285,20 +285,77 @@ private[sources] object GraftCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
+  /** A procedure/TVF target: a raw table root path, or a catalog
+    * table NAME (`db.t` defaults to the `graft` catalog;
+    * `catalog.db.t` names one explicitly) — Iceberg's
+    * `CALL catalog.system.rewrite_data_files(table => 'db.sales')`
+    * ergonomics folded onto the existing `path` parameter, so every
+    * maintenance verb is name-addressable with zero signature churn.
+    */
+  def resolveTarget(spark: SparkSession, nameOrPath: String): String =
+    if (nameOrPath.startsWith("/") || nameOrPath.startsWith("file:"))
+      nameOrPath
+    else {
+      val parts = nameOrPath.split('.')
+      val (catName, rest) =
+        if (parts.length >= 3) (parts.head, parts.tail) else ("graft", parts)
+      val cat = try spark.sessionState.catalogManager.catalog(catName) catch {
+        case _: Exception => throw new IllegalArgumentException(
+          s"graft: unknown catalog '$catName' in '$nameOrPath'")
+      }
+      cat match {
+        case g: GraftCatalog =>
+          require(rest.length >= 1, s"graft: bad table name '$nameOrPath'")
+          val root = g.tableLocation(
+            org.apache.spark.sql.connector.catalog.Identifier
+              .of(rest.init, rest.last))
+          require(TableLog.currentVersion(root) >= 0L,
+            s"graft: no committed table at '$nameOrPath' ($root)")
+          root
+        case other => throw new IllegalArgumentException(
+          s"graft: catalog '$catName' is not a graft catalog " +
+            s"(${other.getClass.getName})")
+      }
+    }
+
+  /** Procedure-body form of [[resolveTarget]] (active session). */
+  private def target(nameOrPath: String): String =
+    resolveTarget(spark, nameOrPath)
+
+  /** [[target]] for a DESTINATION that may not exist yet (clone/sync
+    * targets): a name maps to its warehouse location without the
+    * committed-table requirement; a path passes through.
+    */
+  private def targetNew(nameOrPath: String): String =
+    if (nameOrPath.startsWith("/") || nameOrPath.startsWith("file:"))
+      nameOrPath
+    else {
+      val parts = nameOrPath.split('.')
+      val (catName, rest) =
+        if (parts.length >= 3) (parts.head, parts.tail) else ("graft", parts)
+      spark.sessionState.catalogManager.catalog(catName) match {
+        case g: GraftCatalog if rest.length >= 1 =>
+          g.tableLocation(org.apache.spark.sql.connector.catalog.Identifier
+            .of(rest.init, rest.last))
+        case _ => throw new IllegalArgumentException(
+          s"graft: bad clone/sync target '$nameOrPath'")
+      }
+    }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> new Proc("compact",
       Seq(p("path", StringType), p("order_col", StringType),
         pOpt("target_rows", LongType, "1000000"),
         pOpt("small_rows", LongType, "9223372036854775807")),
       versionSchema,
-      in => Seq(InternalRow(TableLog.compact(spark, in.getString(0),
+      in => Seq(InternalRow(TableLog.compact(spark, target(in.getString(0)),
         in.getString(1), in.getLong(2), in.getLong(3))))),
 
     "recluster" -> new Proc("recluster",
       Seq(p("path", StringType), p("layout", StringType),
         pOpt("num_files", IntegerType, "8")),
       versionSchema,
-      in => Seq(InternalRow(TableLog.recluster(spark, in.getString(0),
+      in => Seq(InternalRow(TableLog.recluster(spark, target(in.getString(0)),
         expr(in.getString(1)), in.getInt(2))))),
 
     "vacuum" -> new Proc("vacuum",
@@ -307,21 +364,21 @@ private[sources] object GraftCatalog {
       StructType(Seq(StructField("deleted", StringType))),
       in => {
         val deleted =
-          if (in.getBoolean(2)) TableLog.vacuumDryRun(in.getString(0), in.getLong(1))
-          else TableLog.vacuum(in.getString(0), in.getLong(1))
+          if (in.getBoolean(2)) TableLog.vacuumDryRun(target(in.getString(0)), in.getLong(1))
+          else TableLog.vacuum(target(in.getString(0)), in.getLong(1))
         deleted.sorted.map(d => InternalRow(utf8(d)))
       }),
 
     "analyze" -> new Proc("analyze",
       Seq(p("path", StringType), p("columns", StringType)),
       StructType(Seq(StructField("artifact", StringType))),
-      in => Seq(InternalRow(utf8(TableLog.analyze(spark, in.getString(0),
+      in => Seq(InternalRow(utf8(TableLog.analyze(spark, target(in.getString(0)),
         in.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))))),
 
     "restore" -> new Proc("restore",
       Seq(p("path", StringType), p("version", LongType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.restore(in.getString(0), in.getLong(1))))),
+      in => Seq(InternalRow(TableLog.restore(target(in.getString(0)), in.getLong(1))))),
 
     "history" -> new Proc("history",
       Seq(p("path", StringType)),
@@ -329,44 +386,44 @@ private[sources] object GraftCatalog {
         StructField("action", StringType), StructField("kind", StringType),
         StructField("n_files", LongType), StructField("n_rows", LongType),
         StructField("ts_millis", LongType))),
-      in => TableLog.history(spark, in.getString(0)).collect().toSeq
+      in => TableLog.history(spark, target(in.getString(0))).collect().toSeq
         .map(r => InternalRow(r.getLong(0), utf8(r.getString(1)),
           utf8(r.getString(2)), r.getLong(3), r.getLong(4), r.getLong(5)))),
 
     "rename_column" -> new Proc("rename_column",
       Seq(p("path", StringType), p("from", StringType), p("to", StringType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.renameColumn(in.getString(0),
+      in => Seq(InternalRow(TableLog.renameColumn(target(in.getString(0)),
         in.getString(1), in.getString(2))))),
 
     "drop_column" -> new Proc("drop_column",
       Seq(p("path", StringType), p("column", StringType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.dropColumn(in.getString(0),
+      in => Seq(InternalRow(TableLog.dropColumn(target(in.getString(0)),
         in.getString(1))))),
 
     "add_constraint" -> new Proc("add_constraint",
       Seq(p("path", StringType), p("name", StringType),
         p("check_expr", StringType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.addConstraint(spark, in.getString(0),
+      in => Seq(InternalRow(TableLog.addConstraint(spark, target(in.getString(0)),
         in.getString(1), in.getString(2))))),
 
     "drop_constraint" -> new Proc("drop_constraint",
       Seq(p("path", StringType), p("name", StringType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.dropConstraint(in.getString(0),
+      in => Seq(InternalRow(TableLog.dropConstraint(target(in.getString(0)),
         in.getString(1))))),
 
     "clone" -> new Proc("clone",
       Seq(p("source", StringType), p("target", StringType)),
       versionSchema,
-      in => { TableLog.cloneShallow(in.getString(0), in.getString(1))
+      in => { TableLog.cloneShallow(target(in.getString(0)), targetNew(in.getString(1)))
         Seq(InternalRow(0L)) }),
 
     "sync" -> new Proc("sync",
       Seq(p("source", StringType), p("target", StringType)),
       versionSchema,
-      in => Seq(InternalRow(TableLog.syncShallow(in.getString(0),
-        in.getString(1))))))
+      in => Seq(InternalRow(TableLog.syncShallow(target(in.getString(0)),
+        targetNew(in.getString(1)))))))
 }

@@ -103,29 +103,14 @@ object TableChangesFunction {
       s"table_changes: $what must be an integral version, got $other")
   }
 
-  /** `catalog.db.t` / `db.t` (graft catalog) / raw path → table root. */
+  /** `catalog.db.t` / `db.t` (graft catalog) / raw path → table root
+    * — the ONE resolver the maintenance procedures also use
+    * ([[graft.sources.GraftCatalog.resolveTarget]]).
+    */
   def resolveRoot(spark: SparkSession, name: String): String =
-    if (name.startsWith("/") || name.startsWith("file:")) name
-    else {
-      val parts = name.split('.')
-      val (catName, rest) =
-        if (parts.length >= 3) (parts.head, parts.tail) else ("graft", parts)
-      val cat = try spark.sessionState.catalogManager.catalog(catName) catch {
-        case _: Exception => throw new IllegalArgumentException(
-          s"table_changes: unknown catalog '$catName' in '$name'")
-      }
-      cat match {
-        case g: graft.sources.GraftCatalog =>
-          require(rest.length >= 1, s"table_changes: bad table name '$name'")
-          val ident = Identifier.of(rest.init, rest.last)
-          val root = g.tableLocation(ident)
-          require(graft.sources.TableLog.currentVersion(root) >= 0L,
-            s"table_changes: no committed graft table at '$name' ($root)")
-          root
-        case other => throw new IllegalArgumentException(
-          s"table_changes: catalog '$catName' is not a graft catalog " +
-            s"(${other.getClass.getName})")
-      }
+    try graft.sources.GraftCatalog.resolveTarget(spark, name)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"table_changes: ${e.getMessage}", e)
     }
 
   def build(exprs: Seq[Expression]): LogicalPlan = {

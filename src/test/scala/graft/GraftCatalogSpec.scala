@@ -190,6 +190,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ckdb.t_ck")
   }
 
+  test("CTAS and CREATE OR REPLACE TABLE AS SELECT through the catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft.ctasdb.t1")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "cents")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.ctasdb.t1 AS SELECT * FROM ctas_src")
+    assert(spark.table("graft.ctasdb.t1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L), (2L, 20L)))
+    spark.sql("CREATE OR REPLACE TABLE graft.ctasdb.t1 " +
+      "AS SELECT k, cents * 2 AS cents FROM ctas_src")
+    assert(spark.sql("SELECT sum(cents) FROM graft.ctasdb.t1").head().getLong(0) == 60L)
+    spark.sql("DROP TABLE graft.ctasdb.t1")
+  }
+
+  test("reader-option time travel by name; procedures accept table names") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.optdb.t_opt")
+    spark.sql("CREATE TABLE graft.optdb.t_opt (k BIGINT, cents BIGINT)")
+    spark.sql("INSERT INTO graft.optdb.t_opt SELECT * FROM VALUES (1L, 10L) AS v(k, cents)")
+    spark.sql("INSERT INTO graft.optdb.t_opt SELECT * FROM VALUES (2L, 20L) AS v(k, cents)")
+    // Delta's reader-option form: versionAsOf on .table()
+    assert(spark.read.option("versionAsOf", "1")
+      .table("graft.optdb.t_opt").count() == 1L)
+    assert(spark.read.option("versionAsOf", "2")
+      .table("graft.optdb.t_opt").count() == 2L)
+    val e = intercept[Exception] {
+      spark.read.option("versionAsOf", "1").option("timestampAsOf", "0")
+        .table("graft.optdb.t_opt").count() }
+    assert(e.getMessage.contains("INVALID_TIME_TRAVEL_SPEC"), e.getMessage)
+    // a time-traveled reader-option relation rejects writes
+    val e2 = intercept[Exception] {
+      spark.read.option("versionAsOf", "1").table("graft.optdb.t_opt")
+        .createOrReplaceTempView("t_opt_v1")
+      spark.sql("UPDATE t_opt_v1 SET cents = 0 WHERE k = 1") }
+    assert(e2.getMessage.contains("time-traveled"), e2.getMessage)
+    // procedures address the same table by NAME (path param accepts
+    // db.t / catalog.db.t — the Iceberg `table =>` ergonomics)
+    assert(spark.sql("CALL graft.system.history(path => 'optdb.t_opt')")
+      .count() == 3L)
+    val v = spark.sql("CALL graft.system.compact(" +
+      "path => 'graft.optdb.t_opt', order_col => 'k')").head().getLong(0)
+    assert(v == 3L)
+    val e3 = intercept[Exception] {
+      spark.sql("CALL graft.system.history(path => 'optdb.nope')").collect() }
+    assert(e3.getMessage.contains("no committed table"), e3.getMessage)
+    spark.sql("DROP TABLE graft.optdb.t_opt")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")

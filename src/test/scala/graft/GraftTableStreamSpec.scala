@@ -150,7 +150,7 @@ class GraftTableStreamSpec extends AnyFunSuite {
     assert(byPath == 3L)
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM table_changes('graft.tsdb.nope', 0, 1)").collect() }
-    assert(e.getMessage.contains("no committed graft table"), e.getMessage)
+    assert(e.getMessage.contains("no committed table"), e.getMessage)
     spark.sql("DROP TABLE graft.tsdb.t_tvf")
   }
 }
