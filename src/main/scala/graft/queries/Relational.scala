@@ -1825,6 +1825,56 @@ object Relational {
            |FROM graft.$ns.orders_q98""".stripMargin)
     }),
 
+    // R105/q101: TABLE PROPERTIES — Delta's TBLPROPERTIES as
+    // declared-once table configuration: `CREATE TABLE …
+    // TBLPROPERTIES('primaryKey'='k','layout'='…')` persists the map
+    // in the manifest header (carried forward like the txn map and
+    // the declared constraints), `ALTER TABLE SET/UNSET
+    // TBLPROPERTIES` and the CALL twins mutate it metadata-only,
+    // `SHOW TBLPROPERTIES` reads it back, and the DML rule + SQL
+    // write path + streaming sink consult it as defaults under their
+    // per-call options. The query's table puts a DECOY long column
+    // first — without the declared primaryKey the DML default would
+    // key on it and suppress whole duplicate-value classes, so the
+    // value equality IS the proof the property drove the merge.
+    // Scale: properties are one header field; every consumer reads
+    // one header line.
+    "q101_table_properties" -> ((s, dir) => {
+      val ns = "q101db"
+      s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_props")
+      s.sql(s"CREATE TABLE graft.$ns.orders_props (price BIGINT, k BIGINT) " +
+        "TBLPROPERTIES ('primaryKey'='k', 'layout'='k div 500', " +
+        "'numFiles'='4')")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+            .as("price"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(max("price").as("price"))
+        .createOrReplaceTempView("q101_src")
+      s.sql(s"INSERT INTO graft.$ns.orders_props " +
+        "SELECT price, k FROM q101_src")
+      s.sql("SELECT k, price + 7 AS np FROM q101_src WHERE k % 11 = 0")
+        .createOrReplaceTempView("q101_chg")
+      s.sql(
+        s"""MERGE INTO graft.$ns.orders_props t USING q101_chg s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET price = s.np""".stripMargin)
+      s.sql(s"UPDATE graft.$ns.orders_props SET price = price + 1 " +
+        "WHERE k % 19 = 0")
+      val cat = s.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sources.GraftCatalog]
+      val root = cat.tableLocation(
+        org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(ns), "orders_props"))
+      val nProps = graft.sources.TableLog.tableProperties(root).size.toLong
+      s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           |  CAST(sum(price) AS BIGINT) AS sum_price,
+           |  CAST($nProps AS BIGINT) AS n_props
+           |FROM graft.$ns.orders_props""".stripMargin)
+    }),
+
     // R104/q99: DML SCHEMA EVOLUTION — `MERGE WITH SCHEMA EVOLUTION`
     // (Delta's autoMerge/evolve-on-MERGE; round-14 missing-item 6:
     // evolve=true existed only on commit/append): the table
@@ -3887,6 +3937,25 @@ object Relational {
         |  CAST(1 AS BIGINT) AS sink_rejected,
         |  CAST(1 AS BIGINT) AS rejects_committed_nothing,
         |  CAST(1 AS BIGINT) AS n_checks
+        |FROM fin""".stripMargin,
+
+    // q101: PK-collapsed base with the declared-key merge (+7 on the
+    // k%11 class) and update (+1 on k%19) replayed; a wrong default
+    // key (the decoy first column) would collapse duplicate price
+    // classes and break every aggregate.
+    "q101_table_properties" ->
+      """WITH o0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS price
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        | o AS (SELECT k, max(price) AS price FROM o0 GROUP BY k),
+        | fin AS (SELECT k,
+        |    (CASE WHEN k % 11 = 0 THEN price + 7 ELSE price END) +
+        |    (CASE WHEN k % 19 = 0 THEN 1 ELSE 0 END) AS price
+        |  FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+        |  CAST(sum(price) AS BIGINT) AS sum_price,
+        |  CAST(3 AS BIGINT) AS n_props
         |FROM fin""".stripMargin,
 
     // q99: the evolution merge replayed — matched k%11 rows take

@@ -162,7 +162,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     if (TableLog.currentVersion(p) >= 0)
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(Paths.get(p))
-    TableLog.createEmpty(p, schema.toDDL)
+    // user TBLPROPERTIES persist in the manifest header (R105);
+    // Spark's reserved/engine-internal entries are not table config
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
+      GraftCatalog.reservedProps(k.toLowerCase(java.util.Locale.ROOT)) }
+    TableLog.createEmpty(p, schema.toDDL, props = userProps)
     loadTable(ident)
   }
 
@@ -209,6 +214,14 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
         }
       case dropc: TableChange.DropConstraint =>
         TableLog.dropConstraint(p, dropc.name())
+      // R105: ALTER TABLE … SET/UNSET TBLPROPERTIES — metadata-only
+      // property commits (batched per statement by Spark; each change
+      // lands as its own version, fine for the ALTER cadence)
+      case sp: TableChange.SetProperty =>
+        TableLog.setProperties(p, Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        if (TableLog.tableProperties(p).contains(rp.property()))
+          TableLog.unsetProperties(p, Seq(rp.property()))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -242,6 +255,13 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
 }
 
 object GraftCatalog {
+
+  /** Spark-reserved / engine-internal CREATE TABLE property keys —
+    * not user table configuration, never persisted.
+    */
+  private[sources] val reservedProps: Set[String] =
+    Set("location", "comment", "provider", "owner", "external",
+      "is_managed_location", "option.path", "path")
 
   private def p(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -414,6 +434,19 @@ object GraftCatalog {
       versionSchema,
       in => Seq(InternalRow(TableLog.dropConstraint(target(in.getString(0)),
         in.getString(1))))),
+
+    "set_property" -> new Proc("set_property",
+      Seq(p("path", StringType), p("key", StringType),
+        p("value", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.setProperties(target(in.getString(0)),
+        Map(in.getString(1) -> in.getString(2)))))),
+
+    "unset_property" -> new Proc("unset_property",
+      Seq(p("path", StringType), p("key", StringType)),
+      versionSchema,
+      in => Seq(InternalRow(TableLog.unsetProperties(target(in.getString(0)),
+        Seq(in.getString(1)))))),
 
     "clone" -> new Proc("clone",
       Seq(p("source", StringType), p("target", StringType)),

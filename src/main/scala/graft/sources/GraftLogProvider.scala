@@ -171,9 +171,14 @@ class GraftLogProvider extends TableProvider with DataSourceRegister
     // deleted checkpoint mints a fresh id and reprocessing lands;
     // a checkpoint-PATH default survives checkpoint deletion and the
     // high-water guard would silently drop every replayed batch)
-    new GraftLogSink(ctx, root, p.get("layout"),
-      p.get("numfiles").map(_.toInt).getOrElse(8), p.get("appid"),
-      p.get("checkpointinterval").map(_.toInt).getOrElse(1),
+    // sink options, then persisted TBLPROPERTIES (R105): a toTable
+    // pipe onto a table declaring layout/numFiles needs no options
+    val props = TableLog.tableProperties(root)
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    def knob(n: String): Option[String] = p.get(n).orElse(props.get(n))
+    new GraftLogSink(ctx, root, knob("layout"),
+      knob("numfiles").map(_.toInt).getOrElse(8), p.get("appid"),
+      knob("checkpointinterval").map(_.toInt).getOrElse(1),
       overwriteEachBatch = outputMode == Complete())
   }
 
@@ -356,6 +361,21 @@ private[sources] final class GraftLogTable(val root: String,
     with org.apache.spark.sql.graftx.V1FallbackTable {
   override def name(): String = s"graftlog.`$root` VERSION AS OF $snapVersion"
 
+  /** Persisted TBLPROPERTIES (R105) at this snapshot — `SHOW
+    * TBLPROPERTIES graft.db.t` reads these, and the DML rule / SQL
+    * write path consult them as declared-once defaults (primaryKey,
+    * layout, numFiles, dvMaxFrac) under their per-call options.
+    * Resolved lazily once per relation: one header line of IO.
+    */
+  override lazy val properties: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (snapVersion >= 0L)
+      TableLog.tableProperties(root, snapVersion).foreach { case (k, v) =>
+        m.put(k, v) }
+    m.put("provider", "graftlog")
+    java.util.Collections.unmodifiableMap(m)
+  }
+
   /** The STREAMING-write bridge (Delta implements the same trait for
     * the same reason): `writeStream.format("graftlog")
     * .toTable("graft.db.t")` finds no STREAMING_WRITE capability here
@@ -440,12 +460,17 @@ private[sources] final class GraftLogWriteBuilder(root: String,
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
           val opts = info.options
-          val layout = Option(opts.get("layout")).map(expr).getOrElse {
+          // write options, then persisted TBLPROPERTIES (R105 —
+          // declared-once layout/numFiles), then the defaults
+          val props = TableLog.tableProperties(root)
+          def knob(n: String): Option[String] =
+            Option(opts.get(n)).orElse(props.get(n))
+          val layout = knob("layout").map(expr).getOrElse {
             data.schema.fields.find(_.dataType == LongType)
               .map(f => col(f.name))
               .getOrElse(org.apache.spark.sql.functions.lit(0L))
           }
-          val numFiles = Option(opts.get("numFiles")).map(_.toInt).getOrElse(8)
+          val numFiles = knob("numFiles").map(_.toInt).getOrElse(8)
           TableLog.commit(data, root, layout, numFiles,
             if (overwrite || overwriteFlag) "overwrite" else "append")
         }

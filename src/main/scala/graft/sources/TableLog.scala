@@ -206,6 +206,14 @@ object TableLog {
     * column leaves the predicate unresolvable, which fails the next
     * write LOUDLY (never silently un-enforced).
     */
+  /** `props` — TABLE PROPERTIES (R105: Delta's TBLPROPERTIES):
+    * arbitrary key→value configuration persisted in every header and
+    * carried forward like [[checks]], so `CREATE TABLE …
+    * TBLPROPERTIES('primaryKey'='k','layout'='k div 500')` declares
+    * the table's write/DML defaults ONCE — the DML rule, the SQL
+    * write path and the streaming sink all read them as fallbacks
+    * under their per-call options.
+    */
   final case class Manifest(version: Long, parent: Long, action: String,
                             schemaDdl: String, files: Seq[FileEntry],
                             kind: String = "full",
@@ -214,7 +222,8 @@ object TableLog {
                             ts: Long = -1L,
                             colMap: Map[String, String] = Map.empty,
                             droppedPhys: Set[String] = Set.empty,
-                            checks: Map[String, String] = Map.empty) {
+                            checks: Map[String, String] = Map.empty,
+                            props: Map[String, String] = Map.empty) {
     /** COLUMN MAPPING (R97 — Delta's columnMapping=name mode): the
       * manifest DDL names columns LOGICALLY; data files, zones,
       * blooms and deletion vectors are keyed by the column's stable
@@ -467,7 +476,7 @@ object TableLog {
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\t${m.ts}\t${renderColMap(m)}\t${renderChecks(m.checks)}\n")
+    sb.append(s"graft-table-log\t${m.version}\t${m.parent}\t${m.action}\t${m.kind}\t${m.schemaDdl}\t${renderTxns(m.txns)}\t${m.ts}\t${renderColMap(m)}\t${renderChecks(m.checks)}\t${renderChecks(m.props)}\n")
     if (m.kind == "full")
       m.files.sortBy(_.path).foreach(f => sb.append(renderEntry("f", f)))
     else {
@@ -551,7 +560,7 @@ object TableLog {
       if (p == ckP) readCheckpointParquetLines(p)
       else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val h = lines.head.split("\t", -1)
-    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 10,
+    require(h(0) == "graft-table-log" && h.length >= 5 && h.length <= 11,
       s"malformed manifest header at $p")
     val (kind, ddl) = if (h.length >= 6) (h(4), h(5)) else ("full", h(4))
     val txns = if (h.length >= 7) parseTxns(h(6)) else Map.empty[String, Long]
@@ -561,6 +570,8 @@ object TableLog {
       else (Map.empty[String, String], Set.empty[String])
     val cks = if (h.length >= 10) parseChecks(h(9))
       else Map.empty[String, String]
+    val prps = if (h.length >= 11) parseChecks(h(10))
+      else Map.empty[String, String]
     val entries = lines.tail.filter(_.nonEmpty).map(ln => (ln.split("\t", -1), ln))
     if (kind == "full") {
       val files = entries.map { case (f, ln) =>
@@ -568,7 +579,8 @@ object TableLog {
         parseEntry(f, p, ln)
       }
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl, files, txns = txns,
-        ts = ts, colMap = cmap, droppedPhys = dropped, checks = cks)
+        ts = ts, colMap = cmap, droppedPhys = dropped, checks = cks,
+        props = prps)
     } else {
       val removes = entries.collect { case (f, ln) =>
         require(f(0) == "r" || f(0) == "a", s"malformed manifest line in $p: $ln")
@@ -580,7 +592,7 @@ object TableLog {
       Manifest(h(1).toLong, h(2).toLong, h(3), ddl,
         parentM.files.filterNot(f => removed(f.path)) ++ adds,
         kind = "delta", removes = removes, txns = txns, ts = ts,
-        colMap = cmap, droppedPhys = dropped, checks = cks)
+        colMap = cmap, droppedPhys = dropped, checks = cks, props = prps)
     }
   }
 
@@ -692,7 +704,13 @@ object TableLog {
       // parent's — declaration is once, carriage is every commit
       checks =
         if (m.checks.nonEmpty || m.action.startsWith("constraint")) m.checks
-        else carriedChecks(root, m.parent))
+        else carriedChecks(root, m.parent),
+      // table properties carry exactly like the checks: a
+      // "tblprops" action's map is authoritative even when empty
+      // (UNSET down to none), everything else inherits the parent's
+      props =
+        if (m.props.nonEmpty || m.action.startsWith("tblprops")) m.props
+        else carriedProps(root, m.parent))
     val claimed = commitStore.claim(manifestPath(root, m.version),
       renderManifest(stamped).getBytes(StandardCharsets.UTF_8))
     if (!claimed) {
@@ -1502,6 +1520,55 @@ object TableLog {
     }
   }
 
+  /** The table properties a child of `parent` inherits — one header
+    * line of text IO, like [[carriedChecks]].
+    */
+  private def carriedProps(root: String, parent: Long): Map[String, String] =
+    if (parent < 0) Map.empty
+    else {
+      val h = readHeader(root, parent)
+      if (h.length >= 11) parseChecks(h(10)) else Map.empty
+    }
+
+  /** The table's properties at version `v` (default head). */
+  def tableProperties(root: String, v: Long = -1L): Map[String, String] = {
+    val at = if (v >= 0L) v else currentVersion(root)
+    if (at < 0L) Map.empty
+    else {
+      val h = readHeader(root, at)
+      if (h.length >= 11) parseChecks(h(10)) else Map.empty
+    }
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — metadata-only commit;
+    * existing keys overwrite, others carry.
+    */
+  def setProperties(root: String, kvs: Map[String, String]): Long = {
+    require(kvs.nonEmpty, "setProperties: empty property map")
+    kvs.keys.foreach(k => require(k.nonEmpty &&
+        !k.exists(c => c == '\t' || c == '\n'), s"bad property key '$k'"))
+    val parent = currentVersion(root)
+    require(parent >= 0, s"no committed table at $root")
+    val m = readManifest(root, parent)
+    writeManifest(root, Manifest(parent + 1, parent, "tblprops-set",
+      m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
+      checks = m.checks, props = m.props ++ kvs))
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — metadata-only commit;
+    * unknown keys are a silent no-op (Spark's IF EXISTS semantics
+    * ride the caller).
+    */
+  def unsetProperties(root: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "unsetProperties: empty key list")
+    val parent = currentVersion(root)
+    require(parent >= 0, s"no committed table at $root")
+    val m = readManifest(root, parent)
+    writeManifest(root, Manifest(parent + 1, parent, "tblprops-unset",
+      m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
+      checks = m.checks, props = m.props -- keys))
+  }
+
   /** One-pass constraint validator (shared by [[commitChecked]]'s
     * per-call checks and the declared-constraint enforcement): counts
     * violations per named predicate — SQL CHECK semantics, a row
@@ -1553,7 +1620,7 @@ object TableLog {
       s"ADD CONSTRAINT $name")
     writeManifest(root, Manifest(parent + 1, parent, "constraint-add",
       m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
-      checks = m.checks + (name -> checkExpr)))
+      checks = m.checks + (name -> checkExpr), props = m.props))
   }
 
   /** Retire a declared constraint — metadata-only commit. */
@@ -1566,7 +1633,7 @@ object TableLog {
         s"(have: ${m.checks.keys.toSeq.sorted.mkString(", ")})")
     writeManifest(root, Manifest(parent + 1, parent, "constraint-drop",
       m.schemaDdl, m.files, colMap = m.colMap, droppedPhys = m.droppedPhys,
-      checks = m.checks - name))
+      checks = m.checks - name, props = m.props))
   }
 
   /** The txn high-water map a child of `parent` must carry forward:
@@ -2765,13 +2832,14 @@ object TableLog {
     * schema. Loud if the root already holds a committed table.
     */
   def createEmpty(root: String, ddl: String,
-                  commitTs: Option[Long] = None): Long = {
+                  commitTs: Option[Long] = None,
+                  props: Map[String, String] = Map.empty): Long = {
     require(currentVersion(root) < 0,
       s"create: $root already has a committed table")
     // validate the DDL parses before any IO
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
     writeManifest(root, Manifest(0L, -1L, "create", ddl, Nil,
-      ts = commitTs.getOrElse(-1L)))
+      ts = commitTs.getOrElse(-1L), props = props))
   }
 
   /** ADD COLUMN as a METADATA-ONLY commit (the ALTER TABLE path —
@@ -2888,7 +2956,8 @@ object TableLog {
     val files = m.files.map(absolutize(_, absSrc))
     writeManifest(dstRoot, Manifest(0L, -1L, s"clone=$absSrc@$sv",
       m.schemaDdl, files, colMap = m.colMap, droppedPhys = m.droppedPhys,
-      checks = m.checks)) // declared constraints travel with the clone
+      checks = m.checks, // declared constraints + properties travel
+      props = m.props))   // with the clone
   }
 
   /** INCREMENTAL SHALLOW SYNC (Delta's incremental CLONE sync — the
@@ -2967,13 +3036,13 @@ object TableLog {
                 else s"$absSrc/$pp").sorted,
               txns = txns, ts = m.ts,
               colMap = m.colMap, droppedPhys = m.droppedPhys,
-              checks = m.checks))
+              checks = m.checks, props = m.props))
           } else
             writeManifest(dstRoot, Manifest(parent + 1, parent, action,
               m.schemaDdl, m.files.map(absolutize(_, absSrc)),
               txns = txns, ts = m.ts,
               colMap = m.colMap, droppedPhys = m.droppedPhys,
-              checks = m.checks))
+              checks = m.checks, props = m.props))
         prevSynced = v
       }
     }
@@ -3219,7 +3288,8 @@ object TableLog {
         writeCheckpoint(root, Manifest(resolved.version, resolved.parent,
           resolved.action, resolved.schemaDdl, resolved.files,
           txns = resolved.txns, ts = resolved.ts, colMap = resolved.colMap,
-          droppedPhys = resolved.droppedPhys, checks = resolved.checks))
+          droppedPhys = resolved.droppedPhys, checks = resolved.checks,
+          props = resolved.props))
       }
     }
     // FOREIGN (absolute-path) entries written by cloneShallow are

@@ -82,11 +82,16 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       require(!timeTraveled,
         s"graftlog: cannot $what a time-traveled relation (${r.table.name()})")
       val o = r.options
+      // resolution order for every write knob: per-statement relation
+      // OPTION, then the table's persisted TBLPROPERTIES (R105 — the
+      // declared-once form a catalog table carries), then the default
+      def knob(name: String): Option[String] =
+        Option(o.get(name)).orElse(Option(r.table.properties().get(name)))
       // `primaryKey` may be a comma-separated COMPOSITE key; default
       // stays the first long-typed column. Components must be BIGINT
       // or STRING — the shapes the carriers (dv hash / CoW zones)
       // address exactly.
-      val keyCols: Seq[String] = Option(o.get("primaryKey"))
+      val keyCols: Seq[String] = knob("primaryKey")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .orElse(r.schema.fields.find(_.dataType == LongType)
           .map(f => Seq(f.name)))
@@ -107,9 +112,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       }
       GraftDmlTarget(graft.sources.GraftLogProvider.TableInfo
           .unapply(r.table).get._1,
-        keyCols, Option(o.get("layout")),
-        Option(o.get("numFiles")).map(_.toInt).getOrElse(8),
-        Option(o.get("dvMaxFrac")).map(_.toDouble).getOrElse(0.10))
+        keyCols, knob("layout"),
+        knob("numFiles").map(_.toInt).getOrElse(8),
+        knob("dvMaxFrac").map(_.toDouble).getOrElse(0.10))
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {

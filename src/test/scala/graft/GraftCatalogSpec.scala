@@ -237,6 +237,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.optdb.t_opt")
   }
 
+  test("TBLPROPERTIES: persisted at CREATE, SET/UNSET, SHOW, DML defaults, carriage") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.propdb.t_props")
+    spark.sql("CREATE TABLE graft.propdb.t_props (v BIGINT, k BIGINT) " +
+      "TBLPROPERTIES ('primaryKey'='k', 'layout'='k div 10', 'numFiles'='2')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(Identifier.of(Array("propdb"), "t_props"))
+    assert(TableLog.tableProperties(root) ==
+      Map("primaryKey" -> "k", "layout" -> "k div 10", "numFiles" -> "2"))
+    // SHOW TBLPROPERTIES reads the persisted map through the table
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.propdb.t_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("primaryKey").contains("k"), shown.toString)
+    // v is the FIRST long column — without the declared primaryKey
+    // the DML default would key on v (duplicated below) and a merge
+    // would suppress every v=1 row; with the property only k=2 moves
+    spark.sql("INSERT INTO graft.propdb.t_props SELECT * FROM VALUES " +
+      "(1L, 1L), (1L, 2L), (1L, 3L) AS x(v, k)")
+    Seq((2L, 99L)).toDF("k", "nv").createOrReplaceTempView("props_src")
+    spark.sql(
+      """MERGE INTO graft.propdb.t_props t USING props_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(spark.table("graft.propdb.t_props").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap ==
+      Map(1L -> 1L, 2L -> 99L, 3L -> 1L))
+    // SET adds/overwrites, UNSET retires exactly the named key
+    spark.sql("ALTER TABLE graft.propdb.t_props " +
+      "SET TBLPROPERTIES ('dvMaxFrac'='1.0', 'numFiles'='4')")
+    assert(TableLog.tableProperties(root).get("dvMaxFrac").contains("1.0") &&
+      TableLog.tableProperties(root).get("numFiles").contains("4"))
+    spark.sql("ALTER TABLE graft.propdb.t_props UNSET TBLPROPERTIES ('dvMaxFrac')")
+    assert(!TableLog.tableProperties(root).contains("dvMaxFrac") &&
+      TableLog.tableProperties(root).contains("primaryKey"))
+    // CALL twins + carriage through clone and restore
+    spark.sql(s"CALL graft.system.set_property(path => '$root', " +
+      "key => 'team', value => 'etl')")
+    assert(TableLog.tableProperties(root).get("team").contains("etl"))
+    val dst = freshRoot("props_clone")
+    TableLog.cloneShallow(root, dst)
+    assert(TableLog.tableProperties(dst) == TableLog.tableProperties(root))
+    val headBefore = TableLog.currentVersion(root)
+    TableLog.restore(root, 1L)
+    assert(TableLog.tableProperties(root).contains("primaryKey"),
+      "restore keeps the head's declared properties")
+    TableLog.restore(root, headBefore)
+    spark.sql(s"CALL graft.system.unset_property(path => '$root', key => 'team')")
+    assert(!TableLog.tableProperties(root).contains("team"))
+    spark.sql("DROP TABLE graft.propdb.t_props")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")

@@ -660,9 +660,9 @@ class TableLogSpec extends AnyFunSuite {
     val hdr = Files.readAllLines(
         Paths.get(root, "_log", f"v$head%08d.manifest"), StandardCharsets.UTF_8)
       .get(0).split("\t", -1)
-    // 10 fields since R102 (trailing column-mapping + declared-check
-    // fields, both empty on unmapped/unconstrained tables)
-    assert(hdr.length == 10 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
+    // 11 fields since R105 (trailing column-mapping, declared-check
+    // and table-property fields, all empty on plain tables)
+    assert(hdr.length == 11 && hdr(6) == "appA:1,appB:5", hdr.mkString("|"))
     assert(hdr(7).toLong > 0L, "header must carry the commit timestamp")
     // vacuum past every txn-bearing version: the mark SURVIVES (it
     // rides the surviving headers), so a recovering sink still
