@@ -152,12 +152,40 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     */
   def tableLocation(ident: Identifier): String = tablePath(ident)
 
+  /** `CLUSTER BY (…)` columns → the store's layout expression
+    * (Delta's liquid-clustering declaration folded onto R105
+    * properties): one column clusters directly, two interleave
+    * through the zorder2 Morton key (numeric columns — the q68
+    * layout), more are rejected (pick two, or set the `layout`
+    * property to any SQL expression).
+    */
+  private def clusterLayout(cols: Seq[String]): String = cols match {
+    case Seq(c)    => c
+    case Seq(a, b) => s"zorder2($a, $b)"
+    case more => throw new UnsupportedOperationException(
+      s"graft catalog: CLUSTER BY supports 1 or 2 columns, got $more — " +
+        "set the 'layout' table property to a SQL expression instead")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val (clusters, others) = partitions.partition(
+      _.isInstanceOf[ClusterByTransform])
+    require(others.isEmpty,
       "graft catalog: partitioned CREATE TABLE is not supported — " +
-        "cluster rows with the 'layout' WRITE option instead")
+        "use CLUSTER BY or the 'layout' WRITE option instead")
+    // CLUSTER BY persists as the layout property (R105), so every
+    // write path clusters by it with no per-write option
+    val clusterProps: Map[String, String] =
+      clusters.headOption.map(_.asInstanceOf[ClusterByTransform]) match {
+        case Some(cb) =>
+          val cols = cb.columnNames.map(_.fieldNames().mkString("."))
+          Map("clusterBy" -> cols.mkString(","),
+            "layout" -> clusterLayout(cols.toSeq))
+        case None => Map.empty
+      }
     val p = tablePath(ident)
     if (TableLog.currentVersion(p) >= 0)
       throw new TableAlreadyExistsException(ident)
@@ -167,7 +195,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     import scala.jdk.CollectionConverters._
     val userProps = properties.asScala.toMap.filterNot { case (k, _) =>
       GraftCatalog.reservedProps(k.toLowerCase(java.util.Locale.ROOT)) }
-    TableLog.createEmpty(p, schema.toDDL, props = userProps)
+    TableLog.createEmpty(p, schema.toDDL, props = userProps ++ clusterProps)
     loadTable(ident)
   }
 
@@ -222,6 +250,19 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
       case rp: TableChange.RemoveProperty =>
         if (TableLog.tableProperties(p).contains(rp.property()))
           TableLog.unsetProperties(p, Seq(rp.property()))
+      // `ALTER TABLE … CLUSTER BY (…)` re-declares the layout
+      // property; `CLUSTER BY NONE` retires it. Existing files keep
+      // their layout until the next compact/recluster — Delta's rule.
+      case cb: TableChange.ClusterBy =>
+        val cols = cb.clusteringColumns().toSeq
+          .map(_.fieldNames().mkString("."))
+        if (cols.isEmpty) {
+          val have = TableLog.tableProperties(p)
+          val drop = Seq("clusterBy", "layout").filter(have.contains)
+          if (drop.nonEmpty) TableLog.unsetProperties(p, drop)
+        } else TableLog.setProperties(p, Map(
+          "clusterBy" -> cols.mkString(","),
+          "layout" -> clusterLayout(cols)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ${other.getClass.getSimpleName}")
     }

@@ -179,7 +179,9 @@ class GraftLogProvider extends TableProvider with DataSourceRegister
     new GraftLogSink(ctx, root, knob("layout"),
       knob("numfiles").map(_.toInt).getOrElse(8), p.get("appid"),
       knob("checkpointinterval").map(_.toInt).getOrElse(1),
-      overwriteEachBatch = outputMode == Complete())
+      overwriteEachBatch = outputMode == Complete(),
+      // a declared CLUSTER BY key range-buckets each micro-batch
+      clusterRange = props.contains("clusterby") && !p.contains("layout"))
   }
 
   /** Schema always comes from the manifest (never user-supplied):
@@ -465,12 +467,18 @@ private[sources] final class GraftLogWriteBuilder(root: String,
           val props = TableLog.tableProperties(root)
           def knob(n: String): Option[String] =
             Option(opts.get(n)).orElse(props.get(n))
-          val layout = knob("layout").map(expr).getOrElse {
-            data.schema.fields.find(_.dataType == LongType)
-              .map(f => col(f.name))
-              .getOrElse(org.apache.spark.sql.functions.lit(0L))
-          }
           val numFiles = knob("numFiles").map(_.toInt).getOrElse(8)
+          // a DECLARED CLUSTER BY key range-buckets per batch (one
+          // 1-row agg) so zones prune; an explicit write option wins
+          val layout =
+            if (props.contains("clusterBy") && Option(opts.get("layout")).isEmpty
+                && props.contains("layout"))
+              TableLog.rangeLayout(data, props("layout"), numFiles)
+            else knob("layout").map(expr).getOrElse {
+              data.schema.fields.find(_.dataType == LongType)
+                .map(f => col(f.name))
+                .getOrElse(org.apache.spark.sql.functions.lit(0L))
+            }
           TableLog.commit(data, root, layout, numFiles,
             if (overwrite || overwriteFlag) "overwrite" else "append")
         }

@@ -39,7 +39,8 @@ private[sources] final class GraftLogSink(ctx: SQLContext, root: String,
                                           numFiles: Int,
                                           explicitAppId: Option[String],
                                           checkpointInterval: Int,
-                                          overwriteEachBatch: Boolean)
+                                          overwriteEachBatch: Boolean,
+                                          clusterRange: Boolean = false)
     extends Sink {
 
   /** Resolved once per query RUN (the id is stable for the query's
@@ -60,10 +61,15 @@ private[sources] final class GraftLogSink(ctx: SQLContext, root: String,
     // exactness either way); an empty COMPLETE batch is a real state —
     // the overwrite below must land it
     if (batch.isEmpty && !overwriteEachBatch) return
-    val layout = layoutSql.map(expr).getOrElse {
-      batch.schema.fields.find(_.dataType == LongType)
-        .map(f => col(f.name)).getOrElse(lit(0L))
-    }
+    // a declared CLUSTER BY key (R105) range-buckets this batch (one
+    // driver-bounded aggregate) so zones prune contiguous ranges
+    val layout =
+      if (clusterRange && layoutSql.isDefined)
+        TableLog.rangeLayout(batch, layoutSql.get, numFiles)
+      else layoutSql.map(expr).getOrElse {
+        batch.schema.fields.find(_.dataType == LongType)
+          .map(f => col(f.name)).getOrElse(lit(0L))
+      }
     TableLog.commit(batch, root, layout, numFiles,
       if (overwriteEachBatch) "overwrite" else "append",
       checkpointInterval, txnTag = Some(s"$appId:$batchId"))

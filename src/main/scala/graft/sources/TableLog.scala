@@ -1569,6 +1569,28 @@ object TableLog {
       checks = m.checks, props = m.props -- keys))
   }
 
+  /** Range-bucketed layout for a DECLARED cluster key (R105's CLUSTER
+    * BY): the slot mechanism maps `pmod(layout, numFiles)` to files,
+    * so a raw id key would STRIPE instead of cluster — this derives
+    * the batch's key bounds with ONE 1-row aggregate and buckets rows
+    * into contiguous key ranges, which is what makes the zones prune
+    * range predicates. Used by the SQL write path and the streaming
+    * sink whenever `clusterBy` is declared and no explicit layout
+    * option overrides it; cost is one driver-bounded aggregate per
+    * batch.
+    */
+  def rangeLayout(df: DataFrame, keySql: String, numFiles: Int): Column = {
+    val k = expr(keySql).cast("long")
+    val r = df.agg(min(k), max(k)).collect()(0)
+    if (r.isNullAt(0)) expr(keySql)
+    else {
+      val lo = r.getLong(0)
+      val width = math.max(1L,
+        (r.getLong(1) - lo) / math.max(1, numFiles) + 1L)
+      expr(s"(($keySql) - (${lo}L)) div ${width}L")
+    }
+  }
+
   /** One-pass constraint validator (shared by [[commitChecked]]'s
     * per-call checks and the declared-constraint enforcement): counts
     * violations per named predicate — SQL CHECK semantics, a row

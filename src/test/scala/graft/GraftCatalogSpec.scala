@@ -288,6 +288,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.propdb.t_props")
   }
 
+  test("CLUSTER BY: declares the layout property; writes cluster; ALTER re-declares; NONE retires") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.clusdb.t_clus")
+    spark.sql("CREATE TABLE graft.clusdb.t_clus (k BIGINT, cents BIGINT) " +
+      "CLUSTER BY (k)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(Identifier.of(Array("clusdb"), "t_clus"))
+    assert(TableLog.tableProperties(root) ==
+      Map("clusterBy" -> "k", "layout" -> "k"))
+    // the INSERT path picks the declared layout: k-ranges of the
+    // written files must not overlap (clustered, not round-robin)
+    (0L until 400L).map(k => (k, k + 1)).toDF("k", "cents")
+      .createOrReplaceTempView("clus_src")
+    spark.sql("INSERT INTO graft.clusdb.t_clus SELECT * FROM clus_src")
+    val files = TableLog.readManifest(root, TableLog.currentVersion(root)).files
+    assert(files.size > 1, "expect several files")
+    val ranges = files.map(f => (f.zMin("k"), f.zMax("k"))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"declared CLUSTER BY must produce disjoint k-ranges: $ranges")
+    // ALTER re-declares (two columns → the Morton interleave)
+    spark.sql("ALTER TABLE graft.clusdb.t_clus CLUSTER BY (k, cents)")
+    assert(TableLog.tableProperties(root) == Map(
+      "clusterBy" -> "k,cents", "layout" -> "zorder2(k, cents)"))
+    // CLUSTER BY NONE retires both
+    spark.sql("ALTER TABLE graft.clusdb.t_clus CLUSTER BY NONE")
+    assert(TableLog.tableProperties(root).isEmpty)
+    spark.sql("DROP TABLE graft.clusdb.t_clus")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")
