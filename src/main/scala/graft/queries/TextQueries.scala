@@ -1392,6 +1392,58 @@ object TextQueries {
     // Same scale shape as d28 (shared unitMarked body): one keyed
     // shuffle, skew-safe first-occurrence aggregate — hot boilerplate
     // paragraphs reduce map-side (hotbucket fuzz exercises this).
+    // L130/d44: URL CANONICALIZATION DEDUP — the crawl-frontier step
+    // BEFORE any content dedup (one fetched page appears under
+    // http/https, www/bare, tracking params, fragments, and trailing
+    // slashes; CommonCrawl dedups the frontier on the canonical
+    // form): canonicalize = https, lowercased host, `www.` stripped,
+    // fragment dropped, `utm_*` tracking params dropped (other
+    // params KEPT — they address different content), trailing slash
+    // trimmed — then exact-dedup on the canonical URL keeping the
+    // first-seen id. URL variants are synthesized deterministically
+    // from the t32 grammar (docs with id%3!=0 get a second noisy
+    // alias), so the oracle replays the canonicalizer verbatim.
+    // Scale: one corpus scan + one hash aggregate on the canonical
+    // key — the d01 shape with a string-function prelude, no joins.
+    "d44_url_dedup" -> ((s, dir) => {
+      val src = concat(lit("d"),
+        regexp_replace(coalesce(col("source"), lit("")), "[^a-z0-9]", ""))
+      val lng = concat(lit("l"),
+        regexp_replace(coalesce(col("lang"), lit("")), "[^a-z0-9]", ""))
+      val id = coalesce(col("doc_id").cast("long"), lit(-1L))
+      val clean = concat(lit("https://www."), src, lit(".com/"),
+        lng, lit("/doc/"), id.cast("string"))
+      val noisy = concat(lit("HTTP://WWW."), upper(src), lit(".COM/"),
+        lng, lit("/doc/"), id.cast("string"),
+        lit("/?utm_source=feed&utm_campaign=x#top"))
+      docs(s, dir)
+        .select(id.as("id"),
+          when(pmod(id, lit(3L)) === 0L, array(clean))
+            .otherwise(array(clean, noisy)).as("urls"))
+        .select(col("id"), explode(col("urls")).as("url"))
+        .withColumn("host",
+          regexp_replace(lower(expr("parse_url(url, 'HOST')")),
+            "^www\\.", ""))
+        .withColumn("path",
+          regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""))
+        .withColumn("kept_q",
+          filter(split(coalesce(expr("parse_url(url, 'QUERY')"), lit("")),
+              "&"),
+            x => x =!= "" && !x.startsWith("utm_")))
+        .withColumn("canonical", concat(lit("https://"), col("host"),
+          col("path"),
+          when(size(col("kept_q")) > 0,
+            concat(lit("?"), array_join(col("kept_q"), "&")))
+            .otherwise(lit(""))))
+        .withColumn("reg_domain", substring_index(col("host"), ".", -2))
+        .groupBy("reg_domain")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("canonical")).as("n_canonical"),
+          (count(lit(1)) - countDistinct(col("canonical")))
+            .as("n_removed"))
+        .orderBy("reg_domain")
+    }),
+
     "d35_paragraph_dedup" -> ((s, dir) => {
       // newlines inside tokens are flattened BEFORE chunking —
       // otherwise a raw "\n\n" inside a chunk would make the
@@ -2353,6 +2405,43 @@ object TextQueries {
     // (0, 0, NULL) — mirroring hashedLinearScore's guard.
     // t32: the same synthesized URL; host/path via anchored regexp —
     // any parse_url divergence from the plain grammar hash-differs.
+    // d44: the canonicalizer replayed verbatim — scheme/case/www/
+    // trailing-slash/utm/fragment noise collapses, other params keep.
+    "d44_url_dedup" ->
+      """WITH d AS (SELECT coalesce(CAST(doc_id AS BIGINT), -1) AS id,
+        |    'd' || regexp_replace(coalesce(source, ''), '[^a-z0-9]', '', 'g') AS src,
+        |    'l' || regexp_replace(coalesce(lang, ''), '[^a-z0-9]', '', 'g') AS lng
+        |  FROM documents),
+        | u AS (
+        |  SELECT id, 'https://www.' || src || '.com/' || lng || '/doc/' ||
+        |    CAST(id AS VARCHAR) AS url FROM d
+        |  UNION ALL
+        |  SELECT id, 'HTTP://WWW.' || upper(src) || '.COM/' || lng ||
+        |    '/doc/' || CAST(id AS VARCHAR) ||
+        |    '/?utm_source=feed&utm_campaign=x#top'
+        |  FROM d WHERE ((id % 3) + 3) % 3 <> 0),
+        | p AS (SELECT
+        |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      '^www\.', '') AS host,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+        |      '/$', '') AS path,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM u),
+        | c AS (SELECT host, path,
+        |    list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')) AS kq
+        |  FROM p),
+        | r AS (SELECT
+        |    array_to_string(string_split(host, '.')[-2:], '.') AS reg_domain,
+        |    'https://' || host || path ||
+        |    CASE WHEN len(kq) > 0 THEN '?' || array_to_string(kq, '&')
+        |         ELSE '' END AS canonical
+        |  FROM c)
+        |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+        |  CAST(count(*) - count(DISTINCT canonical) AS BIGINT) AS n_removed
+        |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin,
+
     "t32_url_domains" ->
       """WITH u AS (SELECT
         |    'https://' ||

@@ -476,6 +476,27 @@ object GraftCatalog {
       in => Seq(InternalRow(TableLog.dropConstraint(target(in.getString(0)),
         in.getString(1))))),
 
+    "detail" -> new Proc("detail",
+      Seq(p("path", StringType)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("n_files", LongType), StructField("n_rows", LongType),
+        StructField("size_bytes", LongType),
+        StructField("schema_ddl", StringType),
+        StructField("cluster_by", StringType),
+        StructField("n_checks", LongType), StructField("n_props", LongType))),
+      in => {
+        // DESCRIBE DETAIL (Delta's operational snapshot row): pure
+        // metadata — one manifest resolve, no data IO
+        val root = target(in.getString(0))
+        val v = TableLog.currentVersion(root)
+        val m = TableLog.readManifest(root, v)
+        Seq(InternalRow(v, m.files.size.toLong,
+          m.files.map(_.liveRows).sum,
+          TableLog.dataBytes(root, m.files),
+          utf8(m.schemaDdl), utf8(m.props.getOrElse("clusterBy", "")),
+          m.checks.size.toLong, m.props.size.toLong))
+      }),
+
     "set_property" -> new Proc("set_property",
       Seq(p("path", StringType), p("key", StringType),
         p("value", StringType)),

@@ -360,7 +360,26 @@ private[sources] final class GraftLogTable(val root: String,
                                            catalogIdent: Option[
                                              org.apache.spark.sql.catalyst.TableIdentifier] = None)
     extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.graftx.V1FallbackTable {
+
+  /** `TRUNCATE TABLE graft.db.t` — an empty OVERWRITE commit through
+    * the one write path: history stays (AS OF below the truncate
+    * reads the old rows), the schema and declared properties/
+    * constraints survive, and the action is restorable like any
+    * other commit. Time-traveled relations reject (a snapshot is
+    * immutable).
+    */
+  override def truncateTable(): Boolean = {
+    require(!timeTraveled,
+      s"graftlog: cannot TRUNCATE a time-traveled relation (${name()})")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+    TableLog.commit(empty, root, org.apache.spark.sql.functions.lit(0L), 1,
+      "overwrite")
+    true
+  }
   override def name(): String = s"graftlog.`$root` VERSION AS OF $snapVersion"
 
   /** Persisted TBLPROPERTIES (R105) at this snapshot — `SHOW

@@ -320,6 +320,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.clusdb.t_clus")
   }
 
+  test("TRUNCATE TABLE by name; CALL detail reports the metadata snapshot") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("DROP TABLE IF EXISTS graft.trdb.t_tr")
+    spark.sql("CREATE TABLE graft.trdb.t_tr (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES ('primaryKey'='k')")
+    spark.sql("INSERT INTO graft.trdb.t_tr SELECT * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L) AS v(k, cents)")
+    val d = spark.sql("CALL graft.system.detail(path => 'trdb.t_tr')").head()
+    assert(d.getLong(0) == 1L && d.getLong(2) == 3L &&
+      d.getLong(7) == 1L, d.toString) // version, n_rows, n_props
+    // TRUNCATE = an empty overwrite commit: head empties, history and
+    // declared properties survive, AS OF below still reads
+    spark.sql("TRUNCATE TABLE graft.trdb.t_tr")
+    assert(spark.table("graft.trdb.t_tr").count() == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.trdb.t_tr VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val root = cat.tableLocation(Identifier.of(Array("trdb"), "t_tr"))
+    assert(TableLog.tableProperties(root) == Map("primaryKey" -> "k"),
+      "TRUNCATE keeps the declared properties")
+    spark.sql("DROP TABLE graft.trdb.t_tr")
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")
