@@ -69,7 +69,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     * write option in this store, not a table property.
     */
   private def tablePath(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    // dots INSIDE a namespace part split like namespace levels, so
+    // the dotted-database identity the streaming V1 fallback carries
+    // (TableIdentifier has one database slot — v1Ident joins nested
+    // namespaces with '.') round-trips to the same directory
+    (warehouse +: ident.namespace().toSeq.flatMap(_.split('.')).toSeq
+      :+ ident.name()).mkString("/")
 
   private def requireExists(ident: Identifier): String = {
     val p = tablePath(ident)
@@ -353,8 +358,12 @@ object GraftCatalog {
     * ergonomics folded onto the existing `path` parameter, so every
     * maintenance verb is name-addressable with zero signature churn.
     */
-  def resolveTarget(spark: SparkSession, nameOrPath: String): String =
-    if (nameOrPath.startsWith("/") || nameOrPath.startsWith("file:"))
+  def resolveTarget(spark: SparkSession, nameOrPath: String,
+                    mustExist: Boolean = true): String =
+    // anything with a path separator (absolute OR relative) or a
+    // scheme is a filesystem path, passed through verbatim; only
+    // slash-free dotted names resolve through a catalog
+    if (nameOrPath.contains('/') || nameOrPath.startsWith("file:"))
       nameOrPath
     else {
       val parts = nameOrPath.split('.')
@@ -370,7 +379,7 @@ object GraftCatalog {
           val root = g.tableLocation(
             org.apache.spark.sql.connector.catalog.Identifier
               .of(rest.init, rest.last))
-          require(TableLog.currentVersion(root) >= 0L,
+          require(!mustExist || TableLog.currentVersion(root) >= 0L,
             s"graft: no committed table at '$nameOrPath' ($root)")
           root
         case other => throw new IllegalArgumentException(
@@ -388,20 +397,7 @@ object GraftCatalog {
     * committed-table requirement; a path passes through.
     */
   private def targetNew(nameOrPath: String): String =
-    if (nameOrPath.startsWith("/") || nameOrPath.startsWith("file:"))
-      nameOrPath
-    else {
-      val parts = nameOrPath.split('.')
-      val (catName, rest) =
-        if (parts.length >= 3) (parts.head, parts.tail) else ("graft", parts)
-      spark.sessionState.catalogManager.catalog(catName) match {
-        case g: GraftCatalog if rest.length >= 1 =>
-          g.tableLocation(org.apache.spark.sql.connector.catalog.Identifier
-            .of(rest.init, rest.last))
-        case _ => throw new IllegalArgumentException(
-          s"graft: bad clone/sync target '$nameOrPath'")
-      }
-    }
+    resolveTarget(spark, nameOrPath, mustExist = false)
 
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> new Proc("compact",

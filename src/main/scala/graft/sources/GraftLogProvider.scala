@@ -483,14 +483,17 @@ private[sources] final class GraftLogWriteBuilder(root: String,
           val opts = info.options
           // write options, then persisted TBLPROPERTIES (R105 —
           // declared-once layout/numFiles), then the defaults
+          // property keys match case-insensitively, like the option map
           val props = TableLog.tableProperties(root)
+            .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
           def knob(n: String): Option[String] =
-            Option(opts.get(n)).orElse(props.get(n))
+            Option(opts.get(n))
+              .orElse(props.get(n.toLowerCase(java.util.Locale.ROOT)))
           val numFiles = knob("numFiles").map(_.toInt).getOrElse(8)
           // a DECLARED CLUSTER BY key range-buckets per batch (one
           // 1-row agg) so zones prune; an explicit write option wins
           val layout =
-            if (props.contains("clusterBy") && Option(opts.get("layout")).isEmpty
+            if (props.contains("clusterby") && Option(opts.get("layout")).isEmpty
                 && props.contains("layout"))
               TableLog.rangeLayout(data, props("layout"), numFiles)
             else knob("layout").map(expr).getOrElse {

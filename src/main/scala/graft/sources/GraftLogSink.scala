@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.LongType
   * batchIds from 0, and the high-water guard would silently no-op
   * every batch — data loss with no error. A fresh checkpoint mints a
   * fresh query id, so reprocessing lands; and two queries writing the
-  * same root never collide on identity.
+  * same root never collide on identity. Upgrade note: a query whose
+  * checkpoint predates this default (txn tags stamped under the old
+  * checkpoint-path identity) re-commits its ONE in-flight batch on
+  * the first post-upgrade restart — a bounded duplicate in the
+  * fail-safe direction, preferred over keeping the old default's
+  * silent-loss hazard; set an explicit `appId` to pin identity
+  * across upgrades.
   *
   * Scale shape: per trigger, work is batch-sized (the files the batch
   * writes + one manifest line set); an empty APPEND batch commits

@@ -657,19 +657,29 @@ object TableLog {
     override def claim(target: Path, content: Array[Byte]): Boolean = {
       val dst = new org.apache.hadoop.fs.Path(target.toUri)
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      // WRITER-unique temp name: a UUID, not pid+seq — containers
+      // commonly share pid 1 and every JVM's sequence starts at 0, so
+      // two HOSTS racing one version could collide on the temp path
+      // and (under OVERWRITE) silently clobber each other's bytes
+      // before the rename; Delta's HDFSLogStore uses a UUID for the
+      // same reason. CREATE without OVERWRITE keeps even a UUID
+      // collision loud instead of silent.
       val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
-        s".tmp_${dst.getName}_${ProcessHandle.current().pid()}" +
-          s"_${attemptSeq.incrementAndGet()}")
-      val out = fc.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-      try out.write(content) finally out.close()
-      try { fc.rename(tmp, dst); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          false
+        s".tmp_${dst.getName}_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      try {
+        val out = fc.create(tmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+        try out.write(content) finally out.close()
+        try { fc.rename(tmp, dst); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException =>
+            false
+        }
       } finally {
+        // the OUTER finally: a failed content write (not just a lost
+        // rename race) must also reclaim the temp sibling
         try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
       }
     }
@@ -2547,7 +2557,14 @@ object TableLog {
               (f.zMin.get(zc), f.zMax.get(zc)) match {
                 case (Some(zlo), Some(zhi)) =>
                   zlo <= hullRow.getLong(2 * i + 1) && zhi >= hullRow.getLong(2 * i)
-                case _ => false // all-NULL chunk: keys are non-null
+                // un-zoned: conservative KEEP, mirroring every other
+                // prune path — within this store an absent integral
+                // zone means an all-NULL chunk (no matched tuple can
+                // live there, the probe join just reads it for
+                // nothing), and keeping makes the DML affected set
+                // robust even against a foreign/stats-less file that
+                // violated the invariant
+                case _ => true
               }
             case Some(org.apache.spark.sql.types.StringType) =>
               strZoneKeeps(f, zc, hullRow.getString(2 * i),

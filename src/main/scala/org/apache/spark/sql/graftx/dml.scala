@@ -85,8 +85,12 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       // resolution order for every write knob: per-statement relation
       // OPTION, then the table's persisted TBLPROPERTIES (R105 — the
       // declared-once form a catalog table carries), then the default
-      def knob(name: String): Option[String] =
-        Option(o.get(name)).orElse(Option(r.table.properties().get(name)))
+      def knob(name: String): Option[String] = Option(o.get(name)).orElse {
+        // property keys match case-insensitively, like the option map
+        import scala.jdk.CollectionConverters._
+        r.table.properties().asScala.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(name) => v }
+      }
       // `primaryKey` may be a comma-separated COMPOSITE key; default
       // stays the first long-typed column. Components must be BIGINT
       // or STRING — the shapes the carriers (dv hash / CoW zones)
