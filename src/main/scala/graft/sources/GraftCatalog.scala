@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * nothing here adds driver state.
   */
 class GraftCatalog extends CatalogPlugin with ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.TableCatalog {
+    with org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   import GraftCatalog._
   import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
   import org.apache.spark.sql.connector.catalog.{Table, TableChange}
@@ -80,6 +81,81 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     val p = tablePath(ident)
     if (TableLog.currentVersion(p) < 0) throw new NoSuchTableException(ident)
     p
+  }
+
+  // ---- namespaces (CREATE/SHOW/DROP NAMESPACE, USE graft.db) ------
+  // A namespace IS a warehouse directory level — metadata-free
+  // (Delta's path-first shape): CREATE mkdirs, SHOW lists child dirs,
+  // DROP removes an empty one (or cascades), USE just validates.
+
+  private def nsPath(ns: Array[String]): java.nio.file.Path =
+    Paths.get((warehouse +: ns.toSeq.flatMap(_.split('.'))).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val d = Paths.get(warehouse)
+    if (!Files.isDirectory(d)) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      Files.list(d).forEach { c =>
+        if (Files.isDirectory(c) &&
+            TableLog.currentVersion(c.toString) < 0) // a table is not a ns
+          out += Array(c.getFileName.toString)
+      }
+      out.sortBy(_.mkString(".")).toArray
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsPath(namespace)
+    if (!Files.isDirectory(d))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(name() +: namespace.toSeq)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    Files.list(d).forEach { c =>
+      if (Files.isDirectory(c) && TableLog.currentVersion(c.toString) < 0)
+        out += (namespace :+ c.getFileName.toString)
+    }
+    out.sortBy(_.mkString(".")).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(nsPath(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(name() +: namespace.toSeq)
+    java.util.Collections.singletonMap("location",
+      nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException((name() +: namespace.toSeq).toArray)
+    Files.createDirectories(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = nsPath(namespace)
+    if (!Files.isDirectory(d)) false
+    else {
+      val nonEmpty = Files.list(d).findFirst().isPresent
+      if (nonEmpty && !cascade)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException((name() +: namespace.toSeq).toArray)
+      TidyIO.deleteRecursively(d)
+      true
+    }
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -416,13 +492,22 @@ object GraftCatalog {
         expr(in.getString(1)), in.getInt(2))))),
 
     "vacuum" -> new Proc("vacuum",
-      Seq(p("path", StringType), p("keep_from", LongType),
-        pOpt("dry_run", BooleanType, "false")),
+      Seq(p("path", StringType), pOpt("keep_from", LongType, "-1"),
+        pOpt("dry_run", BooleanType, "false"),
+        pOpt("older_than_millis", LongType, "-1")),
       StructType(Seq(StructField("deleted", StringType))),
       in => {
+        // version-addressed (keep_from) or AGE-addressed
+        // (older_than_millis — R85's retention boundary); exactly one
+        val root = target(in.getString(0))
+        val keepFrom = in.getLong(1)
+        val olderThan = in.getLong(3)
+        require((keepFrom >= 0L) != (olderThan >= 0L),
+          "vacuum: pass exactly one of keep_from / older_than_millis")
         val deleted =
-          if (in.getBoolean(2)) TableLog.vacuumDryRun(target(in.getString(0)), in.getLong(1))
-          else TableLog.vacuum(target(in.getString(0)), in.getLong(1))
+          if (olderThan >= 0L) TableLog.vacuumOlderThan(root, olderThan)
+          else if (in.getBoolean(2)) TableLog.vacuumDryRun(root, keepFrom)
+          else TableLog.vacuum(root, keepFrom)
         deleted.sorted.map(d => InternalRow(utf8(d)))
       }),
 

@@ -344,6 +344,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.trdb.t_tr")
   }
 
+  test("namespaces: CREATE/SHOW/USE/DROP; age-addressed vacuum through CALL") {
+    spark.sql("DROP NAMESPACE IF EXISTS graft.nsdb CASCADE")
+    spark.sql("CREATE NAMESPACE graft.nsdb")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsdb"))
+    intercept[Exception] { spark.sql("CREATE NAMESPACE graft.nsdb") }
+    spark.sql("CREATE TABLE graft.nsdb.t1 (k BIGINT)")
+    spark.sql("USE graft.nsdb")
+    try {
+      spark.sql("INSERT INTO t1 SELECT * FROM VALUES (1L), (2L) AS v(k)")
+      assert(spark.sql("SELECT count(*) FROM t1").head().getLong(0) == 2L)
+      assert(spark.sql("SHOW TABLES IN graft.nsdb").collect()
+        .map(_.getString(1)).contains("t1"))
+    } finally spark.sql("USE spark_catalog.default")
+    // non-empty DROP needs CASCADE
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.nsdb") }
+    spark.sql("DROP NAMESPACE graft.nsdb CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nsdb"))
+    // age-addressed vacuum: CALL with older_than_millis retires the
+    // history strictly below the cutoff instant's version
+    val root = freshRoot("agevac")
+    TableLog.commit(mkDf(0L until 10L), root, expr("k div 5"), 1,
+      "overwrite")
+    TableLog.commit(mkDf(10L until 20L), root, expr("k div 5"), 1, "append")
+    val cutoff = TableLog.headerTsOf(root, 1L)
+    spark.sql(s"CALL graft.system.vacuum(path => '$root', " +
+      s"older_than_millis => ${cutoff}L)")
+    intercept[Exception] { TableLog.read(spark, root, Some(0L)).collect() }
+    assert(TableLog.read(spark, root).count() == 20L)
+    // keep_from / older_than_millis are mutually exclusive and one
+    // is required
+    intercept[Exception] { spark.sql(
+      s"CALL graft.system.vacuum(path => '$root', keep_from => 1, " +
+        "older_than_millis => 5)").collect() }
+    intercept[Exception] { spark.sql(
+      s"CALL graft.system.vacuum(path => '$root')").collect() }
+  }
+
   test("CALL clone/sync: replication verbs; unknown procedure is loud") {
     val src = freshRoot("rep_src")
     val dst = freshRoot("rep_dst")
