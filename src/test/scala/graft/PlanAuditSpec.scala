@@ -19,6 +19,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // construction — seeds/queries/planes/eval grams/1-row bounds or a
   // driver-small dim): every OTHER query must plan pure equi-joins.
   private val bnljAllowed = Set(
+    // s27: the recall audit's EXACT arm is s01's shape by design —
+    // tiny query-sample side broadcast against the corpus (the
+    // audit's deliberate cost; the served arm stays cell-bucketed)
+    "s27_ann_recall",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s04_centroids",
     "s06_pca_project", "s08_cluster_assign", "s09_cluster_pairs",
     "s10_kmeans_refine", "s11_pq_encode", "s12_pq_adc", "s13_pq_incremental",
