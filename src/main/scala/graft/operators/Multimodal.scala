@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed cache streams: every
+  // ImageIO.read/write over an in-memory byte stream creates (and
+  // deletes) a temp FILE via FileCacheImageInput/OutputStream. All
+  // payloads here are in-memory byte arrays, so the file round-trip
+  // is pure overhead — memory-cached streams are byte-identical
+  // codec-wise. Process-wide, set once when the operator class loads
+  // (executors load it with the task closure).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class BlobRow(doc_id: Long, blob: Array[Byte])
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                            n_frames: Int, mean_byte: Double)

@@ -2404,7 +2404,10 @@ object TableLog {
     val parent = currentVersion(root)
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
-    val affectedPaths = affectedFileSet(m, changes, keyCol)
+    // change batch is churn-sized; materialize once — the zone prune
+    // and the latest-state collapse both consume it
+    val changesM = changes.localCheckpoint()
+    val affectedPaths = affectedFileSet(m, changesM, keyCol)
     val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
     val v = parent + 1
     // manifest-schema-resolved scan of the rewrite set (not `base`,
@@ -2413,7 +2416,7 @@ object TableLog {
     val affectedRows = readFiles(spark, root, m,
       m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path))
     val merged = graft.operators.ChangeLog.latestState(
-        affectedRows, changes, keyCol, verCol, opCol, valCol, newValCol)
+        affectedRows, changesM, keyCol, verCol, opCol, valCol, newValCol)
       .drop("action")
     enforceDeclared(root, parent, merged, "merge")
     val (physMerged, physLayout) = toPhysical(merged, layout, m.colMap)
@@ -2536,7 +2539,13 @@ object TableLog {
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    // matched tuples are churn-sized; materialized ONCE (the same
+    // source-materialization move as morApply) — the hull aggregate,
+    // the hit-file probe semi join and the rewrite-carry anti join
+    // below would otherwise each re-execute the statement's whole
+    // key-derivation DAG
     val matched = suppressKeys.select(keyCols.map(col): _*).na.drop().distinct()
+      .localCheckpoint()
     // conjunctive hull prune: a file survives only if EVERY key
     // component's change hull intersects its zone (long: exact zone
     // intersect; string: the truncation-safe compare; other types —
@@ -2585,11 +2594,14 @@ object TableLog {
     val rewriteFiles = affected.filter(f => hitNames(baseName(f.path)))
     val carried = m.files.filterNot(f =>
       rewriteFiles.exists(_.path == f.path))
-    enforceDeclared(root, parent, upserts, action)
+    // upserts are churn-sized: one materialization feeds the
+    // constraint gate AND the write (else each re-runs the DAG)
+    val upsertsM = upserts.localCheckpoint()
+    enforceDeclared(root, parent, upsertsM, action)
     // rewritten files keep their non-hit rows alongside the new state
     val carry = readFiles(spark, root, m, rewriteFiles)
       .join(matched, keyCols, "left_anti")
-    val merged = upserts.unionByName(carry.select(upserts.columns.map(col): _*))
+    val merged = upsertsM.unionByName(carry.select(upsertsM.columns.map(col): _*))
     val v = parent + 1
     val (physMerged, physLayout) = toPhysical(merged, layout, m.colMap)
     val added = writeDataFiles(physMerged, root, v, physLayout, numFiles)
@@ -2649,14 +2661,22 @@ object TableLog {
     def dvHash(c: Column): Column =
       if (isStrKey) org.apache.spark.sql.graftx.GraftExpressions.rolling_hash(c)
       else c.cast("long")
-    val affectedPaths =
-      if (isStrKey) affectedFileSetStr(m, keySource, keyCol)
-      else affectedFileSet(m, keySource, keyCol)
-    val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
-    val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
+    // Materialize the churn-sized change-key set ONCE (the Delta
+    // MERGE source-materialization move): without it, every consumer
+    // below — the zone prune, the probe join, the hit-row semi join,
+    // the rewrite-carry anti join — re-executes the caller's whole
+    // key-derivation DAG (for SQL DML that is the full target⋈source
+    // join tree), each with its own broadcast/AQE stage jobs.
+    // Key-set size is the statement's churn, never the table.
     val changeKeys = keySource
       .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long")).as(keyCol))
       .na.drop().distinct()
+      .localCheckpoint()
+    val affectedPaths =
+      if (isStrKey) affectedFileSetStr(m, changeKeys, keyCol)
+      else affectedFileSet(m, changeKeys, keyCol)
+    val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
+    val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
     // which change keys are PRESENT in which affected file — the probe
     // scan: column-pruned to (key, file), semi-restricted to change
     // keys, DISTRIBUTED end to end. Only per-file COUNTS (bounded by
@@ -2704,7 +2724,10 @@ object TableLog {
     // output keys are exactly the change keys (hit rows are
     // semi-restricted to them and inserts come FROM them) minus
     // deletes — no further restriction needed
-    val newState = newStateOf(hitRows)
+    // new state is churn-sized too — materialize once so the
+    // constraint gate and the data-file write don't each re-execute
+    // the caller's upsert DAG (for SQL MERGE: unions of join branches)
+    val newState = newStateOf(hitRows).localCheckpoint()
     // DECLARED constraints gate the statement's new rows (carried and
     // rewrite-carried rows were validated when they landed)
     enforceDeclared(root, parent, newState, actionBase)

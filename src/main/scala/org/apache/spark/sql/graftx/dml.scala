@@ -451,18 +451,25 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
     def unionDf(ps: Seq[LogicalPlan]): Option[org.apache.spark.sql.DataFrame] =
       ps.map(p => df(spark, p)).reduceOption(_ union _)
 
+    // Matched-action keys and the insert set are each consumed by
+    // SEVERAL actions below (guards + suppress/upsert assembly), and
+    // every consumer would otherwise re-execute the full target⋈source
+    // join DAG — materialize each ONCE (churn-sized by the MERGE
+    // contract; the same move Delta's MERGE makes when it
+    // materializes its source).
+    val matchedKeys = unionDf(matchedParts.map(_._1)).map(_.localCheckpoint())
     // cardinality guard: a target key acted on by >1 matched source
     // row is ambiguous (which update wins?) — Delta errors; so do we.
     // Runs on the key TUPLE, so it holds under composite keys and
     // arbitrary ON predicates alike.
-    unionDf(matchedParts.map(_._1)).foreach { mk =>
+    matchedKeys.foreach { mk =>
       val dup = mk.groupBy(ctx.keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty, "graftlog MERGE: multiple source rows matched " +
         s"target key ${dup.headOption.map(_.toSeq.init).getOrElse("")} — " +
         "the same target row cannot be updated or deleted twice")
     }
-    val insertDf = unionDf(inserts)
+    val insertDf = unionDf(inserts).map(_.localCheckpoint())
     // duplicate-key guards: the insert set must not carry one key
     // twice, and — unless the ON condition is EXACTLY the full key
     // equality (every component pinned, nothing else) — an insert key
@@ -490,8 +497,10 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
       }
     }
 
-    val allSuppress = (matchedParts ++ nmbsParts).map(_._1)
-    val suppress = unionDf(allSuppress)
+    // suppress reuses the materialized matched keys; only the (rare)
+    // NOT MATCHED BY SOURCE keys still derive from their anti join
+    val suppress = (matchedKeys.toSeq ++ unionDf(nmbsParts.map(_._1)).toSeq)
+      .reduceOption(_ union _)
       .map(_.distinct())
       .getOrElse(df(spark, LocalRelation(keys)))
     val upserts = ((matchedParts ++ nmbsParts).flatMap(_._2.map(df(spark, _)))
