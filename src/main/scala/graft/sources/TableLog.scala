@@ -2406,7 +2406,7 @@ object TableLog {
     val m = readManifest(root, parent)
     // change batch is churn-sized; materialize once — the zone prune
     // and the latest-state collapse both consume it
-    val changesM = changes.localCheckpoint()
+    val changesM = org.apache.spark.sql.graftx.Materialize.clean(changes)
     val affectedPaths = affectedFileSet(m, changesM, keyCol)
     val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
     val v = parent + 1
@@ -2544,8 +2544,8 @@ object TableLog {
     // the hit-file probe semi join and the rewrite-carry anti join
     // below would otherwise each re-execute the statement's whole
     // key-derivation DAG
-    val matched = suppressKeys.select(keyCols.map(col): _*).na.drop().distinct()
-      .localCheckpoint()
+    val matched = org.apache.spark.sql.graftx.Materialize.clean(
+      suppressKeys.select(keyCols.map(col): _*).na.drop().distinct())
     // conjunctive hull prune: a file survives only if EVERY key
     // component's change hull intersects its zone (long: exact zone
     // intersect; string: the truncation-safe compare; other types —
@@ -2596,7 +2596,7 @@ object TableLog {
       rewriteFiles.exists(_.path == f.path))
     // upserts are churn-sized: one materialization feeds the
     // constraint gate AND the write (else each re-runs the DAG)
-    val upsertsM = upserts.localCheckpoint()
+    val upsertsM = org.apache.spark.sql.graftx.Materialize.clean(upserts)
     enforceDeclared(root, parent, upsertsM, action)
     // rewritten files keep their non-hit rows alongside the new state
     val carry = readFiles(spark, root, m, rewriteFiles)
@@ -2668,10 +2668,9 @@ object TableLog {
     // key-derivation DAG (for SQL DML that is the full target⋈source
     // join tree), each with its own broadcast/AQE stage jobs.
     // Key-set size is the statement's churn, never the table.
-    val changeKeys = keySource
+    val changeKeys = org.apache.spark.sql.graftx.Materialize.clean(keySource
       .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long")).as(keyCol))
-      .na.drop().distinct()
-      .localCheckpoint()
+      .na.drop().distinct())
     val affectedPaths =
       if (isStrKey) affectedFileSetStr(m, changeKeys, keyCol)
       else affectedFileSet(m, changeKeys, keyCol)
@@ -2684,14 +2683,14 @@ object TableLog {
     // inline-bound vectors ever reach the driver — a 10⁸-key CDC
     // day-batch builds its deletion vectors as a side-file parquet
     // without materializing keys driver-side.
-    val probe = readFiles(spark, root, m, affected,
+    val probe = org.apache.spark.sql.graftx.Materialize.clean(
+      readFiles(spark, root, m, affected,
         fileCol = Some("__fp"))
       .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long"))
           .as(keyCol),
         element_at(split(col("__fp"), "/"), -1).as("__f"))
       .join(changeKeys, Seq(keyCol))
-      .distinct()
-      .localCheckpoint() // probed once; reused for counts + inline + side-file
+      .distinct()) // probed once; reused for counts + inline + side-file
     val hitCounts: Map[String, Long] = probe.groupBy("__f").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
@@ -2727,7 +2726,7 @@ object TableLog {
     // new state is churn-sized too — materialize once so the
     // constraint gate and the data-file write don't each re-execute
     // the caller's upsert DAG (for SQL MERGE: unions of join branches)
-    val newState = newStateOf(hitRows).localCheckpoint()
+    val newState = org.apache.spark.sql.graftx.Materialize.clean(newStateOf(hitRows))
     // DECLARED constraints gate the statement's new rows (carried and
     // rewrite-carried rows were validated when they landed)
     enforceDeclared(root, parent, newState, actionBase)

@@ -457,7 +457,7 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
     // join DAG — materialize each ONCE (churn-sized by the MERGE
     // contract; the same move Delta's MERGE makes when it
     // materializes its source).
-    val matchedKeys = unionDf(matchedParts.map(_._1)).map(_.localCheckpoint())
+    val matchedKeys = unionDf(matchedParts.map(_._1)).map(Materialize.clean)
     // cardinality guard: a target key acted on by >1 matched source
     // row is ambiguous (which update wins?) — Delta errors; so do we.
     // Runs on the key TUPLE, so it holds under composite keys and
@@ -469,7 +469,7 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
         s"target key ${dup.headOption.map(_.toSeq.init).getOrElse("")} — " +
         "the same target row cannot be updated or deleted twice")
     }
-    val insertDf = unionDf(inserts).map(_.localCheckpoint())
+    val insertDf = unionDf(inserts).map(Materialize.clean)
     // duplicate-key guards: the insert set must not carry one key
     // twice, and — unless the ON condition is EXACTLY the full key
     // equality (every component pinned, nothing else) — an insert key
