@@ -28,20 +28,25 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val epoch = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         // the result stage's name is the action's call site
         // ("collect at TableLog.scala:2676") — exact attribution
         val site = js.stageInfos.sortBy(_.stageId).lastOption
           .map(_.name).getOrElse("?")
-        starts.put(js.jobId, (js.time, site))
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        starts.put(js.jobId, (js.time, s"$site tasks=$nTasks"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, site) =>
-          println(f"[prof] job ${je.jobId}%4d ${(je.time - t0) / 1000.0}%8.3f s  $site")
+          val rel0 = (t0 - epoch.get()) / 1000.0
+          println(f"[prof] job ${je.jobId}%4d ${(je.time - t0) / 1000.0}%8.3f s  @+$rel0%8.3f  $site")
         }
       }
     })
+    // reset the relative-timestamp epoch at each query's timed-run start
+    def resetEpoch(): Unit = epoch.set(System.currentTimeMillis())
     names.split(",").foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query $n"))
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -50,6 +55,7 @@ object Prof {
       // let listener-bus drain so warmup jobs don't interleave the header
       Thread.sleep(500)
       println(s"==== $n ====")
+      resetEpoch()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -970,14 +970,11 @@ object TableLog {
     val keyed = df.withColumn("__graft_slot",
       pmod(coalesce(layout.cast("long"), lit(0L)), lit(n.toLong)).cast("int"))
       .drop("__graft_lay")
-    val schema = org.apache.spark.sql.types.StructType(
-      keyed.schema.fields.dropRight(1))
-    val placed = keyed.rdd
-      .map(r => (r.getInt(r.length - 1), r))
-      .partitionBy(new SlotPartitioner(n))
-      .map { case (_, r) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)) }
-    spark.createDataFrame(placed, schema).write.mode("overwrite").parquet(dir)
+    // exact slot→partition placement in Spark's INTERNAL row format
+    // (the external-Row roundtrip of df.rdd costs a per-field
+    // conversion on both sides of the shuffle)
+    org.apache.spark.sql.graftx.SlotWrite.placed(keyed, new SlotPartitioner(n))
+      .write.mode("overwrite").parquet(dir)
     val names = Files.list(Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
@@ -2405,9 +2402,11 @@ object TableLog {
     require(parent >= 0, s"merge target $root has no committed version")
     val m = readManifest(root, parent)
     // change batch is churn-sized; materialize once — the zone prune
-    // and the latest-state collapse both consume it
-    val changesM = org.apache.spark.sql.graftx.Materialize.clean(changes)
-    val affectedPaths = affectedFileSet(m, changesM, keyCol)
+    // and the latest-state collapse both consume it. The zone prune's
+    // hull aggregate IS the materializing job (cleanWith), so
+    // materialize+prune cost one job, not two.
+    val (changesM, affectedPaths) = org.apache.spark.sql.graftx.Materialize
+      .cleanWith(changes)(c => affectedFileSet(m, c, keyCol))
     val carried = m.files.filterNot(f => affectedPaths.contains(f.path))
     val v = parent + 1
     // manifest-schema-resolved scan of the rewrite set (not `base`,
@@ -2544,17 +2543,19 @@ object TableLog {
     // the hit-file probe semi join and the rewrite-carry anti join
     // below would otherwise each re-execute the statement's whole
     // key-derivation DAG
-    val matched = org.apache.spark.sql.graftx.Materialize.clean(
-      suppressKeys.select(keyCols.map(col): _*).na.drop().distinct())
     // conjunctive hull prune: a file survives only if EVERY key
     // component's change hull intersects its zone (long: exact zone
     // intersect; string: the truncation-safe compare; other types —
-    // un-zoned — keep)
-    val hullRow = matched.agg(
-      keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
-        max(col(c)).as(s"hi_$c"))).head,
-      keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
-        max(col(c)).as(s"hi_$c"))).tail: _*).head()
+    // un-zoned — keep). The hull aggregate is the materializing job
+    // (cleanWith): materialize+prune cost one job, not two.
+    val (matched, hullRow) = org.apache.spark.sql.graftx.Materialize.cleanWith(
+      suppressKeys.select(keyCols.map(col): _*).na.drop().distinct()) { mm =>
+      mm.agg(
+        keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+          max(col(c)).as(s"hi_$c"))).head,
+        keyCols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"),
+          max(col(c)).as(s"hi_$c"))).tail: _*).head()
+    }
     val anyKeys = !hullRow.isNullAt(0)
     val affected =
       if (!anyKeys) Nil
@@ -2594,10 +2595,16 @@ object TableLog {
     val rewriteFiles = affected.filter(f => hitNames(baseName(f.path)))
     val carried = m.files.filterNot(f =>
       rewriteFiles.exists(_.path == f.path))
-    // upserts are churn-sized: one materialization feeds the
-    // constraint gate AND the write (else each re-runs the DAG)
-    val upsertsM = org.apache.spark.sql.graftx.Materialize.clean(upserts)
-    enforceDeclared(root, parent, upsertsM, action)
+    // upserts are churn-sized. With declared checks the constraint
+    // gate AND the write both consume them — materialize once, with
+    // the gate's aggregate as the materializing job; with no checks
+    // the write is the ONLY consumer, so skip materialization (one
+    // execution either way, one fewer job).
+    val cowChecks = carriedChecks(root, parent)
+    val upsertsM =
+      if (cowChecks.isEmpty) upserts
+      else org.apache.spark.sql.graftx.Materialize.cleanWith(upserts)(
+        u => enforceChecks(u, cowChecks.toSeq.sortBy(_._1), action))._1
     // rewritten files keep their non-hit rows alongside the new state
     val carry = readFiles(spark, root, m, rewriteFiles)
       .join(matched, keyCols, "left_anti")
@@ -2668,12 +2675,15 @@ object TableLog {
     // key-derivation DAG (for SQL DML that is the full target⋈source
     // join tree), each with its own broadcast/AQE stage jobs.
     // Key-set size is the statement's churn, never the table.
-    val changeKeys = org.apache.spark.sql.graftx.Materialize.clean(keySource
-      .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long")).as(keyCol))
-      .na.drop().distinct())
-    val affectedPaths =
-      if (isStrKey) affectedFileSetStr(m, changeKeys, keyCol)
-      else affectedFileSet(m, changeKeys, keyCol)
+    // The zone prune's hull aggregate is the materializing job
+    // (cleanWith): materialize+prune cost one job, not two.
+    val (changeKeys, affectedPaths) = org.apache.spark.sql.graftx.Materialize
+      .cleanWith(keySource
+        .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long")).as(keyCol))
+        .na.drop().distinct()) { ck =>
+        if (isStrKey) affectedFileSetStr(m, ck, keyCol)
+        else affectedFileSet(m, ck, keyCol)
+      }
     val affected = m.files.filter(f => affectedPaths.contains(f.path)).sortBy(_.path)
     val untouched = m.files.filterNot(f => affectedPaths.contains(f.path))
     // which change keys are PRESENT in which affected file — the probe
@@ -2683,16 +2693,19 @@ object TableLog {
     // inline-bound vectors ever reach the driver — a 10⁸-key CDC
     // day-batch builds its deletion vectors as a side-file parquet
     // without materializing keys driver-side.
-    val probe = org.apache.spark.sql.graftx.Materialize.clean(
-      readFiles(spark, root, m, affected,
-        fileCol = Some("__fp"))
-      .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long"))
-          .as(keyCol),
-        element_at(split(col("__fp"), "/"), -1).as("__f"))
-      .join(changeKeys, Seq(keyCol))
-      .distinct()) // probed once; reused for counts + inline + side-file
-    val hitCounts: Map[String, Long] = probe.groupBy("__f").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // probed once; reused for counts + inline + side-file. The
+    // per-file hit-count collect is the materializing job (cleanWith):
+    // probe materialization + counts cost one job, not two.
+    val (probe, hitCountRows) = org.apache.spark.sql.graftx.Materialize
+      .cleanWith(readFiles(spark, root, m, affected,
+          fileCol = Some("__fp"))
+        .select((if (isStrKey) col(keyCol) else col(keyCol).cast("long"))
+            .as(keyCol),
+          element_at(split(col("__fp"), "/"), -1).as("__f"))
+        .join(changeKeys, Seq(keyCol))
+        .distinct())(p => p.groupBy("__f").count().collect())
+    val hitCounts: Map[String, Long] =
+      hitCountRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     def baseName(p: String) = p.substring(p.lastIndexOf('/') + 1)
     // string-key collision guard: the dv path is safe only when key →
     // hash is a bijection over the affected files' rows (a deleted
@@ -2723,13 +2736,17 @@ object TableLog {
     // output keys are exactly the change keys (hit rows are
     // semi-restricted to them and inserts come FROM them) minus
     // deletes — no further restriction needed
-    // new state is churn-sized too — materialize once so the
-    // constraint gate and the data-file write don't each re-execute
-    // the caller's upsert DAG (for SQL MERGE: unions of join branches)
-    val newState = org.apache.spark.sql.graftx.Materialize.clean(newStateOf(hitRows))
-    // DECLARED constraints gate the statement's new rows (carried and
-    // rewrite-carried rows were validated when they landed)
-    enforceDeclared(root, parent, newState, actionBase)
+    // new state is churn-sized too. DECLARED constraints gate the
+    // statement's new rows (carried and rewrite-carried rows were
+    // validated when they landed); with checks the gate aggregate is
+    // the materializing job (cleanWith) so gate + write read one
+    // computation, and with no checks the write is the ONLY consumer
+    // — skip materialization outright (one fewer job).
+    val morChecks = carriedChecks(root, parent)
+    val newState =
+      if (morChecks.isEmpty) newStateOf(hitRows)
+      else org.apache.spark.sql.graftx.Materialize.cleanWith(newStateOf(hitRows))(
+        ns => enforceChecks(ns, morChecks.toSeq.sortBy(_._1), actionBase))._1
     // rewritten files keep their non-hit rows alongside the new state
     val rewriteCarry = readFiles(spark, root, m, rewriteFiles)
       .join(changeKeys, Seq(keyCol), "left_anti")

@@ -457,19 +457,21 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
     // join DAG — materialize each ONCE (churn-sized by the MERGE
     // contract; the same move Delta's MERGE makes when it
     // materializes its source).
-    val matchedKeys = unionDf(matchedParts.map(_._1)).map(Materialize.clean)
     // cardinality guard: a target key acted on by >1 matched source
     // row is ambiguous (which update wins?) — Delta errors; so do we.
     // Runs on the key TUPLE, so it holds under composite keys and
-    // arbitrary ON predicates alike.
-    matchedKeys.foreach { mk =>
-      val dup = mk.groupBy(ctx.keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty, "graftlog MERGE: multiple source rows matched " +
-        s"target key ${dup.headOption.map(_.toSeq.init).getOrElse("")} — " +
-        "the same target row cannot be updated or deleted twice")
+    // arbitrary ON predicates alike. The guard's grouped count scans
+    // every partition, so it doubles as the materializing job
+    // (Materialize.cleanWith): guard + materialization cost one job.
+    val matchedKeys = unionDf(matchedParts.map(_._1)).map { mk0 =>
+      Materialize.cleanWith(mk0) { mk =>
+        val dup = mk.groupBy(ctx.keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty, "graftlog MERGE: multiple source rows matched " +
+          s"target key ${dup.headOption.map(_.toSeq.init).getOrElse("")} — " +
+          "the same target row cannot be updated or deleted twice")
+      }._1
     }
-    val insertDf = unionDf(inserts).map(Materialize.clean)
     // duplicate-key guards: the insert set must not carry one key
     // twice, and — unless the ON condition is EXACTLY the full key
     // equality (every component pinned, nothing else) — an insert key
@@ -479,22 +481,26 @@ case class GraftMergeCommand(ctx: GraftDmlTarget, target: LogicalPlan,
     // DV and merge relies on. Both checks are churn-sized; the
     // existence probe is one semi join of the insert keys against the
     // pinned snapshot.
-    insertDf.foreach { ins =>
-      val dup = ins.groupBy(ctx.keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty, "graftlog MERGE: the insert set carries " +
-        s"duplicate primary key ${dup.headOption.map(_.toSeq.init).getOrElse("")}")
-      if (!fullyPinned) {
-        val existing = df(spark, tgt)
-          .select(keys.map(k => col(k.name)): _*)
-          .toDF(ctx.keyCols: _*)
-          .join(ins.select(ctx.keyCols.map(col): _*), ctx.keyCols, "left_semi")
-          .limit(1).collect()
-        require(existing.isEmpty, "graftlog MERGE: NOT MATCHED insert of " +
-          s"key ${existing.headOption.map(_.toSeq).getOrElse("")} which " +
-          "already exists in the table (unmatched by the ON condition, " +
-          "but present by key) — the table is primary-keyed")
-      }
+    // the duplicate-key guard's grouped count scans every partition,
+    // so it doubles as the insert set's materializing job (cleanWith)
+    val insertDf = unionDf(inserts).map { in0 =>
+      Materialize.cleanWith(in0) { ins =>
+        val dup = ins.groupBy(ctx.keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty, "graftlog MERGE: the insert set carries " +
+          s"duplicate primary key ${dup.headOption.map(_.toSeq.init).getOrElse("")}")
+        if (!fullyPinned) {
+          val existing = df(spark, tgt)
+            .select(keys.map(k => col(k.name)): _*)
+            .toDF(ctx.keyCols: _*)
+            .join(ins.select(ctx.keyCols.map(col): _*), ctx.keyCols, "left_semi")
+            .limit(1).collect()
+          require(existing.isEmpty, "graftlog MERGE: NOT MATCHED insert of " +
+            s"key ${existing.headOption.map(_.toSeq).getOrElse("")} which " +
+            "already exists in the table (unmatched by the ON condition, " +
+            "but present by key) — the table is primary-keyed")
+        }
+      }._1
     }
 
     // suppress reuses the materialized matched keys; only the (rare)

@@ -36,15 +36,43 @@ object Materialize {
     * constraints (safe as a Union child) and actual-size statistics
     * (broadcast-eligible when genuinely small).
     */
-  def clean(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+  def clean(df: DataFrame): DataFrame =
+    rebuild(df.localCheckpoint())
+
+  /** Like [[clean]], but the materializing job IS the caller's first
+    * consumer: `df` is checkpoint-MARKED (lazy), `first` runs over
+    * the marked frame — its job computes every block as a side
+    * effect — and the returned frame plans over the stored blocks.
+    * One job where clean-then-consume was two.
+    *
+    * CONTRACT: `first` must be a FULL-SCAN action — an aggregate, a
+    * grouped collect, anything whose map side reads every input
+    * partition. An action that can short-circuit input partitions
+    * (`limit` directly over the frame, `isEmpty`, `head` without a
+    * shuffle in between) would leave blocks unstored, and a later
+    * consumer of the truncated-lineage RDD dies on the missing
+    * blocks.
+    */
+  def cleanWith[T](df: DataFrame)(first: DataFrame => T): (DataFrame, T) = {
+    val cp = df.localCheckpoint(eager = false)
+    val r = first(cp)
+    (rebuild(cp), r)
+  }
+
+  /** Rebuild a checkpointed frame's LogicalRDD without the captured
+    * origin constraints, with statistics from the block manager's
+    * actual accounting of the stored blocks (a genuinely empty result
+    * is clamped to 1 byte so it stays broadcast-eligible; an RDD the
+    * block manager does not know keeps default — conservative —
+    * stats).
+    */
+  private def rebuild(cp: DataFrame): DataFrame = {
     val session = cp.sparkSession.asInstanceOf[classic.SparkSession]
     cp.queryExecution.logical match {
       case lr: LogicalRDD =>
         val stored = session.sparkContext.getRDDStorageInfo
           .find(_.id == lr.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize))
-          .filter(_ > 0)
+          .map(i => BigInt(i.memSize + i.diskSize).max(BigInt(1)))
         val stats = stored.map(s => Statistics(sizeInBytes = s))
         classic.Dataset.ofRows(session,
           LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
