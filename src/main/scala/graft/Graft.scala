@@ -58,9 +58,25 @@ object Graft {
     *     pure reinterpretation — identical wall clock and epoch micros
     *     to DuckDB's naive read of the same file.
     */
+  /** In-process memo of INFERRED parquet schemas for the immutable
+    * driver input tables: every `spark.read.parquet` without a schema
+    * runs a 1-task footer-inference job, and the bench pays it per
+    * table reference per query per rep. Metadata only — rows are
+    * never cached, and a fresh JVM re-infers from the files.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Inferred schema of `path`, memoized per absolute path (input
+    * tables are immutable for the life of a run).
+    */
+  def inferredSchema(s: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(path, p => s.read.parquet(p).schema)
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = s.read.schema(inferredSchema(s, path)).parquet(path)
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -1657,14 +1657,18 @@ object Relational {
       import graft.sources.{TableLog, TidyIO}
       val root = TidyIO.scratchDir("q92_dml")
       // the DML contract is a PRIMARY-KEYED table — collapse duplicate
-      // orderkeys (the fuzz row-duplicate instances) to max(price)
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("k"),
-          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
-            .as("price"))
-        .filter(col("k").isNotNull)
-        .groupBy("k").agg(max("price").as("price"))
-      TableLog.commit(o, root, expr("k div 500"), 16, "overwrite")
+      // orderkeys (the fuzz row-duplicate instances) to max(price).
+      // The keyed batch feeds the base commit AND both branches of the
+      // MERGE source below — materialize it once, with the commit's
+      // write as the materializing job (guide §5: cache on reuse).
+      val (o, _) = org.apache.spark.sql.graftx.Materialize.cleanWith(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+              .as("price"))
+          .filter(col("k").isNotNull)
+          .groupBy("k").agg(max("price").as("price")))(
+        c => TableLog.commit(c, root, expr("k div 500"), 16, "overwrite"))
       s.read.format("graftlog").option("path", root).load()
         .createOrReplaceTempView("q92_t")
       val r = pmod(col("k"), lit(97L))
@@ -1711,14 +1715,18 @@ object Relational {
     "q97_merge_general" -> ((s, dir) => {
       import graft.sources.{TableLog, TidyIO}
       val root = TidyIO.scratchDir("q97_dml")
-      val o = t(s, dir, "orders")
-        .select(col("o_custkey").cast("long").as("ck"),
-          col("o_orderkey").cast("long").as("ok"),
-          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
-            .as("price"))
-        .filter(col("ck").isNotNull && col("ok").isNotNull)
-        .groupBy("ck", "ok").agg(max("price").as("price"))
-      TableLog.commit(o, root, expr("ok div 500"), 16, "overwrite")
+      // keyed batch reused by the commit, the max(ok) scalar and both
+      // MERGE source branches — one materialization, the commit's
+      // write as the materializing job
+      val (o, _) = org.apache.spark.sql.graftx.Materialize.cleanWith(
+        t(s, dir, "orders")
+          .select(col("o_custkey").cast("long").as("ck"),
+            col("o_orderkey").cast("long").as("ok"),
+            expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+              .as("price"))
+          .filter(col("ck").isNotNull && col("ok").isNotNull)
+          .groupBy("ck", "ok").agg(max("price").as("price")))(
+        c => TableLog.commit(c, root, expr("ok div 500"), 16, "overwrite"))
       s.read.format("graftlog").option("path", root)
         .option("primaryKey", "ck,ok").load()
         .createOrReplaceTempView("q97_t")
@@ -1773,13 +1781,18 @@ object Relational {
       val ns = "q98db"
       s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_q98")
       s.sql(s"CREATE TABLE graft.$ns.orders_q98 (k BIGINT, price BIGINT)")
-      t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("k"),
-          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
-            .as("price"))
-        .filter(col("k").isNotNull && col("price").isNotNull &&
-          col("price") > 0L)
-        .groupBy("k").agg(max("price").as("price"))
+      // the keyed source view feeds the INSERT, the violating MERGE
+      // source, both sink batches and the final read — materialize the
+      // derivation once instead of re-running the orders scan+groupBy
+      // per consuming statement
+      org.apache.spark.sql.graftx.Materialize.clean(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+              .as("price"))
+          .filter(col("k").isNotNull && col("price").isNotNull &&
+            col("price") > 0L)
+          .groupBy("k").agg(max("price").as("price")))
         .createOrReplaceTempView("q98_src")
       s.sql(s"INSERT INTO graft.$ns.orders_q98 SELECT k, price FROM q98_src")
       s.sql(s"ALTER TABLE graft.$ns.orders_q98 " +
@@ -1845,12 +1858,15 @@ object Relational {
       s.sql(s"CREATE TABLE graft.$ns.orders_props (price BIGINT, k BIGINT) " +
         "TBLPROPERTIES ('primaryKey'='k', 'layout'='k div 500', " +
         "'numFiles'='4')")
-      t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("k"),
-          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
-            .as("price"))
-        .filter(col("k").isNotNull)
-        .groupBy("k").agg(max("price").as("price"))
+      // q101_src feeds the INSERT and the MERGE source — materialize
+      // once
+      org.apache.spark.sql.graftx.Materialize.clean(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+              .as("price"))
+          .filter(col("k").isNotNull)
+          .groupBy("k").agg(max("price").as("price")))
         .createOrReplaceTempView("q101_src")
       s.sql(s"INSERT INTO graft.$ns.orders_props " +
         "SELECT price, k FROM q101_src")
@@ -1893,12 +1909,15 @@ object Relational {
       val ns = "q99db"
       s.sql(s"DROP TABLE IF EXISTS graft.$ns.orders_evo")
       s.sql(s"CREATE TABLE graft.$ns.orders_evo (k BIGINT, price BIGINT)")
-      t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("k"),
-          expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
-            .as("price"))
-        .filter(col("k").isNotNull)
-        .groupBy("k").agg(max("price").as("price"))
+      // q99_src feeds the INSERT and both UNION branches of the
+      // evolution MERGE source — materialize once
+      org.apache.spark.sql.graftx.Materialize.clean(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+              .as("price"))
+          .filter(col("k").isNotNull)
+          .groupBy("k").agg(max("price").as("price")))
         .createOrReplaceTempView("q99_src")
       s.sql(s"INSERT INTO graft.$ns.orders_evo SELECT k, price FROM q99_src")
       s.sql(

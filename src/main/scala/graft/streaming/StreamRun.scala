@@ -64,7 +64,7 @@ object StreamRun {
   def source(s: SparkSession, dir: String, table: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$table.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = graft.Graft.inferredSchema(s, path)
     val globPath = path.dropRight(1) + "[" + path.last + "]"
     val raw = s.readStream.schema(schema).parquet(globPath)
     schema.find(_.name == "ts").map(_.dataType) match {
